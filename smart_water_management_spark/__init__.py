@@ -1,0 +1,47 @@
+"""smart_water_management_spark — a PySpark-native analytics engine.
+
+Brand-new engine with the query/data-processing capability surface of the
+reference `Tee-works/smart-water-management` (see SURVEY.md), re-expressed
+as idiomatic DataFrame/SQL/Catalyst plans plus Structured Streaming, and
+extended with LLM-data-pipeline operators (dedup, similarity search,
+multimodal columns, text analysis) designed for 100 TB scale.
+
+Importing this package populates the query registry used by
+``__spark_entry__.py`` (the correctness driver contract).
+"""
+
+from __future__ import annotations
+
+from . import registry
+from .session import get_session  # noqa: F401
+
+# Import operator modules for their registration side effects.
+from .operators import aggregations  # noqa: F401,E402
+
+_OPTIONAL_MODULES = [
+    "smart_water_management_spark.operators.joins",
+    "smart_water_management_spark.operators.windows",
+    "smart_water_management_spark.operators.relational",
+    "smart_water_management_spark.operators.setops",
+    "smart_water_management_spark.functions.scalar",
+    "smart_water_management_spark.plans.dashboard",
+    "smart_water_management_spark.plans.star_schema",
+    "smart_water_management_spark.validation.checks",
+    "smart_water_management_spark.streaming.batch_windows",
+    "smart_water_management_spark.ml.analytics",
+    "smart_water_management_spark.llmdata.dedup",
+    "smart_water_management_spark.llmdata.similarity",
+    "smart_water_management_spark.llmdata.text",
+    "smart_water_management_spark.llmdata.multimodal",
+]
+
+import importlib as _importlib
+
+for _m in _OPTIONAL_MODULES:
+    try:
+        _importlib.import_module(_m)
+    except ModuleNotFoundError:
+        pass  # module not built yet; registry stays partial
+
+queries = registry.all_queries
+oracle_sql = registry.all_oracles

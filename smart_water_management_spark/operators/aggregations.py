@@ -1,0 +1,377 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A15) re-expressed Spark-first.
+
+Reference sites: multi-key multi-agg src/spark_etl.py:149-161 and
+src/enhanced_spark_etl.py:526-605; conditional aggs :162,:564; percentiles
+:549-557; pivot :612; correlation :607-648. All become single
+``groupBy().agg()`` plans — Catalyst runs them as partial+final hash
+aggregates (map-side combine), so each is one shuffle keyed on the group
+columns; at 100 TB skewed keys are split by AQE.
+
+Money-valued sums/avgs/stddevs use the exact-decimal helpers from
+``functions.numeric`` so results hash-match the DuckDB oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.numeric import (
+    davg,
+    dstddev,
+    dsum,
+    sql_davg,
+    sql_dstddev,
+    sql_dsum,
+)
+from ..registry import register
+from ..sources.catalog import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# --- A1 + A6 + A11: multi-key multi-agg with derived measures (TPC-H Q1 shape,
+# the analog of the reference's district×type hourly rollup src/spark_etl.py:149-161).
+@register(
+    "a01_multi_agg_pricing",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_dstddev('l_quantity')} AS std_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="A1/A6/A11: grouped multi-agg incl. exact-decimal sum/avg/stddev",
+)
+def a01_multi_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc).alias("sum_disc_price"),
+        dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_extendedprice").alias("avg_price"),
+        dstddev("l_quantity").alias("std_qty"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --- A2: daily rollup (reference src/spark_etl.py:172-182).
+@register(
+    "a02_daily_rollup",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+           COUNT(*) AS n_events,
+           {sql_davg('value')} AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           {sql_dsum('value')} AS sum_value
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d'), event_type
+    """,
+    doc="A2: coarser-grain daily rollup over the event stream",
+)
+def a02_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        davg("value").alias("avg_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        dsum("value").alias("sum_value"),
+    )
+
+
+# --- A3: count-distinct (reference src/spark_etl.py:179, src/app.py:34).
+@register(
+    "a03_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="A3: exact count-distinct per group (approx variant: a03_approx, rows-only)",
+)
+def a03_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+
+
+# --- A3 at 100 TB: approx_count_distinct (HLL) — sketch-based, one pass, no
+# per-key state explosion. Not hash-comparable to an exact oracle => rows-only.
+@register(
+    "a03_approx_count_distinct",
+    oracle=None,
+    doc="A3 scale path: HyperLogLog approx_count_distinct (rows-only check)",
+)
+def a03_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_suppliers"),
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+    )
+
+
+# --- A4: conditional aggregates (reference src/enhanced_spark_etl.py:162,564).
+@register(
+    "a04_conditional_agg",
+    oracle=f"""
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")}
+             AS finished_revenue,
+           SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS n_big,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    doc="A4: sum(when(cond,x)) filtered aggregates",
+)
+def a04_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    fin = F.col("o_orderstatus") == "F"
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.when(fin, 1).otherwise(0)).alias("n_finished"),
+        dsum(F.when(fin, F.col("o_totalprice")).otherwise(0.0)).alias("finished_revenue"),
+        F.sum(F.when(F.col("o_totalprice") > 200000.0, 1).otherwise(0)).alias("n_big"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --- A5: conditional count-distinct (reference src/enhanced_spark_etl.py:673).
+@register(
+    "a05_conditional_count_distinct",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT CASE WHEN event_type = 'error' THEN user_id END)
+             AS users_with_errors,
+           COUNT(DISTINCT user_id) AS active_users
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+    doc="A5: countDistinct over a conditional expression",
+)
+def a05_conditional_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
+        F.countDistinct(
+            F.when(F.col("event_type") == "error", F.col("user_id"))
+        ).alias("users_with_errors"),
+        F.countDistinct("user_id").alias("active_users"),
+    )
+
+
+# --- A6: global (no-key) aggregate (reference src/enhanced_spark_etl.py:149-154).
+@register(
+    "a06_global_agg",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           MIN(l_shipdate) AS first_ship,
+           MAX(l_shipdate) AS last_ship,
+           {sql_dsum('l_extendedprice')} AS total_price
+    FROM lineitem
+    """,
+    doc="A6: dataset-level totals and date range",
+)
+def a06_global_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        dsum("l_extendedprice").alias("total_price"),
+    )
+
+
+# --- A7: percentiles per group (reference src/enhanced_spark_etl.py:549-557).
+# Exact percentile (both engines: linear interpolation), rounded to absorb
+# formula-order differences; the approx variant is rows-only below.
+@register(
+    "a07_percentiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.50), 6) AS median,
+           ROUND(quantile_cont(value, 0.75), 6) AS p75,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="A7: exact interpolated percentiles per group",
+)
+def a07_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.50)), 6).alias("median"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95"),
+    )
+
+
+# --- A7/A8 scale path: percentile_approx (Greenwald-Khanna sketch), the form
+# the reference actually calls (expr("percentile_approx(...)"), approxQuantile).
+@register(
+    "a07_percentile_approx",
+    oracle=None,
+    doc="A7/A8 scale path: GK-sketch approximate percentiles (rows-only check)",
+)
+def a07_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", 0.5, 1000).alias("median_approx"),
+        F.percentile_approx("value", 0.95, 1000).alias("p95_approx"),
+    )
+
+
+# --- A9: grouped first-row, made deterministic via min_by/max_by
+# (reference src/warehouse_loader.py:193 groupby().first()).
+@register(
+    "a09_grouped_first_last",
+    oracle="""
+    SELECT user_id,
+           arg_min(value, event_id) AS first_value,
+           arg_max(value, event_id) AS last_value,
+           arg_max(event_type, ts) AS latest_type
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="A9/W8: deterministic grouped first/last via min_by/max_by",
+)
+def a09_grouped_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.min_by("value", "event_id").alias("first_value"),
+        F.max_by("value", "event_id").alias("last_value"),
+        F.max_by("event_type", "ts").alias("latest_type"),
+    )
+
+
+# --- A10: distinct key combos (reference src/enhanced_spark_etl.py:353).
+@register(
+    "a10_distinct",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    doc="A10: distinct projection (shuffle-dedup)",
+)
+def a10_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select("user_id", "event_type").distinct()
+
+
+# --- A12: pivot / wide reshape (reference src/enhanced_spark_etl.py:612).
+# Explicit pivot value list => no extra distinct-values job, stable schema.
+@register(
+    "a12_pivot_daily_by_type",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           {", ".join(sql_davg(f"CASE WHEN event_type = '{t}' THEN value END") + f" AS {t}" for t in EVENT_TYPES)}
+    FROM events
+    GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+    doc="A12: pivot event types to columns, cell = avg(value)",
+)
+def a12_pivot_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", EVENT_TYPES)
+        .agg(davg("value"))
+    )
+
+
+# --- A13: frequency breakdown (reference production_ingestion.py:240-242).
+@register(
+    "a13_frequency",
+    oracle="SELECT source, lang, COUNT(*) AS n_docs FROM documents GROUP BY source, lang",
+    doc="A13: grouped frequency counts",
+)
+def a13_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source", "lang").agg(F.count("*").alias("n_docs"))
+
+
+# --- A14: multi-granularity rollup family unified as ROLLUP + grouping_id
+# (reference runs 4 parallel groupBys src/enhanced_spark_etl.py:526-605; one
+# ROLLUP computes all grains in a single shuffle).
+@register(
+    "a14_rollup_grains",
+    oracle=f"""
+    SELECT year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           GROUPING(year(o_orderdate), month(o_orderdate)) AS grain,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+    """,
+    doc="A14: hierarchical grains via ROLLUP + grouping_id in one pass",
+)
+def a14_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_year", F.year("o_orderdate"))
+        .withColumn("order_month", F.month("o_orderdate"))
+        .rollup("order_year", "order_month")
+        .agg(
+            F.grouping_id().alias("grain"),
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+# --- A15: correlation matrix entry — Pearson corr from exact decimal moments
+# (reference src/enhanced_spark_etl.py:607-648 uses ml.stat.Correlation; the
+# pairwise-agg form needs no pivot/VectorAssembler and stays in one hash agg).
+@register(
+    "a15_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(
+             (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+              - CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE))
+             / (SQRT(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                     - CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE) * CAST(SUM(CAST(l_quantity AS DECIMAL(27,6))) AS DOUBLE))
+                * SQRT(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+                       - CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) * CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)))
+           , 6) AS corr_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="A15: Pearson correlation per group from exact decimal moments",
+)
+def a15_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    n = F.count("*").cast("double")
+    sq = F.sum(q.cast("decimal(27,6)")).cast("double")
+    sp = F.sum(p.cast("decimal(27,6)")).cast("double")
+    sqq = F.sum((q * q).cast("decimal(27,6)")).cast("double")
+    spp = F.sum((p * p).cast("decimal(27,6)")).cast("double")
+    sqp = F.sum((q * p).cast("decimal(27,6)")).cast("double")
+    corr = (n * sqp - sq * sp) / (
+        F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)
+    )
+    return li.groupBy("l_returnflag").agg(F.round(corr, 6).alias("corr_qty_price"))

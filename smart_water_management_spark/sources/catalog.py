@@ -1,0 +1,83 @@
+"""Table catalog over the driver's parquet testdata.
+
+Mirrors the reference's source surface (SURVEY.md §2.1): explicit-schema
+scans, partitioned parquet sinks, and view registration so the dashboard
+SQL layer (§2.14) can run via ``spark.sql``. Parquet scans get predicate
+pushdown + column pruning from Catalyst for free; at 100 TB the same reads
+hit hive-partitioned directories and prune on year/month/day.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one testdata table.
+
+    Parquet carries its own schema; Catalyst prunes columns and pushes
+    filters into the scan (equivalent of reference src/spark_etl.py:47-64's
+    explicit-schema CSV read, upgraded to a columnar format).
+
+    ``events.ts`` is stored as TIMESTAMP(NANOS), which the Spark parquet
+    reader rejects; we read it as epoch-nanos long (legacy flag) and
+    convert with integer division (``div`` — a double division would lose
+    precision above 2^53) back to a microsecond timestamp. The testdata's
+    ts values all sit on the microsecond grid, so this is lossless.
+    """
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return spark.read.parquet(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Partitioned parquet sink (reference src/enhanced_spark_etl.py:777-782).
+
+    Directory partitioning by low-cardinality time columns is what replaces
+    the reference warehouse's range partitioning + btree indexes at scale:
+    readers prune partitions and use parquet min/max stats.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_compacted_parquet(df: DataFrame, path: str, n_files: int = 1) -> None:
+    """Small-file-compaction sink (reference src/spark_etl.py:241)."""
+    df.coalesce(n_files).write.mode("overwrite").parquet(path)
+
+
+def read_csv_with_schema(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Header CSV with explicit schema — no inference pass
+    (reference src/spark_etl.py:47-64)."""
+    return (
+        spark.read.option("header", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .schema(schema)
+        .csv(path)
+    )
