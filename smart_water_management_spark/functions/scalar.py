@@ -1,0 +1,282 @@
+"""Scalar function surface (SURVEY.md §2.8): date/time, math, string, JSON,
+conditional/cast families, each registered as an oracle-checked query.
+
+Reference sites: date hierarchy src/spark_etl.py:71-75,
+src/enhanced_spark_etl.py:211-233 (incl. sin/cos cyclical encodings),
+warehouse date attrs src/warehouse_loader.py:92-111; string slugs/matching
+src/warehouse_loader.py:181, src/enhanced_ingestion.py:716-737; JSON
+flattening src/enhanced_ingestion.py:548-704; zero-guarded division
+src/spark_etl.py:122-124.
+
+Cross-engine notes baked into the oracles: Spark `dayofweek` is 1=Sunday
+while DuckDB's is 0=Sunday (+1 shift); both use ISO `weekofyear`;
+transcendental results are rounded to 6 dp (libm vs StrictMath ulps).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+# --- Date/time family.
+@register(
+    "f01_datetime_functions",
+    oracle="""
+    SELECT CAST(year(ts) AS INT) AS yr,
+           CAST(month(ts) AS INT) AS mo,
+           CAST(day(ts) AS INT) AS dom,
+           CAST(hour(ts) AS INT) AS hr,
+           CAST(dayofweek(ts) + 1 AS INT) AS dow,
+           CAST(dayofyear(ts) AS INT) AS doy,
+           CAST(weekofyear(ts) AS INT) AS woy,
+           CAST(quarter(ts) AS INT) AS qtr,
+           strftime(ts + INTERVAL 7 DAY, '%Y-%m-%d') AS plus_7d,
+           CAST(date_diff('day', TIMESTAMP '2024-01-01 00:00:00', ts) AS INT) AS days_since_epoch_start,
+           CAST(floor(epoch(ts)) AS BIGINT) AS unix_sec,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY ALL
+    """,
+    doc="date/time builtins: year..quarter, date_add, datediff, unix_timestamp",
+)
+def f01_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.year("ts").alias("yr"),
+        F.month("ts").alias("mo"),
+        F.dayofmonth("ts").alias("dom"),
+        F.hour("ts").alias("hr"),
+        F.dayofweek("ts").alias("dow"),
+        F.dayofyear("ts").alias("doy"),
+        F.weekofyear("ts").alias("woy"),
+        F.quarter("ts").alias("qtr"),
+        F.date_format(F.date_add(F.to_date("ts"), 7), "yyyy-MM-dd").alias("plus_7d"),
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias(
+            "days_since_epoch_start"
+        ),
+        F.col("ts").cast("long").alias("unix_sec"),
+    ).agg(F.count("*").alias("n"))
+
+
+# --- Day/month names + weekend/season/fiscal attributes (reference
+# src/warehouse_loader.py:92-111 builds these in pandas; here pure builtins).
+@register(
+    "f02_date_attributes",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           dayname(ts) AS day_name,
+           monthname(ts) AS month_name,
+           CASE WHEN dayofweek(ts) IN (0, 6) THEN TRUE ELSE FALSE END AS is_weekend,
+           CASE WHEN month(ts) IN (12, 1, 2) THEN 'winter'
+                WHEN month(ts) IN (3, 4, 5) THEN 'spring'
+                WHEN month(ts) IN (6, 7, 8) THEN 'summer'
+                ELSE 'autumn' END AS season,
+           CAST(CASE WHEN month(ts) >= 4 THEN year(ts) + 1 ELSE year(ts) END AS INT) AS fiscal_year,
+           CAST(floor((month(ts) + 8) % 12 / 3) + 1 AS INT) AS fiscal_quarter,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY ALL
+    """,
+    doc="derived calendar attributes: names, weekend, season, fiscal (Apr start)",
+)
+def f02_date_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mo = F.month("ts")
+    return ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "EEEE").alias("day_name"),
+        F.date_format("ts", "MMMM").alias("month_name"),
+        F.dayofweek("ts").isin([1, 7]).alias("is_weekend"),
+        F.when(mo.isin(12, 1, 2), "winter")
+        .when(mo.isin(3, 4, 5), "spring")
+        .when(mo.isin(6, 7, 8), "summer")
+        .otherwise("autumn")
+        .alias("season"),
+        F.when(mo >= 4, F.year("ts") + 1).otherwise(F.year("ts")).alias("fiscal_year"),
+        (((mo + 8) % 12 / 3).cast("int") + 1).alias("fiscal_quarter"),
+    ).agg(F.count("*").alias("n"))
+
+
+# --- Math family (sin/cos cyclical encodings per reference
+# src/enhanced_spark_etl.py:228-233; geo distance :242-244).
+@register(
+    "f03_math_functions",
+    oracle="""
+    SELECT event_id,
+           ABS(value - 250.0) AS abs_dev,
+           ROUND(value, 1) AS rounded,
+           FLOOR(value) AS floored,
+           CEIL(value) AS ceiled,
+           ROUND(SQRT(value), 6) AS sqrt_v,
+           GREATEST(value, 100.0) AS clamped_lo,
+           LEAST(value, 400.0) AS clamped_hi,
+           ROUND(SIN(2 * PI() * hour(ts) / 24.0), 6) AS hour_sin,
+           ROUND(COS(2 * PI() * hour(ts) / 24.0), 6) AS hour_cos,
+           CASE WHEN value <> 0 THEN ROUND(100.0 / value, 6) ELSE 0.0 END AS inv_pct
+    FROM events
+    """,
+    doc="math builtins: abs/round/floor/ceil/sqrt/greatest/least/sin/cos + zero guard",
+)
+def f03_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    two_pi_h = 2 * F.lit(3.141592653589793) * F.hour("ts") / 24.0
+    return ev.select(
+        "event_id",
+        F.abs(v - 250.0).alias("abs_dev"),
+        F.round(v, 1).alias("rounded"),
+        F.floor(v).alias("floored"),
+        F.ceil(v).alias("ceiled"),
+        F.round(F.sqrt(v), 6).alias("sqrt_v"),
+        F.greatest(v, F.lit(100.0)).alias("clamped_lo"),
+        F.least(v, F.lit(400.0)).alias("clamped_hi"),
+        F.round(F.sin(two_pi_h), 6).alias("hour_sin"),
+        F.round(F.cos(two_pi_h), 6).alias("hour_cos"),
+        F.when(v != 0, F.round(100.0 / v, 6)).otherwise(0.0).alias("inv_pct"),
+    )
+
+
+# --- String family (slug/matching/substring per reference
+# src/warehouse_loader.py:181, src/enhanced_ingestion.py:716-737).
+@register(
+    "f04_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           lower(replace(p_type, ' ', '_')) AS type_slug,
+           substr(p_name, 1, 10) AS name_prefix,
+           length(p_name) AS name_len,
+           concat(p_brand, '/', p_type) AS brand_type,
+           CASE WHEN contains(p_type, 'BRUSHED') THEN 1 ELSE 0 END AS is_brushed,
+           CASE WHEN starts_with(p_type, 'STANDARD') THEN 1 ELSE 0 END AS is_standard,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           split_part(p_name, ' ', 1) AS first_word,
+           trim(concat(' ', p_name, ' ')) AS trimmed
+    FROM part
+    """,
+    doc="string builtins: case, slug, substring, concat, contains, regexp_extract, split",
+)
+def f04_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower(F.replace(F.col("p_type"), F.lit(" "), F.lit("_"))).alias("type_slug"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+        F.when(F.col("p_type").contains("BRUSHED"), 1).otherwise(0).alias("is_brushed"),
+        F.when(F.col("p_type").startswith("STANDARD"), 1).otherwise(0).alias(
+            "is_standard"
+        ),
+        F.regexp_extract("p_brand", r"([0-9]+)", 1).alias("brand_num"),
+        F.element_at(F.split("p_name", " "), 1).alias("first_word"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+    )
+
+
+# --- JSON family (API payload flattening per reference
+# src/enhanced_ingestion.py:548-704 → get_json_object / from_json).
+@register(
+    "f05_json_functions",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="JSON extraction: get_json_object + cast, grouped",
+)
+def f05_json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.get_json_object("props", "$.k").cast("int").alias("k")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(27,6)")).cast("double").alias("total_value"),
+    )
+
+
+# --- from_json with explicit schema → struct access (the typed path).
+@register(
+    "f06_from_json_struct",
+    oracle="""
+    SELECT (CAST(json_extract_string(props, '$.k') AS INT) % 10) AS k_bucket,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1
+    """,
+    doc="from_json with StructType schema, nested field access",
+)
+def f06_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "parsed", F.from_json("props", "k INT")
+    )
+    return parsed.groupBy(
+        (F.col("parsed.k") % 10).alias("k_bucket")
+    ).agg(F.count("*").alias("n"))
+
+
+# --- Array/map surface (engine extension for embeddings per SURVEY §2.8:
+# transform / filter / aggregate / zip_with higher-order functions).
+@register(
+    "f07_array_functions",
+    oracle="""
+    SELECT vec_id,
+           len(embedding) AS dim,
+           ROUND(CAST(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS DOUBLE), 4) AS vec_sum,
+           ROUND(CAST(list_reduce(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b) AS DOUBLE), 4) AS sq_norm,
+           len(list_filter(embedding, x -> x > 0)) AS n_positive
+    FROM embeddings
+    """,
+    doc="array HOFs: transform/aggregate/filter over embedding vectors",
+)
+def f07_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("vec_sum"),
+        F.round(
+            F.aggregate(dbl, F.lit(0.0), lambda a, x: a + x * x), 4
+        ).alias("sq_norm"),
+        F.size(F.filter(F.col("embedding"), lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+# --- Cast / conditional family (reference src/enhanced_spark_etl.py:169,
+# src/data_validator.py:252-267).
+@register(
+    "f08_casts_conditionals",
+    oracle="""
+    SELECT CAST(l_quantity AS INT) AS qty_int,
+           CAST(CAST(l_extendedprice AS DECIMAL(15,2)) AS VARCHAR) AS price_str,
+           COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag_or_none,
+           CASE WHEN l_discount > 0.05 THEN 'discounted' ELSE 'full' END AS price_class,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ALL
+    """,
+    doc="casts int/decimal/string, nullif+coalesce, case classification",
+)
+def f08_casts_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_extendedprice").cast("decimal(15,2)").cast("string").alias("price_str"),
+        F.coalesce(F.nullif("l_returnflag", F.lit("N")), F.lit("none")).alias(
+            "flag_or_none"
+        ),
+        F.when(F.col("l_discount") > 0.05, "discounted")
+        .otherwise("full")
+        .alias("price_class"),
+    ).agg(F.count("*").alias("n"))

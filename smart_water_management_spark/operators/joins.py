@@ -1,0 +1,431 @@
+"""Join operators (SURVEY.md §2.3 J1-J8) plus the as-of/range join
+extensions, Spark-first.
+
+Reference sites: stats broadcast join src/spark_etl.py:87-96; multi-key
+left join src/enhanced_spark_etl.py:433-437; star joins src/app.py:90-93
+et al.; row-wise FK lookup src/warehouse_loader_real_data.py:209-237
+(re-expressed here as set-based equi-joins — the reference's O(n·m)
+iterrows loop is the one pattern we deliberately do NOT reproduce);
+LATERAL rewrite sql/enhanced_data_schema.sql:421-433.
+
+Scale posture: dimension sides are broadcast (`F.broadcast`) so the fact
+table never shuffles for star joins; large-large joins fall to sort-merge
+with AQE skew splitting. The as-of join avoids a naive non-equi
+nested-loop by the union + last-value-carry-forward pattern (one shuffle,
+one sort — same asymptotics as a sort-merge join). The range join avoids
+BroadcastNestedLoop by bucketizing the time axis and equi-joining on
+(key, bucket) before the residual range filter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.numeric import davg, dsum, sql_davg, sql_dsum
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+# --- J1: small-dim broadcast join (reference src/spark_etl.py:87-96 joins
+# per-type stats back to readings; here: region/nation dims onto customer).
+@register(
+    "j01_broadcast_dims",
+    oracle=f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c.c_acctbal')} AS total_balance
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    doc="J1: broadcast-hash star join of two small dims, then rollup",
+)
+def j01_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            dsum("c_acctbal").alias("total_balance"),
+        )
+    )
+
+
+# --- J2: multi-key left join (reference joins ML scores back on
+# (timestamp, sensor_id); here: per-(user, day) stats joined back to events).
+@register(
+    "j02_multikey_left_join",
+    oracle=f"""
+    WITH daily AS (
+      SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+             COUNT(*) AS n_day_events,
+             {sql_davg('value')} AS day_avg
+      FROM events GROUP BY user_id, strftime(ts, '%Y-%m-%d')
+    )
+    SELECT e.event_id, e.user_id, e.value,
+           d.n_day_events, d.day_avg
+    FROM events e
+    LEFT JOIN daily d
+      ON e.user_id = d.user_id AND strftime(e.ts, '%Y-%m-%d') = d.day
+    """,
+    doc="J2: two-key left join of grouped stats back onto the base table",
+)
+def j02_multikey_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    daily = ev.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_day_events"), davg("value").alias("day_avg")
+    )
+    return ev.join(daily, ["user_id", "day"], "left").select(
+        "event_id", "user_id", "value", "n_day_events", "day_avg"
+    )
+
+
+# --- J3: star join — the dashboard query shape (reference src/app.py:90-93).
+@register(
+    "j03_star_join",
+    oracle=f"""
+    SELECT n.n_name AS nation, o.o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o.o_totalprice')} AS revenue,
+           {sql_davg('o.o_totalprice')} AS avg_order_value
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name, o.o_orderpriority
+    """,
+    doc="J3: fact ⋈ dim ⋈ dim star join with grouped measures",
+)
+def j03_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+            davg("o_totalprice").alias("avg_order_value"),
+        )
+    )
+
+
+# --- J4/C3: FK resolution as set-based joins — replaces the reference's
+# row-wise iterrows lookup (src/warehouse_loader_real_data.py:209-237) with
+# proper equi-joins against surrogate-key dimensions.
+@register(
+    "j04_fk_resolution",
+    oracle="""
+    WITH dim_seg AS (
+      SELECT c_mktsegment AS segment,
+             ROW_NUMBER() OVER (ORDER BY c_mktsegment) AS segment_key
+      FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    ),
+    dim_nat AS (
+      SELECT n_nationkey, n_name,
+             ROW_NUMBER() OVER (ORDER BY n_name) AS nation_key
+      FROM nation
+    )
+    SELECT s.segment_key, nk.nation_key, COUNT(*) AS n_customers
+    FROM customer c
+    JOIN dim_seg s ON c.c_mktsegment = s.segment
+    JOIN dim_nat nk ON c.c_nationkey = nk.n_nationkey
+    GROUP BY s.segment_key, nk.nation_key
+    """,
+    doc="J4/C3: surrogate-key dimension build + set-based FK resolution",
+)
+def j04_fk_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dim_seg = (
+        c.select(F.col("c_mktsegment").alias("segment"))
+        .distinct()
+        .withColumn("segment_key", F.row_number().over(W.orderBy("segment")))
+    )
+    dim_nat = n.select(
+        "n_nationkey",
+        F.row_number().over(W.orderBy("n_name")).alias("nation_key"),
+    )
+    return (
+        c.join(F.broadcast(dim_seg), c.c_mktsegment == dim_seg.segment)
+        .join(F.broadcast(dim_nat), c.c_nationkey == dim_nat.n_nationkey)
+        .groupBy("segment_key", "nation_key")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+# --- J5: date-matching join (reference src/warehouse_loader.py:265-270 —
+# reading date → dim_time row; dim built inline via sequence(), see C2).
+@register(
+    "j05_date_join",
+    oracle="""
+    WITH dim_time AS (
+      SELECT CAST(d AS DATE) AS date_actual,
+             year(d) AS yr, month(d) AS mo,
+             CASE WHEN dayofweek(d) IN (0, 6) THEN TRUE ELSE FALSE END AS is_weekend
+      FROM generate_series(DATE '2024-01-01', DATE '2024-12-31', INTERVAL 1 DAY) t(d)
+    )
+    SELECT t.yr, t.mo, t.is_weekend, COUNT(*) AS n_events
+    FROM events e
+    JOIN dim_time t ON CAST(e.ts AS DATE) = t.date_actual
+    GROUP BY t.yr, t.mo, t.is_weekend
+    """,
+    doc="J5/C2: join on derived date expr against a generated time dimension",
+)
+def j05_date_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dim_time = spark.sql(
+        """
+        SELECT explode(sequence(date'2024-01-01', date'2024-12-31')) AS date_actual
+        """
+    ).select(
+        "date_actual",
+        F.year("date_actual").alias("yr"),
+        F.month("date_actual").alias("mo"),
+        F.dayofweek("date_actual").isin([1, 7]).alias("is_weekend"),
+    )
+    return (
+        ev.join(F.broadcast(dim_time), F.to_date("ts") == F.col("date_actual"))
+        .groupBy("yr", "mo", "is_weekend")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# --- J6: LATERAL-join rewrite (sql/enhanced_data_schema.sql:421-433):
+# "latest reading + trailing-24h stats per sensor" as one aggregate pass
+# with max_by + conditional aggs — no correlated subquery, no re-scan.
+@register(
+    "j06_lateral_rewrite",
+    oracle=f"""
+    SELECT user_id,
+           arg_max(value, ts) AS latest_value,
+           arg_max(event_type, ts) AS latest_type,
+           COUNT(*) FILTER (WHERE ts >= TIMESTAMP '2024-01-30 00:00:00') AS n_last_day,
+           {sql_davg("CASE WHEN ts >= TIMESTAMP '2024-01-30 00:00:00' THEN value END")} AS avg_last_day
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="J6: LATERAL correlated-subquery rewritten as max_by + filtered aggs",
+)
+def j06_lateral_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-30 00:00:00").cast("timestamp")
+    recent = F.when(F.col("ts") >= cutoff, F.col("value"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("value", "ts").alias("latest_value"),
+        F.max_by("event_type", "ts").alias("latest_type"),
+        F.count(F.when(F.col("ts") >= cutoff, 1)).alias("n_last_day"),
+        davg(recent).alias("avg_last_day"),
+    )
+
+
+# --- J7 + semi/anti joins (engine surface beyond the reference: EXISTS /
+# NOT EXISTS without materializing the subquery).
+@register(
+    "j07_semi_anti",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) FILTER (WHERE has_order) AS with_orders,
+           COUNT(*) FILTER (WHERE NOT has_order) AS without_orders
+    FROM (
+      SELECT c.c_mktsegment,
+             EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_order
+      FROM customer c
+    )
+    GROUP BY c_mktsegment
+    """,
+    doc="J7: left-semi/left-anti joins (EXISTS / NOT EXISTS)",
+)
+def j07_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    okeys = o.select(F.col("o_custkey").alias("c_custkey"))
+    semi = c.join(okeys, "c_custkey", "left_semi").groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(F.count("*").alias("with_orders"))
+    anti = c.join(okeys, "c_custkey", "left_anti").groupBy(
+        F.col("c_mktsegment").alias("segment")
+    ).agg(F.count("*").alias("without_orders"))
+    return (
+        semi.join(anti, "segment", "full_outer")
+        .select(
+            "segment",
+            F.coalesce("with_orders", F.lit(0)).alias("with_orders"),
+            F.coalesce("without_orders", F.lit(0)).alias("without_orders"),
+        )
+    )
+
+
+# --- J8: union-then-join enrich (reference src/enhanced_spark_etl.py:427-437
+# unions per-type prediction frames then left-joins back to the base).
+@register(
+    "j08_union_then_join",
+    oracle=f"""
+    WITH scored AS (
+      SELECT event_id, value * 2.0 AS score FROM events WHERE event_type = 'error'
+      UNION ALL
+      SELECT event_id, value * 0.5 AS score FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_type, COUNT(s.score) AS n_scored,
+           {sql_dsum('s.score')} AS total_score
+    FROM events e LEFT JOIN scored s ON e.event_id = s.event_id
+    GROUP BY e.event_type
+    """,
+    doc="J8: per-branch processing unioned then joined back (left enrich)",
+)
+def j08_union_then_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", (F.col("value") * 2.0).alias("score")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", (F.col("value") * 0.5).alias("score")
+    )
+    scored = errors.unionByName(purchases)
+    return (
+        ev.join(scored, "event_id", "left")
+        .groupBy("event_type")
+        .agg(F.count("score").alias("n_scored"), dsum("score").alias("total_score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extensions: as-of join and range join (SURVEY §2.3 note: "as-of joins
+# become relevant for sensor-reading ⨝ weather-context"; Spark lacks both).
+# ---------------------------------------------------------------------------
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str,
+    right_cols: list[str],
+) -> DataFrame:
+    """As-of join: for each left row, attach the most recent right row with
+    ``right.on <= left.on`` within the same ``by`` group.
+
+    Idiomatic-Spark implementation (no nested-loop join): tag and union the
+    two inputs, sort within ``by`` partitions, carry the last non-null right
+    value forward with ``last(..., ignorenulls=True)``, keep left rows. One
+    shuffle + one sort — the same cost as a sort-merge join, independent of
+    time-gap sizes. At 100 TB this beats a non-equi join (which Spark plans
+    as BroadcastNestedLoop) by orders of magnitude.
+    """
+    lt = left.withColumn("__side", F.lit(1))
+    rt = right.withColumn("__side", F.lit(0))
+    cols = list(dict.fromkeys(left.columns + right.columns))
+    lt = lt.select(
+        *[F.col(c) if c in left.columns else F.lit(None).alias(c) for c in cols],
+        "__side",
+    )
+    rt = rt.select(
+        *[F.col(c) if c in right.columns else F.lit(None).alias(c) for c in cols],
+        "__side",
+    )
+    u = lt.unionByName(rt)
+    # right rows sort before left rows at the same instant => "<=" semantics
+    w = W.partitionBy(by).orderBy(F.col(on).asc(), F.col("__side").asc()).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    for rc in right_cols:
+        u = u.withColumn(rc, F.last(rc, ignorenulls=True).over(w))
+    return u.filter(F.col("__side") == 1).drop("__side")
+
+
+@register(
+    "j09_asof_join",
+    oracle="""
+    WITH anchors AS (
+      SELECT user_id, min(ts) AS a_ts, min_by(value, ts) AS anchor_value,
+             strftime(time_bucket(INTERVAL 1 DAY, min(ts)), '%Y-%m-%d') AS d
+      FROM events GROUP BY user_id, time_bucket(INTERVAL 1 DAY, ts)
+    )
+    SELECT e.event_id, e.user_id, e.value, a.anchor_value
+    FROM events e
+    ASOF LEFT JOIN anchors a ON e.user_id = a.user_id AND e.ts >= a.a_ts
+    """,
+    doc="extension: as-of join via union + last-value carry-forward (vs DuckDB ASOF)",
+)
+def j09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # right side: first event of each user-day = the "state" stream
+    anchors = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.min("ts").alias("a_ts"), F.min_by("value", "ts").alias("anchor_value")
+    ).select("user_id", F.col("a_ts").alias("ts"), "anchor_value")
+    left = ev.select("event_id", "ts", "user_id", "value")
+    joined = asof_join(left, anchors, on="ts", by="user_id", right_cols=["anchor_value"])
+    return joined.select("event_id", "user_id", "value", "anchor_value")
+
+
+@register(
+    "j10_range_join",
+    oracle="""
+    SELECT e.event_id,
+           COUNT(o.event_id) AS n_nearby
+    FROM events e
+    JOIN events o
+      ON e.user_id = o.user_id
+     AND o.ts BETWEEN e.ts - INTERVAL 5 MINUTE AND e.ts + INTERVAL 5 MINUTE
+     AND o.event_id <> e.event_id
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id
+    """,
+    doc="extension: range join bucketized to equi-join (no nested-loop)",
+)
+def j10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±5-minute same-user neighbor count for error events.
+
+    Bucketize the time axis into 5-minute cells; a ±5-minute window can only
+    reach the adjacent cells, so the non-equi range join becomes an
+    equi-join on (user_id, bucket) over 3 replicated buckets + a residual
+    BETWEEN filter. Catalyst executes it as a sort-merge/hash join — scales
+    linearly instead of the quadratic BroadcastNestedLoop a raw range
+    predicate would produce.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.col("ts").cast("long")
+    bucket = F.floor(sec / 300).cast("long")
+    probes = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            sec.alias("e_sec"),
+            bucket.alias("e_bucket"),
+        )
+        .withColumn("probe_bucket", F.explode(F.array(
+            F.col("e_bucket") - 1, F.col("e_bucket"), F.col("e_bucket") + 1
+        )))
+    )
+    base = ev.select(
+        F.col("event_id").alias("o_id"),
+        F.col("user_id").alias("o_user"),
+        sec.alias("o_sec"),
+        bucket.alias("o_bucket"),
+    )
+    return (
+        probes.join(
+            base,
+            (probes.e_user == base.o_user) & (probes.probe_bucket == base.o_bucket),
+        )
+        .filter(
+            (F.col("o_sec") >= F.col("e_sec") - 300)
+            & (F.col("o_sec") <= F.col("e_sec") + 300)
+            & (F.col("o_id") != F.col("e_id"))
+        )
+        .groupBy(F.col("e_id").alias("event_id"))
+        .agg(F.count("*").alias("n_nearby"))
+    )

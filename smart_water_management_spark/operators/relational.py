@@ -1,0 +1,299 @@
+"""Relational core: projections, filters, predicates (SURVEY.md §2.2),
+sorts/limits/top-k (§2.6), and set operations (§2.7).
+
+Reference sites: projection/derived cols src/spark_etl.py:71-99; BETWEEN /
+IN / range predicates src/enhanced_spark_etl.py:213-225,735-737; CASE WHEN
+classification chains :216-225 and src/app.py:115-120; null handling
+src/etl.py:65, src/spark_etl.py:208; top-k src/enhanced_spark_etl.py:683-702;
+unions :427-430, pd.concat src/enhanced_ingestion.py:485.
+
+Catalyst notes: the filters here compile to pushed parquet predicates
+(check `.explain`: PushedFilters) and the top-k queries to
+TakeOrderedAndProject — no full sort at scale. Deterministic top-k always
+carries a unique key as tiebreaker so LIMIT is stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+# --- P1/P2/P5-P8: projection + compound predicates (pushdown-friendly).
+@register(
+    "p01_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_returnflag IN ('A', 'R')
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND (l_discount < 0.03 OR l_tax > 0.05)
+    """,
+    doc="P1/P5-P8: projection with BETWEEN/IN/range/OR predicates (pushdown)",
+)
+def p01_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            F.col("l_quantity").between(10, 20)
+            & F.col("l_returnflag").isin("A", "R")
+            & (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & ((F.col("l_discount") < 0.03) | (F.col("l_tax") > 0.05))
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+# --- P11: CASE WHEN classification chains (time_of_day + season + grade —
+# reference src/spark_etl.py:80-84, src/enhanced_spark_etl.py:216-225 and the
+# when-chain re-expression of UDFs F1/F2 per SURVEY §2.12).
+@register(
+    "p02_case_when_bands",
+    oracle="""
+    SELECT CASE WHEN hour(ts) BETWEEN 6 AND 9 THEN 'morning_peak'
+                WHEN hour(ts) BETWEEN 10 AND 16 THEN 'daytime'
+                WHEN hour(ts) BETWEEN 17 AND 21 THEN 'evening_peak'
+                ELSE 'night' END AS time_of_day,
+           CASE WHEN value >= 400 THEN 'critical'
+                WHEN value >= 200 THEN 'high'
+                WHEN value >= 50 THEN 'normal'
+                ELSE 'low' END AS value_band,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="P11/F1/F2: when-chain classification (UDF-free consumption pattern)",
+)
+def p02_case_when_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = F.hour("ts")
+    time_of_day = (
+        F.when(h.between(6, 9), "morning_peak")
+        .when(h.between(10, 16), "daytime")
+        .when(h.between(17, 21), "evening_peak")
+        .otherwise("night")
+    )
+    band = (
+        F.when(F.col("value") >= 400, "critical")
+        .when(F.col("value") >= 200, "high")
+        .when(F.col("value") >= 50, "normal")
+        .otherwise("low")
+    )
+    return ev.groupBy(
+        time_of_day.alias("time_of_day"), band.alias("value_band")
+    ).agg(F.count("*").alias("n_events"))
+
+
+# --- P9/P12-P14: null predicates, drop/fill/coalesce (nulls synthesized via
+# NULLIF since the testdata is clean — reference src/etl.py:65, spark_etl.py:208).
+@register(
+    "p03_null_handling",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id,
+             NULLIF(value, 0.0) AS v_nullable,
+             CASE WHEN value < 50 THEN NULL ELSE value END AS v_high
+      FROM events
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(v_high) AS n_high_nonnull,
+           SUM(CASE WHEN v_high IS NULL THEN 1 ELSE 0 END) AS n_high_null,
+           COUNT(COALESCE(v_high, v_nullable)) AS n_coalesced,
+           SUM(CASE WHEN COALESCE(v_high, 0.0) = 0.0 THEN 1 ELSE 0 END) AS n_filled_zero
+    FROM t
+    """,
+    doc="P9/P12-P14: isNull counting, coalesce, fillna semantics",
+)
+def p03_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_id",
+        "user_id",
+        F.nullif(F.col("value"), F.lit(0.0)).alias("v_nullable"),
+        F.when(F.col("value") < 50, None).otherwise(F.col("value")).alias("v_high"),
+    )
+    return t.agg(
+        F.count("*").alias("n_rows"),
+        F.count("v_high").alias("n_high_nonnull"),
+        F.sum(F.when(F.col("v_high").isNull(), 1).otherwise(0)).alias("n_high_null"),
+        F.count(F.coalesce("v_high", "v_nullable")).alias("n_coalesced"),
+        F.sum(
+            F.when(F.coalesce(F.col("v_high"), F.lit(0.0)) == 0.0, 1).otherwise(0)
+        ).alias("n_filled_zero"),
+    )
+
+
+# --- P10: regex predicate (reference src/data_validator.py:58-61 sensor-id
+# format check → rlike).
+@register(
+    "p04_regex_filter",
+    oracle="""
+    SELECT p_brand, COUNT(*) AS n_parts,
+           SUM(CASE WHEN regexp_matches(p_name, '^[a-z]+ [a-z]+') THEN 1 ELSE 0 END) AS n_two_words
+    FROM part
+    WHERE regexp_matches(p_brand, '^Brand#[0-9]+$')
+    GROUP BY p_brand
+    """,
+    doc="P10: rlike regex format validation as filter + conditional count",
+)
+def p04_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_brand").rlike(r"^Brand#[0-9]+$"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum(
+                F.when(F.col("p_name").rlike(r"^[a-z]+ [a-z]+"), 1).otherwise(0)
+            ).alias("n_two_words"),
+        )
+    )
+
+
+# --- O1/O2/O3: order-by + top-k / bottom-k (reference
+# src/enhanced_spark_etl.py:683-702). Unique-key tiebreak keeps LIMIT stable.
+@register(
+    "o01_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 10
+    """,
+    doc="O1/O2: top-k via orderBy desc + limit (TakeOrderedAndProject)",
+)
+def o01_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+@register(
+    "o02_bottomk_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    ORDER BY c_acctbal ASC, c_custkey ASC
+    LIMIT 10
+    """,
+    doc="O3: bottom-k via orderBy asc + limit",
+)
+def o02_bottomk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.asc("c_acctbal"), F.asc("c_custkey"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .limit(10)
+    )
+
+
+# --- U1/U2: union by name, incl. heterogeneous schemas
+# (reference src/enhanced_spark_etl.py:427-430; pd.concat of mixed frames
+# src/enhanced_ingestion.py:485 → unionByName(allowMissingColumns)).
+@register(
+    "u01_union_by_name",
+    oracle="""
+    SELECT src, key_id, amount, COUNT(*) AS n FROM (
+      SELECT 'orders' AS src, o_orderkey AS key_id, o_totalprice AS amount, NULL AS extra
+      FROM orders WHERE o_totalprice > 300000
+      UNION ALL
+      SELECT 'events' AS src, event_id AS key_id, value AS amount, event_type AS extra
+      FROM events WHERE value > 400
+    )
+    GROUP BY src, key_id, amount
+    """,
+    doc="U1/U2: unionByName with missing-column fill across heterogeneous inputs",
+)
+def u01_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    a = o.filter(F.col("o_totalprice") > 300000).select(
+        F.lit("orders").alias("src"),
+        F.col("o_orderkey").alias("key_id"),
+        F.col("o_totalprice").alias("amount"),
+    )
+    b = ev.filter(F.col("value") > 400).select(
+        F.lit("events").alias("src"),
+        F.col("event_id").alias("key_id"),
+        F.col("value").alias("amount"),
+        F.col("event_type").alias("extra"),
+    )
+    return (
+        a.unionByName(b, allowMissingColumns=True)
+        .groupBy("src", "key_id", "amount")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# --- U3+: row-level intersect / except (engine surface beyond the
+# reference's schema-level set diff src/data_validator.py:197-229).
+@register(
+    "u02_intersect_except",
+    oracle="""
+    SELECT 'both' AS which, user_id FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      INTERSECT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    UNION ALL
+    SELECT 'only_purchase' AS which, user_id FROM (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+      EXCEPT
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    )
+    """,
+    doc="U3: INTERSECT / EXCEPT row-level set operations",
+)
+def u02_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    errs = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    both = buyers.intersect(errs).select(F.lit("both").alias("which"), "user_id")
+    only = buyers.exceptAll(errs).select(
+        F.lit("only_purchase").alias("which"), "user_id"
+    )
+    return both.unionByName(only)
+
+
+# --- V9 + dedup: keyed duplicate detection and deterministic dedup
+# (reference src/data_validator.py:406-415 counts dupes on (sensor_id, ts);
+# src/etl.py:62 drops full-row dupes; dedup keeps max event_id per key).
+@register(
+    "d01_keyed_dedup",
+    oracle="""
+    WITH ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id, value
+    FROM ranked WHERE rn = 1
+    """,
+    doc="V9/A10: deterministic keyed dedup — keep latest row per key",
+)
+def d01_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )

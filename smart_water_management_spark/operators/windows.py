@@ -1,0 +1,335 @@
+"""Window-function operators (SURVEY.md §2.5 W1-W9): rolling time-series
+analytics over the event stream (events.user_id ≙ sensor_id).
+
+Reference sites: 24-row rolling stats src/spark_etl.py:109-116; range-frame
+1h/6h/24h windows src/enhanced_spark_etl.py:260-278; lag/lead :281-287,
+:466-468; rolling z-score anomaly flags src/spark_etl.py:127-133; trend
+classification src/enhanced_spark_etl.py:303-308.
+
+Physical shape: every window here partitions by ``user_id`` — one hash
+shuffle, then sort-based window exec within partitions. All windows over
+the same partition key share a single exchange (Catalyst reuses it), which
+is why this module prefers stacking many measures over one window spec.
+At 100 TB per-key data stays modest (sensors × time), so no skew salting
+needed; a hot key would get AQE-split only for joins, windows would need
+key+time-bucket two-level windowing (documented here as the scale path).
+
+Determinism: window sums go through exact DECIMAL casts (see
+functions.numeric) and every orderBy carries the unique ``event_id`` as a
+tiebreaker so Spark and DuckDB agree on frame contents.
+
+RANGE-frame semantics (SURVEY §7.3 risk 1): we order by
+``cast(ts as long)`` (epoch seconds, floored) — the reference's ordering
+by raw timestamp only happens to work because Spark casts internally; the
+DuckDB oracle uses the same floored-seconds axis.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+_DEC = "decimal(27,6)"
+
+
+def _dsum_over(col, w):
+    return F.sum(F.col(col).cast(_DEC)).over(w).cast("double")
+
+
+# --- W1: rows-frame rolling stats (reference src/spark_etl.py:109-116:
+# 24-row window per sensor).
+@register(
+    "w01_rows_rolling",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) / COUNT(value) OVER w AS rolling_avg,
+           MIN(value) OVER w AS rolling_min,
+           MAX(value) OVER w AS rolling_max,
+           COUNT(*) OVER w AS rolling_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    """,
+    doc="W1: 24-row rolling avg/min/max per key",
+)
+def w01_rows_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (_dsum_over("value", w) / F.count("value").over(w)).alias("rolling_avg"),
+        F.min("value").over(w).alias("rolling_min"),
+        F.max("value").over(w).alias("rolling_max"),
+        F.count("*").over(w).alias("rolling_n"),
+    )
+
+
+# --- W2: range-frame (time-based) rolling stats over multiple horizons
+# (reference src/enhanced_spark_etl.py:260-278: 1h/6h/24h windows).
+@register(
+    "w02_range_rolling",
+    oracle="""
+    SELECT event_id, user_id, value,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w1h AS DOUBLE) AS sum_1h,
+           COUNT(*) OVER w1h AS n_1h,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w6h AS DOUBLE) AS sum_6h,
+           COUNT(*) OVER w6h AS n_6h,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w24h AS DOUBLE) AS sum_24h,
+           COUNT(*) OVER w24h AS n_24h
+    FROM (SELECT *, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+    WINDOW
+      w1h  AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW),
+      w6h  AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW),
+      w24h AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)
+    """,
+    doc="W2: multi-horizon RANGE frames on epoch seconds",
+)
+def w02_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "sec", F.col("ts").cast("long")
+    )
+    out = ev.select("event_id", "user_id", "value", "sec")
+    for label, horizon in [("1h", 3600), ("6h", 21600), ("24h", 86400)]:
+        w = W.partitionBy("user_id").orderBy("sec").rangeBetween(-horizon, 0)
+        out = out.withColumn(f"sum_{label}", _dsum_over("value", w)).withColumn(
+            f"n_{label}", F.count("*").over(w)
+        )
+    return out.drop("sec")
+
+
+# --- W3/W4/W5: lag, lead, deltas, pct-change with zero guard
+# (reference src/spark_etl.py:119-124, src/enhanced_spark_etl.py:281-287,466-468).
+@register(
+    "w03_lag_lead",
+    oracle="""
+    SELECT event_id, user_id, value,
+           LAG(value, 1) OVER w AS prev_value,
+           LAG(value, 6) OVER w AS prev_6,
+           LEAD(value, 1) OVER w AS next_value,
+           value - LAG(value, 1) OVER w AS delta,
+           CASE WHEN LAG(value, 1) OVER w IS NOT NULL AND LAG(value, 1) OVER w <> 0
+                THEN (value - LAG(value, 1) OVER w) / LAG(value, 1) OVER w * 100.0
+                ELSE 0.0 END AS pct_change
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    doc="W3/W4/W5: lag/lead offsets with delta and zero-guarded pct change",
+)
+def w03_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value", 1).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        prev.alias("prev_value"),
+        F.lag("value", 6).over(w).alias("prev_6"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        (F.col("value") - prev).alias("delta"),
+        F.when(prev.isNotNull() & (prev != 0), (F.col("value") - prev) / prev * 100.0)
+        .otherwise(0.0)
+        .alias("pct_change"),
+    )
+
+
+# --- W6: rolling z-score anomaly flag (reference src/spark_etl.py:127-133,
+# flag when |z| > 2.5). Mean/std from exact decimal moments over the frame.
+@register(
+    "w06_rolling_zscore",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, value,
+             CAST(COUNT(value) OVER w AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value*value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sx2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value,
+           CASE WHEN n > 1 AND (n*sx2 - sx*sx) / (n*(n-1.0)) > 0.0
+                THEN ABS((value - sx/n) / SQRT((n*sx2 - sx*sx) / (n*(n-1.0))))
+                ELSE 0.0 END AS zscore_abs,
+           CASE WHEN n > 1 AND (n*sx2 - sx*sx) / (n*(n-1.0)) > 0.0
+                 AND ABS((value - sx/n) / SQRT((n*sx2 - sx*sx) / (n*(n-1.0)))) > 2.5
+                THEN 1 ELSE 0 END AS anomaly_flag
+    FROM t
+    """,
+    doc="W6: rolling z-score anomaly flag from exact decimal window moments",
+)
+def w06_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-23, 0)
+    n = F.count("value").over(w).cast("double")
+    sx = F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+    sx2 = F.sum((F.col("value") * F.col("value")).cast(_DEC)).over(w).cast("double")
+    var = (n * sx2 - sx * sx) / (n * (n - F.lit(1.0)))
+    z = F.abs((F.col("value") - sx / n) / F.sqrt(var))
+    ok = (n > 1) & (var > 0.0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(ok, z).otherwise(0.0).alias("zscore_abs"),
+        F.when(ok & (z > 2.5), 1).otherwise(0).alias("anomaly_flag"),
+    )
+
+
+# --- W7: moving-average smoothing incl. a TRUE EMA via the aggregate()
+# higher-order function (the reference's "EMA" src/enhanced_spark_etl.py:290-295
+# is actually another SMA; we implement the real recursion).
+@register(
+    "w07_sma_ema",
+    oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, value,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE)
+               / COUNT(value) OVER w AS sma_24,
+             list(value) OVER w AS vals
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_id, user_id, value, sma_24,
+           ROUND(list_reduce(vals, (acc, x) -> acc + 0.2 * (x - acc)), 6) AS ema
+    FROM t
+    """,
+    doc="W7: SMA + true EMA (order-dependent recursion via aggregate() HOF)",
+)
+def w07_sma_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-23, 0)
+    vals = F.collect_list("value").over(w)
+    # EMA over the trailing frame: fold left with alpha=0.2, seeded by the
+    # first element — same recursion DuckDB's list_reduce applies.
+    ema = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1).cast("double"),
+        lambda acc, x: acc + F.lit(0.2) * (x - acc),
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (_dsum_over("value", w) / F.count("value").over(w)).alias("sma_24"),
+        F.round(ema, 6).alias("ema"),
+    )
+
+
+# --- W8: last-value-per-group via ranking (reference
+# sql/enhanced_data_schema.sql:425-428's array_agg[1] idiom).
+@register(
+    "w08_latest_per_key",
+    oracle="""
+    SELECT event_id, user_id, event_type, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+    doc="W8: latest row per key via row_number ranking",
+)
+def w08_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+
+
+# --- Top-K per group (SURVEY §2.6 note: reference does orderBy().limit();
+# the per-group form needs ranking — rank/dense_rank/ntile surface).
+@register(
+    "w10_topk_per_group",
+    oracle="""
+    SELECT event_type, event_id, value, rn, rnk, tile
+    FROM (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn,
+             RANK() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk,
+             NTILE(4) OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS tile
+      FROM events
+    ) WHERE rn <= 3
+    """,
+    doc="top-k per group via row_number/rank/ntile",
+)
+def w10_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select(
+            "event_type",
+            "event_id",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.ntile(4).over(w).alias("tile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# --- W9: hour-of-day profile — a "window over the clock"
+# (reference src/app.py:140-151).
+@register(
+    "w09_hourly_profile",
+    oracle="""
+    SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS avg_value
+    FROM events
+    GROUP BY hour(ts), event_type
+    """,
+    doc="W9: hour-of-day aggregation profile",
+)
+def w09_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.hour("ts").alias("hour_of_day"), F.col("event_type")
+    ).agg(
+        F.count("*").alias("n_events"),
+        (F.sum(F.col("value").cast(_DEC)).cast("double") / F.count("value")).alias(
+            "avg_value"
+        ),
+    )
+
+
+# --- Cumulative / running totals (engine surface: unbounded-preceding frame).
+@register(
+    "w11_running_total",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS running_sum,
+           COUNT(*) OVER w AS running_n
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="running totals over an unbounded-preceding frame",
+)
+def w11_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        _dsum_over("value", w).alias("running_sum"),
+        F.count("*").over(w).alias("running_n"),
+    )

@@ -1,0 +1,246 @@
+"""The reference's 12-query dashboard surface (SURVEY.md §2.14 Q1-Q12)
+re-keyed to the driver testdata per FIXTURES.md §B:
+events.user_id ≙ sensor_id, event_type ≙ sensor_type, value ≙ reading
+value, event_type='error' ≙ anomaly_flag=1; star queries run over
+orders/customer/nation/region.
+
+Reference sites: src/app.py:26-196 (Q1-Q9), src/warehouse_loader.py:308-368
+(Q10-Q12). Each query is expressed via spark.sql over registered views —
+the same ANSI text a PostgreSQL-backed dashboard would run, proving the
+SQL-entry-point lifecycle (SURVEY §3.2) end-to-end on Catalyst.
+
+The "last 7 days" interval predicates use a fixed cutoff inside the
+testdata's 2024-01-01..2024-01-30 span so results are deterministic; in
+production the literal is current_date-relative (reference src/app.py:29).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+CUTOFF = "TIMESTAMP '2024-01-24 00:00:00'"
+
+
+def _sql(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataFrame:
+    for t in tables:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(sql)
+
+
+def _both(sql: str) -> str:
+    """These queries are ANSI enough to run verbatim on Spark AND DuckDB."""
+    return sql
+
+
+# Q1: total readings last 7 days (src/app.py:26-30).
+_Q1 = f"""
+SELECT COUNT(*) AS total_readings,
+       COUNT(DISTINCT user_id) AS reporting_sensors
+FROM events WHERE ts >= {CUTOFF}
+"""
+
+
+@register("q01_total_readings_7d", oracle=_both(_Q1), doc="Q1: COUNT + interval predicate")
+def q01(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q1, ["events"])
+
+
+# Q2: active sensors (src/app.py:33-37).
+_Q2 = f"""
+SELECT COUNT(DISTINCT user_id) AS active_sensors
+FROM events WHERE ts >= {CUTOFF}
+"""
+
+
+@register("q02_active_sensors", oracle=_both(_Q2), doc="Q2: COUNT(DISTINCT) + predicate")
+def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q2, ["events"])
+
+
+# Q3: anomaly rate as SUM*100.0/COUNT (src/app.py:40-45).
+_Q3 = f"""
+SELECT SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100e0 / COUNT(*)
+         AS anomaly_rate_pct,
+       COUNT(*) AS total
+FROM events WHERE ts >= {CUTOFF}
+"""
+
+
+@register("q03_anomaly_rate", oracle=_both(_Q3), doc="Q3: ratio of conditional count")
+def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q3, ["events"])
+
+
+# Q4: critical alerts — derived table + GROUP BY + HAVING (src/app.py:48-57).
+_Q4 = f"""
+SELECT user_id, n_errors FROM (
+  SELECT user_id, COUNT(*) AS n_errors
+  FROM events
+  WHERE event_type = 'error' AND ts >= {CUTOFF}
+  GROUP BY user_id
+) t WHERE n_errors > 5
+"""
+
+
+@register("q04_critical_alerts", oracle=_both(_Q4), doc="Q4: derived table + HAVING")
+def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q4, ["events"])
+
+
+# Q5: district performance — fact ⋈ 2 dims (src/app.py:80-95); nation ≙ district.
+_Q5 = """
+SELECT n.n_name AS district, r.r_name AS region,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE) / COUNT(o.o_totalprice)
+         AS avg_order_value,
+       COUNT(DISTINCT o.o_custkey) AS n_customers
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY n.n_name, r.r_name
+"""
+
+
+@register("q05_district_performance", oracle=_both(_Q5), doc="Q5: star join + GROUP BY 2")
+def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q5, ["orders", "customer", "nation", "region"])
+
+
+# Q6: sensor status + CASE grading (src/app.py:107-127).
+_Q6 = """
+SELECT user_id,
+       COUNT(*) AS n_readings,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS avg_value,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100e0 / COUNT(*) > 25.0
+              THEN 'critical'
+            WHEN SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100e0 / COUNT(*) > 20.0
+              THEN 'warning'
+            ELSE 'good' END AS grade
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("q06_sensor_grade", oracle=_both(_Q6), doc="Q6: grouped CASE grading")
+def q06(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q6, ["events"])
+
+
+# Q7: hourly pattern for one type (src/app.py:140-151, EXTRACT(HOUR)).
+_Q7 = """
+SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events
+WHERE event_type = 'view'
+GROUP BY hour(ts)
+"""
+
+
+@register("q07_hourly_pattern", oracle=_both(_Q7), doc="Q7: EXTRACT(HOUR) profile")
+def q07(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q7, ["events"])
+
+
+# Q8: sensor-type distribution (src/app.py:163-170).
+_Q8 = """
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS n_sensors,
+       COUNT(*) AS n_readings
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("q08_type_distribution", oracle=_both(_Q8), doc="Q8: COUNT(DISTINCT) GROUP BY")
+def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q8, ["events"])
+
+
+# Q9: high-anomaly sensors — HAVING ratio > threshold (src/app.py:183-196).
+_Q9 = """
+SELECT user_id,
+       COUNT(*) AS total_readings,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS anomaly_count,
+       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100e0 / COUNT(*)
+         AS anomaly_ratio_pct
+FROM events
+GROUP BY user_id
+HAVING SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100e0 / COUNT(*) > 21.0
+"""
+
+
+@register("q09_high_anomaly_sensors", oracle=_both(_Q9), doc="Q9: HAVING ratio filter")
+def q09(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q9, ["events"])
+
+
+# Q10: district report with anomaly_rate_pct (src/warehouse_loader.py:308-322).
+_Q10 = """
+SELECT n.n_name AS district,
+       COUNT(*) AS n_orders,
+       SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) * 100e0 / COUNT(*)
+         AS finished_rate_pct,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@register("q10_district_report", oracle=_both(_Q10), doc="Q10: star join + rate ratio")
+def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q10, ["orders", "customer", "nation"])
+
+
+# Q11: day-of-week consumption (src/warehouse_loader.py:330-341) — joins the
+# generated time dimension (C2) rather than deriving inline, as the reference does.
+_Q11 = """
+SELECT dayname(ts) AS day_name,
+       CASE WHEN dayofweek(ts) + 1 IN (1, 7) THEN TRUE ELSE FALSE END AS is_weekend,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events
+GROUP BY dayname(ts), CASE WHEN dayofweek(ts) + 1 IN (1, 7) THEN TRUE ELSE FALSE END
+"""
+
+_Q11_SPARK = """
+SELECT date_format(ts, 'EEEE') AS day_name,
+       CASE WHEN dayofweek(ts) IN (1, 7) THEN TRUE ELSE FALSE END AS is_weekend,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM events
+GROUP BY date_format(ts, 'EEEE'), CASE WHEN dayofweek(ts) IN (1, 7) THEN TRUE ELSE FALSE END
+"""
+
+
+@register("q11_dow_consumption", oracle=_Q11, doc="Q11: day-of-week attributes rollup")
+def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q11_SPARK, ["events"])
+
+
+# Q12: sensor reliability ranking (src/warehouse_loader.py:349-368).
+_Q12 = """
+SELECT user_id,
+       COUNT(*) AS n_readings,
+       SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) * 100e0 / COUNT(*)
+         AS reliability_pct,
+       CASE WHEN SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) * 100e0 / COUNT(*) >= 80.0
+              THEN 'reliable'
+            WHEN SUM(CASE WHEN event_type <> 'error' THEN 1 ELSE 0 END) * 100e0 / COUNT(*) >= 75.0
+              THEN 'acceptable'
+            ELSE 'unreliable' END AS reliability_class
+FROM events
+GROUP BY user_id
+"""
+
+
+@register("q12_sensor_reliability", oracle=_both(_Q12), doc="Q12: reliability CASE ranking")
+def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q12, ["events"])

@@ -1,0 +1,235 @@
+"""Star-schema / warehouse operators (SURVEY.md §2.13 C1-C8).
+
+Reference: the PostgreSQL star schema (sql/dimensional_schema.sql:9-117,
+sql/real_data_schema.sql:19-153) loaded by row-wise pandas code
+(src/warehouse_loader.py:149-292). Here the warehouse IS Spark: dimensions
+are extracted set-based with surrogate keys, the time dimension is
+generated with sequence(), facts resolve FKs via equi-joins, and "views"
+are temp views over the session catalog.
+
+Scale posture: dimension builds are tiny (distinct + row_number over a
+singleton window is fine at any fact size because it runs on the already-
+deduped dimension rows); fact FK-resolution joins broadcast the dims so
+the 100 TB fact table never shuffles. SCD2 is expressed as the
+anti-join + union merge pattern (no Delta dependency).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+def build_time_dimension(spark: SparkSession, start: str, end: str) -> DataFrame:
+    """C2: generated calendar dimension (reference src/warehouse_loader.py:80-119
+    builds 731 rows in pandas; here one sequence() expression, 15 attributes)."""
+    d = F.col("date_actual")
+    mo = F.month(d)
+    return (
+        spark.sql(
+            f"SELECT explode(sequence(date'{start}', date'{end}')) AS date_actual"
+        )
+        .select(
+            F.date_format(d, "yyyyMMdd").cast("int").alias("time_key"),
+            d,
+            F.year(d).alias("year"),
+            F.quarter(d).alias("quarter"),
+            mo.alias("month"),
+            F.weekofyear(d).alias("week_of_year"),
+            F.dayofmonth(d).alias("day_of_month"),
+            F.dayofweek(d).alias("day_of_week"),
+            F.date_format(d, "EEEE").alias("day_name"),
+            F.date_format(d, "MMMM").alias("month_name"),
+            F.dayofweek(d).isin([1, 7]).alias("is_weekend"),
+            (~F.dayofweek(d).isin([1, 7])).alias("is_business_day"),
+            F.when(mo.isin(12, 1, 2), "winter")
+            .when(mo.isin(3, 4, 5), "spring")
+            .when(mo.isin(6, 7, 8), "summer")
+            .otherwise("autumn")
+            .alias("season"),
+            F.when(mo >= 4, F.year(d) + 1).otherwise(F.year(d)).alias("fiscal_year"),
+            (((mo + 8) % 12 / 3).cast("int") + 1).alias("fiscal_quarter"),
+        )
+    )
+
+
+def build_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """C1/C3: extract dimensions with surrogate keys and resolve fact FKs
+    set-based — the engine replacement for the reference's O(n·m) iterrows
+    fact load (src/warehouse_loader_real_data.py:192-251)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+
+    dim_geo = (
+        n.join(r, n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("n_nationkey").alias("nation_id"),
+            F.col("n_name").alias("nation_name"),
+            F.col("r_name").alias("region_name"),
+        )
+        .withColumn("geo_key", F.row_number().over(W.orderBy("nation_name")))
+    )
+    dim_customer = (
+        c.select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("c_nationkey").alias("nation_id"),
+        )
+        .withColumn("customer_key", F.row_number().over(W.orderBy("customer_id")))
+    )
+    dim_time = build_time_dimension(spark, "1995-01-01", "2001-12-31")
+    fact = (
+        o.join(F.broadcast(dim_customer), o.o_custkey == dim_customer.customer_id)
+        .join(F.broadcast(dim_geo), "nation_id")
+        .join(
+            F.broadcast(dim_time),
+            F.to_date("o_orderdate") == dim_time.date_actual,
+        )
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            "customer_key",
+            "geo_key",
+            "time_key",
+            F.col("o_totalprice").alias("total_price"),
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+    )
+    return {
+        "dim_geo": dim_geo,
+        "dim_customer": dim_customer,
+        "dim_time": dim_time,
+        "fact_orders": fact,
+    }
+
+
+# --- C2 as a checkable query.
+@register(
+    "c02_time_dimension",
+    oracle="""
+    SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS time_key,
+           strftime(d, '%Y-%m-%d') AS day,
+           CAST(year(d) AS INT) AS year, CAST(quarter(d) AS INT) AS quarter,
+           CAST(month(d) AS INT) AS month,
+           CAST(weekofyear(d) AS INT) AS week_of_year,
+           CAST(day(d) AS INT) AS day_of_month,
+           CAST(dayofweek(d) + 1 AS INT) AS day_of_week,
+           dayname(d) AS day_name, monthname(d) AS month_name,
+           CASE WHEN dayofweek(d) IN (0, 6) THEN TRUE ELSE FALSE END AS is_weekend,
+           CASE WHEN month(d) IN (12,1,2) THEN 'winter'
+                WHEN month(d) IN (3,4,5) THEN 'spring'
+                WHEN month(d) IN (6,7,8) THEN 'summer'
+                ELSE 'autumn' END AS season,
+           CAST(CASE WHEN month(d) >= 4 THEN year(d) + 1 ELSE year(d) END AS INT) AS fiscal_year,
+           CAST(floor((month(d) + 8) % 12 / 3) + 1 AS INT) AS fiscal_quarter
+    FROM generate_series(DATE '2024-01-01', DATE '2025-12-31', INTERVAL 1 DAY) t(d)
+    """,
+    doc="C2: 731-row generated time dimension with 14 calendar attributes",
+)
+def c02_time_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dim = build_time_dimension(spark, "2024-01-01", "2025-12-31")
+    return dim.select(
+        "time_key",
+        F.date_format("date_actual", "yyyy-MM-dd").alias("day"),
+        "year",
+        "quarter",
+        "month",
+        "week_of_year",
+        "day_of_month",
+        "day_of_week",
+        "day_name",
+        "month_name",
+        "is_weekend",
+        "season",
+        "fiscal_year",
+        "fiscal_quarter",
+    )
+
+
+# --- C3+C6: gold view over the built star (the reference's
+# v_district_performance sql/real_data_schema.sql:202-219 analog).
+@register(
+    "c03_star_gold_view",
+    oracle="""
+    WITH dim_geo AS (
+      SELECT n.n_nationkey AS nation_id, n.n_name AS nation_name, r.r_name AS region_name,
+             ROW_NUMBER() OVER (ORDER BY n.n_name) AS geo_key
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    )
+    SELECT g.region_name, g.nation_name,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN dim_geo g ON c.c_nationkey = g.nation_id
+    GROUP BY g.region_name, g.nation_name
+    """,
+    doc="C3/C6: star build + surrogate keys + gold rollup view",
+)
+def c03_star_gold_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    star = build_star(spark, sf_dir)
+    fact, geo = star["fact_orders"], star["dim_geo"]
+    from ..functions.numeric import dsum
+
+    return (
+        fact.join(F.broadcast(geo), "geo_key")
+        .groupBy("region_name", "nation_name")
+        .agg(F.count("*").alias("n_orders"), dsum("total_price").alias("revenue"))
+    )
+
+
+# --- C4: SCD Type 2 merge as anti-join + union (reference only reserves the
+# columns, sql/dimensional_schema.sql:43-48; we implement real change tracking).
+def scd2_merge(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    effective_col: str = "effective_date",
+    end_col: str = "end_date",
+    current_col: str = "is_current",
+    batch_date: str = "2024-01-15",
+) -> DataFrame:
+    """Close changed current rows, insert new versions, keep history.
+
+    Pure DataFrame expression of MERGE-style SCD2 (no Delta needed):
+    1. changed = current dim ⋈ updates where any tracked attr differs
+    2. close those rows (end_date=batch, is_current=false)
+    3. append updates for changed/new keys as current rows
+    """
+    cond = F.lit(False)
+    for t in tracked:
+        cond = cond | (F.col(f"d.{t}") != F.col(f"u.{t}"))
+    cur = dim.filter(F.col(current_col)).alias("d")
+    upd = updates.alias("u")
+    changed_keys = (
+        cur.join(upd, F.col(f"d.{key}") == F.col(f"u.{key}"))
+        .filter(cond)
+        .select(F.col(f"d.{key}").alias(key))
+    )
+    new_keys = upd.join(dim, key, "left_anti").select(key)
+    affected = changed_keys.unionByName(new_keys).distinct()
+
+    closed = (
+        dim.join(affected, key, "left_semi")
+        .filter(F.col(current_col))
+        .withColumn(end_col, F.lit(batch_date).cast("date"))
+        .withColumn(current_col, F.lit(False))
+    )
+    untouched_hist = dim.join(affected, key, "left_anti").unionByName(
+        dim.join(affected, key, "left_semi").filter(~F.col(current_col))
+    )
+    inserted = (
+        updates.join(affected, key, "left_semi")
+        .withColumn(effective_col, F.lit(batch_date).cast("date"))
+        .withColumn(end_col, F.lit(None).cast("date"))
+        .withColumn(current_col, F.lit(True))
+    )
+    return untouched_hist.unionByName(closed).unionByName(inserted)
