@@ -28,6 +28,7 @@ _OPTIONAL_MODULES = [
     "smart_water_management_spark.plans.star_schema",
     "smart_water_management_spark.validation.checks",
     "smart_water_management_spark.streaming.batch_windows",
+    "smart_water_management_spark.streaming.jobs",
     "smart_water_management_spark.ml.analytics",
     "smart_water_management_spark.llmdata.dedup",
     "smart_water_management_spark.llmdata.similarity",

@@ -1,0 +1,220 @@
+"""Deduplication operators for a large-scale training-data pipeline
+(BASELINE.json extension surface): exact, fingerprint, n-gram Jaccard,
+MinHash+LSH, and SimHash — every stage set-based, no driver-side pair
+materialization, so the same plans run on a 100 TB corpus.
+
+Scale notes per operator:
+- exact/fingerprint: one hash-groupBy shuffle on a 16-byte key.
+- MinHash+LSH: shingle explode → k min-hash aggregates (ONE shuffle),
+  band explode → bucket groupBy (second shuffle) → candidate pairs only
+  within buckets (never all-pairs), verify Jaccard on the candidates.
+  b=8 bands × r=4 rows ≈ catches Jaccard ≥ ~0.6 with high probability.
+- SimHash: per-doc 64-bit signature via bitwise majority of token hashes,
+  computed JVM-side with conditional aggregates (no UDF).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+from .text import tokens
+
+MINHASH_K = 32
+LSH_BANDS = 8  # r = MINHASH_K / LSH_BANDS = 4 rows per band
+
+
+@register(
+    "x05_exact_dedup",
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(text)) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT md5(text)) AS n_exact_dupes
+    FROM documents
+    """,
+    doc="exact dedup: content-hash groupBy (one shuffle on 16-byte key)",
+)
+def x05_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count("*") - F.countDistinct(F.md5("text"))).alias("n_exact_dupes"),
+    )
+
+
+@register(
+    "x06_canonical_docs",
+    oracle="""
+    SELECT md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' ')) AS bag_fp,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_members
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="fingerprint dedup: canonical doc (min id) per bag-of-words group",
+)
+def x06_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.concat_ws(" ", F.sort_array(tokens("text"))))
+    return d.groupBy(fp.alias("bag_fp")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count("*").alias("n_members"),
+    )
+
+
+@register(
+    "x07_ngram_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.tk, b.tk)) AS n_common,
+           CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+             / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) AS jaccard
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    """,
+    doc="token-set Jaccard similarity between adjacent doc pairs (oracle-checked)",
+)
+def x07_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.array_distinct(tokens("text")).alias("tk"))
+    a = tk.alias("a")
+    b = tk.select(
+        (F.col("doc_id") - 1).alias("join_id"), F.col("doc_id").alias("doc_b"), F.col("tk").alias("tk_b")
+    ).alias("b")
+    joined = a.join(b, F.col("a.doc_id") == F.col("b.join_id"))
+    inter = F.size(F.array_intersect("a.tk", "b.tk_b"))
+    return joined.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_b").alias("doc_b"),
+        inter.alias("n_common"),
+        (
+            inter.cast("double")
+            / (F.size("a.tk") + F.size("b.tk_b") - inter)
+        ).alias("jaccard"),
+    )
+
+
+def shingles(text_col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles via slice over the token array (JVM-side)."""
+    tk = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tk) - (n - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Per-doc MinHash signature: explode shingles once, take k mins in ONE
+    aggregate pass (each hash seeded differently via xxhash64(shingle, seed))."""
+    sh = docs.select("doc_id", F.explode(shingles("text")).alias("shingle"))
+    aggs = [
+        F.min(F.xxhash64("shingle", F.lit(s))).alias(f"h{s}") for s in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """Band the signatures and emit candidate pairs per matching bucket.
+
+    Bucket join emits pairs only within identical (band, band_hash) — the
+    all-pairs quadratic blowup never happens; a hot bucket (near-identical
+    boilerplate) is the skew case, bounded by per-bucket pair enumeration.
+    """
+    k = MINHASH_K
+    r = k // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * r + i}") for i in range(r)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+    left = stacked.select("band", "bh", F.col("doc_id").alias("doc_a"))
+    right = stacked.select("band", "bh", F.col("doc_id").alias("doc_b"))
+    return (
+        left.join(right, ["band", "bh"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    docs: DataFrame, pairs: DataFrame, threshold: float = 0.5
+) -> DataFrame:
+    """Exact token-set Jaccard on the LSH candidates only."""
+    tk = docs.select("doc_id", F.array_distinct(tokens("text")).alias("tk"))
+    j = (
+        pairs.join(tk.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tk", "tk_a"), "doc_a")
+        .join(tk.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tk", "tk_b"), "doc_b")
+    )
+    inter = F.size(F.array_intersect("tk_a", "tk_b"))
+    jac = inter.cast("double") / (F.size("tk_a") + F.size("tk_b") - inter)
+    return j.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+@register(
+    "x08_minhash_lsh_dedup",
+    oracle=None,  # probabilistic candidate generation; invariants in tests
+    doc="MinHash(k=32) + LSH(8 bands) near-dup pairs, Jaccard-verified >= 0.5",
+)
+def x08_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    pairs = lsh_candidate_pairs(sigs)
+    return verify_jaccard(docs, pairs).orderBy("doc_a", "doc_b")
+
+
+def simhash64(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc, JVM-side: explode distinct tokens, hash once,
+    then per-bit signed majority via 64 conditional sums — no Python UDF."""
+    tk = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(64)
+    ]
+    per_doc = tk.groupBy("doc_id").agg(*bit_aggs)
+    sig = reduce(
+        lambda acc, b: acc.bitwiseOR(
+            F.when(
+                F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+            ).otherwise(F.lit(0).cast("long"))
+        ),
+        range(64),
+        F.lit(0).cast("long"),
+    )
+    return per_doc.select("doc_id", sig.alias("simhash"))
+
+
+@register(
+    "x09_simhash_groups",
+    oracle=None,  # hash-seed-specific values; invariants in tests
+    doc="SimHash-64 signatures + identical-signature dup groups",
+)
+def x09_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        simhash64(docs)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical"))
+        .orderBy("simhash")
+    )

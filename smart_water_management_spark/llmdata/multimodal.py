@@ -1,0 +1,131 @@
+"""Multimodal-column plumbing (BASELINE.json extension surface): treat
+image/audio/video payloads as opaque ``binary`` columns with typed
+metadata, and run decode / feature-extraction as Arrow-batched
+``mapInPandas`` stages.
+
+The container has no image/audio codecs, so the actual decode is STUBBED:
+``decode_payload(..., real=True)`` raises NotImplementedError, and the
+default path substitutes a deterministic fake decoder (byte-statistics
+"features"). Everything Spark-side — schema, binary encoding, metadata
+struct, partitioning, Arrow batch shapes, UDF signatures — is real and
+tested; swapping in PIL/ffmpeg later only changes the per-batch pandas
+function body.
+
+Scale posture: payloads stay in executor Arrow batches end-to-end (never
+collected); feature extraction is embarrassingly parallel per partition;
+``spark.sql.execution.arrow.maxRecordsPerBatch`` bounds batch memory for
+large blobs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+FEATURE_SCHEMA = (
+    "doc_id long, mime string, n_bytes long, "
+    "byte_mean double, byte_entropy_proxy double, frame_count int"
+)
+
+
+def to_multimodal(docs: DataFrame) -> DataFrame:
+    """Synthesize the multimodal table: text → binary payload + metadata
+    struct (the shape a real corpus would land with: blob + mime + size)."""
+    payload = F.encode("text", "UTF-8")
+    return docs.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.struct(
+            F.when(F.col("doc_id") % 3 == 0, "image/png")
+            .when(F.col("doc_id") % 3 == 1, "audio/wav")
+            .otherwise("video/mp4")
+            .alias("mime"),
+            F.length(payload).alias("n_bytes"),
+            F.lit("fake-corpus-v1").alias("origin"),
+        ).alias("meta"),
+    )
+
+
+def decode_payload(pdf, real: bool = False):
+    """Per-batch decode. The real path needs PIL/librosa/ffmpeg — not in
+    this container — so it is explicitly stubbed."""
+    if real:
+        raise NotImplementedError(
+            "real media decode requires image/audio libraries not present in "
+            "this environment; plug PIL/librosa here"
+        )
+    import numpy as np
+
+    feats = []
+    for payload, mime in zip(pdf["payload"], pdf["mime"]):
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        # deterministic fake 'decode': byte statistics as stand-in features
+        byte_mean = float(arr.mean()) if len(arr) else 0.0
+        uniq = len(np.unique(arr))
+        entropy_proxy = float(uniq) / 256.0
+        frame_count = max(1, int(len(arr) // 64)) if mime.startswith("video") else 1
+        feats.append((byte_mean, entropy_proxy, frame_count))
+    return feats
+
+
+def extract_features(mm: DataFrame) -> DataFrame:
+    """mapInPandas feature-extraction stage over binary payloads."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats = decode_payload(pdf)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["n_bytes"],
+                    "byte_mean": [f[0] for f in feats],
+                    "byte_entropy_proxy": [f[1] for f in feats],
+                    "frame_count": [f[2] for f in feats],
+                }
+            )
+
+    flat = mm.select(
+        "doc_id", "payload", F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    return flat.mapInPandas(run, FEATURE_SCHEMA)
+
+
+@register(
+    "x13_multimodal_features",
+    oracle=None,  # Arrow/mapInPandas plumbing; byte stats checked in tests
+    doc="multimodal: binary payload + metadata struct → mapInPandas features",
+)
+def x13_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(to_multimodal(docs))
+
+
+@register(
+    "x14_multimodal_metadata",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           COUNT(*) AS n_assets,
+           SUM(strlen(text)) AS total_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="multimodal: typed-metadata rollup over binary assets (JVM-side)",
+)
+def x14_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mm = to_multimodal(docs)
+    return mm.groupBy(F.col("meta.mime").alias("mime")).agg(
+        F.count("*").alias("n_assets"),
+        F.sum("meta.n_bytes").alias("total_bytes"),
+    )

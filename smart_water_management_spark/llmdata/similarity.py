@@ -1,0 +1,246 @@
+"""Similarity search over embedding columns (BASELINE.json extension
+surface): brute-force cosine top-k as the exact baseline, an IVF-style
+coarse-quantized variant as the scale path, and cosine near-duplicate
+pairs.
+
+Scale posture: the brute-force path is a broadcast of the (small) query
+set against a partitioned candidate scan — linear, no shuffle of the big
+side, and the per-row double-precision fold runs in whole-stage codegen.
+The IVF path clusters candidates once (KMeans coarse quantizer), routes
+each query to its nprobe nearest centroids, and searches only those
+partitions — the classic inverted-file trade of recall for a ~k/nprobe
+scan reduction. For serious SIMD throughput the mapInPandas variant
+(numpy/BLAS batch dot products) is the drop-in replacement; it is
+exercised in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+N_QUERIES = 10
+TOP_K = 5
+
+
+def _dbl(col) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def dot(a, b) -> Column:
+    """Double-precision dot product via zip_with + left-to-right fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def sq_norm(a) -> Column:
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x)
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
+
+
+# DuckDB twin of the cosine fold, element-wise identical double math:
+# list_zip → struct list → transform to products → left fold.
+_SQL_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+_SQL_SQNORM = (
+    "list_reduce(list_transform({a}, "
+    "e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+@register(
+    "x10_bruteforce_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.qid, c.vec_id,
+             {_SQL_DOT.format(a='q.qe', b='c.embedding')}
+               / (SQRT({_SQL_SQNORM.format(a='q.qe')}) * SQRT({_SQL_SQNORM.format(a='c.embedding')}))
+               AS cos_sim
+      FROM q CROSS JOIN embeddings c
+      WHERE c.vec_id <> q.qid
+    )
+    SELECT qid, vec_id, ROUND(cos_sim, 6) AS cos_sim, rn FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+    doc="brute-force cosine top-k: broadcast queries × partitioned candidates",
+)
+def x10_bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), _dbl("embedding").alias("qe")
+    )
+    c = em.select("vec_id", _dbl("embedding").alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("qe"), F.col("ce")).alias("cos_sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rn")
+    )
+
+
+@register(
+    "x11_cosine_near_dupes",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+               / (SQRT({_SQL_SQNORM.format(a='a.embedding')}) * SQRT({_SQL_SQNORM.format(a='b.embedding')}))
+               AS cos_sim
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND(cos_sim, 6) AS cos_sim
+    FROM pairs WHERE cos_sim >= 0.9
+    """,
+    doc="embedding-cosine near-dup pairs, blocked by label (LSH-bucket analog)",
+)
+def x11_cosine_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl("embedding").alias("e")
+    )
+    a = em.select(
+        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("e").alias("ea")
+    )
+    b = em.select(
+        F.col("label"), F.col("vec_id").alias("vec_b"), F.col("e").alias("eb")
+    )
+    pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
+    return (
+        pairs.select(
+            "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= 0.9)
+        .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
+
+
+def ivf_index(
+    em: DataFrame, n_cells: int = 8, seed: int = 42
+) -> tuple[DataFrame, "object"]:
+    """IVF coarse quantizer: KMeans over the corpus, assignments attached.
+
+    Returns (embeddings + cell column, fitted model). One-time cost; at
+    scale the model is tiny (n_cells × dim) and broadcast everywhere.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = em.select(
+        "vec_id", "label", F.col("e"), array_to_vector("e").alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(vecs)
+    assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
+    return assigned.drop("features"), model
+
+
+@register(
+    "x12_ivf_topk",
+    oracle=None,  # approximate (recall < 1 by design); recall checked in tests
+    doc="IVF-style ANN: KMeans coarse cells + nprobe=2 probe (scale path)",
+)
+def x12_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl("embedding").alias("e")
+    )
+    assigned, model = ivf_index(em)
+    centers = model.clusterCenters()
+
+    # route each query to its nprobe nearest centroids (tiny driver math on
+    # the n_queries × n_cells matrix — the one permissible driver loop)
+    import numpy as np
+
+    qrows = (
+        assigned.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "e")
+        .collect()
+    )
+    probe = []
+    for r in qrows:
+        qv = np.array(r.e)
+        dists = [float(np.linalg.norm(qv - c)) for c in centers]
+        cells = np.argsort(dists)[:2]
+        probe += [(r.vec_id, int(cell)) for cell in cells]
+    probe_df = em.sparkSession.createDataFrame(probe, "qid long, cell int")
+
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    cand = assigned.select("vec_id", "cell", F.col("e").alias("ce"))
+    scored = (
+        probe_df.join(F.broadcast(q), "qid")
+        .join(cand, "cell")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", cosine(F.col("qe"), F.col("ce")).alias("cos_sim"))
+        .groupBy("qid", "vec_id")
+        .agg(F.max("cos_sim").alias("cos_sim"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rn")
+    )
+
+
+def bruteforce_topk_pandas(
+    em: DataFrame, n_queries: int = N_QUERIES, k: int = TOP_K
+) -> DataFrame:
+    """The BLAS scale path: mapInPandas with a broadcast query matrix and a
+    single numpy matmul per Arrow batch (vs per-row fold). Same results as
+    x10 up to float summation order; used by tests + bench."""
+    import numpy as np
+    import pandas as pd
+
+    spark = em.sparkSession
+    qrows = (
+        em.filter(F.col("vec_id") < n_queries)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qids = np.array([r.vec_id for r in qrows])
+    qmat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def score(batches):
+        qids_, qmat_, qnorm_ = bq.value
+        for pdf in batches:
+            cmat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cnorm = np.linalg.norm(cmat, axis=1)
+            sims = (cmat @ qmat_.T) / np.outer(cnorm, qnorm_)
+            out = pd.DataFrame(
+                {
+                    "qid": np.repeat(qids_, len(pdf)),
+                    "vec_id": np.tile(pdf["vec_id"].values, len(qids_)),
+                    "cos_sim": sims.T.ravel(),
+                }
+            )
+            yield out[out.qid != out.vec_id]
+
+    scored = em.select("vec_id", "embedding").mapInPandas(
+        score, "qid long, vec_id long, cos_sim double"
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rn")
+    )

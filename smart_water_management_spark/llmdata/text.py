@@ -1,0 +1,181 @@
+"""Text-analysis operators over the ``documents`` table (BASELINE.json
+extension surface: language-ID, quality scoring, token counting, document
+fingerprinting). All JVM-side (split/array HOFs/hash builtins) — no Python
+UDFs in the hot path, so the same plans scale to a 100 TB corpus with
+ordinary hash aggregates.
+
+Documents here are whitespace-tokenized word soup (see TESTDATA.md); the
+tokenizer is a simple split, with a regex variant for punctuation-bearing
+corpora.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+STOPWORDS = ["the", "a", "of", "and", "to"]
+
+# Tiny per-language marker lists for the heuristic language-ID scorer.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "die", "und"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.lower(c), " ")
+
+
+def _membership(vals: list[str]):
+    """Single-arg lambda factory for F.filter (a 2-arg lambda would be
+    interpreted as (element, index) by Spark's HOF binding)."""
+    return lambda w: w.isin(vals)
+
+
+@register(
+    "x01_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(lower(text), ' ')) AS n_tokens,
+           len(list_distinct(string_split(lower(text), ' '))) AS n_distinct_tokens,
+           length(text) AS n_chars,
+           CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' ')) AS avg_token_len,
+           CAST(len(list_distinct(string_split(lower(text), ' '))) AS DOUBLE)
+             / len(string_split(lower(text), ' ')) AS ttr
+    FROM documents
+    """,
+    doc="token counting: counts, distinct, type-token ratio — all JVM-side",
+)
+def x01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(tk).alias("n_tokens"),
+        F.size(F.array_distinct(tk)).alias("n_distinct_tokens"),
+        F.length("text").alias("n_chars"),
+        (F.length("text").cast("double") / F.size(tk)).alias("avg_token_len"),
+        (F.size(F.array_distinct(tk)).cast("double") / F.size(tk)).alias("ttr"),
+    )
+
+
+@register(
+    "x02_quality_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             len(string_split(lower(text), ' ')) AS n_tokens,
+             len(list_filter(string_split(lower(text), ' '),
+                 w -> w IN ({", ".join(f"'{w}'" for w in STOPWORDS)}))) AS n_stop,
+             len(list_distinct(string_split(lower(text), ' '))) AS n_distinct
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+           CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
+           (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5e0 ELSE 0.2e0 END
+            + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.05 AND 0.4
+                   THEN 0.3e0 ELSE 0.1e0 END
+            + CASE WHEN CAST(n_distinct AS DOUBLE) / n_tokens > 0.3
+                   THEN 0.2e0 ELSE 0.05e0 END) AS quality_score
+    FROM t
+    """,
+    doc="quality scoring: length band + stopword ratio + lexical diversity",
+)
+def x02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    n_tokens = F.size(tk)
+    n_stop = F.size(F.filter(tk, lambda w: w.isin(STOPWORDS)))
+    n_distinct = F.size(F.array_distinct(tk))
+    stop_ratio = n_stop.cast("double") / n_tokens
+    ttr = n_distinct.cast("double") / n_tokens
+    score = (
+        F.when(n_tokens.between(20, 200), 0.5).otherwise(0.2)
+        + F.when(stop_ratio.between(0.05, 0.4), 0.3).otherwise(0.1)
+        + F.when(ttr > 0.3, 0.2).otherwise(0.05)
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stopword_ratio"),
+        ttr.alias("ttr"),
+        score.alias("quality_score"),
+    )
+
+
+@register(
+    "x03_language_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang AS actual_lang,
+             {", ".join(
+                 "len(list_filter(string_split(lower(text), ' '), w -> w IN ("
+                 + ", ".join(f"'{m}'" for m in ms)
+                 + f"))) AS score_{lg}"
+                 for lg, ms in LANG_MARKERS.items()
+             )}
+      FROM documents
+    )
+    SELECT doc_id, actual_lang,
+           CASE WHEN score_en >= score_fr AND score_en >= score_de THEN 'en'
+                WHEN score_fr >= score_de THEN 'fr'
+                ELSE 'de' END AS predicted_lang,
+           GREATEST(score_en, score_fr, score_de) AS marker_hits
+    FROM scores
+    """,
+    doc="language-ID: stopword-marker overlap heuristic (argmax over languages)",
+)
+def x03_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    scores = d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        *[
+            F.size(F.filter(tk, _membership(ms))).alias(f"score_{lg}")
+            for lg, ms in LANG_MARKERS.items()
+        ],
+    )
+    predicted = (
+        F.when(
+            (F.col("score_en") >= F.col("score_fr"))
+            & (F.col("score_en") >= F.col("score_de")),
+            "en",
+        )
+        .when(F.col("score_fr") >= F.col("score_de"), "fr")
+        .otherwise("de")
+    )
+    return scores.select(
+        "doc_id",
+        "actual_lang",
+        predicted.alias("predicted_lang"),
+        F.greatest("score_en", "score_fr", "score_de").alias("marker_hits"),
+    )
+
+
+@register(
+    "x04_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS exact_fp,
+           md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' '))
+             AS bag_fp
+    FROM documents
+    """,
+    doc="document fingerprinting: exact md5 + order-insensitive bag-of-words md5",
+)
+def x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5("text").alias("exact_fp"),
+        F.md5(F.concat_ws(" ", F.sort_array(tokens("text")))).alias("bag_fp"),
+    )

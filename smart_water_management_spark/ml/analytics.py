@@ -1,0 +1,191 @@
+"""ML analytics operators (SURVEY.md §2.10 M1-M9): K-means behavior
+clustering, distance-to-centroid anomaly scoring, random-forest
+forecasting with temporal split, correlation matrix.
+
+Reference sites: pipeline assembly src/enhanced_spark_etl.py:371-399
+(VectorAssembler + StandardScaler + KMeans k=5 seed=42), anomaly scoring
+:402-414 (the reference uses a hash *placeholder* for distance — we
+compute the real distance-to-centroid), RF forecasting :451-524 (lead-1h
+target, temporal split, RMSE), Correlation.corr :607-648.
+
+All seeded (seed=42, matching the reference) and registered rows-only —
+ML outputs are invariant-checked in tests rather than hash-compared
+(SURVEY §5.2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+SEED = 42
+
+
+def _features(ev: DataFrame) -> DataFrame:
+    """M1/M9-style feature engineering: cyclical hour encoding + value."""
+    h = F.hour("ts")
+    two_pi = 2 * 3.141592653589793
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "ts",
+        F.sin(two_pi * h / 24).alias("hour_sin"),
+        F.cos(two_pi * h / 24).alias("hour_cos"),
+    )
+
+
+def fit_kmeans(ev: DataFrame, k: int = 5):
+    """M1+M2+M3+M4: assembler → scaler → KMeans as one ml.Pipeline."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(
+                inputCols=["value", "hour_sin", "hour_cos"], outputCol="raw"
+            ),
+            StandardScaler(inputCol="raw", outputCol="features", withMean=True),
+            KMeans(k=k, seed=SEED, featuresCol="features"),
+        ]
+    )
+    feats = _features(ev)
+    return pipe.fit(feats), feats
+
+
+@register(
+    "m01_kmeans_clusters",
+    oracle=None,
+    doc="M3: K-means (k=5, seed=42) behavior clusters + per-cluster profile",
+)
+def m01_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    model, feats = fit_kmeans(ev)
+    return (
+        model.transform(feats)
+        .groupBy(F.col("prediction").alias("cluster"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
+    "m02_distance_anomaly",
+    oracle=None,
+    doc="M3/F3: REAL distance-to-centroid anomaly score (fixes the reference's hash placeholder), top-5% flagged via approxQuantile",
+)
+def m02_distance_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.functions import vector_to_array
+
+    ev = load_table(spark, sf_dir, "events")
+    model, feats = fit_kmeans(ev)
+    km = model.stages[-1]
+    centers = [list(map(float, c)) for c in km.clusterCenters()]
+    centers_arr = F.array(*[
+        F.array(*[F.lit(x) for x in c]) for c in centers
+    ])
+    scored = (
+        model.transform(feats)
+        .withColumn("fa", vector_to_array("features"))
+        .withColumn("center", F.element_at(centers_arr, F.col("prediction") + 1))
+        .withColumn(
+            "dist",
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with("fa", "center", lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            ),
+        )
+    )
+    threshold = scored.approxQuantile("dist", [0.95], 0.01)[0]  # A8 action
+    return scored.select(
+        "event_id",
+        "user_id",
+        F.round("dist", 6).alias("anomaly_score"),
+        (F.col("dist") > threshold).cast("int").alias("is_anomaly"),
+    )
+
+
+@register(
+    "m03_rf_forecast",
+    oracle=None,
+    doc="M5/M6/M9: RandomForest lead-1 forecast, temporal split, RMSE",
+)
+def m03_rf_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml import Pipeline
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    df = (
+        _features(ev)
+        .withColumn("lag_1", F.lag("value", 1).over(w))
+        .withColumn("lag_2", F.lag("value", 2).over(w))
+        .withColumn("target", F.lead("value", 1).over(w))
+        .na.drop(subset=["lag_1", "lag_2", "target"])
+    )
+    cutoff = "2024-01-24 00:00:00"  # temporal split (M9), ~80/20
+    train = df.filter(F.col("ts") < F.lit(cutoff).cast("timestamp"))
+    test = df.filter(F.col("ts") >= F.lit(cutoff).cast("timestamp"))
+    pipe = Pipeline(
+        stages=[
+            VectorAssembler(
+                inputCols=["value", "lag_1", "lag_2", "hour_sin", "hour_cos"],
+                outputCol="features",
+            ),
+            RandomForestRegressor(
+                featuresCol="features", labelCol="target", numTrees=20, seed=SEED
+            ),
+        ]
+    )
+    model = pipe.fit(train)
+    pred = model.transform(test)
+    rmse = RegressionEvaluator(
+        labelCol="target", predictionCol="prediction", metricName="rmse"
+    ).evaluate(pred)
+    return pred.sparkSession.createDataFrame(
+        [(float(rmse), train.count(), test.count())],
+        "rmse double, n_train long, n_test long",
+    )
+
+
+@register(
+    "m04_correlation_matrix",
+    oracle=None,
+    doc="M7/A15: Pearson correlation matrix over pivoted per-type hourly avgs",
+)
+def m04_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.stat import Correlation
+
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    wide = (
+        ev.groupBy(F.window("ts", "1 day").alias("w"))
+        .pivot("event_type", types)
+        .avg("value")
+        .na.drop()
+    )
+    assembled = VectorAssembler(inputCols=types, outputCol="features").transform(wide)
+    mat = Correlation.corr(assembled, "features").head()[0].toArray()
+    rows = [
+        (types[i], types[j], round(float(mat[i][j]), 6))
+        for i in range(len(types))
+        for j in range(len(types))
+    ]
+    return ev.sparkSession.createDataFrame(
+        rows, "type_a string, type_b string, pearson double"
+    )

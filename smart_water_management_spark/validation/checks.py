@@ -1,0 +1,295 @@
+"""Data-quality validation engine (SURVEY.md §2.9 V1-V13).
+
+The reference's 5-layer validator (src/data_validator.py:121-596) runs one
+pandas scan per rule. Here the rule table is *compiled into a single
+DataFrame pass*: every rule becomes one conditional-count aggregate in one
+``select``, so the whole rule set costs one scan regardless of rule count
+(SURVEY §4.3.5 — the engine's bespoke 'optimizer'). The long (rule, count)
+shape comes from unpivoting the one-row aggregate with ``stack``.
+
+At 100 TB this is the difference between N full scans and 1; the
+fused pass is also streaming-compatible (same expressions inside a
+``foreachBatch`` or windowed aggregation).
+
+Rule kinds mirror src/data_validator.py: not_null (V2), range (V4), enum
+(V5), regex (:58-61), not_future (V6), cross-field consistency (V11).
+Keyed duplicates (V9) need a groupBy and are a second, separate pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+
+@dataclass(frozen=True)
+class Rule:
+    name: str
+    column: str
+    kind: str  # not_null | range | enum | regex | not_future | custom
+    params: dict = field(default_factory=dict)
+    weight: float = 1.0
+
+    def violation(self) -> Column:
+        c = F.col(self.column)
+        if self.kind == "not_null":
+            return c.isNull()
+        if self.kind == "range":
+            lo, hi = self.params["lo"], self.params["hi"]
+            return c.isNotNull() & ((c < lo) | (c > hi))
+        if self.kind == "enum":
+            return c.isNotNull() & ~c.isin(self.params["values"])
+        if self.kind == "regex":
+            return c.isNotNull() & ~c.rlike(self.params["pattern"])
+        if self.kind == "not_future":
+            return c > F.lit(self.params["now"]).cast("timestamp")
+        if self.kind == "custom":
+            return self.params["predicate"]
+        raise ValueError(f"unknown rule kind: {self.kind}")
+
+    def violation_sql(self) -> str:
+        """DuckDB-SQL twin of :meth:`violation` (for oracle generation)."""
+        c = self.column
+        if self.kind == "not_null":
+            return f"{c} IS NULL"
+        if self.kind == "range":
+            lo, hi = self.params["lo"], self.params["hi"]
+            return f"{c} IS NOT NULL AND ({c} < {lo} OR {c} > {hi})"
+        if self.kind == "enum":
+            vals = ", ".join(f"'{v}'" for v in self.params["values"])
+            return f"{c} IS NOT NULL AND {c} NOT IN ({vals})"
+        if self.kind == "regex":
+            return f"{c} IS NOT NULL AND NOT regexp_matches({c}, '{self.params['pattern']}')"
+        if self.kind == "not_future":
+            return f"{c} > TIMESTAMP '{self.params['now']}'"
+        if self.kind == "custom":
+            return self.params["sql"]
+        raise ValueError(self.kind)
+
+
+# The events-table rule set (events ≙ sensor readings per FIXTURES.md §B;
+# thresholds mirror src/data_validator.py:48-119's expected-schema ranges).
+EVENTS_RULES: list[Rule] = [
+    Rule("ts_not_null", "ts", "not_null", weight=1.0),
+    Rule("user_not_null", "user_id", "not_null", weight=1.0),
+    Rule("value_not_null", "value", "not_null", weight=0.8),
+    Rule("value_range", "value", "range", {"lo": 0.0, "hi": 500.0}, weight=0.9),
+    Rule(
+        "type_enum",
+        "event_type",
+        "enum",
+        {"values": ["click", "view", "purchase", "signup", "error"]},
+        weight=0.7,
+    ),
+    Rule("props_json_format", "props", "regex", {"pattern": r'^\{"k": [0-9]+\}$'}, weight=0.4),
+    Rule("ts_not_future", "ts", "not_future", {"now": "2025-01-01 00:00:00"}, weight=1.0),
+]
+
+
+def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """Compile the rule table into ONE aggregate pass → long report.
+
+    Returns (rule_name, failed_count, total_rows, pass_rate).
+    """
+    aggs = [F.count("*").alias("__total")] + [
+        F.count(F.when(r.violation(), F.lit(1))).alias(r.name) for r in rules
+    ]
+    one_row = df.agg(*aggs)
+    stack_expr = ", ".join(f"'{r.name}', {r.name}" for r in rules)
+    return one_row.selectExpr(
+        "__total",
+        f"stack({len(rules)}, {stack_expr}) AS (rule_name, failed_count)",
+    ).select(
+        "rule_name",
+        "failed_count",
+        F.col("__total").alias("total_rows"),
+        (
+            (F.col("__total") - F.col("failed_count"))
+            * F.lit(100).cast("double")
+            / F.col("__total")
+        ).alias("pass_rate_pct"),
+    )
+
+
+def quarantine(df: DataFrame, rules: list[Rule]) -> tuple[DataFrame, DataFrame]:
+    """Split into (clean, quarantined-with-reasons) in one expression.
+
+    The reference only *reports* violations; quarantining is the engine's
+    production posture: bad rows flow to a side output with the list of
+    violated rule names attached.
+    """
+    reasons = F.array_compact(
+        F.array(*[F.when(r.violation(), F.lit(r.name)) for r in rules])
+    )
+    tagged = df.withColumn("__violations", reasons)
+    clean = tagged.filter(F.size("__violations") == 0).drop("__violations")
+    bad = tagged.filter(F.size("__violations") > 0).withColumnRenamed(
+        "__violations", "violated_rules"
+    )
+    return clean, bad
+
+
+def weighted_score(df: DataFrame, rules: list[Rule]) -> DataFrame:
+    """V13: severity-weighted overall score + PASS/WARNING/FAIL status
+    (reference src/data_validator.py:513-548: weighted mean of rule pass
+    rates; >=0.9 PASS, >=0.7 WARNING, else FAIL)."""
+    report = validate(df, rules)
+    wmap = F.create_map(
+        *[x for r in rules for x in (F.lit(r.name), F.lit(r.weight))]
+    )
+    scored = report.withColumn("weight", wmap[F.col("rule_name")])
+    agg = scored.agg(
+        (
+            F.sum(F.col("pass_rate_pct") / 100.0 * F.col("weight"))
+            / F.sum("weight")
+        ).alias("overall_score")
+    )
+    return agg.select(
+        F.round("overall_score", 6).alias("overall_score"),
+        F.when(F.col("overall_score") >= 0.9, "PASS")
+        .when(F.col("overall_score") >= 0.7, "WARNING")
+        .otherwise("FAIL")
+        .alias("status"),
+    )
+
+
+def _rules_oracle(table: str, rules: list[Rule]) -> str:
+    branches = "\n    UNION ALL\n".join(
+        f"""SELECT '{r.name}' AS rule_name,
+               COUNT(CASE WHEN {r.violation_sql()} THEN 1 END) AS failed_count,
+               COUNT(*) AS total_rows
+        FROM {table}"""
+        for r in rules
+    )
+    return f"""
+    SELECT rule_name, failed_count, total_rows,
+           (total_rows - failed_count) * CAST(100 AS DOUBLE) / total_rows AS pass_rate_pct
+    FROM ({branches})
+    """
+
+
+@register(
+    "v01_fused_validation",
+    oracle=_rules_oracle("events", EVENTS_RULES),
+    doc="V1-V8: rule table compiled to ONE scan (vs reference's scan-per-rule)",
+)
+def v01_fused_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return validate(load_table(spark, sf_dir, "events"), EVENTS_RULES)
+
+
+@register(
+    "v02_duplicate_detection",
+    oracle="""
+    SELECT COUNT(*) AS n_duplicate_keys,
+           COALESCE(SUM(cnt - 1), 0) AS n_excess_rows
+    FROM (
+      SELECT user_id, ts, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, ts HAVING COUNT(*) > 1
+    )
+    """,
+    doc="V9: keyed duplicate detection on (user_id, ts)",
+)
+def v02_duplicate_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dupes = (
+        ev.groupBy("user_id", "ts").agg(F.count("*").alias("cnt")).filter("cnt > 1")
+    )
+    return dupes.agg(
+        F.count("*").alias("n_duplicate_keys"),
+        F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("n_excess_rows"),
+    )
+
+
+@register(
+    "v03_weighted_score",
+    oracle=f"""
+    WITH report AS ({_rules_oracle("events", EVENTS_RULES)}),
+    weights(rule_name, weight) AS (VALUES {", ".join(f"('{r.name}', {r.weight})" for r in EVENTS_RULES)})
+    SELECT ROUND(SUM(r.pass_rate_pct / 100.0 * w.weight) / SUM(w.weight), 6) AS overall_score,
+           CASE WHEN SUM(r.pass_rate_pct / 100.0 * w.weight) / SUM(w.weight) >= 0.9 THEN 'PASS'
+                WHEN SUM(r.pass_rate_pct / 100.0 * w.weight) / SUM(w.weight) >= 0.7 THEN 'WARNING'
+                ELSE 'FAIL' END AS status
+    FROM report r JOIN weights w USING (rule_name)
+    """,
+    doc="V13: severity-weighted overall score + status",
+)
+def v03_weighted_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weighted_score(load_table(spark, sf_dir, "events"), EVENTS_RULES)
+
+
+@register(
+    "v04_completeness_profile",
+    oracle="""
+    SELECT COUNT(*) AS total_rows,
+           COUNT(*) - COUNT(value) AS null_value,
+           COUNT(*) - COUNT(props) AS null_props,
+           COUNT(*) - COUNT(event_type) AS null_type,
+           (COUNT(value) + COUNT(props) + COUNT(event_type)) * CAST(100 AS DOUBLE)
+             / (COUNT(*) * 3) AS completeness_pct
+    FROM events
+    """,
+    doc="V8/P9: per-column null profile + completeness rate in one pass",
+)
+def v04_completeness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.count("*").alias("total_rows"),
+        (F.count("*") - F.count("value")).alias("null_value"),
+        (F.count("*") - F.count("props")).alias("null_props"),
+        (F.count("*") - F.count("event_type")).alias("null_type"),
+        (
+            (F.count("value") + F.count("props") + F.count("event_type"))
+            * F.lit(100).cast("double")
+            / (F.count("*") * 3)
+        ).alias("completeness_pct"),
+    )
+
+
+@register(
+    "v05_zscore_outliers",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(value) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value*value AS DECIMAL(27,6))) AS DOUBLE) AS sx2
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(CASE WHEN ABS((e.value - s.sx/s.n)
+                 / SQRT((s.n*s.sx2 - s.sx*s.sx) / (s.n*(s.n-1.0)))) > 3.0
+                 THEN 1 END) AS n_outliers,
+           COUNT(*) AS n_rows
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    GROUP BY e.event_type
+    """,
+    doc="V12: global z-score outlier counts per group (exact decimal moments)",
+)
+def v05_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").cast("double").alias("n"),
+        F.sum(v.cast("decimal(27,6)")).cast("double").alias("sx"),
+        F.sum((v * v).cast("decimal(27,6)")).cast("double").alias("sx2"),
+    )
+    z = F.abs(
+        (v - F.col("sx") / F.col("n"))
+        / F.sqrt(
+            (F.col("n") * F.col("sx2") - F.col("sx") * F.col("sx"))
+            / (F.col("n") * (F.col("n") - 1.0))
+        )
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(z > 3.0, 1)).alias("n_outliers"),
+            F.count("*").alias("n_rows"),
+        )
+    )
