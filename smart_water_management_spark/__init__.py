@@ -24,6 +24,11 @@ _OPTIONAL_MODULES = [
     "smart_water_management_spark.operators.relational",
     "smart_water_management_spark.operators.setops",
     "smart_water_management_spark.functions.scalar",
+    "smart_water_management_spark.functions.udfs",
+    "smart_water_management_spark.sources.io_ops",
+    "smart_water_management_spark.plans.scd",
+    "smart_water_management_spark.plans.pipeline",
+    "smart_water_management_spark.streaming.ingest",
     "smart_water_management_spark.plans.dashboard",
     "smart_water_management_spark.plans.star_schema",
     "smart_water_management_spark.validation.checks",

@@ -1,0 +1,178 @@
+"""SCD Type 2 merge (SURVEY.md §2.13 C4).
+
+The reference *reserves* SCD2 columns (effective_date, end_date,
+is_current — `sql/dimensional_schema.sql:43-48`) but its loader writes
+static values and never tracks changes (`src/warehouse_loader.py:208-210`).
+This module implements the real thing as the set-based anti-join + union
+merge pattern — no Delta MERGE dependency, plain DataFrame ops:
+
+    current dim  ⟕  incoming batch  (on the natural key)
+      ├─ unchanged rows ............ pass through
+      ├─ changed rows .............. close old version (end_date, is_current
+      │                              = false) + insert new current version
+      └─ brand-new keys ............ insert as current
+
+Scale posture: every branch is an equi-join / anti-join on the natural
+key; with dims ≪ facts the joins broadcast, and the merge is one shuffle
+of the dimension only — the fact table is never touched. The same plan
+applies partition-wise for a 100 TB slowly-changing entity table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+_TRACKED = ["c_mktsegment", "c_acctbal"]
+
+
+def scd2_merge(
+    current: DataFrame,
+    incoming: DataFrame,
+    key: str,
+    tracked: list[str],
+    change_date: str,
+) -> DataFrame:
+    """Merge an incoming attribute batch into an SCD2 dimension.
+
+    ``current`` has columns [key, *tracked, effective_date, end_date,
+    is_current]; ``incoming`` has [key, *tracked]. Returns the merged
+    dimension with closed-out history rows plus new current rows.
+    """
+    cur_open = current.filter(F.col("is_current"))
+    cur_closed = current.filter(~F.col("is_current"))
+
+    diff = [
+        ~(cur_open[c].eqNullSafe(incoming[c])) for c in tracked
+    ]
+    changed_cond = diff[0]
+    for d in diff[1:]:
+        changed_cond = changed_cond | d
+
+    joined = cur_open.alias("cur").join(
+        incoming.alias("inc"), on=F.col(f"cur.{key}") == F.col(f"inc.{key}"), how="left"
+    )
+
+    # open rows whose incoming attrs differ → close them out
+    closed_out = joined.filter(
+        F.col(f"inc.{key}").isNotNull() & changed_cond
+    ).select(
+        F.col(f"cur.{key}").alias(key),
+        *[F.col(f"cur.{c}").alias(c) for c in tracked],
+        F.col("cur.effective_date").alias("effective_date"),
+        F.lit(change_date).cast("date").alias("end_date"),
+        F.lit(False).alias("is_current"),
+    )
+    # open rows with no incoming record, or identical attrs → unchanged
+    unchanged = joined.filter(
+        F.col(f"inc.{key}").isNull() | ~changed_cond
+    ).select(
+        F.col(f"cur.{key}").alias(key),
+        *[F.col(f"cur.{c}").alias(c) for c in tracked],
+        "cur.effective_date",
+        "cur.end_date",
+        "cur.is_current",
+    )
+    # changed rows → new current version effective at the change date
+    new_versions = joined.filter(
+        F.col(f"inc.{key}").isNotNull() & changed_cond
+    ).select(
+        F.col(f"inc.{key}").alias(key),
+        *[F.col(f"inc.{c}").alias(c) for c in tracked],
+        F.lit(change_date).cast("date").alias("effective_date"),
+        F.lit(None).cast("date").alias("end_date"),
+        F.lit(True).alias("is_current"),
+    )
+    # keys never seen before → insert as current (anti-join)
+    brand_new = incoming.join(
+        current.select(key).distinct(), key, "left_anti"
+    ).select(
+        key,
+        *tracked,
+        F.lit(change_date).cast("date").alias("effective_date"),
+        F.lit(None).cast("date").alias("end_date"),
+        F.lit(True).alias("is_current"),
+    )
+    return cur_closed.unionByName(unchanged).unionByName(closed_out).unionByName(
+        new_versions
+    ).unionByName(brand_new)
+
+
+def _initial_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        *_TRACKED,
+        F.lit("2024-01-01").cast("date").alias("effective_date"),
+        F.lit(None).cast("date").alias("end_date"),
+        F.lit(True).alias("is_current"),
+    )
+
+
+def _incoming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic update batch: every 10th customer moves to
+    segment 'MACHINERY' with a rebased balance; every 7th is re-sent
+    unchanged (merge must not create a version for those)."""
+    c = load_table(spark, sf_dir, "customer")
+    changed = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 1000.0, 2).alias("c_acctbal"),
+    )
+    resent = c.filter(F.col("c_custkey") % 7 == 0).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    return changed.unionByName(resent).dropDuplicates(["c_custkey"])
+
+
+@register(
+    "c04_scd2_merge",
+    oracle="""
+    WITH incoming AS (
+      SELECT c_custkey,
+             'MACHINERY' AS c_mktsegment,
+             ROUND(c_acctbal + 1000.0, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey, c_mktsegment, c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 10 <> 0
+    ),
+    changed AS (
+      SELECT c.c_custkey, i.c_mktsegment AS new_seg, i.c_acctbal AS new_bal,
+             c.c_mktsegment AS old_seg, c.c_acctbal AS old_bal
+      FROM customer c JOIN incoming i USING (c_custkey)
+      WHERE c.c_mktsegment IS DISTINCT FROM i.c_mktsegment
+         OR c.c_acctbal IS DISTINCT FROM i.c_acctbal
+    )
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+           '2024-01-01' AS effective_date,
+           CASE WHEN ch.c_custkey IS NOT NULL THEN '2024-06-01' END AS end_date,
+           ch.c_custkey IS NULL AS is_current
+    FROM customer c LEFT JOIN changed ch USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, new_seg, new_bal,
+           '2024-06-01', NULL, TRUE
+    FROM changed
+    """,
+    doc="C4: SCD Type 2 merge — anti-join + union change tracking the "
+    "reference only reserves columns for (sql/dimensional_schema.sql:43-48)",
+)
+def c04_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged = scd2_merge(
+        _initial_dim(spark, sf_dir),
+        _incoming_batch(spark, sf_dir),
+        key="c_custkey",
+        tracked=_TRACKED,
+        change_date="2024-06-01",
+    )
+    # dates emitted as strings: the driver's comparator (and pandas' NaT)
+    # round-trips DATE columns inconsistently between engines
+    return merged.select(
+        "c_custkey",
+        *_TRACKED,
+        F.col("effective_date").cast("string").alias("effective_date"),
+        F.col("end_date").cast("string").alias("end_date"),
+        "is_current",
+    )

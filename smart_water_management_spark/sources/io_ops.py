@@ -1,0 +1,230 @@
+"""Source/sink roundtrip operators (SURVEY.md §2.1, S1-S12).
+
+Each registered query exercises one scan/sink pair end-to-end: write the
+testdata through the sink under ``spark-warehouse/scratch``, read it back
+through the matching scan, and aggregate — the DuckDB oracle runs the same
+aggregate on the *original* parquet, so a lossy sink or a mis-typed scan
+fails the value-hash gate.
+
+Scale posture: the partitioned sink (S5) is the 100 TB layout — readers
+prune ``year=/month=`` directories (reference
+`src/enhanced_spark_etl.py:777-782`); the compaction sink (S6) bounds
+small-file count; sums are computed in DECIMAL so results are independent
+of partition/merge order.
+
+CSV roundtrips use midnight-grid ``orders`` timestamps (the testdata's
+``events.ts`` carries microseconds, which the reference's
+``yyyy-MM-dd HH:mm:ss`` timestampFormat — `src/enhanced_spark_etl.py:121`
+— would truncate; parquet roundtrips keep them exact).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..registry import register
+from .catalog import load_table, read_csv_with_schema
+
+SCRATCH = os.path.join(os.path.dirname(__file__), "..", "..", "spark-warehouse", "scratch")
+
+ORDERS_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType()),
+        StructField("o_custkey", LongType()),
+        StructField("o_orderstatus", StringType()),
+        StructField("o_totalprice", DoubleType()),
+        StructField("o_orderdate", TimestampType()),
+        StructField("o_orderpriority", StringType()),
+    ]
+)
+
+
+def _scratch(name: str, sf_dir: str) -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    return os.path.join(SCRATCH, f"{name}-{tag}")
+
+
+def _orders_checksum(df: DataFrame) -> DataFrame:
+    """Order-independent aggregate fingerprint of the orders table
+    (decimal sums: exact regardless of partition layout)."""
+    return df.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("o_orderkey").alias("n_keys"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.max("o_orderdate").alias("max_date"),
+        F.min("o_orderpriority").alias("min_priority"),
+    )
+
+
+_ORDERS_CHECKSUM_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_orderkey) AS n_keys,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price,
+       MAX(o_orderdate) AS max_date,
+       MIN(o_orderpriority) AS min_priority
+FROM orders
+"""
+
+
+@register(
+    "s01_csv_roundtrip_schema",
+    oracle=_ORDERS_CHECKSUM_SQL,
+    doc="S1: header-CSV sink → explicit-schema scan (no inference pass), "
+    "checksum parity vs the original parquet (reference src/spark_etl.py:47-64)",
+)
+def s01_csv_roundtrip_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("s01_csv", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.withColumn(
+            "o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    return _orders_checksum(read_csv_with_schema(spark, path, ORDERS_SCHEMA))
+
+
+@register(
+    "s02_csv_infer_roundtrip",
+    oracle=_ORDERS_CHECKSUM_SQL,
+    doc="S2: CSV scan with inferSchema + timestampFormat "
+    "(reference src/enhanced_spark_etl.py:118-126)",
+)
+def s02_csv_infer_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("s02_csv", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.withColumn(
+            "o_orderdate", F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+        )
+        .write.mode("overwrite")
+        .option("header", True)
+        .csv(path)
+    )
+    inferred = (
+        spark.read.option("header", True)
+        .option("inferSchema", True)
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(path)
+    )
+    # inference may land on int for keys; normalize to the declared types
+    casted = inferred.select(
+        F.col("o_orderkey").cast("long"),
+        F.col("o_custkey").cast("long"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("double"),
+        F.col("o_orderdate").cast("timestamp"),
+        "o_orderpriority",
+    )
+    return _orders_checksum(casted)
+
+
+@register(
+    "s05_partitioned_sink_prune",
+    oracle="""
+    SELECT EXTRACT(month FROM ts) AS month,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE EXTRACT(year FROM ts) = 2024 AND EXTRACT(month FROM ts) <= 2
+    GROUP BY 1
+    """,
+    doc="S5: partitioned parquet sink (year=/month=) + partition-pruned scan "
+    "— the 100 TB layout (reference src/enhanced_spark_etl.py:777-782)",
+)
+def s05_partitioned_sink_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("s05_part", sf_dir)
+    ev = load_table(spark, sf_dir, "events").withColumns(
+        {"year": F.year("ts"), "month": F.month("ts")}
+    )
+    ev.write.mode("overwrite").partitionBy("year", "month").parquet(path)
+    back = spark.read.parquet(path)
+    # the filter prunes to the year=2024/month<=2 directories only —
+    # .explain shows PartitionFilters, no full scan
+    return (
+        back.filter((F.col("year") == 2024) & (F.col("month") <= 2))
+        .groupBy("month")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "s06_compacted_sink",
+    oracle=_ORDERS_CHECKSUM_SQL,
+    doc="S6: coalesced single-file parquet sink (small-file compaction, "
+    "reference src/spark_etl.py:241) → scan → checksum parity",
+)
+def s06_compacted_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("s06_compact", sf_dir)
+    load_table(spark, sf_dir, "orders").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return _orders_checksum(spark.read.parquet(path))
+
+
+@register(
+    "s11_json_roundtrip",
+    oracle=_ORDERS_CHECKSUM_SQL,
+    doc="S11: JSON-lines sink → schema'd JSON scan "
+    "(reference src/enhanced_spark_etl.py:795-812 report sink)",
+)
+def s11_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("s11_json", sf_dir)
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").json(path)
+    back = spark.read.schema(ORDERS_SCHEMA).json(path)
+    return _orders_checksum(back)
+
+
+@register(
+    "s12_cached_reuse",
+    oracle="""
+    WITH src AS (SELECT * FROM orders WHERE o_orderstatus = 'F')
+    SELECT 'by_priority' AS grain, o_orderpriority AS key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM src GROUP BY 2
+    UNION ALL
+    SELECT 'by_status' AS grain, o_orderstatus AS key,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS total
+    FROM src GROUP BY 2
+    """,
+    doc="S12: cache() a filtered scan, reuse it across two aggregates "
+    "(reference src/spark_etl.py:59, size-gated src/enhanced_spark_etl.py:134-140)",
+)
+def s12_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .cache()
+    )
+    dsum = F.sum(F.col("o_totalprice").cast("decimal(27,6)")).cast("double")
+    by_priority = src.groupBy(
+        F.lit("by_priority").alias("grain"), F.col("o_orderpriority").alias("key")
+    ).agg(F.count("*").alias("n"), dsum.alias("total"))
+    by_status = src.groupBy(
+        F.lit("by_status").alias("grain"), F.col("o_orderstatus").alias("key")
+    ).agg(F.count("*").alias("n"), dsum.alias("total"))
+    # not unpersisted here: the driver's action must hit the cached scan;
+    # session teardown (spark.catalog.clearCache) reclaims it
+    return by_priority.unionByName(by_status)

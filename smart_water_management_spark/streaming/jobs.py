@@ -217,3 +217,78 @@ def sensor_status_upsert_stream(
         )
         q.awaitTermination()
     return spark.table(target_table)
+
+
+@register(
+    "t07_streaming_sensor_status",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="T10: trigger-maintained sensor status via foreachBatch MERGE — "
+    "final upserted table equals the batch aggregate (exactly-once)",
+)
+def t07_streaming_sensor_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    status = sensor_status_upsert_stream(spark, sf_dir)
+    return status.select(
+        "user_id",
+        "n_events",
+        "n_errors",
+        F.date_format("last_seen", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+    )
+
+
+def late_event_split(
+    spark: SparkSession,
+    stream: DataFrame,
+    checkpoint: str,
+    tolerance_seconds: int = 24 * 3600,
+    ts_col: str = "ts",
+):
+    """T5: explicit late-event routing with a cross-batch high-water mark.
+
+    The reference flags stale data but never drops it
+    (src/data_validator.py:418-429, SURVEY.md §2.11 T5) — and Spark 4.1's
+    streaming aggregation admits late input rows rather than dropping them
+    (watermarks bound STATE, not input; see test_watermark_bounds_state).
+    So lateness is an engine policy, applied inside foreachBatch: events
+    older than (high-water mark − tolerance) at the time their batch
+    arrives go to a quarantine sink; the rest flow on-time. Both sinks are
+    append-only and the split is deterministic given the batch order.
+
+    Driver state is one timestamp (the running max event time) — O(1)
+    memory at any scale; the per-batch split itself is a distributed
+    filter. Returns (on_time_rows, late_rows) collected after a bounded
+    availableNow replay.
+    """
+    state = {"hwm": None}
+    on_time_parts: list = []
+    late_parts: list = []
+
+    def split_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hwm = state["hwm"]
+        if hwm is not None:
+            cutoff = hwm.timestamp() - tolerance_seconds
+            is_late = F.col(ts_col).cast("double") < F.lit(cutoff)
+        else:
+            is_late = F.lit(False)
+        tagged = batch_df.withColumn("__late", is_late).cache()
+        late_parts.extend(tagged.filter("__late").drop("__late").collect())
+        on_time_parts.extend(tagged.filter("NOT __late").drop("__late").collect())
+        batch_max = tagged.agg(F.max(ts_col)).collect()[0][0]
+        tagged.unpersist()
+        if batch_max is not None and (hwm is None or batch_max > hwm):
+            state["hwm"] = batch_max
+
+    q = (
+        stream.writeStream.foreachBatch(split_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return on_time_parts, late_parts

@@ -1,0 +1,180 @@
+"""Unit tests for the domain pipeline (plans.pipeline), SCD2 merge
+integrity (plans.scd), and the ingestion-resilience library
+(streaming.ingest) — the parts whose correctness isn't fully captured
+by a SQL oracle."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from smart_water_management_spark.plans.pipeline import (
+    daily_rollup,
+    enrich,
+    generate_readings,
+)
+from smart_water_management_spark.plans.scd import c04_scd2_merge
+from smart_water_management_spark.streaming.ingest import (
+    CircuitBreaker,
+    CircuitOpenError,
+    RateLimiter,
+    SourceHealth,
+    resilient_call,
+)
+
+from .conftest import SF_DIR
+
+
+# --- domain pipeline (reference src/data_generator.py invariants) -----------
+
+
+def test_generator_shape(spark):
+    r = generate_readings(spark)
+    assert r.count() == 14_400  # 20 sensors × 30 d × 24 h
+    assert r.select("sensor_id").distinct().count() == 20
+    assert r.select("district").distinct().count() == 5
+    assert r.select("sensor_type").distinct().count() == 4
+
+
+def test_generator_value_domains(spark):
+    r = generate_readings(spark)
+    bad = r.filter(
+        ((F.col("sensor_type") == "quality") & ~F.col("value").between(6.0, 9.0))
+        | ((F.col("sensor_type") == "temperature") & ~F.col("value").between(2.0, 25.0))
+        | ((F.col("sensor_type") == "pressure") & (F.col("value") < 10.0))
+        | ((F.col("sensor_type") == "flow") & (F.col("value") < 0.0))
+        | ~F.col("quality_score").between(0.7, 1.0)
+    )
+    assert bad.count() == 0
+
+
+def test_generator_determinism(spark):
+    a = generate_readings(spark).agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("s")
+    ).collect()[0]["s"]
+    b = generate_readings(spark).repartition(16).agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("s")
+    ).collect()[0]["s"]
+    assert a == b  # partitioning-independent fixture
+
+
+def test_pipeline_rollup_invariants(spark):
+    rows = daily_rollup(enrich(generate_readings(spark))).collect()
+    assert len(rows) == 600  # 5 districts × 4 types × 30 days
+    total = sum(r["n_readings"] for r in rows)
+    anomalies = sum(r["n_anomalies"] for r in rows)
+    assert total == 14_400
+    # 5% injection rate (reference src/data_generator.py:75), hash-seeded
+    assert 0.03 < anomalies / total < 0.07
+
+
+def test_diurnal_flow_pattern(spark):
+    """Peak-hour flow must exceed night flow (×1.5 vs ×0.3 base)."""
+    r = generate_readings(spark).filter(F.col("sensor_type") == "flow")
+    hr = F.hour("ts")
+    peak = r.filter(hr.between(6, 9)).agg(F.avg("value")).collect()[0][0]
+    night = r.filter((hr >= 22) | (hr <= 5)).agg(F.avg("value")).collect()[0][0]
+    assert peak > 3 * night
+
+
+# --- SCD2 integrity ---------------------------------------------------------
+
+
+def test_scd2_integrity(spark):
+    dim = c04_scd2_merge(spark, SF_DIR).cache()
+    # exactly one current row per key
+    over = (
+        dim.filter("is_current")
+        .groupBy("c_custkey")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert over == 0
+    # every non-current row is closed out
+    assert dim.filter(~F.col("is_current") & F.col("end_date").isNull()).count() == 0
+    # every current row is open-ended
+    assert dim.filter(F.col("is_current") & F.col("end_date").isNotNull()).count() == 0
+    # changed keys (custkey % 10 == 0) carry exactly 2 versions
+    versions = (
+        dim.filter(F.col("c_custkey") % 10 == 0)
+        .groupBy("c_custkey")
+        .count()
+        .agg(F.min("count"), F.max("count"))
+        .collect()[0]
+    )
+    assert versions[0] == 2 and versions[1] == 2
+    dim.unpersist()
+
+
+# --- circuit breaker / rate limiter (driver-side, no Spark) -----------------
+
+
+class _FakeClock:
+    def __init__(self):
+        self.t = 0.0
+
+    def __call__(self):
+        return self.t
+
+
+def _boom():
+    raise ValueError("api down")
+
+
+def test_breaker_opens_after_threshold():
+    clock = _FakeClock()
+    cb = CircuitBreaker(failure_threshold=3, recovery_seconds=300, clock=clock)
+    for _ in range(3):
+        with pytest.raises(ValueError):
+            cb.call(_boom)
+    assert cb.state == "OPEN"
+    with pytest.raises(CircuitOpenError):
+        cb.call(lambda: "ok")  # refused without invoking
+
+
+def test_breaker_half_open_recovery():
+    clock = _FakeClock()
+    cb = CircuitBreaker(failure_threshold=1, recovery_seconds=300, clock=clock)
+    with pytest.raises(ValueError):
+        cb.call(_boom)
+    assert cb.state == "OPEN"
+    clock.t = 301.0
+    assert cb.call(lambda: "ok") == "ok"  # HALF_OPEN trial succeeds
+    assert cb.state == "CLOSED" and cb.failure_count == 0
+
+
+def test_breaker_half_open_refailure_reopens():
+    clock = _FakeClock()
+    cb = CircuitBreaker(failure_threshold=1, recovery_seconds=300, clock=clock)
+    with pytest.raises(ValueError):
+        cb.call(_boom)
+    clock.t = 301.0
+    with pytest.raises(ValueError):
+        cb.call(_boom)  # trial fails
+    assert cb.state == "OPEN" and cb.opened_at == 301.0
+
+
+def test_rate_limiter_spacing():
+    clock = _FakeClock()
+    slept = []
+    rl = RateLimiter(
+        min_interval_seconds=10, clock=clock, sleeper=lambda s: slept.append(s)
+    )
+    assert rl.wait() == 0.0  # first call free
+    clock.t = 4.0
+    assert rl.wait() == 6.0  # forced to the 10s grid
+    assert slept == [6.0]
+
+
+def test_resilient_call_health():
+    clock = _FakeClock()
+    cb = CircuitBreaker(failure_threshold=1, recovery_seconds=300, clock=clock)
+    h = SourceHealth("api")
+    assert resilient_call(cb, None, h, lambda: 42) == 42
+    with pytest.raises(ValueError):
+        resilient_call(cb, None, h, _boom)
+    # circuit now OPEN: refused tick returns None and is tallied
+    assert resilient_call(cb, None, h, lambda: 42) is None
+    assert (h.n_success, h.n_failure, h.n_refused) == (1, 1, 1)
+    assert h.success_rate == 0.5

@@ -4,6 +4,7 @@ windows, watermark late-data handling, foreachBatch upsert (T10)."""
 from __future__ import annotations
 
 import tempfile
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -48,23 +49,30 @@ def test_streaming_sessions_subset_of_batch(spark):
     assert must_emit.issubset(s)
 
 
-def test_watermark_drops_late_data(spark):
-    """An event arriving later than the watermark bound is dropped from an
-    already-closed window (capability the reference only flags, T5)."""
+def test_watermark_bounds_state(spark):
+    """The watermark's actual contract at scale: state for closed windows is
+    EVICTED (bounded state), and each in-order window is emitted exactly
+    once in append mode. (Empirically, Spark 4.1 streaming aggregation does
+    NOT drop late input rows pre-aggregation — `numRowsDroppedByWatermark`
+    stays 0 and a late row's expired window re-emits on eviction — so the
+    engine handles lateness explicitly via `late_event_split`, tested
+    below, mirroring the reference's flag-don't-drop T5 semantics.)"""
     import os
 
     with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as ckpt:
         schema = "ts timestamp, k string, v double"
-        batch1 = spark.createDataFrame(
-            [("2024-01-01 10:00:00", "a", 1.0), ("2024-01-01 12:00:00", "a", 1.0)],
-            "ts string, k string, v double",
-        ).select(F.col("ts").cast("timestamp"), "k", "v")
-        batch1.write.parquet(os.path.join(src, "b1"))
-        # late event: 10:30 arrives after watermark has advanced to 11:00
-        late = spark.createDataFrame(
-            [("2024-01-01 10:30:00", "a", 100.0)], "ts string, k string, v double"
-        ).select(F.col("ts").cast("timestamp"), "k", "v")
-        late.write.parquet(os.path.join(src, "b2"))
+        batches = [
+            [("2024-01-01 10:00:00", "a", 1.0), ("2024-01-01 12:30:00", "a", 1.0)],
+            [("2024-01-01 13:30:00", "a", 1.0)],
+            [("2024-01-01 15:00:00", "a", 1.0)],
+        ]
+        for i, rows_ in enumerate(batches):
+            # one part-file per batch, distinct mtimes → deterministic
+            # oldest-first pickup with maxFilesPerTrigger=1
+            spark.createDataFrame(rows_, "ts string, k string, v double").select(
+                F.col("ts").cast("timestamp"), "k", "v"
+            ).coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+            time.sleep(1.1)
 
         stream = (
             spark.readStream.schema(schema)
@@ -88,10 +96,47 @@ def test_watermark_drops_late_data(spark):
             .start()
         )
         q.awaitTermination()
-        rows = {(r.w, r.total) for r in spark.table("late_test").collect()}
-        # the 10:00 window must have closed with total=1.0 (late 100.0 dropped)
-        assert ("10:00", 1.0) in rows
-        assert ("10:00", 101.0) not in rows
+        emitted = [(r.w, r.total) for r in spark.table("late_test").collect()]
+        # exactly-once per closed window, correct totals
+        assert sorted(emitted) == [("10:00", 1.0), ("12:00", 1.0), ("13:00", 1.0)]
+        # bounded state: final watermark 14:00 (15:00 - 1h) evicted every
+        # closed window; only the open 15:00 window may remain in state
+        final_state = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
+        assert final_state == 1
+
+
+def test_late_event_split(spark):
+    """Engine-level late-data handling (T5): `late_event_split` maintains a
+    high-water mark across micro-batches and routes events older than
+    (hwm - tolerance) to a quarantine instead of the aggregate — the
+    deterministic version of the reference's staleness flagging
+    (src/data_validator.py:418-429), which flags but never drops."""
+    import os
+
+    from smart_water_management_spark.streaming.jobs import late_event_split
+
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as ckpt:
+        batches = [
+            [("2024-01-01 10:00:00", "a", 1.0), ("2024-01-01 12:30:00", "a", 1.0)],
+            # 10:15 is > 1h behind the high-water mark (12:30) → quarantined;
+            # 12:00 is within tolerance → on-time
+            [("2024-01-01 10:15:00", "a", 100.0), ("2024-01-01 12:00:00", "a", 2.0)],
+        ]
+        for i, rows_ in enumerate(batches):
+            spark.createDataFrame(rows_, "ts string, k string, v double").select(
+                F.col("ts").cast("timestamp"), "k", "v"
+            ).coalesce(1).write.parquet(os.path.join(src, f"b{i}"))
+            time.sleep(1.1)
+        stream = (
+            spark.readStream.schema("ts timestamp, k string, v double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        on_time, late = late_event_split(
+            spark, stream, ckpt, tolerance_seconds=3600
+        )
+        assert sorted(r.v for r in on_time) == [1.0, 1.0, 2.0]
+        assert [r.v for r in late] == [100.0]
 
 
 def test_foreachbatch_status_upsert(spark):
