@@ -38,6 +38,7 @@ HEADLINE = [
     "x08_minhash_lsh_dedup",      # MinHash+LSH near-dup
     "x10_bruteforce_cosine_topk", # similarity search
     "x01_token_stats",            # text analysis
+    "p90_domain_pipeline",        # e2e domain fixture pipeline (BASELINE bar)
 ]
 
 
@@ -59,6 +60,11 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     qs = swm.queries()
+    # Warm the JVM / codegen / parquet footer cache with one tiny untimed
+    # action so the first timed query measures the engine, not startup.
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    spark.range(1000).selectExpr("sum(id)").collect()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:

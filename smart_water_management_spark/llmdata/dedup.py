@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import fan_out, load_table
 from .text import tokens
 
 MINHASH_K = 32
@@ -111,11 +111,17 @@ def shingles(text_col: Column | str, n: int = 3) -> Column:
 
 def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """Per-doc MinHash signature: explode shingles once, take k mins in ONE
-    aggregate pass (each hash seeded differently via xxhash64(shingle, seed))."""
-    sh = docs.select("doc_id", F.explode(shingles("text")).alias("shingle"))
-    aggs = [
-        F.min(F.xxhash64("shingle", F.lit(s))).alias(f"h{s}") for s in range(k)
-    ]
+    aggregate pass.
+
+    The shingle STRING is hashed exactly once (xxhash64 over ~20 bytes);
+    the k seeded variants re-hash the resulting 8-byte long — ~10× less
+    hashing work per shingle than seeding k hashes of the string itself,
+    with the same independence properties."""
+    docs = fan_out(docs, docs.sparkSession)
+    sh = docs.select(
+        "doc_id", F.explode(shingles("text")).alias("shingle")
+    ).select("doc_id", F.xxhash64("shingle").alias("h"))
+    aggs = [F.min(F.xxhash64("h", F.lit(s))).alias(f"h{s}") for s in range(k)]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -175,7 +181,11 @@ def verify_jaccard(
 )
 def x08_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs)
+    # persist the signature table: the LSH band stage self-joins it, which
+    # would otherwise recompute the full shingle→hash pipeline twice. The
+    # signatures are k longs per doc — tiny relative to the corpus at any
+    # scale (at 100 TB of text this is the table you'd write to disk).
+    sigs = minhash_signatures(docs).persist()
     pairs = lsh_candidate_pairs(sigs)
     return verify_jaccard(docs, pairs).orderBy("doc_a", "doc_b")
 
@@ -183,7 +193,7 @@ def x08_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc, JVM-side: explode distinct tokens, hash once,
     then per-bit signed majority via 64 conditional sums — no Python UDF."""
-    tk = docs.select(
+    tk = fan_out(docs, docs.sparkSession).select(
         "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))
     bit_aggs = [

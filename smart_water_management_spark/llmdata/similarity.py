@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import fan_out, load_table
 
 N_QUERIES = 10
 TOP_K = 5
@@ -78,7 +78,9 @@ _SQL_SQNORM = (
     doc="brute-force cosine top-k: broadcast queries × partitioned candidates",
 )
 def x10_bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = load_table(spark, sf_dir, "embeddings")
+    # fan the candidate side across cores: the scan is one split locally,
+    # and the crossJoin inherits its parallelism from this side
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
     q = em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), _dbl("embedding").alias("qe")
     )
@@ -113,7 +115,7 @@ def x10_bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="embedding-cosine near-dup pairs, blocked by label (LSH-bucket analog)",
 )
 def x11_cosine_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    em = load_table(spark, sf_dir, "embeddings").select(
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", "label", _dbl("embedding").alias("e")
     )
     a = em.select(

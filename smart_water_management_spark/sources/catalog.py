@@ -81,3 +81,17 @@ def read_csv_with_schema(spark: SparkSession, path: str, schema) -> DataFrame:
         .schema(schema)
         .csv(path)
     )
+
+
+def fan_out(df: DataFrame, spark: SparkSession, min_factor: int = 2) -> DataFrame:
+    """Repartition a narrow scan up to the session's core count.
+
+    Small parquet files (e.g. the documents table locally) arrive as ONE
+    input split, which serializes downstream explode/hash-heavy operators
+    on a single core. At 100 TB inputs already carry thousands of splits
+    and this is a no-op (the partition count check keeps it shuffle-free).
+    """
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * min_factor <= target:
+        return df.repartition(target)
+    return df
