@@ -189,3 +189,37 @@ def m04_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.sparkSession.createDataFrame(
         rows, "type_a string, type_b string, pearson double"
     )
+
+
+@register(
+    "m05_pca_embeddings",
+    oracle=None,  # SVD sign/fp nondeterminism; invariants in tests
+    doc="M8: PCA over the embedding corpus (reference imports PCA at "
+    "src/enhanced_spark_etl.py:11 but never wires it; here it is real — "
+    "dimensionality reduction ahead of ANN indexing at scale)",
+)
+def m05_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit PCA(k=8) on the embedding column and report per-component
+    explained variance — the standard precursor to cheaper similarity
+    search (project once, search in 8 dims instead of 64).
+
+    Scale: the fit is one pass building a d×d Gram matrix per partition
+    (tree-aggregated); d=64 here, so driver memory is O(d²) regardless of
+    corpus size. The projection itself is a broadcast matmul per row.
+    """
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    from ..sources.catalog import fan_out
+
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    vecs = em.select(
+        "vec_id",
+        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
+    )
+    model = PCA(k=8, inputCol="features", outputCol="pc").fit(vecs)
+    ev = [round(float(x), 6) for x in model.explainedVariance]
+    return spark.createDataFrame(
+        [(i, ev[i]) for i in range(len(ev))],
+        "component int, explained_variance double",
+    )

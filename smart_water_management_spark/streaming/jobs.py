@@ -292,3 +292,33 @@ def late_event_split(
     )
     q.awaitTermination()
     return on_time_parts, late_parts
+
+
+@register(
+    "t08_streaming_sliding",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 15 MINUTE, ts) - k.k * INTERVAL 15 MINUTE,
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value
+    FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+    GROUP BY 1
+    """,
+    doc="T6 via TRUE Structured Streaming: sliding 1h/15min windows "
+    "(complete-mode availableNow replay equals the batch twin t02)",
+)
+def t08_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_event_stream(spark, sf_dir)
+    slid = (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(_DEC)).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return run_to_completion(slid, "sliding_windows", "complete")

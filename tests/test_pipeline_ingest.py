@@ -178,3 +178,18 @@ def test_resilient_call_health():
     assert resilient_call(cb, None, h, lambda: 42) is None
     assert (h.n_success, h.n_failure, h.n_refused) == (1, 1, 1)
     assert h.success_rate == 0.5
+
+
+# --- PCA (M8) ---------------------------------------------------------------
+
+
+def test_pca_explained_variance(spark):
+    from smart_water_management_spark.ml.analytics import m05_pca_embeddings
+
+    rows = m05_pca_embeddings(spark, SF_DIR).collect()
+    ev = [r.explained_variance for r in rows]
+    assert len(ev) == 8
+    # variance ratios: sorted descending, in (0,1], summing below 1
+    assert all(0 < v <= 1 for v in ev)
+    assert ev == sorted(ev, reverse=True)
+    assert sum(ev) <= 1.0 + 1e-6
