@@ -1,0 +1,112 @@
+"""Connected components over near-duplicate pairs → dedup GROUPS.
+
+MinHash/LSH (dedup.py) emits *pairs*; the deliverable for corpus dedup is
+the *group*: every transitively-connected set of near-dups collapses to
+one canonical document (keep the min doc_id, drop the rest). Pairs a-b
+and b-c must yield the single group {a, b, c} — a pairwise pass alone
+would keep c.
+
+Algorithm: iterative label propagation (the dataflow form of
+union-find). Each node starts labeled with itself; each round every node
+adopts the minimum label in its closed neighborhood; converged when no
+label changes. Rounds = graph diameter ≤ O(log n) for the short chains
+near-dup clusters form in practice.
+
+Scale posture: state is one (node, label) row per node; each round is
+one join + one aggregate on node id — all shuffle-partitioned, nothing
+driver-side except the loop counter and the convergence flag (a count on
+a boolean filter). ``localCheckpoint`` truncates the growing lineage each
+round, the standard pattern for iterative DataFrame algorithms.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+from .dedup import lsh_candidate_pairs, minhash_signatures, verify_jaccard
+
+MAX_ROUNDS = 20
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> DataFrame:
+    """(doc_a, doc_b) undirected edges → (doc_id, component) labels.
+
+    Components are labeled by their minimum member id. Isolated nodes
+    (documents in no pair) are the caller's concern — join the result
+    back to the corpus with a coalesce to the doc's own id.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        # min label among each node's neighbors
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.filter(F.col("changed").eqNullSafe(True)).count()
+        labels = updated.select("id", "label")
+        if n_changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
+
+
+def dedup_corpus(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Full near-dup dedup: LSH pairs → components → canonical per group.
+
+    Returns the corpus with ``component`` (group id) and ``is_canonical``
+    (keep flag: the minimum doc_id of its group). Documents in no group
+    are their own singleton component.
+    """
+    sigs = minhash_signatures(docs).persist()
+    pairs = verify_jaccard(docs, lsh_candidate_pairs(sigs), threshold)
+    comps = connected_components(pairs)
+    out = docs.join(comps, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", "doc_id")
+    )
+    return out.withColumn("is_canonical", F.col("doc_id") == F.col("component"))
+
+
+@register(
+    "x15_dedup_groups",
+    oracle=None,  # LSH candidate set is hash-specific; invariants in tests
+    doc="near-dup GROUPS: LSH pairs closed under transitivity via iterative "
+    "label propagation; one canonical doc per component",
+)
+def x15_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = dedup_corpus(docs)
+    return (
+        deduped.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.sum(F.col("is_canonical").cast("int")).alias("n_canonical"),
+        )
+        .filter(F.col("n_members") > 1)
+        .orderBy("component")
+    )

@@ -1,0 +1,136 @@
+"""Skew- and layout-aware execution patterns (SURVEY.md §4.4).
+
+Three techniques the 100 TB tier needs beyond AQE's automatics, each
+registered with an exact oracle proving the optimized plan returns the
+same rows as the naive one:
+
+- **Salted two-phase aggregation**: when a group key has pathological
+  skew (a handful of keys holding most rows), one reducer per hot key
+  becomes the straggler. Salting fans each key across S partial groups,
+  then a second (tiny) aggregation merges the partials. Works for any
+  algebraic aggregate (sum/count/min/max and means derived from them).
+- **Salted broadcast join** is unnecessary here (broadcast joins don't
+  shuffle the big side at all — the preferred fix when one side fits);
+  AQE skew-join handles the sort-merge case (session.py conf).
+- **Bucketed co-located join**: pre-bucketing both tables on the join key
+  at write time lets repeated joins run with ZERO exchanges — the
+  physical-plan test asserts the absence of Exchange nodes. This is the
+  Spark-native replacement for the reference warehouse's indexed FK joins
+  (`sql/real_data_schema.sql:160-174`), paying one shuffle at layout time
+  instead of one per query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+
+N_SALTS = 16
+
+
+def salted_sum_count(
+    df: DataFrame, key: str, value: str, n_salts: int = N_SALTS
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: (key, salt) partials → key finals.
+
+    Phase 1 spreads each hot key over ``n_salts`` reducers; phase 2
+    aggregates ``n_keys × n_salts`` partial rows — negligible at any
+    scale. The salt is derived from a hash of the whole row's natural
+    identity, not rand(), so the plan stays deterministic.
+    """
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts))
+    )
+    partial = salted.groupBy(key, "__salt").agg(
+        F.sum(F.col(value).cast("decimal(27,6)")).alias("psum"),
+        F.count("*").alias("pcnt"),
+    )
+    return partial.groupBy(key).agg(
+        F.sum("psum").cast("double").alias("total_value"),
+        F.sum("pcnt").alias("n_rows"),
+    )
+
+
+@register(
+    "k01_salted_skew_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS total_value,
+           COUNT(*) AS n_rows
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="salted two-phase aggregation over a 5-value hot key — identical "
+    "result to the single-phase GROUP BY, no straggler reducer",
+)
+def k01_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # event_type has ~5 distinct values over the whole table: the textbook
+    # skew shape (every row lands on one of 5 reducers unsalted)
+    ev = load_table(spark, sf_dir, "events")
+    return salted_sum_count(ev, "event_type", "value")
+
+
+def _bucket_path(spark: SparkSession) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    return wh.removeprefix("file:")
+
+
+def ensure_bucketed_tables(
+    spark: SparkSession, sf_dir: str, n_buckets: int = 8
+) -> tuple[str, str]:
+    """Lay out orders and lineitem bucketed by the join key (one-time
+    shuffle at write; every subsequent equi-join on o_orderkey/l_orderkey
+    is exchange-free). Returns the two table names."""
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    ot, lt = f"orders_b_{tag}", f"lineitem_b_{tag}"
+    wh = _bucket_path(spark)
+    for name, src, key in ((ot, "orders", "o_orderkey"), (lt, "lineitem", "l_orderkey")):
+        if not spark.catalog.tableExists(name):
+            # a prior session may have left the managed location behind
+            # without its catalog entry; clear it or saveAsTable refuses
+            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+            (
+                load_table(spark, sf_dir, src)
+                .write.bucketBy(n_buckets, key)
+                .sortBy(key)
+                .mode("overwrite")
+                .saveAsTable(name)
+            )
+    return ot, lt
+
+
+@register(
+    "k02_bucketed_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+             AS total_price
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="co-located join on pre-bucketed tables: zero Exchange in the "
+    "join (plan-asserted) — layout-time shuffle amortized across queries",
+)
+def k02_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ot, lt = ensure_bucketed_tables(spark, sf_dir)
+    o = spark.table(ot)
+    line = spark.table(lt)
+    # disable broadcast for THIS join so the bucketed sort-merge path is
+    # what's exercised (broadcast would hide the layout win at test scale)
+    joined = o.hint("merge").join(
+        line, o.o_orderkey == line.l_orderkey
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("total_price"),
+    )

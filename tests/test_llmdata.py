@@ -108,3 +108,45 @@ def test_ml_invariants(spark):
     assert corr[("click", "click")] == 1.0
     for (a, b), v in corr.items():
         assert abs(v - corr[(b, a)]) < 1e-9
+
+
+def test_connected_components_chain(spark):
+    """Pairs a-b, b-c, plus a separate d-e must yield components {1,2,3}
+    labeled 1 and {7,8} labeled 7 — transitive closure, not pairwise."""
+    from smart_water_management_spark.llmdata.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path graph converges to one component within the round
+    bound (label propagation halves distance-to-min each round)."""
+    from smart_water_management_spark.llmdata.components import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "doc_a long, doc_b long"
+    )
+    comps = {r.component for r in connected_components(pairs).collect()}
+    assert comps == {100}
+
+
+def test_dedup_corpus_keeps_one_canonical_per_group(spark):
+    from smart_water_management_spark.llmdata.components import dedup_corpus
+
+    docs = _docs_with_planted_dups(spark)
+    out = dedup_corpus(docs).collect()
+    by_comp = {}
+    for r in out:
+        by_comp.setdefault(r.component, []).append(r)
+    for comp, members in by_comp.items():
+        canon = [m for m in members if m.is_canonical]
+        assert len(canon) == 1
+        assert canon[0].doc_id == min(m.doc_id for m in members) == comp
+    # docs 1,2,3 are mutual near-dups → one group; 4 and 5 stand alone
+    comp_of = {r.doc_id: r.component for r in out}
+    assert comp_of[1] == comp_of[2] == comp_of[3] == 1
+    assert comp_of[4] == 4 and comp_of[5] == 5

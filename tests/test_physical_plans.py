@@ -122,3 +122,25 @@ def test_window_single_shuffle(spark):
     hash-partition exchange for all window frames over the same key."""
     plan = plan_of(_q(spark, "w02_range_rolling"), "simple")
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_bucketed_join_no_join_exchange(spark):
+    """K2: the pre-bucketed orders⋈lineitem must not exchange on the join
+    keys — bucket layout replaces the per-query shuffle. (The one allowed
+    exchange is the post-join groupBy on o_orderpriority.)"""
+    plan = plan_of(_q(spark, "k02_bucketed_join"), "simple")
+    assert "SortMergeJoin" in plan
+    assert "Exchange hashpartitioning(o_orderkey" not in plan
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_salted_agg_two_phases(spark):
+    """K1: the salted aggregation must shuffle on (key, salt) first — the
+    whole point is that no single reducer owns a hot key."""
+    plan = plan_of(_q(spark, "k01_salted_skew_agg"), "simple")
+    exchange_keys = [
+        seg.split(")", 1)[0]
+        for seg in plan.split("Exchange hashpartitioning(")[1:]
+    ]
+    assert any("__salt" in keys for keys in exchange_keys), exchange_keys
