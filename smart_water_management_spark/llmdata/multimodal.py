@@ -129,3 +129,68 @@ def x14_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_assets"),
         F.sum("meta.n_bytes").alias("total_bytes"),
     )
+
+
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes long, frame_hash long"
+
+
+def sample_frames(mm: DataFrame, every_nth: int = 4, frame_size: int = 64) -> DataFrame:
+    """Frame-sampling stage (1 video row → N frame rows) via mapInPandas.
+
+    The stub treats each ``frame_size``-byte slice of the payload as one
+    frame and keeps every ``every_nth`` — the row-expansion shape (UDTF
+    over Arrow batches) is exactly what a real ffmpeg keyframe sampler
+    produces; only the slicing body changes. Non-video assets pass
+    through with a single frame 0.
+
+    Scale: expansion happens inside the executor batch (never a driver
+    explode); output rows carry a content hash, so a downstream
+    frame-level dedup is one groupBy away.
+    """
+
+    def run(batches):
+        import pandas as pd
+        import numpy as np
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_hash": []}
+            for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], pdf["mime"]):
+                if mime.startswith("video"):
+                    n_frames = max(1, len(payload) // frame_size)
+                    idxs = range(0, n_frames, every_nth)
+                else:
+                    idxs = [0]
+                for i in idxs:
+                    chunk = payload[i * frame_size : (i + 1) * frame_size]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_bytes"].append(len(chunk))
+                    out["frame_hash"].append(
+                        int(np.int64(hash(bytes(chunk)) & 0x7FFFFFFFFFFFFFFF))
+                    )
+            yield pd.DataFrame(out)
+
+    flat = mm.select("doc_id", "payload", F.col("meta.mime").alias("mime"))
+    return flat.mapInPandas(run, FRAME_SCHEMA)
+
+
+@register(
+    "x16_frame_sampling",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 2
+                THEN CAST(ceil(greatest(strlen(text) // 64, 1) / 4.0) AS BIGINT)
+                ELSE CAST(1 AS BIGINT) END AS n_frames,
+           CAST(1 AS BIGINT) AS has_first
+    FROM documents
+    """,
+    doc="multimodal: every-4th frame sampling (1 video → N frames) via "
+    "mapInPandas row expansion; frame COUNTS oracle-checked per doc",
+)
+def x16_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(to_multimodal(docs))
+    return frames.groupBy("doc_id").agg(
+        F.count("*").alias("n_frames"),
+        F.sum(F.when(F.col("frame_idx") == 0, 1).otherwise(0)).alias("has_first"),
+    )

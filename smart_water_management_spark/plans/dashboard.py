@@ -244,3 +244,140 @@ GROUP BY user_id
 @register("q12_sensor_reliability", oracle=_both(_Q12), doc="Q12: reliability CASE ranking")
 def q12(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q12, ["events"])
+
+
+# Q13: v_district_performance view (sql/real_data_schema.sql:202-219) —
+# the C6 analytical-view surface: registered as a temp view, queried via SQL.
+_Q13 = """
+SELECT district, region, n_orders, n_customers, avg_order_value,
+       CASE WHEN avg_order_value > 150000 THEN 'premium'
+            WHEN avg_order_value > 100000 THEN 'standard'
+            ELSE 'economy' END AS district_tier
+FROM (
+  SELECT n.n_name AS district, r.r_name AS region,
+         COUNT(*) AS n_orders,
+         COUNT(DISTINCT o.o_custkey) AS n_customers,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+           / COUNT(o.o_totalprice) AS avg_order_value
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+  GROUP BY n.n_name, r.r_name
+) base
+"""
+
+
+@register(
+    "q13_district_view",
+    oracle=_both(_Q13),
+    doc="Q13: v_district_performance view — star join + tier CASE "
+    "(reference sql/real_data_schema.sql:202-219), served via temp view",
+)
+def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ["orders", "customer", "nation", "region"]:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW v_district_performance AS {_Q13}")
+    return spark.sql("SELECT * FROM v_district_performance")
+
+
+# Q14: v_thames_monitoring (sql/real_data_schema.sql:221-238) — a filtered
+# monitoring subset with per-station level grading.
+_Q14 = f"""
+SELECT user_id AS station,
+       COUNT(*) AS n_readings,
+       CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS avg_level,
+       CAST(MAX(value) AS DOUBLE) AS max_level,
+       CASE WHEN MAX(value) > 450 THEN 'flood_risk'
+            WHEN MAX(value) > 300 THEN 'elevated'
+            ELSE 'normal' END AS level_status
+FROM events
+WHERE event_type = 'view' AND ts >= {CUTOFF}
+GROUP BY user_id
+"""
+
+
+@register(
+    "q14_monitoring_view",
+    oracle=_both(_Q14),
+    doc="Q14: v_thames_monitoring — filtered source view with level "
+    "grading (reference sql/real_data_schema.sql:221-238)",
+)
+def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q14, ["events"])
+
+
+# Q15: v_data_lineage (sql/real_data_schema.sql:240-252) — batch lineage
+# rollup; the JSON props field stands in for the ingestion batch tag.
+_Q15_DUCK = """
+SELECT CAST(json_extract(props, '$.k') AS INT) % 4 AS source_partition,
+       COUNT(*) AS n_records,
+       COUNT(DISTINCT user_id) AS n_sensors,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ingested,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ingested
+FROM events
+GROUP BY 1
+"""
+
+_Q15_SPARK = """
+SELECT CAST(get_json_object(props, '$.k') AS INT) % 4 AS source_partition,
+       COUNT(*) AS n_records,
+       COUNT(DISTINCT user_id) AS n_sensors,
+       date_format(MIN(ts), 'yyyy-MM-dd HH:mm:ss') AS first_ingested,
+       date_format(MAX(ts), 'yyyy-MM-dd HH:mm:ss') AS last_ingested
+FROM events
+GROUP BY CAST(get_json_object(props, '$.k') AS INT) % 4
+"""
+
+
+@register(
+    "q15_lineage_view",
+    oracle=_Q15_DUCK,
+    doc="Q15: v_data_lineage — per-batch lineage rollup over the JSON "
+    "props tag (reference sql/real_data_schema.sql:240-252)",
+)
+def q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q15_SPARK, ["events"])
+
+
+# Q16: mv_sensor_current_status (sql/enhanced_data_schema.sql:399-434) —
+# the LATERAL materialized view as its idiomatic window rewrite: latest
+# reading via max_by, trailing-window stats via conditional aggregates,
+# staleness CASE. One scan, no correlated subquery.
+_Q16_DUCK = """
+SELECT user_id,
+       CAST(max_by(value, ts) AS DOUBLE) AS latest_value,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS latest_ts,
+       COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-29 00:00:00' THEN 1 END) AS n_24h,
+       CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-29 00:00:00'
+                     THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE)
+         AS sum_24h,
+       CASE WHEN MAX(ts) < TIMESTAMP '2024-01-29 12:00:00' THEN 'stale'
+            ELSE 'fresh' END AS freshness
+FROM events
+GROUP BY user_id
+"""
+
+_Q16_SPARK = """
+SELECT user_id,
+       CAST(max_by(value, ts) AS DOUBLE) AS latest_value,
+       date_format(MAX(ts), 'yyyy-MM-dd HH:mm:ss') AS latest_ts,
+       COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-29 00:00:00' THEN 1 END) AS n_24h,
+       CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-29 00:00:00'
+                     THEN CAST(value AS DECIMAL(27,6)) END) AS DOUBLE)
+         AS sum_24h,
+       CASE WHEN MAX(ts) < TIMESTAMP '2024-01-29 12:00:00' THEN 'stale'
+            ELSE 'fresh' END AS freshness
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "q16_current_status_mv",
+    oracle=_Q16_DUCK,
+    doc="Q16: mv_sensor_current_status — LATERAL MV rewritten as max_by + "
+    "conditional aggs, one scan (reference sql/enhanced_data_schema.sql:399-434)",
+)
+def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _sql(spark, sf_dir, _Q16_SPARK, ["events"])
