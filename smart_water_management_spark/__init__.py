@@ -29,6 +29,7 @@ _OPTIONAL_MODULES = [
     "smart_water_management_spark.functions.udfs",
     "smart_water_management_spark.sources.io_ops",
     "smart_water_management_spark.plans.scd",
+    "smart_water_management_spark.plans.mv",
     "smart_water_management_spark.plans.pipeline",
     "smart_water_management_spark.streaming.ingest",
     "smart_water_management_spark.plans.dashboard",

@@ -1,0 +1,146 @@
+"""Property-based tests (hypothesis): equivalences that must hold for ANY
+input, not just the fixtures — the strongest form of the engine's
+"optimized plan ≡ naive plan" claims.
+
+Each property runs a bounded number of examples (Spark jobs are not
+microseconds) over small generated datasets; the properties themselves
+are scale-free, so passing here certifies the algebra, and the physical
+plan tests certify the execution strategy.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from smart_water_management_spark.llmdata.components import connected_components
+from smart_water_management_spark.operators.skew import salted_sum_count
+from smart_water_management_spark.plans.scd import scd2_merge
+
+SETTINGS = settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite_values = st.floats(
+    min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["a", "b", "c"]), finite_values),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_salted_agg_equals_plain_agg(spark, rows):
+    """Salting must never change the aggregate: sum/count per key identical
+    to the single-phase groupBy for arbitrary keys and values."""
+    df = spark.createDataFrame(rows, "k string, v double")
+    salted = {
+        r.k: (r.total_value, r.n_rows)
+        for r in salted_sum_count(df, "k", "v", n_salts=4).collect()
+    }
+    plain = {
+        r.k: (float(r.s), r.c)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("decimal(27,6)")).cast("double").alias("s"),
+            F.count("*").alias("c"),
+        )
+        .collect()
+    }
+    assert salted.keys() == plain.keys()
+    for k in plain:
+        assert salted[k][1] == plain[k][1]
+        assert math.isclose(salted[k][0], plain[k][0], rel_tol=0, abs_tol=1e-6)
+
+
+@SETTINGS
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda es: any(a != b for a, b in es))
+)
+def test_connected_components_match_union_find(spark, edges):
+    """Distributed label propagation must agree with a driver union-find
+    on arbitrary graphs (self-loops dropped, as in the LSH pair output)."""
+    edges = [(a, b) for a, b in edges if a != b]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    expected = {n: find(n) for n in parent}
+
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert got == expected
+
+
+@SETTINGS
+@given(
+    updates=st.dictionaries(
+        st.integers(1, 20),
+        st.tuples(st.sampled_from(["X", "Y", "Z"]), st.integers(0, 3)),
+        max_size=12,
+    )
+)
+def test_scd2_invariants_hold_for_any_update_batch(spark, updates):
+    """For ANY incoming batch: exactly one current row per key, closed
+    rows have end dates, unchanged re-sends create no new versions."""
+    base = [(k, "X", float(k)) for k in range(1, 21)]
+    current = spark.createDataFrame(
+        [(k, s, v, "2024-01-01", None, True) for k, s, v in base],
+        "c_custkey long, c_mktsegment string, c_acctbal double, "
+        "effective_date string, end_date string, is_current boolean",
+    ).select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.col("effective_date").cast("date").alias("effective_date"),
+        F.col("end_date").cast("date").alias("end_date"),
+        "is_current",
+    )
+    incoming = spark.createDataFrame(
+        [(k, seg, float(bal)) for k, (seg, bal) in updates.items()]
+        or [(999, "X", 999.0)],
+        "c_custkey long, c_mktsegment string, c_acctbal double",
+    )
+    merged = scd2_merge(
+        current, incoming, "c_custkey", ["c_mktsegment", "c_acctbal"], "2024-06-01"
+    ).collect()
+
+    by_key: dict[int, list] = {}
+    for r in merged:
+        by_key.setdefault(r.c_custkey, []).append(r)
+    for k, rows in by_key.items():
+        currents = [r for r in rows if r.is_current]
+        assert len(currents) == 1, f"key {k}: {len(currents)} current rows"
+        for r in rows:
+            assert r.is_current == (r.end_date is None)
+        changed = k in updates and updates[k] != ("X", k) and (
+            updates[k][0] != "X" or float(updates[k][1]) != float(k)
+        )
+        if k <= 20:
+            assert len(rows) == (2 if changed else 1), (k, updates.get(k), rows)
