@@ -322,3 +322,81 @@ def t08_streaming_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_completion(slid, "sliding_windows", "complete")
+
+
+def anomaly_run_length_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (SURVEY §2.11 T8):
+    per-user running count of CONSECUTIVE error events — the reference's
+    fact_anomaly_events table (sql/enhanced_data_schema.sql:325-360, schema
+    only, never populated) needs exactly this: anomaly episodes with their
+    run lengths, maintained incrementally across micro-batches.
+
+    State per key is two integers (current run, max run) — bounded by key
+    count, not history; GroupStateTimeout is unused because the bounded
+    replay drains the source (production would set event-time timeout to
+    expire idle sensors).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        run, max_run = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            # micro-batch rows arrive unordered within the batch: restore
+            # event-time order (event_id tie-break) before folding runs
+            for is_err in pdf.sort_values(["ts", "event_id"])["is_error"]:
+                run = run + 1 if is_err else 0
+                if run > max_run:
+                    max_run = run
+        state.update((int(run), int(max_run)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "current_run": [run], "max_error_run": [max_run]}
+        )
+
+    ev = read_event_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id",
+        (F.col("event_type") == "error").alias("is_error"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType="user_id long, current_run int, max_error_run int",
+            stateStructType="run int, max_run int",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+@register(
+    "t09_stateful_run_length",
+    oracle="""
+    WITH runs AS (
+      SELECT user_id, ts,
+             CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+             SUM(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS grp
+      FROM events
+    ),
+    lengths AS (
+      SELECT user_id, grp, COUNT(*) FILTER (WHERE is_err = 1) AS run_len
+      FROM runs GROUP BY user_id, grp
+    )
+    SELECT user_id, CAST(MAX(run_len) AS INT) AS max_error_run
+    FROM lengths GROUP BY user_id
+    """,
+    doc="T8 custom stateful op: per-sensor max consecutive-anomaly run via "
+    "applyInPandasWithState; final state equals the batch gaps-and-islands",
+)
+def t09_stateful_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # update-mode emits one row per key per batch; the LAST row per key is
+    # the final state. The memory sink keeps every update; dedupe by key
+    # taking max (run lengths only grow).
+    out = run_to_completion(
+        anomaly_run_length_stream(spark, sf_dir), "run_length", "update"
+    )
+    return out.groupBy("user_id").agg(
+        F.max("max_error_run").cast("int").alias("max_error_run")
+    )
