@@ -49,7 +49,9 @@ class Rule:
         if self.kind == "not_future":
             return c > F.lit(self.params["now"]).cast("timestamp")
         if self.kind == "custom":
-            return self.params["predicate"]
+            # the same ANSI predicate text runs on Spark (F.expr) and in
+            # the DuckDB oracle (violation_sql below)
+            return F.expr(self.params["sql"])
         raise ValueError(f"unknown rule kind: {self.kind}")
 
     def violation_sql(self) -> str:
@@ -88,6 +90,29 @@ EVENTS_RULES: list[Rule] = [
     ),
     Rule("props_json_format", "props", "regex", {"pattern": r'^\{"k": [0-9]+\}$'}, weight=0.4),
     Rule("ts_not_future", "ts", "not_future", {"now": "2025-01-01 00:00:00"}, weight=1.0),
+    # V11 cross-field consistency (reference src/data_validator.py:457-471
+    # flags quality<0.7 with anomaly_flag=0): error readings above the
+    # plausible ceiling are internally inconsistent.
+    Rule(
+        "error_value_consistency",
+        "value",
+        "custom",
+        # SQL text, parsed lazily by F.expr at plan time (building Column
+        # objects here would require an active SparkContext at import)
+        {"sql": "event_type = 'error' AND value > 400.0"},
+        weight=0.6,
+    ),
+]
+
+# V7: per-sensor-type valid ranges as a RULES TABLE joined to the data
+# (reference src/data_validator.py:349-384 hard-codes a dict per type; the
+# engine keeps it relational so ops can update thresholds without code).
+TYPE_RANGES: list[tuple[str, float, float]] = [
+    ("click", 0.0, 450.0),
+    ("view", 0.0, 480.0),
+    ("purchase", 0.0, 500.0),
+    ("signup", 0.0, 300.0),
+    ("error", 0.0, 400.0),
 ]
 
 
@@ -292,4 +317,41 @@ def v05_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(z > 3.0, 1)).alias("n_outliers"),
             F.count("*").alias("n_rows"),
         )
+    )
+
+
+@register(
+    "v06_per_type_ranges",
+    oracle="""
+    WITH ranges(event_type, lo, hi) AS (
+      VALUES ('click', 0.0, 450.0), ('view', 0.0, 480.0),
+             ('purchase', 0.0, 500.0), ('signup', 0.0, 300.0),
+             ('error', 0.0, 400.0)
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_rows,
+           COUNT(CASE WHEN e.value < r.lo OR e.value > r.hi THEN 1 END)
+             AS n_violations,
+           CAST(MIN(r.lo) AS DOUBLE) AS lo,
+           CAST(MIN(r.hi) AS DOUBLE) AS hi
+    FROM events e JOIN ranges r ON e.event_type = r.event_type
+    GROUP BY e.event_type
+    """,
+    doc="V7: per-sensor-type range validation via a broadcast-joined rules "
+    "table — thresholds live in data, not code (reference "
+    "src/data_validator.py:349-384 hard-codes them per type)",
+)
+def v06_per_type_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ranges = spark.createDataFrame(
+        TYPE_RANGES, "event_type string, lo double, hi double"
+    )
+    joined = ev.join(F.broadcast(ranges), "event_type")
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.count(
+            F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+        ).alias("n_violations"),
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
     )
