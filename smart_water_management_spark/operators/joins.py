@@ -370,6 +370,55 @@ def j09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("event_id", "user_id", "value", "anchor_value")
 
 
+def bucketized_neighbor_counts(
+    probes_df: DataFrame, base_df: DataFrame, window_sec: int
+) -> DataFrame:
+    """Generic bucketized range join: for each probe row, count base rows
+    of the same user within ±window_sec.
+
+    Bucketize the time axis into window_sec cells; a ±window_sec window
+    can only reach the adjacent cells, so the non-equi range join becomes
+    an equi-join on (user_id, bucket) over 3 replicated buckets + a
+    residual BETWEEN filter — linear work instead of the quadratic
+    BroadcastNestedLoop a raw range predicate would produce.
+
+    Both inputs need (event_id, user_id, ts) columns; returns
+    (event_id, n_nearby) for probes with ≥1 neighbor.
+    """
+    sec = F.col("ts").cast("long")
+    bucket = F.floor(sec / window_sec).cast("long")
+    probes = probes_df.select(
+        F.col("event_id").alias("e_id"),
+        F.col("user_id").alias("e_user"),
+        sec.alias("e_sec"),
+        bucket.alias("e_bucket"),
+    ).withColumn(
+        "probe_bucket",
+        F.explode(
+            F.array(F.col("e_bucket") - 1, F.col("e_bucket"), F.col("e_bucket") + 1)
+        ),
+    )
+    base = base_df.select(
+        F.col("event_id").alias("o_id"),
+        F.col("user_id").alias("o_user"),
+        sec.alias("o_sec"),
+        bucket.alias("o_bucket"),
+    )
+    return (
+        probes.join(
+            base,
+            (probes.e_user == base.o_user) & (probes.probe_bucket == base.o_bucket),
+        )
+        .filter(
+            (F.col("o_sec") >= F.col("e_sec") - window_sec)
+            & (F.col("o_sec") <= F.col("e_sec") + window_sec)
+            & (F.col("o_id") != F.col("e_id"))
+        )
+        .groupBy(F.col("e_id").alias("event_id"))
+        .agg(F.count("*").alias("n_nearby"))
+    )
+
+
 @register(
     "j10_range_join",
     oracle="""
@@ -386,46 +435,9 @@ def j09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="extension: range join bucketized to equi-join (no nested-loop)",
 )
 def j10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """±5-minute same-user neighbor count for error events.
-
-    Bucketize the time axis into 5-minute cells; a ±5-minute window can only
-    reach the adjacent cells, so the non-equi range join becomes an
-    equi-join on (user_id, bucket) over 3 replicated buckets + a residual
-    BETWEEN filter. Catalyst executes it as a sort-merge/hash join — scales
-    linearly instead of the quadratic BroadcastNestedLoop a raw range
-    predicate would produce.
-    """
+    """±5-minute same-user neighbor count for error events (see
+    :func:`bucketized_neighbor_counts` for the plan shape)."""
     ev = load_table(spark, sf_dir, "events")
-    sec = F.col("ts").cast("long")
-    bucket = F.floor(sec / 300).cast("long")
-    probes = (
-        ev.filter(F.col("event_type") == "error")
-        .select(
-            F.col("event_id").alias("e_id"),
-            F.col("user_id").alias("e_user"),
-            sec.alias("e_sec"),
-            bucket.alias("e_bucket"),
-        )
-        .withColumn("probe_bucket", F.explode(F.array(
-            F.col("e_bucket") - 1, F.col("e_bucket"), F.col("e_bucket") + 1
-        )))
-    )
-    base = ev.select(
-        F.col("event_id").alias("o_id"),
-        F.col("user_id").alias("o_user"),
-        sec.alias("o_sec"),
-        bucket.alias("o_bucket"),
-    )
-    return (
-        probes.join(
-            base,
-            (probes.e_user == base.o_user) & (probes.probe_bucket == base.o_bucket),
-        )
-        .filter(
-            (F.col("o_sec") >= F.col("e_sec") - 300)
-            & (F.col("o_sec") <= F.col("e_sec") + 300)
-            & (F.col("o_id") != F.col("e_id"))
-        )
-        .groupBy(F.col("e_id").alias("event_id"))
-        .agg(F.count("*").alias("n_nearby"))
+    return bucketized_neighbor_counts(
+        ev.filter(F.col("event_type") == "error"), ev, window_sec=300
     )

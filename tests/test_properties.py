@@ -144,3 +144,41 @@ def test_scd2_invariants_hold_for_any_update_batch(spark, updates):
         )
         if k <= 20:
             assert len(rows) == (2 if changed else 1), (k, updates.get(k), rows)
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 2000)),  # (user, second)
+        min_size=2,
+        max_size=40,
+        unique=True,
+    )
+)
+def test_bucketized_range_join_equals_naive(spark, rows):
+    """The bucketized equi-join rewrite must count exactly the same
+    neighbors as the naive quadratic theta join, for any event layout —
+    including events straddling bucket boundaries."""
+    from smart_water_management_spark.operators.joins import (
+        bucketized_neighbor_counts,
+    )
+
+    data = [(i, u, s) for i, (u, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "event_id long, user_id long, sec long").select(
+        "event_id", "user_id", F.timestamp_seconds("sec").alias("ts")
+    )
+    window = 60
+    fast = {
+        r.event_id: r.n_nearby
+        for r in bucketized_neighbor_counts(df, df, window).collect()
+    }
+    naive: dict[int, int] = {}
+    for i, u, s in data:
+        n = sum(
+            1
+            for j, v, t in data
+            if j != i and v == u and abs(t - s) <= window
+        )
+        if n:
+            naive[i] = n
+    assert fast == naive
