@@ -246,3 +246,58 @@ def bruteforce_topk_pandas(
         .filter(F.col("rn") <= k)
         .select("qid", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rn")
     )
+
+
+def quantize_int8(col) -> Column:
+    """Per-vector symmetric int8 quantization: scale by max |component|.
+
+    Returns struct(codes: array<int>, scale: double) — 4-8× smaller than
+    float32/64 storage, which at 100 TB of embeddings is the difference
+    between spilling and staying in memory during the candidate scan.
+    """
+    max_abs = F.aggregate(
+        col, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x.cast("double")))
+    )
+    scale = F.when(max_abs > 0, max_abs / 127.0).otherwise(F.lit(1.0))
+    codes = F.transform(col, lambda x: F.round(x.cast("double") / scale).cast("int"))
+    return F.struct(codes.alias("codes"), scale.alias("scale"))
+
+
+def quantized_cosine(qa, qb) -> Column:
+    """Cosine over int8 codes (scales cancel in the normalized form)."""
+    a, b = qa["codes"], qb["codes"]
+    num = F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.aggregate(a, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double"))
+    nb = F.aggregate(b, F.lit(0.0), lambda acc, x: acc + (x * x).cast("double"))
+    return num / (F.sqrt(na) * F.sqrt(nb))
+
+
+@register(
+    "x17_quantized_cosine_topk",
+    oracle=None,  # approximate by construction; recall vs exact in tests
+    doc="int8-quantized cosine top-k: 4-8x smaller candidate scan, recall "
+    "vs the exact float path asserted in tests",
+)
+def x17_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    qz = em.select("vec_id", quantize_int8("embedding").alias("q"))
+    queries = qz.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    scored = (
+        qz.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", quantized_cosine(F.col("qq"), F.col("q")).alias("cos_sim")
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rn")
+    )

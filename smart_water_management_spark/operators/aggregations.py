@@ -375,3 +375,29 @@ def a15_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(n * sqq - sq * sq) * F.sqrt(n * spp - sp * sp)
     )
     return li.groupBy("l_returnflag").agg(F.round(corr, 6).alias("corr_qty_price"))
+
+
+# --- A16: CUBE across independent dimensions + grouping_id — every grain
+# combination in ONE pass (SURVEY §2.4 A14's natural completion; the
+# reference computes its 4 grains with 4 separate groupBys,
+# src/enhanced_spark_etl.py:526-605).
+@register(
+    "a16_cube_grains",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus, o_orderpriority) AS grain,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="A16: CUBE over status × priority with grouping_id — all 4 grain "
+    "combinations in one aggregation pass (vs one groupBy per grain)",
+)
+def a16_cube_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().alias("grain"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )

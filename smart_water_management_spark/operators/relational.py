@@ -297,3 +297,40 @@ def d01_keyed_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", "value")
     )
+
+
+@register(
+    "p05_stratified_sample",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_sampled
+    FROM events
+    WHERE event_type = 'error' AND event_id % 10 < 8
+    GROUP BY event_type
+    """,
+    doc="stratified sampling for class rebalancing — identity-gated "
+    "per-stratum fractions, deterministic at any partitioning (a "
+    "training-data pipeline's downsampling stage; rand()-based sample() "
+    "is not partition-stable)",
+)
+def p05_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep 80% of the 'error' class, drop every other stratum.
+
+    The per-stratum keep-fraction is a gate on the row's stable identity
+    (`event_id % 10 < fraction*10`; with no natural key, gate on
+    `pmod(xxhash64(cols), 1000)` instead). Unlike `DataFrame.sampleBy`
+    (seeded per-partition RNG → results change when partitioning
+    changes), an identity gate yields the SAME sample on any cluster
+    layout — reproducible training sets, exact-row oracle parity.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    fractions = {"error": 0.8}  # stratum → keep fraction; absent → drop
+    frac = F.create_map(
+        *[x for k, v in fractions.items() for x in (F.lit(k), F.lit(v))]
+    )
+    gate = F.pmod(F.col("event_id"), F.lit(10)) < F.coalesce(
+        frac[F.col("event_type")] * 10, F.lit(0)
+    )
+    return ev.filter(gate).groupBy("event_type").agg(
+        F.count("*").alias("n_sampled")
+    )

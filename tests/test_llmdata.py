@@ -150,3 +150,28 @@ def test_dedup_corpus_keeps_one_canonical_per_group(spark):
     comp_of = {r.doc_id: r.component for r in out}
     assert comp_of[1] == comp_of[2] == comp_of[3] == 1
     assert comp_of[4] == 4 and comp_of[5] == 5
+
+
+def test_quantized_topk_recall_vs_exact(spark):
+    """int8 quantization must keep ~all of the exact top-k: recall@5 >= 0.8
+    overall and top-1 agreement >= 0.9 across the query set."""
+    from smart_water_management_spark.llmdata import similarity as sim
+
+    exact = sim.x10_bruteforce_cosine_topk(spark, SF_DIR).collect()
+    quant = sim.x17_quantized_cosine_topk(spark, SF_DIR).collect()
+    ex = {}
+    qu = {}
+    for r in exact:
+        ex.setdefault(r.qid, []).append((r.rn, r.vec_id))
+    for r in quant:
+        qu.setdefault(r.qid, []).append((r.rn, r.vec_id))
+    assert ex.keys() == qu.keys()
+    hits = total = top1 = 0
+    for qid in ex:
+        e_set = {v for _, v in ex[qid]}
+        q_set = {v for _, v in qu[qid]}
+        hits += len(e_set & q_set)
+        total += len(e_set)
+        top1 += min(ex[qid])[1] == min(qu[qid])[1]
+    assert hits / total >= 0.8, f"recall@5 {hits/total:.2f}"
+    assert top1 / len(ex) >= 0.9, f"top-1 agreement {top1/len(ex):.2f}"
