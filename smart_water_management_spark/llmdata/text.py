@@ -179,3 +179,57 @@ def x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("exact_fp"),
         F.md5(F.concat_ws(" ", F.sort_array(tokens("text")))).alias("bag_fp"),
     )
+
+
+@register(
+    "x18_tfidf_keywords",
+    oracle="""
+    WITH N AS (SELECT COUNT(*) AS n FROM documents),
+    tf AS (
+      SELECT doc_id, t.term, COUNT(*) AS tf
+      FROM documents, UNNEST(string_split(lower(text), ' ')) AS t(term)
+      GROUP BY doc_id, t.term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    weighted AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (ln((N.n + 1.0) / (df.df + 1.0)) + 1.0), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN N
+    )
+    SELECT doc_id, term, tfidf FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM weighted
+    ) WHERE rn <= 3
+    """,
+    doc="TF-IDF keyword extraction as pure DataFrame algebra (SURVEY §4.3.7): "
+    "token explode → TF → document-frequency join → smoothed idf → top-3 "
+    "terms per doc. Two shuffles total (term agg + window); the DF side is "
+    "a small dimension at any corpus size and broadcasts",
+)
+def x18_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..sources.catalog import fan_out
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    n_docs = docs.count()  # one cheap action; a literal beats a cross join
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    weighted = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 6
+        ).alias("tfidf"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        weighted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
