@@ -233,3 +233,29 @@ def scd2_merge(
         .withColumn(current_col, F.lit(True))
     )
     return untouched_hist.unionByName(closed).unionByName(inserted)
+
+
+@register(
+    "c05_quantile_thresholds",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_readings,
+           ROUND(quantile_cont(value, 0.5), 6) AS p50_value,
+           ROUND(quantile_cont(value, 0.95), 6) AS p95_threshold,
+           ROUND(quantile_cont(value, 0.99), 6) AS p99_threshold
+    FROM events
+    GROUP BY event_type
+    """,
+    doc="C5: exact quantile-derived alert thresholds per sensor type, the "
+    "dim_sensor_types enrichment (reference src/warehouse_loader.py:161-166 "
+    "computes these in pandas; here one grouped percentile pass — swap to "
+    "percentile_approx at the 100 TB tier)",
+)
+def c05_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_readings"),
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("p50_value"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_threshold"),
+        F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_threshold"),
+    )

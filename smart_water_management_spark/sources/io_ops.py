@@ -228,3 +228,30 @@ def s12_cached_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     # not unpersisted here: the driver's action must hit the cached scan;
     # session teardown (spark.catalog.clearCache) reclaims it
     return by_priority.unionByName(by_status)
+
+
+@register(
+    "s04_glob_latest",
+    oracle=_ORDERS_CHECKSUM_SQL,
+    doc="S4: versioned-directory scan, latest-by-mtime pick (reference "
+    "src/enhanced_spark_etl.py:824-831 globs CSVs and picks max mtime); "
+    "checksum proves the stale v1 snapshot was not read",
+)
+def s04_glob_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import time
+
+    root = _scratch("s04_versions", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = os.path.join(root, "v1")
+    v2 = os.path.join(root, "v2")
+    # v1 = stale partial snapshot; v2 (newer mtime) = the full table
+    orders.filter(F.col("o_orderkey") % 2 == 0).write.mode("overwrite").parquet(v1)
+    time.sleep(1.05)  # distinct directory mtimes on coarse filesystems
+    orders.write.mode("overwrite").parquet(v2)
+
+    # the one permissible driver-side step: list version dirs, pick latest
+    # (a metadata listing, O(#versions) — not a data read)
+    versions = [p for p in glob.glob(os.path.join(root, "v*")) if os.path.isdir(p)]
+    latest = max(versions, key=os.path.getmtime)
+    return _orders_checksum(spark.read.parquet(latest))
