@@ -400,3 +400,32 @@ def t09_stateful_run_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id").agg(
         F.max("max_error_run").cast("int").alias("max_error_run")
     )
+
+
+@register(
+    "t10_streaming_dedup",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_unique_events
+    FROM events
+    GROUP BY user_id
+    """,
+    doc="streaming exactly-once dedup: each event duplicated 2x in-stream, "
+    "dropDuplicatesWithinWatermark collapses them — per-user counts equal "
+    "the clean batch table (at-least-once source → exactly-once sink)",
+)
+def t10_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once delivery simulation: every event arrives twice (the
+    retry storm a real queue produces); state for seen event_ids is held
+    only within the watermark horizon, so memory is bounded by the
+    lateness window instead of the whole stream history."""
+    ev = read_event_stream(spark, sf_dir)
+    doubled = ev.withColumn("__copy", F.explode(F.array(F.lit(1), F.lit(2)))).drop(
+        "__copy"
+    )
+    deduped = (
+        doubled.withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id")
+    )
+    out = run_to_completion(deduped, "stream_dedup", "append")
+    return out.groupBy("user_id").agg(F.count("*").alias("n_unique_events"))
