@@ -176,3 +176,85 @@ def c04_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end_date").cast("string").alias("end_date"),
         "is_current",
     )
+
+
+@register(
+    "t11_streaming_scd2",
+    oracle=None,  # equality with the batch merge (c04) asserted in tests
+    doc="streaming dimension maintenance: SCD2 merges applied per "
+    "micro-batch via foreachBatch; final dimension equals the one-shot "
+    "batch merge (update stream → slowly-changing dim, incremental)",
+)
+def t11_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The c04 update set delivered as TWO micro-batches (changes, then
+    unchanged re-sends) through a file stream; each batch is merged into
+    a managed dim table with the same set-based scd2_merge. Disjoint or
+    idempotent batches make the fold order-insensitive; the final table
+    must equal the single batch merge — asserted in tests.
+
+    At scale this is CDC→dimension maintenance: per-batch work is
+    proportional to the update batch (broadcast against the dim), never
+    to fact history.
+    """
+    import os
+    import shutil
+    import tempfile
+
+    table = "dim_customer_scd2_stream"
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
+        "file:"
+    )
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+    _initial_dim(spark, sf_dir).write.saveAsTable(table)
+
+    c = load_table(spark, sf_dir, "customer")
+    changed = c.filter(F.col("c_custkey") % 10 == 0).select(
+        "c_custkey",
+        F.lit("MACHINERY").alias("c_mktsegment"),
+        F.round(F.col("c_acctbal") + 1000.0, 2).alias("c_acctbal"),
+    )
+    resent = c.filter(
+        (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 10 != 0)
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+    def merge_batch(batch_df, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        merged = scd2_merge(
+            sp.table(table),
+            batch_df,
+            key="c_custkey",
+            tracked=_TRACKED,
+            change_date="2024-06-01",
+        )
+        staged = merged.localCheckpoint(eager=True)  # break lineage on self-read
+        staged.write.mode("overwrite").insertInto(table)
+
+    with tempfile.TemporaryDirectory() as src, tempfile.TemporaryDirectory() as ckpt:
+        import time as _t
+
+        changed.coalesce(1).write.parquet(os.path.join(src, "b0"))
+        _t.sleep(1.05)
+        resent.coalesce(1).write.parquet(os.path.join(src, "b1"))
+        stream = (
+            spark.readStream.schema(
+                "c_custkey long, c_mktsegment string, c_acctbal double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/*")
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    dim = spark.table(table)
+    return dim.select(
+        "c_custkey",
+        *_TRACKED,
+        F.col("effective_date").cast("string").alias("effective_date"),
+        F.col("end_date").cast("string").alias("end_date"),
+        "is_current",
+    )

@@ -193,3 +193,20 @@ def test_pca_explained_variance(spark):
     assert all(0 < v <= 1 for v in ev)
     assert ev == sorted(ev, reverse=True)
     assert sum(ev) <= 1.0 + 1e-6
+
+
+# --- streaming SCD2 ≡ batch SCD2 --------------------------------------------
+
+
+def test_streaming_scd2_equals_batch(spark):
+    from smart_water_management_spark.plans.scd import t11_streaming_scd2
+
+    batch = {
+        (r.c_custkey, r.c_mktsegment, r.c_acctbal, r.effective_date, r.end_date, r.is_current)
+        for r in c04_scd2_merge(spark, SF_DIR).collect()
+    }
+    streamed = {
+        (r.c_custkey, r.c_mktsegment, r.c_acctbal, r.effective_date, r.end_date, r.is_current)
+        for r in t11_streaming_scd2(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
