@@ -194,3 +194,73 @@ def x16_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_frames"),
         F.sum(F.when(F.col("frame_idx") == 0, 1).otherwise(0)).alias("has_first"),
     )
+
+
+RESIZE_SCHEMA = "doc_id long, mime string, orig_bytes long, thumb_bytes long, thumb binary"
+
+
+def resize_payloads(mm: DataFrame, target_bytes: int = 32) -> DataFrame:
+    """Resize/downsample stage via mapInPandas (stubbed decode).
+
+    The stub "resizes" by stride-sampling the payload down to
+    ``target_bytes`` — standing in for PIL's thumbnail / librosa's
+    resample. The Spark-side contract is what matters: binary in, binary
+    out, bounded output size, Arrow batches end-to-end, payloads never on
+    the driver. Swapping in a real codec changes only the loop body.
+    """
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            thumbs, sizes = [], []
+            for payload in pdf["payload"]:
+                n = len(payload)
+                if n <= target_bytes:
+                    thumb = bytes(payload)
+                else:
+                    stride = n // target_bytes
+                    thumb = bytes(payload[::stride][:target_bytes])
+                thumbs.append(thumb)
+                sizes.append(len(thumb))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "orig_bytes": pdf["n_bytes"],
+                    "thumb_bytes": sizes,
+                    "thumb": thumbs,
+                }
+            )
+
+    flat = mm.select(
+        "doc_id", "payload", F.col("meta.mime").alias("mime"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+    return flat.mapInPandas(run, RESIZE_SCHEMA)
+
+
+@register(
+    "x19_resize_thumbnails",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           COUNT(*) AS n_assets,
+           SUM(strlen(text)) AS total_orig_bytes,
+           SUM(LEAST(strlen(text), 32)) AS total_thumb_bytes
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="multimodal: resize/downsample stage (stride-sampled stub for "
+    "PIL/librosa) — bounded-size thumbnails via mapInPandas; byte "
+    "arithmetic oracle-checked per mime",
+)
+def x19_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    resized = resize_payloads(to_multimodal(docs))
+    return resized.groupBy("mime").agg(
+        F.count("*").alias("n_assets"),
+        F.sum("orig_bytes").alias("total_orig_bytes"),
+        F.sum("thumb_bytes").alias("total_thumb_bytes"),
+    )
