@@ -149,8 +149,9 @@ def sample_frames(mm: DataFrame, every_nth: int = 4, frame_size: int = 64) -> Da
     """
 
     def run(batches):
+        import zlib
+
         import pandas as pd
-        import numpy as np
 
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_hash": []}
@@ -161,13 +162,14 @@ def sample_frames(mm: DataFrame, every_nth: int = 4, frame_size: int = 64) -> Da
                 else:
                     idxs = [0]
                 for i in idxs:
-                    chunk = payload[i * frame_size : (i + 1) * frame_size]
+                    chunk = bytes(payload[i * frame_size : (i + 1) * frame_size])
                     out["doc_id"].append(doc_id)
                     out["frame_idx"].append(i)
                     out["frame_bytes"].append(len(chunk))
-                    out["frame_hash"].append(
-                        int(np.int64(hash(bytes(chunk)) & 0x7FFFFFFFFFFFFFFF))
-                    )
+                    # crc32, not hash(): Python's bytes hash is salted per
+                    # process (PYTHONHASHSEED) — a content id must be stable
+                    # across executors and runs for frame-level dedup
+                    out["frame_hash"].append(zlib.crc32(chunk))
             yield pd.DataFrame(out)
 
     flat = mm.select("doc_id", "payload", F.col("meta.mime").alias("mime"))
