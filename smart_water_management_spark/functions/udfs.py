@@ -180,13 +180,15 @@ def f09_udf_consumption_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f10_pandas_udf_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w_all = F.lit(1)  # global stats via unpartitioned window
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(w_all)
-    z = (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w)
+    # global mean/std as a one-row aggregate broadcast back — NOT an
+    # unpartitioned window, which would funnel the whole table through a
+    # single task at scale
+    stats = ev.agg(
+        F.avg("value").alias("__mu"), F.stddev_samp("value").alias("__sd")
+    )
+    z = (F.col("value") - F.col("__mu")) / F.col("__sd")
     score = 1.0 / (1.0 + F.exp(-F.col("value") / 100.0))
-    return ev.select(
+    return ev.crossJoin(F.broadcast(stats)).select(
         "event_id", severity_pandas_udf(z, score).alias("severity")
     )
 

@@ -50,6 +50,7 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    n_changed = 0
     for _ in range(max_rounds):
         # min label among each node's neighbors
         neighbor_min = (
@@ -72,6 +73,14 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
         labels = updated.select("id", "label")
         if n_changed == 0:
             break
+    if n_changed != 0:
+        # silently returning partial labels would split real dup groups
+        # into several components and keep extra "canonical" duplicates
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds "
+            f"({n_changed} labels still changing) — the pair graph has a "
+            f"longer chain than expected; raise max_rounds"
+        )
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
 
 

@@ -40,11 +40,13 @@ def salted_sum_count(
 
     Phase 1 spreads each hot key over ``n_salts`` reducers; phase 2
     aggregates ``n_keys × n_salts`` partial rows — negligible at any
-    scale. The salt is derived from a hash of the whole row's natural
-    identity, not rand(), so the plan stays deterministic.
+    scale. The salt hashes EVERY column (the row's full identity), not
+    rand() and not just the value: a deterministic plan, and a hot key
+    whose rows are near-identical in one column still spreads because the
+    other columns differ.
     """
     salted = df.withColumn(
-        "__salt", F.pmod(F.xxhash64(F.col(value)), F.lit(n_salts))
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )
     partial = salted.groupBy(key, "__salt").agg(
         F.sum(F.col(value).cast("decimal(27,6)")).alias("psum"),
@@ -75,27 +77,21 @@ def k01_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_sum_count(ev, "event_type", "value")
 
 
-def _bucket_path(spark: SparkSession) -> str:
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-    return wh.removeprefix("file:")
-
-
 def ensure_bucketed_tables(
     spark: SparkSession, sf_dir: str, n_buckets: int = 8
 ) -> tuple[str, str]:
     """Lay out orders and lineitem bucketed by the join key (one-time
     shuffle at write; every subsequent equi-join on o_orderkey/l_orderkey
     is exchange-free). Returns the two table names."""
-    import shutil
+    from ..sources.catalog import reset_managed_table
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     ot, lt = f"orders_b_{tag}", f"lineitem_b_{tag}"
-    wh = _bucket_path(spark)
     for name, src, key in ((ot, "orders", "o_orderkey"), (lt, "lineitem", "l_orderkey")):
         if not spark.catalog.tableExists(name):
             # a prior session may have left the managed location behind
-            # without its catalog entry; clear it or saveAsTable refuses
-            shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
+            # without its catalog entry; reset clears both
+            reset_managed_table(spark, name)
             (
                 load_table(spark, sf_dir, src)
                 .write.bucketBy(n_buckets, key)

@@ -12,7 +12,6 @@ incremental MV refresh.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -47,14 +46,11 @@ def refresh_mv(
     the write replaces exactly the partitions present in the batch,
     leaving all others untouched — the incremental path).
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
-        "file:"
-    )
+    from ..sources.catalog import reset_managed_table
+
     rollup = _daily_rollup(source)
     if changed_days is None or not spark.catalog.tableExists(mv_name):
-        spark.sql(f"DROP TABLE IF EXISTS {mv_name}")
-        shutil.rmtree(os.path.join(wh, mv_name), ignore_errors=True)
+        reset_managed_table(spark, mv_name)
         (
             rollup.write.partitionBy("day")
             .mode("overwrite")
@@ -64,11 +60,18 @@ def refresh_mv(
         # insertInto uses the table's declared partitioning; with dynamic
         # overwrite mode only the day-partitions present in this batch are
         # replaced. Column order must match the table (data cols, then day).
-        (
-            rollup.filter(F.col("day").isin(changed_days))
-            .select("event_type", "n_events", "total_value", "day")
-            .write.insertInto(mv_name, overwrite=True)
-        )
+        # The conf is session-global, so restore it — leaving it 'dynamic'
+        # would silently change every later static partitioned overwrite.
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            (
+                rollup.filter(F.col("day").isin(changed_days))
+                .select("event_type", "n_events", "total_value", "day")
+                .write.insertInto(mv_name, overwrite=True)
+            )
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return spark.table(mv_name)
 
 

@@ -111,20 +111,29 @@ def _initial_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _incoming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic synthetic update batch: every 10th customer moves to
-    segment 'MACHINERY' with a rebased balance; every 7th is re-sent
-    unchanged (merge must not create a version for those)."""
+def update_batches(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The deterministic synthetic update set, as two DISJOINT batches:
+    every 10th customer moves to segment 'MACHINERY' with a rebased
+    balance; every 7th-but-not-10th is re-sent unchanged (the merge must
+    not create a version for those). Disjointness is explicit — an
+    overlap resolved by dropDuplicates would be partitioning-dependent
+    and silently diverge from the oracle. Shared by the batch (c04) and
+    streaming (t11) paths so both apply the identical update set."""
     c = load_table(spark, sf_dir, "customer")
     changed = c.filter(F.col("c_custkey") % 10 == 0).select(
         "c_custkey",
         F.lit("MACHINERY").alias("c_mktsegment"),
         F.round(F.col("c_acctbal") + 1000.0, 2).alias("c_acctbal"),
     )
-    resent = c.filter(F.col("c_custkey") % 7 == 0).select(
-        "c_custkey", "c_mktsegment", "c_acctbal"
-    )
-    return changed.unionByName(resent).dropDuplicates(["c_custkey"])
+    resent = c.filter(
+        (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 10 != 0)
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+    return changed, resent
+
+
+def _incoming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    changed, resent = update_batches(spark, sf_dir)
+    return changed.unionByName(resent)
 
 
 @register(
@@ -197,26 +206,15 @@ def t11_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     to fact history.
     """
     import os
-    import shutil
     import tempfile
 
+    from ..sources.catalog import reset_managed_table
+
     table = "dim_customer_scd2_stream"
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
-        "file:"
-    )
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    shutil.rmtree(os.path.join(wh, table), ignore_errors=True)
+    reset_managed_table(spark, table)
     _initial_dim(spark, sf_dir).write.saveAsTable(table)
 
-    c = load_table(spark, sf_dir, "customer")
-    changed = c.filter(F.col("c_custkey") % 10 == 0).select(
-        "c_custkey",
-        F.lit("MACHINERY").alias("c_mktsegment"),
-        F.round(F.col("c_acctbal") + 1000.0, 2).alias("c_acctbal"),
-    )
-    resent = c.filter(
-        (F.col("c_custkey") % 7 == 0) & (F.col("c_custkey") % 10 != 0)
-    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+    changed, resent = update_batches(spark, sf_dir)
 
     def merge_batch(batch_df, batch_id: int) -> None:
         sp = batch_df.sparkSession

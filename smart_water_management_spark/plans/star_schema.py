@@ -185,54 +185,9 @@ def c03_star_gold_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- C4: SCD Type 2 merge as anti-join + union (reference only reserves the
-# columns, sql/dimensional_schema.sql:43-48; we implement real change tracking).
-def scd2_merge(
-    dim: DataFrame,
-    updates: DataFrame,
-    key: str,
-    tracked: list[str],
-    effective_col: str = "effective_date",
-    end_col: str = "end_date",
-    current_col: str = "is_current",
-    batch_date: str = "2024-01-15",
-) -> DataFrame:
-    """Close changed current rows, insert new versions, keep history.
-
-    Pure DataFrame expression of MERGE-style SCD2 (no Delta needed):
-    1. changed = current dim ⋈ updates where any tracked attr differs
-    2. close those rows (end_date=batch, is_current=false)
-    3. append updates for changed/new keys as current rows
-    """
-    cond = F.lit(False)
-    for t in tracked:
-        cond = cond | (F.col(f"d.{t}") != F.col(f"u.{t}"))
-    cur = dim.filter(F.col(current_col)).alias("d")
-    upd = updates.alias("u")
-    changed_keys = (
-        cur.join(upd, F.col(f"d.{key}") == F.col(f"u.{key}"))
-        .filter(cond)
-        .select(F.col(f"d.{key}").alias(key))
-    )
-    new_keys = upd.join(dim, key, "left_anti").select(key)
-    affected = changed_keys.unionByName(new_keys).distinct()
-
-    closed = (
-        dim.join(affected, key, "left_semi")
-        .filter(F.col(current_col))
-        .withColumn(end_col, F.lit(batch_date).cast("date"))
-        .withColumn(current_col, F.lit(False))
-    )
-    untouched_hist = dim.join(affected, key, "left_anti").unionByName(
-        dim.join(affected, key, "left_semi").filter(~F.col(current_col))
-    )
-    inserted = (
-        updates.join(affected, key, "left_semi")
-        .withColumn(effective_col, F.lit(batch_date).cast("date"))
-        .withColumn(end_col, F.lit(None).cast("date"))
-        .withColumn(current_col, F.lit(True))
-    )
-    return untouched_hist.unionByName(closed).unionByName(inserted)
+# C4: SCD Type 2 merge lives in plans/scd.py (scd2_merge) — one
+# implementation, null-safe change detection. This module previously
+# carried a duplicate with null-unsafe semantics; consolidated there.
 
 
 @register(

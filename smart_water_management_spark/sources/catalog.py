@@ -95,3 +95,30 @@ def fan_out(df: DataFrame, spark: SparkSession, min_factor: int = 2) -> DataFram
     if df.rdd.getNumPartitions() * min_factor <= target:
         return df.repartition(target)
     return df
+
+
+def warehouse_path(spark: SparkSession) -> str:
+    """Local filesystem path of the session warehouse dir (managed tables).
+
+    Local-mode only: strips the file: scheme. A remote warehouse
+    (hdfs://, s3a://) needs the Hadoop FileSystem API instead — callers
+    of reset_managed_table rebuild per-run scratch tables, a local-mode
+    concern by construction.
+    """
+    raw = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    return raw.removeprefix("file://").removeprefix("file:")
+
+
+def reset_managed_table(spark: SparkSession, name: str) -> None:
+    """Drop a managed table AND its location.
+
+    An interrupted earlier session can leave the data directory behind
+    without its catalog entry, in which case a later saveAsTable fails
+    with LOCATION_ALREADY_EXISTS — so the directory is removed even when
+    the catalog has never heard of the table.
+    """
+    import os
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    shutil.rmtree(os.path.join(warehouse_path(spark), name), ignore_errors=True)

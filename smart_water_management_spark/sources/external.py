@@ -135,7 +135,14 @@ def polling_source(
     health = SourceHealth("polling-source")
 
     def poll(_batch_df: DataFrame, batch_id: int) -> None:
-        rows = resilient_call(breaker, limiter, health, fetch)
+        try:
+            rows = resilient_call(breaker, limiter, health, fetch)
+        except Exception:
+            # a transient fetch failure must not kill the streaming query —
+            # the breaker has recorded it (and opens at the threshold); the
+            # poller skips this tick exactly like the reference's loop
+            # (src/enhanced_ingestion.py:270-276 logs and continues)
+            return
         if not rows:
             return  # breaker open or empty poll: skip this tick
         batch = spark.createDataFrame(rows, schema)

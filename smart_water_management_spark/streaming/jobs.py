@@ -169,14 +169,9 @@ def sensor_status_upsert_stream(
     status table: counts summed, last_seen max'd — an idempotent upsert
     keyed on user_id (exactly-once via checkpoint + deterministic batch).
     """
-    spark.sql(f"DROP TABLE IF EXISTS {target_table}")
-    # a previously interrupted run can leave the managed location behind
-    import shutil
+    from ..sources.catalog import reset_managed_table
 
-    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").removeprefix(
-        "file:"
-    )
-    shutil.rmtree(f"{wh}/{target_table}", ignore_errors=True)
+    reset_managed_table(spark, target_table)
     spark.sql(
         f"""CREATE TABLE {target_table}
             (user_id LONG, n_events LONG, n_errors LONG, last_seen TIMESTAMP)
@@ -248,7 +243,8 @@ def late_event_split(
     checkpoint: str,
     tolerance_seconds: int = 24 * 3600,
     ts_col: str = "ts",
-):
+    sink_dir: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
     """T5: explicit late-event routing with a cross-batch high-water mark.
 
     The reference flags stale data but never drops it
@@ -257,17 +253,22 @@ def late_event_split(
     (watermarks bound STATE, not input; see test_watermark_bounds_state).
     So lateness is an engine policy, applied inside foreachBatch: events
     older than (high-water mark − tolerance) at the time their batch
-    arrives go to a quarantine sink; the rest flow on-time. Both sinks are
-    append-only and the split is deterministic given the batch order.
+    arrives append to a quarantine parquet sink; the rest append to the
+    on-time sink. The split is deterministic given the batch order.
 
     Driver state is one timestamp (the running max event time) — O(1)
-    memory at any scale; the per-batch split itself is a distributed
-    filter. Returns (on_time_rows, late_rows) collected after a bounded
-    availableNow replay.
+    memory at any scale; each half flows executor→sink without touching
+    the driver. Returns (on_time_df, late_df) reading the two sinks after
+    the bounded availableNow replay drains.
     """
+    import os
+    import tempfile
+
+    sink_dir = sink_dir or tempfile.mkdtemp(prefix="late_split_")
+    on_time_path = os.path.join(sink_dir, "on_time")
+    late_path = os.path.join(sink_dir, "late")
     state = {"hwm": None}
-    on_time_parts: list = []
-    late_parts: list = []
+    schema = stream.schema
 
     def split_batch(batch_df: DataFrame, batch_id: int) -> None:
         hwm = state["hwm"]
@@ -277,8 +278,10 @@ def late_event_split(
         else:
             is_late = F.lit(False)
         tagged = batch_df.withColumn("__late", is_late).cache()
-        late_parts.extend(tagged.filter("__late").drop("__late").collect())
-        on_time_parts.extend(tagged.filter("NOT __late").drop("__late").collect())
+        tagged.filter("__late").drop("__late").write.mode("append").parquet(late_path)
+        tagged.filter("NOT __late").drop("__late").write.mode("append").parquet(
+            on_time_path
+        )
         batch_max = tagged.agg(F.max(ts_col)).collect()[0][0]
         tagged.unpersist()
         if batch_max is not None and (hwm is None or batch_max > hwm):
@@ -291,7 +294,12 @@ def late_event_split(
         .start()
     )
     q.awaitTermination()
-    return on_time_parts, late_parts
+    # explicit schema: an all-on-time run leaves the late sink with no
+    # part files, which schema inference would reject
+    return (
+        spark.read.schema(schema).parquet(on_time_path),
+        spark.read.schema(schema).parquet(late_path),
+    )
 
 
 @register(

@@ -135,8 +135,8 @@ def test_late_event_split(spark):
         on_time, late = late_event_split(
             spark, stream, ckpt, tolerance_seconds=3600
         )
-        assert sorted(r.v for r in on_time) == [1.0, 1.0, 2.0]
-        assert [r.v for r in late] == [100.0]
+        assert sorted(r.v for r in on_time.collect()) == [1.0, 1.0, 2.0]
+        assert [r.v for r in late.collect()] == [100.0]
 
 
 def test_foreachbatch_status_upsert(spark):

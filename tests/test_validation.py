@@ -70,7 +70,7 @@ def test_weighted_score_status(spark):
 
 
 def test_scd2_merge(spark):
-    from smart_water_management_spark.plans.star_schema import scd2_merge
+    from smart_water_management_spark.plans.scd import scd2_merge
 
     dim = spark.createDataFrame(
         [
@@ -82,7 +82,9 @@ def test_scd2_merge(spark):
     updates = spark.createDataFrame(
         [(1, "east"), (3, "west")], "sensor_id long, district string"
     )
-    merged = scd2_merge(dim, updates, key="sensor_id", tracked=["district"])
+    merged = scd2_merge(
+        dim, updates, key="sensor_id", tracked=["district"], change_date="2024-01-15"
+    )
     rows = {(r.sensor_id, r.district, r.is_current) for r in merged.collect()}
     # sensor 1: old row closed + new current row; sensor 2 untouched; sensor 3 inserted
     assert (1, "north", False) in rows
