@@ -210,3 +210,23 @@ def test_streaming_scd2_equals_batch(spark):
         for r in t11_streaming_scd2(spark, SF_DIR).collect()
     }
     assert streamed == batch
+
+
+# --- scale soak (opt-in: SWM_SOAK=1) ----------------------------------------
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("SWM_SOAK") != "1",
+    reason="scale soak is opt-in (SWM_SOAK=1); ~15s of generator work",
+)
+def test_pipeline_scale_soak(spark):
+    """The same lazy plan at 60x the fixture volume: 1,825 days = 876k
+    readings through generate -> enrich (windows) -> rollup. Guards
+    against accidental driver loops / collects creeping into the
+    pipeline — those scale linearly in wall time, this must not."""
+    import time
+
+    t0 = time.monotonic()
+    rollup = daily_rollup(enrich(generate_readings(spark, n_days=1825)))
+    assert rollup.count() == 5 * 4 * 1825
+    assert time.monotonic() - t0 < 60
