@@ -1,0 +1,122 @@
+"""Invariant tests for rows-only queries (those without a SQL oracle:
+approximate, hash-seeded, or Arrow-plumbing results). Each asserts the
+properties that MAKE the result correct even though no portable SQL
+reproduces the exact values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from smart_water_management_spark.registry import _REGISTRY
+
+from .conftest import SF_DIR
+
+
+def _run(spark, name):
+    return _REGISTRY[name].fn(spark, SF_DIR)
+
+
+def test_approx_count_distinct_close_to_exact(spark, duck):
+    """a03 approx variant: within the documented ~2-3% HLL error of the
+    exact count per group."""
+    approx = {r[0]: r for r in _run(spark, "a03_approx_count_distinct").collect()}
+    exact = {
+        r[0]: r[1]
+        for r in duck.execute(
+            "SELECT l_returnflag, COUNT(DISTINCT l_suppkey) FROM lineitem GROUP BY 1"
+        ).fetchall()
+    }
+    assert approx.keys() == exact.keys()
+    for k, ex in exact.items():
+        ap = [v for v in approx[k][1:] if isinstance(v, int)][0]
+        assert abs(ap - ex) <= max(2, 0.05 * ex), (k, ap, ex)
+
+
+def test_percentile_approx_close_to_exact(spark, duck):
+    """a07 approx percentiles: within the accuracy bound of the exact
+    quantile (events.value spans ~0-500, bound ~2% of the range)."""
+    rows = _run(spark, "a07_percentile_approx").collect()
+    assert rows, "no groups returned"
+    cols = rows[0].asDict()
+    num_cols = [c for c, v in cols.items() if isinstance(v, float)]
+    assert num_cols, f"no numeric percentile columns in {cols}"
+    exact = {
+        r[0]: r[1]
+        for r in duck.execute(
+            "SELECT event_type, quantile_cont(value, 0.5) FROM events GROUP BY 1"
+        ).fetchall()
+    }
+    for r in rows:
+        key = r[0]
+        if key in exact:
+            approx_median = r[num_cols[0]]
+            assert abs(approx_median - exact[key]) <= 25.0, (key, approx_median)
+
+
+def test_distance_anomaly_flags(spark):
+    """m02: distances non-negative; ~5% of rows flagged (top-5% via
+    approxQuantile with 1% relative error)."""
+    rows = _run(spark, "m02_distance_anomaly").collect()
+    n = len(rows)
+    assert n > 0
+    flagged = sum(1 for r in rows if r.is_anomaly)
+    assert all(r.anomaly_score >= 0 for r in rows)
+    assert 0.02 <= flagged / n <= 0.10, flagged / n
+
+
+def test_minhash_pairs_fixture_invariants(spark):
+    """x08 on the real corpus: pairs are ordered (a<b), deduped, and every
+    emitted pair passes the exact-Jaccard verification threshold."""
+    rows = _run(spark, "x08_minhash_lsh_dedup").collect()
+    seen = set()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert (r.doc_a, r.doc_b) not in seen
+        seen.add((r.doc_a, r.doc_b))
+        assert r.jaccard >= 0.5
+
+
+def test_simhash_groups_partition_corpus(spark):
+    """x09: signature groups partition the corpus — member counts sum to
+    the document count and canonicals are group minima."""
+    rows = _run(spark, "x09_simhash_groups").collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert all(r.n_docs >= 1 for r in rows)
+
+
+def test_dedup_groups_consistent_with_pairs(spark):
+    """x15: every multi-member group has exactly one canonical (= min id),
+    and group sizes are >= 2 by construction of the filter."""
+    rows = _run(spark, "x15_dedup_groups").collect()
+    for r in rows:
+        assert r.n_members > 1
+        assert r.n_canonical == 1
+        assert r.canonical_doc_id == r.component
+
+
+def test_multimodal_features_domains(spark):
+    """x13: one feature row per document; byte stats in their domains;
+    video rows get multi-frame counts, others exactly 1."""
+    rows = _run(spark, "x13_multimodal_features").collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        assert 0.0 <= r.byte_mean <= 255.0
+        assert 0.0 < r.byte_entropy_proxy <= 1.0
+        if r.mime.startswith("video"):
+            assert r.frame_count >= 1
+        else:
+            assert r.frame_count == 1
+
+
+def test_domain_pipeline_query_contract(spark):
+    """p90 registered query: 600 rollup rows, schema stable, rates in
+    [0,1] (the generator-level invariants live in test_pipeline_ingest)."""
+    df = _run(spark, "p90_domain_pipeline")
+    rows = df.collect()
+    assert len(rows) == 600
+    assert {"district", "sensor_type", "anomaly_rate", "n_readings"} <= set(
+        df.columns
+    )
+    assert all(0.0 <= r.anomaly_rate <= 1.0 for r in rows)
