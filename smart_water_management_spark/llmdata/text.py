@@ -233,3 +233,58 @@ def x18_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@register(
+    "x20_pii_scrub",
+    oracle="""
+    WITH dirty AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id || '@example.com or +1-555-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS clean_text,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text, '\\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}'))
+             AS n_phones
+    FROM dirty
+    """,
+    doc="PII scrubbing: email/phone redaction via regexp_replace with "
+    "per-doc redaction counts — the training-data cleaning stage, pure "
+    "JVM regex (no UDF), one scan",
+)
+def x20_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic PII is injected deterministically (fake email + phone per
+    doc) so the scrubber has known targets; both engines inject and scrub
+    with identical patterns, proving exact redaction parity."""
+    d = load_table(spark, sf_dir, "documents")
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\+?[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    dirty = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return dirty.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace("text", email_re, "<EMAIL>"), phone_re, "<PHONE>"
+        ).alias("clean_text"),
+        F.size(F.regexp_extract_all("text", F.lit(email_re), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(phone_re), F.lit(0))).alias(
+            "n_phones"
+        ),
+    )
