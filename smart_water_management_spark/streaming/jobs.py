@@ -437,3 +437,56 @@ def t10_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_to_completion(deduped, "stream_dedup", "append")
     return out.groupBy("user_id").agg(F.count("*").alias("n_unique_events"))
+
+
+@register(
+    "t12_stream_stream_join",
+    oracle="""
+    SELECT e.event_id AS error_id,
+           p.event_id AS purchase_id,
+           e.user_id
+    FROM events e JOIN events p
+      ON p.user_id = e.user_id
+     AND e.event_type = 'error' AND p.event_type = 'purchase'
+     AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 10 MINUTE
+    """,
+    doc="stream-stream inner join with watermarks + time-range condition: "
+    "purchases within 10min after an error, per user — join state bounded "
+    "by the watermark on both sides; full replay equals the batch join",
+)
+def t12_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sides are the replayed event stream (errors ⋈ purchases).
+
+    The time-range condition plus per-side watermarks lets Spark expire
+    join state: an error row can only ever match purchases up to 10
+    minutes ahead, so rows older than watermark-10min are dropped from
+    state — bounded memory on an unbounded stream, which a batch range
+    join cannot offer.
+    """
+    errors = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_id"),
+            F.col("user_id"),
+            F.col("ts").alias("e_ts"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    purchases = (
+        read_event_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = errors.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") >= F.col("e_ts"))
+        & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
+    ).select("error_id", "purchase_id", "user_id")
+    return run_to_completion(joined, "stream_stream_join", "append")
