@@ -158,3 +158,64 @@ def test_foreachbatch_status_upsert(spark):
     for uid, exp in expected.items():
         assert rows[uid].n_events == exp.n_events
         assert rows[uid].n_errors == exp.n_errors
+
+
+def test_checkpoint_recovery_exactly_once(spark):
+    """Exactly-once across restarts: drain part of the source, terminate,
+    add more files, RESTART with the same checkpoint — the source offsets
+    in the checkpoint must skip already-processed files, so the upserted
+    totals equal the batch aggregate with no double counting."""
+    import os
+
+    with tempfile.TemporaryDirectory() as root:
+        src = os.path.join(root, "src")
+        ckpt = os.path.join(root, "ckpt")
+        os.makedirs(src)
+        all_rows = [
+            ("2024-01-01 10:00:00", 1, 1.0),
+            ("2024-01-01 10:05:00", 1, 2.0),
+            ("2024-01-01 10:10:00", 2, 3.0),
+            ("2024-01-01 10:15:00", 1, 4.0),
+            ("2024-01-01 10:20:00", 2, 5.0),
+        ]
+
+        def write_file(rows, name):
+            spark.createDataFrame(
+                rows, "ts string, k long, v double"
+            ).select(F.col("ts").cast("timestamp"), "k", "v").coalesce(
+                1
+            ).write.parquet(os.path.join(src, name))
+
+        totals: dict[int, float] = {}
+        applied_batches: list[int] = []
+
+        def upsert(batch_df, batch_id):
+            applied_batches.append(batch_id)
+            for r in batch_df.groupBy("k").agg(F.sum("v").alias("s")).collect():
+                totals[r.k] = totals.get(r.k, 0.0) + r.s
+
+        def drain():
+            stream = spark.readStream.schema("ts timestamp, k long, v double").parquet(
+                src + "/*"
+            )
+            q = (
+                stream.writeStream.foreachBatch(upsert)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+        # run 1: only the first two files exist
+        write_file(all_rows[:2], "f0")
+        write_file(all_rows[2:3], "f1")
+        drain()
+        totals_after_run1 = dict(totals)
+        # run 2: two more files arrive; SAME checkpoint → only new files
+        write_file(all_rows[3:4], "f2")
+        write_file(all_rows[4:], "f3")
+        drain()
+
+        assert totals_after_run1 == {1: 3.0, 2: 3.0}
+        assert totals == {1: 7.0, 2: 8.0}  # == full batch sum, no recount
+        assert len(applied_batches) == len(set(applied_batches))
