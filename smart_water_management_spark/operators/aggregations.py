@@ -401,3 +401,30 @@ def a16_cube_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+# --- A17: re-aggregatable distinct-count sketches (DataSketches HLL).
+# The 100 TB pattern for countDistinct over pre-aggregates: gold tables
+# store per-day SKETCHES (bytes), and any rollup (weekly, monthly, global)
+# merges sketches instead of rescanning raw data — exact distinct counts
+# cannot be re-aggregated, sketches can.
+@register(
+    "a17_hll_sketch_rollup",
+    oracle=None,  # sketch estimates are approximate; error bound in tests
+    doc="A17: per-day HLL sketches of active users, merged to a monthly "
+    "estimate via hll_union_agg — re-aggregatable distinct counts for "
+    "pre-aggregate tables (replaces a full rescan per rollup grain)",
+)
+def a17_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.dayofmonth("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("user_sketch"),
+        F.count("*").alias("n_events"),
+    )
+    return daily.agg(
+        F.count("*").alias("n_days"),
+        F.sum("n_events").alias("n_events"),
+        F.hll_sketch_estimate(F.hll_union_agg("user_sketch")).alias(
+            "est_distinct_users"
+        ),
+    )

@@ -120,3 +120,15 @@ def test_domain_pipeline_query_contract(spark):
         df.columns
     )
     assert all(0.0 <= r.anomaly_rate <= 1.0 for r in rows)
+
+
+def test_hll_sketch_rollup_accuracy(spark, duck):
+    """a17: the merged-sketch estimate must sit within HLL's documented
+    ~2% error of the exact distinct-user count, and event totals must be
+    exact (sketches only approximate the distinct)."""
+    row = _run(spark, "a17_hll_sketch_rollup").collect()[0]
+    exact_users, exact_events = duck.execute(
+        "SELECT COUNT(DISTINCT user_id), COUNT(*) FROM events"
+    ).fetchone()
+    assert row.n_events == exact_events
+    assert abs(row.est_distinct_users - exact_users) <= max(2, 0.05 * exact_users)
