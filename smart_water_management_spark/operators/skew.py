@@ -103,6 +103,70 @@ def ensure_bucketed_tables(
 
 
 @register(
+    "k03_dynamic_partition_pruning",
+    oracle="""
+    WITH cnt AS (
+      SELECT EXTRACT(year FROM o_orderdate) AS year, COUNT(*) AS n
+      FROM orders GROUP BY 1
+    ),
+    dim AS (SELECT year FROM cnt ORDER BY n DESC, year DESC LIMIT 2)
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN dim ON EXTRACT(year FROM o_orderdate) = dim.year
+    GROUP BY 1
+    """,
+    doc="runtime (dynamic) partition pruning: a year-partitioned fact "
+    "joined to a dim whose filter is only known at runtime (top-2 years "
+    "by order count) — the fact scan reads 2 of 7 partitions, with "
+    "dynamicpruningexpression in PartitionFilters (plan-asserted). At "
+    "100 TB this is the difference between scanning the whole fact table "
+    "and scanning only the partitions the dim selects",
+)
+def k03_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = ensure_year_partitioned_orders(spark, sf_dir)
+    # the dim's predicate (rank by count) is NOT statically inferable onto
+    # the fact side — Catalyst cannot constant-fold it, so only DPP's
+    # runtime subquery can prune the fact partitions
+    from pyspark.sql import Window
+
+    cnt = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.year("o_orderdate").alias("year"))
+        .count()
+    )
+    w = Window.orderBy(F.desc("count"), F.desc("year"))
+    dim = cnt.withColumn("rk", F.row_number().over(w)).filter("rk <= 2").select("year")
+    return (
+        fact.join(dim, fact.o_year == dim.year)
+        .groupBy(fact.o_year)
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+def ensure_year_partitioned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lay orders out as a year-partitioned parquet fact (o_year=YYYY
+    directories — SURVEY §4.4 layout) and return the scan over it."""
+    from ..sources.io_ops import _scratch
+
+    path = _scratch("k03_fact", sf_dir)
+    (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("o_year", F.year("o_orderdate"))
+        .write.mode("overwrite")
+        .partitionBy("o_year")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)
+
+
+@register(
     "k02_bucketed_join",
     oracle="""
     SELECT o.o_orderpriority,

@@ -135,6 +135,20 @@ def test_bucketed_join_no_join_exchange(spark):
     assert plan.count("Exchange hashpartitioning") <= 1
 
 
+def test_dynamic_partition_pruning_fires(spark):
+    """K3: the year-partitioned fact scan must carry a dynamicpruning
+    subquery in its PartitionFilters — the dim's runtime-only predicate
+    (top-2 years by count) can't be pushed statically, so without DPP the
+    whole fact table is scanned to serve a 2-partition join."""
+    df = _q(spark, "k03_dynamic_partition_pruning")
+    plan = plan_of(df)
+    assert "k03_fact" in plan  # the partitioned fact is what's scanned
+    # the partition filter must be the runtime subquery on o_year — the
+    # fact's partition column — not a static literal list
+    pf_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("dynamicpruningexpression(o_year" in l for l in pf_lines), pf_lines
+
+
 def test_salted_agg_two_phases(spark):
     """K1: the salted aggregation must shuffle on (key, salt) first — the
     whole point is that no single reducer owns a hot key."""
