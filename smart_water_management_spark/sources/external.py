@@ -10,12 +10,17 @@ native Spark connector — object-store paths on `spark.read`/`write`
 predicates and partitioned reads, and a foreachBatch polling source
 guarded by the resilience layer (`streaming.ingest`).
 
-None of these backends exist in the build/test environment (no object
-store, no database server, no network), so every function here is a thin,
-UNTESTED-BY-CI composition of Spark connector APIs: the logic that IS
-testable (schema handling, partition math, lineage stamping, breaker
-state) lives in the tested modules this one delegates to. Import is
-side-effect-free; failures surface only at call time on the cluster.
+No object store, database server, or network exists in the build/test
+environment, so CI exercises each connector to the deepest reachable
+boundary: the object-store read/write run against ``file://`` (the same
+Hadoop FileSystem path as ``s3a://``, differing only in the scheme the
+cluster conf binds — tests/test_pipeline_ingest.py), and the polling
+source runs as a real streaming query with an injected fetch callable,
+covering everything but the HTTP call itself (tests/test_streaming.py).
+Only the JDBC pair is a thin UNTESTED-BY-CI composition of Spark
+connector options; its testable logic (partition-bound math, predicate
+text) is inline and trivial. Import is side-effect-free; JDBC failures
+surface only at call time on the cluster.
 """
 
 from __future__ import annotations
@@ -48,12 +53,15 @@ def read_object_store_csv(
 
 
 def write_object_store_partitioned(
-    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet", **options
 ) -> None:
     """S7: silver/gold sink to the object store with hive-style partition
     directories (reference writes year=/month=/day= CSV paths by hand,
     src/etl.py:186-203; partitionBy produces the same layout natively)."""
-    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+    writer = df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    writer.save(path)
 
 
 def read_warehouse_table(
