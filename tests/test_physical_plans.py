@@ -158,3 +158,49 @@ def test_salted_agg_two_phases(spark):
         for seg in plan.split("Exchange hashpartitioning(")[1:]
     ]
     assert any("__salt" in keys for keys in exchange_keys), exchange_keys
+
+
+def test_runtime_bloom_filter_join_pruning(spark):
+    """§4.4: when the join key is NOT the partition column, DPP can't help;
+    Spark 4's runtime bloom filter builds a might_contain predicate from
+    the filtered build side and applies it to the probe-side scan, dropping
+    never-joining rows before the shuffle. The application-side threshold
+    defaults to 10 GB — it fires on its own at cluster scale; lowered here
+    only to make the plan assertable at test scale."""
+    from pyspark.sql import functions as F
+
+    from smart_water_management_spark.sources.catalog import load_table
+
+    line = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders").filter(
+        "o_orderpriority = '1-URGENT'"
+    )
+
+    def joined():
+        return (
+            line.join(orders, line.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_lines"))
+        )
+
+    [expected] = joined().collect()  # default plan (broadcast, no bloom)
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # SMJ: bloom's target case
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = joined()
+        [row] = df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in plan, plan[:1500]
+    assert (row.o_orderpriority, row.n_lines) == (
+        expected.o_orderpriority,
+        expected.n_lines,
+    )
