@@ -428,3 +428,50 @@ def a17_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_distinct_users"
         ),
     )
+
+
+# --- A18: pre-aggregate reuse (the hourly gold table answers the daily
+# query). The reference maintains fact_sensor_readings_hourly
+# (sql/enhanced_data_schema.sql:279-322) but every dashboard query still
+# hits raw facts; here the coarser grain is DERIVED from the finer one —
+# sums/counts/min/max compose, the mean is recomputed from composed
+# sum/count — so at 100 TB the daily rollup reads hours (~10^3 smaller),
+# not raw rows. Partials stay exact DECIMAL until the final cast, making
+# the two-level result hash-identical to the direct single-pass oracle.
+@register(
+    "a18_preagg_reuse",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+             AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="A18: pre-aggregate reuse — the daily rollup is computed FROM the "
+    "hourly gold table (decimal partials re-aggregated), not from raw "
+    "events; oracle proves the two-level result equals the direct pass",
+)
+def a18_preagg_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # the hourly gold table: partial states, not finished measures —
+    # decimal sums stay decimal so any further rollup remains exact
+    hourly = ev.groupBy(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"), F.hour("ts").alias("hr")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("psum"),
+        F.count("*").alias("pcnt"),
+        F.min("value").alias("pmin"),
+        F.max("value").alias("pmax"),
+    )
+    # the daily query reads 24 rows per day instead of every event
+    return hourly.groupBy("day").agg(
+        F.sum("pcnt").alias("n_events"),
+        F.sum("psum").cast("double").alias("sum_value"),
+        F.min("pmin").alias("min_value"),
+        F.max("pmax").alias("max_value"),
+        (F.sum("psum").cast("double") / F.sum("pcnt")).alias("avg_value"),
+    )
