@@ -417,7 +417,7 @@ def a16_cube_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def a17_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy(F.dayofmonth("ts").alias("day")).agg(
+    daily = ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day")).agg(
         F.hll_sketch_agg("user_id").alias("user_sketch"),
         F.count("*").alias("n_events"),
     )
