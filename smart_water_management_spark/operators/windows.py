@@ -333,3 +333,71 @@ def w11_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         _dsum_over("value", w).alias("running_sum"),
         F.count("*").over(w).alias("running_n"),
     )
+
+
+# --- W12: time-series gap-fill (densification). Sensor feeds drop hours
+# (the reference's staleness monitor exists precisely because of this,
+# src/data_validator.py:418-429), but its dashboard charts assume a dense
+# hourly axis. The scaffold is sequence+explode over the [min,max] hour
+# range cross-joined with the tiny type dim — both sides are dimension-
+# sized at ANY fact scale (hours × types, not rows), so the only big-table
+# work is the one grouped aggregate; the scaffold join broadcasts.
+@register(
+    "w12_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                    (SELECT hi FROM bounds),
+                                    INTERVAL 1 HOUR)) AS hr
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hr, event_type,
+             COUNT(*) AS n, SUM(CAST(value AS DECIMAL(27,6))) AS s
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(h.hr, '%Y-%m-%d %H:%M:%S') AS hour,
+           t.event_type,
+           COALESCE(a.n, 0) AS n_events,
+           CAST(COALESCE(a.s, 0) AS DOUBLE) AS sum_value
+    FROM hours h
+    CROSS JOIN types t
+    LEFT JOIN agg a ON a.hr = h.hr AND a.event_type = t.event_type
+    """,
+    doc="W12: time-series gap-fill — dense hour × type scaffold via "
+    "sequence+explode, zero-filled left join; missing feed hours become "
+    "explicit zeros instead of silently absent chart points",
+)
+def w12_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    agg = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hr"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("s"),
+    )
+    return (
+        hours.crossJoin(types)
+        .join(agg, ["hr", "event_type"], "left")
+        .select(
+            F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce(F.col("s"), F.lit(0).cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )
