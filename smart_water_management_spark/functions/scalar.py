@@ -109,8 +109,8 @@ def f02_date_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id,
            ABS(value - 250.0) AS abs_dev,
            ROUND(value, 1) AS rounded,
-           FLOOR(value) AS floored,
-           CEIL(value) AS ceiled,
+           CAST(FLOOR(value) AS BIGINT) AS floored,
+           CAST(CEIL(value) AS BIGINT) AS ceiled,
            ROUND(SQRT(value), 6) AS sqrt_v,
            GREATEST(value, 100.0) AS clamped_lo,
            LEAST(value, 400.0) AS clamped_hi,

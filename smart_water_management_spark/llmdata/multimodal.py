@@ -116,7 +116,7 @@ def x13_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN doc_id % 3 = 1 THEN 'audio/wav'
                 ELSE 'video/mp4' END AS mime,
            COUNT(*) AS n_assets,
-           SUM(strlen(text)) AS total_bytes
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
     FROM documents
     GROUP BY 1
     """,
@@ -249,8 +249,8 @@ def resize_payloads(mm: DataFrame, target_bytes: int = 32) -> DataFrame:
                 WHEN doc_id % 3 = 1 THEN 'audio/wav'
                 ELSE 'video/mp4' END AS mime,
            COUNT(*) AS n_assets,
-           SUM(strlen(text)) AS total_orig_bytes,
-           SUM(LEAST(strlen(text), 32)) AS total_thumb_bytes
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_orig_bytes,
+           CAST(SUM(LEAST(strlen(text), 32)) AS BIGINT) AS total_thumb_bytes
     FROM documents
     GROUP BY 1
     """,

@@ -137,10 +137,12 @@ def a03_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a04_conditional_agg",
     oracle=f"""
     SELECT o_orderpriority,
-           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_finished,
            {sql_dsum("CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END")}
              AS finished_revenue,
-           SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS n_big,
+           CAST(SUM(CASE WHEN o_totalprice > 200000.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_big,
            COUNT(*) AS n_orders
     FROM orders
     GROUP BY o_orderpriority

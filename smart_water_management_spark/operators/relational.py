@@ -108,9 +108,11 @@ def p02_case_when_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COUNT(*) AS n_rows,
            COUNT(v_high) AS n_high_nonnull,
-           SUM(CASE WHEN v_high IS NULL THEN 1 ELSE 0 END) AS n_high_null,
+           CAST(SUM(CASE WHEN v_high IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_high_null,
            COUNT(COALESCE(v_high, v_nullable)) AS n_coalesced,
-           SUM(CASE WHEN COALESCE(v_high, 0.0) = 0.0 THEN 1 ELSE 0 END) AS n_filled_zero
+           CAST(SUM(CASE WHEN COALESCE(v_high, 0.0) = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_filled_zero
     FROM t
     """,
     doc="P9/P12-P14: isNull counting, coalesce, fillna semantics",
@@ -140,7 +142,8 @@ def p03_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
     "p04_regex_filter",
     oracle="""
     SELECT p_brand, COUNT(*) AS n_parts,
-           SUM(CASE WHEN regexp_matches(p_name, '^[a-z]+ [a-z]+') THEN 1 ELSE 0 END) AS n_two_words
+           CAST(SUM(CASE WHEN regexp_matches(p_name, '^[a-z]+ [a-z]+') THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_two_words
     FROM part
     WHERE regexp_matches(p_brand, '^Brand#[0-9]+$')
     GROUP BY p_brand

@@ -115,7 +115,7 @@ _Q6 = """
 SELECT user_id,
        COUNT(*) AS n_readings,
        CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value) AS avg_value,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_errors,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors,
        CASE WHEN SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100e0 / COUNT(*) > 25.0
               THEN 'critical'
             WHEN SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100e0 / COUNT(*) > 20.0
@@ -166,7 +166,8 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q9 = """
 SELECT user_id,
        COUNT(*) AS total_readings,
-       SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS anomaly_count,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         AS anomaly_count,
        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) * 100e0 / COUNT(*)
          AS anomaly_ratio_pct
 FROM events

@@ -104,7 +104,7 @@ def t02_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
       FROM flagged
     )
-    SELECT user_id, session_id,
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
            strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
            strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end,
            COUNT(*) AS n_events,

@@ -211,7 +211,7 @@ def v01_fused_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "v02_duplicate_detection",
     oracle="""
     SELECT COUNT(*) AS n_duplicate_keys,
-           COALESCE(SUM(cnt - 1), 0) AS n_excess_rows
+           CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT) AS n_excess_rows
     FROM (
       SELECT user_id, ts, COUNT(*) AS cnt
       FROM events GROUP BY user_id, ts HAVING COUNT(*) > 1

@@ -7,6 +7,7 @@ from __future__ import annotations
 import math
 import os
 from datetime import date, datetime
+from decimal import Decimal
 
 import duckdb
 import pytest
@@ -36,17 +37,27 @@ def duck():
 
 
 def _norm(v):
+    """Normalize to a (typeclass, value) tuple so the comparison is
+    dtype-sensitive like the driver's value hash: int 1000 and float 1000.0
+    must NOT compare equal (that exact class of oracle mismatch slipped
+    through round 1 as a04/f03)."""
     if v is None:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return v
-    if isinstance(v, (datetime, date)):
-        return str(v)
     # numpy scalars → python
     if hasattr(v, "item"):
         return _norm(v.item())
+    if isinstance(v, bool):
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("float", "NaN")
+        return ("float", v)
+    if isinstance(v, Decimal):
+        return ("dec", v)
+    if isinstance(v, (datetime, date)):
+        return str(v)
     return v
 
 
