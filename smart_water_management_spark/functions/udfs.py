@@ -136,6 +136,7 @@ def _normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
                   THEN 'night_low'
                 ELSE 'daytime_normal' END AS pattern_udf
     FROM events
+    WHERE user_id % 20 = 0
     """,
     doc="F1: consumption pattern — when-chain vs registered SQL row UDF "
     "(reference src/enhanced_spark_etl.py:63-74)",
@@ -145,12 +146,15 @@ def f09_udf_consumption_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events")
     # Same classification twice: the codegen fast path and the registered
-    # row UDF — the oracle proves they agree.
+    # row UDF — the oracle proves they agree. A deterministic 1-in-20
+    # sensor slice keeps the deliberately-slow row-at-a-time path cheap;
+    # the equality proof doesn't need every row.
     return spark.sql(
         """
         SELECT event_id, pattern,
                classify_consumption_pattern(value, hour(ts)) AS pattern_udf
-        FROM (SELECT event_id, value, ts, {expr} AS pattern FROM events)
+        FROM (SELECT event_id, value, ts, {expr} AS pattern
+              FROM events WHERE user_id % 20 = 0)
         """.format(expr="""
           CASE WHEN hour(ts) BETWEEN 6 AND 9 THEN 'morning_peak'
                WHEN hour(ts) BETWEEN 18 AND 21 THEN 'evening_peak'

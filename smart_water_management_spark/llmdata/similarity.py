@@ -147,9 +147,10 @@ def ivf_index(
 
     vecs = em.select(
         "vec_id", "label", F.col("e"), array_to_vector("e").alias("features")
-    )
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(vecs)
+    ).persist()  # Lloyd iterations re-scan; pin the vectorized corpus once
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features", maxIter=10).fit(vecs)
     assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
+    vecs.unpersist()
     return assigned.drop("features"), model
 
 

@@ -232,8 +232,13 @@ def t11_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         import time as _t
 
         changed.coalesce(1).write.parquet(os.path.join(src, "b0"))
-        _t.sleep(1.05)
         resent.coalesce(1).write.parquet(os.path.join(src, "b1"))
+        # the file source replays files in mtime order; pin b0 before b1
+        # explicitly rather than sleeping between the writes
+        now = _t.time()
+        for d, mtime in ((os.path.join(src, "b0"), now - 60), (os.path.join(src, "b1"), now)):
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), times=(mtime, mtime))
         stream = (
             spark.readStream.schema(
                 "c_custkey long, c_mktsegment string, c_acctbal double"

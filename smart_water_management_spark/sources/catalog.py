@@ -26,6 +26,27 @@ TABLES = [
 ]
 
 
+# Shared-scan cache for the small-input posture: a correctness sweep or
+# benchmark suite runs hundreds of queries over the same ten MB-scale
+# tables, and re-decoding parquet per query is pure repeat cost when the
+# whole dataset fits in a fraction of executor memory. Entries are lazy
+# (`persist()` — materialized by each table's first action). Production
+# posture bypasses this entirely: at 100 TB you stream the scan, prune
+# columns/partitions, and never pin base tables.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    path = f"{sf_dir}/{name}.parquet"
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+    return spark.read.parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one testdata table.
 
@@ -39,14 +60,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     precision above 2^53) back to a microsecond timestamp. The testdata's
     ts values all sit on the microsecond grid, so this is lossless.
     """
-    path = f"{sf_dir}/{name}.parquet"
-    if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
-    return spark.read.parquet(path)
+    from ..registry import small_input
+
+    if not small_input(sf_dir):
+        return _read_table(spark, sf_dir, name)
+    key = (id(spark), sf_dir, name)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = _read_table(spark, sf_dir, name).persist()
+    return _TABLE_CACHE[key]
+
+
+def clear_table_cache(spark: SparkSession) -> None:
+    """Unpersist and forget every shared-scan cache entry.
+
+    Needed before plan inspection under the production posture: Spark's
+    CacheManager substitutes InMemoryRelation into ANY plan that matches
+    a cached fragment, so a lingering cached scan would hide the
+    pushdown/pruning behavior the physical-plan CI asserts."""
+    for key in [k for k in _TABLE_CACHE if k[0] == id(spark)]:
+        _TABLE_CACHE.pop(key).unpersist()
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -247,8 +247,12 @@ def s04_glob_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2 = os.path.join(root, "v2")
     # v1 = stale partial snapshot; v2 (newer mtime) = the full table
     orders.filter(F.col("o_orderkey") % 2 == 0).write.mode("overwrite").parquet(v1)
-    time.sleep(1.05)  # distinct directory mtimes on coarse filesystems
     orders.write.mode("overwrite").parquet(v2)
+    # pin the ordering explicitly instead of sleeping between writes:
+    # what matters is v1.mtime < v2.mtime, not wall-clock spacing
+    now = time.time()
+    os.utime(v1, times=(now - 60, now - 60))
+    os.utime(v2, times=(now, now))
 
     # the one permissible driver-side step: list version dirs, pick latest
     # (a metadata listing, O(#versions) — not a data read)

@@ -13,9 +13,25 @@ from __future__ import annotations
 
 import pytest
 
+from smart_water_management_spark import registry
 from smart_water_management_spark.registry import _REGISTRY
 
 from .conftest import SF_DIR
+
+
+@pytest.fixture(autouse=True)
+def production_posture(spark):
+    """Plan assertions check the at-scale physical plans, so the
+    small-input tuning (shuffle=8, codegen off, cached scans) must not
+    apply here; restore the session's compiled-execution posture."""
+    from smart_water_management_spark.sources.catalog import clear_table_cache
+
+    registry.set_posture("production")
+    clear_table_cache(spark)
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    yield
+    registry.set_posture("auto")
 
 
 def plan_of(df, mode: str = "formatted") -> str:
