@@ -37,17 +37,20 @@ _REGISTRY: dict[str, QuerySpec] = {}
 
 # Execution-posture tuning. A shuffle partition (and, for streaming, a
 # state store instance) costs a task launch + state setup regardless of
-# how little data lands in it, and every distinct query pays a
-# whole-stage-codegen JIT compile before its first row; on the MB-scale
-# local test inputs both are pure overhead (measured at sf0.01: a
-# stateful stream-stream join drops 7.7s -> 2.5s going 32 -> 8
-# partitions; a 135-query sweep drops ~10% with codegen off). On real
-# inputs (>= _SMALL_INPUT_BYTES on disk) the session's configured values
-# are left untouched — compiled execution and cluster-sized reducer
-# counts are exactly right there. ``set_posture("production")`` (or
-# SWM_POSTURE=production) disables the small-input mode entirely; the
-# physical-plan CI asserts the production plans under that override.
-_SMALL_INPUT_BYTES = 256 * 1024 * 1024
+# how little data lands in it; every distinct query pays a
+# whole-stage-codegen JIT compile before its first row; and re-decoding
+# the same parquet per query is repeat cost. On MB-scale inputs (the
+# correctness-sweep regime) all three are pure overhead — measured at
+# sf0.01: a stateful stream-stream join drops 7.7s -> 2.5s going 32 -> 8
+# partitions, and the 135-query sweep drops ~20% with interpreted
+# execution + shared persisted scans. The regime flips fast: at sf0.1
+# (tens of MB, CPU-bound hashing/minhash) compiled 32-way execution
+# already wins, so the threshold is deliberately low and everything
+# above it keeps the session's configured posture untouched.
+# ``set_posture("production")`` (or SWM_POSTURE=production) disables the
+# small-input mode entirely; the physical-plan CI asserts the production
+# plans under that override.
+_SMALL_INPUT_BYTES = 8 * 1024 * 1024
 _SMALL_INPUT_PARTITIONS = 8
 _INPUT_BYTES_CACHE: dict[str, int | None] = {}
 _POSTURE = os.environ.get("SWM_POSTURE", "auto")
@@ -97,7 +100,7 @@ def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
     spark.conf.set("spark.sql.shuffle.partitions", str(_SMALL_INPUT_PARTITIONS))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # JIT-compiling each one-shot plan costs more than interpreting it
-    # over a few MB of input
+    # over a few MB of input; beyond that, compiled execution wins
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
 
 
