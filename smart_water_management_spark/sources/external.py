@@ -17,10 +17,12 @@ Hadoop FileSystem path as ``s3a://``, differing only in the scheme the
 cluster conf binds — tests/test_pipeline_ingest.py), and the polling
 source runs as a real streaming query with an injected fetch callable,
 covering everything but the HTTP call itself (tests/test_streaming.py).
-Only the JDBC pair is a thin UNTESTED-BY-CI composition of Spark
-connector options; its testable logic (partition-bound math, predicate
-text) is inline and trivial. Import is side-effect-free; JDBC failures
-surface only at call time on the cluster.
+The JDBC pair round-trips through embedded Apache Derby in CI (the
+in-process database that ships in Spark's jars/ —
+tests/test_pipeline_ingest.py::test_jdbc_warehouse_roundtrip_embedded_derby
+covers sink append, full read, partitioned parallel read with fetched
+bounds, and pushed predicates); a real warehouse swaps the URL/driver.
+Import is side-effect-free.
 """
 
 from __future__ import annotations
@@ -91,16 +93,21 @@ def read_warehouse_table(
     for k, v in properties.items():
         reader = reader.option(k, v)
     if partition_column is not None:
+        # ANSI-quoted: Spark's JDBC writer creates case-exact quoted
+        # identifiers, so a bare name may not resolve (Derby, PostgreSQL)
+        qcol = f'"{partition_column}"'
         bounds = spark.read.format("jdbc").option("url", url).option(
-            "dbtable", f"(SELECT MIN({partition_column}) lo, MAX({partition_column}) hi FROM {table}) b"
+            "dbtable", f"(SELECT MIN({qcol}) lo, MAX({qcol}) hi FROM {table}) b"
         )
         for k, v in properties.items():
             bounds = bounds.option(k, v)
+        # positional access: engines normalize unquoted alias case
+        # differently (Derby uppercases LO/HI)
         row = bounds.load().collect()[0]
         reader = (
             reader.option("partitionColumn", partition_column)
-            .option("lowerBound", str(row["lo"]))
-            .option("upperBound", str(row["hi"]))
+            .option("lowerBound", str(row[0]))
+            .option("upperBound", str(row[1]))
             .option("numPartitions", str(num_partitions))
         )
     return reader.load()
