@@ -3,13 +3,14 @@ image/audio/video payloads as opaque ``binary`` columns with typed
 metadata, and run decode / feature-extraction as Arrow-batched
 ``mapInPandas`` stages.
 
-The container has no image/audio codecs, so the actual decode is STUBBED:
-``decode_payload(..., real=True)`` raises NotImplementedError, and the
-default path substitutes a deterministic fake decoder (byte-statistics
-"features"). Everything Spark-side — schema, binary encoding, metadata
-struct, partitioning, Arrow batch shapes, UDF signatures — is real and
-tested; swapping in PIL/ffmpeg later only changes the per-batch pandas
-function body.
+Image decode/resize is optional-dependency-gated: when PIL is installed,
+``decode_payload(..., real=True)`` and ``resize_payloads(use_codec=True)``
+really decode and thumbnail image payloads (tested when PIL exists);
+without it the real path raises and the default deterministic
+byte-statistics stub stands in (audio/video decode needs librosa/ffmpeg
+and stays stubbed). Everything Spark-side — schema, binary encoding,
+metadata struct, partitioning, Arrow batch shapes, UDF signatures — is
+identical on both paths.
 
 Scale posture: payloads stay in executor Arrow batches end-to-end (never
 collected); feature extraction is embarrassingly parallel per partition;
@@ -51,15 +52,44 @@ def to_multimodal(docs: DataFrame) -> DataFrame:
     )
 
 
+def _pil():
+    """PIL.Image when installed, else None — the real image path is
+    optional-dependency-gated, everything else uses the synthetic stub."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
 def decode_payload(pdf, real: bool = False):
-    """Per-batch decode. The real path needs PIL/librosa/ffmpeg — not in
-    this container — so it is explicitly stubbed."""
-    if real:
-        raise NotImplementedError(
-            "real media decode requires image/audio libraries not present in "
-            "this environment; plug PIL/librosa here"
-        )
+    """Per-batch decode. ``real=True`` decodes image payloads through PIL
+    when it is installed (mean pixel value + unique-level entropy proxy
+    from actual pixels); audio/video decode needs librosa/ffmpeg which
+    stay stubbed. Without PIL the real path raises."""
     import numpy as np
+
+    if real:
+        Image = _pil()
+        if Image is None:
+            raise NotImplementedError(
+                "real media decode requires image/audio libraries not present "
+                "in this environment; install PIL for the image path"
+            )
+        import io
+
+        feats = []
+        for payload, mime in zip(pdf["payload"], pdf["mime"]):
+            if not mime.startswith("image"):
+                raise NotImplementedError(
+                    "real decode for non-image media needs librosa/ffmpeg"
+                )
+            px = np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
+            feats.append(
+                (float(px.mean()), len(np.unique(px)) / 256.0, 1)
+            )
+        return feats
 
     feats = []
     for payload, mime in zip(pdf["payload"], pdf["mime"]):
@@ -201,28 +231,44 @@ def x16_frame_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESIZE_SCHEMA = "doc_id long, mime string, orig_bytes long, thumb_bytes long, thumb binary"
 
 
-def resize_payloads(mm: DataFrame, target_bytes: int = 32) -> DataFrame:
-    """Resize/downsample stage via mapInPandas (stubbed decode).
+def resize_payloads(
+    mm: DataFrame, target_bytes: int = 32, use_codec: bool = False
+) -> DataFrame:
+    """Resize/downsample stage via mapInPandas.
 
-    The stub "resizes" by stride-sampling the payload down to
-    ``target_bytes`` — standing in for PIL's thumbnail / librosa's
-    resample. The Spark-side contract is what matters: binary in, binary
-    out, bounded output size, Arrow batches end-to-end, payloads never on
-    the driver. Swapping in a real codec changes only the loop body.
+    Default path "resizes" by stride-sampling the payload down to
+    ``target_bytes`` — deterministic, codec-free, and what the x19
+    oracle's byte arithmetic describes. With ``use_codec=True`` and PIL
+    installed, image payloads are really decoded and thumbnailed
+    (8×8 PNG); the Spark-side contract is identical either way: binary
+    in, binary out, bounded output size, Arrow batches end-to-end,
+    payloads never on the driver.
     """
+    codec = use_codec and _pil() is not None
 
     def run(batches):
         import pandas as pd
 
         for pdf in batches:
             thumbs, sizes = [], []
-            for payload in pdf["payload"]:
-                n = len(payload)
-                if n <= target_bytes:
-                    thumb = bytes(payload)
-                else:
-                    stride = n // target_bytes
-                    thumb = bytes(payload[::stride][:target_bytes])
+            for payload, mime in zip(pdf["payload"], pdf["mime"]):
+                thumb = None
+                if codec and mime.startswith("image"):
+                    import io
+
+                    Image = _pil()
+                    img = Image.open(io.BytesIO(payload))
+                    img.thumbnail((8, 8))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                    thumb = buf.getvalue()
+                if thumb is None:
+                    n = len(payload)
+                    if n <= target_bytes:
+                        thumb = bytes(payload)
+                    else:
+                        stride = n // target_bytes
+                        thumb = bytes(payload[::stride][:target_bytes])
                 thumbs.append(thumb)
                 sizes.append(len(thumb))
             yield pd.DataFrame(

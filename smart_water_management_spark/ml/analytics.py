@@ -89,7 +89,7 @@ def _cached_kmeans(spark: SparkSession, sf_dir: str):
 )
 def m01_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, feats = _cached_kmeans(spark, sf_dir)
-    return (
+    profile = (
         model.transform(feats)
         .groupBy(F.col("prediction").alias("cluster"))
         .agg(
@@ -98,6 +98,11 @@ def m01_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").alias("n_users"),
         )
     )
+    # KMeans cluster ids are arbitrary labels; re-key by size rank so the
+    # output is stable under label permutation across fits/versions (a
+    # rows-only correctness record then reflects a deterministic table)
+    w = W.orderBy(F.desc("n_events"), F.asc("avg_value"))
+    return profile.withColumn("cluster", F.row_number().over(w) - 1)
 
 
 @register(

@@ -136,9 +136,9 @@ def _incoming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changed.unionByName(resent)
 
 
-@register(
-    "c04_scd2_merge",
-    oracle="""
+# Shared by c04 (one-shot batch merge) and t11 (per-micro-batch streaming
+# fold of the SAME disjoint update set): both must land on this dimension.
+_SCD2_ORACLE = """
     WITH incoming AS (
       SELECT c_custkey,
              'MACHINERY' AS c_mktsegment,
@@ -164,7 +164,12 @@ def _incoming_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, new_seg, new_bal,
            '2024-06-01', NULL, TRUE
     FROM changed
-    """,
+    """
+
+
+@register(
+    "c04_scd2_merge",
+    oracle=_SCD2_ORACLE,
     doc="C4: SCD Type 2 merge — anti-join + union change tracking the "
     "reference only reserves columns for (sql/dimensional_schema.sql:43-48)",
 )
@@ -189,7 +194,9 @@ def c04_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t11_streaming_scd2",
-    oracle=None,  # equality with the batch merge (c04) asserted in tests
+    # the disjoint/idempotent micro-batch fold must land exactly on the
+    # one-shot batch merge — same oracle as c04, now hash-checked
+    oracle=_SCD2_ORACLE,
     doc="streaming dimension maintenance: SCD2 merges applied per "
     "micro-batch via foreachBatch; final dimension equals the one-shot "
     "batch merge (update stream → slowly-changing dim, incremental)",

@@ -166,8 +166,38 @@ def t05_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "t06_streaming_session_windows",
-    oracle=None,  # session_window start/end depend on watermark semantics; checked in tests vs batch twin
-    doc="T8 via session_window() in Structured Streaming (30min gap)",
+    # Append mode emits exactly the sessions the final watermark has
+    # closed: islands (30min gap) whose end (last event + gap) is at or
+    # before max(ts) - 24h. The oracle reproduces both the
+    # sessionization AND that emission rule, so the streaming result is
+    # hash-checked, not merely rows-counted.
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM ordered
+    ),
+    agg AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             COUNT(*) AS n_events
+      FROM sess GROUP BY user_id, sid
+    )
+    SELECT strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+           user_id, n_events
+    FROM agg, (SELECT MAX(ts) AS mx FROM events) m
+    WHERE session_end <= m.mx - INTERVAL 24 HOUR
+    """,
+    doc="T8 via session_window() in Structured Streaming (30min gap); "
+    "append-mode emission boundary encoded in the oracle",
 )
 def t06_streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = read_event_stream(spark, sf_dir)

@@ -81,14 +81,49 @@ def test_multimodal_plumbing(spark):
     assert len(rows) == docs.count()
     assert all(0 <= r.byte_mean <= 255 for r in rows)
     assert all(r.frame_count >= 1 for r in rows)
-    # real decode is an explicit stub
+    # real decode is PIL-gated: without the optional dependency it must
+    # refuse loudly rather than fake results
     import pandas as pd
     import pytest
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_payload(
-            pd.DataFrame({"payload": [b"x"], "mime": ["image/png"]}), real=True
-        )
+    if multimodal._pil() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_payload(
+                pd.DataFrame({"payload": [b"x"], "mime": ["image/png"]}), real=True
+            )
+
+
+def test_multimodal_real_codec_when_pil_present(spark):
+    """With PIL installed, the image path really decodes and thumbnails;
+    skipped (not faked) when the optional dependency is absent."""
+    import pytest
+
+    Image = multimodal._pil()
+    if Image is None:
+        pytest.skip("PIL not installed — real-codec path unavailable")
+    import io
+
+    import pandas as pd
+
+    img = Image.new("L", (64, 64), color=128)
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    png = buf.getvalue()
+
+    feats = multimodal.decode_payload(
+        pd.DataFrame({"payload": [png], "mime": ["image/png"]}), real=True
+    )
+    assert feats[0][0] == 128.0  # mean pixel of a constant image
+
+    mm = spark.createDataFrame(
+        [(1, png, ("image/png", len(png), "test"))],
+        "doc_id long, payload binary, meta struct<mime:string,n_bytes:long,origin:string>",
+    )
+    row = multimodal.resize_payloads(mm, use_codec=True).collect()[0]
+    assert row.thumb_bytes < len(png)
+    assert bytes(row.thumb[:8]) == b"\x89PNG\r\n\x1a\n"  # a real PNG came back
+    thumb_img = Image.open(io.BytesIO(bytes(row.thumb)))
+    assert max(thumb_img.size) <= 8
 
 
 def test_ml_invariants(spark):
