@@ -42,6 +42,7 @@ _OPTIONAL_MODULES = [
     "smart_water_management_spark.llmdata.similarity",
     "smart_water_management_spark.llmdata.text",
     "smart_water_management_spark.llmdata.multimodal",
+    "smart_water_management_spark.llmdata.curation",
 ]
 
 import importlib as _importlib

@@ -1,0 +1,213 @@
+"""Corpus-curation operators a large-scale training-data pipeline runs
+between raw crawl and training: rule-based quality filtering (the
+Gopher/C4 family), deterministic stratified sampling for domain mixing,
+and benchmark-contamination detection via shared n-gram runs.
+
+All three are pure DataFrame algebra — split/HOF/hash builtins, one
+shuffle where a join or global agg demands it — so the identical plans
+run on a 100 TB corpus: the quality filters are a single scan, the
+sampler is a scan + tiny aggregate, and the contamination check is an
+n-gram explode into a hash-partitioned semi-join (the shape used to
+decontaminate real LLM training sets against eval benchmarks).
+
+Reference scope note: the reference engine has no corpus layer; these
+extend the §2 surface per the build brief (BASELINE.json extension
+surface), sharing the ``documents`` table and the text.py tokenizer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from ..sources.catalog import load_table
+from .text import STOPWORDS, tokens
+
+# --- x21: Gopher-style rule filters -----------------------------------------
+
+# Band constants shared by the Spark expression and the SQL oracle.
+MIN_WORDS, MAX_WORDS = 30, 100_000
+MIN_MWL, MAX_MWL = 3.0, 10.0
+MAX_DUP_FRAC = 0.8
+MIN_STOP_FRAC = 0.02
+
+
+@register(
+    "x21_gopher_quality_filters",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(text), ' ') AS tk
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(tk) AS n_words,
+             CAST(list_aggregate(list_transform(tk, w -> length(w)), 'avg')
+                  AS DOUBLE) AS mean_word_len,
+             1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup_word_frac,
+             CAST(len(list_filter(tk,
+                 w -> w IN ({", ".join(f"'{w}'" for w in STOPWORDS)})))
+                  AS DOUBLE) / len(tk) AS stopword_frac
+      FROM t
+    )
+    SELECT doc_id, n_words, ROUND(mean_word_len, 6) AS mean_word_len,
+           ROUND(dup_word_frac, 6) AS dup_word_frac,
+           ROUND(stopword_frac, 6) AS stopword_frac,
+           (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+             AND (mean_word_len BETWEEN {MIN_MWL} AND {MAX_MWL})
+             AND (dup_word_frac <= {MAX_DUP_FRAC})
+             AND (stopword_frac >= {MIN_STOP_FRAC}) AS passes
+    FROM m
+    """,
+    doc="Gopher-style quality filters: word-count band, mean word length, "
+    "duplicate-word fraction, stopword floor — one scan, no shuffle",
+)
+def x21_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    n_words = F.size(tk)
+    mwl = (
+        F.aggregate(
+            F.transform(tk, lambda w: F.length(w)), F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / n_words
+    )
+    dup_frac = F.lit(1.0) - F.size(F.array_distinct(tk)).cast("double") / n_words
+    stop_frac = (
+        F.size(F.filter(tk, lambda w: w.isin(STOPWORDS))).cast("double") / n_words
+    )
+    passes = (
+        n_words.between(MIN_WORDS, MAX_WORDS)
+        & mwl.between(MIN_MWL, MAX_MWL)
+        & (dup_frac <= MAX_DUP_FRAC)
+        & (stop_frac >= MIN_STOP_FRAC)
+    )
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(dup_frac, 6).alias("dup_word_frac"),
+        F.round(stop_frac, 6).alias("stopword_frac"),
+        passes.alias("passes"),
+    )
+
+
+# --- x22: deterministic stratified sampling ---------------------------------
+
+# Per-stratum keep rates for domain mixing. The keep decision is
+# md5(doc_id) prefix < rate-scaled hex threshold — a pure function of the
+# row key, so the sample is reproducible on any engine, any partitioning,
+# any run (what F.rand() can never give across engines), and rerunning
+# over an appended corpus keeps prior decisions stable.
+SAMPLE_RATES = {"en": 0.5, "fr": 0.2, "de": 0.8}
+_HEX_SCALE = 1 << 16  # 4 hex chars
+
+
+def _hex_threshold(rate: float) -> str:
+    return format(int(rate * _HEX_SCALE), "04x")
+
+
+@register(
+    "x22_stratified_sample",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT lang,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS hx
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN hx < CASE lang
+                 {" ".join(f"WHEN '{l}' THEN '{_hex_threshold(r)}'" for l, r in SAMPLE_RATES.items())}
+                 ELSE '0000' END THEN 1 END) AS n_sampled
+    FROM keyed
+    GROUP BY lang
+    """,
+    doc="deterministic stratified sampling for domain mixing: per-stratum "
+    "keep rates via md5-prefix thresholds — reproducible across engines, "
+    "partitionings and appends; scan + tiny aggregate",
+)
+def x22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = F.lit("0000")
+    for lang, rate in SAMPLE_RATES.items():
+        thr = F.when(F.col("lang") == lang, _hex_threshold(rate)).otherwise(thr)
+    keep = hx < thr
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(keep, 1)).alias("n_sampled"),
+    )
+
+
+def stratified_sample_rows(docs: DataFrame) -> DataFrame:
+    """The row-level sampler (the aggregate above is its audit): keeps a
+    document iff its md5 prefix clears its stratum's threshold."""
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = F.lit("0000")
+    for lang, rate in SAMPLE_RATES.items():
+        thr = F.when(F.col("lang") == lang, _hex_threshold(rate)).otherwise(thr)
+    return docs.filter(hx < thr)
+
+
+# --- x23: benchmark contamination -------------------------------------------
+
+NGRAM = 8
+# Deterministic stand-in for an eval benchmark: every 10th document.
+BENCH_PRED = "doc_id % 10 = 0"
+
+
+def _gram_expr(tk_col: str) -> str:
+    """SQL expression: list of md5'd overlapping {NGRAM}-token runs.
+
+    Guarded for short docs: Spark's sequence(0, n) DESCENDS for n < 0
+    (it would yield [0, -1]) so the empty case must be explicit.
+    """
+    return (
+        f"CASE WHEN size({tk_col}) >= {NGRAM} THEN "
+        f"transform(sequence(0, size({tk_col}) - {NGRAM}), "
+        f"i -> md5(concat_ws(' ', slice({tk_col}, i + 1, {NGRAM})))) "
+        f"ELSE array() END"
+    )
+
+
+@register(
+    "x23_benchmark_contamination",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+               range(0, greatest(len(tk) - {NGRAM - 1}, 0)),
+               i -> md5(array_to_string(tk[i+1:i+{NGRAM}], ' ')))) AS g
+      FROM toks
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE {BENCH_PRED}),
+    train AS (SELECT doc_id, g FROM grams WHERE NOT ({BENCH_PRED}))
+    SELECT t.doc_id, COUNT(DISTINCT t.g) AS n_shared_ngrams
+    FROM train t JOIN bench b USING (g)
+    GROUP BY t.doc_id
+    """,
+    doc=f"benchmark decontamination: training docs sharing any {NGRAM}-token "
+    "run with the benchmark set, via n-gram-hash explode + semi-join — the "
+    "shuffle is hash-partitioned on the gram, never all-pairs",
+)
+def x23_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn(
+        "tk", tokens("text")
+    )
+    # two-step select: generators can't nest inside expressions
+    grams = d.select(
+        "doc_id", F.explode(F.expr(_gram_expr("tk"))).alias("g")
+    )
+    bench = grams.filter(F.expr(BENCH_PRED)).select("g").distinct()
+    train = grams.filter(~F.expr(BENCH_PRED))
+    return (
+        train.join(bench, "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_ngrams"))
+    )

@@ -210,3 +210,38 @@ def test_quantized_topk_recall_vs_exact(spark):
         top1 += min(ex[qid])[1] == min(qu[qid])[1]
     assert hits / total >= 0.8, f"recall@5 {hits/total:.2f}"
     assert top1 / len(ex) >= 0.9, f"top-1 agreement {top1/len(ex):.2f}"
+
+
+def test_curation_operators(spark):
+    """x21-x23 invariants beyond the oracle parity check."""
+    from smart_water_management_spark.llmdata import curation
+
+    docs = load_table(spark, SF_DIR, "documents")
+
+    # x22: the row-level sampler must reconcile exactly with its audit
+    # aggregate, and be idempotent (pure function of the key)
+    audit = {
+        r.lang: (r.n_total, r.n_sampled)
+        for r in curation.x22_stratified_sample(spark, SF_DIR).collect()
+    }
+    sampled = curation.stratified_sample_rows(docs)
+    got = {
+        r.lang: r.n
+        for r in sampled.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    for lang, (_total, n_sampled) in audit.items():
+        assert got.get(lang, 0) == n_sampled
+    # idempotent: a pure function of the key samples the same rows again
+    assert sampled.count() == curation.stratified_sample_rows(docs).count()
+
+    # x23: no benchmark doc may appear in the contamination report, and
+    # every reported doc must genuinely share a run (n_shared >= 1)
+    rep = curation.x23_benchmark_contamination(spark, SF_DIR).collect()
+    assert all(r.doc_id % 10 != 0 for r in rep)
+    assert all(r.n_shared_ngrams >= 1 for r in rep)
+
+    # x21: filters partition the corpus; metrics bounded
+    rows = curation.x21_gopher_quality_filters(spark, SF_DIR).collect()
+    assert len(rows) == docs.count()
+    assert all(0.0 <= r.dup_word_frac <= 1.0 for r in rows)
+    assert all(0.0 <= r.stopword_frac <= 1.0 for r in rows)
