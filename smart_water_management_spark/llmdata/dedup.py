@@ -24,8 +24,16 @@ from ..registry import register
 from ..sources.catalog import fan_out, load_table
 from .text import tokens
 
-MINHASH_K = 32
-LSH_BANDS = 8  # r = MINHASH_K / LSH_BANDS = 4 rows per band
+# k=16 over 8 bands (r=2 rows/band) aligns the LSH s-curve with the 0.5
+# Jaccard verification threshold: candidate probability at j is
+# 1-(1-j^r)^b, so r=2/b=8 has its midpoint at (1/8)^(1/2) ≈ 0.35 and
+# catches ~90% of true pairs at j=0.5, where the previous r=4 midpoint
+# (~0.59) silently missed ~60% of them. Half the signature width also
+# halves the agg plan (~4x faster cold compile). The cost is a looser
+# pre-filter — more candidates reach the exact-Jaccard verify stage —
+# which is the right trade while verification stays a bucket-local join.
+MINHASH_K = 16
+LSH_BANDS = 8  # r = MINHASH_K / LSH_BANDS = 2 rows per band
 
 
 @register(
@@ -177,7 +185,8 @@ def verify_jaccard(
 @register(
     "x08_minhash_lsh_dedup",
     oracle=None,  # probabilistic candidate generation; invariants in tests
-    doc="MinHash(k=32) + LSH(8 bands) near-dup pairs, Jaccard-verified >= 0.5",
+    doc="MinHash(k=16) + LSH(8 bands, r=2) near-dup pairs, "
+    "Jaccard-verified >= 0.5",
 )
 def x08_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
