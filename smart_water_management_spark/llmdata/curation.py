@@ -107,7 +107,22 @@ _HEX_SCALE = 1 << 16  # 4 hex chars
 
 
 def _hex_threshold(rate: float) -> str:
+    if rate >= 1.0:
+        # int(1.0 * 65536) would format to the 5-char '10000', and a
+        # lexicographic hx < '10000' keeps only ~12.5% of rows; 'g' sorts
+        # above every hex digit, so hx < 'g' keeps everything
+        return "g"
     return format(int(rate * _HEX_SCALE), "04x")
+
+
+def _keep_expr():
+    """The stratum keep decision, shared by the sampler and its audit so
+    the two can never drift apart."""
+    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    thr = F.lit("0000")
+    for lang, rate in SAMPLE_RATES.items():
+        thr = F.when(F.col("lang") == lang, _hex_threshold(rate)).otherwise(thr)
+    return hx < thr
 
 
 @register(
@@ -132,25 +147,16 @@ def _hex_threshold(rate: float) -> str:
 )
 def x22_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
-    thr = F.lit("0000")
-    for lang, rate in SAMPLE_RATES.items():
-        thr = F.when(F.col("lang") == lang, _hex_threshold(rate)).otherwise(thr)
-    keep = hx < thr
     return d.groupBy("lang").agg(
         F.count("*").alias("n_total"),
-        F.count(F.when(keep, 1)).alias("n_sampled"),
+        F.count(F.when(_keep_expr(), 1)).alias("n_sampled"),
     )
 
 
 def stratified_sample_rows(docs: DataFrame) -> DataFrame:
     """The row-level sampler (the aggregate above is its audit): keeps a
     document iff its md5 prefix clears its stratum's threshold."""
-    hx = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
-    thr = F.lit("0000")
-    for lang, rate in SAMPLE_RATES.items():
-        thr = F.when(F.col("lang") == lang, _hex_threshold(rate)).otherwise(thr)
-    return docs.filter(hx < thr)
+    return docs.filter(_keep_expr())
 
 
 # --- x23: benchmark contamination -------------------------------------------
@@ -200,10 +206,13 @@ def x23_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").withColumn(
         "tk", tokens("text")
     )
-    # two-step select: generators can't nest inside expressions
+    # two-step select: generators can't nest inside expressions.
+    # persisted because both join sides derive from it — without the pin
+    # the tokenize->hash->explode stage (the dominant cost at corpus
+    # scale) runs twice, as dedup.py's x08 documents for the same shape.
     grams = d.select(
         "doc_id", F.explode(F.expr(_gram_expr("tk"))).alias("g")
-    )
+    ).persist()
     bench = grams.filter(F.expr(BENCH_PRED)).select("g").distinct()
     train = grams.filter(~F.expr(BENCH_PRED))
     return (

@@ -8,7 +8,8 @@ Scale notes per operator:
 - MinHash+LSH: shingle explode → k min-hash aggregates (ONE shuffle),
   band explode → bucket groupBy (second shuffle) → candidate pairs only
   within buckets (never all-pairs), verify Jaccard on the candidates.
-  b=8 bands × r=4 rows ≈ catches Jaccard ≥ ~0.6 with high probability.
+  b=8 bands × r=2 rows catches Jaccard ≥ 0.5 with ~90% probability
+  (s-curve tuning rationale at the MINHASH_K constant below).
 - SimHash: per-doc 64-bit signature via bitwise majority of token hashes,
   computed JVM-side with conditional aggregates (no UDF).
 """

@@ -71,11 +71,16 @@ def fit_kmeans(ev: DataFrame, k: int = 5):
 # The behavior-clustering model is deterministic (seed=42, same input),
 # and both m01 (cluster profile) and m02 (anomaly scoring) consume it —
 # a model-registry pattern: fit once per (session, dataset), reuse.
-_KMEANS_CACHE: dict[tuple[int, str], object] = {}
+# Keyed by applicationId (not id(spark)): object addresses get reused
+# after a session is stopped, which would hand a new session a model
+# bound to the dead context.
+_KMEANS_CACHE: dict[tuple[str, str], object] = {}
 
 
 def _cached_kmeans(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    from ..sources.catalog import session_key
+
+    key = (session_key(spark), sf_dir)
     ev = load_table(spark, sf_dir, "events")
     if key not in _KMEANS_CACHE:
         _KMEANS_CACHE[key] = fit_kmeans(ev)[0]

@@ -93,10 +93,24 @@ def small_input(sf_dir: str) -> bool:
     return nbytes is not None and nbytes < _SMALL_INPUT_BYTES
 
 
+# The session's own posture, captured before the first small-input
+# override so a later large-input query RESTORES it — without this the
+# small-input settings would stick for the rest of the session and
+# silently degrade every subsequent at-scale query. Keyed by
+# applicationId: unique per SparkContext, unlike a reusable id().
+_SAVED_CONF: dict[str, dict[str, str]] = {}
+_TUNED_CONFS = ("spark.sql.shuffle.partitions", "spark.sql.codegen.wholeStage")
+
+
 def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
     """Right-size shuffle width and codegen mode to the input scale."""
+    sid = spark.sparkContext.applicationId
     if not small_input(sf_dir):
+        for key, val in _SAVED_CONF.pop(sid, {}).items():
+            spark.conf.set(key, val)
         return
+    if sid not in _SAVED_CONF:
+        _SAVED_CONF[sid] = {k: spark.conf.get(k) for k in _TUNED_CONFS}
     spark.conf.set("spark.sql.shuffle.partitions", str(_SMALL_INPUT_PARTITIONS))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # JIT-compiling each one-shot plan costs more than interpreting it

@@ -33,7 +33,15 @@ TABLES = [
 # (`persist()` — materialized by each table's first action). Production
 # posture bypasses this entirely: at 100 TB you stream the scan, prune
 # columns/partitions, and never pin base tables.
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def session_key(spark: SparkSession) -> str:
+    """Stable identity for cache keys. NOT id(spark): CPython reuses
+    object addresses, so a new session can alias a stopped one's cache
+    entries (whose lineage points at a dead SparkContext); the
+    applicationId is unique per context."""
+    return spark.sparkContext.applicationId
 
 
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -64,7 +72,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     if not small_input(sf_dir):
         return _read_table(spark, sf_dir, name)
-    key = (id(spark), sf_dir, name)
+    key = (session_key(spark), sf_dir, name)
     if key not in _TABLE_CACHE:
         _TABLE_CACHE[key] = _read_table(spark, sf_dir, name).persist()
     return _TABLE_CACHE[key]
@@ -77,7 +85,7 @@ def clear_table_cache(spark: SparkSession) -> None:
     CacheManager substitutes InMemoryRelation into ANY plan that matches
     a cached fragment, so a lingering cached scan would hide the
     pushdown/pruning behavior the physical-plan CI asserts."""
-    for key in [k for k in _TABLE_CACHE if k[0] == id(spark)]:
+    for key in [k for k in _TABLE_CACHE if k[0] == session_key(spark)]:
         _TABLE_CACHE.pop(key).unpersist()
 
 

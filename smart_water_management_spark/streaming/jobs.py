@@ -62,12 +62,12 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     os.makedirs(stage, exist_ok=True)
     link = os.path.join(stage, "events.parquet")
     target = f"{sf_dir}/events.parquet"
-    # recreate rather than reuse: a stale link (target regenerated or
-    # renamed between runs) would otherwise replay old data silently
-    if os.path.islink(link) and os.path.realpath(link) != os.path.realpath(target):
+    # unconditional relink: lexists (not exists) also catches a dangling
+    # link whose target vanished, which exists() would miss and symlink()
+    # would then trip over with FileExistsError
+    if os.path.lexists(link):
         os.unlink(link)
-    if not os.path.exists(link):
-        os.symlink(target, link)
+    os.symlink(target, link)
     raw = (
         spark.readStream.schema(_RAW_SCHEMA)
         .option("maxFilesPerTrigger", 1)
@@ -193,7 +193,11 @@ def t05_streaming_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
            user_id, n_events
-    FROM agg, (SELECT MAX(ts) AS mx FROM events) m
+    FROM agg,
+         -- Spark truncates event-time watermarks to MILLISECONDS; a max
+         -- ts with sub-ms precision must be floored the same way or the
+         -- oracle emits sessions Spark still withholds
+         (SELECT date_trunc('millisecond', MAX(ts)) AS mx FROM events) m
     WHERE session_end <= m.mx - INTERVAL 24 HOUR
     """,
     doc="T8 via session_window() in Structured Streaming (30min gap); "
