@@ -131,7 +131,29 @@ def extract_features(mm: DataFrame) -> DataFrame:
 
 @register(
     "x13_multimodal_features",
-    oracle=None,  # Arrow/mapInPandas plumbing; byte stats checked in tests
+    # The synthetic corpus is ASCII, so the Python-side byte statistics
+    # are exactly reproducible from the text in SQL (per-char unicode ==
+    # byte value); integer byte sums stay < 2^53 so the float means are
+    # bit-identical. Proves the whole Arrow/mapInPandas plumbing against
+    # an engine that never saw the binary column.
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS mime,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           COALESCE(CAST(list_aggregate(
+               list_transform(range(1, length(text) + 1),
+                              i -> unicode(text[i])), 'avg') AS DOUBLE),
+             0.0) AS byte_mean,
+           len(list_distinct(list_transform(range(1, length(text) + 1),
+                                            i -> unicode(text[i])))) / 256.0
+             AS byte_entropy_proxy,
+           CAST(CASE WHEN doc_id % 3 = 2
+                     THEN greatest(length(text) // 64, 1)
+                     ELSE 1 END AS INT) AS frame_count
+    FROM documents
+    """,
     doc="multimodal: binary payload + metadata struct → mapInPandas features",
 )
 def x13_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:

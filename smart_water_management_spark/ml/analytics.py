@@ -199,10 +199,35 @@ def m03_rf_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         df.unpersist()
 
 
+_M04_TYPES = ["click", "error", "purchase", "signup", "view"]
+_M04_WIDE = """
+    WITH wide AS (
+      SELECT time_bucket(INTERVAL 1 DAY, ts) AS d,
+             {cols}
+      FROM events GROUP BY 1
+    ),
+    clean AS (SELECT * FROM wide WHERE {notnull})
+""".format(
+    cols=", ".join(
+        f"AVG(value) FILTER (event_type = '{t}') AS {t}" for t in _M04_TYPES
+    ),
+    notnull=" AND ".join(f"{t} IS NOT NULL" for t in _M04_TYPES),
+)
+
+
 @register(
     "m04_correlation_matrix",
-    oracle=None,
-    doc="M7/A15: Pearson correlation matrix over pivoted per-type hourly avgs",
+    # Pearson over 30 daily points is stable far past the 6th decimal,
+    # so the ML-family matrix is exactly reproducible in SQL: pivot via
+    # FILTER aggregates, corr() per type pair, rounded on both sides.
+    oracle=_M04_WIDE
+    + " UNION ALL ".join(
+        f"SELECT '{a}' AS type_a, '{b}' AS type_b, "
+        f"ROUND(corr({a}, {b}), 6) AS pearson FROM clean"
+        for a in _M04_TYPES
+        for b in _M04_TYPES
+    ),
+    doc="M7/A15: Pearson correlation matrix over pivoted per-type daily avgs",
 )
 def m04_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import VectorAssembler
