@@ -220,3 +220,50 @@ def x23_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_shared_ngrams"))
     )
+
+
+# --- x25: within-document repetition ----------------------------------------
+
+REP_NGRAM = 3
+
+
+@register(
+    "x25_repetition_detection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+               range(0, greatest(len(tk) - {REP_NGRAM - 1}, 0)),
+               i -> array_to_string(tk[i+1:i+{REP_NGRAM}], ' '))) AS g
+      FROM toks
+    ),
+    freq AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g
+    )
+    SELECT doc_id,
+           CAST(MAX(c) AS BIGINT) AS top_gram_count,
+           CAST(SUM(c) AS BIGINT) AS n_grams,
+           ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_gram_frac
+    FROM freq GROUP BY doc_id
+    """,
+    doc=f"within-doc repetition (Gopher-style): most-frequent {REP_NGRAM}-gram "
+    "share of all token runs — boilerplate/spam signal; explode + two "
+    "hash aggs, both partitioned on doc_id so the second agg is local",
+)
+def x25_repetition_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    gram_list = (
+        f"CASE WHEN size(tk) >= {REP_NGRAM} THEN "
+        f"transform(sequence(0, size(tk) - {REP_NGRAM}), "
+        f"i -> concat_ws(' ', slice(tk, i + 1, {REP_NGRAM}))) "
+        f"ELSE array() END"
+    )
+    grams = d.select("doc_id", F.explode(F.expr(gram_list)).alias("g"))
+    freq = grams.groupBy("doc_id", "g").agg(F.count("*").alias("c"))
+    return freq.groupBy("doc_id").agg(
+        F.max("c").alias("top_gram_count"),
+        F.sum("c").alias("n_grams"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_gram_frac"),
+    )

@@ -302,3 +302,29 @@ def x17_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rn")
     )
+
+
+@register(
+    "x24_label_centroids",
+    # Long (label, dim, centroid) shape so the hash compare sees scalars,
+    # not arrays; ROUND(,6) absorbs the float summation-order ulp between
+    # Spark's per-partition partial avgs and DuckDB's sequential avg. The
+    # static range(64) join sidesteps DuckDB's no-lateral-refs limitation
+    # on table-function bounds (embedding width is fixed).
+    oracle="""
+    SELECT label, CAST(t.i AS INT) AS dim,
+           ROUND(AVG(CAST(embedding[t.i + 1] AS DOUBLE)), 6) AS centroid
+    FROM embeddings CROSS JOIN range(64) t(i)
+    GROUP BY label, t.i
+    """,
+    doc="per-label embedding centroids (class prototypes / IVF seeds): "
+    "posexplode to (label, dim, value), one hash-agg shuffle — the "
+    "centroid table is labels x dims regardless of corpus size",
+)
+def x24_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    return (
+        em.select("label", F.posexplode(_dbl("embedding")).alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg("v"), 6).alias("centroid"))
+    )
