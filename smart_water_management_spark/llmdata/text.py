@@ -288,3 +288,40 @@ def x20_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_phones"
         ),
     )
+
+
+# GPT-2-style pretokenizer (simplified, apostrophe branch dropped — the
+# corpus has none and SQL quoting differs): letter runs, digit runs,
+# punctuation runs, each optionally space-prefixed, then bare spaces.
+# Both engines' regex dialects (Java, RE2) agree on this subset —
+# leftmost-first alternation, identical character classes.
+BPE_PRETOKEN_RE = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+| +"
+
+
+@register(
+    "x26_regex_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{BPE_PRETOKEN_RE}'))
+                AS INT) AS n_pretokens,
+           CAST(len(string_split(lower(text), ' ')) AS INT) AS n_ws_tokens,
+           ROUND(CAST(len(regexp_extract_all(lower(text), '{BPE_PRETOKEN_RE}'))
+                      AS DOUBLE)
+                 / len(string_split(lower(text), ' ')), 6) AS pretokens_per_word
+    FROM documents
+    """,
+    doc="BPE-ish regex pretokenizer counts vs whitespace tokens (the "
+    "pretoken/word ratio approximates tokenizer fertility for data "
+    "budgeting) — JVM regex, one scan, no UDF",
+)
+def x26_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    n_pre = F.size(F.regexp_extract_all(low, F.lit(BPE_PRETOKEN_RE), F.lit(0)))
+    n_ws = F.size(F.split(low, " "))
+    return d.select(
+        "doc_id",
+        n_pre.alias("n_pretokens"),
+        n_ws.alias("n_ws_tokens"),
+        F.round(n_pre.cast("double") / n_ws, 6).alias("pretokens_per_word"),
+    )
