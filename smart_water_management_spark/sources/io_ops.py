@@ -259,3 +259,40 @@ def s04_glob_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     versions = [p for p in glob.glob(os.path.join(root, "v*")) if os.path.isdir(p)]
     latest = max(versions, key=os.path.getmtime)
     return _orders_checksum(spark.read.parquet(latest))
+
+
+@register(
+    "s13_dynamic_partition_overwrite",
+    oracle="""
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_orderkey) AS n_keys,
+       CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F'
+                          THEN o_totalprice * 0.9
+                          ELSE o_totalprice END AS DECIMAL(27,6)))
+            AS DOUBLE) AS sum_price,
+       MAX(o_orderdate) AS max_date,
+       MIN(o_orderpriority) AS min_priority
+FROM orders
+""",
+    doc="S13: idempotent partition backfill — dynamic partitionOverwriteMode "
+    "replaces ONLY the partitions present in the written batch (the 100 TB "
+    "reprocess-one-day pattern; static mode would wipe the whole table). "
+    "Checksum proves the F partition carries corrected prices while O/P "
+    "rows are untouched.",
+)
+def s13_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("s13_dyn", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+
+    # backfill: re-derive ONE partition (corrected 10% price adjustment)
+    corrected = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 0.9
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return _orders_checksum(spark.read.parquet(path))

@@ -311,3 +311,45 @@ def test_jdbc_warehouse_roundtrip_embedded_derby(spark, tmp_path):
     seg_rows = seg.count()
     assert 0 < seg_rows < back.count()
     assert seg.filter("c_mktsegment <> 'BUILDING'").count() == 0
+
+
+def test_dynamic_partition_overwrite_touches_only_written_partition(spark, tmp_path):
+    """The claim behind s13: a dynamic-mode overwrite must leave the data
+    files of partitions absent from the written batch physically intact
+    (same files, same mtimes) — static mode would truncate the table."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from smart_water_management_spark.sources.catalog import load_table
+
+    path = str(tmp_path / "orders_part")
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+
+    def snapshot(status):
+        d = os.path.join(path, f"o_orderstatus={status}")
+        return {f: os.path.getmtime(os.path.join(d, f)) for f in os.listdir(d)}
+
+    before_o, before_p = snapshot("O"), snapshot("P")
+    corrected = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 0.9
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    assert snapshot("O") == before_o and snapshot("P") == before_p
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    # the F partition really was replaced with corrected prices
+    f_sum = back.filter("o_orderstatus = 'F'").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+    ).collect()[0][0]
+    orig_f = orders.filter("o_orderstatus = 'F'").agg(
+        F.sum((F.col("o_totalprice") * 0.9).cast("decimal(27,6)"))
+    ).collect()[0][0]
+    assert f_sum == orig_f
