@@ -249,8 +249,9 @@ REP_NGRAM = 3
     FROM freq GROUP BY doc_id
     """,
     doc=f"within-doc repetition (Gopher-style): most-frequent {REP_NGRAM}-gram "
-    "share of all token runs — boilerplate/spam signal; explode + two "
-    "hash aggs, both partitioned on doc_id so the second agg is local",
+    "share of all token runs — boilerplate/spam signal; explode + two hash "
+    "aggs: the first shuffles map-combined (doc_id, gram) partials (repeated "
+    "grams collapse before the wire), the second reduces those per doc",
 )
 def x25_repetition_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").withColumn("tk", tokens("text"))

@@ -234,7 +234,7 @@ def m04_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.stat import Correlation
 
     ev = load_table(spark, sf_dir, "events")
-    types = ["click", "error", "purchase", "signup", "view"]
+    types = _M04_TYPES  # one list for the query AND its oracle
     wide = (
         ev.groupBy(F.window("ts", "1 day").alias("w"))
         .pivot("event_type", types)
