@@ -182,7 +182,8 @@ def m03_rf_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
                     outputCol="features",
                 ),
                 RandomForestRegressor(
-                    featuresCol="features", labelCol="target", numTrees=10, seed=SEED
+                    featuresCol="features", labelCol="target",
+                    numTrees=8, maxDepth=4, seed=SEED,
                 ),
             ]
         )
