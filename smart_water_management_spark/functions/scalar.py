@@ -114,8 +114,8 @@ def f02_date_attributes(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SQRT(value), 6) AS sqrt_v,
            GREATEST(value, 100.0) AS clamped_lo,
            LEAST(value, 400.0) AS clamped_hi,
-           ROUND(SIN(2 * PI() * hour(ts) / 24.0), 6) AS hour_sin,
-           ROUND(COS(2 * PI() * hour(ts) / 24.0), 6) AS hour_cos,
+           ROUND(SIN(2 * PI() * hour(ts) / 24.0), 6) + 0.0 AS hour_sin,
+           ROUND(COS(2 * PI() * hour(ts) / 24.0), 6) + 0.0 AS hour_cos,
            CASE WHEN value <> 0 THEN ROUND(100.0 / value, 6) ELSE 0.0 END AS inv_pct
     FROM events
     """,
@@ -134,8 +134,10 @@ def f03_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(v), 6).alias("sqrt_v"),
         F.greatest(v, F.lit(100.0)).alias("clamped_lo"),
         F.least(v, F.lit(400.0)).alias("clamped_hi"),
-        F.round(F.sin(two_pi_h), 6).alias("hour_sin"),
-        F.round(F.cos(two_pi_h), 6).alias("hour_cos"),
+        # +0.0 folds IEEE -0.0 to +0.0 on both engines (ROUND(COS(3*pi/2),6)
+        # is -0.0 in DuckDB but 0.0 in Spark — numerically equal, hash-distinct).
+        (F.round(F.sin(two_pi_h), 6) + F.lit(0.0)).alias("hour_sin"),
+        (F.round(F.cos(two_pi_h), 6) + F.lit(0.0)).alias("hour_cos"),
         F.when(v != 0, F.round(100.0 / v, 6)).otherwise(0.0).alias("inv_pct"),
     )
 

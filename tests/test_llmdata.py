@@ -129,11 +129,16 @@ def test_multimodal_real_codec_when_pil_present(spark):
 def test_ml_invariants(spark):
     from smart_water_management_spark.ml import analytics
 
-    clusters = analytics.m01_kmeans_clusters(spark, SF_DIR).collect()
+    clusters = analytics.kmeans_cluster_profile(spark, SF_DIR).collect()
     assert len(clusters) == 5
     assert sum(r.n_events for r in clusters) == 10000 or sum(
         r.n_events for r in clusters
     ) == load_table(spark, SF_DIR, "events").count()
+
+    inv = analytics.m01_kmeans_clusters(spark, SF_DIR).collect()
+    assert sorted(r.cluster for r in inv) == [0, 1, 2, 3, 4]
+    assert all(r.is_nonempty and r.n_clusters == 5 for r in inv)
+    assert inv[0].total_events == load_table(spark, SF_DIR, "events").count()
 
     rmse_row = analytics.m03_rf_forecast(spark, SF_DIR).collect()[0]
     assert rmse_row.rmse > 0 and rmse_row.n_train > rmse_row.n_test
