@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import load_table, pin_derived
 from .text import STOPWORDS, tokens
 
 # --- x21: Gopher-style rule filters -----------------------------------------
@@ -207,12 +207,17 @@ def x23_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tk", tokens("text")
     )
     # two-step select: generators can't nest inside expressions.
-    # persisted because both join sides derive from it — without the pin
+    # pinned because both join sides derive from it — without the pin
     # the tokenize->hash->explode stage (the dominant cost at corpus
     # scale) runs twice, as dedup.py's x08 documents for the same shape.
-    grams = d.select(
-        "doc_id", F.explode(F.expr(_gram_expr("tk"))).alias("g")
-    ).persist()
+    # Tracked via pin_derived (not a bare .persist()) so repeated sweeps
+    # reuse one cached gram table instead of pinning a new copy each run.
+    grams = pin_derived(
+        spark,
+        sf_dir,
+        "x23_grams",
+        lambda: d.select("doc_id", F.explode(F.expr(_gram_expr("tk"))).alias("g")),
+    )
     bench = grams.filter(F.expr(BENCH_PRED)).select("g").distinct()
     train = grams.filter(~F.expr(BENCH_PRED))
     return (

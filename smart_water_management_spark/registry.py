@@ -52,8 +52,19 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # plans under that override.
 _SMALL_INPUT_BYTES = 8 * 1024 * 1024
 _SMALL_INPUT_PARTITIONS = 8
-_INPUT_BYTES_CACHE: dict[str, int | None] = {}
+_INPUT_BYTES_CACHE: dict[str, tuple[int, int | None]] = {}
 _POSTURE = os.environ.get("SWM_POSTURE", "auto")
+
+
+def session_is_stopped(spark: SparkSession) -> bool:
+    """True when the session's SparkContext has been stopped — used by the
+    engine's driver-side caches (saved confs, persisted scans, fitted
+    models) to evict entries bound to dead contexts in long-lived driver
+    processes."""
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
 
 
 def set_posture(posture: str) -> None:
@@ -87,9 +98,20 @@ def small_input(sf_dir: str) -> bool:
     and per-query fixed costs dominate actual data movement."""
     if _POSTURE == "production":
         return False
-    if sf_dir not in _INPUT_BYTES_CACHE:
-        _INPUT_BYTES_CACHE[sf_dir] = _input_bytes(sf_dir)
-    nbytes = _INPUT_BYTES_CACHE[sf_dir]
+    # Cache is validated against the directory mtime: a dataset that gains
+    # files mid-session invalidates its cached size instead of keeping the
+    # small-input posture forever (file growth without new files reuses the
+    # cache — appended datasets land as new part files in practice).
+    path = sf_dir.removeprefix("file://").removeprefix("file:")
+    try:
+        mtime = os.stat(path).st_mtime_ns
+    except OSError:
+        mtime = 0
+    cached = _INPUT_BYTES_CACHE.get(sf_dir)
+    if cached is None or cached[0] != mtime:
+        cached = (mtime, _input_bytes(sf_dir))
+        _INPUT_BYTES_CACHE[sf_dir] = cached
+    nbytes = cached[1]
     return nbytes is not None and nbytes < _SMALL_INPUT_BYTES
 
 
@@ -98,19 +120,29 @@ def small_input(sf_dir: str) -> bool:
 # small-input settings would stick for the rest of the session and
 # silently degrade every subsequent at-scale query. Keyed by
 # applicationId: unique per SparkContext, unlike a reusable id().
-_SAVED_CONF: dict[str, dict[str, str]] = {}
-_TUNED_CONFS = ("spark.sql.shuffle.partitions", "spark.sql.codegen.wholeStage")
+_SAVED_CONF: dict[str, tuple[SparkSession, dict[str, str]]] = {}
+_TUNED_CONFS = (
+    "spark.sql.shuffle.partitions",
+    "spark.sql.codegen.wholeStage",
+    "spark.sql.adaptive.enabled",
+)
 
 
 def tune_for_input(spark: SparkSession, sf_dir: str) -> None:
     """Right-size shuffle width and codegen mode to the input scale."""
+    # Evict saved confs of stopped sessions — a long-lived driver that
+    # cycles sessions would otherwise accumulate one entry per dead
+    # context (the entry stores the session to make liveness checkable).
+    for sid_ in [s for s, (sess, _) in _SAVED_CONF.items() if session_is_stopped(sess)]:
+        _SAVED_CONF.pop(sid_)
     sid = spark.sparkContext.applicationId
     if not small_input(sf_dir):
-        for key, val in _SAVED_CONF.pop(sid, {}).items():
+        _sess, saved = _SAVED_CONF.pop(sid, (None, {}))
+        for key, val in saved.items():
             spark.conf.set(key, val)
         return
     if sid not in _SAVED_CONF:
-        _SAVED_CONF[sid] = {k: spark.conf.get(k) for k in _TUNED_CONFS}
+        _SAVED_CONF[sid] = (spark, {k: spark.conf.get(k) for k in _TUNED_CONFS})
     spark.conf.set("spark.sql.shuffle.partitions", str(_SMALL_INPUT_PARTITIONS))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # JIT-compiling each one-shot plan costs more than interpreting it

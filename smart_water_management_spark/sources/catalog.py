@@ -72,9 +72,35 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     if not small_input(sf_dir):
         return _read_table(spark, sf_dir, name)
+    _evict_dead_entries()
     key = (session_key(spark), sf_dir, name)
     if key not in _TABLE_CACHE:
         _TABLE_CACHE[key] = _read_table(spark, sf_dir, name).persist()
+    return _TABLE_CACHE[key]
+
+
+def _evict_dead_entries() -> None:
+    """Drop cached scans whose SparkContext has been stopped — their
+    persisted blocks died with the context, and a long-lived driver that
+    cycles sessions would otherwise accumulate dead entries forever
+    (clear_table_cache only covers the CURRENT session's keys)."""
+    from ..registry import session_is_stopped
+
+    for key in [k for k, df in _TABLE_CACHE.items()
+                if session_is_stopped(df.sparkSession)]:
+        _TABLE_CACHE.pop(key)
+
+
+def pin_derived(spark: SparkSession, sf_dir: str, name: str, build) -> DataFrame:
+    """Persist-and-track a derived table (e.g. an exploded n-gram table
+    consumed by both sides of a self-join). Registering the pin here —
+    instead of a bare ``.persist()`` at the call site — means repeated
+    invocations reuse ONE cached copy rather than pinning a fresh one per
+    sweep, and ``clear_table_cache`` / dead-session eviction release it."""
+    _evict_dead_entries()
+    key = (session_key(spark), sf_dir, f"derived:{name}")
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = build().persist()
     return _TABLE_CACHE[key]
 
 

@@ -66,6 +66,36 @@ def write_object_store_partitioned(
     writer.save(path)
 
 
+# Identifier quoting per JDBC dialect: Spark's JDBC writer creates
+# case-exact quoted identifiers, so raw SQL we compose against those
+# tables must quote with the ENGINE's quote style — ANSI double quotes
+# (Derby/PostgreSQL/Oracle), backticks (MySQL/MariaDB), or brackets
+# (SQL Server).
+_DIALECT_QUOTES: dict[str, tuple[str, str]] = {
+    "jdbc:mysql": ("`", "`"),
+    "jdbc:mariadb": ("`", "`"),
+    "jdbc:sqlserver": ("[", "]"),
+}
+
+
+def _quotes_for(url: str, quote_char: str | None) -> tuple[str, str]:
+    if quote_char is not None:
+        return ("[", "]") if quote_char == "[" else (quote_char, quote_char)
+    for prefix, quotes in _DIALECT_QUOTES.items():
+        if url.startswith(prefix):
+            return quotes
+    return ('"', '"')
+
+
+def _quote_ident(name: str, quotes: tuple[str, str]) -> str:
+    """Quote a (possibly schema-qualified) identifier; leave anything
+    already quoted or non-trivial (subquery, spaces) untouched."""
+    lo, hi = quotes
+    if lo in name or "(" in name or " " in name:
+        return name
+    return ".".join(f"{lo}{part}{hi}" for part in name.split("."))
+
+
 def read_warehouse_table(
     spark: SparkSession,
     url: str,
@@ -73,6 +103,8 @@ def read_warehouse_table(
     partition_column: str | None = None,
     num_partitions: int = 8,
     predicate: str | None = None,
+    quote_char: str | None = None,
+    quote_table: bool = False,
     **properties,
 ) -> DataFrame:
     """S9: JDBC source with partitioned parallel reads.
@@ -81,23 +113,32 @@ def read_warehouse_table(
     through one connection; spark.read.jdbc with partitionColumn bounds
     splits the table across ``num_partitions`` concurrent cursors, and a
     pushed predicate ships the WHERE clause to the database.
+
+    ``quote_char`` overrides the identifier quote style for the composed
+    bounds/predicate SQL (default: derived from the JDBC URL — backticks
+    for MySQL/MariaDB, brackets for SQL Server, ANSI double quotes
+    otherwise). Columns are always quoted (Spark's JDBC writer creates
+    case-exact quoted column names); the TABLE name is quoted only with
+    ``quote_table=True`` — the writer leaves table names unquoted, so
+    engines like Derby store them case-normalized and a quoted lookup
+    would miss them.
     """
+    quotes = _quotes_for(url, quote_char)
+    qtable = _quote_ident(table, quotes) if quote_table else table
     reader = (
         spark.read.format("jdbc")
         .option("url", url)
         .option(
             "dbtable",
-            f"(SELECT * FROM {table} WHERE {predicate}) t" if predicate else table,
+            f"(SELECT * FROM {qtable} WHERE {predicate}) t" if predicate else table,
         )
     )
     for k, v in properties.items():
         reader = reader.option(k, v)
     if partition_column is not None:
-        # ANSI-quoted: Spark's JDBC writer creates case-exact quoted
-        # identifiers, so a bare name may not resolve (Derby, PostgreSQL)
-        qcol = f'"{partition_column}"'
+        qcol = _quote_ident(partition_column, quotes)
         bounds = spark.read.format("jdbc").option("url", url).option(
-            "dbtable", f"(SELECT MIN({qcol}) lo, MAX({qcol}) hi FROM {table}) b"
+            "dbtable", f"(SELECT MIN({qcol}) lo, MAX({qcol}) hi FROM {qtable}) b"
         )
         for k, v in properties.items():
             bounds = bounds.option(k, v)

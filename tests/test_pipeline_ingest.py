@@ -353,3 +353,47 @@ def test_dynamic_partition_overwrite_touches_only_written_partition(spark, tmp_p
         F.sum((F.col("o_totalprice") * 0.9).cast("decimal(27,6)"))
     ).collect()[0][0]
     assert f_sum == orig_f
+
+
+def test_jdbc_identifier_quote_styles():
+    """Quote style follows the JDBC dialect; table quoting stays opt-in
+    because Spark's JDBC writer leaves table names unquoted (Derby
+    case-normalizes them, so a quoted lookup would miss)."""
+    from smart_water_management_spark.sources.external import (
+        _quote_ident,
+        _quotes_for,
+    )
+
+    assert _quotes_for("jdbc:mysql://h/db", None) == ("`", "`")
+    assert _quotes_for("jdbc:mariadb://h/db", None) == ("`", "`")
+    assert _quotes_for("jdbc:sqlserver://h;db", None) == ("[", "]")
+    assert _quotes_for("jdbc:derby:memory:x", None) == ('"', '"')
+    assert _quotes_for("jdbc:postgresql://h/db", None) == ('"', '"')
+    assert _quotes_for("jdbc:mysql://h/db", '"') == ('"', '"')  # override wins
+    assert _quotes_for("jdbc:derby:memory:x", "[") == ("[", "]")
+
+    assert _quote_ident("reading_ts", ('"', '"')) == '"reading_ts"'
+    assert _quote_ident("dbo.facts", ("[", "]")) == "[dbo].[facts]"
+    assert _quote_ident("sch.tbl", ("`", "`")) == "`sch`.`tbl`"
+    # already-quoted / subquery shapes pass through untouched
+    assert _quote_ident('"Quoted"', ('"', '"')) == '"Quoted"'
+    assert _quote_ident("(SELECT 1) t", ('"', '"')) == "(SELECT 1) t"
+
+
+def test_tuned_conf_restore_includes_aqe(spark):
+    """tune_for_input flips AQE on for small inputs; a later large-input
+    query must restore the session's OWN setting (a session deliberately
+    running with AQE off must not have it silently pinned on)."""
+    from smart_water_management_spark import registry
+
+    own = {k: spark.conf.get(k) for k in registry._TUNED_CONFS}
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        registry.tune_for_input(spark, SF_DIR)  # small: overrides apply
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        registry.tune_for_input(spark, "/root/testdata/sf0.1")  # large: restore
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "false"
+    finally:
+        for k, v in own.items():
+            spark.conf.set(k, v)
+        registry.tune_for_input(spark, SF_DIR)
