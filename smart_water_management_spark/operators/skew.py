@@ -77,6 +77,130 @@ def k01_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_sum_count(ev, "event_type", "value")
 
 
+SKEW_REP = 8  # fact replication: makes the straggler visible at sf0.1
+
+
+def skewed_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive a pathologically skewed join key over lineitem: 95% of rows
+    collapse onto key 0, the rest spread over 1..997. This reproduces the
+    hot-key shape (one customer/device dominating the fact table) that
+    makes unsalted sort-merge joins straggle at 100 TB.
+
+    The fact is replicated ``SKEW_REP``× (broadcast nested-loop with a
+    tiny range — no shuffle) so the hot reducer's work is large enough to
+    dominate fixed costs at bench scale; at 100 TB no amplification would
+    be needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    rep = spark.range(SKEW_REP).select(F.col("id").alias("rep"))
+    return li.crossJoin(rep).select(
+        F.when(F.pmod(F.col("l_orderkey"), F.lit(20)) < 19, F.lit(0))
+        .otherwise(F.lit(1) + F.pmod(F.col("l_orderkey"), F.lit(997)))
+        .cast("long")
+        .alias("skew_key"),
+        "l_orderkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "rep",
+    )
+
+
+def skew_dim(spark: SparkSession) -> DataFrame:
+    """998-row dimension covering the skewed key space, with a 7-bucket
+    payload so the joined result aggregates to a checkable shape."""
+    return spark.range(0, 998).select(
+        F.col("id").alias("skew_key"),
+        F.pmod(F.col("id"), F.lit(7)).alias("bucket"),
+    )
+
+
+def skew_join_naive(
+    spark: SparkSession, sf_dir: str, n_mappers: int = 16
+) -> DataFrame:
+    """The straggler plan: unsalted sort-merge join on the hot key. With
+    AQE skew-join disabled, the key-0 partition holds 90% of the fact and
+    one reducer does 90% of the work. Exposed un-registered for the bench
+    A/B and the AQE skew-split plan test; ``k04_skew_join_salted`` is the
+    production pattern.
+
+    ``n_mappers`` round-robins the fact scan first: AQE's skew split
+    subdivides a hot reducer partition along mapper-output block
+    boundaries, so a single-mapper scan (the fixture's one small parquet
+    file) is unsplittable no matter the thresholds. A 100 TB fact scan has
+    thousands of map tasks natively; the repartition simulates that shape
+    at test scale."""
+    fact = skewed_fact(spark, sf_dir).repartition(n_mappers)
+    dim = skew_dim(spark)
+    joined = fact.hint("merge").join(dim.hint("merge"), "skew_key")
+    return _skew_agg(joined)
+
+
+def _skew_agg(joined: DataFrame) -> DataFrame:
+    """Post-join aggregation with deliberately CPU-heavy per-row work
+    (md5 over the row identity): the partial aggregate executes in the
+    join's reduce stage, so hot-key concentration shows up as one straggler
+    task doing 95% of the hashing. Identical expression in the DuckDB
+    oracle keeps the result exactly checkable."""
+    row_hash = F.ascii(
+        F.substring(
+            F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber", "rep")), 1, 1
+        )
+    )
+    return joined.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("total_price"),
+        F.sum(row_hash).alias("hash_check"),
+    )
+
+
+_SKEW_ORACLE = """
+    WITH fact AS (
+      SELECT CASE WHEN l_orderkey % 20 < 19 THEN 0
+                  ELSE 1 + (l_orderkey % 997) END AS skew_key,
+             l_orderkey, l_linenumber, l_extendedprice, r.range AS rep
+      FROM lineitem, range(0, 8) r
+    ),
+    dim AS (SELECT range AS skew_key, range % 7 AS bucket FROM range(0, 998))
+    SELECT d.bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+             AS total_price,
+           SUM(ascii(substr(md5(concat_ws('|', l_orderkey, l_linenumber, rep)),
+                            1, 1))) AS hash_check
+    FROM fact f JOIN dim d USING (skew_key)
+    GROUP BY d.bucket
+    """
+
+
+@register(
+    "k04_skew_join_salted",
+    oracle=_SKEW_ORACLE,
+    doc="salted sort-merge join over a 90%-hot key: fact rows salted by "
+    "full-row hash into 16 sub-keys, dim exploded 16x, join on "
+    "(key, salt) — the hot key's rows spread across 16 reducers instead "
+    "of one straggler. Identical rows to the naive join (same oracle); "
+    "bench.py A/Bs this against skew_join_naive with AQE skew-split "
+    "disabled/enabled",
+)
+def k04_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fact = skewed_fact(spark, sf_dir)
+    dim = skew_dim(spark)
+    # salt on the full row identity (deterministic, spreads even when one
+    # column is constant within the hot key); dim replicated S ways — at
+    # 100 TB the dim stays tiny (998 × 16 rows) while the fact never
+    # concentrates more than 1/S of a hot key on one reducer
+    fact_s = fact.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(N_SALTS)),
+    )
+    dim_s = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)))
+    ).select("skew_key", "__salt", "bucket")
+    joined = fact_s.hint("merge").join(dim_s.hint("merge"), ["skew_key", "__salt"])
+    return _skew_agg(joined)
+
+
 def ensure_bucketed_tables(
     spark: SparkSession, sf_dir: str, n_buckets: int = 8
 ) -> tuple[str, str]:

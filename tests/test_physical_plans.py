@@ -220,3 +220,53 @@ def test_runtime_bloom_filter_join_pruning(spark):
         expected.o_orderpriority,
         expected.n_lines,
     )
+
+
+def test_salted_skew_join_plan(spark):
+    """K4: the salted join must be a sort-merge join keyed on
+    (skew_key, __salt) — no broadcast (the demo forces the shuffle path a
+    too-big dim would take) and no cartesian blow-up from the dim
+    explode."""
+    plan = plan_of(_q(spark, "k04_skew_join_salted"))
+    assert "SortMergeJoin" in plan
+    assert "__salt" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_aqe_skew_split_rescues_naive_join(spark):
+    """The unsalted hot-key join is AQE's skew-join target: with
+    thresholds scaled to the fixture, the executed adaptive plan must mark
+    the hot partition as split (``skew=true`` on the SMJ node). This is
+    the runtime half of the skew story; k04's salting is the static
+    half."""
+    from smart_water_management_spark.operators.skew import skew_join_naive
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # fixture-scaled thresholds (the sf0.001 hot partition is ~1-2 KB
+        # of compressed shuffle bytes; at real scale the defaults of
+        # 256 MB / 64 MB play the same role). Coalescing off so partition
+        # sizes stay comparable for the skew detector's median.
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "512b",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # skew split subdivides a reducer partition along mapper-output
+        # block boundaries; a wide-enough shuffle keeps those blocks
+        # splittable at fixture scale
+        "spark.sql.shuffle.partitions": "32",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = skew_join_naive(spark, SF_DIR)
+        df.collect()
+        executed = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "skew=true" in executed, executed[:2000]
