@@ -25,6 +25,7 @@ from ..sources.catalog import fan_out, load_table
 
 N_QUERIES = 10
 TOP_K = 5
+N_PROBE = 2  # IVF cells searched per query
 
 
 def _dbl(col) -> Column:
@@ -164,27 +165,32 @@ def x12_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "label", _dbl("embedding").alias("e")
     )
     assigned, model = ivf_index(em)
-    centers = model.clusterCenters()
 
-    # route each query to its nprobe nearest centroids (tiny driver math on
-    # the n_queries × n_cells matrix — the one permissible driver loop)
-    import numpy as np
-
-    qrows = (
-        assigned.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "e")
-        .collect()
+    # Route each query to its nprobe nearest centroids fully
+    # distributed: broadcast the k×d centroid table (model metadata,
+    # n_cells rows — tiny at any corpus size) against the query
+    # DataFrame and keep the top-nprobe cells per query via row_number.
+    # No query vectors ever reach the driver, so this shape holds when
+    # "queries" is itself a 100 TB-side table instead of a fixture set.
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, ce array<double>",
     )
-    probe = []
-    for r in qrows:
-        qv = np.array(r.e)
-        dists = [float(np.linalg.norm(qv - c)) for c in centers]
-        cells = np.argsort(dists)[:2]
-        probe += [(r.vec_id, int(cell)) for cell in cells]
-    probe_df = em.sparkSession.createDataFrame(probe, "qid long, cell int")
-
     q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    l2sq = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = W.partitionBy("qid").orderBy(F.asc("dist"), F.asc("cell"))
+    probe_df = (
+        q.join(F.broadcast(centroids))
+        .select("qid", "cell", l2sq.alias("dist"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("qid", "cell")
     )
     cand = assigned.select("vec_id", "cell", F.col("e").alias("ce"))
     scored = (

@@ -15,6 +15,9 @@ ML outputs are invariant-checked in tests rather than hash-compared
 
 from __future__ import annotations
 
+import math
+from datetime import datetime
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -189,7 +192,14 @@ def m02_distance_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tracked-pin the slim scored projection instead of replaying the
     # KMeans transform lineage per pass.
     scored = pin_derived(spark, sf_dir, "m02_scored", _score)
-    threshold = scored.approxQuantile("dist", [0.95], 0.01)[0]  # A8 action
+    quantiles = scored.approxQuantile("dist", [0.95], 0.01)  # A8 action
+    if not quantiles:  # empty events table: no threshold to compute
+        return spark.createDataFrame(
+            [],
+            "event_id long, user_id long, anomaly_score double, "
+            "is_anomaly int, anomaly_frac double, score_nonneg boolean",
+        )
+    threshold = quantiles[0]
     frac = scored.agg(
         F.avg((F.col("dist") > threshold).cast("int"))
     ).first()[0]
@@ -255,16 +265,17 @@ def m03_rf_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         # partitions the windowed frame — checkable from the output alone.
         train_max, n_train = train.agg(F.max("ts"), F.count("*")).first()
         test_min, n_test = test.agg(F.min("ts"), F.count("*")).first()
+        cutoff_dt = datetime.fromisoformat(cutoff)
         split_ok = bool(
             train_max is not None
             and test_min is not None
-            and str(train_max) < cutoff <= str(test_min)
+            and train_max < cutoff_dt <= test_min
         )
         return pred.sparkSession.createDataFrame(
             [
                 (
                     float(rmse),
-                    rmse == rmse and rmse >= 0.0,  # finite + non-negative
+                    math.isfinite(rmse) and rmse >= 0.0,
                     n_train,
                     n_test,
                     cutoff,

@@ -182,3 +182,29 @@ def test_bucketized_range_join_equals_naive(spark, rows):
         if n:
             naive[i] = n
     assert fast == naive
+
+
+@pytest.mark.parametrize("n_parts", [4, 32])
+def test_stratified_sample_partition_stability(spark, n_parts):
+    """x22/p05's md5-threshold sampler claims partition-layout
+    independence (each row's keep decision is a pure function of the row,
+    never of rand() or partition position). Prove it: the sampled doc_id
+    set must be IDENTICAL under different repartitionings — the property
+    that makes the sample reproducible when a 100 TB input's split count
+    changes between runs."""
+    from smart_water_management_spark.llmdata import curation
+    from smart_water_management_spark.sources.catalog import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    baseline = {
+        r.doc_id for r in curation.stratified_sample_rows(docs).collect()
+    }
+    repartitioned = docs.repartition(n_parts)
+    sampled = {
+        r.doc_id
+        for r in curation.stratified_sample_rows(repartitioned).collect()
+    }
+    assert sampled == baseline
+    assert 0 < len(baseline) < docs.count()
