@@ -166,8 +166,9 @@ _SKEW_ORACLE = """
            COUNT(*) AS n_rows,
            CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
              AS total_price,
-           SUM(ascii(substr(md5(concat_ws('|', l_orderkey, l_linenumber, rep)),
-                            1, 1))) AS hash_check
+           CAST(SUM(ascii(substr(md5(concat_ws('|', l_orderkey, l_linenumber,
+                                                rep)), 1, 1))) AS BIGINT)
+             AS hash_check
     FROM fact f JOIN dim d USING (skew_key)
     GROUP BY d.bucket
     """
