@@ -310,6 +310,155 @@ def x17_quantized_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+
+
+@register(
+    "x28_rrf_fusion",
+    # Fused scores are rationals of integer ranks (1/(60+r)), so the only
+    # cross-engine float risk is the rank orderings themselves — the same
+    # risk profile as the already-exact x10 (embedding cosines are spread
+    # far wider than a double ulp at any realistic dimensionality).
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.qid, c.vec_id,
+             {_SQL_DOT.format(a='q.qe', b='c.embedding')}
+               / (SQRT({_SQL_SQNORM.format(a='q.qe')}) * SQRT({_SQL_SQNORM.format(a='c.embedding')}))
+               AS cos_sim,
+             list_reduce(list_transform(list_zip(q.qe, c.embedding),
+               p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                    * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))), (x, y) -> x + y)
+               AS l2sq
+      FROM q CROSS JOIN embeddings c
+      WHERE c.vec_id <> q.qid
+    ),
+    ranked AS (
+      SELECT qid, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS r_cos,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY l2sq ASC, vec_id) AS r_l2
+      FROM scored
+    )
+    SELECT qid, vec_id, r_cos, r_l2,
+           ROUND(1.0 / ({RRF_K} + r_cos) + 1.0 / ({RRF_K} + r_l2), 6) AS rrf_score,
+           rn
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid
+        ORDER BY 1.0 / ({RRF_K} + r_cos) + 1.0 / ({RRF_K} + r_l2) DESC, vec_id) AS rn
+      FROM ranked
+    ) WHERE rn <= {TOP_K}
+    """,
+    doc="reciprocal-rank fusion of two retrievers (cosine rank + L2 rank) "
+    "per query: one scoring pass, two row_number windows sharing a single "
+    "hash-partition on qid, fused top-k — the standard multi-retriever "
+    "merge for hybrid search pipelines",
+)
+def x28_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), _dbl("embedding").alias("qe")
+    )
+    c = em.select("vec_id", _dbl("embedding").alias("ce"))
+    l2sq = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # one crossJoin pass produces both measures; the two rank windows share
+    # the qid hash-partition, so fusion costs one shuffle + two sorts
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("qe"), F.col("ce")).alias("cos_sim"),
+            l2sq.alias("l2sq"),
+        )
+    )
+    w_cos = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    w_l2 = W.partitionBy("qid").orderBy(F.asc("l2sq"), F.asc("vec_id"))
+    fused = (
+        F.lit(1.0) / (RRF_K + F.col("r_cos")) + F.lit(1.0) / (RRF_K + F.col("r_l2"))
+    )
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(w_cos).alias("r_cos"),
+        F.row_number().over(w_l2).alias("r_l2"),
+    ).withColumn("rrf_score", fused)
+    w_f = W.partitionBy("qid").orderBy(F.desc("rrf_score"), F.asc("vec_id"))
+    return (
+        ranked.withColumn("rn", F.row_number().over(w_f))
+        .filter(F.col("rn") <= TOP_K)
+        .select(
+            "qid", "vec_id", "r_cos", "r_l2",
+            F.round("rrf_score", 6).alias("rrf_score"), "rn",
+        )
+    )
+
+
+SEMDEDUP_TAU = 0.9  # within-cell cosine threshold (matches x11)
+
+
+@register(
+    "x29_semdedup",
+    oracle=None,  # KMeans cells are not SQL-reproducible; recall vs the
+    # exact all-pairs near-dup set is asserted in tests
+    doc="SemDeDup-style semantic dedup: KMeans coarse cells over the "
+    "embedding corpus, exact cosine only WITHIN each cell, prune every "
+    "vector that has a smaller-id neighbor above the threshold. All-pairs "
+    "work drops from O(N^2) to O(sum of cell^2) — the cells bound the "
+    "candidate set the same way LSH bands do for MinHash (x08)",
+)
+def x29_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl("embedding").alias("e")
+    )
+    return semdedup_prune(em)
+
+
+def semdedup_prune(
+    em: DataFrame, n_cells: int = 8, tau: float = SEMDEDUP_TAU
+) -> DataFrame:
+    """Core SemDeDup pass over (vec_id, label, e) rows; see x29."""
+    assigned, _model = ivf_index(em, n_cells=n_cells)
+    a = assigned.select(
+        "cell", F.col("vec_id").alias("vec_a"), F.col("e").alias("ea")
+    )
+    b = assigned.select(
+        "cell", F.col("vec_id").alias("vec_b"), F.col("e").alias("eb")
+    )
+    # within-cell pairs only: the join key IS the blocking structure
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "cell", "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= tau)
+    )
+    # SemDeDup keep-rule: within a cell, a vector survives unless a
+    # smaller-id vector sits above the threshold (deterministic canonical)
+    pruned = pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("kept_neighbor"),
+        F.round(F.max("cos_sim"), 6).alias("max_cos"),
+    )
+    return (
+        assigned.select("vec_id", "label", "cell")
+        .join(pruned, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            F.col("kept_neighbor").isNotNull().alias("pruned"),
+            "kept_neighbor",
+            "max_cos",
+        )
+    )
+
+
 @register(
     "x24_label_centroids",
     # Long (label, dim, centroid) shape so the hash compare sees scalars,

@@ -325,3 +325,50 @@ def x26_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_ws.alias("n_ws_tokens"),
         F.round(n_pre.cast("double") / n_ws, 6).alias("pretokens_per_word"),
     )
+
+
+@register(
+    "x27_unigram_logppl",
+    # Determinism: -ln(cnt/total) is rounded to 6 decimals PER TOKEN and
+    # cast to DECIMAL(27,6) before the per-doc sum, so the aggregation is
+    # exact and order-independent; both engines' ln agree far below the
+    # rounding grain. The final division/exp run on identical doubles.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    vocab AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM vocab),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(ROUND(-LN(CAST(cnt AS DOUBLE) / total), 6)
+                  AS DECIMAL(27,6)) AS nl
+      FROM tok t JOIN vocab USING (w) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(nl) AS DOUBLE) / COUNT(*), 6) AS cross_entropy,
+           ROUND(EXP(CAST(SUM(nl) AS DOUBLE) / COUNT(*)), 4) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    doc="unigram-LM perplexity quality score (CCNet-style): corpus token "
+    "counts form the LM, each doc scored by mean negative log-likelihood "
+    "of its tokens. Three hash shuffles at any corpus size (vocab count, "
+    "token<->vocab join on the token, per-doc reduce) — the classic "
+    "word-count shape, never all-pairs; the 1-row total broadcasts",
+)
+def x27_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    vocab = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    nl = F.round(
+        -F.log(F.col("cnt").cast("double") / F.col("total")), 6
+    ).cast("decimal(27,6)")
+    scored = tok.join(vocab, "w").crossJoin(F.broadcast(total)).select("doc_id", nl.alias("nl"))
+    ce = F.sum("nl").cast("double") / F.count("*")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 4).alias("ppl"),
+    )

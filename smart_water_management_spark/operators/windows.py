@@ -401,3 +401,55 @@ def w12_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_value"),
         )
     )
+
+
+# --- W13 (ext.): time-weighted average — the metering/SCADA aggregate for
+# irregularly-sampled series, where a plain AVG over-weights bursty
+# sampling. Trapezoidal integration between consecutive readings:
+# TWA = Σ (v_i + v_{i-1})/2 · Δt_i / Σ Δt_i.
+@register(
+    "w13_time_weighted_avg",
+    # Per-segment areas are doubles built from +,/,* only (bit-identical
+    # across engines), cast to DECIMAL(27,6) per row so the per-group sum
+    # is exact and order-independent; both orderings use floored epoch
+    # seconds + event_id so frame contents agree.
+    oracle="""
+    WITH seg AS (
+      SELECT event_type,
+             sec - LAG(sec) OVER w AS dt,
+             (value + LAG(value) OVER w) / 2 AS mid
+      FROM (SELECT event_type, event_id, value,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+      WINDOW w AS (PARTITION BY event_type ORDER BY sec, event_id)
+    )
+    SELECT event_type,
+           COUNT(dt) AS n_segments,
+           CAST(SUM(dt) AS BIGINT) AS total_seconds,
+           ROUND(CAST(SUM(CAST(mid * dt AS DECIMAL(27,6))) AS DOUBLE)
+                 / SUM(dt), 6) AS twa
+    FROM seg GROUP BY event_type
+    """,
+    doc="W13: time-weighted average per event_type via trapezoidal "
+    "integration over consecutive readings — lag window and final groupBy "
+    "share the event_type hash-partition, so the whole plan is one "
+    "shuffle + sort; at 100 TB the same shape holds per sensor key",
+)
+def w13_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value", F.col("ts").cast("long").alias("sec")
+    )
+    w = W.partitionBy("event_type").orderBy("sec", "event_id")
+    seg = ev.select(
+        "event_type",
+        (F.col("sec") - F.lag("sec").over(w)).alias("dt"),
+        ((F.col("value") + F.lag("value").over(w)) / 2).alias("mid"),
+    )
+    return seg.groupBy("event_type").agg(
+        F.count("dt").alias("n_segments"),
+        F.sum("dt").alias("total_seconds"),
+        F.round(
+            F.sum((F.col("mid") * F.col("dt")).cast(_DEC)).cast("double")
+            / F.sum("dt"),
+            6,
+        ).alias("twa"),
+    )

@@ -296,3 +296,56 @@ def s13_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return _orders_checksum(spark.read.parquet(path))
+
+
+@register(
+    "s14_orc_roundtrip",
+    oracle=_ORDERS_CHECKSUM_SQL,
+    doc="S14 (ext.): ORC sink -> ORC scan, checksum parity vs the original "
+    "parquet. Spark's second columnar format — same predicate-pushdown / "
+    "column-pruning path as parquet (zlib-compressed stripes), relevant "
+    "when upstream warehouses hand over ORC instead of parquet",
+)
+def s14_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("s14_orc", sf_dir)
+    load_table(spark, sf_dir, "orders").write.mode("overwrite").orc(path)
+    return _orders_checksum(spark.read.orc(path))
+
+
+@register(
+    "s15_binaryfile_scan",
+    # file bytes = UTF-8 text + the text sink's trailing newline
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CAST(octet_length(encode(text)) + 1 AS BIGINT)) AS BIGINT)
+             AS total_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents WHERE doc_id < 50
+    """,
+    doc="S15 (ext.): raw-file ingest via the binaryFile source — the entry "
+    "point for multimodal corpora (images/audio land as (path, length, "
+    "content) rows, feeding the x13/x19 decode operators). Docs are laid "
+    "out one file per doc_id directory, read back recursively, and the "
+    "byte totals checked against the documents table",
+)
+def s15_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("s15_files", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    # one file per doc: partitionBy creates doc_id=N/part-*.txt leaves —
+    # the on-disk shape a crawler/object-store dump hands the engine
+    docs.select("text", "doc_id").write.mode("overwrite").partitionBy(
+        "doc_id"
+    ).text(path)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "false")  # partition dirs carry doc_id
+        .load(path)
+    )
+    return files.agg(
+        F.count("*").alias("n_files"),
+        F.sum("length").alias("total_bytes"),
+        F.min("doc_id").cast("long").alias("min_doc"),
+        F.max("doc_id").cast("long").alias("max_doc"),
+    )

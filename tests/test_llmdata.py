@@ -252,3 +252,33 @@ def test_curation_operators(spark):
     assert len(rows) == docs.count()
     assert all(0.0 <= r.dup_word_frac <= 1.0 for r in rows)
     assert all(0.0 <= r.stopword_frac <= 1.0 for r in rows)
+
+
+def test_semdedup_prunes_planted_duplicates(spark):
+    """SemDeDup with planted near-identical vectors: every non-canonical
+    copy is pruned (kept_neighbor = the smallest id in its dup set),
+    distinct vectors survive, and nothing is pruned without a genuine
+    above-threshold neighbor (precision 1 by construction — within-cell
+    cosine is exact)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 16))
+    rows = []
+    vid = 0
+    for i, v in enumerate(base):
+        for _copy in range(3 if i < 2 else 1):  # vecs 0,1 get 2 near-copies
+            noisy = v + rng.normal(scale=1e-3, size=16)
+            rows.append((vid, i, [float(x) for x in noisy]))
+            vid += 1
+    em = spark.createDataFrame(rows, "vec_id long, label int, e array<double>")
+    out = {r.vec_id: r for r in similarity.semdedup_prune(em, n_cells=4).collect()}
+    assert len(out) == vid
+    # copy-groups: (0,1,2) from base 0, (3,4,5) from base 1; canonicals 0,3
+    for canon, copies in ((0, (1, 2)), (3, (4, 5))):
+        assert not out[canon].pruned
+        for c in copies:
+            assert out[c].pruned and out[c].kept_neighbor == canon
+            assert out[c].max_cos > 0.99
+    # singletons (distinct directions) all survive
+    assert all(not out[v].pruned for v in range(6, vid))

@@ -270,3 +270,28 @@ def test_aqe_skew_split_rescues_naive_join(spark):
         for k, v in saved.items():
             spark.conf.set(k, v)
     assert "skew=true" in executed, executed[:2000]
+
+
+def test_twa_window_and_agg_share_one_exchange(spark):
+    """W13: the lag window and the final groupBy both key on event_type —
+    Catalyst must plan ONE hashpartitioning exchange, not two."""
+    plan = plan_of(_q(spark, "w13_time_weighted_avg"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_rrf_fusion_single_shuffle(spark):
+    """x28: scoring is a broadcast NLJ (bounded query set), and all three
+    rank windows partition by qid — one exchange total. A second exchange
+    would mean the fused ranking re-shuffles the scored pairs."""
+    plan = plan_of(_q(spark, "x28_rrf_fusion"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "CartesianProduct" not in plan
+
+
+def test_unigram_ppl_wordcount_shape(spark):
+    """x27: vocab build + token join + per-doc reduce is exactly three
+    hash exchanges (word-count shape) regardless of corpus size; the
+    corpus-total side enters as a 1-row broadcast, never a shuffle."""
+    plan = plan_of(_q(spark, "x27_unigram_logppl"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 3
+    assert "CartesianProduct" not in plan
