@@ -273,3 +273,137 @@ def x25_repetition_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").alias("n_grams"),
         F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("top_gram_frac"),
     )
+
+
+MIX_TARGET = 250  # total docs the mixture draws across all sources
+MIX_HEX_SCALE = 65536
+
+
+@register(
+    "x30_temperature_mixture",
+    # Per-source sqrt weights are rounded to 6 decimals and summed as
+    # DECIMAL, so the mixture weights (and hence the per-source md5
+    # thresholds) are bit-identical across engines and partition layouts;
+    # sqrt itself is IEEE correctly-rounded in both.
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(ROUND(SQRT(COUNT(*)), 6) AS DECIMAL(27,6)) AS sq
+      FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(sq) AS DOUBLE) AS total_sq FROM counts),
+    rates AS (
+      SELECT source, n_docs,
+             CAST(sq AS DOUBLE) / total_sq AS weight,
+             LEAST(1.0, {MIX_TARGET} * (CAST(sq AS DOUBLE) / total_sq) / n_docs)
+               AS rate
+      FROM counts CROSS JOIN tot
+    ),
+    keyed AS (
+      SELECT d.source, r.n_docs, r.weight, r.rate,
+             substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) AS hx,
+             CASE WHEN r.rate >= 1.0 THEN 'g'
+                  ELSE printf('%04x', CAST(FLOOR(r.rate * {MIX_HEX_SCALE}) AS INT))
+             END AS thr
+      FROM documents d JOIN rates r USING (source)
+    )
+    SELECT source, n_docs,
+           ROUND(weight, 6) AS weight,
+           ROUND(rate, 6) AS sample_rate,
+           COUNT(CASE WHEN hx < thr THEN 1 END) AS n_sampled
+    FROM keyed
+    GROUP BY source, n_docs, weight, rate
+    """,
+    doc="temperature-based source mixing (alpha=0.5): per-source sampling "
+    "weights proportional to sqrt(n) — the standard rebalancing that "
+    "up-weights small sources for training mixtures — realized as "
+    "deterministic md5-threshold draws. Source table is tiny at any "
+    "corpus size, so the rate join broadcasts; the corpus is scanned "
+    "once plus one count aggregate",
+)
+def x30_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.sqrt(F.count("*")), 6).cast("decimal(27,6)").alias("sq"),
+    )
+    total = counts.agg(F.sum("sq").cast("double").alias("total_sq"))
+    rates = counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        (F.col("sq").cast("double") / F.col("total_sq")).alias("weight"),
+        F.least(
+            F.lit(1.0),
+            MIX_TARGET
+            * (F.col("sq").cast("double") / F.col("total_sq"))
+            / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    thr = F.when(F.col("rate") >= 1.0, F.lit("g")).otherwise(
+        F.format_string("%04x", F.floor(F.col("rate") * MIX_HEX_SCALE).cast("int"))
+    )
+    keyed = d.join(F.broadcast(rates), "source").select(
+        "source",
+        "n_docs",
+        "weight",
+        "rate",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4).alias("hx"),
+        thr.alias("thr"),
+    )
+    return keyed.groupBy("source", "n_docs", "weight", "rate").agg(
+        F.count(F.when(F.col("hx") < F.col("thr"), 1)).alias("n_sampled")
+    ).select(
+        "source",
+        "n_docs",
+        F.round("weight", 6).alias("weight"),
+        F.round("rate", 6).alias("sample_rate"),
+        "n_sampled",
+    )
+
+
+@register(
+    "x31_ngram_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+               range(0, greatest(len(tk) - {NGRAM - 1}, 0)),
+               i -> md5(array_to_string(tk[i+1:i+{NGRAM}], ' ')))) AS g
+      FROM toks
+    ),
+    cnts AS (SELECT g, COUNT(*) AS cnt FROM grams GROUP BY g)
+    SELECT doc_id,
+           COUNT(*) AS n_grams,
+           COUNT(CASE WHEN cnt = 1 THEN 1 END) AS n_unique,
+           ROUND(CAST(COUNT(CASE WHEN cnt = 1 THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS novelty
+    FROM grams JOIN cnts USING (g)
+    GROUP BY doc_id
+    """,
+    doc=f"per-doc {NGRAM}-gram novelty: fraction of a doc's token runs that "
+    "appear nowhere else in the corpus — high novelty = fresh content, low "
+    "= boilerplate/template. Shares the pinned gram table with x23; gram "
+    "count + join + per-doc reduce is the word-count shuffle shape, "
+    "hash-partitioned on the gram hash, never all-pairs",
+)
+def x31_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    grams = pin_derived(
+        spark,
+        sf_dir,
+        "x23_grams",  # same derived table as x23 — one tokenize+hash pass
+        lambda: d.select("doc_id", F.explode(F.expr(_gram_expr("tk"))).alias("g")),
+    )
+    cnts = grams.groupBy("g").agg(F.count("*").alias("cnt"))
+    n_unique = F.count(F.when(F.col("cnt") == 1, 1))
+    return (
+        grams.join(cnts, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            n_unique.alias("n_unique"),
+            F.round(n_unique.cast("double") / F.count("*"), 6).alias("novelty"),
+        )
+    )

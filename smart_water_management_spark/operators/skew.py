@@ -77,7 +77,9 @@ def k01_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_sum_count(ev, "event_type", "value")
 
 
-SKEW_REP = 8  # fact replication: makes the straggler visible at sf0.1
+SKEW_REP = 4  # fact replication: makes the straggler visible at sf0.1
+MD5_ROUNDS = 16  # chained md5 per joined row: reduce-side CPU must outweigh
+# the exchange cost or the straggler hides behind shuffle I/O at bench scale
 
 
 def skewed_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,10 +89,15 @@ def skewed_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
     makes unsalted sort-merge joins straggle at 100 TB.
 
     The fact is replicated ``SKEW_REP``× (broadcast nested-loop with a
-    tiny range — no shuffle) so the hot reducer's work is large enough to
-    dominate fixed costs at bench scale; at 100 TB no amplification would
-    be needed."""
-    li = load_table(spark, sf_dir, "lineitem")
+    tiny range — no shuffle) and the post-join aggregation hashes each row
+    ``MD5_ROUNDS``× so the hot reducer's CPU dominates exchange cost at
+    bench scale; at 100 TB no amplification would be needed. The scan is
+    fanned out first: locally it arrives as ONE split, which would
+    serialize the replicate+salt map side on a single core — at 100 TB the
+    scan carries thousands of splits natively and fan_out is a no-op."""
+    from ..sources.catalog import fan_out
+
+    li = fan_out(load_table(spark, sf_dir, "lineitem"), spark)
     rep = spark.range(SKEW_REP).select(F.col("id").alias("rep"))
     return li.crossJoin(rep).select(
         F.when(F.pmod(F.col("l_orderkey"), F.lit(20)) < 19, F.lit(0))
@@ -122,13 +129,16 @@ def skew_join_naive(
     A/B and the AQE skew-split plan test; ``k04_skew_join_salted`` is the
     production pattern.
 
-    ``n_mappers`` round-robins the fact scan first: AQE's skew split
+    ``n_mappers`` guarantees a multi-mapper fact: AQE's skew split
     subdivides a hot reducer partition along mapper-output block
     boundaries, so a single-mapper scan (the fixture's one small parquet
     file) is unsplittable no matter the thresholds. A 100 TB fact scan has
-    thousands of map tasks natively; the repartition simulates that shape
-    at test scale."""
-    fact = skewed_fact(spark, sf_dir).repartition(n_mappers)
+    thousands of map tasks natively; fan_out inside skewed_fact usually
+    provides that shape already, so the explicit repartition only fires
+    when the scan still arrived too narrow."""
+    fact = skewed_fact(spark, sf_dir)
+    if fact.rdd.getNumPartitions() < n_mappers:
+        fact = fact.repartition(n_mappers)
     dim = skew_dim(spark)
     joined = fact.hint("merge").join(dim.hint("merge"), "skew_key")
     return _skew_agg(joined)
@@ -136,15 +146,14 @@ def skew_join_naive(
 
 def _skew_agg(joined: DataFrame) -> DataFrame:
     """Post-join aggregation with deliberately CPU-heavy per-row work
-    (md5 over the row identity): the partial aggregate executes in the
-    join's reduce stage, so hot-key concentration shows up as one straggler
-    task doing 95% of the hashing. Identical expression in the DuckDB
-    oracle keeps the result exactly checkable."""
-    row_hash = F.ascii(
-        F.substring(
-            F.md5(F.concat_ws("|", "l_orderkey", "l_linenumber", "rep")), 1, 1
-        )
-    )
+    (``MD5_ROUNDS`` chained md5s over the row identity): the partial
+    aggregate executes in the join's reduce stage, so hot-key concentration
+    shows up as one straggler task doing 95% of the hashing. Identical
+    expression in the DuckDB oracle keeps the result exactly checkable."""
+    h = F.concat_ws("|", "l_orderkey", "l_linenumber", "rep")
+    for _ in range(MD5_ROUNDS):
+        h = F.md5(h)
+    row_hash = F.ascii(F.substring(h, 1, 1))
     return joined.groupBy("bucket").agg(
         F.count("*").alias("n_rows"),
         F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
@@ -154,20 +163,23 @@ def _skew_agg(joined: DataFrame) -> DataFrame:
     )
 
 
-_SKEW_ORACLE = """
+_SQL_CHAINED_MD5 = "concat_ws('|', l_orderkey, l_linenumber, rep)"
+for _ in range(MD5_ROUNDS):
+    _SQL_CHAINED_MD5 = f"md5({_SQL_CHAINED_MD5})"
+
+_SKEW_ORACLE = f"""
     WITH fact AS (
       SELECT CASE WHEN l_orderkey % 20 < 19 THEN 0
                   ELSE 1 + (l_orderkey % 997) END AS skew_key,
              l_orderkey, l_linenumber, l_extendedprice, r.range AS rep
-      FROM lineitem, range(0, 8) r
+      FROM lineitem, range(0, {SKEW_REP}) r
     ),
     dim AS (SELECT range AS skew_key, range % 7 AS bucket FROM range(0, 998))
     SELECT d.bucket,
            COUNT(*) AS n_rows,
            CAST(SUM(CAST(f.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
              AS total_price,
-           CAST(SUM(ascii(substr(md5(concat_ws('|', l_orderkey, l_linenumber,
-                                                rep)), 1, 1))) AS BIGINT)
+           CAST(SUM(ascii(substr({_SQL_CHAINED_MD5}, 1, 1))) AS BIGINT)
              AS hash_check
     FROM fact f JOIN dim d USING (skew_key)
     GROUP BY d.bucket
