@@ -282,3 +282,25 @@ def test_semdedup_prunes_planted_duplicates(spark):
             assert out[c].max_cos > 0.99
     # singletons (distinct directions) all survive
     assert all(not out[v].pruned for v in range(6, vid))
+
+
+def test_temperature_mixture_invariants(spark):
+    """x30: weights are a probability distribution, rates are valid
+    per-source keep probabilities, and the realized draw lands near the
+    target (md5 prefixes are uniform, so per-source counts concentrate)."""
+    from smart_water_management_spark.llmdata.curation import (
+        MIX_TARGET,
+        x30_temperature_mixture,
+    )
+
+    rows = x30_temperature_mixture(spark, SF_DIR).collect()
+    assert rows
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert 0.0 <= r.sample_rate <= 1.0
+        assert 0 <= r.n_sampled <= r.n_docs
+    drawn = sum(r.n_sampled for r in rows)
+    expected = sum(min(r.n_docs, r.sample_rate * r.n_docs) for r in rows)
+    assert expected <= MIX_TARGET * 1.01
+    # binomial concentration: realized within ~5 sigma of expectation
+    assert abs(drawn - expected) < 5 * (expected**0.5 + 1)
