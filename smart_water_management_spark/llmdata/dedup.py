@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.catalog import fan_out, load_table
-from .text import tokens
+from .text import STOPWORDS, tokens
 
 # k=16 over 8 bands (r=2 rows/band) aligns the LSH s-curve with the 0.5
 # Jaccard verification threshold: candidate probability at j is
@@ -302,4 +302,72 @@ def x09_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical"))
         .orderBy("simhash")
+    )
+
+
+@register(
+    "x32_quality_canonical",
+    # quality_score takes one of a handful of constant-sum values (x02's
+    # banded scoring), so the DESC ordering + doc_id tiebreak is exact in
+    # both engines; bag_fp is the order-insensitive x04 fingerprint.
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' '))
+               AS bag_fp,
+             (CASE WHEN len(string_split(lower(text), ' ')) BETWEEN 20 AND 200
+                   THEN 0.5e0 ELSE 0.2e0 END
+              + CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
+                      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                      / len(string_split(lower(text), ' ')) BETWEEN 0.05 AND 0.4
+                     THEN 0.3e0 ELSE 0.1e0 END
+              + CASE WHEN CAST(len(list_distinct(string_split(lower(text), ' ')))
+                      AS DOUBLE) / len(string_split(lower(text), ' ')) > 0.3
+                     THEN 0.2e0 ELSE 0.05e0 END) AS quality_score
+      FROM documents
+    )
+    SELECT doc_id, bag_fp, quality_score,
+           COUNT(*) OVER (PARTITION BY bag_fp) AS n_in_group,
+           CASE WHEN ROW_NUMBER() OVER w = 1 THEN TRUE ELSE FALSE END
+             AS is_canonical,
+           FIRST_VALUE(doc_id) OVER w AS canonical_id
+    FROM t
+    WINDOW w AS (PARTITION BY bag_fp ORDER BY quality_score DESC, doc_id)
+    """,
+    doc="quality-aware canonical selection: group docs by the "
+    "order-insensitive bag fingerprint (x04), keep the highest "
+    "x02-quality doc per group (doc_id tiebreak) — the dedup policy that "
+    "retains the best copy instead of an arbitrary one. One shuffle on "
+    "the 16-byte fingerprint; windows and grouping share it",
+)
+def x32_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    n_tokens = F.size(tk)
+    stop_ratio = (
+        F.size(F.filter(tk, lambda w: w.isin(STOPWORDS)))
+        .cast("double")
+        / n_tokens
+    )
+    ttr = F.size(F.array_distinct(tk)).cast("double") / n_tokens
+    quality = (
+        F.when(n_tokens.between(20, 200), 0.5).otherwise(0.2)
+        + F.when(stop_ratio.between(0.05, 0.4), 0.3).otherwise(0.1)
+        + F.when(ttr > 0.3, 0.2).otherwise(0.05)
+    )
+    bag_fp = F.md5(F.concat_ws(" ", F.array_sort(tokens("text"))))
+    t = d.select(
+        "doc_id", bag_fp.alias("bag_fp"), quality.alias("quality_score")
+    )
+    w = W.partitionBy("bag_fp").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    wg = W.partitionBy("bag_fp")
+    return t.select(
+        "doc_id",
+        "bag_fp",
+        "quality_score",
+        F.count("*").over(wg).alias("n_in_group"),
+        (F.row_number().over(w) == 1).alias("is_canonical"),
+        F.first("doc_id").over(w).alias("canonical_id"),
     )
