@@ -407,3 +407,68 @@ def x31_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(n_unique.cast("double") / F.count("*"), 6).alias("novelty"),
         )
     )
+
+
+@register(
+    "x33_source_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT source, unnest(list_transform(
+               range(0, greatest(len(tk) - {NGRAM - 1}, 0)),
+               i -> md5(array_to_string(tk[i+1:i+{NGRAM}], ' ')))) AS g
+      FROM toks
+    ),
+    per_source AS (SELECT source, COUNT(*) AS n_grams FROM grams GROUP BY source)
+    SELECT a.source AS src_a, b.source AS src_b,
+           COUNT(*) AS n_shared,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / (pa.n_grams + pb.n_grams - COUNT(*)), 6) AS jaccard
+    FROM grams a
+    JOIN grams b ON a.g = b.g AND a.source < b.source
+    JOIN per_source pa ON pa.source = a.source
+    JOIN per_source pb ON pb.source = b.source
+    GROUP BY a.source, b.source, pa.n_grams, pb.n_grams
+    """,
+    doc=f"cross-source contamination matrix: distinct {NGRAM}-gram overlap "
+    "(count + Jaccard) between every source pair — surfaces mirrored or "
+    "scraped-twice corpora before training. Hash-partitioned on the gram; "
+    "per-gram pair fanout is bounded by n_sources^2 (sources are few at "
+    "any corpus size) and the per-source totals broadcast",
+)
+def x33_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    grams = d.select(
+        "source", F.explode(F.expr(_gram_expr("tk"))).alias("g")
+    ).distinct()
+    per_source = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col("source").alias("src_a"), "g")
+    b = grams.select(F.col("source").alias("src_b"), "g")
+    pa = per_source.select(
+        F.col("source").alias("src_a"), F.col("n_grams").alias("n_a")
+    )
+    pb = per_source.select(
+        F.col("source").alias("src_b"), F.col("n_grams").alias("n_b")
+    )
+    shared = (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(F.broadcast(pa), "src_a")
+        .join(F.broadcast(pb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

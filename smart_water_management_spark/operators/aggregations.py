@@ -557,3 +557,56 @@ def a18_preagg_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("pmax").alias("max_value"),
         (F.sum("psum").cast("double") / F.sum("pcnt")).alias("avg_value"),
     )
+
+
+@register(
+    "a19_retention_cohorts",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+    ),
+    sizes AS (
+      SELECT cohort_day, COUNT(*) AS cohort_size FROM cohorts GROUP BY cohort_day
+    )
+    SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+           CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+           s.cohort_size,
+           COUNT(DISTINCT a.user_id) AS n_active,
+           ROUND(CAST(COUNT(DISTINCT a.user_id) AS DOUBLE) / s.cohort_size, 6)
+             AS retention
+    FROM activity a
+    JOIN cohorts c USING (user_id)
+    JOIN sizes s ON s.cohort_day = c.cohort_day
+    GROUP BY c.cohort_day, a.day - c.cohort_day, s.cohort_size
+    """,
+    doc="A19 (ext.): cohort retention analysis — users bucketed by "
+    "first-seen day, per-(cohort, day-offset) active share. Three hash "
+    "aggregates all keyed on user_id/cohort_day (the first exchange is "
+    "reused by the cohort join); the cohort-size side is tiny (days, not "
+    "users) and broadcasts. The standard product-analytics rollup, "
+    "expressed so the fact table shuffles once",
+)
+def a19_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    return (
+        activity.join(cohorts, "user_id")
+        .join(F.broadcast(sizes), "cohort_day")
+        .groupBy(
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cohort_day").cast("long").alias("day_offset"),
+            "cohort_size",
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+        .withColumn(
+            "retention",
+            F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6),
+        )
+    )
