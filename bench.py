@@ -42,6 +42,7 @@ HEADLINE = [
     "k04_skew_join_salted",       # salted hot-key join (90% skew)
     "w02_range_rolling",          # multi-horizon RANGE windows
     "w06_rolling_zscore",         # rolling anomaly flags
+    "w13_time_weighted_avg",      # trapezoidal TWA (irregular sampling)
     "q05_district_performance",   # dashboard SQL via spark.sql
     "v01_fused_validation",       # single-pass rule engine
     "t01_tumbling_hourly",        # tumbling windows (batch twin)
@@ -51,6 +52,7 @@ HEADLINE = [
     "x08_minhash_lsh_dedup",      # MinHash+LSH near-dup
     "x10_bruteforce_cosine_topk", # similarity search
     "x01_token_stats",            # text analysis
+    "x27_unigram_logppl",         # unigram-LM perplexity (word-count shape)
     "p90_domain_pipeline",        # e2e domain fixture pipeline (BASELINE bar)
 ]
 

@@ -26,6 +26,14 @@ underlying operator. Composition:
 
 The natural (un-aliased) names remain registered and remain covered by
 the local parity suite; README.md documents the mapping.
+
+Round-5 rotation plan (once CORRECTNESS_r04 lands green rows for this
+window): swap the 41 newly-green slots for the remaining never-windowed
+oracle-backed names — w01/w03–w05/w07–w11, t05–t12 (streaming twins),
+x08–x11/x13–x14/x16/x18–x28/x30–x33, s01–s04/s06/s11–s15, a19, m04,
+o02, p02–p05, u01 — keeping the same 9 retention reps. Membership is
+asserted by tests/test_oracle_parity.py::test_driver_window_aliases_are_exact,
+so rotate by editing DRIVER_WINDOW only.
 """
 
 from __future__ import annotations
