@@ -583,11 +583,10 @@ def a18_preagg_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY c.cohort_day, a.day - c.cohort_day, s.cohort_size
     """,
     doc="A19 (ext.): cohort retention analysis — users bucketed by "
-    "first-seen day, per-(cohort, day-offset) active share. Three hash "
-    "aggregates all keyed on user_id/cohort_day (the first exchange is "
-    "reused by the cohort join); the cohort-size side is tiny (days, not "
-    "users) and broadcasts. The standard product-analytics rollup, "
-    "expressed so the fact table shuffles once",
+    "first-seen day, per-(cohort, day-offset) active share. Every "
+    "aggregate and join keys on user_id or cohort_day; the cohort-size "
+    "side is tiny (days, not users) and broadcasts. The standard "
+    "product-analytics rollup with no full-history window",
 )
 def a19_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
@@ -609,4 +608,70 @@ def a19_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention",
             F.round(F.col("n_active").cast("double") / F.col("cohort_size"), 6),
         )
+    )
+
+
+@register(
+    "a20_funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+        AND e.ts <= v.t_view + INTERVAL 24 HOURS
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+        AND e.ts <= c.t_click + INTERVAL 24 HOURS
+      GROUP BY e.user_id
+    )
+    SELECT COUNT(*) AS n_viewed,
+           COUNT(c.user_id) AS n_clicked,
+           COUNT(p.user_id) AS n_purchased,
+           ROUND(CAST(COUNT(c.user_id) AS DOUBLE) / COUNT(*), 6)
+             AS view_to_click,
+           ROUND(CAST(COUNT(p.user_id) AS DOUBLE)
+                 / NULLIF(COUNT(c.user_id), 0), 6) AS click_to_purchase
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    doc="A20 (ext.): ordered funnel conversion (view -> click -> "
+    "purchase, each stage within 24h of the previous): the earliest "
+    "qualifying event strictly after the prior stage. Every aggregate and join "
+    "keys on user_id (stage frames broadcast while small, co-partition "
+    "at scale); no window over the full event history, state scales "
+    "with users",
+)
+def a20_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def stage(event_type: str, prev: DataFrame | None, prev_col: str, out: str):
+        e = ev.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            e = e.join(prev, "user_id").filter(
+                (F.col("ts") > F.col(prev_col))
+                & (F.col("ts") <= F.col(prev_col) + F.expr("INTERVAL 24 HOURS"))
+            )
+        return e.groupBy("user_id").agg(F.min("ts").alias(out))
+
+    v = stage("view", None, "", "t_view")
+    c = stage("click", v, "t_view", "t_click")
+    p = stage("purchase", c, "t_click", "t_purchase")
+    funnel = v.join(c, "user_id", "left").join(p, "user_id", "left")
+    n_clicked = F.count("t_click")
+    n_purchased = F.count("t_purchase")
+    return funnel.agg(
+        F.count("*").alias("n_viewed"),
+        n_clicked.alias("n_clicked"),
+        n_purchased.alias("n_purchased"),
+        F.round(n_clicked.cast("double") / F.count("*"), 6).alias("view_to_click"),
+        F.round(
+            n_purchased.cast("double") / F.nullif(n_clicked, F.lit(0)), 6
+        ).alias("click_to_purchase"),
     )

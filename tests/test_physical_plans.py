@@ -295,3 +295,10 @@ def test_unigram_ppl_wordcount_shape(spark):
     plan = plan_of(_q(spark, "x27_unigram_logppl"), "simple")
     assert plan.count("Exchange hashpartitioning") == 3
     assert "CartesianProduct" not in plan
+
+
+def test_quality_canonical_single_shuffle(spark):
+    """x32: grouping count, ranking and first_value all partition by the
+    bag fingerprint — one exchange for the whole canonical selection."""
+    plan = plan_of(_q(spark, "x32_quality_canonical"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
