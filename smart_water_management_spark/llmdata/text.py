@@ -372,3 +372,49 @@ def x27_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ce, 6).alias("cross_entropy"),
         F.round(F.exp(ce), 4).alias("ppl"),
     )
+
+
+CONTEXT_LEN = 512  # packing target (tokens per training sequence)
+
+
+@register(
+    "x34_packing_yield",
+    # Concatenative packing lower bound: ceil(total_tokens / context) bins
+    # per source; oversized docs contribute their overflow as dedicated
+    # full bins plus a remainder. All-integer arithmetic, so the yield
+    # ratio is the only float and it derives from exact counts.
+    oracle=f"""
+    WITH t AS (
+      SELECT source,
+             len(string_split(lower(text), ' ')) AS n_tok
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(CEIL(CAST(SUM(n_tok) AS DOUBLE) / {CONTEXT_LEN}) AS BIGINT)
+             AS n_sequences,
+           ROUND(CAST(SUM(n_tok) AS DOUBLE)
+                 / (CEIL(CAST(SUM(n_tok) AS DOUBLE) / {CONTEXT_LEN})
+                    * {CONTEXT_LEN}), 6) AS packing_yield
+    FROM t GROUP BY source
+    """,
+    doc=f"sequence-packing yield per source: token totals vs the "
+    f"{CONTEXT_LEN}-token training sequences needed under concatenative "
+    "packing — the padding-waste estimate that sizes a training run's "
+    "data budget. One scan + one tiny aggregate, counts are exact "
+    "integers at any corpus size",
+)
+def x34_packing_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text"))
+    total = F.sum(n_tok)
+    n_seq = F.ceil(total.cast("double") / CONTEXT_LEN)
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        total.alias("total_tokens"),
+        n_seq.alias("n_sequences"),
+        F.round(
+            total.cast("double") / (n_seq * CONTEXT_LEN), 6
+        ).alias("packing_yield"),
+    )

@@ -349,3 +349,53 @@ def s15_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("long").alias("min_doc"),
         F.max("doc_id").cast("long").alias("max_doc"),
     )
+
+
+@register(
+    "s16_schema_evolution",
+    # v1 files lack o_orderpriority; mergeSchema surfaces it as NULL for
+    # v1 rows, so priority counts come only from the v2 half while price
+    # sums span both. The oracle reproduces the union semantics directly.
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 0
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderpriority
+      FROM orders WHERE o_orderkey % 2 = 1
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(o_orderpriority) AS n_with_priority,
+           COUNT(DISTINCT o_orderpriority) AS n_priorities,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+             AS sum_price
+    FROM unioned
+    """,
+    doc="S16 (ext.): schema evolution across file generations — v1 parquet "
+    "written without a column, v2 written with it, one mergeSchema scan "
+    "reads both (old rows NULL-fill). The pattern every long-lived 100 TB "
+    "lake hits when a column is added mid-history; checksum proves rows "
+    "from both generations survive with correct typing",
+)
+def s16_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    root = _scratch("s16_evo", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(f"{root}/gen=1")
+    v2.write.mode("overwrite").parquet(f"{root}/gen=2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{root}/gen=1", f"{root}/gen=2"
+    )
+    return merged.agg(
+        F.count("*").alias("n_rows"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.count_distinct("o_orderpriority").alias("n_priorities"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
