@@ -107,4 +107,11 @@ DRIVER_WINDOW: list[str] = [
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):
-    register_alias(f"a00_{_i:02d}_{_target}", _target)
+    try:
+        register_alias(f"a00_{_i:02d}_{_target}", _target)
+    except KeyError:
+        # An optional module failed to import (package __init__ tolerates
+        # that), so its registrations are absent. Skipping the alias keeps
+        # the package importable in the partial-registry state; natural
+        # names slide into the vacated window slots.
+        pass

@@ -180,6 +180,25 @@ def _gram_expr(tk_col: str) -> str:
     )
 
 
+
+def doc_gram_table(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """The pinned (doc_id, gram-hash) table shared by x23 and x31.
+
+    One definition so the two operators can never receive different gram
+    projections from the shared pin_derived cache slot; pinned because the
+    tokenize->hash->explode stage is the dominant cost and multiple
+    consumers join both sides of it (see x08's persist note for the same
+    shape).
+    """
+    d = load_table(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    return pin_derived(
+        spark,
+        sf_dir,
+        "doc_grams",
+        lambda: d.select("doc_id", F.explode(F.expr(_gram_expr("tk"))).alias("g")),
+    )
+
+
 @register(
     "x23_benchmark_contamination",
     oracle=f"""
@@ -203,21 +222,7 @@ def _gram_expr(tk_col: str) -> str:
     "shuffle is hash-partitioned on the gram, never all-pairs",
 )
 def x23_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").withColumn(
-        "tk", tokens("text")
-    )
-    # two-step select: generators can't nest inside expressions.
-    # pinned because both join sides derive from it — without the pin
-    # the tokenize->hash->explode stage (the dominant cost at corpus
-    # scale) runs twice, as dedup.py's x08 documents for the same shape.
-    # Tracked via pin_derived (not a bare .persist()) so repeated sweeps
-    # reuse one cached gram table instead of pinning a new copy each run.
-    grams = pin_derived(
-        spark,
-        sf_dir,
-        "x23_grams",
-        lambda: d.select("doc_id", F.explode(F.expr(_gram_expr("tk"))).alias("g")),
-    )
+    grams = doc_gram_table(spark, sf_dir)
     bench = grams.filter(F.expr(BENCH_PRED)).select("g").distinct()
     train = grams.filter(~F.expr(BENCH_PRED))
     return (
@@ -389,13 +394,7 @@ def x30_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     "hash-partitioned on the gram hash, never all-pairs",
 )
 def x31_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
-    grams = pin_derived(
-        spark,
-        sf_dir,
-        "x23_grams",  # same derived table as x23 — one tokenize+hash pass
-        lambda: d.select("doc_id", F.explode(F.expr(_gram_expr("tk"))).alias("g")),
-    )
+    grams = doc_gram_table(spark, sf_dir)
     cnts = grams.groupBy("g").agg(F.count("*").alias("cnt"))
     n_unique = F.count(F.when(F.col("cnt") == 1, 1))
     return (
@@ -440,9 +439,17 @@ def x31_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x33_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
-    grams = d.select(
-        "source", F.explode(F.expr(_gram_expr("tk"))).alias("g")
-    ).distinct()
+    # pinned: the distinct gram set feeds the self-join's both sides AND
+    # the per-source totals — unpinned, the tokenize+hash+distinct stage
+    # would execute three times per invocation
+    grams = pin_derived(
+        spark,
+        sf_dir,
+        "source_grams",
+        lambda: d.select(
+            "source", F.explode(F.expr(_gram_expr("tk"))).alias("g")
+        ).distinct(),
+    )
     per_source = grams.groupBy("source").agg(F.count("*").alias("n_grams"))
     a = grams.select(F.col("source").alias("src_a"), "g")
     b = grams.select(F.col("source").alias("src_b"), "g")

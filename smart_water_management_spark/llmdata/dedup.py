@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.catalog import fan_out, load_table
-from .text import STOPWORDS, tokens
+from .text import STOPWORDS, bag_fp_expr, quality_expr, sql_quality_expr, tokens
 
 # k=16 over 8 bands (r=2 rows/band) aligns the LSH s-curve with the 0.5
 # Jaccard verification threshold: candidate probability at j is
@@ -308,22 +308,20 @@ def x09_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "x32_quality_canonical",
     # quality_score takes one of a handful of constant-sum values (x02's
-    # banded scoring), so the DESC ordering + doc_id tiebreak is exact in
-    # both engines; bag_fp is the order-insensitive x04 fingerprint.
-    oracle="""
+    # banded scoring — SAME definition via text.quality_expr /
+    # sql_quality_expr), so the DESC ordering + doc_id tiebreak is exact
+    # in both engines; bag_fp is the order-insensitive x04 fingerprint.
+    oracle=f"""
     WITH t AS (
       SELECT doc_id,
              md5(array_to_string(list_sort(string_split(lower(text), ' ')), ' '))
                AS bag_fp,
-             (CASE WHEN len(string_split(lower(text), ' ')) BETWEEN 20 AND 200
-                   THEN 0.5e0 ELSE 0.2e0 END
-              + CASE WHEN CAST(len(list_filter(string_split(lower(text), ' '),
-                      w -> w IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
-                      / len(string_split(lower(text), ' ')) BETWEEN 0.05 AND 0.4
-                     THEN 0.3e0 ELSE 0.1e0 END
-              + CASE WHEN CAST(len(list_distinct(string_split(lower(text), ' ')))
-                      AS DOUBLE) / len(string_split(lower(text), ' ')) > 0.3
-                     THEN 0.2e0 ELSE 0.05e0 END) AS quality_score
+             {sql_quality_expr(
+                 "len(string_split(lower(text), ' '))",
+                 "len(list_filter(string_split(lower(text), ' '), "
+                 "w -> w IN (" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")))",
+                 "len(list_distinct(string_split(lower(text), ' ')))",
+             )} AS quality_score
       FROM documents
     )
     SELECT doc_id, bag_fp, quality_score,
@@ -344,22 +342,10 @@ def x32_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = load_table(spark, sf_dir, "documents")
-    tk = tokens("text")
-    n_tokens = F.size(tk)
-    stop_ratio = (
-        F.size(F.filter(tk, lambda w: w.isin(STOPWORDS)))
-        .cast("double")
-        / n_tokens
-    )
-    ttr = F.size(F.array_distinct(tk)).cast("double") / n_tokens
-    quality = (
-        F.when(n_tokens.between(20, 200), 0.5).otherwise(0.2)
-        + F.when(stop_ratio.between(0.05, 0.4), 0.3).otherwise(0.1)
-        + F.when(ttr > 0.3, 0.2).otherwise(0.05)
-    )
-    bag_fp = F.md5(F.concat_ws(" ", F.array_sort(tokens("text"))))
     t = d.select(
-        "doc_id", bag_fp.alias("bag_fp"), quality.alias("quality_score")
+        "doc_id",
+        bag_fp_expr().alias("bag_fp"),
+        quality_expr(tokens("text")).alias("quality_score"),
     )
     w = W.partitionBy("bag_fp").orderBy(F.desc("quality_score"), F.asc("doc_id"))
     wg = W.partitionBy("bag_fp")

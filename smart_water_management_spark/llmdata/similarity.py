@@ -424,6 +424,11 @@ def semdedup_prune(
 ) -> DataFrame:
     """Core SemDeDup pass over (vec_id, label, e) rows; see x29."""
     assigned, _model = ivf_index(em, n_cells=n_cells)
+    # the cell-assigned corpus feeds the pair join's both sides AND the
+    # final left-join base; unpersisted, the KMeans transform + embedding
+    # scan lineage would replay three times (LRU-evicted, caller-scoped —
+    # em is injectable so there is no (sf_dir, name) cache key to pin on)
+    assigned = assigned.persist()
     a = assigned.select(
         "cell", F.col("vec_id").alias("vec_a"), F.col("e").alias("ea")
     )

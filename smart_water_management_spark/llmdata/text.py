@@ -38,6 +38,38 @@ def _membership(vals: list[str]):
     return lambda w: w.isin(vals)
 
 
+def quality_expr(tk: Column) -> Column:
+    """x02's banded quality score (length band + stopword ratio + lexical
+    diversity) as a reusable Column — the single definition consumed by
+    x02 and by the quality-aware dedup policy (x32), so the banding
+    constants cannot drift between them."""
+    n_tokens = F.size(tk)
+    stop_ratio = F.size(F.filter(tk, _membership(STOPWORDS))).cast("double") / n_tokens
+    ttr = F.size(F.array_distinct(tk)).cast("double") / n_tokens
+    return (
+        F.when(n_tokens.between(20, 200), 0.5).otherwise(0.2)
+        + F.when(stop_ratio.between(0.05, 0.4), 0.3).otherwise(0.1)
+        + F.when(ttr > 0.3, 0.2).otherwise(0.05)
+    )
+
+
+def sql_quality_expr(n_tokens: str, n_stop: str, n_distinct: str) -> str:
+    """DuckDB twin of ``quality_expr`` over SQL count expressions."""
+    return (
+        f"(CASE WHEN {n_tokens} BETWEEN 20 AND 200 THEN 0.5e0 ELSE 0.2e0 END\n"
+        f"            + CASE WHEN CAST({n_stop} AS DOUBLE) / {n_tokens}"
+        f" BETWEEN 0.05 AND 0.4\n"
+        f"                   THEN 0.3e0 ELSE 0.1e0 END\n"
+        f"            + CASE WHEN CAST({n_distinct} AS DOUBLE) / {n_tokens} > 0.3\n"
+        f"                   THEN 0.2e0 ELSE 0.05e0 END)"
+    )
+
+
+def bag_fp_expr(text_col: str = "text") -> Column:
+    """x04's order-insensitive bag-of-words fingerprint (shared with x32)."""
+    return F.md5(F.concat_ws(" ", F.sort_array(tokens(text_col))))
+
+
 @register(
     "x01_token_stats",
     oracle="""
@@ -79,11 +111,7 @@ def x01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id, lang, n_tokens,
            CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
            CAST(n_distinct AS DOUBLE) / n_tokens AS ttr,
-           (CASE WHEN n_tokens BETWEEN 20 AND 200 THEN 0.5e0 ELSE 0.2e0 END
-            + CASE WHEN CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.05 AND 0.4
-                   THEN 0.3e0 ELSE 0.1e0 END
-            + CASE WHEN CAST(n_distinct AS DOUBLE) / n_tokens > 0.3
-                   THEN 0.2e0 ELSE 0.05e0 END) AS quality_score
+           {sql_quality_expr("n_tokens", "n_stop", "n_distinct")} AS quality_score
     FROM t
     """,
     doc="quality scoring: length band + stopword ratio + lexical diversity",
@@ -96,18 +124,13 @@ def x02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_distinct = F.size(F.array_distinct(tk))
     stop_ratio = n_stop.cast("double") / n_tokens
     ttr = n_distinct.cast("double") / n_tokens
-    score = (
-        F.when(n_tokens.between(20, 200), 0.5).otherwise(0.2)
-        + F.when(stop_ratio.between(0.05, 0.4), 0.3).otherwise(0.1)
-        + F.when(ttr > 0.3, 0.2).otherwise(0.05)
-    )
     return d.select(
         "doc_id",
         "lang",
         n_tokens.alias("n_tokens"),
         stop_ratio.alias("stopword_ratio"),
         ttr.alias("ttr"),
-        score.alias("quality_score"),
+        quality_expr(tk).alias("quality_score"),
     )
 
 
@@ -177,7 +200,7 @@ def x04_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.md5("text").alias("exact_fp"),
-        F.md5(F.concat_ws(" ", F.sort_array(tokens("text")))).alias("bag_fp"),
+        bag_fp_expr().alias("bag_fp"),
     )
 
 
@@ -358,8 +381,18 @@ def x26_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word-count shape, never all-pairs; the 1-row total broadcasts",
 )
 def x27_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import pin_derived
+
     d = load_table(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens("text")).alias("w"))
+    # pinned: the exploded token table is both the vocab-count input and
+    # the scoring join's probe side — unpinned, the dominant explode
+    # stage executes twice per invocation
+    tok = pin_derived(
+        spark,
+        sf_dir,
+        "doc_tokens",
+        lambda: d.select("doc_id", F.explode(tokens("text")).alias("w")),
+    )
     vocab = tok.groupBy("w").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     nl = F.round(

@@ -124,8 +124,8 @@ def skew_join_naive(
     spark: SparkSession, sf_dir: str, n_mappers: int = 16
 ) -> DataFrame:
     """The straggler plan: unsalted sort-merge join on the hot key. With
-    AQE skew-join disabled, the key-0 partition holds 90% of the fact and
-    one reducer does 90% of the work. Exposed un-registered for the bench
+    AQE skew-join disabled, the key-0 partition holds 95% of the fact and
+    one reducer does 95% of the work. Exposed un-registered for the bench
     A/B and the AQE skew-split plan test; ``k04_skew_join_salted`` is the
     production pattern.
 
@@ -189,7 +189,7 @@ _SKEW_ORACLE = f"""
 @register(
     "k04_skew_join_salted",
     oracle=_SKEW_ORACLE,
-    doc="salted sort-merge join over a 90%-hot key: fact rows salted by "
+    doc="salted sort-merge join over a 95%-hot key: fact rows salted by "
     "full-row hash into 16 sub-keys, dim exploded 16x, join on "
     "(key, salt) — the hot key's rows spread across 16 reducers instead "
     "of one straggler. Identical rows to the naive join (same oracle); "
