@@ -51,3 +51,33 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(swm.oracle_sql()).issubset(set(swm.queries()))
+
+
+def test_package_import_survives_partial_registry():
+    """If an optional module is unavailable (e.g. pyspark.ml missing for
+    ml.analytics), its registrations are absent — the driver-window aliases
+    for those targets must be SKIPPED, not crash the whole package import
+    with KeyError. Natural names then slide into the vacated window slots."""
+    import subprocess
+    import sys
+
+    code = (
+        "import importlib.abc, sys\n"
+        "class Blocker(importlib.abc.MetaPathFinder):\n"
+        "    def find_spec(self, name, path=None, target=None):\n"
+        "        if name == 'smart_water_management_spark.ml.analytics':\n"
+        "            raise ModuleNotFoundError(name)\n"
+        "        return None\n"
+        "sys.meta_path.insert(0, Blocker())\n"
+        "import smart_water_management_spark as swm\n"
+        "qs = swm.queries()\n"
+        "assert 'm01_kmeans_clusters' not in qs, 'block failed'\n"
+        "assert 'a00_50_m01_kmeans_clusters' not in qs, 'alias not skipped'\n"
+        "assert 'a01_multi_agg_pricing' in qs\n"
+        "print('PARTIAL_OK', len(qs))\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=120
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "PARTIAL_OK" in out.stdout
