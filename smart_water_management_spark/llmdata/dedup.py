@@ -251,6 +251,18 @@ def simhash64(docs: DataFrame) -> DataFrame:
 
 def _x09_oracle() -> str:
     """DuckDB twin of simhash64: same md5-derived bits, same hex assembly."""
+    return f"""
+    {_simhash_sig_cte()}
+    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical
+    FROM sig GROUP BY simhash ORDER BY simhash
+    """
+
+
+def _simhash_sig_cte() -> str:
+    """Shared WITH-chain producing ``sig(doc_id, simhash)`` — one SQL
+    definition of the signature for x09 (identical-sig groups) and x35
+    (banded Hamming pairs), mirroring the single ``simhash64`` on the
+    Spark side."""
     bit_sums = ",\n         ".join(
         f"SUM(CASE WHEN ((h{'1' if b >= 32 else '2'} >> {b % 32}) & 1) = 1 "
         f"THEN 1 ELSE -1 END) AS b{b}"
@@ -282,10 +294,7 @@ def _x09_oracle() -> str:
       FROM h GROUP BY doc_id
     ), sig AS (
       SELECT doc_id, {nibbles} AS simhash FROM bits
-    )
-    SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS canonical
-    FROM sig GROUP BY simhash ORDER BY simhash
-    """
+    )"""
 
 
 @register(
@@ -356,4 +365,95 @@ def x32_quality_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").over(wg).alias("n_in_group"),
         (F.row_number().over(w) == 1).alias("is_canonical"),
         F.first("doc_id").over(w).alias("canonical_id"),
+    )
+
+
+SIMHASH_BANDS = 4  # 4 x 16-bit bands: Hamming <= 3 pairs ALWAYS share one
+HAMMING_T = 3
+
+
+@register(
+    "x35_simhash_hamming_pairs",
+    # Pigeonhole guarantee: 3 differing bits touch at most 3 of the 4
+    # bands, so every Hamming<=3 pair shares at least one identical band
+    # — the banded candidate join has EXACT recall at this threshold.
+    oracle=f"""
+    {{sig_cte}},
+    banded AS (
+      SELECT doc_id, simhash, r.range AS band,
+             substr(simhash, 1 + 4 * CAST(r.range AS INT), 4) AS bv
+      FROM sig, range(0, {SIMHASH_BANDS}) r
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT doc_a, doc_b,
+             CAST(bit_count(xor(CAST(('0x' || substr(sa, 1, 8)) AS BIGINT),
+                                CAST(('0x' || substr(sb, 1, 8)) AS BIGINT)))
+                + bit_count(xor(CAST(('0x' || substr(sa, 9, 8)) AS BIGINT),
+                                CAST(('0x' || substr(sb, 9, 8)) AS BIGINT)))
+               AS BIGINT) AS hamming
+      FROM cand
+    ) WHERE hamming <= {HAMMING_T}
+    """.format(sig_cte=_simhash_sig_cte()),
+    doc=f"banded SimHash near-dup pairs: {SIMHASH_BANDS} x 16-bit bands, "
+    "candidates from band-equality joins (never all-pairs), exact Hamming "
+    f"verify on candidates only — recall is EXACT for Hamming <= {HAMMING_T} "
+    "by pigeonhole. The 100 TB SimHash path: the quadratic pair space is "
+    "replaced by hash-partitioned bucket joins on 16-bit band values",
+)
+def x35_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import pin_derived
+
+    docs = load_table(spark, sf_dir, "documents")
+    # pinned: the banded table self-joins (both sides)
+    sig = pin_derived(
+        spark, sf_dir, "simhash_sigs", lambda: simhash64(docs)
+    )
+    return simhash_hamming_pairs(sig)
+
+
+def simhash_hamming_pairs(
+    sig: DataFrame, bands: int = SIMHASH_BANDS, max_hamming: int = HAMMING_T
+) -> DataFrame:
+    """Banded Hamming-neighborhood pairs over (doc_id, simhash-hex) rows."""
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.substring("simhash", 1 + 4 * b, 4).alias("bv"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "simhash", "e.band", "e.bv")
+    a = banded.select(
+        "band", "bv", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa")
+    )
+    b = banded.select(
+        "band", "bv", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb")
+    )
+    cand = (
+        a.join(b, ["band", "bv"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sa", "sb")
+        .distinct()
+    )
+
+    def half(col, start):
+        return F.conv(F.substring(col, start, 8), 16, 10).cast("long")
+
+    hamming = F.bit_count(
+        half(F.col("sa"), 1).bitwiseXOR(half(F.col("sb"), 1))
+    ) + F.bit_count(half(F.col("sa"), 9).bitwiseXOR(half(F.col("sb"), 9)))
+    return (
+        cand.select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )

@@ -304,3 +304,25 @@ def test_temperature_mixture_invariants(spark):
     assert expected <= MIX_TARGET * 1.01
     # binomial concentration: realized within ~5 sigma of expectation
     assert abs(drawn - expected) < 5 * (expected**0.5 + 1)
+
+
+def test_simhash_hamming_pairs_planted(spark):
+    """x35's banded candidate join must find the exact-dup pair (Hamming 0)
+    and never emit a pair above the threshold; recall for Hamming<=3 is
+    exact by pigeonhole, so the planted identical docs MUST appear."""
+    from smart_water_management_spark.llmdata.dedup import (
+        HAMMING_T,
+        simhash64,
+        simhash_hamming_pairs,
+    )
+
+    docs = _docs_with_planted_dups(spark)
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_hamming_pairs(simhash64(docs)).collect()
+    }
+    assert pairs.get((1, 2)) == 0  # identical text -> identical signature
+    assert all(h <= HAMMING_T for h in pairs.values())
+    # the unrelated doc 4 differs in many bits from 1/2 (asserted in the
+    # simhash test above) and must not pair with them
+    assert (1, 4) not in pairs and (2, 4) not in pairs
