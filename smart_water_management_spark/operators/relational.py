@@ -337,3 +337,45 @@ def p05_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(gate).groupBy("event_type").agg(
         F.count("*").alias("n_sampled")
     )
+
+
+PAGE_SIZE = 25
+
+
+@register(
+    "o03_keyset_pagination",
+    # page 3 fetched keyset-style: the page-2 boundary key is derived by
+    # the same query shape a paginating client would hold from page 2
+    oracle=f"""
+    WITH boundary AS (
+      SELECT o_orderkey AS last_key FROM orders
+      ORDER BY o_orderkey LIMIT 1 OFFSET {2 * PAGE_SIZE - 1}
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o, boundary b
+    WHERE o.o_orderkey > b.last_key
+    ORDER BY o.o_orderkey
+    LIMIT {PAGE_SIZE}
+    """,
+    doc="O3 (ext.): keyset pagination — WHERE key > last_seen ORDER BY key "
+    "LIMIT n instead of OFFSET. The predicate pushes into the parquet "
+    "scan (min/max row-group skipping), so page N costs the same as page "
+    "1; OFFSET pagination reads and discards N*page rows — O(n^2) to walk "
+    "a 100 TB table. Plan-asserted: filter reaches the scan",
+)
+def o03_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # the boundary a client would carry from the previous page (bounded
+    # driver scalar, same rule as SURVEY §4.4's small-aggregate collects)
+    last_key = (
+        orders.select("o_orderkey")
+        .orderBy("o_orderkey")
+        .limit(2 * PAGE_SIZE)
+        .collect()[-1][0]
+    )
+    return (
+        orders.filter(F.col("o_orderkey") > last_key)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(PAGE_SIZE)
+    )

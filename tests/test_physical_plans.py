@@ -302,3 +302,12 @@ def test_quality_canonical_single_shuffle(spark):
     bag fingerprint — one exchange for the whole canonical selection."""
     plan = plan_of(_q(spark, "x32_quality_canonical"), "simple")
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_keyset_pagination_filter_pushed_to_scan(spark):
+    """o03: the keyset predicate must reach the parquet scan as a pushed
+    filter (row-group min/max skipping) — the property that makes page N
+    cost the same as page 1 at any table size."""
+    plan = plan_of(_q(spark, "o03_keyset_pagination"))
+    assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey," in plan
+    assert "TakeOrderedAndProject" in plan
