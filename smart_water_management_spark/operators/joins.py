@@ -441,3 +441,94 @@ def j10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketized_neighbor_counts(
         ev.filter(F.col("event_type") == "error"), ev, window_sec=300
     )
+
+
+OVERLAP_SPAN_DAYS = 7  # order fulfillment window length (bounded => the
+# bucket explode fans each interval to at most 2 weekly buckets)
+
+
+@register(
+    "j11_interval_overlap_join",
+    oracle=f"""
+    WITH ord AS (
+      SELECT o_orderkey, o_totalprice,
+             o_orderdate AS o_start,
+             o_orderdate + INTERVAL {OVERLAP_SPAN_DAYS} DAYS AS o_end
+      FROM orders
+    ),
+    win AS (
+      SELECT CAST(r.range AS BIGINT) AS win_id,
+             TIMESTAMP '1992-01-01 00:00:00'
+               + CAST(r.range AS INT) * INTERVAL 28 DAYS AS w_start,
+             TIMESTAMP '1992-01-01 00:00:00'
+               + CAST(r.range AS INT) * INTERVAL 28 DAYS
+               + INTERVAL 14 DAYS AS w_end
+      FROM range(0, 92) r
+    )
+    SELECT w.win_id,
+           strftime(w.w_start, '%Y-%m-%d') AS w_start,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+             AS total_price
+    FROM win w
+    JOIN ord o ON o.o_start < w.w_end AND w.w_start < o.o_end
+    GROUP BY w.win_id, w.w_start
+    """,
+    doc="J11 (ext.): interval-overlap join — bounded-length order windows "
+    "vs a biweekly maintenance-window dimension. The naive overlap "
+    "predicate is a nested loop; here each order interval explodes to the "
+    "(at most 2, since span <= bucket width) 28-day buckets it touches, "
+    "the join runs as a hash equi-join on the bucket, and the exact "
+    "overlap predicate filters within buckets — the temporal-join shape "
+    "that stays linear at 100 TB",
+)
+def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    epoch = "TIMESTAMP '1992-01-01 00:00:00'"
+    bucket_days = 28
+    ord_ = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.col("o_orderdate").alias("o_start"),
+            (F.col("o_orderdate") + F.expr(f"INTERVAL {OVERLAP_SPAN_DAYS} DAYS")).alias(
+                "o_end"
+            ),
+        )
+        # bucket ids this interval touches: floor-div of day offsets
+        # (datediff sidesteps TIMESTAMP_NTZ's no-direct-epoch-cast rule)
+        .withColumn(
+            "b0",
+            F.floor(F.datediff(F.col("o_start"), F.lit("1992-01-01")) / bucket_days),
+        )
+        .withColumn(
+            "b1",
+            F.floor(F.datediff(F.col("o_end"), F.lit("1992-01-01")) / bucket_days),
+        )
+        .withColumn("bucket", F.explode(F.sequence("b0", "b1")))
+    )
+    win = spark.range(0, 92).select(
+        F.col("id").alias("win_id"),
+        (F.expr(epoch) + F.col("id").cast("int") * F.expr("INTERVAL 28 DAYS")).alias(
+            "w_start"
+        ),
+        (
+            F.expr(epoch)
+            + F.col("id").cast("int") * F.expr("INTERVAL 28 DAYS")
+            + F.expr("INTERVAL 14 DAYS")
+        ).alias("w_end"),
+    )
+    # each window lives entirely inside its own 28-day bucket
+    win = win.withColumn("bucket", F.col("win_id"))
+    joined = ord_.join(F.broadcast(win), "bucket").filter(
+        (F.col("o_start") < F.col("w_end")) & (F.col("w_start") < F.col("o_end"))
+    )
+    return (
+        joined.groupBy("win_id", F.date_format("w_start", "yyyy-MM-dd").alias("w_start"))
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
