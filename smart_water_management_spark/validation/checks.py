@@ -355,3 +355,63 @@ def v06_per_type_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("lo").alias("lo"),
         F.min("hi").alias("hi"),
     )
+
+
+VIOLATION_THRESHOLD = 100.0
+MIN_RUN = 2
+
+
+@register(
+    "v07_violation_runs",
+    # classic gaps-and-islands: row_number over all readings minus
+    # row_number over flagged readings is constant within a consecutive
+    # flagged run. All integer/timestamp outputs — exactly comparable.
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_id, ts, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn_all
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+             rn_all - ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS grp
+      FROM seq WHERE value > {VIOLATION_THRESHOLD}
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS run_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS run_end,
+           COUNT(*) AS n_readings,
+           ROUND(MAX(value), 6) AS peak_value
+    FROM flagged
+    GROUP BY user_id, grp
+    HAVING COUNT(*) >= {MIN_RUN}
+    """,
+    doc="V (ext.): consecutive-violation run detection — gaps-and-islands "
+    "over the per-sensor reading sequence, surfacing sustained "
+    "out-of-range episodes (stuck sensor / alarm storm) instead of "
+    "isolated spikes. Two window passes and the final groupBy all "
+    "partition on user_id: one exchange serves the whole plan",
+)
+def v07_violation_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("rn_all", F.row_number().over(w))
+    flagged = (
+        seq.filter(F.col("value") > VIOLATION_THRESHOLD)
+        .withColumn("grp", F.col("rn_all") - F.row_number().over(w))
+    )
+    return (
+        flagged.groupBy("user_id", "grp")
+        .agg(
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("run_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("run_end"),
+            F.count("*").alias("n_readings"),
+            F.round(F.max("value"), 6).alias("peak_value"),
+        )
+        .filter(F.col("n_readings") >= MIN_RUN)
+        .drop("grp")
+    )
