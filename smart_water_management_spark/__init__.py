@@ -47,11 +47,16 @@ _OPTIONAL_MODULES = [
 
 import importlib as _importlib
 
+# Names of optional modules that failed to import this process — consumed
+# by driver_window to distinguish "target's module absent" (skip the
+# alias) from "typo'd target" (fail fast).
+_FAILED_OPTIONAL: list[str] = []
+
 for _m in _OPTIONAL_MODULES:
     try:
         _importlib.import_module(_m)
     except ModuleNotFoundError:
-        pass  # module not built yet; registry stays partial
+        _FAILED_OPTIONAL.append(_m)  # module not built yet; registry stays partial
 
 # Last: driver-window aliases (must see every natural registration above).
 from . import driver_window  # noqa: F401,E402

@@ -468,8 +468,7 @@ OVERLAP_SPAN_DAYS = 7  # order fulfillment window length (bounded => the
     SELECT w.win_id,
            strftime(w.w_start, '%Y-%m-%d') AS w_start,
            COUNT(o.o_orderkey) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
-             AS total_price
+           {sql_dsum('o.o_totalprice')} AS total_price
     FROM win w
     JOIN ord o ON o.o_start < w.w_end AND w.w_start < o.o_end
     GROUP BY w.win_id, w.w_start
@@ -527,8 +526,6 @@ def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.groupBy("win_id", F.date_format("w_start", "yyyy-MM-dd").alias("w_start"))
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
-            .cast("double")
-            .alias("total_price"),
+            dsum("o_totalprice").alias("total_price"),
         )
     )

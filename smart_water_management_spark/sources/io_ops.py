@@ -33,6 +33,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from ..functions.numeric import dsum, sql_dsum
 from ..registry import register
 from .catalog import load_table, read_csv_with_schema
 
@@ -356,7 +357,7 @@ def s15_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # v1 files lack o_orderpriority; mergeSchema surfaces it as NULL for
     # v1 rows, so priority counts come only from the v2 half while price
     # sums span both. The oracle reproduces the union semantics directly.
-    oracle="""
+    oracle=f"""
     WITH unioned AS (
       SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
       FROM orders WHERE o_orderkey % 2 = 0
@@ -367,8 +368,7 @@ def s15_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT COUNT(*) AS n_rows,
            COUNT(o_orderpriority) AS n_with_priority,
            COUNT(DISTINCT o_orderpriority) AS n_priorities,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
-             AS sum_price
+           {sql_dsum('o_totalprice')} AS sum_price
     FROM unioned
     """,
     doc="S16 (ext.): schema evolution across file generations — v1 parquet "
@@ -395,7 +395,5 @@ def s16_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.count("o_orderpriority").alias("n_with_priority"),
         F.count_distinct("o_orderpriority").alias("n_priorities"),
-        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
-        .cast("double")
-        .alias("sum_price"),
+        dsum("o_totalprice").alias("sum_price"),
     )
