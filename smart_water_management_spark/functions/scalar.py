@@ -282,3 +282,65 @@ def f08_casts_conditionals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("full")
         .alias("price_class"),
     ).agg(F.count("*").alias("n"))
+
+
+# --- Geo distance (reference src/enhanced_spark_etl.py:242-244 computes a
+# planar sqrt/pow distance between sensor coordinates; the haversine twin
+# is the correct-on-a-sphere upgrade). Coordinates derive deterministically
+# from user_id (the testdata carries no lat/lon columns).
+_EARTH_R_KM = 6371.0
+_SITE_LAT, _SITE_LON = 51.5, -0.12  # reference plant site
+
+
+@register(
+    "f13_geo_distance",
+    oracle=f"""
+    WITH pts AS (
+      SELECT DISTINCT user_id,
+             (user_id % 120) - 60 + 0.25 AS lat,
+             ((user_id * 7) % 360) - 180 + 0.25 AS lon
+      FROM events
+    )
+    SELECT user_id, lat, lon,
+           ROUND(SQRT(POW(lat - {_SITE_LAT}, 2) + POW(lon - ({_SITE_LON}), 2)), 6)
+             AS planar_deg,
+           ROUND(2 * {_EARTH_R_KM} * ASIN(SQRT(
+               POW(SIN(RADIANS(lat - {_SITE_LAT}) / 2), 2)
+               + COS(RADIANS(lat)) * COS(RADIANS({_SITE_LAT}))
+                 * POW(SIN(RADIANS(lon - ({_SITE_LON})) / 2), 2)
+           )), 6) AS haversine_km
+    FROM pts
+    """,
+    doc="F13: geo distance — the reference's planar sqrt/pow degree "
+    "distance plus the haversine great-circle upgrade, both pure "
+    "column expressions in whole-stage codegen; one scan, no UDF",
+)
+def f13_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pts = ev.select(
+        "user_id",
+        (F.col("user_id") % 120 - 60 + 0.25).alias("lat"),
+        ((F.col("user_id") * 7) % 360 - 180 + 0.25).alias("lon"),
+    ).distinct()
+    dlat = F.col("lat") - _SITE_LAT
+    dlon = F.col("lon") - _SITE_LON
+    planar = F.sqrt(F.pow(dlat, 2) + F.pow(dlon, 2))
+    hav = (
+        2
+        * _EARTH_R_KM
+        * F.asin(
+            F.sqrt(
+                F.pow(F.sin(F.radians(dlat) / 2), 2)
+                + F.cos(F.radians("lat"))
+                * F.cos(F.radians(F.lit(_SITE_LAT)))
+                * F.pow(F.sin(F.radians(dlon) / 2), 2)
+            )
+        )
+    )
+    return pts.select(
+        "user_id",
+        "lat",
+        "lon",
+        F.round(planar, 6).alias("planar_deg"),
+        F.round(hav, 6).alias("haversine_km"),
+    )
