@@ -479,3 +479,165 @@ def x33_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --- x37: DSIR-style importance weighting ------------------------------------
+
+# Data Selection via Importance Resampling (Xie et al. 2023): score every
+# raw document by the log-likelihood ratio of its tokens under a unigram
+# LM of the *target* distribution vs a unigram LM of the *raw* corpus,
+# then keep high-ratio docs. Target stand-in: the English slice. Add-one
+# smoothing over the shared vocabulary keeps both LMs finite.
+#
+# Determinism: the per-word log-ratio is rounded to 6 decimals and cast
+# to DECIMAL(27,6) before the per-doc sum (x27's pattern), so the
+# aggregation is exact and order-independent on both engines.
+DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "x37_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+      SELECT t.doc_id, t.w, d.lang FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents) t
+      JOIN documents d USING (doc_id)
+    ),
+    vocab AS (
+      SELECT w, COUNT(*) AS cr,
+             COUNT(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 END) AS ct
+      FROM tok GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(SUM(cr) AS BIGINT) AS r_total,
+             CAST(SUM(ct) AS BIGINT) AS t_total,
+             COUNT(*) AS v FROM vocab
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(ROUND(LN((ct + 1.0) / (t_total + v))
+                        - LN((cr + 1.0) / (r_total + v)), 6)
+                  AS DECIMAL(27,6)) AS lr
+      FROM tok t JOIN vocab USING (w) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(CAST(SUM(lr) AS DOUBLE), 6) AS log_ratio,
+           CAST(SUM(lr) AS DOUBLE) > 0.0 AS selected
+    FROM scored GROUP BY doc_id
+    """,
+    doc="DSIR importance weighting (Xie et al. 2023): per-doc unigram "
+    "log-likelihood ratio of target-LM vs raw-LM with add-one smoothing; "
+    "positive ratio selects target-like docs. One conditional-count "
+    "shuffle builds BOTH LMs, then the x27 word-count join shape — "
+    "hash-partitioned on the token, 1-row totals broadcast, no all-pairs",
+)
+def x37_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import doc_token_table
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = doc_token_table(spark, sf_dir).join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    vocab = tok.groupBy("w").agg(
+        F.count("*").alias("cr"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("ct"),
+    )
+    tot = vocab.agg(
+        F.sum("cr").alias("r_total"),
+        F.sum("ct").alias("t_total"),
+        F.count("*").alias("v"),
+    )
+    lr = F.round(
+        F.log((F.col("ct") + 1.0) / (F.col("t_total") + F.col("v")))
+        - F.log((F.col("cr") + 1.0) / (F.col("r_total") + F.col("v"))),
+        6,
+    ).cast("decimal(27,6)")
+    scored = (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lr.alias("lr"))
+    )
+    total_lr = F.sum("lr").cast("double")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(total_lr, 6).alias("log_ratio"),
+        (total_lr > 0.0).alias("selected"),
+    )
+
+
+# --- x38: context-window chunking --------------------------------------------
+
+# Fixed-size token chunks with overlap — the prep stage that turns
+# variable-length documents into training/RAG context windows. Chunk i
+# starts at token i*STRIDE (0-based); the last chunk is the first one
+# whose window reaches the end of the doc, so every token lands in >=1
+# chunk and no chunk is fully contained in its predecessor.
+CHUNK = 40
+CHUNK_STRIDE = 32  # overlap = CHUNK - CHUNK_STRIDE = 8 tokens
+
+
+@register(
+    "x38_token_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, tk, len(tk) AS n,
+             CASE WHEN len(tk) <= {CHUNK} THEN 1
+                  ELSE (len(tk) - {CHUNK} + {CHUNK_STRIDE} - 1)
+                       // {CHUNK_STRIDE} + 1 END AS n_chunks
+      FROM toks
+    )
+    SELECT doc_id, (u).idx AS chunk_idx, (u).ct AS chunk_tokens,
+           (u).fw AS first_word, (u).lw AS last_word, (u).h AS chunk_hash
+    FROM (
+      SELECT doc_id, unnest(list_transform(range(0, n_chunks),
+        i -> {{'idx': i,
+               'ct': least({CHUNK}, n - i * {CHUNK_STRIDE}),
+               'fw': tk[i * {CHUNK_STRIDE} + 1],
+               'lw': tk[least(i * {CHUNK_STRIDE} + {CHUNK}, n)],
+               'h': md5(array_to_string(
+                      tk[i*{CHUNK_STRIDE}+1:i*{CHUNK_STRIDE}+{CHUNK}], ' '))}}))
+        AS u
+      FROM counted) s
+    """,
+    doc=f"context-window chunking: {CHUNK}-token chunks on a "
+    f"{CHUNK_STRIDE}-token stride ({CHUNK - CHUNK_STRIDE}-token overlap), "
+    "per-chunk token count, boundary words and content hash — one scan + "
+    "row-expansion explode, zero shuffles at any corpus size",
+)
+def x38_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("tk", tokens("text"))
+        .withColumn("n", F.size("tk"))
+        .withColumn(
+            "n_chunks",
+            F.expr(
+                f"CASE WHEN n <= {CHUNK} THEN 1 "
+                f"ELSE (n - {CHUNK} + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE} + 1 "
+                f"END"
+            ),
+        )
+    )
+    chunk_list = (
+        f"transform(sequence(0, n_chunks - 1), i -> struct("
+        f"i AS idx, "
+        f"least({CHUNK}, n - i * {CHUNK_STRIDE}) AS ct, "
+        f"element_at(tk, CAST(i * {CHUNK_STRIDE} + 1 AS INT)) AS fw, "
+        f"element_at(tk, CAST(least(i * {CHUNK_STRIDE} + {CHUNK}, n) AS INT)) AS lw, "
+        f"md5(concat_ws(' ', slice(tk, CAST(i * {CHUNK_STRIDE} + 1 AS INT), {CHUNK}))) AS h))"
+    )
+    return d.select(
+        "doc_id", F.explode(F.expr(chunk_list)).alias("c")
+    ).select(
+        "doc_id",
+        F.col("c.idx").alias("chunk_idx"),
+        F.col("c.ct").alias("chunk_tokens"),
+        F.col("c.fw").alias("first_word"),
+        F.col("c.lw").alias("last_word"),
+        F.col("c.h").alias("chunk_hash"),
+    )

@@ -457,3 +457,79 @@ def simhash_hamming_pairs(
         cand.select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --- x36: tile-level exact substring dedup -----------------------------------
+
+# Non-overlapping TILE-word spans are the dedup unit: hashing fixed tiles
+# (instead of whole docs) catches documents that share long verbatim runs
+# embedded in otherwise-distinct text — the practical stand-in for exact
+# substring dedup (the suffix-array pass of Lee et al. 2022's "Deduplicating
+# Training Data Makes Language Models Better") that stays a pure hash
+# shuffle at 100 TB. Keep-first policy: an occurrence survives iff it is
+# the globally first occurrence of its tile in (doc_id, tile_idx) order,
+# encoded as one BIGINT ordinal so both engines agree without struct mins.
+TILE = 10
+_TILE_ORD = 1_000_000  # tile_idx < 1e6 for any conceivable doc
+
+
+@register(
+    "x36_tile_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    tiles AS (
+      SELECT doc_id, (u).idx AS idx, (u).h AS h FROM (
+        SELECT doc_id, unnest(list_transform(range(0, len(tk) // {TILE}),
+          i -> {{'idx': i,
+                 'h': md5(array_to_string(tk[i*{TILE}+1:i*{TILE}+{TILE}], ' '))}}))
+          AS u
+        FROM toks) s
+    ),
+    stats AS (
+      SELECT h, COUNT(*) AS cnt,
+             MIN(doc_id * {_TILE_ORD} + idx) AS first_ord
+      FROM tiles GROUP BY h
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tiles,
+           COUNT(CASE WHEN s.cnt > 1 THEN 1 END) AS n_dup_tiles,
+           COUNT(CASE WHEN t.doc_id * {_TILE_ORD} + t.idx = s.first_ord
+                 THEN 1 END) AS n_kept_tiles,
+           ROUND(CAST(COUNT(CASE WHEN t.doc_id * {_TILE_ORD} + t.idx = s.first_ord
+                 THEN 1 END) AS DOUBLE) / COUNT(*), 6) AS kept_frac
+    FROM tiles t JOIN stats s USING (h)
+    GROUP BY t.doc_id
+    """,
+    doc=f"tile-level exact substring dedup: non-overlapping {TILE}-word "
+    "tiles hashed and counted corpus-wide; per doc, the duplicated-tile "
+    "count and the keep-first survival fraction. Two hash shuffles "
+    "(tile-hash stats, per-doc reduce) — the word-count shape, never "
+    "all-pairs, so the plan is unchanged at 100 TB",
+)
+def x36_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    tile_list = (
+        f"transform(sequence(0, size(tk) div {TILE} - 1), "
+        f"i -> md5(concat_ws(' ', slice(tk, i * {TILE} + 1, {TILE}))))"
+    )
+    # sequence(0, -1) DESCENDS in Spark; guard the <TILE-word case
+    tiles = d.filter(F.size("tk") >= TILE).select(
+        "doc_id", F.posexplode(F.expr(tile_list)).alias("idx", "h")
+    )
+    ordinal = F.col("doc_id") * _TILE_ORD + F.col("idx")
+    stats = tiles.groupBy("h").agg(
+        F.count("*").alias("cnt"), F.min(ordinal).alias("first_ord")
+    )
+    kept = F.count(F.when(ordinal == F.col("first_ord"), 1))
+    return (
+        tiles.join(stats, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tiles"),
+            F.count(F.when(F.col("cnt") > 1, 1)).alias("n_dup_tiles"),
+            kept.alias("n_kept_tiles"),
+            F.round(kept.cast("double") / F.count("*"), 6).alias("kept_frac"),
+        )
+    )

@@ -32,6 +32,24 @@ def tokens(col: Column | str) -> Column:
     return F.split(F.lower(c), " ")
 
 
+def doc_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pinned exploded (doc_id, w) token table shared by x27 and x37.
+
+    One definition so both consumers hit the same ``pin_derived`` cache
+    slot; pinned because the explode is the dominant stage and each
+    consumer probes it from multiple plan branches.
+    """
+    from ..sources.catalog import pin_derived
+
+    d = load_table(spark, sf_dir, "documents")
+    return pin_derived(
+        spark,
+        sf_dir,
+        "doc_tokens",
+        lambda: d.select("doc_id", F.explode(tokens("text")).alias("w")),
+    )
+
+
 def _membership(vals: list[str]):
     """Single-arg lambda factory for F.filter (a 2-arg lambda would be
     interpreted as (element, index) by Spark's HOF binding)."""
@@ -381,18 +399,10 @@ def x26_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word-count shape, never all-pairs; the 1-row total broadcasts",
 )
 def x27_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.catalog import pin_derived
-
-    d = load_table(spark, sf_dir, "documents")
     # pinned: the exploded token table is both the vocab-count input and
     # the scoring join's probe side — unpinned, the dominant explode
     # stage executes twice per invocation
-    tok = pin_derived(
-        spark,
-        sf_dir,
-        "doc_tokens",
-        lambda: d.select("doc_id", F.explode(tokens("text")).alias("w")),
-    )
+    tok = doc_token_table(spark, sf_dir)
     vocab = tok.groupBy("w").agg(F.count("*").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("total"))
     nl = F.round(
