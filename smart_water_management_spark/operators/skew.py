@@ -331,3 +331,148 @@ def k02_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+# --- k05: Z-order (Morton) clustering for multi-dimensional data skipping ----
+
+# One sort key can cluster one dimension; a 100 TB fact queried by BOTH
+# user and day needs multi-dimensional clustering or every 2-D box
+# predicate scans the full table on the un-clustered axis. Interleaving
+# the bits of the two bucketized dimensions (the Morton / Z-order curve —
+# the layout behind Delta Lake's OPTIMIZE ZORDER BY) makes file/partition
+# bounding boxes small in BOTH dimensions, so min/max stats prune on
+# either axis. The registered query materializes the per-bucket bounding
+# boxes of a Z-order layout next to a 1-D layout and flags which buckets
+# a fixed box query must scan: Z-order needs 1 of 16 buckets, the 1-D
+# layout 4 of 16 (and would need all 16 for a day-only predicate).
+ZBITS = 4  # 4 bits per dimension -> 16x16 grid, 8-bit z-values
+ZCELLS = 1 << ZBITS
+ZBUCKET_DIV = 16  # z div 16 -> 16 buckets of 16 cells
+# The demo box predicate: xb in [4,7] x yb in [4,7].
+ZBOX = (4, 7, 4, 7)
+
+
+def _interleave_sql(x: str, y: str, idiv: str) -> str:
+    """Bit-interleave SQL shared by both engines: bit i of x lands at
+    position 2i, bit i of y at 2i+1 — pure div/mod arithmetic so the
+    identical expression parses in Spark SQL (`div`) and DuckDB (`//`)."""
+    terms = []
+    for i in range(ZBITS):
+        terms.append(f"((({x}) {idiv} {1 << i}) % 2) * {1 << (2 * i)}")
+        terms.append(f"((({y}) {idiv} {1 << i}) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+def zorder_box_buckets(x_lo: int, x_hi: int, y_lo: int, y_hi: int) -> list[int]:
+    """Enumerate the Z-buckets a box predicate can touch — the query-side
+    half of Z-ordering (box -> z-range set). Cell count is bounded by the
+    grid (256 here), so this is O(1) driver arithmetic at any data size."""
+    def z(x: int, y: int) -> int:
+        v = 0
+        for i in range(ZBITS):
+            v |= ((x >> i) & 1) << (2 * i)
+            v |= ((y >> i) & 1) << (2 * i + 1)
+        return v
+
+    return sorted(
+        {
+            z(x, y) // ZBUCKET_DIV
+            for x in range(x_lo, x_hi + 1)
+            for y in range(y_lo, y_hi + 1)
+        }
+    )
+
+
+_K05_ORACLE = f"""
+    WITH base AS (
+      SELECT user_id % {ZCELLS} AS xb,
+             dayofyear(ts) % {ZCELLS} AS yb
+      FROM events
+    ),
+    zed AS (
+      SELECT xb, yb, ({_interleave_sql("xb", "yb", "//")}) AS zv FROM base
+    ),
+    tagged AS (
+      SELECT 'by_user' AS layout, CAST(xb AS BIGINT) AS bucket, xb, yb FROM zed
+      UNION ALL
+      SELECT 'zorder', CAST(zv // {ZBUCKET_DIV} AS BIGINT), xb, yb FROM zed
+    )
+    SELECT layout, bucket,
+           COUNT(*) AS n_rows,
+           CAST(MIN(xb) AS BIGINT) AS min_x, CAST(MAX(xb) AS BIGINT) AS max_x,
+           CAST(MIN(yb) AS BIGINT) AS min_y, CAST(MAX(yb) AS BIGINT) AS max_y,
+           (MIN(xb) <= {ZBOX[1]} AND MAX(xb) >= {ZBOX[0]}
+            AND MIN(yb) <= {ZBOX[3]} AND MAX(yb) >= {ZBOX[2]}) AS scan_needed
+    FROM tagged GROUP BY layout, bucket
+"""
+
+
+@register(
+    "k05_zorder_layout",
+    oracle=_K05_ORACLE,
+    doc="Z-order (Morton) clustering vs 1-D layout: per-bucket bounding "
+    "boxes over (user-bucket, day-of-year-bucket) and the buckets a 2-D "
+    "box predicate must scan — Z-order prunes to 1 of 16 buckets where "
+    "the 1-D layout scans 4 (and can never prune day-only predicates). "
+    "One fact scan + a row-doubling explode + one hash agg; the interleave "
+    "is pure JVM arithmetic",
+)
+def k05_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % ZCELLS).alias("xb"),
+        (F.dayofyear("ts") % ZCELLS).cast("bigint").alias("yb"),
+    )
+    zed = ev.withColumn("zv", F.expr(_interleave_sql("xb", "yb", "div")))
+    tagged = zed.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("by_user").alias("layout"),
+                    F.col("xb").cast("bigint").alias("bucket"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(f"zv div {ZBUCKET_DIV}").cast("bigint").alias("bucket"),
+                ),
+            )
+        ).alias("t"),
+        "xb",
+        "yb",
+    ).select("t.layout", "t.bucket", "xb", "yb")
+    x_lo, x_hi, y_lo, y_hi = ZBOX
+    return tagged.groupBy("layout", "bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("xb").cast("bigint").alias("min_x"),
+        F.max("xb").cast("bigint").alias("max_x"),
+        F.min("yb").cast("bigint").alias("min_y"),
+        F.max("yb").cast("bigint").alias("max_y"),
+        (
+            (F.min("xb") <= x_hi) & (F.max("xb") >= x_lo)
+            & (F.min("yb") <= y_hi) & (F.max("yb") >= y_lo)
+        ).alias("scan_needed"),
+    )
+
+
+def ensure_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lay events out as a z_bucket-partitioned parquet fact and return
+    the scan over it — the physical half of the k05 demo: a 2-D box
+    predicate becomes a static IN-list on z_bucket (via
+    ``zorder_box_buckets``) and prunes directories."""
+    from ..sources.io_ops import _scratch
+
+    path = _scratch("k05_fact", sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("user_id") % ZCELLS).alias("xb"),
+        (F.dayofyear("ts") % ZCELLS).cast("bigint").alias("yb"),
+    )
+    zed = ev.withColumn("zv", F.expr(_interleave_sql("xb", "yb", "div")))
+    (
+        zed.withColumn("z_bucket", F.expr(f"zv div {ZBUCKET_DIV}"))
+        .write.mode("overwrite")
+        .partitionBy("z_bucket")
+        .parquet(path)
+    )
+    return spark.read.parquet(path)

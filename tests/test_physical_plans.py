@@ -311,3 +311,30 @@ def test_keyset_pagination_filter_pushed_to_scan(spark):
     plan = plan_of(_q(spark, "o03_keyset_pagination"))
     assert "PushedFilters: [IsNotNull(o_orderkey), GreaterThan(o_orderkey," in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_zorder_layout_prunes_partitions(spark):
+    """K5: the z_bucket-partitioned fact scanned with the box predicate's
+    static bucket IN-list must prune directories (PartitionFilters on
+    z_bucket), and the pruned scan must return exactly the box's rows."""
+    from pyspark.sql import functions as F
+
+    from smart_water_management_spark.operators.skew import (
+        ZBOX,
+        ensure_zorder_events,
+        zorder_box_buckets,
+    )
+
+    fact = ensure_zorder_events(spark, SF_DIR)
+    buckets = zorder_box_buckets(*ZBOX)
+    assert buckets == [3]  # 4x4 box -> ONE of 16 z-buckets
+    x_lo, x_hi, y_lo, y_hi = ZBOX
+    box = F.col("xb").between(x_lo, x_hi) & F.col("yb").between(y_lo, y_hi)
+    pruned = fact.filter(F.col("z_bucket").isin(buckets)).filter(box)
+    plan = plan_of(pruned)
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "z_bucket" in pf
+    # pruning must not drop rows: the bucket list covers the whole box
+    full = fact.filter(box)
+    assert pruned.count() == full.count() > 0
