@@ -50,6 +50,7 @@ HEADLINE = [
     "t05_streaming_hourly",       # TRUE streaming availableNow replay
     "x05_exact_dedup",            # hash dedup
     "x08_minhash_lsh_dedup",      # MinHash+LSH near-dup
+    "x36_tile_dedup",             # tile-level exact substring dedup
     "x10_bruteforce_cosine_topk", # similarity search
     "x01_token_stats",            # text analysis
     "x27_unigram_logppl",         # unigram-LM perplexity (word-count shape)

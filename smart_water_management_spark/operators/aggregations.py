@@ -675,3 +675,36 @@ def a20_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_purchased.cast("double") / F.nullif(n_clicked, F.lit(0)), 6
         ).alias("click_to_purchase"),
     )
+
+
+# --- A21: arbitrary GROUPING SETS — the grain combination ROLLUP/CUBE can't
+# express (a14 covers the hierarchy, a16 the full lattice; real dashboards
+# often need a hand-picked subset: both 1-D marginals plus the 2-D cell,
+# but NOT the grand total). One pass, one shuffle, same partial-agg shape
+# as a plain GROUP BY — Spark expands the sets via a single Expand node.
+@register(
+    "a21_grouping_sets",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           GROUPING(o_orderpriority, o_orderstatus) AS grain,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS revenue
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus))
+    """,
+    doc="A21: hand-picked GROUPING SETS (2-D cell + both marginals, no "
+    "grand total) with grouping_id disambiguating real NULLs from "
+    "subtotal rows — one Expand + one hash-agg pass",
+)
+def a21_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupingSets(
+        [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], ["o_orderstatus"]],
+        "o_orderpriority",
+        "o_orderstatus",
+    ).agg(
+        F.grouping_id().alias("grain"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )

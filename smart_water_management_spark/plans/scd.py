@@ -268,3 +268,93 @@ def t11_streaming_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("end_date").cast("string").alias("end_date"),
         "is_current",
     )
+
+
+# --- C8: snapshot diff (CDC between two table versions) ----------------------
+
+# The change-data-capture primitive every warehouse needs when the
+# upstream hands over full snapshots instead of change streams: diff two
+# versions of a keyed table into insert/update/delete rows, which then
+# feed an SCD2 merge (above), an incremental MV refresh (mv.py), or a
+# downstream MERGE. Pure full-outer-join algebra on the key — one
+# co-partitioned shuffle of the two snapshots at any scale, never a
+# row-by-row compare on the driver.
+#
+# v2 here is derived deterministically from orders so both engines build
+# the identical snapshot: keys ≡ 0 (mod 37) are deleted, keys ≡ 1 get a
+# price revision (the exact IEEE product 1.1 * price on both engines),
+# and keys ≡ 2 are cloned to key + 2e9 as inserts.
+_DIFF_DEL, _DIFF_UPD, _DIFF_INS = 0, 1, 2
+_DIFF_MOD = 37
+_DIFF_KEY_OFFSET = 2_000_000_000
+
+
+@register(
+    "c08_snapshot_diff",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ),
+    v2 AS (
+      SELECT o_orderkey,
+             o_orderstatus,
+             CASE WHEN o_orderkey % {_DIFF_MOD} = {_DIFF_UPD}
+                  THEN 1.1 * o_totalprice ELSE o_totalprice END AS o_totalprice
+      FROM base WHERE o_orderkey % {_DIFF_MOD} <> {_DIFF_DEL}
+      UNION ALL
+      SELECT o_orderkey + {_DIFF_KEY_OFFSET}, o_orderstatus, o_totalprice
+      FROM base WHERE o_orderkey % {_DIFF_MOD} = {_DIFF_INS}
+    )
+    SELECT COALESCE(b.o_orderkey, v.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'I'
+                WHEN v.o_orderkey IS NULL THEN 'D'
+                ELSE 'U' END AS change_type,
+           b.o_totalprice AS old_totalprice,
+           v.o_totalprice AS new_totalprice
+    FROM base b FULL OUTER JOIN v2 v USING (o_orderkey)
+    WHERE b.o_orderkey IS NULL OR v.o_orderkey IS NULL
+       OR b.o_orderstatus IS DISTINCT FROM v.o_orderstatus
+       OR b.o_totalprice IS DISTINCT FROM v.o_totalprice
+    """,
+    doc="C8 (ext.): snapshot diff / CDC — full-outer join of two keyed "
+    "table versions classifying rows as insert/update/delete, unchanged "
+    "rows dropped. One co-partitioned shuffle; the IS DISTINCT FROM "
+    "column compare is the exact equivalent of the row-hash compare a "
+    "production CDC job ships",
+)
+def c08_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    mod = F.col("o_orderkey") % _DIFF_MOD
+    v2 = (
+        base.filter(mod != _DIFF_DEL)
+        .withColumn(
+            "o_totalprice",
+            F.when(mod == _DIFF_UPD, 1.1 * F.col("o_totalprice")).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(
+            base.filter(mod == _DIFF_INS).withColumn(
+                "o_orderkey", F.col("o_orderkey") + _DIFF_KEY_OFFSET
+            )
+        )
+    )
+    b = base.alias("b")
+    v = v2.alias("v")
+    joined = b.join(v, F.col("b.o_orderkey") == F.col("v.o_orderkey"), "full_outer")
+    bk, vk = F.col("b.o_orderkey"), F.col("v.o_orderkey")
+    changed = (
+        bk.isNull()
+        | vk.isNull()
+        | ~F.col("b.o_orderstatus").eqNullSafe(F.col("v.o_orderstatus"))
+        | ~F.col("b.o_totalprice").eqNullSafe(F.col("v.o_totalprice"))
+    )
+    return joined.filter(changed).select(
+        F.coalesce(bk, vk).alias("o_orderkey"),
+        F.when(bk.isNull(), "I").when(vk.isNull(), "D").otherwise("U")
+        .alias("change_type"),
+        F.col("b.o_totalprice").alias("old_totalprice"),
+        F.col("v.o_totalprice").alias("new_totalprice"),
+    )
