@@ -533,3 +533,123 @@ def x36_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(kept.cast("double") / F.count("*"), 6).alias("kept_frac"),
         )
     )
+
+
+# --- x39: incremental MinHash+LSH (delta vs persisted base) ------------------
+
+# The daily-crawl shape: the corpus already has a persisted signature
+# table (x08's note — at 100 TB the signatures are what you keep on
+# disk), and each new batch must be deduped against everything seen so
+# far WITHOUT re-shingling the base corpus. Only the delta is hashed;
+# the band join probes delta bands against (base ∪ delta) bands, so only
+# buckets containing a new doc do any pair work. Because the hash
+# functions are deterministic, the result is EXACTLY the full x08 run
+# restricted to pairs involving a delta doc (asserted in tests).
+DELTA_PRED = "doc_id % 10 = 7"  # deterministic stand-in for today's batch
+
+
+def ensure_base_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persist the base corpus's MinHash signature table to parquet and
+    return the scan over it — the state an incremental dedup job reads
+    instead of recomputing (k longs per doc: tiny at any corpus size)."""
+    from ..sources.io_ops import _scratch
+
+    path = _scratch("x39_base_sigs", sf_dir)
+    base = load_table(spark, sf_dir, "documents").filter(f"NOT ({DELTA_PRED})")
+    minhash_signatures(base).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def _banded(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
+    """(doc_id, band, band-hash) rows — x08's banding, reused for the
+    delta-probe join."""
+    k = MINHASH_K
+    r = k // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"h{b * r + i}") for i in range(r)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    return sigs.select("doc_id", *band_cols).select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+                for b in range(bands)
+            ])
+        ).alias("e"),
+    ).select("doc_id", "e.band", "e.bh")
+
+
+@register(
+    "x39_incremental_lsh",
+    oracle=None,  # probabilistic candidates; equivalence-to-x08 invariant in tests
+    doc="incremental MinHash+LSH dedup: only the delta batch is shingled "
+    "and hashed; its bands probe the persisted base signature table, so "
+    "pair work happens only in buckets a new doc touches. Deterministic "
+    "hashes make the output exactly x08 restricted to delta-involving "
+    "pairs (test-asserted) — the shape that keeps daily dedup cost "
+    "proportional to the batch, not the corpus",
+)
+def x39_incremental_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base_sigs = ensure_base_signatures(spark, sf_dir)
+    delta_sigs = minhash_signatures(docs.filter(DELTA_PRED)).persist()
+    all_banded = _banded(base_sigs.unionByName(delta_sigs))
+    delta_banded = _banded(delta_sigs)
+    probe = delta_banded.select(
+        "band", "bh", F.col("doc_id").alias("doc_d")
+    ).join(
+        all_banded.select("band", "bh", F.col("doc_id").alias("doc_o")),
+        ["band", "bh"],
+    ).filter(F.col("doc_d") != F.col("doc_o"))
+    pairs = probe.select(
+        F.least("doc_d", "doc_o").alias("doc_a"),
+        F.greatest("doc_d", "doc_o").alias("doc_b"),
+    ).distinct()
+    return verify_jaccard(docs, pairs).orderBy("doc_a", "doc_b")
+
+
+# --- x40: token-set containment --------------------------------------------
+
+# Containment |A∩B| / |A| catches near-SUPERSET duplication that Jaccard
+# misses: a short doc quoted wholesale inside a long one scores low
+# Jaccard (the union is big) but containment ≈ 1. Same adjacent-pair
+# probe shape as x07; in a production pipeline the pair source is the
+# LSH candidate stream (x08/x39) and this is the verify metric.
+@register(
+    "x40_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.tk, b.tk)) AS n_common,
+           ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                 / len(a.tk), 6) AS containment_a,
+           ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+                 / len(b.tk), 6) AS containment_b
+    FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    """,
+    doc="token-set containment (|A∩B|/|A| and /|B|) between adjacent doc "
+    "pairs — the near-superset dup signal Jaccard misses; equi-join on "
+    "the derived pair key, no all-pairs",
+)
+def x40_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("doc_id", F.array_distinct(tokens("text")).alias("tk"))
+    a = tk.alias("a")
+    b = tk.select(
+        (F.col("doc_id") - 1).alias("join_id"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("tk").alias("tk_b"),
+    )
+    joined = a.join(b, F.col("a.doc_id") == F.col("join_id"))
+    inter = F.size(F.array_intersect("a.tk", "tk_b"))
+    return joined.select(
+        F.col("a.doc_id").alias("doc_a"),
+        "doc_b",
+        inter.alias("n_common"),
+        F.round(inter.cast("double") / F.size("a.tk"), 6).alias("containment_a"),
+        F.round(inter.cast("double") / F.size("tk_b"), 6).alias("containment_b"),
+    )

@@ -453,3 +453,43 @@ def w13_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("twa"),
     )
+
+
+# --- W14: ntile decile banding ----------------------------------------------
+# ntile assigns by row POSITION, so ties at bucket edges land by sort
+# order — the ORDER BY carries event_id as a unique tiebreak or the
+# banding is engine-dependent (the same rule that makes limit/offset
+# pagination need a keyset, o03).
+@register(
+    "w14_ntile_deciles",
+    oracle="""
+    WITH banded AS (
+      SELECT event_type, value,
+             ntile(10) OVER (PARTITION BY event_type
+                             ORDER BY value, event_id) AS decile
+      FROM events
+    )
+    SELECT event_type, decile,
+           COUNT(*) AS n_rows,
+           ROUND(MIN(value), 6) AS lo,
+           ROUND(MAX(value), 6) AS hi
+    FROM banded GROUP BY event_type, decile
+    """,
+    doc="W14: ntile(10) decile banding per event type with a unique "
+    "tiebreak (deterministic across engines), reduced to per-decile "
+    "count + bounds — one window shuffle + one hash agg",
+)
+def w14_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select(
+            "event_type", "value", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )

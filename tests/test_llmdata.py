@@ -326,3 +326,27 @@ def test_simhash_hamming_pairs_planted(spark):
     # the unrelated doc 4 differs in many bits from 1/2 (asserted in the
     # simhash test above) and must not pair with them
     assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_incremental_lsh_equals_full_run_on_delta_pairs(spark):
+    """x39's incremental probe must return EXACTLY the full x08 pair set
+    restricted to pairs involving a delta doc — deterministic hashes, no
+    recall loss from incrementality."""
+    from smart_water_management_spark.llmdata.dedup import DELTA_PRED
+    from smart_water_management_spark.registry import _REGISTRY
+
+    full = _REGISTRY["x08_minhash_lsh_dedup"].fn(spark, SF_DIR).collect()
+    inc = _REGISTRY["x39_incremental_lsh"].fn(spark, SF_DIR).collect()
+
+    def is_delta(doc_id):
+        return doc_id % 10 == 7  # mirrors DELTA_PRED
+
+    assert "% 10 = 7" in DELTA_PRED
+    want = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 9))
+        for r in full
+        if is_delta(r["doc_a"]) or is_delta(r["doc_b"])
+    }
+    got = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in inc}
+    assert got == want
+    assert all(j >= 0.5 for _, _, j in got)
