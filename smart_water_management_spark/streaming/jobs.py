@@ -576,3 +576,152 @@ def t12_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("p_ts") <= F.col("e_ts") + F.expr("INTERVAL 10 MINUTES")),
     ).select("error_id", "purchase_id", "user_id")
     return run_to_completion(joined, "stream_stream_join", "append")
+
+
+def tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf state-server protocol;
+    without google.protobuf the TWS driver worker crashes at plan time."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def value_profile_stream(
+    spark: SparkSession, sf_dir: str, api: str = "auto"
+) -> DataFrame:
+    """Custom stateful operator, preferring transformWithStateInPandas —
+    the Spark 4 arbitrary-state API (SPARK-46815) with named state
+    variables, TTL and timers — and falling back to t09's
+    applyInPandasWithState when the environment lacks protobuf (the TWS
+    state-server wire protocol; this sandbox ships none, mirroring the
+    PIL gate in llmdata.multimodal). Both paths hold the SAME state per
+    key — one (count, exact micro-unit sum, max) tuple, bounded by key
+    count, not history — and both are oracle-checked through t13.
+
+    Determinism note: the per-row micro conversion happens JVM-side
+    (round(value*1e6) as long) BEFORE the Python fold, so the state sum
+    is exact integer arithmetic — engine-order-independent, matching the
+    SQL oracle bit-for-bit.
+    """
+    ev = read_event_stream(spark, sf_dir).select(
+        "user_id",
+        "value",
+        F.round(F.col("value") * 1_000_000, 0).cast("long").alias("vmicro"),
+    )
+    out_schema = (
+        "user_id long, n_events long, sum_micro long, max_value double"
+    )
+    use_tws = tws_available() if api == "auto" else (api == "tws")
+
+    if use_tws:
+        from pyspark.sql.streaming.stateful_processor import (
+            StatefulProcessor,
+            StatefulProcessorHandle,
+        )
+
+        class ValueProfile(StatefulProcessor):
+            def init(self, handle: StatefulProcessorHandle) -> None:
+                self._st = handle.getValueState(
+                    "profile", "cnt long, summ long, mx double"
+                )
+
+            def handleInputRows(self, key, rows, timer_values):
+                import pandas as pd
+
+                got = self._st.get()
+                cnt, summ, mx = got if got is not None else (0, 0, float("-inf"))
+                for pdf in rows:
+                    cnt += len(pdf)
+                    summ += int(pdf["vmicro"].sum())
+                    batch_max = float(pdf["value"].max())
+                    if batch_max > mx:
+                        mx = batch_max
+                self._st.update((int(cnt), int(summ), float(mx)))
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [cnt],
+                        "sum_micro": [summ],
+                        "max_value": [mx],
+                    }
+                )
+
+            def close(self) -> None:
+                pass
+
+        return ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=ValueProfile(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def track(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        cnt, summ, mx = state.get if state.exists else (0, 0, float("-inf"))
+        for pdf in pdfs:
+            cnt += len(pdf)
+            summ += int(pdf["vmicro"].sum())
+            batch_max = float(pdf["value"].max())
+            if batch_max > mx:
+                mx = batch_max
+        state.update((int(cnt), int(summ), float(mx)))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [cnt],
+                "sum_micro": [summ],
+                "max_value": [mx],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandasWithState(
+        track,
+        outputStructType=out_schema,
+        stateStructType="cnt long, summ long, mx double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "t13_transform_with_state",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(MAX(value), 6) AS max_value,
+           ROUND((SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0)
+                 / COUNT(*), 6) AS mean_value
+    FROM events GROUP BY user_id
+    """,
+    doc="T8 via the Spark 4 transformWithStateInPandas API (named "
+    "ValueState; auto-falls back to applyInPandasWithState where the "
+    "sandbox lacks protobuf): per-user profile (count, exact micro-unit "
+    "sum, max); availableNow replay equals the batch aggregate "
+    "bit-for-bit (the integer state sum is engine-order-independent)",
+)
+def t13_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = run_to_completion(
+        value_profile_stream(spark, sf_dir), "value_profile", "update"
+    )
+    # update-mode emits one row per key per micro-batch; counts/sums only
+    # grow, so max() per key selects the final state row
+    final = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max("sum_micro").alias("summ"),
+        F.max("max_value").alias("mx"),
+    )
+    return final.select(
+        "user_id",
+        "n_events",
+        F.round("mx", 6).alias("max_value"),
+        F.round(
+            (F.col("summ") / F.lit(1_000_000.0)) / F.col("n_events"), 6
+        ).alias("mean_value"),
+    )

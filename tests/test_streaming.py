@@ -283,3 +283,20 @@ def test_polling_source_end_to_end(spark):
     # breaker saw the failure, then recovered on the next success
     assert calls["n"] >= 3
     assert breaker.state == "CLOSED" and breaker.failure_count == 0
+
+
+def test_t13_stateful_api_gate(spark):
+    """t13 prefers the Spark 4 transformWithStateInPandas API and falls
+    back to applyInPandasWithState when protobuf (the TWS state-server
+    wire protocol) is absent — this sandbox ships none, so the gate must
+    report False and the fallback stream must carry the same schema."""
+    from smart_water_management_spark.streaming import jobs
+
+    if jobs.tws_available():
+        pytest.skip("protobuf present: TWS path exercised via t13 itself")
+    df = jobs.value_profile_stream(spark, SF_DIR, api="fallback")
+    assert df.isStreaming
+    assert (
+        df.schema.simpleString()
+        == "struct<user_id:bigint,n_events:bigint,sum_micro:bigint,max_value:double>"
+    )
