@@ -537,10 +537,12 @@ def x37_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import doc_token_table
 
     d = load_table(spark, sf_dir, "documents")
-    tok = doc_token_table(spark, sf_dir).join(
-        d.select("doc_id", "lang"), "doc_id"
-    )
-    vocab = tok.groupBy("w").agg(
+    tok = doc_token_table(spark, sf_dir)
+    # lang is needed only by the vocab aggregate; scoring joins the BARE
+    # pinned token table so the probe side never replays the full-size
+    # token-by-documents join for a column it doesn't emit
+    tok_lang = tok.join(d.select("doc_id", "lang"), "doc_id")
+    vocab = tok_lang.groupBy("w").agg(
         F.count("*").alias("cr"),
         F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("ct"),
     )

@@ -383,6 +383,18 @@ def zorder_box_buckets(x_lo: int, x_hi: int, y_lo: int, y_hi: int) -> list[int]:
     )
 
 
+def _zorder_cols(ev: DataFrame) -> DataFrame:
+    """(xb, yb, zv) over events — THE layout derivation, shared by the
+    k05 stats query and ensure_zorder_events so the pruning test's bucket
+    IN-list can never drift from the written layout."""
+    return ev.withColumns(
+        {
+            "xb": F.col("user_id") % ZCELLS,
+            "yb": (F.dayofyear("ts") % ZCELLS).cast("bigint"),
+        }
+    ).withColumn("zv", F.expr(_interleave_sql("xb", "yb", "div")))
+
+
 _K05_ORACLE = f"""
     WITH base AS (
       SELECT user_id % {ZCELLS} AS xb,
@@ -418,11 +430,9 @@ _K05_ORACLE = f"""
     "is pure JVM arithmetic",
 )
 def k05_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        (F.col("user_id") % ZCELLS).alias("xb"),
-        (F.dayofyear("ts") % ZCELLS).cast("bigint").alias("yb"),
+    zed = _zorder_cols(load_table(spark, sf_dir, "events")).select(
+        "xb", "yb", "zv"
     )
-    zed = ev.withColumn("zv", F.expr(_interleave_sql("xb", "yb", "div")))
     tagged = zed.select(
         F.explode(
             F.array(
@@ -461,14 +471,9 @@ def ensure_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources.io_ops import _scratch
 
     path = _scratch("k05_fact", sf_dir)
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        "user_id",
-        "value",
-        (F.col("user_id") % ZCELLS).alias("xb"),
-        (F.dayofyear("ts") % ZCELLS).cast("bigint").alias("yb"),
+    zed = _zorder_cols(load_table(spark, sf_dir, "events")).select(
+        "event_id", "user_id", "value", "xb", "yb", "zv"
     )
-    zed = ev.withColumn("zv", F.expr(_interleave_sql("xb", "yb", "div")))
     (
         zed.withColumn("z_bucket", F.expr(f"zv div {ZBUCKET_DIV}"))
         .write.mode("overwrite")

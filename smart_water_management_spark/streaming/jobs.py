@@ -578,6 +578,31 @@ def t12_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(joined, "stream_stream_join", "append")
 
 
+def _fold_value_profile(key, pdfs, prior):
+    """The ONE per-key fold both stateful APIs run (count, exact
+    micro-unit sum, max) — a fix applied here reaches whichever API the
+    environment exercises; the two wrappers only differ in how state is
+    fetched and stored."""
+    import pandas as pd
+
+    cnt, summ, mx = prior if prior is not None else (0, 0, float("-inf"))
+    for pdf in pdfs:
+        cnt += len(pdf)
+        summ += int(pdf["vmicro"].sum())
+        batch_max = float(pdf["value"].max())
+        if batch_max > mx:
+            mx = batch_max
+    out = pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [cnt],
+            "sum_micro": [summ],
+            "max_value": [mx],
+        }
+    )
+    return (int(cnt), int(summ), float(mx)), out
+
+
 def tws_available() -> bool:
     """transformWithStateInPandas needs the protobuf state-server protocol;
     without google.protobuf the TWS driver worker crashes at plan time."""
@@ -629,25 +654,9 @@ def value_profile_stream(
                 )
 
             def handleInputRows(self, key, rows, timer_values):
-                import pandas as pd
-
-                got = self._st.get()
-                cnt, summ, mx = got if got is not None else (0, 0, float("-inf"))
-                for pdf in rows:
-                    cnt += len(pdf)
-                    summ += int(pdf["vmicro"].sum())
-                    batch_max = float(pdf["value"].max())
-                    if batch_max > mx:
-                        mx = batch_max
-                self._st.update((int(cnt), int(summ), float(mx)))
-                yield pd.DataFrame(
-                    {
-                        "user_id": [key[0]],
-                        "n_events": [cnt],
-                        "sum_micro": [summ],
-                        "max_value": [mx],
-                    }
-                )
+                state, out = _fold_value_profile(key, rows, self._st.get())
+                self._st.update(state)
+                yield out
 
             def close(self) -> None:
                 pass
@@ -662,24 +671,11 @@ def value_profile_stream(
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def track(key, pdfs, state: GroupState):
-        import pandas as pd
-
-        cnt, summ, mx = state.get if state.exists else (0, 0, float("-inf"))
-        for pdf in pdfs:
-            cnt += len(pdf)
-            summ += int(pdf["vmicro"].sum())
-            batch_max = float(pdf["value"].max())
-            if batch_max > mx:
-                mx = batch_max
-        state.update((int(cnt), int(summ), float(mx)))
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [cnt],
-                "sum_micro": [summ],
-                "max_value": [mx],
-            }
+        new_state, out = _fold_value_profile(
+            key, pdfs, state.get if state.exists else None
         )
+        state.update(new_state)
+        yield out
 
     return ev.groupBy("user_id").applyInPandasWithState(
         track,
@@ -710,12 +706,14 @@ def t13_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_completion(
         value_profile_stream(spark, sf_dir), "value_profile", "update"
     )
-    # update-mode emits one row per key per micro-batch; counts/sums only
-    # grow, so max() per key selects the final state row
+    # update-mode emits one row per key per micro-batch; n_events is
+    # strictly monotone, so max_by(n_events) selects the FINAL state row
+    # as one unit (a plain max per column would pair an intermediate
+    # sum with the final count if values could go negative)
     final = out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
-        F.max("sum_micro").alias("summ"),
-        F.max("max_value").alias("mx"),
+        F.max_by("sum_micro", "n_events").alias("summ"),
+        F.max_by("max_value", "n_events").alias("mx"),
     )
     return final.select(
         "user_id",
