@@ -643,3 +643,157 @@ def x38_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c.lw").alias("last_word"),
         F.col("c.h").alias("chunk_hash"),
     )
+
+
+# --- x90: end-to-end curation funnel -----------------------------------------
+
+# The capstone composition: the stages a real pretraining-data run chains
+# — Gopher quality filters (x21's bands) → exact dedup keep-first (x05's
+# policy) → stratified sampling (x22's thresholds) → sequence packing
+# (x34's context length) — executed as ONE pass over the corpus with
+# per-doc survival flags folded into a single aggregate, plus one
+# dedup-group shuffle. Per-stage doc/token counts expose the funnel's
+# yield the way p90 exposes the domain pipeline's.
+@register(
+    "x90_curation_funnel",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text,
+             string_split(lower(text), ' ') AS tk
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, text, len(tk) AS n_tok,
+             len(tk) BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+               AND CAST(list_aggregate(list_transform(tk, w -> length(w)), 'avg')
+                        AS DOUBLE) BETWEEN {MIN_MWL} AND {MAX_MWL}
+               AND 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
+                   <= {MAX_DUP_FRAC}
+               AND CAST(len(list_filter(tk,
+                     w -> w IN ({", ".join(f"'{w}'" for w in STOPWORDS)})))
+                   AS DOUBLE) / len(tk) >= {MIN_STOP_FRAC} AS q
+      FROM t
+    ),
+    d AS (
+      SELECT *,
+             q AND doc_id = MIN(CASE WHEN q THEN doc_id END)
+                            OVER (PARTITION BY md5(text)) AS kept,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+               < CASE lang
+                 {" ".join(f"WHEN '{l}' THEN '{_hex_threshold(r)}'" for l, r in SAMPLE_RATES.items())}
+                 ELSE '0000' END AS sampled
+      FROM m
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n0, CAST(SUM(n_tok) AS BIGINT) AS t0,
+             COUNT(CASE WHEN q THEN 1 END) AS n1,
+             CAST(COALESCE(SUM(CASE WHEN q THEN n_tok END), 0) AS BIGINT) AS t1,
+             COUNT(CASE WHEN kept THEN 1 END) AS n2,
+             CAST(COALESCE(SUM(CASE WHEN kept THEN n_tok END), 0) AS BIGINT) AS t2,
+             COUNT(CASE WHEN kept AND sampled THEN 1 END) AS n3,
+             CAST(COALESCE(SUM(CASE WHEN kept AND sampled THEN n_tok END), 0)
+                  AS BIGINT) AS t3
+      FROM d
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage, 'raw' AS name, n0 AS n_docs, t0 AS n_tokens,
+             CAST(NULL AS BIGINT) AS n_sequences FROM agg
+      UNION ALL
+      SELECT 1, 'quality', n1, t1, NULL FROM agg
+      UNION ALL
+      SELECT 2, 'dedup', n2, t2, NULL FROM agg
+      UNION ALL
+      SELECT 3, 'sample', n3, t3, NULL FROM agg
+      UNION ALL
+      SELECT 4, 'packed', n3, t3,
+             CAST(CEIL(CAST(t3 AS DOUBLE) / 512) AS BIGINT) FROM agg
+    ) s
+    """,
+    doc="x90 capstone: the full curation funnel (Gopher quality -> exact "
+    "dedup keep-first -> stratified sample -> 512-token packing) as ONE "
+    "corpus pass with survival flags + one dedup-group window — "
+    "per-stage doc/token yields, the number a data-run review asks for "
+    "first. Reuses x21/x22/x34's exact constants so the funnel can never "
+    "drift from the standalone stages",
+)
+def x90_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .withColumn("tk", tokens("text"))
+        .withColumn("n_tok", F.size("tk"))
+    )
+    tk = F.col("tk")
+    mwl = (
+        F.aggregate(
+            F.transform(tk, lambda w: F.length(w)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.col("n_tok")
+    )
+    dup_frac = (
+        F.lit(1.0) - F.size(F.array_distinct(tk)).cast("double") / F.col("n_tok")
+    )
+    stop_frac = (
+        F.size(F.filter(tk, lambda w: w.isin(STOPWORDS))).cast("double")
+        / F.col("n_tok")
+    )
+    q = (
+        F.col("n_tok").between(MIN_WORDS, MAX_WORDS)
+        & mwl.between(MIN_MWL, MAX_MWL)
+        & (dup_frac <= MAX_DUP_FRAC)
+        & (stop_frac >= MIN_STOP_FRAC)
+    )
+    flagged = d.withColumn("q", q)
+    w = W.partitionBy(F.md5("text"))
+    flagged = flagged.withColumn(
+        "kept",
+        F.col("q")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("q"), F.col("doc_id"))).over(w)
+        ),
+    ).withColumn("sampled", _keep_expr())
+    agg = flagged.agg(
+        F.count("*").alias("n0"),
+        F.sum("n_tok").alias("t0"),
+        F.count(F.when(F.col("q"), 1)).alias("n1"),
+        F.coalesce(F.sum(F.when(F.col("q"), F.col("n_tok"))), F.lit(0)).alias("t1"),
+        F.count(F.when(F.col("kept"), 1)).alias("n2"),
+        F.coalesce(F.sum(F.when(F.col("kept"), F.col("n_tok"))), F.lit(0)).alias("t2"),
+        F.count(F.when(F.col("kept") & F.col("sampled"), 1)).alias("n3"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept") & F.col("sampled"), F.col("n_tok"))),
+            F.lit(0),
+        ).alias("t3"),
+    )
+    null_seq = F.lit(None).cast("long")
+    stages = [
+        (0, "raw", "n0", "t0", null_seq),
+        (1, "quality", "n1", "t1", null_seq),
+        (2, "dedup", "n2", "t2", null_seq),
+        (3, "sample", "n3", "t3", null_seq),
+        (
+            4,
+            "packed",
+            "n3",
+            "t3",
+            F.ceil(F.col("t3").cast("double") / 512).cast("long"),
+        ),
+    ]
+    rows = [
+        agg.select(
+            F.lit(i).alias("stage"),
+            F.lit(name).alias("name"),
+            F.col(nc).alias("n_docs"),
+            F.col(tc).alias("n_tokens"),
+            seq.alias("n_sequences"),
+        )
+        for i, name, nc, tc, seq in stages
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

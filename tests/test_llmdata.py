@@ -350,3 +350,35 @@ def test_incremental_lsh_equals_full_run_on_delta_pairs(spark):
     got = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 9)) for r in inc}
     assert got == want
     assert all(j >= 0.5 for _, _, j in got)
+
+
+def test_tile_dedup_conservation(spark):
+    """x36 keep-first conservation: exactly one occurrence of every
+    distinct tile survives, so summed kept tiles == distinct tile count,
+    and kept <= total with equality iff no duplication."""
+    from smart_water_management_spark.registry import _REGISTRY
+
+    out = _REGISTRY["x36_tile_dedup"].fn(spark, SF_DIR)
+    row = out.agg(
+        F.sum("n_tiles").alias("total"),
+        F.sum("n_kept_tiles").alias("kept"),
+        F.sum("n_dup_tiles").alias("dups"),
+    ).first()
+    from smart_water_management_spark.llmdata.dedup import TILE
+    from smart_water_management_spark.llmdata.text import tokens as _tokens
+
+    d = load_table(spark, SF_DIR, "documents")
+    tile_list = (
+        f"transform(sequence(0, size(tk) div {TILE} - 1), "
+        f"i -> md5(concat_ws(' ', slice(tk, i * {TILE} + 1, {TILE}))))"
+    )
+    distinct_tiles = (
+        d.withColumn("tk", _tokens("text"))
+        .filter(F.size("tk") >= TILE)
+        .select(F.explode(F.expr(tile_list)).alias("h"))
+        .distinct()
+        .count()
+    )
+    assert row["kept"] == distinct_tiles
+    assert row["kept"] <= row["total"]
+    assert row["dups"] > 0  # fixture contains genuine duplication
