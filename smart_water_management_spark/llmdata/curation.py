@@ -190,7 +190,13 @@ def doc_gram_table(spark: SparkSession, sf_dir: str) -> "DataFrame":
     consumers join both sides of it (see x08's persist note for the same
     shape).
     """
-    d = load_table(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    from ..sources.catalog import fan_out
+
+    # fan the narrow scan out before the ~50x gram explode (no-op once the
+    # input carries real splits — see x25's note)
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark).withColumn(
+        "tk", tokens("text")
+    )
     return pin_derived(
         spark,
         sf_dir,
@@ -264,7 +270,14 @@ REP_NGRAM = 3
     "grams collapse before the wire), the second reduces those per doc",
 )
 def x25_repetition_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    from ..sources.catalog import fan_out
+
+    # fan the narrow scan out before the ~50x gram explode: a single-split
+    # local file otherwise serializes the dominant stage on one core (at
+    # 100 TB the scan already carries thousands of splits and this no-ops)
+    d = fan_out(
+        load_table(spark, sf_dir, "documents"), spark
+    ).withColumn("tk", tokens("text"))
     gram_list = (
         f"CASE WHEN size(tk) >= {REP_NGRAM} THEN "
         f"transform(sequence(0, size(tk) - {REP_NGRAM}), "
@@ -438,7 +451,11 @@ def x31_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "any corpus size) and the per-source totals broadcast",
 )
 def x33_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    from ..sources.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark).withColumn(
+        "tk", tokens("text")
+    )
     # pinned: the distinct gram set feeds the self-join's both sides AND
     # the per-source totals — unpinned, the tokenize+hash+distinct stage
     # would execute three times per invocation
@@ -612,8 +629,10 @@ CHUNK_STRIDE = 32  # overlap = CHUNK - CHUNK_STRIDE = 8 tokens
     "row-expansion explode, zero shuffles at any corpus size",
 )
 def x38_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import fan_out
+
     d = (
-        load_table(spark, sf_dir, "documents")
+        fan_out(load_table(spark, sf_dir, "documents"), spark)
         .withColumn("tk", tokens("text"))
         .withColumn("n", F.size("tk"))
         .withColumn(

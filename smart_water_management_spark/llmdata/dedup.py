@@ -528,7 +528,9 @@ _TILE_ORD = 1_000_000  # tile_idx < 1e6 for any conceivable doc
     "all-pairs, so the plan is unchanged at 100 TB",
 )
 def x36_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").withColumn("tk", tokens("text"))
+    d = fan_out(
+        load_table(spark, sf_dir, "documents"), spark
+    ).withColumn("tk", tokens("text"))
     tile_list = (
         f"transform(sequence(0, size(tk) div {TILE} - 1), "
         f"i -> md5(concat_ws(' ', slice(tk, i * {TILE} + 1, {TILE}))))"

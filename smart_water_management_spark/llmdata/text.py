@@ -39,9 +39,9 @@ def doc_token_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     slot; pinned because the explode is the dominant stage and each
     consumer probes it from multiple plan branches.
     """
-    from ..sources.catalog import pin_derived
+    from ..sources.catalog import fan_out, pin_derived
 
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
     return pin_derived(
         spark,
         sf_dir,

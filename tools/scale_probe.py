@@ -33,6 +33,9 @@ BASE = "/root/testdata/sf0.1"
 SCRATCH = "/tmp/swm_scale_probe"
 FACTORS = [1, 10, 30]
 QUERIES = ["q01_total_readings_7d", "q05_district_performance", "q07_hourly_pattern"]
+# LLM-data shapes on the replicated documents axis (both pin-free, so the
+# timed passes pay the full tokenize/explode cost every rep)
+DOC_QUERIES = ["x36_tile_dedup", "x25_repetition_detection"]
 REPS = 3
 
 
@@ -44,7 +47,7 @@ def build_scale_dir(spark, factor: int) -> str:
     if not os.path.exists(events_out):
         os.makedirs(out, exist_ok=True)
         for t in TABLES:
-            if t == "events":
+            if t in ("events", "documents"):
                 continue
             link = os.path.join(out, f"{t}.parquet")
             if not os.path.exists(link):
@@ -62,6 +65,20 @@ def build_scale_dir(spark, factor: int) -> str:
             .drop("k")
         )
         rep.write.mode("overwrite").parquet(events_out)
+        # replicate documents with offset doc_ids (identical text: clone
+        # groups are the WORST case for dedup-shaped queries — tile
+        # groups of `factor` members — so the trajectory is conservative)
+        docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+        n_docs = 1 + (docs.agg(F.max("doc_id")).collect()[0][0] or 0)
+        (
+            docs.withColumn(
+                "k", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+            )
+            .withColumn("doc_id", F.col("doc_id") + F.col("k") * F.lit(n_docs))
+            .drop("k")
+            .write.mode("overwrite")
+            .parquet(os.path.join(out, "documents.parquet"))
+        )
     return out
 
 
@@ -86,21 +103,39 @@ def main() -> None:
         for t in TABLES:
             path = os.path.join(sf_dir, f"{t}.parquet")
             if t == "events" and factor != 1:
-                # replicated events store ts as epoch-nanos BIGINT
+                # replicated events carry ts as epoch-nanos BIGINT when the
+                # source generation was TIMESTAMP(NANOS) (read under
+                # nanosAsLong), or as a plain TIMESTAMP otherwise — probe
+                # the written dtype instead of assuming
+                ts_type = con.execute(
+                    f"SELECT column_type FROM (DESCRIBE SELECT * FROM "
+                    f"'{path}/*.parquet') WHERE column_name = 'ts'"
+                ).fetchone()[0]
+                if ts_type == "BIGINT":
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * REPLACE "
+                        f"(make_timestamp(ts // 1000) AS ts) FROM '{path}/*.parquet'"
+                    )
+                else:
+                    con.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'"
+                    )
+            elif t == "documents" and factor != 1:
                 con.execute(
-                    f"CREATE VIEW {t} AS SELECT * REPLACE "
-                    f"(make_timestamp(ts // 1000) AS ts) FROM '{path}/*.parquet'"
+                    f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'"
                 )
             else:
                 con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
         n = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
-        for name in QUERIES:
+        n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
+        for name in QUERIES + DOC_QUERIES:
+            rows = n_docs if name in DOC_QUERIES else n
             spec = _REGISTRY[name]
             spec.fn(spark, sf_dir).collect()  # warm
             sp = best_of(lambda: spec.fn(spark, sf_dir).collect())
             du = best_of(lambda: con.execute(spec.oracle).fetchall())
-            print(f"| {name} | {factor}x ({n:,}) | {sp:.3f} | {du:.3f} "
-                  f"| {sp / du:.1f}x | {sp / n * 1e6:.2f} | {du / n * 1e6:.3f} |")
+            print(f"| {name} | {factor}x ({rows:,}) | {sp:.3f} | {du:.3f} "
+                  f"| {sp / du:.1f}x | {sp / rows * 1e6:.2f} | {du / rows * 1e6:.3f} |")
         con.close()
     spark.stop()
     shutil.rmtree(SCRATCH, ignore_errors=True)
