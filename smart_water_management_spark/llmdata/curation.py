@@ -33,40 +33,12 @@ MAX_DUP_FRAC = 0.8
 MIN_STOP_FRAC = 0.02
 
 
-@register(
-    "x21_gopher_quality_filters",
-    oracle=f"""
-    WITH t AS (
-      SELECT doc_id,
-             string_split(lower(text), ' ') AS tk
-      FROM documents
-    ),
-    m AS (
-      SELECT doc_id,
-             len(tk) AS n_words,
-             CAST(list_aggregate(list_transform(tk, w -> length(w)), 'avg')
-                  AS DOUBLE) AS mean_word_len,
-             1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup_word_frac,
-             CAST(len(list_filter(tk,
-                 w -> w IN ({", ".join(f"'{w}'" for w in STOPWORDS)})))
-                  AS DOUBLE) / len(tk) AS stopword_frac
-      FROM t
-    )
-    SELECT doc_id, n_words, ROUND(mean_word_len, 6) AS mean_word_len,
-           ROUND(dup_word_frac, 6) AS dup_word_frac,
-           ROUND(stopword_frac, 6) AS stopword_frac,
-           (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
-             AND (mean_word_len BETWEEN {MIN_MWL} AND {MAX_MWL})
-             AND (dup_word_frac <= {MAX_DUP_FRAC})
-             AND (stopword_frac >= {MIN_STOP_FRAC}) AS passes
-    FROM m
-    """,
-    doc="Gopher-style quality filters: word-count band, mean word length, "
-    "duplicate-word fraction, stopword floor — one scan, no shuffle",
-)
-def x21_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    tk = tokens("text")
+
+def gopher_metrics(tk) -> dict:
+    """x21's quality metrics and pass/fail predicate as shared Columns —
+    the single definition consumed by the standalone filter query AND the
+    x90 funnel, so the band logic cannot drift between them (the same
+    precedent as quality_expr for x02/x32 and _keep_expr for x22)."""
     n_words = F.size(tk)
     mwl = (
         F.aggregate(
@@ -85,13 +57,71 @@ def x21_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (dup_frac <= MAX_DUP_FRAC)
         & (stop_frac >= MIN_STOP_FRAC)
     )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mwl,
+        "dup_word_frac": dup_frac,
+        "stopword_frac": stop_frac,
+        "passes": passes,
+    }
+
+
+def sql_gopher_metrics(tk: str) -> dict:
+    """DuckDB twins of ``gopher_metrics`` over a token-list column."""
+    n_words = f"len({tk})"
+    mwl = (
+        f"CAST(list_aggregate(list_transform({tk}, w -> length(w)), 'avg') "
+        f"AS DOUBLE)"
+    )
+    dup = f"1.0 - CAST(len(list_distinct({tk})) AS DOUBLE) / len({tk})"
+    stop = (
+        f"CAST(len(list_filter({tk}, w -> w IN ("
+        + ", ".join(f"'{w}'" for w in STOPWORDS)
+        + f"))) AS DOUBLE) / len({tk})"
+    )
+    passes = (
+        f"({n_words} BETWEEN {MIN_WORDS} AND {MAX_WORDS}) "
+        f"AND ({mwl} BETWEEN {MIN_MWL} AND {MAX_MWL}) "
+        f"AND ({dup} <= {MAX_DUP_FRAC}) AND ({stop} >= {MIN_STOP_FRAC})"
+    )
+    return {
+        "n_words": n_words,
+        "mean_word_len": mwl,
+        "dup_word_frac": dup,
+        "stopword_frac": stop,
+        "passes": passes,
+    }
+
+
+@register(
+    "x21_gopher_quality_filters",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(text), ' ') AS tk
+      FROM documents
+    )
+    SELECT doc_id,
+           {sql_gopher_metrics("tk")["n_words"]} AS n_words,
+           ROUND({sql_gopher_metrics("tk")["mean_word_len"]}, 6) AS mean_word_len,
+           ROUND({sql_gopher_metrics("tk")["dup_word_frac"]}, 6) AS dup_word_frac,
+           ROUND({sql_gopher_metrics("tk")["stopword_frac"]}, 6) AS stopword_frac,
+           {sql_gopher_metrics("tk")["passes"]} AS passes
+    FROM t
+    """,
+    doc="Gopher-style quality filters: word-count band, mean word length, "
+    "duplicate-word fraction, stopword floor — one scan, no shuffle",
+)
+def x21_gopher_quality_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    m = gopher_metrics(tokens("text"))
     return d.select(
         "doc_id",
-        n_words.alias("n_words"),
-        F.round(mwl, 6).alias("mean_word_len"),
-        F.round(dup_frac, 6).alias("dup_word_frac"),
-        F.round(stop_frac, 6).alias("stopword_frac"),
-        passes.alias("passes"),
+        m["n_words"].alias("n_words"),
+        F.round(m["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(m["dup_word_frac"], 6).alias("dup_word_frac"),
+        F.round(m["stopword_frac"], 6).alias("stopword_frac"),
+        m["passes"].alias("passes"),
     )
 
 
@@ -683,14 +713,7 @@ def x38_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     m AS (
       SELECT doc_id, lang, text, len(tk) AS n_tok,
-             len(tk) BETWEEN {MIN_WORDS} AND {MAX_WORDS}
-               AND CAST(list_aggregate(list_transform(tk, w -> length(w)), 'avg')
-                        AS DOUBLE) BETWEEN {MIN_MWL} AND {MAX_MWL}
-               AND 1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk)
-                   <= {MAX_DUP_FRAC}
-               AND CAST(len(list_filter(tk,
-                     w -> w IN ({", ".join(f"'{w}'" for w in STOPWORDS)})))
-                   AS DOUBLE) / len(tk) >= {MIN_STOP_FRAC} AS q
+             {sql_gopher_metrics("tk")["passes"]} AS q
       FROM t
     ),
     d AS (
@@ -738,34 +761,14 @@ def x38_token_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x90_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from ..sources.catalog import fan_out
+
     d = (
-        load_table(spark, sf_dir, "documents")
+        fan_out(load_table(spark, sf_dir, "documents"), spark)
         .withColumn("tk", tokens("text"))
         .withColumn("n_tok", F.size("tk"))
     )
-    tk = F.col("tk")
-    mwl = (
-        F.aggregate(
-            F.transform(tk, lambda w: F.length(w)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).cast("double")
-        / F.col("n_tok")
-    )
-    dup_frac = (
-        F.lit(1.0) - F.size(F.array_distinct(tk)).cast("double") / F.col("n_tok")
-    )
-    stop_frac = (
-        F.size(F.filter(tk, lambda w: w.isin(STOPWORDS))).cast("double")
-        / F.col("n_tok")
-    )
-    q = (
-        F.col("n_tok").between(MIN_WORDS, MAX_WORDS)
-        & mwl.between(MIN_MWL, MAX_MWL)
-        & (dup_frac <= MAX_DUP_FRAC)
-        & (stop_frac >= MIN_STOP_FRAC)
-    )
-    flagged = d.withColumn("q", q)
+    flagged = d.withColumn("q", gopher_metrics(F.col("tk"))["passes"])
     w = W.partitionBy(F.md5("text"))
     flagged = flagged.withColumn(
         "kept",
@@ -788,6 +791,10 @@ def x90_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("t3"),
     )
+    # unpivot the single agg row via explode — a 5-way union over `agg`
+    # would re-execute the corpus scan + quality HOFs + dedup window once
+    # PER stage row (measured: 5 un-reused shuffle stages), so the stage
+    # rows must derive from ONE materialization of the aggregate
     null_seq = F.lit(None).cast("long")
     stages = [
         (0, "raw", "n0", "t0", null_seq),
@@ -802,17 +809,16 @@ def x90_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ceil(F.col("t3").cast("double") / 512).cast("long"),
         ),
     ]
-    rows = [
-        agg.select(
-            F.lit(i).alias("stage"),
-            F.lit(name).alias("name"),
-            F.col(nc).alias("n_docs"),
-            F.col(tc).alias("n_tokens"),
-            seq.alias("n_sequences"),
-        )
-        for i, name, nc, tc, seq in stages
-    ]
-    out = rows[0]
-    for r in rows[1:]:
-        out = out.unionByName(r)
-    return out
+    stage_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("stage"),
+                F.lit(name).alias("name"),
+                F.col(nc).alias("n_docs"),
+                F.col(tc).alias("n_tokens"),
+                seq.alias("n_sequences"),
+            )
+            for i, name, nc, tc, seq in stages
+        ]
+    )
+    return agg.select(F.explode(stage_structs).alias("s")).select("s.*")

@@ -44,7 +44,13 @@ def build_scale_dir(spark, factor: int) -> str:
         return BASE
     out = os.path.join(SCRATCH, f"x{factor}")
     events_out = os.path.join(out, "events.parquet")
-    if not os.path.exists(events_out):
+    docs_out = os.path.join(out, "documents.parquet")
+    # guard on BOTH replicated outputs: an interrupted build (or a scratch
+    # dir left by an older revision that only wrote events) must rebuild
+    if not (
+        os.path.exists(os.path.join(events_out, "_SUCCESS"))
+        and os.path.exists(os.path.join(docs_out, "_SUCCESS"))
+    ):
         os.makedirs(out, exist_ok=True)
         for t in TABLES:
             if t in ("events", "documents"):
@@ -77,7 +83,7 @@ def build_scale_dir(spark, factor: int) -> str:
             .withColumn("doc_id", F.col("doc_id") + F.col("k") * F.lit(n_docs))
             .drop("k")
             .write.mode("overwrite")
-            .parquet(os.path.join(out, "documents.parquet"))
+            .parquet(docs_out)
         )
     return out
 
@@ -94,8 +100,8 @@ def best_of(fn, reps=REPS):
 def main() -> None:
     spark = swm.get_session("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
-    print("| query | scale (events rows) | spark (s) | duckdb (s) | ratio | "
-          "spark µs/row | duckdb µs/row |")
+    print("| query | scale (rows: events or docs) | spark (s) | duckdb (s) "
+          "| ratio | spark µs/row | duckdb µs/row |")
     print("|---|---|---|---|---|---|---|")
     for factor in FACTORS:
         sf_dir = build_scale_dir(spark, factor)
