@@ -382,3 +382,43 @@ def test_tile_dedup_conservation(spark):
     assert row["kept"] == distinct_tiles
     assert row["kept"] <= row["total"]
     assert row["dups"] > 0  # fixture contains genuine duplication
+
+
+def test_token_chunking_coverage_invariants(spark):
+    """x38 chunk arithmetic: chunk count matches the ceiling formula,
+    the first chunk opens on the first token, the last chunk closes on
+    the last token (every token covered), and no chunk exceeds CHUNK."""
+    from smart_water_management_spark.llmdata.curation import CHUNK, CHUNK_STRIDE
+    from smart_water_management_spark.llmdata.text import tokens as _tokens
+    from smart_water_management_spark.registry import _REGISTRY
+
+    out = _REGISTRY["x38_token_chunking"].fn(spark, SF_DIR)
+    d = (
+        load_table(spark, SF_DIR, "documents")
+        .select(
+            "doc_id",
+            F.size(_tokens("text")).alias("n"),
+            F.element_at(_tokens("text"), 1).alias("first_tok"),
+            F.element_at(_tokens("text"), -1).alias("last_tok"),
+        )
+    )
+    per_doc = out.groupBy("doc_id").agg(
+        F.max("chunk_idx").alias("max_idx"),
+        F.min_by("first_word", "chunk_idx").alias("first_word"),
+        F.max_by("last_word", "chunk_idx").alias("last_word"),
+        F.max("chunk_tokens").alias("max_ct"),
+        F.min("chunk_tokens").alias("min_ct"),
+    )
+    j = per_doc.join(d, "doc_id")
+    expected_chunks = F.when(F.col("n") <= CHUNK, F.lit(1)).otherwise(
+        F.expr(f"(n - {CHUNK} + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE} + 1")
+    )
+    bad = j.filter(
+        (F.col("max_idx") + 1 != expected_chunks)
+        | (F.col("first_word") != F.col("first_tok"))
+        | (F.col("last_word") != F.col("last_tok"))
+        | (F.col("max_ct") > CHUNK)
+        | (F.col("min_ct") < 1)
+    )
+    assert bad.count() == 0
+    assert j.count() > 0
