@@ -393,3 +393,74 @@ def m05_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component int, explained_variance double, cum_explained double, "
         "monotone_nonincreasing boolean, cum_leq_one boolean",
     )
+
+
+# --- M6 (ext.): per-group least-squares trend from exact decimal moments -----
+
+# The closed-form OLS line (slope/intercept of value over time) per event
+# type — the trend statistic the reference's forecasting module prints
+# alongside the RF model (src/enhanced_spark_etl.py RMSE block), computed
+# here without MLlib: one hash-agg pass accumulating the five moments as
+# DECIMAL (exact, order-independent — a15's pattern), then the closed
+# form on identical doubles in both engines. The x axis is hours since
+# 2024-01-01 in integer seconds, floored on both engines (DuckDB's
+# epoch() keeps fractional seconds, Spark's unix_timestamp truncates) —
+# a near-data origin keeps the intercept at O(value) magnitude instead
+# of amplifying epoch-origin extrapolation past the 6-decimal round, and
+# the moments stay inside DECIMAL(38,6) headroom at any row count.
+@register(
+    "m06_linear_trend",
+    oracle="""
+    WITH t AS (
+      SELECT event_type,
+             (CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200) / 3600.0 AS x,
+             value AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x*x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x*y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+             AS slope_per_hour,
+           ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM m
+    """,
+    doc="M6 (ext.): closed-form OLS trend (slope per hour + intercept) per "
+    "event type from five exact-decimal moments — one hash-agg pass, no "
+    "MLlib, engine-exact (a15's determinism pattern)",
+)
+def m06_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dec = "decimal(38,6)"
+    t = ev.select(
+        "event_type",
+        ((F.unix_timestamp("ts") - F.lit(1704067200)) / 3600.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    m = t.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("slope_per_hour"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
