@@ -488,3 +488,109 @@ def x24_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg("v"), 6).alias("centroid"))
     )
+
+
+# --- x41: hyperplane (sign-random-projection) LSH ANN ------------------------
+
+# The OTHER classic cosine-ANN family next to IVF (x12): each of NBITS
+# deterministic hyperplanes contributes sign(w·v) to a bit signature;
+# vectors on the same side of every plane in a band land in the same
+# bucket (P[bit match] = 1 - angle/pi, Charikar 2002). Candidates come
+# from band-equality joins — never all-pairs — then exact cosine ranks
+# them. Plane weights derive from md5 so any engine / any run builds the
+# identical planes (no RNG state shipped to executors).
+# s-curve tuning: with per-bit match p = 1 - angle/pi, a candidate fires
+# with 1-(1-p^r)^bands. Top-k neighbors here sit near p ~ 0.6, so r=3 /
+# bands=8 gives ~0.86 hit probability while a band key still carves the
+# corpus into 2^3 buckets per band (the prior r=4/bands=3 fired at only
+# ~0.34 — measured recall 0.3). Narrow further (larger r, more bands) as
+# corpus density grows.
+LSH_NBITS = 24
+LSH_ANN_BANDS = 8  # 3 bits per band
+EMB_DIM = 64
+
+
+def _plane_weights() -> list[list[float]]:
+    import hashlib
+
+    planes = []
+    for j in range(LSH_NBITS):
+        row = []
+        for k in range(EMB_DIM):
+            h = int.from_bytes(
+                hashlib.md5(f"swm-plane:{j}:{k}".encode()).digest()[:8], "big"
+            )
+            row.append(h / float(1 << 63) - 1.0)  # uniform [-1, 1)
+        planes.append(row)
+    return planes
+
+
+def _band_cols(e):
+    """NBITS sign bits folded into LSH_ANN_BANDS small integer band keys."""
+    planes = _plane_weights()
+    bits = [
+        (
+            F.aggregate(
+                F.zip_with(
+                    e,
+                    F.array(*[F.lit(w) for w in planes[j]]),
+                    lambda a, b: a * b,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0
+        ).cast("int")
+        for j in range(LSH_NBITS)
+    ]
+    r = LSH_NBITS // LSH_ANN_BANDS
+    return [
+        sum(bits[b * r + i] * (1 << i) for i in range(r)).alias(f"band{b}")
+        for b in range(LSH_ANN_BANDS)
+    ]
+
+
+@register(
+    "x41_hyperplane_lsh_ann",
+    oracle=None,  # approximate candidates; recall vs x10 asserted in tests
+    doc=f"hyperplane-LSH cosine ANN (Charikar sign-random-projection): "
+    f"{LSH_NBITS} deterministic md5-derived planes -> sign bits -> "
+    f"{LSH_ANN_BANDS} band keys; candidates from band-equality joins "
+    "(hash-partitioned, never all-pairs), exact cosine re-ranks them. "
+    "The bucketed complement to x12's IVF cells — at 100 TB the band "
+    "tables are what you persist and the probe touches only matching "
+    "buckets",
+)
+def x41_hyperplane_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", _dbl("embedding").alias("e")
+    )
+    banded = em.select("vec_id", "e", *_band_cols(F.col("e")))
+    stacked = banded.select(
+        "vec_id",
+        "e",
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
+                for b in range(LSH_ANN_BANDS)
+            ])
+        ).alias("s"),
+    ).select("vec_id", "e", "s.band", "s.bh")
+    q = stacked.filter(F.col("vec_id") < N_QUERIES).select(
+        "band", "bh", F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    cand = (
+        q.join(stacked.select("band", "bh", "vec_id", "e"), ["band", "bh"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "qe", "vec_id", "e")
+        .distinct()
+    )
+    scored = cand.select(
+        "qid", "vec_id", cosine(F.col("qe"), F.col("e")).alias("cos_sim")
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rn")
+    )

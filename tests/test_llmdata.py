@@ -422,3 +422,18 @@ def test_token_chunking_coverage_invariants(spark):
     )
     assert bad.count() == 0
     assert j.count() > 0
+
+
+def test_hyperplane_lsh_recall_vs_bruteforce(spark):
+    """x41's banded sign-projection buckets must recover most of the
+    exact top-k (same bar as x12's IVF recall test), and every returned
+    similarity must match the exact computation (re-rank is exact)."""
+    exact = similarity.x10_bruteforce_cosine_topk(spark, SF_DIR)
+    approx = similarity.x41_hyperplane_lsh_ann(spark, SF_DIR)
+    e = {(r.qid, r.vec_id): r.cos_sim for r in exact.collect()}
+    a = {(r.qid, r.vec_id): r.cos_sim for r in approx.collect()}
+    hits = set(e) & set(a)
+    recall = len(hits) / len(e)
+    assert recall >= 0.5, f"hyperplane-LSH recall too low: {recall}"
+    for key in hits:
+        assert abs(e[key] - a[key]) < 1e-9
