@@ -12,6 +12,7 @@ corpora.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
@@ -460,4 +461,97 @@ def x34_packing_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             total.cast("double") / (n_seq * CONTEXT_LEN), 6
         ).alias("packing_yield"),
+    )
+
+
+# --- x42: BPE training bootstrap — corpus-global adjacent-pair counts --------
+
+MERGE_TOP_N = 20
+
+
+@register(
+    "x42_bpe_first_merges",
+    oracle=f"""
+    WITH toks AS (
+      SELECT string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    pairs AS (
+      SELECT unnest(list_transform(range(1, len(tk)),
+               i -> tk[i] || ' ' || tk[i+1])) AS pair
+      FROM toks
+    ),
+    counted AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair)
+    SELECT pair, cnt, rn FROM (
+      SELECT pair, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rn
+      FROM counted
+    ) WHERE rn <= {MERGE_TOP_N}
+    """,
+    doc=f"BPE-training bootstrap: corpus-global adjacent-token-pair "
+    f"frequencies, top {MERGE_TOP_N} with deterministic tie-break — the "
+    "merge-candidate scan a distributed tokenizer trainer runs per "
+    "iteration. Explode + hash agg (map-combined partials) + "
+    "TakeOrderedAndProject: the word-count shape, never all-pairs",
+)
+def x42_bpe_first_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark).withColumn(
+        "tk", tokens("text")
+    )
+    pair_list = (
+        "CASE WHEN size(tk) >= 2 THEN "
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> concat(element_at(tk, CAST(i AS INT)), ' ', "
+        "element_at(tk, CAST(i + 1 AS INT)))) "
+        "ELSE array() END"
+    )
+    counted = (
+        d.select(F.explode(F.expr(pair_list)).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # top-N via orderBy+limit (TakeOrderedAndProject: per-partition heaps,
+    # no global sort) — the rank window then runs over N rows, not the
+    # full pair table
+    top = counted.orderBy(F.desc("cnt"), F.asc("pair")).limit(MERGE_TOP_N)
+    w = W.orderBy(F.desc("cnt"), F.asc("pair"))
+    return top.withColumn("rn", F.row_number().over(w))
+
+
+# --- x43: feature hashing (hashing-trick text vectors) -----------------------
+
+HASH_DIM = 16
+
+
+@register(
+    "x43_feature_hashing",
+    # bucket = md5-derived so both engines hash identically; emitted as
+    # (doc_id, bucket, tf) rows — the sparse form a downstream assembler
+    # densifies — rather than engine-specific array types.
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT)
+                % {HASH_DIM} AS BIGINT) AS bucket,
+           COUNT(*) AS tf
+    FROM tok
+    GROUP BY 1, 2
+    """,
+    doc=f"feature hashing (hashing trick): tokens folded into {HASH_DIM} "
+    "md5-derived buckets with term frequencies — the engine-side bridge "
+    "from raw text to the fixed-width vectors the similarity operators "
+    "consume, with no vocabulary table to build or broadcast. Explode + "
+    "one hash agg; dimensionality is a constant, not corpus-dependent",
+)
+def x43_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = doc_token_table(spark, sf_dir)
+    bucket = (
+        F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % HASH_DIM
+    )
+    return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
+        F.count("*").alias("tf")
     )
