@@ -35,13 +35,17 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def dsum(col: Column | str) -> Column:
-    """Order-independent sum: exact decimal accumulation, double result."""
-    return F.sum(_c(col).cast(_DEC)).cast("double")
+def dsum(col: Column | str, precision: int = 27) -> Column:
+    """Order-independent sum: exact decimal accumulation, double result.
+
+    ``precision`` widens the accumulator for large-magnitude inputs
+    (m06's hour-scale moment sums use 38); the SQL twin takes the same
+    parameter so the two sides cannot drift."""
+    return F.sum(_c(col).cast(f"decimal({precision},6)")).cast("double")
 
 
-def sql_dsum(expr: str) -> str:
-    return f"CAST(SUM(CAST({expr} AS {_SQL_DEC})) AS DOUBLE)"
+def sql_dsum(expr: str, precision: int = 27) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL({precision},6))) AS DOUBLE)"
 
 
 def davg(col: Column | str) -> Column:

@@ -562,10 +562,20 @@ def _band_cols(e):
     "buckets",
 )
 def x41_hyperplane_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import pin_derived
+
     em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", _dbl("embedding").alias("e")
     )
-    banded = em.select("vec_id", "e", *_band_cols(F.col("e")))
+    # pinned: the 24-plane sign-projection expression feeds BOTH sides of
+    # the band self-join (q is a filter of the same frame) — unpinned,
+    # Catalyst evaluates the ~24x64-term dot-product tree twice per run
+    banded = pin_derived(
+        spark,
+        sf_dir,
+        "x41_bands",
+        lambda: em.select("vec_id", "e", *_band_cols(F.col("e"))),
+    )
     stacked = banded.select(
         "vec_id",
         "e",
@@ -583,14 +593,18 @@ def x41_hyperplane_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.join(stacked.select("band", "bh", "vec_id", "e"), ["band", "bh"])
         .filter(F.col("vec_id") != F.col("qid"))
         .select("qid", "qe", "vec_id", "e")
-        .distinct()
     )
+    # score BEFORE deduping band collisions, then dedup on scalars (x12's
+    # pattern): redundant cosines are cheap map-side FLOPs, while a
+    # distinct over (qid, qe, vec_id, e) would shuffle up-to-8x-duplicated
+    # 64-double array payloads
     scored = cand.select(
         "qid", "vec_id", cosine(F.col("qe"), F.col("e")).alias("cos_sim")
     )
+    dedup = scored.groupBy("qid", "vec_id").agg(F.max("cos_sim").alias("cos_sim"))
     w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        dedup.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rn")
     )

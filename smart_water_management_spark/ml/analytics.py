@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dsum, sql_dsum
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -410,7 +411,7 @@ def m05_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the moments stay inside DECIMAL(38,6) headroom at any row count.
 @register(
     "m06_linear_trend",
-    oracle="""
+    oracle=f"""
     WITH t AS (
       SELECT event_type,
              (CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200) / 3600.0 AS x,
@@ -420,10 +421,10 @@ def m05_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT event_type,
              CAST(COUNT(*) AS DOUBLE) AS n,
-             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
-             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
-             CAST(SUM(CAST(x*x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
-             CAST(SUM(CAST(x*y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+             {sql_dsum('x', 38)} AS sx,
+             {sql_dsum('y', 38)} AS sy,
+             {sql_dsum('x*x', 38)} AS sxx,
+             {sql_dsum('x*y', 38)} AS sxy
       FROM t GROUP BY event_type
     )
     SELECT event_type,
@@ -440,7 +441,6 @@ def m05_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def m06_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    dec = "decimal(38,6)"
     t = ev.select(
         "event_type",
         ((F.unix_timestamp("ts") - F.lit(1704067200)) / 3600.0).alias("x"),
@@ -448,10 +448,10 @@ def m06_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = t.groupBy("event_type").agg(
         F.count("*").cast("double").alias("n"),
-        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
-        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).cast("double").alias("sxx"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).cast("double").alias("sxy"),
+        dsum("x", 38).alias("sx"),
+        dsum("y", 38).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 38).alias("sxx"),
+        dsum(F.col("x") * F.col("y"), 38).alias("sxy"),
     )
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
         F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
