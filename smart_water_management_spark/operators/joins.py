@@ -529,3 +529,122 @@ def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("total_price"),
         )
     )
+
+
+# --- J12 (ext.): nearest-as-of join (bidirectional, with tolerance) ----------
+
+# j09 answers "most recent state at or before t"; sensor/trade alignment
+# often wants the NEAREST reading in either direction within a tolerance
+# (pandas merge_asof direction='nearest'). Two carry passes over ONE
+# union shape — backward on the epoch seconds, forward on their negation
+# — then a tie-broken pick; still one shuffle + sort per direction,
+# never a non-equi nested loop. Ties (equal distance) resolve backward,
+# matching merge_asof.
+NEAREST_TOL_SEC = 12 * 3600
+
+
+@register(
+    "j12_nearest_asof",
+    oracle=f"""
+    WITH anchors AS (
+      SELECT user_id, min(ts) AS a_ts, min_by(value, ts) AS anchor_value,
+             CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS a_sec
+      FROM events GROUP BY user_id, time_bucket(INTERVAL 1 DAY, ts)
+    ),
+    e AS (
+      SELECT event_id, user_id, value,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    back AS (
+      SELECT e.event_id, a.a_sec AS back_sec, a.anchor_value AS back_value
+      FROM e ASOF LEFT JOIN anchors a
+        ON e.user_id = a.user_id AND e.sec >= a.a_sec
+    ),
+    fwd AS (
+      SELECT e.event_id, a.a_sec AS fwd_sec, a.anchor_value AS fwd_value
+      FROM e ASOF LEFT JOIN (SELECT user_id, anchor_value, a_sec, -a_sec AS neg
+                             FROM anchors) a
+        ON e.user_id = a.user_id AND -e.sec >= a.neg
+    )
+    SELECT event_id, user_id, value, anchor_value, direction,
+           dt_sec FROM (
+      SELECT e.event_id, e.user_id, e.value,
+             CASE WHEN back_sec IS NOT NULL
+                       AND (fwd_sec IS NULL
+                            OR e.sec - back_sec <= fwd_sec - e.sec)
+                  THEN back_value ELSE fwd_value END AS anchor_value,
+             CASE WHEN back_sec IS NOT NULL
+                       AND (fwd_sec IS NULL
+                            OR e.sec - back_sec <= fwd_sec - e.sec)
+                  THEN 'backward' ELSE 'forward' END AS direction,
+             CASE WHEN back_sec IS NOT NULL
+                       AND (fwd_sec IS NULL
+                            OR e.sec - back_sec <= fwd_sec - e.sec)
+                  THEN e.sec - back_sec ELSE fwd_sec - e.sec END AS dt_sec
+      FROM e JOIN back USING (event_id) JOIN fwd USING (event_id)
+    ) WHERE dt_sec IS NOT NULL AND dt_sec <= {NEAREST_TOL_SEC}
+    """,
+    doc="J12 (ext.): nearest-as-of join — nearest user-day anchor in "
+    "EITHER direction within a 12h tolerance (merge_asof "
+    "direction='nearest'); two union+carry passes (backward on epoch "
+    "seconds, forward on their negation), ties resolve backward. One "
+    "shuffle+sort per direction at any scale",
+)
+def j12_nearest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    anchors = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.min("ts").alias("a_ts"), F.min_by("value", "ts").alias("anchor_value"))
+        .select(
+            "user_id",
+            F.col("a_ts").cast("long").alias("a_sec"),
+            "anchor_value",
+        )
+    )
+    left = ev.select(
+        "event_id", "user_id", "value", F.col("ts").cast("long").alias("sec")
+    )
+    back = asof_join(
+        left,
+        anchors.select(
+            "user_id",
+            F.col("a_sec").alias("sec"),
+            F.col("a_sec").alias("back_sec"),
+            F.col("anchor_value").alias("back_value"),
+        ),
+        on="sec",
+        by="user_id",
+        right_cols=["back_sec", "back_value"],
+    ).select("event_id", "back_sec", "back_value")
+    fwd = asof_join(
+        left.withColumn("neg", -F.col("sec")),
+        anchors.select(
+            "user_id",
+            (-F.col("a_sec")).alias("neg"),
+            F.col("a_sec").alias("fwd_sec"),
+            F.col("anchor_value").alias("fwd_value"),
+        ),
+        on="neg",
+        by="user_id",
+        right_cols=["fwd_sec", "fwd_value"],
+    ).select("event_id", "fwd_sec", "fwd_value")
+    j = left.join(back, "event_id").join(fwd, "event_id")
+    take_back = F.col("back_sec").isNotNull() & (
+        F.col("fwd_sec").isNull()
+        | (F.col("sec") - F.col("back_sec") <= F.col("fwd_sec") - F.col("sec"))
+    )
+    out = j.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.when(take_back, F.col("back_value")).otherwise(F.col("fwd_value"))
+        .alias("anchor_value"),
+        F.when(take_back, "backward").otherwise("forward").alias("direction"),
+        F.when(take_back, F.col("sec") - F.col("back_sec"))
+        .otherwise(F.col("fwd_sec") - F.col("sec"))
+        .alias("dt_sec"),
+    )
+    return out.filter(
+        F.col("dt_sec").isNotNull() & (F.col("dt_sec") <= NEAREST_TOL_SEC)
+    )

@@ -415,3 +415,78 @@ def v07_violation_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_readings") >= MIN_RUN)
         .drop("grp")
     )
+
+
+# --- V14 (ext.): referential-integrity audit ---------------------------------
+
+# The cross-table layer of a quality framework: child keys that resolve
+# to no parent row (orphans). Two relations audited — lineitem→orders
+# (intact by construction) and orders→a stale customer dimension
+# (every 97th customer dropped, the mid-refresh state an RI audit
+# exists to catch) — each as one LEFT ANTI join aggregated to a count:
+# no row-by-row lookups, and the parent key set broadcasts while small.
+STALE_MOD = 97
+
+
+@register(
+    "v08_referential_integrity",
+    oracle=f"""
+    WITH li AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_orphans,
+             MIN(CASE WHEN o.o_orderkey IS NULL THEN l.l_orderkey END) AS min_k,
+             MAX(CASE WHEN o.o_orderkey IS NULL THEN l.l_orderkey END) AS max_k
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    oc AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_orphans,
+             MIN(CASE WHEN c.c_custkey IS NULL THEN o.o_custkey END) AS min_k,
+             MAX(CASE WHEN c.c_custkey IS NULL THEN o.o_custkey END) AS max_k
+      FROM orders o LEFT JOIN (
+        SELECT c_custkey FROM customer WHERE c_custkey % {STALE_MOD} <> 0
+      ) c ON c.c_custkey = o.o_custkey
+    )
+    SELECT 'lineitem->orders' AS relation, n_rows, n_orphans,
+           ROUND(CAST(n_orphans AS DOUBLE) / n_rows, 6) AS orphan_frac,
+           min_k AS min_orphan_key, max_k AS max_orphan_key
+    FROM li
+    UNION ALL
+    SELECT 'orders->customer_stale', n_rows, n_orphans,
+           ROUND(CAST(n_orphans AS DOUBLE) / n_rows, 6),
+           min_k, max_k
+    FROM oc
+    """,
+    doc="V14 (ext.): referential-integrity audit — orphaned child keys "
+    "per FK relation via left joins aggregated to counts (one intact "
+    "relation, one against a deliberately stale dim). Parent key sets "
+    "broadcast while small; at 100 TB both sides hash-partition on the "
+    "key — never a driver-side lookup loop",
+)
+def v08_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def audit(child: DataFrame, ckey: str, parent: DataFrame, pkey: str,
+              relation: str) -> DataFrame:
+        joined = child.join(
+            parent.select(F.col(pkey).alias("__pk")).distinct(),
+            child[ckey] == F.col("__pk"),
+            "left",
+        )
+        orphan = F.col("__pk").isNull()
+        return joined.agg(
+            F.lit(relation).alias("relation"),
+            F.count("*").alias("n_rows"),
+            F.count(F.when(orphan, 1)).alias("n_orphans"),
+            F.round(
+                F.count(F.when(orphan, 1)).cast("double") / F.count("*"), 6
+            ).alias("orphan_frac"),
+            F.min(F.when(orphan, child[ckey])).alias("min_orphan_key"),
+            F.max(F.when(orphan, child[ckey])).alias("max_orphan_key"),
+        )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    stale = cust.filter(F.col("c_custkey") % STALE_MOD != 0)
+    return audit(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders").unionByName(
+        audit(orders, "o_custkey", stale, "c_custkey", "orders->customer_stale")
+    )
