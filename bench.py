@@ -54,6 +54,7 @@ HEADLINE = [
     "x10_bruteforce_cosine_topk", # similarity search
     "x01_token_stats",            # text analysis
     "x27_unigram_logppl",         # unigram-LM perplexity (word-count shape)
+    "x90_curation_funnel",        # end-to-end curation funnel (capstone)
     "p90_domain_pipeline",        # e2e domain fixture pipeline (BASELINE bar)
 ]
 

@@ -493,3 +493,63 @@ def w14_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("value"), 6).alias("hi"),
         )
     )
+
+
+# --- W15: running distinct count via first-seen rewrite ----------------------
+# COUNT(DISTINCT) OVER a running frame is unsupported (Spark) or holds
+# per-frame distinct state (engines that allow it) — the scalable rewrite
+# flags each key's FIRST occurrence with one row_number window, then
+# running-sums the zero/one flags per day: distinct-so-far becomes a
+# plain cumulative sum. Two windows, both on the same event_type
+# partition hash — no distinct state proportional to history.
+@register(
+    "w15_running_distinct",
+    oracle="""
+    WITH firsts AS (
+      SELECT event_type, user_id, min(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY event_type, user_id
+    ),
+    newu AS (
+      SELECT event_type, first_day AS d, COUNT(*) AS n_new_users
+      FROM firsts GROUP BY event_type, first_day
+    ),
+    daily AS (
+      SELECT e.event_type, CAST(e.ts AS DATE) AS d, COUNT(*) AS n_events
+      FROM events e GROUP BY 1, 2
+    )
+    SELECT daily.event_type, strftime(daily.d, '%Y-%m-%d') AS day, n_events,
+           COALESCE(n_new_users, 0) AS n_new_users,
+           CAST(SUM(COALESCE(n_new_users, 0)) OVER (
+             PARTITION BY daily.event_type ORDER BY daily.d) AS BIGINT)
+             AS distinct_users_to_date
+    FROM daily LEFT JOIN newu
+      ON newu.event_type = daily.event_type AND newu.d = daily.d
+    """,
+    doc="W15: running distinct-user count per event type — COUNT(DISTINCT) "
+    "OVER is rewritten as first-occurrence flags + a cumulative sum of "
+    "daily new-user counts, so no per-frame distinct state exists at any "
+    "scale; the day grain bounds the window input to days, not events",
+)
+def w15_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", F.to_date("ts").alias("d")
+    )
+    # first occurrence day per (type, user): one hash agg
+    firsts = ev.groupBy("event_type", "user_id").agg(
+        F.min("d").alias("first_day")
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.count("*").alias("n_events"))
+    new_users = firsts.groupBy(
+        "event_type", F.col("first_day").alias("d")
+    ).agg(F.count("*").alias("n_new_users"))
+    j = daily.join(new_users, ["event_type", "d"], "left").withColumn(
+        "n_new_users", F.coalesce("n_new_users", F.lit(0))
+    )
+    w = W.partitionBy("event_type").orderBy("d")
+    return j.select(
+        "event_type",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "n_events",
+        "n_new_users",
+        F.sum("n_new_users").over(w).cast("bigint").alias("distinct_users_to_date"),
+    )
