@@ -208,3 +208,47 @@ def test_stratified_sample_partition_stability(spark, n_parts):
     }
     assert sampled == baseline
     assert 0 < len(baseline) < docs.count()
+
+
+@SETTINGS
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),          # by-key
+            st.integers(min_value=0, max_value=50),  # left time
+        ),
+        min_size=1,
+        max_size=25,
+    ),
+    anchors=st.lists(
+        st.tuples(
+            st.sampled_from(["u1", "u2"]),
+            st.integers(min_value=0, max_value=50),
+            st.integers(min_value=0, max_value=999),  # payload
+        ),
+        min_size=0,
+        max_size=15,
+        unique_by=lambda a: (a[0], a[1]),  # one anchor per (key, time)
+    ),
+)
+def test_asof_join_matches_bruteforce(spark, rows, anchors):
+    """The union+carry as-of join must equal the brute-force definition
+    (max right time <= left time per key, payload of that row) for ANY
+    inputs — including keys with no anchors and duplicate left times."""
+    from smart_water_management_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(rows)], "id long, k string, t long"
+    )
+    right = spark.createDataFrame(anchors, "k string, t long, payload long")
+    got = {
+        (r["id"], r["payload"])
+        for r in asof_join(
+            left, right, on="t", by="k", right_cols=["payload"]
+        ).collect()
+    }
+    want = set()
+    for i, (k, t) in enumerate(rows):
+        cands = [(at, p) for (ak, at, p) in anchors if ak == k and at <= t]
+        want.add((i, max(cands)[1] if cands else None))
+    assert got == want
