@@ -344,3 +344,54 @@ def f13_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(planar, 6).alias("planar_deg"),
         F.round(hav, 6).alias("haversine_km"),
     )
+
+
+# --- F14: bitwise scalar + aggregate functions -------------------------------
+# Flag words are how wide tables pack dozens of boolean facts into one
+# BIGINT column; the engine must both build them (shiftleft/|) and fold
+# them (bit_and = "flags every row set", bit_or = "flags any row set",
+# bit_xor = parity). Derived per event from deterministic row facts so
+# both engines assemble identical words, then folded per user.
+@register(
+    "f14_bitwise_aggs",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id,
+             CAST(
+               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
+               + CASE WHEN value > 50 THEN 2 ELSE 0 END
+               + CASE WHEN event_id % 2 = 0 THEN 4 ELSE 0 END
+               + CASE WHEN hour(ts) < 12 THEN 8 ELSE 0 END
+             AS BIGINT) AS flags
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(BIT_AND(flags) AS BIGINT) AS flags_all,
+           CAST(BIT_OR(flags) AS BIGINT) AS flags_any,
+           CAST(BIT_XOR(flags) AS BIGINT) AS flags_parity
+    FROM flagged GROUP BY user_id
+    """,
+    doc="F14: bitwise flag-word assembly (conditional shifts OR-ed into "
+    "one BIGINT) + bit_and/bit_or/bit_xor aggregate folds per user — "
+    "the packed-boolean pattern wide 100 TB tables use instead of 30 "
+    "nullable flag columns; one scan, one hash agg",
+)
+def f14_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    flags = (
+        F.when(F.col("event_type") == "error", 1).otherwise(0)
+        + F.when(F.col("value") > 50, 2).otherwise(0)
+        + F.when(F.col("event_id") % 2 == 0, 4).otherwise(0)
+        + F.when(F.hour("ts") < 12, 8).otherwise(0)
+    ).cast("bigint")
+    return (
+        ev.select("user_id", flags.alias("flags"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.bit_and("flags").alias("flags_all"),
+            F.bit_or("flags").alias("flags_any"),
+            F.bit_xor("flags").alias("flags_parity"),
+        )
+    )
