@@ -358,10 +358,10 @@ def f13_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id,
              CAST(
-               CASE WHEN event_type = 'error' THEN 1 ELSE 0 END
-               + CASE WHEN value > 50 THEN 2 ELSE 0 END
-               + CASE WHEN event_id % 2 = 0 THEN 4 ELSE 0 END
-               + CASE WHEN hour(ts) < 12 THEN 8 ELSE 0 END
+               (CASE WHEN event_type = 'error' THEN 1 ELSE 0 END << 0)
+               | (CASE WHEN value > 50 THEN 1 ELSE 0 END << 1)
+               | (CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END << 2)
+               | (CASE WHEN hour(ts) < 12 THEN 1 ELSE 0 END << 3)
              AS BIGINT) AS flags
       FROM events
     )
@@ -379,12 +379,16 @@ def f13_geo_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def f14_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    flags = (
-        F.when(F.col("event_type") == "error", 1).otherwise(0)
-        + F.when(F.col("value") > 50, 2).otherwise(0)
-        + F.when(F.col("event_id") % 2 == 0, 4).otherwise(0)
-        + F.when(F.hour("ts") < 12, 8).otherwise(0)
-    ).cast("bigint")
+    bits = [
+        F.when(F.col("event_type") == "error", 1).otherwise(0),
+        F.when(F.col("value") > 50, 1).otherwise(0),
+        F.when(F.col("event_id") % 2 == 0, 1).otherwise(0),
+        F.when(F.hour("ts") < 12, 1).otherwise(0),
+    ]
+    flags = bits[0]
+    for i, b in enumerate(bits[1:], start=1):
+        flags = flags.bitwiseOR(F.shiftleft(b, i))
+    flags = flags.cast("bigint")
     return (
         ev.select("user_id", flags.alias("flags"))
         .groupBy("user_id")

@@ -343,14 +343,37 @@ def asof_join(
     return u.filter(F.col("__side") == 1).drop("__side")
 
 
+# Shared user-day anchor stream for the as-of family (j09/j12): first
+# event of each user-day. The min_by ordering key appends event_id to the
+# microsecond timestamp (zero-padded string: lexicographic == numeric) so
+# two events sharing an exact (user_id, ts) can never make the two
+# engines pick different anchor values.
+SQL_USER_DAY_ANCHORS = (
+    "SELECT user_id, min(ts) AS a_ts, "
+    "min_by(value, printf('%018d%012d', epoch_us(ts), event_id)) "
+    "AS anchor_value "
+    "FROM events GROUP BY user_id, time_bucket(INTERVAL 1 DAY, ts)"
+)
+
+
+def user_day_anchors(ev: DataFrame) -> DataFrame:
+    ord_key = F.format_string(
+        "%018d%012d", F.unix_micros(F.col("ts")), F.col("event_id")
+    )
+    return (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.min("ts").alias("a_ts"),
+            F.min_by("value", ord_key).alias("anchor_value"),
+        )
+        .select("user_id", "a_ts", "anchor_value")
+    )
+
+
 @register(
     "j09_asof_join",
-    oracle="""
-    WITH anchors AS (
-      SELECT user_id, min(ts) AS a_ts, min_by(value, ts) AS anchor_value,
-             strftime(time_bucket(INTERVAL 1 DAY, min(ts)), '%Y-%m-%d') AS d
-      FROM events GROUP BY user_id, time_bucket(INTERVAL 1 DAY, ts)
-    )
+    oracle=f"""
+    WITH anchors AS ({SQL_USER_DAY_ANCHORS})
     SELECT e.event_id, e.user_id, e.value, a.anchor_value
     FROM events e
     ASOF LEFT JOIN anchors a ON e.user_id = a.user_id AND e.ts >= a.a_ts
@@ -360,11 +383,9 @@ def asof_join(
 def j09_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     # right side: first event of each user-day = the "state" stream
-    anchors = ev.groupBy(
-        "user_id", F.date_trunc("day", "ts").alias("day")
-    ).agg(
-        F.min("ts").alias("a_ts"), F.min_by("value", "ts").alias("anchor_value")
-    ).select("user_id", F.col("a_ts").alias("ts"), "anchor_value")
+    anchors = user_day_anchors(ev).select(
+        "user_id", F.col("a_ts").alias("ts"), "anchor_value"
+    )
     left = ev.select("event_id", "ts", "user_id", "value")
     joined = asof_join(left, anchors, on="ts", by="user_id", right_cols=["anchor_value"])
     return joined.select("event_id", "user_id", "value", "anchor_value")
@@ -535,11 +556,12 @@ def j11_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # j09 answers "most recent state at or before t"; sensor/trade alignment
 # often wants the NEAREST reading in either direction within a tolerance
-# (pandas merge_asof direction='nearest'). Two carry passes over ONE
-# union shape — backward on the epoch seconds, forward on their negation
-# — then a tie-broken pick; still one shuffle + sort per direction,
-# never a non-equi nested loop. Ties (equal distance) resolve backward,
-# matching merge_asof.
+# (pandas merge_asof direction='nearest'). One union of events+anchors,
+# one shuffle/sort per user on the epoch seconds, then two RANGE-framed
+# carries over that single ordering (last anchor at-or-before, first
+# anchor at-or-after) and a tie-broken pick — never a non-equi nested
+# loop, and no re-join back to the event stream. Ties (equal distance)
+# resolve backward, matching merge_asof.
 NEAREST_TOL_SEC = 12 * 3600
 
 
@@ -547,9 +569,9 @@ NEAREST_TOL_SEC = 12 * 3600
     "j12_nearest_asof",
     oracle=f"""
     WITH anchors AS (
-      SELECT user_id, min(ts) AS a_ts, min_by(value, ts) AS anchor_value,
-             CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS a_sec
-      FROM events GROUP BY user_id, time_bucket(INTERVAL 1 DAY, ts)
+      SELECT user_id, a_ts, anchor_value,
+             CAST(FLOOR(epoch(a_ts)) AS BIGINT) AS a_sec
+      FROM ({SQL_USER_DAY_ANCHORS})
     ),
     e AS (
       SELECT event_id, user_id, value,
@@ -593,43 +615,51 @@ NEAREST_TOL_SEC = 12 * 3600
 )
 def j12_nearest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    anchors = (
-        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
-        .agg(F.min("ts").alias("a_ts"), F.min_by("value", "ts").alias("anchor_value"))
-        .select(
-            "user_id",
-            F.col("a_ts").cast("long").alias("a_sec"),
-            "anchor_value",
-        )
+    anchors = user_day_anchors(ev).select(
+        "user_id",
+        F.col("a_ts").cast("long").alias("sec"),
+        F.col("a_ts").cast("long").alias("asec"),
+        F.col("anchor_value").alias("aval"),
     )
     left = ev.select(
         "event_id", "user_id", "value", F.col("ts").cast("long").alias("sec")
     )
-    back = asof_join(
-        left,
-        anchors.select(
-            "user_id",
-            F.col("a_sec").alias("sec"),
-            F.col("a_sec").alias("back_sec"),
-            F.col("anchor_value").alias("back_value"),
-        ),
-        on="sec",
-        by="user_id",
-        right_cols=["back_sec", "back_value"],
-    ).select("event_id", "back_sec", "back_value")
-    fwd = asof_join(
-        left.withColumn("neg", -F.col("sec")),
-        anchors.select(
-            "user_id",
-            (-F.col("a_sec")).alias("neg"),
-            F.col("a_sec").alias("fwd_sec"),
-            F.col("anchor_value").alias("fwd_value"),
-        ),
-        on="neg",
-        by="user_id",
-        right_cols=["fwd_sec", "fwd_value"],
-    ).select("event_id", "fwd_sec", "fwd_value")
-    j = left.join(back, "event_id").join(fwd, "event_id")
+    # ONE union + ONE shuffle/sort serves BOTH directions: RANGE frames
+    # over the same (user, sec) ordering carry the last anchor at-or-
+    # before (backward) and the first anchor at-or-after (forward) —
+    # inclusive on ties in both directions — with no event-cardinality
+    # re-joins (two asof passes + two hash joins would double the
+    # shuffled bytes for identical output)
+    lt = left.withColumn("__side", F.lit(1)).withColumn(
+        "asec", F.lit(None).cast("long")
+    ).withColumn("aval", F.lit(None).cast("double"))
+    rt = anchors.select(
+        F.lit(None).cast("long").alias("event_id"),
+        "user_id",
+        F.lit(None).cast("double").alias("value"),
+        "sec",
+        F.lit(0).alias("__side"),
+        "asec",
+        "aval",
+    )
+    u = lt.select(rt.columns).unionByName(rt)
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(0, W.unboundedFollowing)
+    )
+    j = (
+        u.withColumn("back_sec", F.last("asec", ignorenulls=True).over(wb))
+        .withColumn("back_value", F.last("aval", ignorenulls=True).over(wb))
+        .withColumn("fwd_sec", F.first("asec", ignorenulls=True).over(wf))
+        .withColumn("fwd_value", F.first("aval", ignorenulls=True).over(wf))
+        .filter(F.col("__side") == 1)
+    )
     take_back = F.col("back_sec").isNotNull() & (
         F.col("fwd_sec").isNull()
         | (F.col("sec") - F.col("back_sec") <= F.col("fwd_sec") - F.col("sec"))

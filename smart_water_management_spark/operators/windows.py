@@ -498,10 +498,10 @@ def w14_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- W15: running distinct count via first-seen rewrite ----------------------
 # COUNT(DISTINCT) OVER a running frame is unsupported (Spark) or holds
 # per-frame distinct state (engines that allow it) — the scalable rewrite
-# flags each key's FIRST occurrence with one row_number window, then
-# running-sums the zero/one flags per day: distinct-so-far becomes a
-# plain cumulative sum. Two windows, both on the same event_type
-# partition hash — no distinct state proportional to history.
+# reduces each (type, user) to its FIRST day with one hash agg, rolls
+# those up to daily new-key counts, and running-sums the counts with ONE
+# window over days (not events): distinct-so-far becomes a plain
+# cumulative sum with no distinct state proportional to history.
 @register(
     "w15_running_distinct",
     oracle="""

@@ -423,8 +423,10 @@ def v07_violation_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # to no parent row (orphans). Two relations audited — lineitem→orders
 # (intact by construction) and orders→a stale customer dimension
 # (every 97th customer dropped, the mid-refresh state an RI audit
-# exists to catch) — each as one LEFT ANTI join aggregated to a count:
-# no row-by-row lookups, and the parent key set broadcasts while small.
+# exists to catch) — each as one LEFT OUTER join against the distinct
+# parent keys plus conditional aggregation (an anti join would discard
+# the non-orphan rows the totals need): no row-by-row lookups, and the
+# parent key set broadcasts while small.
 STALE_MOD = 97
 
 
@@ -458,7 +460,7 @@ STALE_MOD = 97
     FROM oc
     """,
     doc="V14 (ext.): referential-integrity audit — orphaned child keys "
-    "per FK relation via left joins aggregated to counts (one intact "
+    "per FK relation via left outer joins + conditional counts (one intact "
     "relation, one against a deliberately stale dim). Parent key sets "
     "broadcast while small; at 100 TB both sides hash-partition on the "
     "key — never a driver-side lookup loop",

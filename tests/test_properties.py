@@ -241,12 +241,11 @@ def test_asof_join_matches_bruteforce(spark, rows, anchors):
         [(i, k, t) for i, (k, t) in enumerate(rows)], "id long, k string, t long"
     )
     right = spark.createDataFrame(anchors, "k string, t long, payload long")
-    got = {
-        (r["id"], r["payload"])
-        for r in asof_join(
-            left, right, on="t", by="k", right_cols=["payload"]
-        ).collect()
-    }
+    out = asof_join(left, right, on="t", by="k", right_cols=["payload"]).collect()
+    # exactly one output row per left row (a set compare alone would hide
+    # duplicate emissions)
+    assert len(out) == len(rows)
+    got = {(r["id"], r["payload"]) for r in out}
     want = set()
     for i, (k, t) in enumerate(rows):
         cands = [(at, p) for (ak, at, p) in anchors if ak == k and at <= t]
