@@ -708,3 +708,72 @@ def a21_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+# --- A22 (ext.): MAD-based robust outlier detection --------------------------
+# z-scores (v05) break when the contamination itself inflates the mean
+# and stddev; the median absolute deviation is robust to ~50% bad data.
+# Two exact-percentile passes per group (median of x, then median of
+# |x - median|) — at the 100 TB tier both swap to percentile_approx with
+# the same plan shape (a07/a08's pairing).
+MAD_K = 1.4826  # normal-consistency constant
+MAD_CUT = 3.0
+
+
+@register(
+    "a22_mad_outliers",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    dev AS (
+      SELECT e.event_type, e.value, m.med,
+             ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, med, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type, med
+    )
+    SELECT d.event_type,
+           ROUND(d.med, 6) AS median_value,
+           ROUND(m.mad, 6) AS mad,
+           COUNT(*) AS n_rows,
+           COUNT(CASE WHEN ABS(d.value - d.med)
+                      > {MAD_CUT} * {MAD_K} * m.mad THEN 1 END) AS n_outliers
+    FROM dev d JOIN mad m USING (event_type, med)
+    GROUP BY d.event_type, d.med, m.mad
+    """,
+    doc="A22 (ext.): MAD-based robust outliers per type — median absolute "
+    "deviation survives contamination that inflates mean/stddev (v05's "
+    "z-score fails at >15% bad data); two grouped exact-percentile "
+    "passes, swap to percentile_approx at the 100 TB tier",
+)
+def a22_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    out = F.abs(F.col("value") - F.col("med")) > MAD_CUT * MAD_K * F.col("mad")
+    return (
+        dev.join(F.broadcast(mad), ["event_type", "med"])
+        .groupBy("event_type", "med", "mad")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count(F.when(out, 1)).alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            F.round("med", 6).alias("median_value"),
+            F.round("mad", 6).alias("mad"),
+            "n_rows",
+            "n_outliers",
+        )
+    )

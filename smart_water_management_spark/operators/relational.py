@@ -379,3 +379,48 @@ def o03_keyset_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
         .limit(PAGE_SIZE)
     )
+
+
+# --- U4 (ext.): multiset EXCEPT ALL / INTERSECT ALL --------------------------
+# u02 covers SET semantics; bag semantics matter when duplicates carry
+# meaning (per-occurrence reconciliation between two extracts: "how many
+# copies remain after cancelling one-for-one"). Spark's exceptAll /
+# intersectAll map to ANSI EXCEPT ALL / INTERSECT ALL — reduced here to
+# per-key counts so the output is deterministic.
+@register(
+    "u03_multiset_ops",
+    oracle="""
+    SELECT 'except_all' AS which, user_id, COUNT(*) AS n FROM (
+      SELECT user_id FROM events WHERE event_type IN ('click', 'view')
+      EXCEPT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    ) GROUP BY user_id
+    UNION ALL
+    SELECT 'intersect_all', user_id, COUNT(*) FROM (
+      SELECT user_id FROM events WHERE event_type IN ('click', 'view')
+      INTERSECT ALL
+      SELECT user_id FROM events WHERE event_type = 'purchase'
+    ) GROUP BY user_id
+    """,
+    doc="U4 (ext.): multiset EXCEPT ALL / INTERSECT ALL (bag semantics — "
+    "per-occurrence one-for-one cancellation, what extract reconciliation "
+    "needs when duplicates carry meaning), reduced to per-key occurrence "
+    "counts; Spark plans both as hash aggregates on the key, no sort",
+)
+def u03_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    engaged = ev.filter(F.col("event_type").isin("click", "view")).select("user_id")
+    bought = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    exc = (
+        engaged.exceptAll(bought)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("except_all").alias("which"), "user_id", "n")
+    )
+    inter = (
+        engaged.intersectAll(bought)
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .select(F.lit("intersect_all").alias("which"), "user_id", "n")
+    )
+    return exc.unionByName(inter)
