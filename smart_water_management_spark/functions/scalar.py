@@ -399,3 +399,55 @@ def f14_bitwise_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_xor("flags").alias("flags_parity"),
         )
     )
+
+
+# --- F15: edit-distance fuzzy matching ---------------------------------------
+# Entity resolution's scalar core: Levenshtein distance between the
+# stored name and its canonical re-derivation (zero when the row is
+# well-formed; a corrupted variant — here a deterministic stand-in that
+# drops the zero-padding for every 13th key — scores its edit cost).
+# JVM-side levenshtein on both engines; one scan, one tiny agg.
+@register(
+    "f15_fuzzy_match",
+    oracle="""
+    WITH probe AS (
+      SELECT c_custkey, c_name,
+             CASE WHEN c_custkey % 13 = 0
+                  THEN 'Customer#' || CAST(c_custkey AS VARCHAR)
+                  ELSE c_name END AS observed,
+             'Customer#' || lpad(CAST(c_custkey AS VARCHAR), 9, '0')
+               AS canonical
+      FROM customer
+    )
+    SELECT CAST(levenshtein(observed, canonical) AS INT) AS edit_distance,
+           COUNT(*) AS n_rows,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM probe GROUP BY 1
+    """,
+    doc="F15: Levenshtein fuzzy matching — observed vs canonical key-"
+    "derived names (every 13th row deterministically corrupted by "
+    "dropping zero-padding), grouped by edit distance. The entity-"
+    "resolution scalar, JVM-side on both engines; one scan + tiny agg",
+)
+def f15_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    observed = F.when(
+        F.col("c_custkey") % 13 == 0,
+        F.concat(F.lit("Customer#"), F.col("c_custkey").cast("string")),
+    ).otherwise(F.col("c_name"))
+    canonical = F.concat(
+        F.lit("Customer#"), F.lpad(F.col("c_custkey").cast("string"), 9, "0")
+    )
+    return (
+        c.select(
+            "c_custkey",
+            F.levenshtein(observed, canonical).cast("int").alias("edit_distance"),
+        )
+        .groupBy("edit_distance")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+        )
+    )

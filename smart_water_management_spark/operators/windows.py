@@ -553,3 +553,50 @@ def w15_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new_users",
         F.sum("n_new_users").over(w).cast("bigint").alias("distinct_users_to_date"),
     )
+
+
+# --- W16: rank-distribution functions ----------------------------------------
+# percent_rank / cume_dist complete the rank family (w10 row_number/rank,
+# w14 ntile): relative standing of each reading inside its type — the
+# normalized form dashboards plot as percentile curves. Same tiebreak
+# rule as w14: event_id makes the ordering total, or the outputs are
+# engine-dependent at duplicate values.
+@register(
+    "w16_rank_distributions",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             percent_rank() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS pr,
+             cume_dist() OVER (PARTITION BY event_type
+                               ORDER BY value, event_id) AS cd
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_rows,
+           ROUND(AVG(pr), 6) AS mean_percent_rank,
+           ROUND(MAX(CASE WHEN pr <= 0.5 THEN value END), 6) AS median_by_pr,
+           ROUND(AVG(cd), 6) AS mean_cume_dist
+    FROM ranked GROUP BY event_type
+    """,
+    doc="W16: percent_rank + cume_dist per event type with a total "
+    "ordering (event_id tiebreak), reduced to distribution summaries — "
+    "one window shuffle + one hash agg",
+)
+def w16_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.avg("pr"), 6).alias("mean_percent_rank"),
+        F.round(F.max(F.when(F.col("pr") <= 0.5, F.col("value"))), 6).alias(
+            "median_by_pr"
+        ),
+        F.round(F.avg("cd"), 6).alias("mean_cume_dist"),
+    )
