@@ -758,12 +758,16 @@ def a22_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev = ev.join(F.broadcast(med), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    mad = dev.groupBy("event_type", "med").agg(
+    # med is functionally dependent on event_type — group/join on the
+    # type alone so no floating-point column ever serves as a hash or
+    # equality key (a float key silently drops rows the moment the two
+    # sides stop deriving bit-identical doubles)
+    mad = dev.groupBy("event_type").agg(
         F.percentile("adev", F.lit(0.5)).alias("mad")
     )
     out = F.abs(F.col("value") - F.col("med")) > MAD_CUT * MAD_K * F.col("mad")
     return (
-        dev.join(F.broadcast(mad), ["event_type", "med"])
+        dev.join(F.broadcast(mad), ["event_type"])
         .groupBy("event_type", "med", "mad")
         .agg(
             F.count("*").alias("n_rows"),
