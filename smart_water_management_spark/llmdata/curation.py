@@ -822,3 +822,83 @@ def x90_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return agg.select(F.explode(stage_structs).alias("s")).select("s.*")
+
+
+# --- x44: train/val split leakage audit --------------------------------------
+
+# Random document splits leak: near-duplicate pairs straddling the
+# train/val boundary inflate eval scores (the reason dedup-aware splits
+# exist). The split is the deterministic md5 draw (x22's machinery, 50/50
+# on the first hex nibble); the pair probe is the shared adjacent-pair
+# stream (in production: the x08/x39 LSH candidate stream), and a pair
+# leaks when it clears the near-dup bar with members on opposite sides.
+LEAK_JACCARD = 0.5
+
+
+@register(
+    "x44_split_leakage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < '8' AS in_train
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.in_train AS train_a, b.in_train AS train_b,
+             CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE)
+               / (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)))
+               AS jaccard
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    )
+    SELECT (SELECT COUNT(*) FROM toks WHERE in_train) AS n_train,
+           (SELECT COUNT(*) FROM toks WHERE NOT in_train) AS n_val,
+           COUNT(CASE WHEN jaccard >= {LEAK_JACCARD} THEN 1 END)
+             AS n_neardup_pairs,
+           COUNT(CASE WHEN jaccard >= {LEAK_JACCARD}
+                       AND train_a <> train_b THEN 1 END) AS n_leaking_pairs
+    FROM pairs
+    """,
+    doc="x44: train/val split leakage audit — a deterministic md5 50/50 "
+    "split plus the shared near-dup pair probe; pairs clearing the "
+    "Jaccard bar with members on opposite sides are the leaks that "
+    "inflate eval scores. One pair join + one tiny aggregate; in "
+    "production the pair source is the x08/x39 candidate stream",
+)
+def x44_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import adjacent_token_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    in_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
+    splits = d.select("doc_id", in_train.alias("in_train"))
+    counts = splits.agg(
+        F.count(F.when(F.col("in_train"), 1)).alias("n_train"),
+        F.count(F.when(~F.col("in_train"), 1)).alias("n_val"),
+    )
+    pairs = adjacent_token_pairs(d)
+    inter = F.col("n_common")
+    jac = inter.cast("double") / (
+        F.size("tk_a") + F.size("tk_b") - inter
+    )
+    tagged = (
+        pairs.withColumn("jaccard", jac)
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"), F.col("in_train").alias("train_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"), F.col("in_train").alias("train_b")
+            ),
+            "doc_b",
+        )
+    )
+    neardup = F.col("jaccard") >= LEAK_JACCARD
+    agg = tagged.agg(
+        F.count(F.when(neardup, 1)).alias("n_neardup_pairs"),
+        F.count(
+            F.when(neardup & (F.col("train_a") != F.col("train_b")), 1)
+        ).alias("n_leaking_pairs"),
+    )
+    return counts.crossJoin(agg)

@@ -397,3 +397,81 @@ def s16_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderpriority").alias("n_priorities"),
         dsum("o_totalprice").alias("sum_price"),
     )
+
+
+# --- S17 (ext.): PERMISSIVE corrupt-record handling --------------------------
+
+# Dirty ingest is the 100 TB norm: a CSV drop where some rows carry an
+# unparsable field must neither kill the job (FAILFAST) nor silently
+# vanish (DROPMALFORMED) — PERMISSIVE nulls the bad field, preserves the
+# raw line in a corrupt-record column, and lets the pipeline quarantine
+# by it. The dirt is deterministic (every 41st order's price becomes
+# 'N/A'), so the oracle reproduces every count and the clean checksum
+# straight from the parquet without reading the CSV.
+CORRUPT_MOD = 41
+
+
+@register(
+    "s17_corrupt_records",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(CASE WHEN o_orderkey % {CORRUPT_MOD} = 0 THEN 1 END)
+             AS n_corrupt,
+           {sql_dsum(f"CASE WHEN o_orderkey % {CORRUPT_MOD} <> 0 "
+                     f"THEN o_totalprice END")} AS clean_price_sum,
+           MIN(CASE WHEN o_orderkey % {CORRUPT_MOD} = 0 THEN o_orderkey END)
+             AS min_corrupt_key,
+           MAX(CASE WHEN o_orderkey % {CORRUPT_MOD} = 0 THEN o_orderkey END)
+             AS max_corrupt_key
+    FROM orders
+    """,
+    doc="S17 (ext.): PERMISSIVE CSV scan of a deterministically dirtied "
+    "drop (every 41st price unparsable) — bad fields null out, raw lines "
+    "land in the corrupt-record column for quarantine, good rows "
+    "checksum-match the source; neither FAILFAST's dead job nor "
+    "DROPMALFORMED's silent loss",
+)
+def s17_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType, LongType, StringType, StructField, StructType
+
+    path = _scratch("s17_dirty_csv", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    price_txt = F.when(
+        F.col("o_orderkey") % CORRUPT_MOD == 0, F.lit("N/A")
+    ).otherwise(F.format_number(F.col("o_totalprice"), 6).cast("string"))
+    # format_number adds thousands separators — strip to a plain numeric
+    price_txt = F.regexp_replace(price_txt, ",", "")
+    (
+        orders.select(
+            F.concat_ws(
+                ",",
+                F.col("o_orderkey").cast("string"),
+                price_txt,
+                F.col("o_orderpriority"),
+            ).alias("value")
+        )
+        .write.mode("overwrite")
+        .text(path)
+    )
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("o_totalprice", DoubleType()),
+            StructField("o_orderpriority", StringType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    raw = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    corrupt = F.col("_corrupt_record").isNotNull()
+    return raw.agg(
+        F.count("*").alias("n_rows"),
+        F.count(F.when(corrupt, 1)).alias("n_corrupt"),
+        dsum(F.when(~corrupt, F.col("o_totalprice"))).alias("clean_price_sum"),
+        F.min(F.when(corrupt, F.col("o_orderkey"))).alias("min_corrupt_key"),
+        F.max(F.when(corrupt, F.col("o_orderkey"))).alias("max_corrupt_key"),
+    )
