@@ -902,3 +902,83 @@ def x44_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_leaking_pairs"),
     )
     return counts.crossJoin(agg)
+
+
+# --- x45: corpus drift — per-source unigram KL divergence --------------------
+
+# Crawl-snapshot monitoring: how far each source's token distribution
+# sits from the corpus-wide distribution (KL(P_source || P_corpus),
+# add-one smoothed over the shared vocabulary). A drifting source is the
+# first sign a scraper broke or a domain changed character — checked
+# per ingest, not after a model trains badly. Same determinism contract
+# as x27/x37: per-term contributions rounded to 6 decimals and summed
+# as DECIMAL, so both engines agree bit-for-bit.
+@register(
+    "x45_unigram_drift",
+    oracle="""
+    WITH tok AS (
+      SELECT t.w, d.source FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents) t
+      JOIN documents d USING (doc_id)
+    ),
+    vocab AS (
+      SELECT w, source, COUNT(*) AS cs FROM tok GROUP BY w, source
+    ),
+    corpus AS (SELECT w, SUM(cs) AS cc FROM vocab GROUP BY w),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM corpus) AS v,
+             (SELECT CAST(SUM(cc) AS BIGINT) FROM corpus) AS n_corpus
+    ),
+    src_tot AS (
+      SELECT source, CAST(SUM(cs) AS BIGINT) AS n_src FROM vocab GROUP BY source
+    ),
+    terms AS (
+      SELECT v.source,
+             CAST(ROUND(
+               ((v.cs + 1.0) / (s.n_src + t.v))
+               * LN(((v.cs + 1.0) / (s.n_src + t.v))
+                    / ((c.cc + 1.0) / (t.n_corpus + t.v))), 6)
+             AS DECIMAL(27,6)) AS kl_term
+      FROM vocab v
+      JOIN corpus c USING (w)
+      JOIN src_tot s USING (source)
+      CROSS JOIN tot t
+    )
+    SELECT t.source, s.n_src AS n_tokens,
+           ROUND(CAST(SUM(t.kl_term) AS DOUBLE), 6) AS kl_nats
+    FROM terms t JOIN src_tot s ON s.source = t.source
+    GROUP BY t.source, s.n_src
+    """,
+    doc="x45: corpus drift monitor — per-source KL divergence of the "
+    "smoothed unigram distribution vs the corpus-wide one; the "
+    "first-alarm statistic for a broken scraper or shifted domain. "
+    "Word-count shuffles only (per-source vocab, corpus rollup, term "
+    "join), totals broadcast, per-term contributions decimal-summed for "
+    "engine-exact results",
+)
+def x45_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import doc_token_table
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = doc_token_table(spark, sf_dir).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    vocab = tok.groupBy("w", "source").agg(F.count("*").alias("cs"))
+    corpus = vocab.groupBy("w").agg(F.sum("cs").alias("cc"))
+    tot = corpus.agg(
+        F.count("*").alias("v"), F.sum("cc").alias("n_corpus")
+    )
+    src_tot = vocab.groupBy("source").agg(F.sum("cs").alias("n_src"))
+    p_s = (F.col("cs") + 1.0) / (F.col("n_src") + F.col("v"))
+    p_c = (F.col("cc") + 1.0) / (F.col("n_corpus") + F.col("v"))
+    kl_term = F.round(p_s * F.log(p_s / p_c), 6).cast("decimal(27,6)")
+    terms = (
+        vocab.join(corpus, "w")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(tot))
+        .select("source", "n_src", kl_term.alias("kl_term"))
+    )
+    return terms.groupBy("source", F.col("n_src").alias("n_tokens")).agg(
+        F.round(F.sum("kl_term").cast("double"), 6).alias("kl_nats")
+    )

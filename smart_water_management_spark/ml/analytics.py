@@ -464,3 +464,72 @@ def m06_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept"
         ),
     )
+
+
+# --- M7 (ext.): weekday seasonality decomposition ----------------------------
+
+# The variance decomposition behind "is this series seasonal": per
+# (type, day-of-week) means against the grand mean, with seasonal
+# strength = SS_between / SS_total computed entirely from exact decimal
+# moments (n, Σx, Σx² per cell — re-aggregatable partials, so the same
+# two-level rollup runs on a 100 TB fact without a second scan). All
+# divisions happen on identical doubles in both engines.
+@register(
+    "m07_weekday_seasonality",
+    oracle=f"""
+    WITH cells AS (
+      -- DuckDB dayofweek is 0(Sun)-6; Spark's is 1(Sun)-7 — align
+      SELECT event_type, dayofweek(ts) + 1 AS dow,
+             COUNT(*) AS n,
+             {sql_dsum('value')} AS sx,
+             {sql_dsum('value*value')} AS sxx
+      FROM events GROUP BY 1, 2
+    ),
+    totals AS (
+      SELECT event_type,
+             CAST(SUM(n) AS BIGINT) AS n_total,
+             SUM(sx) AS sx_total,
+             SUM(sxx) AS sxx_total,
+             SUM(sx * sx / n) AS ss_cells
+      FROM cells GROUP BY event_type
+    )
+    SELECT c.event_type, c.dow,
+           c.n AS n_rows,
+           ROUND(c.sx / c.n, 6) AS dow_mean,
+           ROUND(t.sx_total / t.n_total, 6) AS grand_mean,
+           ROUND((t.ss_cells - t.sx_total * t.sx_total / t.n_total)
+                 / (t.sxx_total - t.sx_total * t.sx_total / t.n_total), 6)
+             AS seasonal_strength
+    FROM cells c JOIN totals t USING (event_type)
+    """,
+    doc="M7 (ext.): weekday seasonality — per-(type, day-of-week) means "
+    "and the between-cell variance share (SS_between/SS_total) from "
+    "exact decimal moments; the partials are re-aggregatable, so the "
+    "two-level rollup never rescans the fact",
+)
+def m07_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("sx"),
+        dsum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("n").alias("n_total"),
+        F.sum("sx").alias("sx_total"),
+        F.sum("sxx").alias("sxx_total"),
+        F.sum(F.col("sx") * F.col("sx") / F.col("n")).alias("ss_cells"),
+    )
+    corr = F.col("sx_total") * F.col("sx_total") / F.col("n_total")
+    return cells.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "dow",
+        F.col("n").alias("n_rows"),
+        F.round(F.col("sx") / F.col("n"), 6).alias("dow_mean"),
+        F.round(F.col("sx_total") / F.col("n_total"), 6).alias("grand_mean"),
+        F.round(
+            (F.col("ss_cells") - corr) / (F.col("sxx_total") - corr), 6
+        ).alias("seasonal_strength"),
+    )
