@@ -358,3 +358,78 @@ def c08_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.o_totalprice").alias("old_totalprice"),
         F.col("v.o_totalprice").alias("new_totalprice"),
     )
+
+
+# --- C9 (ext.): late-arriving dimension handling -----------------------------
+
+# Facts routinely land before their dimension rows (a new customer's
+# first order beats the CRM export). The warehouse answer: join against
+# the incomplete dim with an UNKNOWN placeholder so facts are never
+# dropped or blocked, then a backfill pass re-resolves once the dim
+# completes — after which the result must equal the join against the
+# full dim. The late slice is deterministic (every 53rd customer missing
+# from the first dim snapshot), so every stage is oracle-checkable.
+_LATE_MOD = 53
+_UNKNOWN = "UNKNOWN"
+
+
+@register(
+    "c09_late_arriving_dim",
+    oracle=f"""
+    WITH resolved AS (
+      SELECT o.o_orderkey,
+             CASE WHEN o.o_custkey % {_LATE_MOD} = 0 THEN '{_UNKNOWN}'
+                  ELSE c.c_mktsegment END AS initial_segment,
+             c.c_mktsegment AS final_segment
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT final_segment AS c_mktsegment,
+           COUNT(*) AS n_orders,
+           COUNT(CASE WHEN initial_segment = '{_UNKNOWN}' THEN 1 END)
+             AS n_backfilled
+    FROM resolved GROUP BY final_segment
+    """,
+    doc="C9 (ext.): late-arriving dimension — facts join an incomplete "
+    "dim snapshot with an UNKNOWN placeholder (never dropped, never "
+    "blocked), a backfill pass re-resolves the placeholder rows once "
+    "the dim completes, and the final state equals the full-dim join "
+    "(oracle-asserted) with the backfilled count as the audit trail. "
+    "Both passes are broadcast/hash equi-joins at any scale",
+)
+def c09_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    # first dim snapshot: every 53rd customer hasn't arrived yet
+    early_dim = cust.filter(F.col("c_custkey") % _LATE_MOD != 0)
+    pass1 = orders.join(
+        F.broadcast(early_dim), orders.o_custkey == early_dim.c_custkey, "left"
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.coalesce("c_mktsegment", F.lit(_UNKNOWN)).alias("initial_segment"),
+    )
+    # backfill pass: ONLY the placeholder rows re-join the completed dim
+    unknown = pass1.filter(F.col("initial_segment") == _UNKNOWN)
+    backfilled = unknown.join(
+        F.broadcast(cust), unknown.o_custkey == cust.c_custkey
+    ).select(
+        "o_orderkey",
+        "initial_segment",
+        F.col("c_mktsegment").alias("final_segment"),
+    )
+    settled = pass1.filter(F.col("initial_segment") != _UNKNOWN).select(
+        "o_orderkey",
+        "initial_segment",
+        F.col("initial_segment").alias("final_segment"),
+    )
+    resolved = settled.unionByName(backfilled)
+    return resolved.groupBy(
+        F.col("final_segment").alias("c_mktsegment")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.count(F.when(F.col("initial_segment") == _UNKNOWN, 1)).alias(
+            "n_backfilled"
+        ),
+    )
