@@ -865,7 +865,7 @@ LEAK_JACCARD = 0.5
     "production the pair source is the x08/x39 candidate stream",
 )
 def x44_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import adjacent_token_pairs
+    from .dedup import adjacent_token_pairs, pair_jaccard
 
     d = load_table(spark, sf_dir, "documents")
     in_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) < "8"
@@ -875,12 +875,8 @@ def x44_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(~F.col("in_train"), 1)).alias("n_val"),
     )
     pairs = adjacent_token_pairs(d)
-    inter = F.col("n_common")
-    jac = inter.cast("double") / (
-        F.size("tk_a") + F.size("tk_b") - inter
-    )
     tagged = (
-        pairs.withColumn("jaccard", jac)
+        pairs.withColumn("jaccard", pair_jaccard())
         .join(
             splits.select(
                 F.col("doc_id").alias("doc_a"), F.col("in_train").alias("train_a")
@@ -915,6 +911,13 @@ def x44_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # as DECIMAL, so both engines agree bit-for-bit.
 @register(
     "x45_unigram_drift",
+    # Full-vocabulary KL: words ABSENT from a source still carry smoothed
+    # mass 1/(n_src+v), and their summed contribution has the closed form
+    # q0 * ((v - n_present)*ln(q0) - (L_all - L_src)) with L = sum of
+    # rounded ln(p_corpus) — so no source x vocabulary fanout is ever
+    # materialized. Both the present-word terms and the L sums are
+    # rounded to 6 decimals and accumulated as DECIMAL (engine-exact);
+    # the closed form then runs on identical doubles.
     oracle="""
     WITH tok AS (
       SELECT t.w, d.source FROM (
@@ -930,32 +933,50 @@ def x44_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT (SELECT COUNT(*) FROM corpus) AS v,
              (SELECT CAST(SUM(cc) AS BIGINT) FROM corpus) AS n_corpus
     ),
+    lcorp AS (
+      SELECT c.w,
+             CAST(ROUND(LN((c.cc + 1.0) / (t.n_corpus + t.v)), 6)
+                  AS DECIMAL(27,6)) AS lc
+      FROM corpus c CROSS JOIN tot t
+    ),
+    l_all AS (SELECT SUM(lc) AS l_all FROM lcorp),
     src_tot AS (
       SELECT source, CAST(SUM(cs) AS BIGINT) AS n_src FROM vocab GROUP BY source
     ),
-    terms AS (
+    per_source AS (
       SELECT v.source,
-             CAST(ROUND(
+             COUNT(*) AS n_present,
+             SUM(CAST(ROUND(
                ((v.cs + 1.0) / (s.n_src + t.v))
                * LN(((v.cs + 1.0) / (s.n_src + t.v))
                     / ((c.cc + 1.0) / (t.n_corpus + t.v))), 6)
-             AS DECIMAL(27,6)) AS kl_term
+             AS DECIMAL(27,6))) AS kl_present,
+             SUM(l.lc) AS l_src
       FROM vocab v
       JOIN corpus c USING (w)
+      JOIN lcorp l USING (w)
       JOIN src_tot s USING (source)
       CROSS JOIN tot t
+      GROUP BY v.source
     )
-    SELECT t.source, s.n_src AS n_tokens,
-           ROUND(CAST(SUM(t.kl_term) AS DOUBLE), 6) AS kl_nats
-    FROM terms t JOIN src_tot s ON s.source = t.source
-    GROUP BY t.source, s.n_src
+    SELECT p.source, s.n_src AS n_tokens,
+           ROUND(
+             CAST(p.kl_present AS DOUBLE)
+             + (1.0 / (s.n_src + t.v))
+               * ((t.v - p.n_present) * LN(1.0 / (s.n_src + t.v))
+                  - (CAST(a.l_all AS DOUBLE) - CAST(p.l_src AS DOUBLE)))
+           , 6) AS kl_nats
+    FROM per_source p
+    JOIN src_tot s ON s.source = p.source
+    CROSS JOIN tot t CROSS JOIN l_all a
     """,
     doc="x45: corpus drift monitor — per-source KL divergence of the "
     "smoothed unigram distribution vs the corpus-wide one; the "
     "first-alarm statistic for a broken scraper or shifted domain. "
     "Word-count shuffles only (per-source vocab, corpus rollup, term "
-    "join), totals broadcast, per-term contributions decimal-summed for "
-    "engine-exact results",
+    "join), totals broadcast; absent-word mass enters via a closed form "
+    "(no source x vocabulary fanout) and every summed term is decimal-"
+    "rounded for engine-exact results",
 )
 def x45_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import doc_token_table
@@ -969,16 +990,42 @@ def x45_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = corpus.agg(
         F.count("*").alias("v"), F.sum("cc").alias("n_corpus")
     )
+    lc = F.round(
+        F.log((F.col("cc") + 1.0) / (F.col("n_corpus") + F.col("v"))), 6
+    ).cast("decimal(27,6)")
+    lcorp = corpus.crossJoin(F.broadcast(tot)).select("w", lc.alias("lc"))
+    l_all = lcorp.agg(F.sum("lc").alias("l_all"))
     src_tot = vocab.groupBy("source").agg(F.sum("cs").alias("n_src"))
     p_s = (F.col("cs") + 1.0) / (F.col("n_src") + F.col("v"))
     p_c = (F.col("cc") + 1.0) / (F.col("n_corpus") + F.col("v"))
     kl_term = F.round(p_s * F.log(p_s / p_c), 6).cast("decimal(27,6)")
-    terms = (
+    per_source = (
         vocab.join(corpus, "w")
+        .join(lcorp, "w")
         .join(F.broadcast(src_tot), "source")
         .crossJoin(F.broadcast(tot))
-        .select("source", "n_src", kl_term.alias("kl_term"))
+        .select("source", kl_term.alias("kl_term"), "lc")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_present"),
+            F.sum("kl_term").alias("kl_present"),
+            F.sum("lc").alias("l_src"),
+        )
     )
-    return terms.groupBy("source", F.col("n_src").alias("n_tokens")).agg(
-        F.round(F.sum("kl_term").cast("double"), 6).alias("kl_nats")
+    q0 = 1.0 / (F.col("n_src") + F.col("v"))
+    absent = q0 * (
+        (F.col("v") - F.col("n_present")) * F.log(q0)
+        - (F.col("l_all").cast("double") - F.col("l_src").cast("double"))
+    )
+    return (
+        per_source.join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(l_all))
+        .select(
+            "source",
+            F.col("n_src").alias("n_tokens"),
+            F.round(F.col("kl_present").cast("double") + absent, 6).alias(
+                "kl_nats"
+            ),
+        )
     )

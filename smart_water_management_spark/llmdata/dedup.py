@@ -93,16 +93,15 @@ def x06_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x07_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = adjacent_token_pairs(load_table(spark, sf_dir, "documents"))
+    return pairs.select("doc_a", "doc_b", "n_common", pair_jaccard().alias("jaccard"))
+
+
+def pair_jaccard() -> Column:
+    """Token-set Jaccard over adjacent_token_pairs columns — ONE
+    definition consumed by x07 and the x44 leakage audit so the metric
+    can never drift between them."""
     inter = F.col("n_common")
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        "n_common",
-        (
-            inter.cast("double")
-            / (F.size("tk_a") + F.size("tk_b") - inter)
-        ).alias("jaccard"),
-    )
+    return inter.cast("double") / (F.size("tk_a") + F.size("tk_b") - inter)
 
 
 def adjacent_token_pairs(docs: DataFrame) -> DataFrame:

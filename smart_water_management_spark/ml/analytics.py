@@ -485,12 +485,16 @@ def m06_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
              {sql_dsum('value*value')} AS sxx
       FROM events GROUP BY 1, 2
     ),
+    -- second-level rollup re-rounds per-cell doubles into DECIMAL before
+    -- summing: raw double addition is partition-order dependent and would
+    -- break the engine-exact contract the oracle gate relies on
     totals AS (
       SELECT event_type,
              CAST(SUM(n) AS BIGINT) AS n_total,
-             SUM(sx) AS sx_total,
-             SUM(sxx) AS sxx_total,
-             SUM(sx * sx / n) AS ss_cells
+             CAST(SUM(CAST(ROUND(sx, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sx_total,
+             CAST(SUM(CAST(ROUND(sxx, 6) AS DECIMAL(27,6))) AS DOUBLE) AS sxx_total,
+             CAST(SUM(CAST(ROUND(sx * sx / n, 6) AS DECIMAL(27,6))) AS DOUBLE)
+               AS ss_cells
       FROM cells GROUP BY event_type
     )
     SELECT c.event_type, c.dow,
@@ -516,11 +520,14 @@ def m07_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("sx"),
         dsum(F.col("value") * F.col("value")).alias("sxx"),
     )
+    def _dec(c):
+        return F.sum(F.round(c, 6).cast("decimal(27,6)")).cast("double")
+
     totals = cells.groupBy("event_type").agg(
         F.sum("n").alias("n_total"),
-        F.sum("sx").alias("sx_total"),
-        F.sum("sxx").alias("sxx_total"),
-        F.sum(F.col("sx") * F.col("sx") / F.col("n")).alias("ss_cells"),
+        _dec(F.col("sx")).alias("sx_total"),
+        _dec(F.col("sxx")).alias("sxx_total"),
+        _dec(F.col("sx") * F.col("sx") / F.col("n")).alias("ss_cells"),
     )
     corr = F.col("sx_total") * F.col("sx_total") / F.col("n_total")
     return cells.join(F.broadcast(totals), "event_type").select(

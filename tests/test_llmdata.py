@@ -437,3 +437,38 @@ def test_hyperplane_lsh_recall_vs_bruteforce(spark):
     assert recall >= 0.5, f"hyperplane-LSH recall too low: {recall}"
     for key in hits:
         assert abs(e[key] - a[key]) < 1e-9
+
+
+def test_unigram_drift_matches_true_kl(spark, duck):
+    """x45 must equal the full-vocabulary add-one-smoothed KL computed
+    independently in pure Python — guarding against the truncation class
+    of bug where both engines share the same wrong algebra and oracle
+    parity can't see it (absent-word mass was once silently dropped)."""
+    import collections
+    import math
+
+    from smart_water_management_spark.registry import _REGISTRY
+
+    sp = {
+        r["source"]: r["kl_nats"]
+        for r in _REGISTRY["x45_unigram_drift"].fn(spark, SF_DIR).collect()
+    }
+    docs = duck.execute("SELECT source, lower(text) FROM documents").fetchall()
+    src_counts = collections.defaultdict(collections.Counter)
+    corp = collections.Counter()
+    for src, txt in docs:
+        ws = txt.split(" ")
+        src_counts[src].update(ws)
+        corp.update(ws)
+    v, nc = len(corp), sum(corp.values())
+    for src, got in sp.items():
+        ns = sum(src_counts[src].values())
+        true_kl = sum(
+            ((src_counts[src].get(w, 0) + 1.0) / (ns + v))
+            * math.log(
+                ((src_counts[src].get(w, 0) + 1.0) / (ns + v))
+                / ((cc + 1.0) / (nc + v))
+            )
+            for w, cc in corp.items()
+        )
+        assert abs(got - true_kl) < 2e-5, (src, got, true_kl)
