@@ -1029,3 +1029,67 @@ def x45_unigram_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- x47: deterministic per-source cap --------------------------------------
+
+# Hard ceiling on any one source's document share — the mixture-control
+# twin of x22 (which rates-down whole strata): no matter how large a
+# crawl dump grows, at most CAP_PER_SOURCE of its docs enter the mix.
+# Selection ranks by md5(doc_id) — a content-independent deterministic
+# shuffle — so the kept set is reproducible across engines, partitionings
+# and reruns, and appending new docs can only displace, never reshuffle,
+# prior picks past the boundary. At 100 TB this is one window over a
+# shuffle on source (or a groupBy-applyInPandas per shard); the rank
+# never materializes more than CAP rows per source downstream.
+CAP_PER_SOURCE = 8
+
+
+@register(
+    "x47_source_cap_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_total,
+           COUNT(CASE WHEN rk <= {CAP_PER_SOURCE} THEN 1 END) AS n_kept,
+           CAST(SUM(CASE WHEN rk <= {CAP_PER_SOURCE} THEN n_chars END)
+                AS BIGINT) AS kept_chars
+    FROM ranked
+    GROUP BY source
+    """,
+    doc=f"per-source document cap (mixture control): keep at most "
+    f"{CAP_PER_SOURCE} docs per source, picked by deterministic md5 rank "
+    "— reproducible across engines/partitionings/appends, unlike "
+    "rand()-ordered sampling. One window + one agg over a single shuffle "
+    "on source",
+)
+def x47_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranked = _source_cap_ranked(load_table(spark, sf_dir, "documents"))
+    kept = F.col("rk") <= CAP_PER_SOURCE
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_total"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.sum(F.when(kept, F.col("n_chars"))).alias("kept_chars"),
+    )
+
+
+def _source_cap_ranked(docs: DataFrame) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return docs.withColumn("rk", F.row_number().over(w))
+
+
+def source_cap_rows(docs: DataFrame) -> DataFrame:
+    """Row-level form (the aggregate above is its audit): the capped
+    document set itself, for pipeline composition."""
+    return _source_cap_ranked(docs).filter(F.col("rk") <= CAP_PER_SOURCE).drop("rk")

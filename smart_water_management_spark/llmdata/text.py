@@ -555,3 +555,110 @@ def x43_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("doc_id", bucket.alias("bucket")).agg(
         F.count("*").alias("tf")
     )
+
+
+# --- x46: count-min sketch heavy hitters ------------------------------------
+
+# Sketch geometry. d×w counters replace the full word-count table: at
+# 100 TB the exact vocabulary is billions of rows, while the sketch is a
+# constant 4×512 grid that merges with SUM (re-aggregatable across
+# partitions, days, and corpus shards — the same property a17 exploits
+# for HLL). Overestimation bound: est - true <= e/w * N with prob 1-e^-d.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOPK = 10
+
+
+def _cms_bucket(word, seed: int):
+    """Row-``seed``'s bucket for ``word``: md5-derived (the one hash both
+    engines share), 6 hex chars = 24 bits so no sign/overflow path."""
+    w = F.col(word) if isinstance(word, str) else word
+    md = F.md5(F.concat(F.lit(f"{seed}|"), w))
+    return (F.conv(F.substring(md, 1, 6), 16, 10).cast("long") % CMS_WIDTH)
+
+
+def _sql_cms_bucket(word: str, seed: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{seed}|' || {word}), 1, 6)) AS BIGINT)"
+        f" % {CMS_WIDTH}"
+    )
+
+
+@register(
+    "x46_countmin_heavy_hitters",
+    oracle=f"""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+      ) GROUP BY w
+    ), counters AS (
+      SELECT s.seed,
+             CASE s.seed {" ".join(f"WHEN {d} THEN {_sql_cms_bucket('w', d)}" for d in range(CMS_DEPTH))} END AS bucket,
+             CAST(SUM(cnt) AS BIGINT) AS counter
+      FROM wc CROSS JOIN (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS seed) s
+      GROUP BY 1, 2
+    ), top AS (
+      SELECT w, cnt FROM wc ORDER BY cnt DESC, w LIMIT {CMS_TOPK}
+    )
+    SELECT top.w AS word,
+           top.cnt AS true_count,
+           MIN(c.counter) AS cms_estimate,
+           MIN(c.counter) - top.cnt AS overestimate
+    FROM top
+    CROSS JOIN (SELECT unnest(generate_series(0, {CMS_DEPTH - 1})) AS seed) s
+    JOIN counters c
+      ON c.seed = s.seed
+     AND c.bucket = CASE s.seed {" ".join(f"WHEN {d} THEN {_sql_cms_bucket('top.w', d)}" for d in range(CMS_DEPTH))} END
+    GROUP BY 1, 2
+    """,
+    doc=f"count-min sketch heavy hitters: a {CMS_DEPTH}x{CMS_WIDTH} "
+    "md5-bucketed counter grid (built by SUM — re-aggregatable across "
+    "corpus shards like a17's HLL sketches) probed for the top-"
+    f"{CMS_TOPK} true words; emits true vs estimated counts and the "
+    "non-negative CMS overestimate. Word counts are one map-combined "
+    "shuffle; the grid and probe set are constant-size at any corpus "
+    "scale",
+)
+def x46_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = (
+        doc_token_table(spark, sf_dir)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    seeds = spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("seed"))
+    # counters: D rows per DISTINCT word (never per occurrence — the
+    # explode already collapsed through the map-combined count above)
+    counters = (
+        wc.crossJoin(F.broadcast(seeds))
+        .select(
+            "seed",
+            _cms_seeded_bucket("w").alias("bucket"),
+            "cnt",
+        )
+        .groupBy("seed", "bucket")
+        .agg(F.sum("cnt").alias("counter"))
+    )
+    top = wc.orderBy(F.desc("cnt"), F.asc("w")).limit(CMS_TOPK)
+    probes = top.crossJoin(F.broadcast(seeds)).select(
+        "w", "cnt", "seed", _cms_seeded_bucket("w").alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(counters), ["seed", "bucket"])
+        .groupBy("w", "cnt")
+        .agg(F.min("counter").alias("cms_estimate"))
+        .select(
+            F.col("w").alias("word"),
+            F.col("cnt").alias("true_count"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("cnt")).alias("overestimate"),
+        )
+    )
+
+
+def _cms_seeded_bucket(word: str):
+    """Bucket under the row's own ``seed`` column (chained whens — the
+    Spark twin of the oracle's CASE seed WHEN ...)."""
+    expr = F.lit(None).cast("long")
+    for d in range(CMS_DEPTH):
+        expr = F.when(F.col("seed") == d, _cms_bucket(word, d)).otherwise(expr)
+    return expr

@@ -781,3 +781,50 @@ def a22_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# --- a23: equi-width histogram ----------------------------------------------
+
+HIST_WIDTH = 5000.0  # price-band width; bounds are fixed, not data-driven
+
+
+@register(
+    "a23_equiwidth_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(l_extendedprice / {HIST_WIDTH}) AS BIGINT) AS bucket,
+           CAST(FLOOR(l_extendedprice / {HIST_WIDTH}) AS BIGINT) * {HIST_WIDTH}
+             AS lo,
+           (CAST(FLOOR(l_extendedprice / {HIST_WIDTH}) AS BIGINT) + 1)
+             * {HIST_WIDTH} AS hi,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    GROUP BY 1
+    """,
+    doc="equi-width histogram of the price distribution: fixed-width "
+    "bands via FLOOR arithmetic (bounds are constants, so the whole "
+    "histogram is ONE map-combined hash aggregate over the scan — no "
+    "pre-pass for min/max, no sort, ~21 output rows at any data scale; "
+    "IEEE double division makes the band assignment bit-identical on "
+    "any engine)",
+)
+def a23_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bucket = F.floor(F.col("l_extendedprice") / HIST_WIDTH).cast("bigint")
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * HIST_WIDTH).alias("lo"),
+            ((F.col("bucket") + 1) * HIST_WIDTH).alias("hi"),
+            "n_lines",
+            "revenue",
+        )
+    )

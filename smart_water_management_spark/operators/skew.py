@@ -481,3 +481,124 @@ def ensure_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(path)
     )
     return spark.read.parquet(path)
+
+
+# --- k06: Bloom-filter semi-join pre-filter ---------------------------------
+
+# The runtime-filter lever for joins whose dim side is too big to
+# broadcast as rows but whose KEY SET compresses into a constant-size
+# bitset: build a Bloom filter over the dim keys (here 2048 bits = 32
+# longs, built with one bit_or aggregation), ship THAT to every fact
+# scan, and drop non-matching fact rows before the shuffle. False
+# positives are removed by the exact semi-join that follows, so the
+# result is exactly the plain semi-join's — the oracle proves it. At
+# 100 TB a 100M-key dim is tens of GB as a hash table but ~250 MB as a
+# 1%-fp bloom (and this demo's 5%-dim fits in 256 bytes); Spark's own
+# runtime bloom (spark.sql.optimizer.runtime.bloomFilter.*) applies the
+# same idea automatically for shuffle joins, and k06 shows the explicit
+# form that also works for pre-computed, persisted filters.
+BLOOM_BITS = 2048
+BLOOM_WORDS = BLOOM_BITS // 64
+BLOOM_HASHES = 4
+BLOOM_REGION = "ASIA"
+
+
+def bloom_build(keys: DataFrame, key: str) -> list[int]:
+    """Aggregate a key column into BLOOM_WORDS 64-bit words (bit_or of
+    per-key one-hot words). Returns the driver-side word list — a bounded
+    small-aggregate collect (<= 32 rows) per SURVEY §4.4's rule; at scale
+    this is the tiny artifact you'd persist next to the dim snapshot."""
+    hashed = keys.select(
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.lit(j), F.col(key)), F.lit(BLOOM_BITS)
+                    ).alias("h")
+                    for j in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("h")
+    )
+    rows = (
+        hashed.select(
+            F.expr("cast(h div 64 as int)").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(h % 64 as int))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+        .collect()
+    )
+    words = [0] * BLOOM_WORDS
+    for r in rows:
+        words[r["word_idx"]] = r["word"]
+    return words
+
+
+def bloom_contains(key: str, words: list[int]):
+    """Membership predicate over the fact's ``key`` column — pure JVM
+    bit arithmetic against the literal word array (no UDF, stays inside
+    whole-stage codegen)."""
+    arr = "array(" + ", ".join(f"{w}L" for w in words) + ")"
+    conds = []
+    for j in range(BLOOM_HASHES):
+        # int literal {j}: must hash identically to bloom_build's
+        # F.lit(j) (xxhash64 is type-sensitive — 0 INT != 0L)
+        h = f"pmod(xxhash64({j}, {key}), {BLOOM_BITS})"
+        conds.append(
+            f"(element_at({arr}, cast({h} div 64 as int) + 1)"
+            f" & shiftleft(1L, cast({h} % 64 as int))) != 0"
+        )
+    return F.expr(" AND ".join(conds))
+
+
+def _region_supplier_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == BLOOM_REGION
+    )
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey")
+    )
+
+
+@register(
+    "k06_bloom_prefilter",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+             AS revenue
+    FROM lineitem l
+    WHERE EXISTS (
+      SELECT 1 FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = '{BLOOM_REGION}' AND s.s_suppkey = l.l_suppkey
+    )
+    GROUP BY l_returnflag
+    """,
+    doc="Bloom-filter semi-join pre-filter: the regional supplier key set "
+    f"compressed to {BLOOM_BITS} bits and applied to the fact scan as "
+    "literal bit arithmetic BEFORE the exact semi-join cleans up false "
+    "positives — identical rows to the plain semi-join (the oracle), "
+    "with the fact-side shuffle carrying only bloom survivors",
+)
+def k06_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = _region_supplier_keys(spark, sf_dir)
+    words = bloom_build(keys, "s_suppkey")
+    fact = load_table(spark, sf_dir, "lineitem").filter(
+        bloom_contains("l_suppkey", words)
+    )
+    exact = fact.join(
+        F.broadcast(keys), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )

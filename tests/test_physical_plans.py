@@ -338,3 +338,40 @@ def test_zorder_layout_prunes_partitions(spark):
     # pruning must not drop rows: the bucket list covers the whole box
     full = fact.filter(box)
     assert pruned.count() == full.count() > 0
+
+
+def test_bloom_prefilter_is_tight_and_jvm_side(spark):
+    """k06: the explicit bloom pre-filter must (a) pass every true match
+    (no false negatives — bloom property), (b) stay selective (false
+    positives a small fraction of the fact), and (c) run as literal bit
+    arithmetic inside the scan's Filter — xxhash64 in the plan, no UDF,
+    no extra Exchange before the aggregate."""
+    from pyspark.sql import functions as F
+
+    from smart_water_management_spark.operators.skew import (
+        _region_supplier_keys,
+        bloom_build,
+        bloom_contains,
+    )
+    from smart_water_management_spark.sources.catalog import load_table
+
+    keys = _region_supplier_keys(spark, SF_DIR)
+    words = bloom_build(keys, "s_suppkey")
+    assert any(w != 0 for w in words)
+
+    fact = load_table(spark, SF_DIR, "lineitem")
+    n_total = fact.count()
+    n_bloom = fact.filter(bloom_contains("l_suppkey", words)).count()
+    n_exact = fact.join(
+        F.broadcast(keys), fact.l_suppkey == keys.s_suppkey, "left_semi"
+    ).count()
+    assert n_exact <= n_bloom <= n_total
+    # selectivity: bloom keeps the exact matches plus a bounded fp tail
+    assert (n_bloom - n_exact) <= 0.05 * n_total, (n_bloom, n_exact, n_total)
+
+    plan = plan_of(_q(spark, "k06_bloom_prefilter"), "simple")
+    assert "xxhash64" in plan
+    assert "pythonUDF" not in plan.lower()
+    # one shuffle total: the final group-by (bloom + semi-join are
+    # broadcast/scan-side)
+    assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]

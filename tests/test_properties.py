@@ -251,3 +251,39 @@ def test_asof_join_matches_bruteforce(spark, rows, anchors):
         cands = [(at, p) for (ak, at, p) in anchors if ak == k and at <= t]
         want.add((i, max(cands)[1] if cands else None))
     assert got == want
+
+
+@pytest.mark.parametrize("n_parts", [4, 32])
+def test_source_cap_partition_stability_and_audit(spark, n_parts):
+    """x47's md5-rank cap claims the same partition-layout independence as
+    x22 (rank is a pure function of doc_id within its source). The kept
+    set must be identical under repartitioning, respect the cap, and
+    reconcile exactly with the registered audit aggregate."""
+    from smart_water_management_spark.llmdata.curation import (
+        CAP_PER_SOURCE,
+        source_cap_rows,
+        x47_source_cap_sample,
+    )
+    from smart_water_management_spark.sources.catalog import load_table
+
+    from .conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    baseline = {r.doc_id for r in source_cap_rows(docs).collect()}
+    kept = {
+        r.doc_id for r in source_cap_rows(docs.repartition(n_parts)).collect()
+    }
+    assert kept == baseline
+
+    per_source = {}
+    for r in source_cap_rows(docs).collect():
+        per_source[r.source] = per_source.get(r.source, 0) + 1
+    assert max(per_source.values()) <= CAP_PER_SOURCE
+
+    audit = {
+        r.source: (r.n_total, r.n_kept)
+        for r in x47_source_cap_sample(spark, SF_DIR).collect()
+    }
+    for src, (n_total, n_kept) in audit.items():
+        assert n_kept == min(n_total, CAP_PER_SOURCE)
+        assert per_source.get(src, 0) == n_kept
