@@ -608,3 +608,145 @@ def x41_hyperplane_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", F.round("cos_sim", 6).alias("cos_sim"), "rn")
     )
+
+
+# --- x48/x49: label cohesion & separation audit ------------------------------
+
+# Embedding-space quality audit without a pairwise join: for vectors
+# v_1..v_n in a group, sum-of-pairwise-dots = ||S||^2 - sum||v||^2 with
+# S = sum(v), so the MEAN intra-label dot (cohesion, ~mean cosine for
+# unit vectors) needs only the per-dim sums and per-row square norms —
+# one posexplode + two hash aggs at any corpus size. Cross-label
+# separation is S_a . S_b / (n_a n_b) from the same per-dim sum table.
+# A curation pipeline runs this to catch label noise / collapsed
+# clusters before training; at 100 TB it replaces an impossible O(n^2)
+# cosine sweep with two scans. All moments go through exact-decimal
+# sums (functions/numeric.py) so both engines derive bit-identical
+# doubles — no ROUND-absorbed ulp drift.
+
+
+def _label_dim_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned per-(label, dim) exact-decimal sum table shared by x48/x49."""
+    from ..functions.numeric import dsum
+    from ..sources.catalog import pin_derived
+
+    def build():
+        em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+        return (
+            em.select("label", F.posexplode(_dbl("embedding")).alias("dim", "v"))
+            .groupBy("label", "dim")
+            .agg(dsum("v").alias("s"))
+        )
+
+    return pin_derived(spark, sf_dir, "label_dim_sums", build)
+
+
+_SQL_LABEL_DIM_SUMS = f"""
+    per_dim AS (
+      SELECT label, CAST(t.i AS INT) AS dim,
+             CAST(SUM(CAST(CAST(embedding[t.i + 1] AS DOUBLE)
+                           AS DECIMAL(27,6))) AS DOUBLE) AS s
+      FROM embeddings CROSS JOIN range({EMB_DIM}) t(i)
+      GROUP BY label, t.i
+    )"""
+
+
+@register(
+    "x48_label_cohesion",
+    oracle=f"""
+    WITH {_SQL_LABEL_DIM_SUMS},
+    ssq AS (
+      SELECT label, CAST(SUM(CAST(s * s AS DECIMAL(38,6))) AS DOUBLE) AS ssq
+      FROM per_dim GROUP BY label
+    ),
+    rows_sq AS (
+      SELECT label, COUNT(*) AS n_vecs,
+             CAST(SUM(CAST({_SQL_SQNORM.format(a='embedding')}
+                           AS DECIMAL(27,6))) AS DOUBLE) AS sum_sq
+      FROM embeddings GROUP BY label
+    )
+    SELECT r.label, r.n_vecs,
+           ROUND((ssq - sum_sq) / (r.n_vecs * (r.n_vecs - 1.0)), 6)
+             AS mean_intra_dot,
+           ROUND(SQRT(ssq) / r.n_vecs, 6) AS centroid_norm
+    FROM rows_sq r JOIN ssq USING (label)
+    """,
+    doc="per-label cohesion audit: mean intra-label dot product and "
+    "centroid norm via the sum-of-pairwise-dots identity "
+    "(||S||^2 - sum||v||^2) — O(n) scans instead of an O(n^2) cosine "
+    "sweep; exact-decimal moments make it engine-exact",
+)
+def x48_label_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dsum
+
+    per_dim = _label_dim_sums(spark, sf_dir)
+    ssq = per_dim.groupBy("label").agg(
+        dsum(F.col("s") * F.col("s"), 38).alias("ssq")
+    )
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    rows_sq = em.select("label", sq_norm(_dbl("embedding")).alias("sqn")).groupBy(
+        "label"
+    ).agg(F.count("*").alias("n_vecs"), dsum("sqn").alias("sum_sq"))
+    n = F.col("n_vecs")
+    return rows_sq.join(ssq, "label").select(
+        "label",
+        "n_vecs",
+        F.round((F.col("ssq") - F.col("sum_sq")) / (n * (n - 1.0)), 6).alias(
+            "mean_intra_dot"
+        ),
+        F.round(F.sqrt(F.col("ssq")) / n, 6).alias("centroid_norm"),
+    )
+
+
+@register(
+    "x49_label_separation",
+    oracle=f"""
+    WITH {_SQL_LABEL_DIM_SUMS},
+    n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+    SELECT a.label AS label_a, b.label AS label_b,
+           ROUND(CAST(SUM(CAST(a.s * b.s AS DECIMAL(38,6))) AS DOUBLE)
+                 / (na.n_vecs * nb.n_vecs), 6) AS mean_cross_dot
+    FROM per_dim a
+    JOIN per_dim b ON a.dim = b.dim AND a.label < b.label
+    JOIN n na ON na.label = a.label
+    JOIN n nb ON nb.label = b.label
+    GROUP BY a.label, b.label, na.n_vecs, nb.n_vecs
+    """,
+    doc="cross-label separation: mean inter-label dot product "
+    "S_a . S_b / (n_a n_b) from the shared per-dim sum table — the "
+    "labels x labels contrast matrix to x48's diagonal, again with no "
+    "pairwise vector join (the join is dims x labels, constant-size)",
+)
+def x49_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dsum
+
+    per_dim = _label_dim_sums(spark, sf_dir)
+    a = per_dim.alias("a")
+    b = per_dim.alias("b")
+    n = (
+        fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+        .groupBy("label")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") < F.col("b.label")),
+        )
+        .groupBy(F.col("a.label").alias("label_a"), F.col("b.label").alias("label_b"))
+        .agg(dsum(F.col("a.s") * F.col("b.s"), 38).alias("cross"))
+    )
+    na = n.select(F.col("label").alias("label_a"), F.col("n_vecs").alias("n_a"))
+    nb = n.select(F.col("label").alias("label_b"), F.col("n_vecs").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a",
+            "label_b",
+            F.round(F.col("cross") / (F.col("n_a") * F.col("n_b")), 6).alias(
+                "mean_cross_dot"
+            ),
+        )
+    )

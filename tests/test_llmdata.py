@@ -472,3 +472,54 @@ def test_unigram_drift_matches_true_kl(spark, duck):
             for w, cc in corp.items()
         )
         assert abs(got - true_kl) < 2e-5, (src, got, true_kl)
+
+
+def test_label_cohesion_identity_vs_bruteforce(spark):
+    """x48's sum-of-pairwise-dots identity (||S||^2 - sum||v||^2 over
+    n(n-1)) must equal the literal mean over all ordered intra-label
+    pairs — checked brute-force on a planted fixture with one tight and
+    one spread label."""
+    import itertools
+
+    from smart_water_management_spark.llmdata.similarity import (
+        x48_label_cohesion,
+    )
+    from smart_water_management_spark.sources.catalog import clear_table_cache
+
+    vecs = {
+        0: [[1.0, 0.0, 0.0], [0.9, 0.1, 0.0], [0.95, 0.05, 0.1]],  # tight
+        1: [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [-1.0, 0.0, 0.0]],  # spread
+    }
+    expected = {}
+    for label, vs in vecs.items():
+        dots = [
+            sum(x * y for x, y in zip(a, b))
+            for a, b in itertools.combinations(vs, 2)
+        ]
+        expected[label] = sum(dots) / len(dots)
+
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        rows = [
+            (i, [float(x) for x in v], label)
+            for i, (label, vs) in enumerate(
+                (label, v) for label, vs in vecs.items() for v in vs
+            )
+            for v in [vs]
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(os.path.join(tmp, "embeddings.parquet"))
+        clear_table_cache(spark)
+        try:
+            got = {
+                r.label: r.mean_intra_dot
+                for r in x48_label_cohesion(spark, tmp).collect()
+            }
+        finally:
+            clear_table_cache(spark)
+    for label, exp in expected.items():
+        assert abs(got[label] - exp) < 1e-4, (label, got[label], exp)
+    assert got[0] > got[1]  # tight label coheres more than the spread one
