@@ -662,3 +662,150 @@ def _cms_seeded_bucket(word: str):
     for d in range(CMS_DEPTH):
         expr = F.when(F.col("seed") == d, _cms_bucket(word, d)).otherwise(expr)
     return expr
+
+
+# --- x50: bigram next-word model --------------------------------------------
+
+BIGRAM_TOPK = 3
+
+
+@register(
+    "x50_bigram_nextword",
+    oracle=f"""
+    WITH bg AS (
+      SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+      FROM (SELECT string_split(lower(text), ' ') AS tk FROM documents)
+    ), cnt AS (
+      SELECT w1, w2, COUNT(*) AS pair_n FROM bg GROUP BY 1, 2
+    ), tot AS (
+      SELECT w1, CAST(SUM(pair_n) AS BIGINT) AS head_n FROM cnt GROUP BY 1
+    )
+    SELECT w1, w2, pair_n, head_n,
+           ROUND(CAST(pair_n AS DOUBLE) / head_n, 6) AS p_next, rn
+    FROM (
+      SELECT cnt.w1, w2, pair_n, head_n,
+             ROW_NUMBER() OVER (PARTITION BY cnt.w1
+                                ORDER BY pair_n DESC, w2) AS rn
+      FROM cnt JOIN tot ON cnt.w1 = tot.w1
+    ) WHERE rn <= {BIGRAM_TOPK}
+    """,
+    doc=f"bigram next-word model: adjacent-token pairs via an index "
+    "transform over the token array (no self-join — successors come from "
+    "the SAME row's array), conditional P(w2|w1) and the top-"
+    f"{BIGRAM_TOPK} continuations per head word. The n-gram LM companion "
+    "to x27's unigram perplexity; pair counts are one map-combined "
+    "shuffle, the per-head window runs over vocabulary-sized data",
+)
+def x50_bigram_nextword(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pairs = (
+        d.select(tokens("text").alias("tk"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, size(tk)-1), "
+                    "(w, i) -> struct(w AS w1, tk[i+1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    cnt = pairs.groupBy("w1", "w2").agg(F.count("*").alias("pair_n"))
+    tot = cnt.groupBy("w1").agg(F.sum("pair_n").alias("head_n"))
+    w = W.partitionBy("w1").orderBy(F.desc("pair_n"), F.asc("w2"))
+    return (
+        cnt.join(tot, "w1")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= BIGRAM_TOPK)
+        .select(
+            "w1",
+            "w2",
+            "pair_n",
+            "head_n",
+            F.round(F.col("pair_n").cast("double") / F.col("head_n"), 6).alias(
+                "p_next"
+            ),
+            "rn",
+        )
+    )
+
+
+# --- x51: Zipf rank-frequency fit -------------------------------------------
+
+
+@register(
+    "x51_zipf_fit",
+    # Transcendental ln() may differ between engines in the final ulp;
+    # the DECIMAL(38,6) moment casts and ROUND(,6) outputs absorb that
+    # (x24's pattern) — a 1-ulp input difference only surfaces if a value
+    # sits within ~1e-16 of a 6-decimal rounding boundary.
+    oracle="""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+      ) GROUP BY w
+    ), xy AS (
+      SELECT ln(ROW_NUMBER() OVER (ORDER BY cnt DESC, w)) AS x,
+             ln(CAST(cnt AS DOUBLE)) AS y
+      FROM wc
+    ), m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x*x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y*y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x*y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_vocab,
+           ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+           ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+             AS log_intercept,
+           ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                 / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+    FROM m
+    """,
+    doc="Zipf rank-frequency fit: OLS of ln(freq) on ln(rank) over the "
+    "vocabulary (slope ~ -1 for natural corpora; a collapsed or "
+    "templated corpus shows up as a flat or cliff-shaped curve). Word "
+    "counts are one map-combined shuffle; the regression runs on "
+    "vocabulary-sized data via m06's exact-decimal closed form. The "
+    "vocabulary-health companion to x27 (unigram LM) and x45 (drift)",
+)
+def x51_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dsum
+
+    wc = (
+        doc_token_table(spark, sf_dir)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # global rank over vocabulary-sized data: single-partition window is
+    # deliberate (the corpus-sized explode was already reduced above)
+    xy = wc.select(
+        F.log(F.row_number().over(W.orderBy(F.desc("cnt"), F.asc("w"))).cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    m = xy.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("x", 38).alias("sx"),
+        dsum("y", 38).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 38).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 38).alias("syy"),
+        dsum(F.col("x") * F.col("y"), 38).alias("sxy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return m.select(
+        n.cast("bigint").alias("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("log_intercept"),
+        F.round(
+            ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+            / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
+            6,
+        ).alias("r2"),
+    )

@@ -600,3 +600,37 @@ def w16_rank_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.avg("cd"), 6).alias("mean_cume_dist"),
     )
+
+
+# --- W17: rolling median (robust smoothing) ---------------------------------
+
+
+@register(
+    "w17_rolling_median",
+    oracle="""
+    SELECT event_id, user_id, value,
+           median(value) OVER w AS rolling_median,
+           value - median(value) OVER w AS median_resid
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    doc="W17 (ext.): 7-row rolling EXACT median per key + residual — the "
+    "robust twin of w01's rolling mean (a single spike shifts a mean for "
+    "its whole window but a median not at all, so residuals localize "
+    "anomalies). Spark's percentile(0.5) as a window aggregate over the "
+    "same single hash-partition shuffle as the other w* frames; both "
+    "engines interpolate even-count medians as the midpoint of the same "
+    "two doubles, so the result is engine-exact with no decimal detour",
+)
+def w17_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-6, 0)
+    med = F.percentile("value", F.lit(0.5)).over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        med.alias("rolling_median"),
+        (F.col("value") - med).alias("median_resid"),
+    )
