@@ -451,3 +451,42 @@ def f15_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("c_custkey").cast("bigint").alias("max_key"),
         )
     )
+
+
+# --- f16: VARIANT semi-structured shredding (Spark 4) ------------------------
+
+
+@register(
+    "f16_variant_json",
+    oracle="""
+    SELECT (CAST(json_extract_string(props, '$.k') AS INT) % 10) AS k_bucket,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(value)
+             AS avg_value,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY 1
+    """,
+    doc="F16 (ext.): Spark 4 VARIANT path for semi-structured columns — "
+    "parse_json to the binary-encoded VARIANT type, typed variant_get "
+    "extraction, then aggregate. Functionally equals f05's string-path "
+    "get_json_object (the oracle), but at 100 TB VARIANT avoids "
+    "re-tokenizing JSON text per access and shreds into columnar storage "
+    "(SPARK-45891); the same query shape covers both",
+)
+def f16_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import davg
+
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "int")
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy((F.col("k") % 10).alias("k_bucket"))
+        .agg(
+            F.count("*").alias("n_events"),
+            davg("value").alias("avg_value"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
