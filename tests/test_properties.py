@@ -287,3 +287,70 @@ def test_source_cap_partition_stability_and_audit(spark, n_parts):
     for src, (n_total, n_kept) in audit.items():
         assert n_kept == min(n_total, CAP_PER_SOURCE)
         assert per_source.get(src, 0) == n_kept
+
+
+@SETTINGS
+@given(
+    vals=st.lists(finite_values, min_size=1, max_size=40),
+)
+def test_rolling_median_equals_naive(spark, vals):
+    """w17's percentile(0.5) window must equal the literal sorted-middle
+    (interpolated) median of each 7-row trailing slice for arbitrary
+    doubles."""
+    from pyspark.sql import Window as W
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, v double")
+    w = W.orderBy("i").rowsBetween(-6, 0)
+    got = {
+        r.i: r.med
+        for r in df.select(
+            "i", F.percentile("v", F.lit(0.5)).over(w).alias("med")
+        ).collect()
+    }
+    for i in range(len(vals)):
+        window = sorted(vals[max(0, i - 6) : i + 1])
+        n = len(window)
+        if n % 2:
+            exp = window[n // 2]
+        else:
+            exp = (window[n // 2 - 1] + window[n // 2]) / 2.0
+        assert got[i] == pytest.approx(exp, rel=1e-12, abs=1e-12), (i, vals)
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=2, max_size=8
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_bigram_counts_equal_naive(spark, docs):
+    """x50's index-transform bigram extraction must produce exactly the
+    adjacent-pair multiset a per-doc python loop produces."""
+    naive: dict[tuple[str, str], int] = {}
+    for d in docs:
+        for a, b in zip(d, d[1:]):
+            naive[(a, b)] = naive.get((a, b), 0) + 1
+
+    df = spark.createDataFrame(
+        [(i, " ".join(d)) for i, d in enumerate(docs)], "doc_id long, text string"
+    )
+    pairs = (
+        df.select(F.split(F.lower("text"), " ").alias("tk"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, size(tk)-1), "
+                    "(w, i) -> struct(w AS w1, tk[i+1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .groupBy("bg.w1", "bg.w2")
+        .count()
+    )
+    got = {(r.w1, r.w2): r["count"] for r in pairs.collect()}
+    assert got == naive
