@@ -40,6 +40,7 @@ HEADLINE = [
     "j09_asof_join",              # as-of join (union + carry-forward)
     "j10_range_join",             # bucketized range join
     "k04_skew_join_salted",       # salted hot-key join (95% skew)
+    "k06_bloom_prefilter",        # bloom-bitset semi-join pre-filter
     "w02_range_rolling",          # multi-horizon RANGE windows
     "w06_rolling_zscore",         # rolling anomaly flags
     "w13_time_weighted_avg",      # trapezoidal TWA (irregular sampling)

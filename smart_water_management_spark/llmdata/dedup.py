@@ -36,6 +36,22 @@ from .text import STOPWORDS, bag_fp_expr, quality_expr, sql_quality_expr, tokens
 MINHASH_K = 16
 LSH_BANDS = 8  # r = MINHASH_K / LSH_BANDS = 2 rows per band
 
+# MinHash variant family: each shingle is md5'd ONCE (the hash both
+# engines share, split into two 32-bit halves like simhash64), and the k
+# variants are linear mixes (a*h1 + b*h2 + j) mod p over those halves —
+# products stay < 2^46, inside BIGINT on every engine (DuckDB errors on
+# 64-bit overflow, so re-hash chains like xxhash64(h, seed) have no SQL
+# twin). Fixed prime multipliers, so any engine/run builds the identical
+# signature — that is what lets x08 carry an exact oracle instead of a
+# rows-only check.
+_MH_P = 2147483647  # 2^31 - 1
+_MH_AB = [
+    (1223, 7919), (1531, 8273), (1733, 8647), (1993, 8999),
+    (2239, 9343), (2539, 9739), (2797, 10103), (3079, 10459),
+    (3343, 10837), (3659, 11197), (3923, 11587), (4211, 11939),
+    (4507, 12323), (4813, 12689), (5087, 13049), (5399, 13417),
+]
+
 
 @register(
     "x05_exact_dedup",
@@ -134,15 +150,25 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """Per-doc MinHash signature: explode shingles once, take k mins in ONE
     aggregate pass.
 
-    The shingle STRING is hashed exactly once (xxhash64 over ~20 bytes);
-    the k seeded variants re-hash the resulting 8-byte long — ~10× less
-    hashing work per shingle than seeding k hashes of the string itself,
-    with the same independence properties."""
+    The shingle STRING is hashed exactly once (one md5 over ~20 bytes);
+    the k seeded variants are cheap linear mixes of the two 32-bit halves
+    (see ``_MH_AB``) — ~10× less hashing work per shingle than seeding k
+    hashes of the string itself, and exactly reproducible in ANSI SQL,
+    which is what gives x08/x39 their oracles. Duplicate shingles need no
+    dedup: MIN over a multiset equals MIN over its set."""
     docs = fan_out(docs, docs.sparkSession)
+    md = F.md5("shingle")
     sh = docs.select(
         "doc_id", F.explode(shingles("text")).alias("shingle")
-    ).select("doc_id", F.xxhash64("shingle").alias("h"))
-    aggs = [F.min(F.xxhash64("h", F.lit(s))).alias(f"h{s}") for s in range(k)]
+    ).select(
+        "doc_id",
+        F.conv(F.substring(md, 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring(md, 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    aggs = [
+        F.min((F.col("h1") * a + F.col("h2") * b + s) % _MH_P).alias(f"h{s}")
+        for s, (a, b) in enumerate(_MH_AB[:k])
+    ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -152,8 +178,13 @@ def _banded(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
     invariant depends on the two never drifting apart)."""
     k = MINHASH_K
     r = k // bands
+    # band key: the r minima joined as a string — no re-hash, so the SQL
+    # oracle reproduces the bucket assignment verbatim (a hash would only
+    # shorten the key, not change the equality semantics)
     band_cols = [
-        F.xxhash64(*[F.col(f"h{b * r + i}") for i in range(r)]).alias(f"band{b}")
+        F.concat_ws(
+            "_", *[F.col(f"h{b * r + i}").cast("string") for i in range(r)]
+        ).alias(f"band{b}")
         for b in range(bands)
     ]
     return sigs.select("doc_id", *band_cols).select(
@@ -201,11 +232,71 @@ def verify_jaccard(
     )
 
 
+def _x08_oracle() -> str:
+    """DuckDB twin of the full MinHash+LSH pipeline: same md5-derived
+    shingle hashes, same linear variant family, same string band keys,
+    same exact-Jaccard verify — the banded candidate generation is
+    deterministic, so the 'approximate' operator still has an exact
+    oracle (x09's precedent, extended to the banding stage)."""
+    r = MINHASH_K // LSH_BANDS
+    mins = ",\n             ".join(
+        f"MIN((h1*{a} + h2*{b} + {s}) % {_MH_P}) AS h{s}"
+        for s, (a, b) in enumerate(_MH_AB[:MINHASH_K])
+    )
+    banded = "\n      UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || '_' || ".join(
+            f"CAST(h{b * r + i} AS VARCHAR)" for i in range(r)
+        )
+        + " AS bh FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+    WITH tkt AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
+                    i -> array_to_string(tk[i:i+2], ' '))) AS shingle
+      FROM tkt
+    ), hs AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h1,
+             CAST(('0x' || substr(md5(shingle), 9, 8)) AS BIGINT) AS h2
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, {mins}
+      FROM hs GROUP BY doc_id
+    ), banded AS (
+      {banded}
+    ), pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bh = b.bh
+                   AND a.doc_id < b.doc_id
+    ), tkd AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk
+      FROM documents
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+      SELECT doc_a, doc_b,
+             CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+             / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)))
+               AS jaccard
+      FROM pairs
+      JOIN tkd ta ON ta.doc_id = doc_a
+      JOIN tkd tb ON tb.doc_id = doc_b
+    ) WHERE jaccard >= 0.5
+    """
+
+
 @register(
     "x08_minhash_lsh_dedup",
-    oracle=None,  # probabilistic candidate generation; invariants in tests
+    oracle=_x08_oracle(),
     doc="MinHash(k=16) + LSH(8 bands, r=2) near-dup pairs, "
-    "Jaccard-verified >= 0.5",
+    "Jaccard-verified >= 0.5; md5-derived signatures + string band keys "
+    "make the whole pipeline engine-exact (previously rows-only under "
+    "xxhash64 seeds)",
 )
 def x08_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -574,9 +665,16 @@ def ensure_base_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of recomputing (k longs per doc: tiny at any corpus size)."""
     from ..sources.io_ops import _scratch
 
+    import hashlib
     import os
 
-    path = _scratch("x39_base_sigs", sf_dir)
+    # version the persisted state by the signature family: if the hash
+    # constants ever change, stale base signatures would silently produce
+    # zero bucket matches against fresh delta signatures
+    tag = hashlib.md5(
+        repr((_MH_P, _MH_AB, MINHASH_K)).encode()
+    ).hexdigest()[:8]
+    path = _scratch(f"x39_base_sigs_{tag}", sf_dir)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         # build once; later invocations read the persisted state — the
         # whole point of the incremental shape (rebuilding per run would
@@ -588,9 +686,18 @@ def ensure_base_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _x39_oracle() -> str:
+    """x39 = x08 restricted to pairs touching the delta batch: identical
+    signature/band chain, one extra predicate. (The incremental probe
+    changes WHICH work runs, never the result — the oracle states that.)"""
+    da = DELTA_PRED.replace("doc_id", "doc_a")
+    db = DELTA_PRED.replace("doc_id", "doc_b")
+    return _x08_oracle().rstrip() + f"\n      AND (({da}) OR ({db}))"
+
+
 @register(
     "x39_incremental_lsh",
-    oracle=None,  # probabilistic candidates; equivalence-to-x08 invariant in tests
+    oracle=_x39_oracle(),
     doc="incremental MinHash+LSH dedup: only the delta batch is shingled "
     "and hashed; its bands probe the persisted base signature table, so "
     "pair work happens only in buckets a new doc touches. Deterministic "
