@@ -100,11 +100,49 @@ def dedup_corpus(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return out.withColumn("is_canonical", F.col("doc_id") == F.col("component"))
 
 
+def _x15_oracle() -> str:
+    """Recursive-closure twin of the label-propagation components: the
+    x08 pair chain (now engine-exact, dedup._x08_cte) feeds a WITH
+    RECURSIVE reachability closure; each node's component is the MIN
+    reachable id — precisely the fixpoint min-label propagation
+    converges to. Tiny closure: only docs that appear in a verified
+    pair participate."""
+    from .dedup import _x08_cte
+
+    return f"""
+    WITH RECURSIVE {_x08_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    closure AS (
+      SELECT a, b FROM reach
+      UNION
+      SELECT DISTINCT src AS a, src AS b FROM edges
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM closure GROUP BY a)
+    SELECT component,
+           COUNT(*) AS n_members,
+           MIN(doc_id) AS canonical_doc_id,
+           CAST(SUM(CASE WHEN doc_id = component THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_canonical
+    FROM comp GROUP BY component
+    """
+
+
 @register(
     "x15_dedup_groups",
-    oracle=None,  # LSH candidate set is hash-specific; invariants in tests
+    oracle=_x15_oracle(),
     doc="near-dup GROUPS: LSH pairs closed under transitivity via iterative "
-    "label propagation; one canonical doc per component",
+    "label propagation; one canonical doc per component. The oracle closes "
+    "the same (engine-exact) pair set with WITH RECURSIVE reachability — "
+    "the iterative dataflow and the recursive SQL must agree exactly",
 )
 def x15_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

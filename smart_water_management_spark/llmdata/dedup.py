@@ -232,12 +232,14 @@ def verify_jaccard(
     )
 
 
-def _x08_oracle() -> str:
-    """DuckDB twin of the full MinHash+LSH pipeline: same md5-derived
+def _x08_cte() -> str:
+    """Shared WITH-chain ending in ``verified(doc_a, doc_b, jaccard)`` —
+    the DuckDB twin of the full MinHash+LSH pipeline: same md5-derived
     shingle hashes, same linear variant family, same string band keys,
-    same exact-Jaccard verify — the banded candidate generation is
-    deterministic, so the 'approximate' operator still has an exact
-    oracle (x09's precedent, extended to the banding stage)."""
+    same exact-Jaccard verify. The banded candidate generation is
+    deterministic, so the 'approximate' operators built on it (x08, x39,
+    x15) all carry exact oracles (x09's precedent, extended through the
+    banding stage)."""
     r = MINHASH_K // LSH_BANDS
     mins = ",\n             ".join(
         f"MIN((h1*{a} + h2*{b} + {s}) % {_MH_P}) AS h{s}"
@@ -251,8 +253,7 @@ def _x08_oracle() -> str:
         + " AS bh FROM sig"
         for b in range(LSH_BANDS)
     )
-    return f"""
-    WITH tkt AS (
+    return f"""tkt AS (
       SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
     ), sh AS (
       SELECT doc_id,
@@ -277,17 +278,21 @@ def _x08_oracle() -> str:
     ), tkd AS (
       SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk
       FROM documents
-    )
-    SELECT doc_a, doc_b, jaccard FROM (
-      SELECT doc_a, doc_b,
-             CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
-             / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)))
-               AS jaccard
-      FROM pairs
-      JOIN tkd ta ON ta.doc_id = doc_a
-      JOIN tkd tb ON tb.doc_id = doc_b
-    ) WHERE jaccard >= 0.5
-    """
+    ), verified AS (
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b,
+               CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+               / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)))
+                 AS jaccard
+        FROM pairs
+        JOIN tkd ta ON ta.doc_id = doc_a
+        JOIN tkd tb ON tb.doc_id = doc_b
+      ) WHERE jaccard >= 0.5
+    )"""
+
+
+def _x08_oracle() -> str:
+    return f"WITH {_x08_cte()}\n    SELECT doc_a, doc_b, jaccard FROM verified"
 
 
 @register(
@@ -692,7 +697,11 @@ def _x39_oracle() -> str:
     changes WHICH work runs, never the result — the oracle states that.)"""
     da = DELTA_PRED.replace("doc_id", "doc_a")
     db = DELTA_PRED.replace("doc_id", "doc_b")
-    return _x08_oracle().rstrip() + f"\n      AND (({da}) OR ({db}))"
+    return (
+        f"WITH {_x08_cte()}\n"
+        f"    SELECT doc_a, doc_b, jaccard FROM verified\n"
+        f"    WHERE ({da}) OR ({db})"
+    )
 
 
 @register(

@@ -285,7 +285,46 @@ def quantized_cosine(qa, qb) -> Column:
 
 @register(
     "x17_quantized_cosine_topk",
-    oracle=None,  # approximate by construction; recall vs exact in tests
+    # Quantization is deterministic arithmetic (per-vector max-abs scale,
+    # round-half-away codes — both engines' ROUND semantics), and the
+    # int8 code sums are exactly representable doubles, so even the
+    # lossy path carries an exact oracle; 'approximate' refers to recall
+    # vs the float path (still asserted in tests), not nondeterminism.
+    oracle=f"""
+    WITH m AS (
+      SELECT vec_id, embedding,
+             list_reduce(list_transform(embedding,
+                 x -> abs(CAST(x AS DOUBLE))), (x, y) -> greatest(x, y))
+               AS max_abs
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                 x -> CAST(round(CAST(x AS DOUBLE)
+                      / (CASE WHEN max_abs > 0 THEN max_abs / 127.0
+                         ELSE 1.0 END)) AS INT)) AS codes
+      FROM m
+    ), q AS (
+      SELECT vec_id AS qid, codes AS qc FROM qz WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT qid, c.vec_id,
+             list_reduce(list_transform(list_zip(qc, c.codes),
+                 p -> CAST(p[1] * p[2] AS DOUBLE)), (x, y) -> x + y)
+             / (SQRT(list_reduce(list_transform(qc,
+                    x -> CAST(x * x AS DOUBLE)), (x, y) -> x + y))
+                * SQRT(list_reduce(list_transform(c.codes,
+                    x -> CAST(x * x AS DOUBLE)), (x, y) -> x + y)))
+               AS cos_sim
+      FROM q CROSS JOIN qz c
+      WHERE c.vec_id <> qid
+    )
+    SELECT qid, vec_id, ROUND(cos_sim, 6) AS cos_sim, rn FROM (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
     doc="int8-quantized cosine top-k: 4-8x smaller candidate scan, recall "
     "vs the exact float path asserted in tests",
 )
@@ -550,9 +589,70 @@ def _band_cols(e):
     ]
 
 
+def _x41_oracle() -> str:
+    """DuckDB twin of the hyperplane-LSH pipeline. The md5-derived plane
+    weights are inlined as literal arrays (repr round-trips doubles
+    exactly); both engines fold the dot products left-to-right over
+    identical doubles, so every sign bit — and therefore every band key,
+    candidate set, and ranked result — is engine-exact. The 'approximate'
+    in ANN refers to recall vs x10, not to nondeterminism."""
+    planes = _plane_weights()
+    r = LSH_NBITS // LSH_ANN_BANDS
+    bit_exprs = ",\n             ".join(
+        "CASE WHEN list_reduce(list_transform(list_zip(e, ["
+        + ", ".join(repr(w) for w in planes[j])
+        + "]), p -> p[1] * p[2]), (x, y) -> x + y) > 0 "
+        f"THEN 1 ELSE 0 END AS bit{j}"
+        for j in range(LSH_NBITS)
+    )
+    band_exprs = ", ".join(
+        " + ".join(f"bit{b * r + i} * {1 << i}" for i in range(r))
+        + f" AS band{b}"
+        for b in range(LSH_ANN_BANDS)
+    )
+    stacked = "\n      UNION ALL ".join(
+        f"SELECT vec_id, e, {b} AS band, band{b} AS bh FROM bands"
+        for b in range(LSH_ANN_BANDS)
+    )
+    cos = (
+        _SQL_DOT.format(a="qe", b="s.e")
+        + " / (SQRT(" + _SQL_SQNORM.format(a="qe") + ")"
+        + " * SQRT(" + _SQL_SQNORM.format(a="s.e") + "))"
+    )
+    return f"""
+    WITH emb AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), bits AS (
+      SELECT vec_id, e,
+             {bit_exprs}
+      FROM emb
+    ), bands AS (
+      SELECT vec_id, e, {band_exprs} FROM bits
+    ), stacked AS (
+      {stacked}
+    ), q AS (
+      SELECT band, bh, vec_id AS qid, e AS qe FROM stacked
+      WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT qid, s.vec_id AS vec_id, MAX({cos}) AS cos_sim
+      FROM q JOIN stacked s ON q.band = s.band AND q.bh = s.bh
+      WHERE s.vec_id <> qid
+      GROUP BY qid, s.vec_id
+    )
+    SELECT qid, vec_id, ROUND(cos_sim, 6) AS cos_sim, rn FROM (
+      SELECT qid, vec_id, cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_sim DESC, vec_id) AS rn
+      FROM scored
+    ) WHERE rn <= {TOP_K}
+    """
+
+
 @register(
     "x41_hyperplane_lsh_ann",
-    oracle=None,  # approximate candidates; recall vs x10 asserted in tests
+    oracle=_x41_oracle(),
     doc=f"hyperplane-LSH cosine ANN (Charikar sign-random-projection): "
     f"{LSH_NBITS} deterministic md5-derived planes -> sign bits -> "
     f"{LSH_ANN_BANDS} band keys; candidates from band-equality joins "
