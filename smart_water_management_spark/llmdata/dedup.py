@@ -769,3 +769,72 @@ def x40_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(inter.cast("double") / F.size("tk_a"), 6).alias("containment_a"),
         F.round(inter.cast("double") / F.size("tk_b"), 6).alias("containment_b"),
     )
+
+
+# --- x52: MinHash estimator calibration --------------------------------------
+
+
+def _x52_oracle() -> str:
+    agree = " + ".join(
+        f"CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+    WITH {_x08_cte()}
+    SELECT p.doc_a, p.doc_b,
+           ROUND(({agree}) / {MINHASH_K}.0, 6) AS est_jaccard,
+           ROUND(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                 / (len(ta.tk) + len(tb.tk)
+                    - len(list_intersect(ta.tk, tb.tk))), 6) AS jaccard
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    JOIN tkd ta ON ta.doc_id = p.doc_a
+    JOIN tkd tb ON tb.doc_id = p.doc_b
+    """
+
+
+@register(
+    "x52_minhash_calibration",
+    oracle=_x52_oracle(),
+    doc=f"MinHash estimator calibration: for every LSH candidate pair, "
+    f"the sketch estimate (matching minima / {MINHASH_K}) next to the "
+    "exact token-set Jaccard — the audit that tells you whether the "
+    "signature width still supports the dedup threshold as the corpus "
+    "drifts. E[est] = J is the MinHash guarantee; at 100 TB this runs "
+    "over the (bounded) candidate stream, never the corpus",
+)
+def x52_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).persist()
+    pairs = lsh_candidate_pairs(sigs)
+    agree = sum(
+        F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    est = pairs.join(
+        sigs.alias("a"), F.col("doc_a") == F.col("a.doc_id")
+    ).join(
+        sigs.alias("b"), F.col("doc_b") == F.col("b.doc_id")
+    ).select(
+        "doc_a", "doc_b",
+        F.round(agree / float(MINHASH_K), 6).alias("est_jaccard"),
+    )
+    tk = docs.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("tk")
+    )
+    j = (
+        est.join(
+            tk.select(F.col("doc_id").alias("doc_a"), F.col("tk").alias("tk_a")),
+            "doc_a",
+        )
+        .join(
+            tk.select(F.col("doc_id").alias("doc_b"), F.col("tk").alias("tk_b")),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect("tk_a", "tk_b"))
+    jac = inter.cast("double") / (F.size("tk_a") + F.size("tk_b") - inter)
+    return j.select(
+        "doc_a", "doc_b", "est_jaccard", F.round(jac, 6).alias("jaccard")
+    )
