@@ -84,14 +84,19 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("component"))
 
 
-def dedup_corpus(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def dedup_corpus(
+    docs: DataFrame, threshold: float = 0.5, sigs: DataFrame | None = None
+) -> DataFrame:
     """Full near-dup dedup: LSH pairs → components → canonical per group.
 
     Returns the corpus with ``component`` (group id) and ``is_canonical``
     (keep flag: the minimum doc_id of its group). Documents in no group
-    are their own singleton component.
+    are their own singleton component. Pass ``sigs`` to reuse an
+    already-pinned signature table (x15 shares x08/x52's); by default the
+    signatures are computed from ``docs``.
     """
-    sigs = minhash_signatures(docs).persist()
+    if sigs is None:
+        sigs = minhash_signatures(docs).persist()
     pairs = verify_jaccard(docs, lsh_candidate_pairs(sigs), threshold)
     comps = connected_components(pairs)
     out = docs.join(comps, "doc_id", "left").withColumn(
@@ -145,8 +150,10 @@ def _x15_oracle() -> str:
     "the iterative dataflow and the recursive SQL must agree exactly",
 )
 def x15_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import pinned_corpus_signatures
+
     docs = load_table(spark, sf_dir, "documents")
-    deduped = dedup_corpus(docs)
+    deduped = dedup_corpus(docs, sigs=pinned_corpus_signatures(spark, sf_dir))
     return (
         deduped.groupBy("component")
         .agg(

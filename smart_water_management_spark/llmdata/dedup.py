@@ -291,6 +291,24 @@ def _x08_cte() -> str:
     )"""
 
 
+def pinned_corpus_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus signature table shared by x08/x15/x52: the LSH band
+    stage self-joins it, which would otherwise recompute the full
+    shingle→hash pipeline per consumer. Tracked via ``pin_derived`` so
+    repeated invocations reuse ONE cached copy and cache clearing can
+    release it. The signatures are k longs per doc — tiny relative to
+    the corpus at any scale (at 100 TB of text this is the table you'd
+    write to disk)."""
+    from ..sources.catalog import pin_derived
+
+    return pin_derived(
+        spark,
+        sf_dir,
+        "minhash_sigs",
+        lambda: minhash_signatures(load_table(spark, sf_dir, "documents")),
+    )
+
+
 def _x08_oracle() -> str:
     return f"WITH {_x08_cte()}\n    SELECT doc_a, doc_b, jaccard FROM verified"
 
@@ -305,12 +323,7 @@ def _x08_oracle() -> str:
 )
 def x08_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # persist the signature table: the LSH band stage self-joins it, which
-    # would otherwise recompute the full shingle→hash pipeline twice. The
-    # signatures are k longs per doc — tiny relative to the corpus at any
-    # scale (at 100 TB of text this is the table you'd write to disk).
-    sigs = minhash_signatures(docs).persist()
-    pairs = lsh_candidate_pairs(sigs)
+    pairs = lsh_candidate_pairs(pinned_corpus_signatures(spark, sf_dir))
     return verify_jaccard(docs, pairs).orderBy("doc_a", "doc_b")
 
 
@@ -806,7 +819,7 @@ def _x52_oracle() -> str:
 )
 def x52_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs).persist()
+    sigs = pinned_corpus_signatures(spark, sf_dir)
     pairs = lsh_candidate_pairs(sigs)
     agree = sum(
         F.when(F.col(f"a.h{i}") == F.col(f"b.h{i}"), 1).otherwise(0)

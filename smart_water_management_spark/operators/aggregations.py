@@ -797,8 +797,7 @@ HIST_WIDTH = 5000.0  # price-band width; bounds are fixed, not data-driven
            (CAST(FLOOR(l_extendedprice / {HIST_WIDTH}) AS BIGINT) + 1)
              * {HIST_WIDTH} AS hi,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
-             AS revenue
+           {sql_dsum("l_extendedprice")} AS revenue
     FROM lineitem
     GROUP BY 1
     """,
@@ -816,9 +815,7 @@ def a23_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(bucket.alias("bucket"))
         .agg(
             F.count("*").alias("n_lines"),
-            F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
-            .cast("double")
-            .alias("revenue"),
+            dsum("l_extendedprice").alias("revenue"),
         )
         .select(
             "bucket",

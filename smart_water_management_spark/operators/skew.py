@@ -27,6 +27,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.numeric import dsum, sql_dsum
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -570,8 +571,7 @@ def _region_supplier_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT l_returnflag,
            COUNT(*) AS n_lines,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
-             AS revenue
+           {sql_dsum("l_extendedprice")} AS revenue
     FROM lineitem l
     WHERE EXISTS (
       SELECT 1 FROM supplier s
@@ -598,7 +598,5 @@ def k06_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exact.groupBy("l_returnflag").agg(
         F.count("*").alias("n_lines"),
-        F.sum(F.col("l_extendedprice").cast("decimal(27,6)"))
-        .cast("double")
-        .alias("revenue"),
+        dsum("l_extendedprice").alias("revenue"),
     )

@@ -504,10 +504,9 @@ def test_label_cohesion_identity_vs_bruteforce(spark):
     with tempfile.TemporaryDirectory() as tmp:
         rows = [
             (i, [float(x) for x in v], label)
-            for i, (label, vs) in enumerate(
+            for i, (label, v) in enumerate(
                 (label, v) for label, vs in vecs.items() for v in vs
             )
-            for v in [vs]
         ]
         spark.createDataFrame(
             rows, "vec_id long, embedding array<float>, label int"

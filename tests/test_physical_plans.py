@@ -371,7 +371,7 @@ def test_bloom_prefilter_is_tight_and_jvm_side(spark):
 
     plan = plan_of(_q(spark, "k06_bloom_prefilter"), "simple")
     assert "xxhash64" in plan
-    assert "pythonUDF" not in plan.lower()
+    assert "pythonudf" not in plan.lower()
     # one shuffle total: the final group-by (bloom + semi-join are
     # broadcast/scan-side)
     assert plan.count("Exchange hashpartitioning") <= 1, plan[:2000]
