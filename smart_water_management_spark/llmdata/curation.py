@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.catalog import load_table, pin_derived
-from .text import STOPWORDS, tokens
+from .text import STOPWORDS, UNIGRAM_SCORED_SQL, tokens
 
 # --- x21: Gopher-style rule filters -----------------------------------------
 
@@ -1093,3 +1093,142 @@ def source_cap_rows(docs: DataFrame) -> DataFrame:
     """Row-level form (the aggregate above is its audit): the capped
     document set itself, for pipeline composition."""
     return _source_cap_ranked(docs).filter(F.col("rk") <= CAP_PER_SOURCE).drop("rk")
+
+
+# --- x53: systematic PPS (probability-proportional-to-size) sampling ---------
+
+# Per-stratum sample sizes for length-weighted corpus draws (the mixing
+# primitive when the budget is in TOKENS, not documents: a doc's chance
+# of selection must be proportional to what it costs to train on).
+PPS_N = {"en": 30, "fr": 10, "de": 20}
+
+# Selection count per doc under systematic PPS: lay n grid points at
+# multiples of W/n over the cumulative-weight axis (j = 1..n); a doc whose
+# cumulative-weight interval (c_prev, c] covers j grid points is drawn j
+# times: count_i = floor(n*c_i/W) - floor(n*c_prev/W). Products stay far
+# below 2^53, so the double division + floor is exact on both engines.
+
+
+@register(
+    "x53_pps_sample",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT doc_id, lang, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum,
+             SUM(n_chars) OVER (PARTITION BY lang) AS w
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, lang, n_chars,
+             CASE lang {" ".join(f"WHEN '{l}' THEN {n}" for l, n in PPS_N.items())}
+               ELSE 0 END AS n_grid,
+             cum, w
+      FROM ordered
+    )
+    SELECT doc_id, lang, n_chars,
+           CAST(FLOOR(n_grid * cum / w) AS BIGINT)
+             - CAST(FLOOR(n_grid * (cum - n_chars) / w) AS BIGINT) AS n_copies
+    FROM counted
+    WHERE CAST(FLOOR(n_grid * cum / w) AS BIGINT)
+             - CAST(FLOOR(n_grid * (cum - n_chars) / w) AS BIGINT) >= 1
+    """,
+    doc="systematic PPS sampling: inclusion probability proportional to "
+    "document length (the token-budget mixing draw), via exact integer "
+    "grid arithmetic over an md5-ordered cumulative-weight axis — "
+    "deterministic on any engine/partitioning, draws EXACTLY n per "
+    "stratum, long docs can be drawn multiple times (n_copies) as "
+    "standard PPS-with-replacement semantics. One per-stratum "
+    "sort+window; at 100 TB the same plan runs per (stratum, shard) "
+    "with shard quotas allocated from shard weight totals",
+)
+def x53_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    order = [F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")]
+    wcum = (
+        W.partitionBy("lang")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wtot = W.partitionBy("lang")
+    n_grid = F.lit(0)
+    for lang, n in PPS_N.items():
+        n_grid = F.when(F.col("lang") == lang, F.lit(n)).otherwise(n_grid)
+    counted = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        n_grid.alias("n_grid"),
+        F.sum("n_chars").over(wcum).alias("cum"),
+        F.sum("n_chars").over(wtot).alias("w"),
+    )
+    # integer grid count: points j*W/n inside (cum - n_chars, cum]
+    n_copies = (
+        F.floor(F.col("n_grid") * F.col("cum") / F.col("w"))
+        - F.floor(F.col("n_grid") * (F.col("cum") - F.col("n_chars")) / F.col("w"))
+    ).cast("bigint")
+    return (
+        counted.withColumn("n_copies", n_copies)
+        .filter(F.col("n_copies") >= 1)
+        .select("doc_id", "lang", "n_chars", "n_copies")
+    )
+
+
+# --- x56: CCNet-style perplexity-bucket filtering ----------------------------
+
+PPL_BUCKETS = 3  # head / middle / tail
+
+
+@register(
+    "x56_ppl_buckets",
+    # The per-token scoring CTE is x27's, verbatim (shared constant); the
+    # bucket split is NTILE over a total order (cross_entropy has a
+    # doc_id tiebreak), so both engines partition identically.
+    oracle=UNIGRAM_SCORED_SQL
+    + f"""
+    , per_doc AS (
+      SELECT doc_id,
+             ROUND(CAST(SUM(nl) AS DOUBLE) / COUNT(*), 6) AS ce
+      FROM scored GROUP BY doc_id
+    ),
+    bucketed AS (
+      SELECT d.lang, p.ce,
+             NTILE({PPL_BUCKETS}) OVER (
+               PARTITION BY d.lang ORDER BY p.ce, p.doc_id
+             ) AS bucket
+      FROM per_doc p JOIN documents d USING (doc_id)
+    )
+    SELECT lang, bucket, COUNT(*) AS n_docs,
+           MIN(ce) AS min_ce, MAX(ce) AS max_ce
+    FROM bucketed GROUP BY lang, bucket
+    """,
+    doc="CCNet-style perplexity bucketing: docs split into head/middle/"
+    "tail terciles of unigram-LM cross-entropy WITHIN each language — "
+    "the classic keep-the-head curation signal. Adds one window sort "
+    "over the (already tiny) per-doc score table on top of x27's "
+    "word-count shape; per-language partitions keep the sort parallel",
+)
+def x56_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .text import unigram_scored
+
+    scored = unigram_scored(spark, sf_dir)
+    ce = F.sum("nl").cast("double") / F.count("*")
+    per_doc = scored.groupBy("doc_id").agg(F.round(ce, 6).alias("ce"))
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = W.partitionBy("lang").orderBy(F.asc("ce"), F.asc("doc_id"))
+    bucketed = per_doc.join(langs, "doc_id").withColumn(
+        "bucket", F.ntile(PPL_BUCKETS).over(w)
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.min("ce").alias("min_ce"),
+        F.max("ce").alias("max_ce"),
+    )
+

@@ -850,3 +850,157 @@ def x49_label_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- x54: product-quantization ANN (ADC scan) --------------------------------
+
+PQ_M = 16  # subspaces (64-dim embeddings -> 16 chunks of 4 dims)
+PQ_KS = 16  # centroids per subspace (4-bit codes)
+
+
+def pq_codebooks(em: DataFrame, m: int = PQ_M, ks: int = PQ_KS, seed: int = 42):
+    """Fit per-subspace codebooks on a bounded sample and return them as a
+    numpy array of shape (m, ks, dsub).
+
+    The sample is deterministic (md5-ordered top rows) and BOUNDED
+    (PQ_TRAIN_ROWS), so collecting it is the standard "fit the tiny model
+    driver-side, broadcast it everywhere" pattern — at 100 TB the
+    codebooks are m*ks*dsub floats (~4 KB here) while the corpus never
+    leaves the executors. Lloyd iterations run in numpy on the sample
+    (deterministic seed, fixed iteration count — no convergence
+    nondeterminism across machines)."""
+    import numpy as np
+
+    sample_rows = (
+        em.select("vec_id", "e")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(PQ_TRAIN_ROWS)
+        .collect()
+    )
+    x = np.array([r.e for r in sample_rows], dtype=np.float64)
+    dim = x.shape[1]
+    dsub = dim // m
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ks, dsub))
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        # k-means++-free deterministic init: ks distinct sample rows
+        idx = rng.permutation(len(xs))[:ks]
+        c = xs[idx].copy()
+        for _ in range(PQ_ITERS):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for k in range(ks):
+                mask = assign == k
+                if mask.any():
+                    c[k] = xs[mask].mean(axis=0)
+        books[j] = c
+    return books
+
+
+PQ_TRAIN_ROWS = 256
+PQ_ITERS = 12
+PQ_RERANK = 64  # ADC shortlist size fed to the exact rerank
+
+
+@register(
+    "x54_pq_topk",
+    oracle=None,  # approximate by design; recall vs exact x10 checked in tests
+    doc=f"product-quantization ANN: {PQ_M} subspaces x {PQ_KS} centroids "
+    "(4-bit codes) fit on a bounded deterministic sample; candidates are "
+    f"encoded to {PQ_M}-nibble codes (32x smaller than float32 vectors) by a "
+    "broadcast-codebook mapInPandas pass, and queries scan codes via "
+    "asymmetric-distance lookup tables (one ks-entry LUT per subspace per "
+    "query — distance becomes m table lookups per candidate, no float "
+    "vector ever re-read). The scan stays linear and Arrow-batched; at "
+    "100 TB the code table is the only thing scanned, and IVF cells (x12) "
+    "compose in front of it for sublinear probes",
+)
+def x54_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl("embedding").alias("e")
+    )
+    books = pq_codebooks(em)
+    m, ks, dsub = books.shape
+    bb = spark.sparkContext.broadcast(books)
+
+    # Encode: one argmin per subspace per row, vectorized per Arrow batch.
+    def encode(batches):
+        b = bb.value
+        for pdf in batches:
+            x = np.array(pdf["e"].tolist(), dtype=np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * dsub : (j + 1) * dsub]
+                d2 = ((xs[:, None, :] - b[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "code": list(codes)}
+            )
+
+    code_df = em.mapInPandas(encode, "vec_id long, code array<int>")
+
+    # Queries: bounded fixture set; LUTs (m x ks squared distances per
+    # query) are built once and broadcast with the query ids.
+    qrows = em.filter(F.col("vec_id") < N_QUERIES).collect()
+    qids = np.array([r.vec_id for r in qrows])
+    qmat = np.array([r.e for r in qrows], dtype=np.float64)
+    luts = np.empty((len(qids), m, ks))
+    for j in range(m):
+        qs = qmat[:, j * dsub : (j + 1) * dsub]
+        luts[:, j, :] = ((qs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+    bl = spark.sparkContext.broadcast((qids, luts))
+
+    # ADC scan: approx squared L2 = sum of per-subspace LUT entries.
+    def adc(batches):
+        qids_, luts_ = bl.value
+        for pdf in batches:
+            codes = np.array(pdf["code"].tolist(), dtype=np.int64)  # n x m
+            n = len(codes)
+            # gather: for each query q, dist[q, i] = sum_j lut[q, j, codes[i, j]]
+            d = np.zeros((len(qids_), n))
+            for j in range(m):
+                d += luts_[:, j, :][:, codes[:, j]]
+            out = pd.DataFrame(
+                {
+                    "qid": np.repeat(qids_, n),
+                    "vec_id": np.tile(pdf["vec_id"].values, len(qids_)),
+                    "adc_dist": d.ravel(),
+                }
+            )
+            yield out[out.qid != out.vec_id]
+
+    scored = code_df.mapInPandas(adc, "qid long, vec_id long, adc_dist double")
+
+    # Exact rerank of the ADC shortlist: PQ distances are lossy (4-bit
+    # codes), so production PQ takes the top-R by ADC and reranks those
+    # few with true vectors. R is a constant (not a corpus fraction): the
+    # expensive exact math touches R rows per query regardless of scale.
+    wr = W.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= PQ_RERANK)
+        .select("qid", "vec_id")
+    )
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        shortlist.join(em.select("vec_id", F.col("e").alias("ce")), "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "vec_id", l2.alias("l2_dist"))
+    )
+    w = W.partitionBy("qid").orderBy(F.asc("l2_dist"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", F.round("l2_dist", 6).alias("l2_dist"), "rn")
+    )

@@ -369,13 +369,13 @@ def x26_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "x27_unigram_logppl",
-    # Determinism: -ln(cnt/total) is rounded to 6 decimals PER TOKEN and
-    # cast to DECIMAL(27,6) before the per-doc sum, so the aggregation is
-    # exact and order-independent; both engines' ln agree far below the
-    # rounding grain. The final division/exp run on identical doubles.
-    oracle="""
+# The unigram-LM per-token scoring CTE, shared verbatim by the x27 and
+# x56 oracles so the two can never drift. Determinism: -ln(cnt/total) is
+# rounded to 6 decimals PER TOKEN and cast to DECIMAL(27,6) before the
+# per-doc sum, so the aggregation is exact and order-independent; both
+# engines' ln agree far below the rounding grain. The final division/exp
+# run on identical doubles.
+UNIGRAM_SCORED_SQL = """
     WITH tok AS (
       SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
     ),
@@ -387,6 +387,33 @@ def x26_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   AS DECIMAL(27,6)) AS nl
       FROM tok t JOIN vocab USING (w) CROSS JOIN tot
     )
+"""
+
+
+def unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token negative log-likelihood under the corpus unigram LM —
+    (doc_id, nl DECIMAL(27,6)) rows, the shared scoring stage of x27
+    (per-doc perplexity) and x56 (perplexity-bucket filtering)."""
+    # pinned: the exploded token table is both the vocab-count input and
+    # the scoring join's probe side — unpinned, the dominant explode
+    # stage executes twice per invocation
+    tok = doc_token_table(spark, sf_dir)
+    vocab = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    nl = F.round(
+        -F.log(F.col("cnt").cast("double") / F.col("total")), 6
+    ).cast("decimal(27,6)")
+    return (
+        tok.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", nl.alias("nl"))
+    )
+
+
+@register(
+    "x27_unigram_logppl",
+    oracle=UNIGRAM_SCORED_SQL
+    + """
     SELECT doc_id,
            COUNT(*) AS n_tokens,
            ROUND(CAST(SUM(nl) AS DOUBLE) / COUNT(*), 6) AS cross_entropy,
@@ -400,16 +427,7 @@ def x26_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word-count shape, never all-pairs; the 1-row total broadcasts",
 )
 def x27_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # pinned: the exploded token table is both the vocab-count input and
-    # the scoring join's probe side — unpinned, the dominant explode
-    # stage executes twice per invocation
-    tok = doc_token_table(spark, sf_dir)
-    vocab = tok.groupBy("w").agg(F.count("*").alias("cnt"))
-    total = vocab.agg(F.sum("cnt").alias("total"))
-    nl = F.round(
-        -F.log(F.col("cnt").cast("double") / F.col("total")), 6
-    ).cast("decimal(27,6)")
-    scored = tok.join(vocab, "w").crossJoin(F.broadcast(total)).select("doc_id", nl.alias("nl"))
+    scored = unigram_scored(spark, sf_dir)
     ce = F.sum("nl").cast("double") / F.count("*")
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
@@ -808,4 +826,77 @@ def x51_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((n * sxx - sx * sx) * (n * syy - sy * sy)),
             6,
         ).alias("r2"),
+    )
+
+
+# --- x55: greedy merge-table application (BPE encode step) -------------------
+
+
+def apply_merges(toks: list, merges: list) -> list:
+    """Reference greedy BPE application: for each merge (a, b) in priority
+    order, fuse every non-overlapping adjacent occurrence left-to-right.
+    Pure function shared by the Spark UDF and the tests' naive oracle."""
+    for a, b in merges:
+        out = []
+        i = 0
+        n = len(toks)
+        while i < n:
+            if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                out.append(a + " " + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+@register(
+    "x55_bpe_apply",
+    oracle=None,  # iterative merge application is not SQL-expressible;
+    # exactness is asserted in tests against a pure-Python oracle
+    doc=f"BPE encode step: the top-{MERGE_TOP_N} merge rules learned by "
+    "x42 applied greedily (priority order, left-to-right) to every "
+    "document via an Arrow-batched mapInPandas pass — the distributed "
+    "tokenizer-application shape. The merge table is a bounded driver "
+    "collect (N rules, constant at any corpus size) broadcast to "
+    "executors; per-doc work is linear in tokens x rules. Emits "
+    "before/after token counts and the realized compression ratio",
+)
+def x55_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    # bounded: MERGE_TOP_N rows (the learned merge table)
+    merge_rows = x42_bpe_first_merges(spark, sf_dir).orderBy("rn").collect()
+    merges = [tuple(r["pair"].split(" ", 1)) for r in merge_rows]
+    bm = spark.sparkContext.broadcast(merges)
+
+    def encode(batches):
+        ms = bm.value
+        for pdf in batches:
+            before, after = [], []
+            for text in pdf["text"]:
+                toks = text.lower().split(" ")
+                enc = apply_merges(toks, ms)
+                before.append(len(toks))
+                after.append(len(enc))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "n_tokens_before": before,
+                    "n_tokens_after": after,
+                }
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    enc = d.mapInPandas(
+        encode, "doc_id long, n_tokens_before int, n_tokens_after int"
+    )
+    return enc.select(
+        "doc_id",
+        "n_tokens_before",
+        "n_tokens_after",
+        F.round(
+            F.col("n_tokens_after").cast("double") / F.col("n_tokens_before"), 6
+        ).alias("compression"),
     )

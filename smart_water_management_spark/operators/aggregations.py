@@ -825,3 +825,125 @@ def a23_equiwidth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue",
         )
     )
+
+
+# --- A24: KMV (k-minimum-values) distinct sketch with exact re-aggregation.
+# Complements a17's HLL: a KMV sketch is the k smallest hash values of the
+# distinct keys. It is EXACTLY re-aggregatable — the k smallest of a union
+# of per-partition k-smallest sets IS the global k-smallest set (any value
+# with global rank <= k has rank <= k within its own partition) — and,
+# unlike HLL, two sketches also yield intersection/Jaccard estimates.
+# Because the hash is md5-derived (not engine-specific), the whole sketch,
+# its kth-min value and the (k-1)/u_k estimator are deterministic and
+# reproduced bit-for-bit by the DuckDB oracle: the driver certifies the
+# SKETCH PATH itself, not just an invariant flag. The Spark plan builds
+# per-day partial sketches first (the gold-table representation a
+# pre-aggregate pipeline would persist), then merges them — the merged
+# result provably equals the direct global computation the oracle runs.
+KMV_K = 32
+_KMV_HEX = 12  # 12 hex chars => 48-bit uniform, exact in a double
+_KMV_SCALE = float(1 << 48)
+
+
+@register(
+    "a24_kmv_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, {_KMV_HEX}) AS hx
+      FROM events
+    ),
+    unioned AS (
+      SELECT event_type, hx FROM h
+      UNION
+      SELECT '__all__' AS event_type, hx FROM h
+    ),
+    ranked AS (
+      SELECT event_type, hx,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hx) AS rn
+      FROM unioned
+    ),
+    sk AS (
+      SELECT event_type, COUNT(*) AS n_in_sketch, MAX(hx) AS kth_min_hash
+      FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+    ),
+    exact AS (
+      SELECT event_type, COUNT(DISTINCT user_id) AS n_exact FROM events
+      GROUP BY event_type
+      UNION ALL
+      SELECT '__all__', COUNT(DISTINCT user_id) FROM events
+    )
+    SELECT sk.event_type, n_in_sketch, kth_min_hash,
+           CASE WHEN n_in_sketch < {KMV_K}
+                THEN CAST(n_in_sketch AS DOUBLE)
+                ELSE ROUND(({KMV_K} - 1.0)
+                     / (CAST(('0x' || kth_min_hash) AS BIGINT) / {_KMV_SCALE}), 6)
+           END AS est_distinct,
+           n_exact
+    FROM sk JOIN exact ON sk.event_type = exact.event_type
+    """,
+    doc=f"A24: KMV distinct sketch (k={KMV_K} smallest md5-derived hash "
+    "values per key) built as per-day partials and merged exactly — the "
+    "re-aggregatable distinct-count representation that, unlike HLL, also "
+    "supports intersection estimates between sketches; md5 determinism "
+    "makes the sketch itself oracle-checkable, and the '__all__' row is "
+    "the union of the per-type sketches (sketch set-union for free)",
+)
+def a24_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hx = F.substring(F.md5(F.col("user_id").cast("string")), 1, _KMV_HEX)
+
+    # Per-day partial sketches: the bounded (<= k rows per day×type) state
+    # a gold table would persist. distinct() collapses repeat visits
+    # map-side; the top-k filter is a per-group sort of <= |day's users|.
+    daily = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        hx.alias("hx"),
+    ).distinct()
+    wd = W.partitionBy("day", "event_type").orderBy("hx")
+    partials = (
+        daily.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "hx")
+    )
+
+    # Merge: same-value hashes from different days collapse via distinct;
+    # '__all__' demonstrates sketch UNION across keys (merging partial
+    # sketches instead of rescanning raw rows — the 100 TB rollup shape).
+    merged = partials.distinct()
+    both = merged.unionByName(
+        merged.select(F.lit("__all__").alias("event_type"), "hx").distinct()
+    )
+    wm = W.partitionBy("event_type").orderBy("hx")
+    sk = (
+        both.withColumn("rn", F.row_number().over(wm))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_in_sketch"),
+            F.max("hx").alias("kth_min_hash"),
+        )
+    )
+
+    # Exact distinct per grain: exists so the DRIVER can certify the
+    # estimator against truth; a production rollup would drop it.
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    exact = exact.unionByName(
+        ev.agg(
+            F.lit("__all__").alias("event_type"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+    )
+    u_k = F.conv(F.col("kth_min_hash"), 16, 10).cast("long") / F.lit(_KMV_SCALE)
+    est = F.when(
+        F.col("n_in_sketch") < KMV_K, F.col("n_in_sketch").cast("double")
+    ).otherwise(F.round((KMV_K - 1.0) / u_k, 6))
+    return sk.join(F.broadcast(exact), "event_type").select(
+        "event_type", "n_in_sketch", "kth_min_hash",
+        est.alias("est_distinct"), "n_exact",
+    )

@@ -522,3 +522,78 @@ def test_label_cohesion_identity_vs_bruteforce(spark):
     for label, exp in expected.items():
         assert abs(got[label] - exp) < 1e-4, (label, got[label], exp)
     assert got[0] > got[1]  # tight label coheres more than the spread one
+
+
+def test_pq_topk_recall_vs_exact_l2(spark):
+    """x54's PQ+ADC+rerank pipeline must recover most of the exact-L2
+    top-k. The ADC scan alone is lossy (4-bit codes); the exact rerank of
+    the bounded shortlist is what buys the recall — same production shape
+    as FAISS IVFPQ+refine."""
+    import numpy as np
+
+    from smart_water_management_spark.llmdata import similarity as sim
+
+    got = sim.x54_pq_topk(spark, SF_DIR).collect()
+    em = sorted(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in em])
+    mat = np.array([r.embedding for r in em], dtype=np.float64)
+    hits = total = 0
+    for q in range(sim.N_QUERIES):
+        d = ((mat - mat[ids == q][0]) ** 2).sum(axis=1)
+        d[ids == q] = np.inf
+        order = np.lexsort((ids, d))
+        exact = set(ids[order[: sim.TOP_K]])
+        approx = {r.vec_id for r in got if r.qid == q}
+        hits += len(exact & approx)
+        total += sim.TOP_K
+    assert hits / total >= 0.8, f"PQ recall@{sim.TOP_K} too low: {hits/total:.2f}"
+    # per-query contract: exactly TOP_K rows, ranks 1..k, distances sorted
+    for q in range(sim.N_QUERIES):
+        rows = sorted((r for r in got if r.qid == q), key=lambda r: r.rn)
+        assert [r.rn for r in rows] == list(range(1, sim.TOP_K + 1))
+        dists = [r.l2_dist for r in rows]
+        assert dists == sorted(dists)
+
+
+def test_bpe_apply_matches_pure_python(spark):
+    """x55's distributed merge application must equal the pure-Python
+    greedy reference on every document (exact, not statistical)."""
+    from smart_water_management_spark.llmdata import text as t
+
+    merges = [
+        tuple(r["pair"].split(" ", 1))
+        for r in t.x42_bpe_first_merges(spark, SF_DIR).orderBy("rn").collect()
+    ]
+    got = {
+        r.doc_id: (r.n_tokens_before, r.n_tokens_after, r.compression)
+        for r in t.x55_bpe_apply(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    assert len(got) == len(docs)
+    for d in docs:
+        toks = d.text.lower().split(" ")
+        enc = t.apply_merges(toks, merges)
+        nb, na, comp = got[d.doc_id]
+        assert (nb, na) == (len(toks), len(enc)), f"doc {d.doc_id}"
+        assert comp == round(na / nb, 6)
+    # the merge table must actually fire somewhere on the fixture corpus
+    assert any(na < nb for nb, na, _ in got.values())
+
+
+def test_bpe_apply_greedy_semantics():
+    """Unit semantics of the shared reference function: priority order,
+    left-to-right non-overlapping fusion, chained merges."""
+    from smart_water_management_spark.llmdata.text import apply_merges
+
+    # non-overlapping left-to-right: [a a a] with merge (a,a) -> [aa, a]
+    assert apply_merges(["a", "a", "a"], [("a", "a")]) == ["a a", "a"]
+    # priority: first rule wins the overlap
+    assert apply_merges(["a", "b", "c"], [("a", "b"), ("b", "c")]) == ["a b", "c"]
+    # chained: later rule sees earlier rule's fused tokens
+    assert apply_merges(["a", "b", "c"], [("a", "b"), ("a b", "c")]) == ["a b c"]
+    # no-op on empty/singleton
+    assert apply_merges([], [("a", "b")]) == []
+    assert apply_merges(["x"], [("a", "b")]) == ["x"]

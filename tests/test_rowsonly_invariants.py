@@ -151,3 +151,61 @@ def test_hll_sketch_rollup_accuracy(spark, duck):
     assert row.n_events == exact_events
     assert row.n_users_exact == exact_users
     assert row.est_within_5pct is True
+
+
+def test_kmv_sketch_merge_is_exact_and_estimator_behaves(spark, duck):
+    """a24: (1) merging per-day partial KMV sketches must equal the direct
+    global k-min computation — the exact-reaggregation claim; (2) under
+    sketch capacity the estimate IS the exact count; above capacity the
+    (k-1)/u_k estimator must land within a loose 4/sqrt(k) relative band
+    (KMV's standard error is ~1/sqrt(k-2))."""
+    import hashlib
+
+    from smart_water_management_spark.operators.aggregations import KMV_K
+
+    rows = {r.event_type: r for r in _run(spark, "a24_kmv_sketch").collect()}
+    users = duck.execute(
+        "SELECT event_type, user_id FROM events GROUP BY 1, 2"
+    ).fetchall()
+    by_type: dict = {}
+    for et, uid in users:
+        by_type.setdefault(et, set()).add(uid)
+    by_type["__all__"] = set().union(*by_type.values())
+    assert set(rows) == set(by_type)
+    for et, uids in by_type.items():
+        hxs = sorted(hashlib.md5(str(u).encode()).hexdigest()[:12] for u in uids)
+        kmin = hxs[:KMV_K]
+        r = rows[et]
+        # direct global k-min == the merged-partials path Spark ran
+        assert r.n_in_sketch == len(kmin)
+        assert r.kth_min_hash == kmin[-1]
+        assert r.n_exact == len(uids)
+        if len(uids) < KMV_K:
+            assert r.est_distinct == float(len(uids))
+        else:
+            rel = abs(r.est_distinct - r.n_exact) / r.n_exact
+            assert rel <= 4 / (KMV_K ** 0.5), f"{et}: rel err {rel:.3f}"
+
+
+def test_pps_sample_draws_exactly_n_and_heavy_docs_always_selected(spark, duck):
+    """x53: systematic PPS must draw EXACTLY n copies per stratum (the
+    grid covers the whole weight axis), and any document whose weight
+    exceeds the grid stride W/n is mathematically guaranteed selection."""
+    from smart_water_management_spark.llmdata.curation import PPS_N
+
+    rows = _run(spark, "x53_pps_sample").collect()
+    per_lang: dict = {}
+    for r in rows:
+        per_lang[r.lang] = per_lang.get(r.lang, 0) + r.n_copies
+    assert per_lang == PPS_N
+    totals = dict(
+        duck.execute(
+            "SELECT lang, SUM(n_chars) FROM documents GROUP BY lang"
+        ).fetchall()
+    )
+    selected = {(r.lang, r.doc_id) for r in rows}
+    docs = duck.execute("SELECT lang, doc_id, n_chars FROM documents").fetchall()
+    for lang, doc_id, w in docs:
+        n = PPS_N.get(lang, 0)
+        if n and w * n > totals[lang]:
+            assert (lang, doc_id) in selected, f"heavy doc {doc_id} missed"
