@@ -900,3 +900,113 @@ def x55_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens_after").cast("double") / F.col("n_tokens_before"), 6
         ).alias("compression"),
     )
+
+
+# --- x57: Heaps'-law vocabulary-growth fit -----------------------------------
+
+
+@register(
+    "x57_heaps_fit",
+    # Same transcendental-determinism posture as x51: per-point ln values
+    # are cast to DECIMAL(38,6) inside the moment sums, so the regression
+    # inputs are order-independent and ulp-immune on both engines.
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    firsts AS (SELECT w, MIN(doc_id) AS first_doc FROM tok GROUP BY w),
+    per_doc AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tok,
+             COUNT(DISTINCT f.w) AS n_new
+      FROM tok t LEFT JOIN firsts f
+        ON t.w = f.w AND f.first_doc = t.doc_id
+      GROUP BY t.doc_id
+    ),
+    cum AS (
+      SELECT ln(CAST(SUM(n_tok) OVER (ORDER BY doc_id) AS DOUBLE)) AS x,
+             ln(CAST(SUM(n_new) OVER (ORDER BY doc_id) AS DOUBLE)) AS y
+      FROM per_doc
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x*x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y*y AS DECIMAL(38,6))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(x*y AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM cum
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS heaps_beta,
+           ROUND((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+             AS heaps_logk,
+           ROUND(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+                 / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+    FROM m
+    """,
+    doc="Heaps'-law vocabulary-growth fit: V(n) ~ K*n^beta over the "
+    "document stream in doc_id order — each word charged to its FIRST "
+    "document (one min-agg per word, no running distinct state), so the "
+    "cumulative vocabulary curve falls out of two prefix sums over "
+    "doc-count-sized data. beta well below 1 means vocabulary saturates "
+    "(natural text); beta near 1 flags ID-like or templated token soup. "
+    "The corpus-growth companion to x51 (Zipf) for corpus-health audits; "
+    "the token explode + word min-agg is the word-count shape at any "
+    "scale, and the regression reuses m06's exact-decimal closed form",
+)
+def x57_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dsum
+
+    tok = doc_token_table(spark, sf_dir)
+    firsts = (
+        tok.groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .select(F.col("w").alias("fw"), "first_doc")
+    )
+    per_doc = (
+        tok.join(
+            firsts,
+            (F.col("w") == F.col("fw")) & (F.col("first_doc") == F.col("doc_id")),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.countDistinct("fw").alias("n_new"),
+        )
+    )
+    # prefix sums over doc-count-sized data: the corpus explode was
+    # already reduced, so the single-partition window is deliberate
+    # (x51's pattern)
+    wc = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = per_doc.select(
+        F.log(F.sum("n_tok").over(wc).cast("double")).alias("x"),
+        F.log(F.sum("n_new").over(wc).cast("double")).alias("y"),
+    )
+    m = cum.agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("x", 38).alias("sx"),
+        dsum("y", 38).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 38).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 38).alias("syy"),
+        dsum(F.col("x") * F.col("y"), 38).alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    r2 = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+    ) / (
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "heaps_logk"
+        ),
+        F.round(r2, 6).alias("r2"),
+    )

@@ -947,3 +947,164 @@ def a24_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_in_sketch", "kth_min_hash",
         est.alias("est_distinct"), "n_exact",
     )
+
+
+# --- A25: sketch set operations — KMV intersection / Jaccard estimates.
+# The capability HLL fundamentally lacks (HLL unions compose, intersections
+# via inclusion-exclusion blow up): for two KMV sketches, the k smallest of
+# their union L is itself a valid KMV sample of A∪B, and the fraction of L
+# present in BOTH sketches estimates Jaccard(A,B); scaling by the union
+# estimate gives |A∩B|. Everything is md5-deterministic, so the oracle
+# reproduces the estimates bit-for-bit AND carries the exact intersection
+# for calibration — the driver certifies estimator + truth side by side.
+@register(
+    "a25_sketch_intersection",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, {_KMV_HEX}) AS hx
+      FROM events
+    ),
+    sk AS (
+      SELECT event_type, hx FROM (
+        SELECT event_type, hx,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hx) AS rn
+        FROM h
+      ) WHERE rn <= {KMV_K}
+    ),
+    tp AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM sk) a
+      JOIN (SELECT DISTINCT event_type FROM sk) b
+        ON a.event_type < b.event_type
+    ),
+    tagged AS (
+      SELECT tp.type_a, tp.type_b, sk.hx,
+             MAX(CASE WHEN sk.event_type = tp.type_a THEN 1 ELSE 0 END) AS in_a,
+             MAX(CASE WHEN sk.event_type = tp.type_b THEN 1 ELSE 0 END) AS in_b
+      FROM tp JOIN sk
+        ON sk.event_type IN (tp.type_a, tp.type_b)
+      GROUP BY tp.type_a, tp.type_b, sk.hx
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY type_a, type_b ORDER BY hx) AS rn
+      FROM tagged
+    ),
+    merged AS (
+      SELECT type_a, type_b,
+             COUNT(*) AS n_merged,
+             MAX(hx) AS kth,
+             CAST(SUM(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_common
+      FROM ranked WHERE rn <= {KMV_K}
+      GROUP BY type_a, type_b
+    ),
+    exact AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS n_exact_intersection
+      FROM (SELECT DISTINCT event_type, user_id FROM events) a
+      JOIN (SELECT DISTINCT event_type, user_id FROM events) b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT m.type_a, m.type_b, n_common,
+           ROUND(CAST(n_common AS DOUBLE) / n_merged, 6) AS jaccard_est,
+           ROUND((CAST(n_common AS DOUBLE) / n_merged)
+                 * CASE WHEN n_merged < {KMV_K}
+                        THEN CAST(n_merged AS DOUBLE)
+                        ELSE ({KMV_K} - 1.0)
+                          / (CAST(('0x' || kth) AS BIGINT) / {_KMV_SCALE}) END,
+                 6) AS est_intersection,
+           COALESCE(n_exact_intersection, 0) AS n_exact_intersection
+    FROM merged m LEFT JOIN exact e
+      ON m.type_a = e.type_a AND m.type_b = e.type_b
+    """,
+    doc=f"A25: KMV sketch intersections — for every event-type pair, the "
+    f"k={KMV_K} smallest hashes of the union form a valid sample whose "
+    "both-sketch fraction estimates Jaccard; scaled by the union estimate "
+    "it yields |A∩B| with the exact intersection alongside for "
+    "calibration. Sketches are bounded (k rows/key), so the pairwise "
+    "stage costs k x |pairs| — never touches raw data again: the "
+    "overlap-matrix pattern (x33) at 100 TB without rescanning sources",
+)
+def a25_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hx = F.substring(F.md5(F.col("user_id").cast("string")), 1, _KMV_HEX)
+    h = ev.select("event_type", hx.alias("hx")).distinct()
+    wk = W.partitionBy("event_type").orderBy("hx")
+    sk = (
+        h.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "hx")
+        .persist()  # consumed by the pair expansion twice (type list + rows)
+    )
+    types = sk.select("event_type").distinct()
+    tp = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    tagged = (
+        tp.join(
+            F.broadcast(sk),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "hx")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == F.col("type_a"), 1).otherwise(0)
+            ).alias("in_a"),
+            F.max(
+                F.when(F.col("event_type") == F.col("type_b"), 1).otherwise(0)
+            ).alias("in_b"),
+        )
+    )
+    wp = W.partitionBy("type_a", "type_b").orderBy("hx")
+    merged = (
+        tagged.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count("*").alias("n_merged"),
+            F.max("hx").alias("kth"),
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+            ).alias("n_common"),
+        )
+    )
+    du = ev.select("event_type", "user_id").distinct()
+    exact = (
+        du.select(F.col("event_type").alias("type_a"), "user_id")
+        .join(du.select(F.col("event_type").alias("type_b"), "user_id"), "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_exact_intersection"))
+    )
+    jac = F.col("n_common").cast("double") / F.col("n_merged")
+    est_union = F.when(
+        F.col("n_merged") < KMV_K, F.col("n_merged").cast("double")
+    ).otherwise(
+        (KMV_K - 1.0)
+        / (F.conv(F.col("kth"), 16, 10).cast("long") / F.lit(_KMV_SCALE))
+    )
+    out = (
+        merged.join(exact, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            "n_common",
+            F.round(jac, 6).alias("jaccard_est"),
+            F.round(jac * est_union, 6).alias("est_intersection"),
+            F.coalesce("n_exact_intersection", F.lit(0)).alias(
+                "n_exact_intersection"
+            ),
+        )
+    )
+    sk.unpersist()
+    return out
