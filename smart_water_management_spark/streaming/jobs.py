@@ -69,14 +69,25 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"swm_events_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
     )
     os.makedirs(stage, exist_ok=True)
-    link = os.path.join(stage, "events.parquet")
     target = f"{sf_dir}/events.parquet"
     # unconditional relink: lexists (not exists) also catches a dangling
     # link whose target vanished, which exists() would miss and symlink()
     # would then trip over with FileExistsError
-    if os.path.lexists(link):
-        os.unlink(link)
-    os.symlink(target, link)
+    for old in os.listdir(stage):
+        os.unlink(os.path.join(stage, old))
+    if os.path.isdir(target):
+        # multi-file landing directory (the production shape): fan each
+        # part file into the stage so maxFilesPerTrigger paces REAL
+        # micro-batches — the file source does not recurse into subdirs
+        for i, part in enumerate(
+            sorted(f for f in os.listdir(target) if f.endswith(".parquet"))
+        ):
+            os.symlink(
+                os.path.join(target, part),
+                os.path.join(stage, f"events_{i:05d}.parquet"),
+            )
+    else:
+        os.symlink(target, os.path.join(stage, "events.parquet"))
     from ..sources.catalog import normalize_event_ts
 
     # Footer-only batch read to learn the physical ts type (bigint = NANOS
@@ -723,3 +734,111 @@ def t13_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("summ") / F.lit(1_000_000.0)) / F.col("n_events"), 6
         ).alias("mean_value"),
     )
+
+
+# --- t14: incrementally-maintained KMV distinct sketch -----------------------
+
+
+def kmv_sketch_upsert_stream(
+    spark: SparkSession, sf_dir: str, target_table: str = "kmv_sketch_state"
+) -> DataFrame:
+    """T14: a24's KMV distinct sketch maintained INCREMENTALLY by a
+    streaming foreachBatch merge.
+
+    The state table holds at most k hash rows per event_type. Each
+    micro-batch contributes its distinct md5-derived hashes; merge =
+    union + distinct + re-top-k — and because the k smallest of a union
+    of k-smallest sets IS the global k-smallest set, the final state is
+    EXACTLY the sketch a batch pass over all data would build, for any
+    batch slicing. That replay-invariance is what makes sketches the
+    right distinct-count state for streams: bounded rows per key, no
+    raw-data reprocessing, mergeable across restarts.
+    """
+    from ..sources.catalog import reset_managed_table
+    from pyspark.sql import Window as W
+
+    reset_managed_table(spark, target_table)
+    spark.sql(
+        f"""CREATE TABLE {target_table}
+            (event_type STRING, hx STRING)
+            USING parquet"""
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        hx = F.substring(F.md5(F.col("user_id").cast("string")), 1, _KMV_HEX)
+        partial = batch_df.select("event_type", hx.alias("hx")).distinct()
+        sp = batch_df.sparkSession
+        wk = W.partitionBy("event_type").orderBy("hx")
+        merged = (
+            sp.table(target_table)
+            .unionByName(partial)
+            .distinct()
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= KMV_K)
+            .select("event_type", "hx")
+        )
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").insertInto(target_table)
+
+    ev = read_event_stream(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(target_table)
+
+
+from ..operators.aggregations import _KMV_HEX, _KMV_SCALE, KMV_K  # noqa: E402
+
+
+@register(
+    "t14_streaming_kmv_sketch",
+    # Exactly a24's per-type oracle (no __all__/exact columns): the
+    # incremental path must land on the identical sketch bit-for-bit.
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             substr(md5(CAST(user_id AS VARCHAR)), 1, {_KMV_HEX}) AS hx
+      FROM events
+    ),
+    ranked AS (
+      SELECT event_type, hx,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hx) AS rn
+      FROM h
+    ),
+    sk AS (
+      SELECT event_type, COUNT(*) AS n_in_sketch, MAX(hx) AS kth_min_hash
+      FROM ranked WHERE rn <= {KMV_K} GROUP BY event_type
+    )
+    SELECT event_type, n_in_sketch, kth_min_hash,
+           CASE WHEN n_in_sketch < {KMV_K}
+                THEN CAST(n_in_sketch AS DOUBLE)
+                ELSE ROUND(({KMV_K} - 1.0)
+                     / (CAST(('0x' || kth_min_hash) AS BIGINT) / {_KMV_SCALE}), 6)
+           END AS est_distinct
+    FROM sk
+    """,
+    doc="T14: KMV distinct sketch maintained incrementally via streaming "
+    "foreachBatch merge — exact-merge property makes the final state "
+    "equal the batch sketch for ANY micro-batch slicing; bounded state "
+    "(k rows per key), certified by the same md5-deterministic oracle "
+    "as a24",
+)
+def t14_streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    state = kmv_sketch_upsert_stream(spark, sf_dir)
+    sk = state.groupBy("event_type").agg(
+        F.count("*").alias("n_in_sketch"),
+        F.max("hx").alias("kth_min_hash"),
+    )
+    u_k = F.conv(F.col("kth_min_hash"), 16, 10).cast("long") / F.lit(_KMV_SCALE)
+    est = F.when(
+        F.col("n_in_sketch") < KMV_K, F.col("n_in_sketch").cast("double")
+    ).otherwise(F.round((KMV_K - 1.0) / u_k, 6))
+    return sk.select(
+        "event_type", "n_in_sketch", "kth_min_hash", est.alias("est_distinct")
+    )
+

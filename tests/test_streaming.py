@@ -300,3 +300,40 @@ def test_t13_stateful_api_gate(spark):
         df.schema.simpleString()
         == "struct<user_id:bigint,n_events:bigint,sum_micro:bigint,max_value:double>"
     )
+
+
+def test_streaming_kmv_multi_batch_merge_equals_direct(spark):
+    """t14's exact-merge claim under REAL incrementality: split events
+    into 4 parquet files (maxFilesPerTrigger=1 => 4 micro-batches, so the
+    foreachBatch merge genuinely re-merges partial sketches) and check
+    the final state equals the direct single-pass k-min computation."""
+    import hashlib
+    import os
+
+    from smart_water_management_spark.operators.aggregations import (
+        _KMV_HEX,
+        KMV_K,
+    )
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        ev.repartition(4).write.parquet(os.path.join(sf_dir, "events.parquet"))
+        out = {
+            r.event_type: (r.n_in_sketch, r.kth_min_hash, r.est_distinct)
+            for r in jobs.t14_streaming_kmv_sketch(spark, sf_dir).collect()
+        }
+    rows = ev.select("event_type", "user_id").distinct().collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, set()).add(r.user_id)
+    assert set(out) == set(by_type)
+    for et, uids in by_type.items():
+        kmin = sorted(
+            hashlib.md5(str(u).encode()).hexdigest()[:_KMV_HEX] for u in uids
+        )[:KMV_K]
+        n, kth, est = out[et]
+        assert (n, kth) == (len(kmin), kmin[-1]), et
+        if len(uids) < KMV_K:
+            assert est == float(len(uids))
