@@ -1010,3 +1010,66 @@ def x57_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(r2, 6).alias("r2"),
     )
+
+
+# --- x58: tokenizer-vocabulary coverage (OOV audit) --------------------------
+
+VOCAB_N = 200  # fixed vocabulary budget (top-N corpus words)
+
+
+@register(
+    "x58_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+        FROM tok GROUP BY w
+      ) WHERE rk <= {VOCAB_N}
+    ),
+    flagged AS (
+      SELECT d.source, t.w, (v.w IS NULL) AS oov
+      FROM tok t
+      JOIN documents d USING (doc_id)
+      LEFT JOIN vocab v ON t.w = v.w
+    )
+    SELECT source,
+           COUNT(*) AS n_tokens,
+           CAST(COUNT(CASE WHEN oov THEN 1 END) AS BIGINT) AS n_oov,
+           ROUND(CAST(COUNT(CASE WHEN oov THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS oov_rate
+    FROM flagged GROUP BY source
+    """,
+    doc=f"tokenizer-vocabulary coverage: fix the top-{VOCAB_N} corpus "
+    "words as the vocabulary and report per-source out-of-vocabulary "
+    "token rates — the audit run before freezing a tokenizer, since a "
+    "source with a high OOV rate will fragment into byte-fallback "
+    "tokens and blow up its effective sequence length. Word-count "
+    "shuffle to build the vocab, then a broadcast (vocab is "
+    "constant-sized) left join over the token stream — no second "
+    "corpus-wide shuffle",
+)
+def x58_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = doc_token_table(spark, sf_dir)
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("w"))
+        .limit(VOCAB_N)
+        .select(F.col("w").alias("vw"))
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    flagged = (
+        tok.join(src, "doc_id")
+        .join(F.broadcast(vocab), F.col("w") == F.col("vw"), "left")
+        .select("source", F.col("vw").isNull().alias("oov"))
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.count(F.when(F.col("oov"), 1)).alias("n_oov"),
+        F.round(
+            F.count(F.when(F.col("oov"), 1)).cast("double") / F.count("*"), 6
+        ).alias("oov_rate"),
+    )

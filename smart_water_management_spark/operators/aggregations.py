@@ -1108,3 +1108,67 @@ def a25_sketch_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk.unpersist()
     return out
+
+
+# --- A26: exact weighted median (cumulative-weight crossing) -----------------
+# The weighted-percentile primitive percentile_approx cannot express: the
+# value at which cumulative WEIGHT (not row count) crosses half the total.
+# Used for "median price weighted by volume"-style measures. Exact decimal
+# cumulative sums + a deterministic (value, key) order make the crossing
+# row engine-independent, so the result is oracle-exact — no approx
+# fallback needed until the per-group sort itself becomes the bottleneck
+# (then: percentile_approx on a weight-expanded sample).
+@register(
+    "a26_weighted_median",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             l_extendedprice AS v,
+             CAST(l_quantity AS DECIMAL(27,6)) AS wt,
+             SUM(CAST(l_quantity AS DECIMAL(27,6))) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cumw,
+             SUM(CAST(l_quantity AS DECIMAL(27,6)))
+               OVER (PARTITION BY l_returnflag) AS total
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+           MIN(v) AS weighted_median,
+           CAST(MIN(total) AS DOUBLE) AS total_weight
+    FROM w
+    WHERE cumw * 2 >= total
+    GROUP BY l_returnflag
+    """,
+    doc="A26: exact weighted median of price by quantity per return flag — "
+    "first value whose exact-decimal cumulative weight crosses half the "
+    "group total, with (value, orderkey, linenumber) as a total order so "
+    "every engine picks the identical crossing row; one per-group "
+    "sort+window, the same exchange the group's other windows share",
+)
+def a26_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wt = F.col("l_quantity").cast("decimal(27,6)")
+    wc = (
+        W.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wp = W.partitionBy("l_returnflag")
+    t = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("v"),
+        F.sum(wt).over(wc).alias("cumw"),
+        F.sum(wt).over(wp).alias("total"),
+    )
+    return (
+        t.filter(F.col("cumw") * 2 >= F.col("total"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.min("total").cast("double").alias("total_weight"),
+        )
+    )

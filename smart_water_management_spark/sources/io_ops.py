@@ -475,3 +475,46 @@ def s17_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(corrupt, F.col("o_orderkey"))).alias("min_corrupt_key"),
         F.max(F.when(corrupt, F.col("o_orderkey"))).alias("max_corrupt_key"),
     )
+
+
+# --- S18: raw text-line source (the LLM-corpus landing format) ---------------
+@register(
+    "s18_text_lines_scan",
+    # Checksum over the documents table reconstructed from a text sink:
+    # one doc per line as "<doc_id>\t<text>" (tab never occurs in the
+    # fixture corpus). Exact-decimal-free: counts + md5-xor-free plain
+    # aggregates keep it engine-portable.
+    oracle="""
+    SELECT COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           COUNT(DISTINCT substr(md5(text), 1, 8)) AS n_distinct_texts,
+           MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+    FROM documents
+    """,
+    doc="S18: spark.read.text scan — documents round-tripped through a "
+    "one-record-per-line text sink (the shape raw LLM corpora land in) "
+    "and re-parsed with split-once semantics; checksum parity proves no "
+    "line loss, reordering tolerance, or delimiter corruption. Text "
+    "sources split by file/block exactly like parquet, so the scan "
+    "parallelizes at 100 TB with no schema metadata at all",
+)
+def s18_text_lines_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("s18_text", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    line = F.concat_ws("\t", F.col("doc_id").cast("string"), F.col("text"))
+    docs.select(line.alias("value")).write.mode("overwrite").text(path)
+    back = spark.read.text(path).select(
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(1))
+        .cast("long")
+        .alias("doc_id"),
+        F.split_part(F.col("value"), F.lit("\t"), F.lit(2)).alias("text"),
+    )
+    return back.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        F.countDistinct(F.substring(F.md5("text"), 1, 8)).alias(
+            "n_distinct_texts"
+        ),
+        F.min("doc_id").alias("min_id"),
+        F.max("doc_id").alias("max_id"),
+    )
