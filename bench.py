@@ -49,8 +49,10 @@ HEADLINE = [
     "t01_tumbling_hourly",        # tumbling windows (batch twin)
     "t03_sessionization",         # gaps-and-islands sessions
     "t05_streaming_hourly",       # TRUE streaming availableNow replay
+    "a24_kmv_sketch",             # re-aggregatable KMV distinct sketch
     "x05_exact_dedup",            # hash dedup
     "x08_minhash_lsh_dedup",      # MinHash+LSH near-dup
+    "x53_pps_sample",             # systematic PPS weighted sampling
     "x36_tile_dedup",             # tile-level exact substring dedup
     "x10_bruteforce_cosine_topk", # similarity search
     "x01_token_stats",            # text analysis

@@ -133,10 +133,13 @@ def validate(df: DataFrame, rules: list[Rule]) -> DataFrame:
         "rule_name",
         "failed_count",
         F.col("__total").alias("total_rows"),
-        (
+        # NULL pass rate on an empty table (0/0 is undefined, and ANSI
+        # mode turns the naive division into a hard DIVIDE_BY_ZERO)
+        F.when(
+            F.col("__total") != 0,
             (F.col("__total") - F.col("failed_count"))
             * F.lit(100).cast("double")
-            / F.col("__total")
+            / F.col("__total"),
         ).alias("pass_rate_pct"),
     )
 

@@ -209,3 +209,51 @@ def test_pps_sample_draws_exactly_n_and_heavy_docs_always_selected(spark, duck):
         n = PPS_N.get(lang, 0)
         if n and w * n > totals[lang]:
             assert (lang, doc_id) in selected, f"heavy doc {doc_id} missed"
+
+
+def test_queries_degrade_gracefully_on_empty_tables(spark, tmp_path):
+    """Engine robustness: a representative query from every family must
+    return a well-formed (usually empty) DataFrame on EMPTY input tables
+    rather than raising — the failure mode the reference's pandas code
+    hits constantly (round-3 advisory: m02's approxQuantile guard).
+    ML/fit-based and bounded-query-set ops are exercised too: fitting on
+    empty input has an explicit guard or a defined empty result."""
+    import os
+
+    from smart_water_management_spark.registry import get
+    from smart_water_management_spark.sources.catalog import TABLES
+
+    empty_dir = str(tmp_path / "sf_empty")
+    os.makedirs(empty_dir)
+    for t in TABLES:
+        (
+            spark.read.parquet(f"{SF_DIR}/{t}.parquet")
+            .limit(0)
+            .write.parquet(f"{empty_dir}/{t}.parquet")
+        )
+    names = [
+        "a01_multi_agg_pricing",
+        "a24_kmv_sketch",
+        "a26_weighted_median",
+        "j03_star_join",
+        "j09_asof_join",
+        "w02_range_rolling",
+        "w17_rolling_median",
+        "q05_district_performance",
+        "v01_fused_validation",
+        "t01_tumbling_hourly",
+        "x01_token_stats",
+        "x05_exact_dedup",
+        "x22_stratified_sample",
+        "x53_pps_sample",
+        "x57_heaps_fit",
+        "o01_topk_orders",
+        "p01_filter_project",
+        "d01_keyed_dedup",
+        "c02_time_dimension",
+        "f03_math_functions",
+    ]
+    for name in names:
+        df = get(name).fn(spark, empty_dir)
+        rows = df.collect()  # must not raise
+        assert rows is not None, name
