@@ -1232,3 +1232,99 @@ def x56_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ce").alias("max_ce"),
     )
 
+
+
+# --- x59: dataset card (per-source corpus report) ----------------------------
+
+
+@register(
+    "x59_dataset_card",
+    # Every measure is integer, exact-decimal, or a shared deterministic
+    # expression (bag fingerprint, quality bands, unigram CE), so the
+    # whole card hash-matches the oracle. top_lang ties break on lang.
+    oracle=UNIGRAM_SCORED_SQL
+    + f"""
+    , per_doc_ce AS (
+      SELECT doc_id,
+             CAST(ROUND(CAST(SUM(nl) AS DOUBLE) / COUNT(*), 6)
+                  AS DECIMAL(27,6)) AS ce
+      FROM scored GROUP BY doc_id
+    ),
+    base AS (
+      SELECT d.source, d.lang, d.doc_id,
+             len(string_split(lower(d.text), ' ')) AS n_tok,
+             md5(list_aggregate(list_sort(string_split(lower(d.text), ' ')),
+                                'string_agg', ' ')) AS bag_fp,
+             p.ce
+      FROM documents d JOIN per_doc_ce p USING (doc_id)
+    ),
+    lang_rank AS (
+      SELECT source, lang, COUNT(*) AS n,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY COUNT(*) DESC, lang) AS rk
+      FROM base GROUP BY source, lang
+    )
+    SELECT b.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT b.lang) AS n_langs,
+           MIN(lr.lang) AS top_lang,
+           ROUND(1.0 - CAST(COUNT(DISTINCT bag_fp) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate,
+           ROUND(CAST(SUM(b.ce) AS DOUBLE) / COUNT(*), 6) AS mean_ce
+    FROM base b
+    JOIN (SELECT source, lang FROM lang_rank WHERE rk = 1) lr
+      ON b.source = lr.source
+    GROUP BY b.source
+    """,
+    doc="dataset card: the per-source corpus report a training run's data "
+    "statement needs — doc/token counts, language mix and dominant "
+    "language, bag-fingerprint duplicate rate, and mean unigram "
+    "cross-entropy — composed entirely from the engine's shared "
+    "deterministic expressions (x04's fingerprint, x27's scoring) in "
+    "word-count-shaped passes; one extra tiny join attaches the "
+    "dominant language per source",
+)
+def x59_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .text import bag_fp_expr, tokens, unigram_scored
+
+    d = load_table(spark, sf_dir, "documents")
+    ce_col = (F.sum("nl").cast("double") / F.count("*"))
+    per_doc_ce = (
+        unigram_scored(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.round(ce_col, 6).cast("decimal(27,6)").alias("ce"))
+    )
+    base = d.select(
+        "source",
+        "lang",
+        "doc_id",
+        F.size(tokens("text")).alias("n_tok"),
+        bag_fp_expr("text").alias("bag_fp"),
+    ).join(per_doc_ce, "doc_id")
+    wr = W.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    top_lang = (
+        base.groupBy("source", "lang")
+        .agg(F.count("*").alias("n"))
+        .withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("lang").alias("top_lang"))
+    )
+    return (
+        base.join(F.broadcast(top_lang), "source")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min("top_lang").alias("top_lang"),
+            F.round(
+                1.0 - F.countDistinct("bag_fp").cast("double") / F.count("*"), 6
+            ).alias("dup_rate"),
+            F.round(F.sum("ce").cast("double") / F.count("*"), 6).alias(
+                "mean_ce"
+            ),
+        )
+    )

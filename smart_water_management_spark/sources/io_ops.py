@@ -518,3 +518,84 @@ def s18_text_lines_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("min_id"),
         F.max("doc_id").alias("max_id"),
     )
+
+
+# --- C10: small-file audit + compaction --------------------------------------
+@register(
+    "c10_compaction_audit",
+    # File counts before compaction depend on hash placement (8 writer
+    # tasks x 3 partition values), so the audit emits INVARIANT booleans
+    # plus exact per-partition data checksums; n_files_after == 1 is the
+    # deterministic outcome of clustering by the partition column.
+    oracle="""
+    SELECT o_orderstatus,
+           TRUE AS was_fragmented,
+           1 AS n_files_after,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    doc="C10: the small-file problem end-to-end — a fragmented write (8 "
+    "hash-distributed writer tasks per partition value) is audited via "
+    "input_file_name() per-partition file counts, then compacted by "
+    "re-clustering on the partition column (one writer per value => one "
+    "file per directory), with exact-decimal checksums proving the "
+    "rewrite lost nothing. At 100 TB this is the scheduled maintenance "
+    "job that keeps scan task counts O(partitions), not O(appends); "
+    "swap the full rewrite for per-partition rewrites gated on the "
+    "audit's file counts",
+)
+def c10_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    frag_path = _scratch("c10_frag", sf_dir)
+    compact_path = _scratch("c10_compact", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+
+    # Fragmented layout: 8 writer tasks, each holding rows of (almost
+    # surely) every status => ~8 files per partition directory.
+    (
+        orders.repartition(8, "o_orderkey")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(frag_path)
+    )
+    audit_before = (
+        spark.read.parquet(frag_path)
+        .select("o_orderstatus", F.input_file_name().alias("f"))
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("f").alias("n_files_before"))
+    )
+
+    # Compaction: cluster by the partition column so each value lands in
+    # exactly one writer task => exactly one file per directory.
+    (
+        spark.read.parquet(frag_path)
+        .repartition("o_orderstatus")
+        .write.mode("overwrite")
+        .partitionBy("o_orderstatus")
+        .parquet(compact_path)
+    )
+    compacted = spark.read.parquet(compact_path)
+    audit_after = (
+        compacted.select("o_orderstatus", F.input_file_name().alias("f"))
+        .groupBy("o_orderstatus")
+        .agg(F.countDistinct("f").alias("n_files_after"))
+    )
+    checks = compacted.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+    return (
+        audit_before.join(audit_after, "o_orderstatus")
+        .join(checks, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            (F.col("n_files_before") > F.col("n_files_after")).alias(
+                "was_fragmented"
+            ),
+            F.col("n_files_after").cast("int").alias("n_files_after"),
+            "n_rows",
+            "sum_price",
+        )
+    )
