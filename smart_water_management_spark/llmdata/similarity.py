@@ -1004,3 +1004,129 @@ def x54_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", F.round("l2_dist", 6).alias("l2_dist"), "rn")
     )
+
+
+# --- x60: PageRank over the k-NN similarity graph ----------------------------
+
+PR_ITERS = 5
+PR_DAMP = 0.85
+PR_KNN = 3  # out-degree: top-3 cosine neighbors within the label block
+
+
+def _pr_knn_sql() -> str:
+    """The deterministic directed k-NN edge list, shared CTE text."""
+    dot = _SQL_DOT.format(a="a.embedding", b="b.embedding")
+    na = _SQL_SQNORM.format(a="a.embedding")
+    nb = _SQL_SQNORM.format(a="b.embedding")
+    return f"""
+    edges AS (
+      SELECT src, dst FROM (
+        SELECT a.vec_id AS src, b.vec_id AS dst,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY {dot} / (SQRT({na}) * SQRT({nb})) DESC, b.vec_id
+               ) AS rk
+        FROM embeddings a JOIN embeddings b
+          ON a.label = b.label AND a.vec_id <> b.vec_id
+      ) WHERE rk <= {PR_KNN}
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nn FROM embeddings)
+    """
+
+
+def _pr_oracle() -> str:
+    """Unrolled power iteration: each round is a join + decimal-exact
+    contribution sum — expressible without recursive aggregation, so the
+    iterative algorithm itself is oracle-checked."""
+    sql = "WITH " + _pr_knn_sql() + """,
+    r0 AS (SELECT vec_id, 1.0 / nn AS r FROM embeddings CROSS JOIN n)
+    """
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        # zero-in-degree nodes must stay in the rank vector at (1-d)/N —
+        # they keep contributing along their out-edges in later rounds
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst AS vec_id,
+             CAST(SUM(CAST(ROUND(p.r / {PR_KNN}, 12) AS DECIMAL(27,12)))
+                  AS DOUBLE) AS contrib
+      FROM edges e JOIN {prev} p ON e.src = p.vec_id
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT em.vec_id,
+             ROUND((1.0 - {PR_DAMP}) / n.nn
+                   + {PR_DAMP} * COALESCE(c.contrib, 0.0), 12) AS r
+      FROM embeddings em CROSS JOIN n
+      LEFT JOIN c{i} c ON em.vec_id = c.vec_id
+    )"""
+        prev = f"r{i}"
+    sql += f"""
+    SELECT vec_id, ROUND(r, 9) AS pagerank
+    FROM {prev}
+    ORDER BY vec_id
+    """
+    return sql
+
+
+@register(
+    "x60_knn_pagerank",
+    oracle=_pr_oracle(),
+    doc=f"PageRank over the directed k-NN similarity graph (top-{PR_KNN} "
+    "cosine neighbors within each label block): the graph-centrality "
+    "signal used to pick canonical representatives / weigh quality "
+    "inside near-dup clusters. The iterative shape is the engine's "
+    "Pregel analog — per round one hash join (ranks x edges, both "
+    "partitioned on the join key) + one map-combined aggregate, lineage "
+    f"truncated per round; {PR_ITERS} rounds unrolled in the oracle so "
+    "the ITERATION ITSELF is hash-checked, not just invariants. "
+    "Per-contribution 12-dp rounding + decimal sums make every round "
+    "order-independent and engine-exact",
+)
+def x60_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", _dbl("embedding").alias("e")
+    )
+    a = em.select("label", F.col("vec_id").alias("src"), F.col("e").alias("ea"))
+    b = em.select("label", F.col("vec_id").alias("dst"), F.col("e").alias("eb"))
+    wk = W.partitionBy("src").orderBy(
+        F.desc("cos"), F.asc("dst")
+    )
+    edges = (
+        a.join(b, "label")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= PR_KNN)
+        .select("src", "dst")
+        .persist()  # re-joined every iteration
+    )
+    n = em.count()  # bounded driver scalar (graph size)
+    nodes = em.select("vec_id").persist()
+    ranks = nodes.select("vec_id", (F.lit(1.0) / n).alias("r"))
+    contrib = F.round(F.col("r") / PR_KNN, 12).cast("decimal(27,12)")
+    for _ in range(PR_ITERS):
+        summed = (
+            edges.join(ranks, edges["src"] == ranks["vec_id"])
+            .groupBy(edges["dst"].alias("vec_id"))
+            .agg(F.sum(contrib).cast("double").alias("contrib"))
+        )
+        # zero-in-degree nodes stay in the vector at (1-d)/N so their
+        # out-edges keep contributing in later rounds (true PR semantics)
+        ranks = (
+            nodes.join(summed, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.round(
+                    (1.0 - PR_DAMP) / n
+                    + PR_DAMP * F.coalesce("contrib", F.lit(0.0)),
+                    12,
+                ).alias("r"),
+            )
+            # truncate lineage: without this the plan doubles per round
+            .localCheckpoint(eager=False)
+        )
+    out = ranks.select("vec_id", F.round("r", 9).alias("pagerank"))
+    edges.unpersist()
+    nodes.unpersist()
+    return out

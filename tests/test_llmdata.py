@@ -597,3 +597,18 @@ def test_bpe_apply_greedy_semantics():
     # no-op on empty/singleton
     assert apply_merges([], [("a", "b")]) == []
     assert apply_merges(["x"], [("a", "b")]) == ["x"]
+
+
+def test_pagerank_mass_conserved_and_positive(spark):
+    """x60: rank mass must stay exactly 1 (every node has out-degree k
+    and stays in the vector, so no mass leaks), every rank >= (1-d)/N,
+    and in-degree-0 nodes sit exactly at the teleport floor."""
+    from smart_water_management_spark.llmdata import similarity as sim
+
+    rows = sim.x60_knn_pagerank(spark, SF_DIR).collect()
+    n = len(rows)
+    floor = round((1 - sim.PR_DAMP) / n, 9)
+    total = sum(r.pagerank for r in rows)
+    assert abs(total - 1.0) < 1e-6, total
+    assert all(r.pagerank >= floor - 1e-12 for r in rows)
+    assert any(r.pagerank > floor for r in rows)
