@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..registry import register
 from ..sources.catalog import load_table, pin_derived
-from .text import STOPWORDS, UNIGRAM_SCORED_SQL, tokens
+from .text import CONTEXT_LEN, STOPWORDS, UNIGRAM_SCORED_SQL, tokens
 
 # --- x21: Gopher-style rule filters -----------------------------------------
 
@@ -1327,4 +1327,78 @@ def x59_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mean_ce"
             ),
         )
+    )
+
+
+# --- x61: sequence-packing assignment (first-fit-decreasing) -----------------
+
+
+def ffd_pack(sizes: list, capacity: int) -> list:
+    """Reference first-fit-decreasing bin packing: sort sizes descending,
+    place each item in the first bin with room, open a new bin otherwise.
+    Items larger than capacity get a dedicated chain of full bins plus a
+    remainder bin (concatenative chunking, x38's rule). Returns the list
+    of bin loads. Pure function shared by the Spark grouped-map and the
+    tests' oracle."""
+    bins: list = []
+    for s in sorted(sizes, reverse=True):
+        while s > capacity:  # oversized: dedicated full bins
+            bins.append(capacity)
+            s -= capacity
+        if s == 0:
+            continue
+        for i, load in enumerate(bins):
+            if load + s <= capacity:
+                bins[i] = load + s
+                break
+        else:
+            bins.append(s)
+    return bins
+
+
+@register(
+    "x61_ffd_packing",
+    oracle=None,  # sequential first-fit state is not SQL-expressible;
+    # exactness vs the pure-Python reference is asserted in tests
+    doc=f"sequence-packing assignment: first-fit-decreasing bin packing "
+    f"of each source's documents into {CONTEXT_LEN}-token training "
+    "sequences via applyInPandas (one grouped-map per source — the "
+    "packing unit of a real data-mixing job), reporting bins used, the "
+    "ceil(total/context) lower bound x34 computes, and realized "
+    "utilization. FFD is sequential WITHIN a source but sources pack "
+    "independently, so the 100 TB shape shards the corpus into "
+    "packing groups (source x shard) and runs thousands of these "
+    "grouped maps in parallel",
+)
+def x61_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", F.size(tokens("text")).alias("n_tok")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        sizes = pdf["n_tok"].tolist()
+        bins = ffd_pack(sizes, CONTEXT_LEN)
+        total = int(sum(sizes))
+        lower = math.ceil(total / CONTEXT_LEN)
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [len(sizes)],
+                "total_tokens": [total],
+                "bins_used": [len(bins)],
+                "lower_bound": [lower],
+                "utilization": [
+                    round(total / (len(bins) * CONTEXT_LEN), 6) if bins else 1.0
+                ],
+            }
+        )
+
+    return d.groupBy("source").applyInPandas(
+        pack,
+        "source string, n_docs long, total_tokens long, bins_used long, "
+        "lower_bound long, utilization double",
     )

@@ -612,3 +612,44 @@ def test_pagerank_mass_conserved_and_positive(spark):
     assert abs(total - 1.0) < 1e-6, total
     assert all(r.pagerank >= floor - 1e-12 for r in rows)
     assert any(r.pagerank > floor for r in rows)
+
+
+def test_ffd_packing_matches_reference_and_bounds(spark, duck):
+    """x61: the distributed grouped-map must equal the pure-Python FFD on
+    every source, respect the ceil(total/context) lower bound, and stay
+    within FFD's 11/9*OPT+1 guarantee (using the lower bound as OPT's
+    floor)."""
+    from smart_water_management_spark.llmdata import curation as c
+
+    got = {r.source: r for r in c.x61_ffd_packing(spark, SF_DIR).collect()}
+    rows = duck.execute(
+        "SELECT source, len(string_split(lower(text), ' ')) FROM documents"
+    ).fetchall()
+    by_src: dict = {}
+    for src, n in rows:
+        by_src.setdefault(src, []).append(n)
+    assert set(got) == set(by_src)
+    for src, sizes in by_src.items():
+        bins = c.ffd_pack(sizes, c.CONTEXT_LEN)
+        r = got[src]
+        assert r.bins_used == len(bins), src
+        assert r.total_tokens == sum(sizes)
+        import math
+
+        lower = math.ceil(sum(sizes) / c.CONTEXT_LEN)
+        assert r.lower_bound == lower
+        assert lower <= r.bins_used <= math.ceil(11 / 9 * lower) + 1
+        assert 0 < r.utilization <= 1.0
+
+
+def test_ffd_pack_reference_semantics():
+    """Unit semantics of the shared packing function."""
+    from smart_water_management_spark.llmdata.curation import ffd_pack
+
+    # decreasing first-fit: [5,4,3,2] into cap 7 -> [5+2, 4+3]
+    assert sorted(ffd_pack([3, 5, 2, 4], 7)) == [7, 7]
+    # oversized item chains full bins + remainder
+    assert sorted(ffd_pack([16], 7)) == [2, 7, 7]
+    # exact multiples leave no remainder bin
+    assert ffd_pack([14], 7) == [7, 7]
+    assert ffd_pack([], 7) == []
