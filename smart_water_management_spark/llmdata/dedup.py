@@ -232,14 +232,11 @@ def verify_jaccard(
     )
 
 
-def _x08_cte() -> str:
-    """Shared WITH-chain ending in ``verified(doc_a, doc_b, jaccard)`` —
-    the DuckDB twin of the full MinHash+LSH pipeline: same md5-derived
-    shingle hashes, same linear variant family, same string band keys,
-    same exact-Jaccard verify. The banded candidate generation is
-    deterministic, so the 'approximate' operators built on it (x08, x39,
-    x15) all carry exact oracles (x09's precedent, extended through the
-    banding stage)."""
+def _sig_banded_cte(table: str) -> str:
+    """CTE chain ``tkt -> sh -> hs -> sig -> banded`` — the signature +
+    banding stages of the MinHash pipeline as SQL text, shared by the
+    x08-family oracles and the x63 recall audit so the audited banding
+    IS the production banding."""
     r = MINHASH_K // LSH_BANDS
     mins = ",\n             ".join(
         f"MIN((h1*{a} + h2*{b} + {s}) % {_MH_P}) AS h{s}"
@@ -254,7 +251,7 @@ def _x08_cte() -> str:
         for b in range(LSH_BANDS)
     )
     return f"""tkt AS (
-      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM {table}
     ), sh AS (
       SELECT doc_id,
              unnest(list_transform(range(1, greatest(len(tk) - 2, 1) + 1),
@@ -270,7 +267,18 @@ def _x08_cte() -> str:
       FROM hs GROUP BY doc_id
     ), banded AS (
       {banded}
-    ), pairs AS (
+    )"""
+
+
+def _x08_cte() -> str:
+    """Shared WITH-chain ending in ``verified(doc_a, doc_b, jaccard)`` —
+    the DuckDB twin of the full MinHash+LSH pipeline: same md5-derived
+    shingle hashes, same linear variant family, same string band keys,
+    same exact-Jaccard verify. The banded candidate generation is
+    deterministic, so the 'approximate' operators built on it (x08, x39,
+    x15) all carry exact oracles (x09's precedent, extended through the
+    banding stage)."""
+    return _sig_banded_cte("documents") + """, pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM banded a
       JOIN banded b ON a.band = b.band AND a.bh = b.bh
@@ -850,4 +858,105 @@ def x52_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = inter.cast("double") / (F.size("tk_a") + F.size("tk_b") - inter)
     return j.select(
         "doc_a", "doc_b", "est_jaccard", F.round(jac, 6).alias("jaccard")
+    )
+
+
+# --- x63: banding recall audit (sampled ground truth) ------------------------
+
+AUDIT_SAMPLE_N = 60  # deterministic md5-ordered doc sample
+AUDIT_J_MIN = 0.3  # lowest Jaccard band audited
+
+
+@register(
+    "x63_lsh_recall_audit",
+    # Entirely md5-deterministic: the sample, the exact all-pairs truth
+    # within it, and the banding's candidate set reproduce bit-for-bit
+    # in SQL, so the RECALL NUMBERS themselves are oracle-checked.
+    oracle=f"""
+    WITH sample_docs AS (
+      SELECT doc_id, text FROM documents
+      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {AUDIT_SAMPLE_N}
+    ),
+    tkd AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk
+      FROM sample_docs
+    ),
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+             / (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk)))
+               AS jaccard
+      FROM sample_docs a JOIN sample_docs b ON a.doc_id < b.doc_id
+      JOIN tkd ta ON ta.doc_id = a.doc_id
+      JOIN tkd tb ON tb.doc_id = b.doc_id
+    ),
+    {_sig_banded_cte("documents")},
+    caught AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT CAST(FLOOR(t.jaccard * 10) AS BIGINT) AS j_decile,
+           COUNT(*) AS n_true_pairs,
+           CAST(COUNT(c.doc_a) AS BIGINT) AS n_caught,
+           ROUND(CAST(COUNT(c.doc_a) AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM truth t
+    LEFT JOIN caught c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    WHERE t.jaccard >= {AUDIT_J_MIN}
+    GROUP BY 1
+    """,
+    doc=f"LSH banding recall audit: exact all-pairs Jaccard ground truth "
+    f"over a deterministic {AUDIT_SAMPLE_N}-doc sample vs the banding's "
+    "candidate set, reported as recall per Jaccard decile — the "
+    "empirical s-curve that tells you whether the (k, bands, r) choice "
+    "still matches the dedup threshold. The all-pairs stage exists ONLY "
+    "inside the bounded sample (the honest way to measure recall at "
+    "100 TB); the banding side is the production candidate generator "
+    "itself, so the audit measures the real pipeline, not a model of it",
+)
+def x63_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sample = (
+        docs.orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .limit(AUDIT_SAMPLE_N)
+        .select("doc_id", "text")
+    )
+    tk = sample.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("tk")
+    )
+    # constant-key equi join instead of a cross join: plans as a
+    # broadcast hash join (the sample is bounded), not CartesianProduct
+    a = tk.select(
+        F.lit(1).alias("k"),
+        F.col("doc_id").alias("doc_a"),
+        F.col("tk").alias("tk_a"),
+    )
+    b = tk.select(
+        F.lit(1).alias("k"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("tk").alias("tk_b"),
+    )
+    inter = F.size(F.array_intersect("tk_a", "tk_b"))
+    jac = inter.cast("double") / (F.size("tk_a") + F.size("tk_b") - inter)
+    truth = (
+        a.join(F.broadcast(b), "k")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= AUDIT_J_MIN)
+    )
+    caught = lsh_candidate_pairs(pinned_corpus_signatures(spark, sf_dir)).select(
+        "doc_a", "doc_b", F.lit(1).alias("hit")
+    )
+    return (
+        truth.join(caught, ["doc_a", "doc_b"], "left")
+        .groupBy(
+            F.floor(F.col("jaccard") * 10).cast("bigint").alias("j_decile")
+        )
+        .agg(
+            F.count("*").alias("n_true_pairs"),
+            F.count("hit").cast("bigint").alias("n_caught"),
+            F.round(F.count("hit").cast("double") / F.count("*"), 6).alias(
+                "recall"
+            ),
+        )
     )

@@ -1073,3 +1073,109 @@ def x58_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("oov"), 1)).cast("double") / F.count("*"), 6
         ).alias("oov_rate"),
     )
+
+
+# --- x62: interpolated bigram-LM perplexity ----------------------------------
+
+BIGRAM_LAMBDA = 0.7  # interpolation weight on the bigram term
+
+
+@register(
+    "x62_bigram_logppl",
+    # Same determinism posture as x27: the interpolated probability is
+    # computed from exact integer counts on both engines, -ln rounded to
+    # 6 decimals PER POSITION and decimal-summed, so the per-doc reduce
+    # is order-independent and engine-exact.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    uni AS (
+      SELECT w, COUNT(*) AS ucnt FROM (
+        SELECT unnest(tk) AS w FROM toks
+      ) GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(ucnt) AS BIGINT) AS total FROM uni),
+    bi_pos AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+      FROM toks
+    ),
+    bi AS (SELECT w1, w2, COUNT(*) AS bcnt FROM bi_pos GROUP BY w1, w2),
+    scored AS (
+      SELECT p.doc_id,
+             CAST(ROUND(-LN(
+               {BIGRAM_LAMBDA} * (CAST(b.bcnt AS DOUBLE) / u1.ucnt)
+               + {1 - BIGRAM_LAMBDA} * (CAST(u2.ucnt AS DOUBLE) / t.total)
+             ), 6) AS DECIMAL(27,6)) AS nl
+      FROM bi_pos p
+      JOIN bi b ON p.w1 = b.w1 AND p.w2 = b.w2
+      JOIN uni u1 ON p.w1 = u1.w
+      JOIN uni u2 ON p.w2 = u2.w
+      CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(nl) AS DOUBLE) / COUNT(*), 6) AS cross_entropy,
+           ROUND(EXP(CAST(SUM(nl) AS DOUBLE) / COUNT(*)), 4) AS ppl
+    FROM scored GROUP BY doc_id
+    """,
+    doc=f"interpolated bigram-LM perplexity: p = {BIGRAM_LAMBDA}*p(w2|w1) "
+    f"+ {round(1-BIGRAM_LAMBDA, 2)}*p(w2) scored per bigram position — "
+    "the stronger fluency signal x27's unigram score cannot give "
+    "(word-salad docs look fine to a unigram LM). Count tables are "
+    "word-count-shaped shuffles; scoring joins hash-partition on the "
+    "bigram/word keys; interpolation means no zero-probability "
+    "positions, so no smoothing state beyond the two count tables",
+)
+def x62_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import fan_out, pin_derived
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark).withColumn(
+        "tk", tokens("text")
+    )
+    pos_expr = (
+        "CASE WHEN size(tk) >= 2 THEN "
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> struct(element_at(tk, CAST(i AS INT)) AS w1, "
+        "element_at(tk, CAST(i + 1 AS INT)) AS w2)) "
+        "ELSE array() END"
+    )
+    # pinned: the bigram-position table feeds both the count build and
+    # the scoring probe (x27's pattern for the token table)
+    bi_pos = pin_derived(
+        spark,
+        sf_dir,
+        "doc_bigram_positions",
+        lambda: d.select(
+            "doc_id", F.explode(F.expr(pos_expr)).alias("p")
+        ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")),
+    )
+    uni = doc_token_table(spark, sf_dir).groupBy("w").agg(
+        F.count("*").alias("ucnt")
+    )
+    total = uni.agg(F.sum("ucnt").alias("total"))
+    bi = bi_pos.groupBy("w1", "w2").agg(F.count("*").alias("bcnt"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("ucnt").alias("u1cnt"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("ucnt").alias("u2cnt"))
+    p = (
+        F.lit(BIGRAM_LAMBDA) * (F.col("bcnt").cast("double") / F.col("u1cnt"))
+        + F.lit(1 - BIGRAM_LAMBDA) * (F.col("u2cnt").cast("double") / F.col("total"))
+    )
+    scored = (
+        bi_pos.join(bi, ["w1", "w2"])
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(-F.log(p), 6).cast("decimal(27,6)").alias("nl"),
+        )
+    )
+    ce = F.sum("nl").cast("double") / F.count("*")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 4).alias("ppl"),
+    )

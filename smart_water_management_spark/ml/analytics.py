@@ -540,3 +540,81 @@ def m07_weekday_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ss_cells") - corr) / (F.col("sxx_total") - corr), 6
         ).alias("seasonal_strength"),
     )
+
+
+# --- M8 (ext.): ridge-regularized trend --------------------------------------
+
+RIDGE_LAMBDA = 10.0  # L2 penalty on the slope (in centered-moment units)
+
+
+@register(
+    "m08_ridge_trend",
+    # Centered closed form: slope = Sxy / (Sxx + lambda) with
+    # Sxx = sxx - sx^2/n, Sxy = sxy - sx*sy/n from the same five exact
+    # DECIMAL moments as m06 — so the regularized and unregularized fits
+    # share one aggregation pass and differ only in the final scalar
+    # arithmetic, which runs on identical doubles in both engines.
+    oracle=f"""
+    WITH t AS (
+      SELECT event_type,
+             (CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200) / 3600.0 AS x,
+             value AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {sql_dsum('x', 38)} AS sx,
+             {sql_dsum('y', 38)} AS sy,
+             {sql_dsum('x*x', 38)} AS sxx,
+             {sql_dsum('x*y', 38)} AS sxy
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_points,
+           ROUND((sxy - sx * sy / n)
+                 / ((sxx - sx * sx / n) + {RIDGE_LAMBDA}), 6) AS ridge_slope,
+           ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS ols_slope,
+           ABS((sxy - sx * sy / n)
+               / ((sxx - sx * sx / n) + {RIDGE_LAMBDA}))
+             <= ABS((sxy - sx * sy / n) / (sxx - sx * sx / n)) AS shrinks
+    FROM m
+    """,
+    doc=f"M8 (ext.): ridge-regularized trend (L2 lambda={RIDGE_LAMBDA}) "
+    "per event type via the centered closed form slope = Sxy/(Sxx + "
+    "lambda) — the regularization a forecasting pipeline applies when "
+    "per-key series are short/noisy, computed from the SAME five "
+    "exact-decimal moments as the OLS fit (one shared hash-agg pass, "
+    "no MLlib, engine-exact); emits both slopes and the shrinkage "
+    "invariant |ridge| <= |ols|",
+)
+def m08_ridge_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ..functions.numeric import dsum
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.select(
+        "event_type",
+        ((F.unix_timestamp("ts") - F.lit(1704067200)) / 3600.0).alias("x"),
+        F.col("value").alias("y"),
+    )
+    m = t.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("x", 38).alias("sx"),
+        dsum("y", 38).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 38).alias("sxx"),
+        dsum(F.col("x") * F.col("y"), 38).alias("sxy"),
+    )
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    ridge = cxy / (cxx + RIDGE_LAMBDA)
+    ols = cxy / cxx
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_points"),
+        F.round(ridge, 6).alias("ridge_slope"),
+        F.round(ols, 6).alias("ols_slope"),
+        (F.abs(ridge) <= F.abs(ols)).alias("shrinks"),
+    )

@@ -495,3 +495,42 @@ def v08_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return audit(li, "l_orderkey", orders, "o_orderkey", "lineitem->orders").unionByName(
         audit(orders, "o_custkey", stale, "c_custkey", "orders->customer_stale")
     )
+
+
+# --- V9 (registered): quarantine split audit ---------------------------------
+@register(
+    "v09_quarantine_split",
+    # The rule engine's SIDE-OUTPUT posture, driver-certified: per
+    # violated-rule-set counts over the quarantined rows plus the clean
+    # count as the '(clean)' row. The reasons array is rendered as a
+    # comma-joined string so both engines hash the same value.
+    oracle=f"""
+    WITH tagged AS (
+      SELECT list_aggregate(list_filter(
+               [{", ".join(f"CASE WHEN {r.violation_sql()} THEN '{r.name}' END" for r in EVENTS_RULES)}
+             ], x -> x IS NOT NULL), 'string_agg', ',') AS reasons
+      FROM events
+    )
+    SELECT COALESCE(reasons, '(clean)') AS violated_rules,
+           COUNT(*) AS n_rows
+    FROM tagged GROUP BY 1
+    """,
+    doc="V9+ (production posture): the quarantine split as a checkable "
+    "query — every row routed to clean or to a side output keyed by its "
+    "exact violated-rule combination, with per-combination counts. One "
+    "scan, one tiny aggregate; the same ``quarantine()`` expression "
+    "feeds real pipelines' side-output sinks",
+)
+def v09_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    clean, bad = quarantine(ev, EVENTS_RULES)
+    bad_counts = bad.groupBy(
+        F.concat_ws(",", "violated_rules").alias("violated_rules")
+    ).agg(F.count("*").alias("n_rows"))
+    clean_count = clean.agg(
+        F.lit("(clean)").alias("violated_rules"),
+        F.count("*").alias("n_rows"),
+    )
+    return bad_counts.unionByName(clean_count)

@@ -354,3 +354,31 @@ def test_bigram_counts_equal_naive(spark, docs):
     )
     got = {(r.w1, r.w2): r["count"] for r in pairs.collect()}
     assert got == naive
+
+
+@SETTINGS
+@given(
+    uids=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=300),
+    n_slices=st.integers(min_value=1, max_value=6),
+)
+def test_kmv_merge_equals_direct_for_any_slicing(uids, n_slices):
+    """The exact-reaggregation law behind a24/t14, as pure math over ANY
+    multiset and ANY partitioning: merging per-slice k-min sets (dedupe,
+    re-top-k) always equals the k smallest distinct hashes computed
+    directly. This is the property that lets sketch partials be built
+    per-day/per-shard/per-micro-batch interchangeably."""
+    import hashlib
+
+    from smart_water_management_spark.operators.aggregations import (
+        _KMV_HEX,
+        KMV_K,
+    )
+
+    def h(u):
+        return hashlib.md5(str(u).encode()).hexdigest()[:_KMV_HEX]
+
+    direct = sorted({h(u) for u in uids})[:KMV_K]
+    slices = [uids[i::n_slices] for i in range(n_slices)]
+    partials = [sorted({h(u) for u in s})[:KMV_K] for s in slices if s]
+    merged = sorted(set().union(*partials))[:KMV_K] if partials else []
+    assert merged == direct
