@@ -1402,3 +1402,68 @@ def x61_ffd_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source string, n_docs long, total_tokens long, bins_used long, "
         "lower_bound long, utilization double",
     )
+
+
+# --- x64: token-budget mixture solver ----------------------------------------
+
+# Target mixture weights for a training run (fractions of the token
+# budget per source) and the total budget in tokens.
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+MIX_BUDGET_TOKENS = 60_000
+
+
+@register(
+    "x64_mixture_solver",
+    # Pure arithmetic over per-source token totals: required tokens,
+    # sampling rate vs available, implied epoch count when the target
+    # exceeds what one pass supplies. All integers + IEEE doubles on
+    # exact inputs => engine-identical.
+    oracle=f"""
+    WITH avail AS (
+      SELECT source,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS avail_tokens
+      FROM documents GROUP BY source
+    ),
+    tgt AS (
+      SELECT * FROM (VALUES
+        {", ".join(f"('{s}', {w})" for s, w in MIX_WEIGHTS.items())}
+      ) AS t(source, weight)
+    )
+    SELECT a.source,
+           avail_tokens,
+           CAST(ROUND(t.weight * {MIX_BUDGET_TOKENS}, 0) AS BIGINT)
+             AS required_tokens,
+           ROUND(t.weight * {MIX_BUDGET_TOKENS} / avail_tokens, 6)
+             AS sampling_rate,
+           CAST(CEIL(t.weight * {MIX_BUDGET_TOKENS} / avail_tokens) AS BIGINT)
+             AS epochs_needed,
+           t.weight * {MIX_BUDGET_TOKENS} / avail_tokens > 1.0 AS oversubscribed
+    FROM avail a JOIN tgt t ON a.source = t.source
+    """,
+    doc=f"token-budget mixture solver: given target mixture weights and a "
+    f"{MIX_BUDGET_TOKENS}-token budget, solve each source's required "
+    "tokens, sampling rate against what is available, and the epoch "
+    "count when the target oversubscribes the source (the up-sampling "
+    "regime of real data-mixing recipes). One word-count aggregate + "
+    "constant-size broadcast of the target table; the solver output is "
+    "exactly what x22/x53's samplers consume as their rates",
+)
+def x64_mixture_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("avail_tokens")
+    )
+    tgt = d.sparkSession.createDataFrame(
+        list(MIX_WEIGHTS.items()), "source string, weight double"
+    )
+    required = F.col("weight") * MIX_BUDGET_TOKENS
+    rate = required / F.col("avail_tokens")
+    return avail.join(F.broadcast(tgt), "source").select(
+        "source",
+        "avail_tokens",
+        F.round(required, 0).cast("bigint").alias("required_tokens"),
+        F.round(rate, 6).alias("sampling_rate"),
+        F.ceil(rate).cast("bigint").alias("epochs_needed"),
+        (rate > 1.0).alias("oversubscribed"),
+    )

@@ -599,3 +599,53 @@ def c10_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+
+
+# --- S19: size-targeted shard sink (maxRecordsPerFile) -----------------------
+
+SHARD_RECORDS = 100  # records per output shard
+
+
+@register(
+    "s19_sharded_corpus_sink",
+    # The shard count is deterministic given the writer task layout:
+    # coalesce(1) puts all n docs in one task, maxRecordsPerFile splits
+    # it into ceil(n/SHARD_RECORDS) files. Checksums prove no loss.
+    oracle=f"""
+    SELECT CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / {SHARD_RECORDS}) AS BIGINT)
+             AS n_shards,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           COUNT(*) <= CAST(CEIL(CAST(COUNT(*) AS DOUBLE) / {SHARD_RECORDS})
+                            AS BIGINT) * {SHARD_RECORDS} AS within_capacity
+    FROM documents
+    """,
+    doc=f"S19: bounded-size corpus shards — the writer splits output at "
+    f"{SHARD_RECORDS} records per file (spark.sql.files.maxRecordsPerFile), "
+    "the knob that keeps training-data shards loader-friendly instead of "
+    "one-file-per-task lumps. The audit re-reads the sink, counts real "
+    "files via input_file_name, and checksums the payload; at 100 TB "
+    "the same option bounds shard size with the natural task "
+    "parallelism (the coalesce(1) here just makes the local file count "
+    "deterministic for the oracle)",
+)
+def s19_sharded_corpus_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("s19_shards", sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    (
+        docs.coalesce(1)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", SHARD_RECORDS)
+        .parquet(path)
+    )
+    back = spark.read.parquet(path).withColumn("f", F.input_file_name())
+    return back.agg(
+        F.countDistinct("f").alias("n_shards"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (
+            F.count("*") <= F.countDistinct("f") * SHARD_RECORDS
+        ).alias("within_capacity"),
+    )
