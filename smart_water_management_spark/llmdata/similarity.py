@@ -1130,3 +1130,142 @@ def x60_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     nodes.unpersist()
     return out
+
+
+# --- x65: IVF+PQ composed ANN (coarse cells + code scan + exact rerank) ------
+
+
+@register(
+    "x65_ivfpq_topk",
+    oracle=None,  # doubly approximate (cell routing + lossy codes);
+    # recall vs exact L2 asserted in tests
+    doc=f"IVF+PQ composed ANN — the standard billion-scale index shape: "
+    f"KMeans coarse cells (x12) bound WHICH rows are scanned "
+    f"(nprobe={N_PROBE} of the cell list), {PQ_M}-nibble PQ codes (x54) "
+    "bound HOW MUCH is read per row (ADC lookup tables instead of float "
+    "vectors), and an exact rerank of the bounded shortlist restores "
+    "recall. Scan cost per query ~ (corpus/n_cells)*nprobe rows x m "
+    "byte-lookups; everything distributed — broadcast centroids + LUTs, "
+    "partitioned code table, no driver materialization beyond the "
+    "bounded query set",
+)
+def x65_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl("embedding").alias("e")
+    )
+    assigned, model = ivf_index(em)
+
+    # PQ codebooks + per-row codes over the SAME corpus (cell kept)
+    books = pq_codebooks(em.select("vec_id", "e"))
+    m, ks, dsub = books.shape
+    bb = spark.sparkContext.broadcast(books)
+
+    def encode(batches):
+        b = bb.value
+        for pdf in batches:
+            x = np.array(pdf["e"].tolist(), dtype=np.float64)
+            codes = np.empty((len(x), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * dsub : (j + 1) * dsub]
+                d2 = ((xs[:, None, :] - b[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "cell": pdf["cell"].values,
+                    "code": list(codes),
+                }
+            )
+
+    code_df = assigned.select("vec_id", "cell", "e").mapInPandas(
+        encode, "vec_id long, cell int, code array<int>"
+    )
+
+    # Distributed query->cell routing (x12's shape: broadcast centroids)
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell int, ce array<double>",
+    )
+    q = assigned.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+    )
+    l2sq = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wp = W.partitionBy("qid").orderBy(F.asc("dist"), F.asc("cell"))
+    probe_df = (
+        q.join(F.broadcast(centroids))
+        .select("qid", "cell", l2sq.alias("dist"))
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") <= N_PROBE)
+        .select("qid", "cell")
+    )
+
+    # ADC LUTs for the bounded query set
+    qrows = q.collect()
+    qids = np.array([r.qid for r in qrows])
+    qmat = np.array([r.qe for r in qrows], dtype=np.float64)
+    luts = np.empty((len(qids), m, ks))
+    for j in range(m):
+        qs = qmat[:, j * dsub : (j + 1) * dsub]
+        luts[:, j, :] = ((qs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+    bl = spark.sparkContext.broadcast({int(i): luts[k] for k, i in enumerate(qids)})
+
+    # scan ONLY the probed cells' codes: join codes to (qid, cell) pairs
+    probed = code_df.join(probe_df, "cell").filter(
+        F.col("vec_id") != F.col("qid")
+    )
+
+    def adc(batches):
+        lut_by_q = bl.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.array(pdf["code"].tolist(), dtype=np.int64)
+            dist = np.empty(len(pdf))
+            qarr = pdf["qid"].values
+            for qid in np.unique(qarr):
+                msk = qarr == qid
+                lut = lut_by_q[int(qid)]
+                c = codes[msk]
+                dist[msk] = sum(
+                    lut[j, c[:, j]] for j in range(m)
+                )
+            yield pd.DataFrame(
+                {
+                    "qid": qarr,
+                    "vec_id": pdf["vec_id"].values,
+                    "adc_dist": dist,
+                }
+            )
+
+    scored = probed.select("qid", "vec_id", "code").mapInPandas(
+        adc, "qid long, vec_id long, adc_dist double"
+    )
+    ws = W.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= PQ_RERANK)
+        .select("qid", "vec_id")
+    )
+    l2 = F.aggregate(
+        F.zip_with(F.col("qe"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    exact = (
+        shortlist.join(em.select("vec_id", F.col("e").alias("ce")), "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select("qid", "vec_id", l2.alias("l2_dist"))
+    )
+    w = W.partitionBy("qid").orderBy(F.asc("l2_dist"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id", F.round("l2_dist", 6).alias("l2_dist"), "rn")
+    )

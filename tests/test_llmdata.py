@@ -653,3 +653,34 @@ def test_ffd_pack_reference_semantics():
     # exact multiples leave no remainder bin
     assert ffd_pack([14], 7) == [7, 7]
     assert ffd_pack([], 7) == []
+
+
+def test_ivfpq_recall_and_contract(spark):
+    """x65: the composed IVF+PQ pipeline must keep at least IVF-level
+    recall (cell routing is the binding constraint; the PQ shortlist +
+    exact rerank recovers nearly everything within the probed cells) and
+    honor the per-query top-k contract."""
+    import numpy as np
+
+    from smart_water_management_spark.llmdata import similarity as sim
+
+    got = sim.x65_ivfpq_topk(spark, SF_DIR).collect()
+    em = sorted(
+        spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect(),
+        key=lambda r: r.vec_id,
+    )
+    ids = np.array([r.vec_id for r in em])
+    mat = np.array([r.embedding for r in em], dtype=np.float64)
+    hits = total = 0
+    for q in range(sim.N_QUERIES):
+        d = ((mat - mat[ids == q][0]) ** 2).sum(axis=1)
+        d[ids == q] = np.inf
+        exact = set(ids[np.argsort(d, kind="stable")[: sim.TOP_K]])
+        hits += len(exact & {r.vec_id for r in got if r.qid == q})
+        total += sim.TOP_K
+    assert hits / total >= 0.5, f"IVFPQ recall@{sim.TOP_K}: {hits/total:.2f}"
+    for q in range(sim.N_QUERIES):
+        rows = sorted((r for r in got if r.qid == q), key=lambda r: r.rn)
+        assert [r.rn for r in rows] == list(range(1, sim.TOP_K + 1))
+        dists = [r.l2_dist for r in rows]
+        assert dists == sorted(dists)
