@@ -1467,3 +1467,130 @@ def x64_mixture_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ceil(rate).cast("bigint").alias("epochs_needed"),
         (rate > 1.0).alias("oversubscribed"),
     )
+
+
+# --- x66: incremental dataset-card maintenance (mergeable partials) ----------
+
+
+@register(
+    "x66_incremental_card",
+    # Only decomposable measures appear: counts/sums merge by addition,
+    # and the distinct-fingerprint estimate is a KMV sketch (a24's merge
+    # law: k smallest of unioned k-min sets == global k smallest), so
+    # the merged card provably equals the direct global computation the
+    # oracle runs — corpus-side analog of a18's pre-agg reuse.
+    oracle="""
+    WITH base AS (
+      SELECT source,
+             md5(list_aggregate(list_sort(string_split(lower(text), ' ')),
+                                'string_agg', ' ')) AS fp,
+             len(string_split(lower(text), ' ')) AS n_tok
+      FROM documents
+    ),
+    h AS (SELECT DISTINCT source, substr(fp, 1, 12) AS hx FROM base),
+    ranked AS (
+      SELECT source, hx,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY hx) AS rn
+      FROM h
+    ),
+    sk AS (
+      SELECT source, COUNT(*) AS n_in_sketch, MAX(hx) AS kth
+      FROM ranked WHERE rn <= 32 GROUP BY source
+    ),
+    agg AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+             COUNT(DISTINCT fp) AS n_distinct_exact
+      FROM base GROUP BY source
+    )
+    SELECT a.source, n_docs, total_tokens,
+           CASE WHEN n_in_sketch < 32 THEN CAST(n_in_sketch AS DOUBLE)
+                ELSE ROUND(31.0 / (CAST(('0x' || kth) AS BIGINT)
+                                   / 281474976710656.0), 6)
+           END AS est_distinct_texts,
+           n_distinct_exact
+    FROM agg a JOIN sk ON a.source = sk.source
+    """,
+    doc="incremental dataset-card maintenance: the card's measures are "
+    "restricted to MERGEABLE state — additive counts/token sums and a "
+    "KMV sketch of document fingerprints — built as per-shard partials "
+    "(a deterministic doc_id%3 split stands in for base+delta batches) "
+    "and merged, provably equal to the direct global card (a24's merge "
+    "law). This is how x59's report stays fresh at 100 TB: deltas "
+    "update bounded partial state, never rescanning the corpus; the "
+    "exact distinct rides along only so the driver can certify the "
+    "sketch",
+)
+def x66_incremental_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .text import bag_fp_expr, tokens
+
+    KMV_K, HEX, SCALE = 32, 12, float(1 << 48)
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        bag_fp_expr("text").alias("fp"),
+        F.size(tokens("text")).alias("n_tok"),
+    )
+
+    def partials(shard: DataFrame) -> DataFrame:
+        """Per-shard mergeable state: additive measures + KMV k-min rows."""
+        agg = shard.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+        wk = W.partitionBy("source").orderBy("hx")
+        kmin = (
+            shard.select("source", F.substring("fp", 1, HEX).alias("hx"))
+            .distinct()
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= KMV_K)
+            .select("source", "hx")
+        )
+        return agg, kmin
+
+    base_agg, base_kmin = partials(d.filter(F.col("doc_id") % 3 != 0))
+    delta_agg, delta_kmin = partials(d.filter(F.col("doc_id") % 3 == 0))
+
+    # merge: counts add; k-min sets union+dedupe+re-top-k (exact law)
+    merged_agg = (
+        base_agg.unionByName(delta_agg)
+        .groupBy("source")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_tokens").alias("total_tokens"),
+        )
+    )
+    wk = W.partitionBy("source").orderBy("hx")
+    merged_sk = (
+        base_kmin.unionByName(delta_kmin)
+        .distinct()
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= KMV_K)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_in_sketch"), F.max("hx").alias("kth"))
+    )
+    est = F.when(
+        F.col("n_in_sketch") < KMV_K, F.col("n_in_sketch").cast("double")
+    ).otherwise(
+        F.round(
+            (KMV_K - 1.0)
+            / (F.conv(F.col("kth"), 16, 10).cast("long") / F.lit(SCALE)),
+            6,
+        )
+    )
+    exact = d.groupBy("source").agg(
+        F.countDistinct("fp").alias("n_distinct_exact")
+    )
+    return (
+        merged_agg.join(merged_sk, "source")
+        .join(F.broadcast(exact), "source")
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            est.alias("est_distinct_texts"),
+            "n_distinct_exact",
+        )
+    )
