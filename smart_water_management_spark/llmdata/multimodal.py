@@ -334,3 +334,110 @@ def x19_resize_thumbnails(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("orig_bytes").alias("total_orig_bytes"),
         F.sum("thumb_bytes").alias("total_thumb_bytes"),
     )
+
+
+# --- x67: perceptual-hash (aHash) dedup over binary payloads -----------------
+
+PHASH_BLOCKS = 64
+
+
+@register(
+    "x67_perceptual_hash",
+    # The bit decision uses integer cross-multiplication
+    # (sum_block * n_total > sum_total * n_block) instead of comparing
+    # float means, so every bit is exact integer arithmetic both engines
+    # reproduce; payloads are ASCII text bytes, so DuckDB reads the same
+    # byte stream via ascii(substr(...)).
+    oracle=f"""
+    WITH bytes AS (
+      SELECT doc_id, length(text) AS n,
+             unnest(range(1, length(text) + 1)) AS pos
+      FROM documents
+    ),
+    coded AS (
+      SELECT doc_id, n, pos,
+             ascii(substr(d.text, CAST(b.pos AS INT), 1)) AS code,
+             CAST(FLOOR((b.pos - 1) * {PHASH_BLOCKS} / b.n) AS BIGINT) AS blk
+      FROM bytes b JOIN documents d USING (doc_id)
+    ),
+    blocks AS (
+      SELECT doc_id, blk,
+             CAST(SUM(code) AS BIGINT) AS bsum,
+             COUNT(*) AS bcnt
+      FROM coded GROUP BY doc_id, blk
+    ),
+    -- payloads shorter than the block count leave empty blocks; emit
+    -- them as 0-sum/0-count so the hash is always 64 bits (numpy twin
+    -- uses bincount(minlength))
+    all_blocks AS (
+      SELECT d.doc_id, unnest(range(0, {PHASH_BLOCKS})) AS blk
+      FROM documents d
+    ),
+    filled AS (
+      SELECT a.doc_id, a.blk,
+             COALESCE(b.bsum, 0) AS bsum,
+             COALESCE(b.bcnt, 0) AS bcnt
+      FROM all_blocks a LEFT JOIN blocks b
+        ON a.doc_id = b.doc_id AND a.blk = b.blk
+    ),
+    totals AS (
+      SELECT doc_id, CAST(SUM(bsum) AS BIGINT) AS tsum,
+             CAST(SUM(bcnt) AS BIGINT) AS tcnt
+      FROM filled GROUP BY doc_id
+    ),
+    bits AS (
+      SELECT b.doc_id,
+             string_agg(
+               CASE WHEN bsum * tcnt > tsum * bcnt THEN '1' ELSE '0' END,
+               '' ORDER BY blk) AS phash
+      FROM filled b JOIN totals t USING (doc_id)
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, phash,
+           COUNT(*) OVER (PARTITION BY phash) AS n_same_hash
+    FROM bits
+    """,
+    doc=f"perceptual average-hash over binary payloads: the byte stream "
+    f"(the deterministic fake decode) is split into {PHASH_BLOCKS} "
+    "blocks and each bit records whether the block's mean exceeds the "
+    "payload mean — the aHash shape used for image near-dup detection, "
+    "with integer cross-multiplied bit decisions so the hash is "
+    "engine-exact. Runs as an Arrow-batched mapInPandas (numpy per "
+    "payload, the same kernel a real pixel decode feeds); matching "
+    "hashes group near-identical payloads without any pairwise compare",
+)
+def x67_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import Window as W
+
+    mm = to_multimodal(load_table(spark, sf_dir, "documents"))
+
+    def phash(batches):
+        for pdf in batches:
+            out = []
+            for payload in pdf["payload"]:
+                arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+                n = len(arr)
+                blk = (np.arange(n) * PHASH_BLOCKS) // n
+                bsum = np.bincount(blk, weights=arr, minlength=PHASH_BLOCKS).astype(
+                    np.int64
+                )
+                bcnt = np.bincount(blk, minlength=PHASH_BLOCKS).astype(np.int64)
+                tsum, tcnt = int(arr.sum()), n
+                # integer cross-multiply: exact, no float-mean compare;
+                # empty blocks (payload shorter than 64 bytes) emit '0'
+                # on both engines because 0 * tcnt > tsum * 0 is false
+                bits = (bsum * tcnt) > (tsum * bcnt)
+                out.append("".join("1" if b else "0" for b in bits))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "phash": out})
+
+    hashed = mm.select("doc_id", "payload").mapInPandas(
+        phash, "doc_id long, phash string"
+    )
+    return hashed.select(
+        "doc_id",
+        "phash",
+        F.count("*").over(W.partitionBy("phash")).alias("n_same_hash"),
+    )
