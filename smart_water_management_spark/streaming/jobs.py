@@ -842,3 +842,134 @@ def t14_streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_in_sketch", "kth_min_hash", est.alias("est_distinct")
     )
 
+
+
+# --- t15: streaming MinHash+LSH dedup-on-arrival -----------------------------
+
+
+def _stage_table_dir(sf_dir: str, table: str) -> str:
+    """Symlink-stage any table's parquet (file or multi-file directory)
+    for a file-source stream — the generalization of read_event_stream's
+    staging used by the documents stream."""
+    import hashlib
+    import os
+
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"swm_{table}_stream_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}",
+    )
+    os.makedirs(stage, exist_ok=True)
+    target = f"{sf_dir}/{table}.parquet"
+    for old in os.listdir(stage):
+        os.unlink(os.path.join(stage, old))
+    if os.path.isdir(target):
+        for i, part in enumerate(
+            sorted(f for f in os.listdir(target) if f.endswith(".parquet"))
+        ):
+            os.symlink(
+                os.path.join(target, part),
+                os.path.join(stage, f"{table}_{i:05d}.parquet"),
+            )
+    else:
+        os.symlink(target, os.path.join(stage, f"{table}.parquet"))
+    return stage
+
+
+def lsh_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15: near-dup detection ON ARRIVAL — the streaming twin of x08.
+
+    State: the corpus signature table (k longs per doc) plus arrived doc
+    texts (stand-in for the token-set store a production system keeps for
+    verification). Each micro-batch signs its new docs, band-joins them
+    against the accumulated + new signatures, and Jaccard-verifies the
+    candidates. A pair is emitted exactly once — when its LATER member
+    arrives — so the cumulative pair set provably equals the batch x08
+    output for ANY batch slicing, and x08's exact oracle certifies it.
+    """
+    from ..llmdata.dedup import (
+        _banded,
+        minhash_signatures,
+        verify_jaccard,
+    )
+    from ..sources.catalog import reset_managed_table
+
+    for t in ("lsh_docs_state", "lsh_pairs_state"):
+        reset_managed_table(spark, t)
+    spark.sql(
+        "CREATE TABLE lsh_docs_state (doc_id LONG, text STRING) USING parquet"
+    )
+    spark.sql(
+        "CREATE TABLE lsh_pairs_state "
+        "(doc_a LONG, doc_b LONG, jaccard DOUBLE) USING parquet"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        new_docs = batch_df.select("doc_id", "text")
+        old_docs = sp.table("lsh_docs_state")
+        all_docs = old_docs.unionByName(new_docs)
+        # sign once per batch: new docs only (old signatures could be
+        # persisted too; texts suffice at fixture scale and keep the
+        # state schema minimal for the demo)
+        new_banded = _banded(minhash_signatures(new_docs))
+        all_banded = _banded(minhash_signatures(all_docs))
+        cands = (
+            new_banded.select("band", "bh", F.col("doc_id").alias("doc_new"))
+            .join(all_banded, ["band", "bh"])
+            .filter(F.col("doc_id") != F.col("doc_new"))
+            .select(
+                F.least("doc_id", "doc_new").alias("doc_a"),
+                F.greatest("doc_id", "doc_new").alias("doc_b"),
+            )
+            .distinct()
+        )
+        # emit-once falls out of construction: a candidate needs one NEW
+        # member (the probe side), and every doc is new in exactly one
+        # batch — the pair can only be generated in the batch where its
+        # SECOND member arrives (the first member's signature is not in
+        # state before its own arrival), regardless of id order
+        verified = verify_jaccard(all_docs, cands)
+        staged_pairs = verified.localCheckpoint(eager=True)
+        staged_pairs.write.mode("append").insertInto("lsh_pairs_state")
+        staged_docs = new_docs.localCheckpoint(eager=True)
+        staged_docs.write.mode("append").insertInto("lsh_docs_state")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = _stage_table_dir(sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("lsh_pairs_state")
+
+
+from ..llmdata.dedup import _x08_cte  # noqa: E402
+
+
+@register(
+    "t15_streaming_lsh_dedup",
+    oracle="WITH "
+    + _x08_cte()
+    + "\n    SELECT doc_a, doc_b, ROUND(jaccard, 6) AS jaccard FROM verified",
+    doc="T15: MinHash+LSH near-dup detection ON ARRIVAL via streaming "
+    "foreachBatch — each micro-batch's docs are signed, band-joined "
+    "against the accumulated signature state, and Jaccard-verified; the "
+    "emit-once rule (a pair fires when its later member arrives) makes "
+    "the cumulative pair set equal batch x08 for any slicing, certified "
+    "by the same md5-deterministic oracle",
+)
+def t15_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_dedup_stream(spark, sf_dir).select(
+        "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
+    )

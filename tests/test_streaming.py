@@ -337,3 +337,33 @@ def test_streaming_kmv_multi_batch_merge_equals_direct(spark):
         assert (n, kth) == (len(kmin), kmin[-1]), et
         if len(uids) < KMV_K:
             assert est == float(len(uids))
+
+
+def test_streaming_lsh_dedup_multi_batch_equals_batch_x08(spark):
+    """t15 under REAL incrementality: documents split into 4 files
+    (4 micro-batches), the cumulative pair set must equal the batch x08
+    pipeline's verified pairs exactly — each pair emitted once, when its
+    later member arrives."""
+    import os
+
+    from smart_water_management_spark.llmdata.dedup import (
+        x08_minhash_lsh_dedup,
+    )
+    from smart_water_management_spark.streaming.jobs import (
+        t15_streaming_lsh_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        docs.repartition(4).write.parquet(os.path.join(sf_dir, "documents.parquet"))
+        got = {
+            (r.doc_a, r.doc_b, r.jaccard)
+            for r in t15_streaming_lsh_dedup(spark, sf_dir).collect()
+        }
+    want = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 6))
+        for r in x08_minhash_lsh_dedup(spark, SF_DIR).collect()
+    }
+    assert got == want
