@@ -30,7 +30,7 @@ the local parity suite; README.md documents the mapping.
 Round-5 rotation plan (once CORRECTNESS_r04 lands green rows for this
 window): swap the 41 newly-green slots for the remaining never-windowed
 oracle-backed names — w01/w03/w07–w11/w13–w17, t05–t15,
-x08–x11/x13–x15/x16–x28/x30–x43/x45–x53/x56–x64/x66–x67/x90 (x65 rows-only) (x08/x15/x17/x39/x41
+x08–x11/x13–x15/x16–x28/x30–x43/x45–x53/x56–x64/x66–x67/x90 (x65/x68 rows-only) (x08/x15/x17/x39/x41
 gained exact oracles in r4; a24/x53/x56 added with exact oracles,
 x54/x55 rows-only),
 s01–s02/s04/s06/s11–s19, a19–a26, c08–c10, j11–j12, k04–k06, v07–v09,

@@ -1594,3 +1594,68 @@ def x66_incremental_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_exact",
         )
     )
+
+
+# --- x68: model-based quality classifier (weak labels -> LR scores) ----------
+
+
+@register(
+    "x68_quality_classifier",
+    oracle=None,  # MLlib-seeded fit; separability/score invariants in tests
+    doc="model-based quality filtering: a logistic regression trained on "
+    "the rule-based Gopher verdict (x21) as WEAK LABELS over hashed "
+    "token features (x43's hashing trick, so no vocabulary to build), "
+    "then every doc scored with the model — the fastText-style "
+    "classifier stage real pipelines put after rule filters to "
+    "generalize them. Training data never leaves the executors "
+    "(MLlib's distributed LBFGS); scoring is one broadcast-model map. "
+    "Seeded fit => rows-only with separability invariants in tests",
+)
+def x68_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import vector_to_array
+
+    from .text import HASH_DIM
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    m = gopher_metrics(tk)
+    bucket_tf = [
+        F.size(
+            F.filter(
+                tk,
+                lambda w, i=i: (
+                    F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+                    % HASH_DIM
+                    == i
+                ),
+            )
+        ).cast("double")
+        for i in range(HASH_DIM)
+    ]
+    feat = d.select(
+        "doc_id",
+        m["passes"].cast("double").alias("label"),
+        *[c.alias(f"tf{i}") for i, c in enumerate(bucket_tf)],
+    )
+    assembler = VectorAssembler(
+        inputCols=[f"tf{i}" for i in range(HASH_DIM)], outputCol="features"
+    )
+    vec = assembler.transform(feat).persist()  # LBFGS iterations re-scan
+    lr = LogisticRegression(
+        maxIter=25, regParam=0.01, featuresCol="features", labelCol="label"
+    )
+    model = lr.fit(vec)
+    scored = model.transform(vec)
+    out = scored.select(
+        "doc_id",
+        F.col("label").cast("bigint").alias("weak_label"),
+        F.round(
+            F.element_at(vector_to_array("probability"), 2), 6
+        ).alias("quality_prob"),
+        F.col("prediction").cast("bigint").alias("predicted"),
+    )
+    out = out.localCheckpoint(eager=True)
+    vec.unpersist()
+    return out

@@ -684,3 +684,26 @@ def test_ivfpq_recall_and_contract(spark):
         assert [r.rn for r in rows] == list(range(1, sim.TOP_K + 1))
         dists = [r.l2_dist for r in rows]
         assert dists == sorted(dists)
+
+
+def test_quality_classifier_learns_weak_labels(spark):
+    """x68: the LR must actually learn the rule-based signal it was
+    trained on — training accuracy well above the majority-class rate,
+    scores in [0,1], one row per doc."""
+    from smart_water_management_spark.llmdata import curation as c
+
+    rows = c.x68_quality_classifier(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n == spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert all(0.0 <= r.quality_prob <= 1.0 for r in rows)
+    acc = sum(1 for r in rows if r.predicted == r.weak_label) / n
+    majority = max(
+        sum(1 for r in rows if r.weak_label == 1),
+        sum(1 for r in rows if r.weak_label == 0),
+    ) / n
+    assert acc >= majority, (acc, majority)
+    # scores must separate the classes on average (AUC proxy)
+    pos = [r.quality_prob for r in rows if r.weak_label == 1]
+    neg = [r.quality_prob for r in rows if r.weak_label == 0]
+    if pos and neg:
+        assert sum(pos) / len(pos) > sum(neg) / len(neg)
