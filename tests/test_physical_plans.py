@@ -405,3 +405,52 @@ def test_cbo_table_stats_collected_and_visible(spark):
     sz = spark.table("cbo_nation")._jdf.queryExecution().optimizedPlan().stats()
     assert sz.sizeInBytes() > 0
     spark.sql("DROP TABLE cbo_nation")
+
+
+def test_kmv_sketch_windows_share_key_exchanges(spark):
+    """a24: both top-k windows and the sketch aggregate key on
+    event_type-scoped columns; the '__all__' union adds one more grain.
+    The essential assertion: no cartesian and the exact-distinct side
+    enters the join as a broadcast (bounded: one row per key)."""
+    plan = plan_of(_q(spark, "a24_kmv_sketch"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_median_single_exchange_per_group(spark):
+    """a26: cumulative-weight window, group-total window and the final
+    crossing aggregate all key on l_returnflag — Catalyst must reuse ONE
+    hashpartitioning exchange for the whole query."""
+    plan = plan_of(_q(spark, "a26_weighted_median"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """x58: the fixed-size vocabulary must broadcast into the token-flag
+    join (a shuffled join would move the whole token stream for a
+    constant-sized right side), and the top-N vocab build must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(_q(spark, "x58_vocab_coverage"))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bigram_ppl_no_cartesian_and_broadcast_total(spark):
+    """x62: count tables join the position stream on bigram/word keys
+    (hash joins), the 1-row corpus total broadcasts — never a cartesian,
+    never a shuffle of the total."""
+    plan = plan_of(_q(spark, "x62_bigram_logppl"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_pagerank_iterations_truncate_lineage(spark):
+    """x60: after 5 rounds the optimized plan must NOT contain 5 nested
+    join trees — localCheckpoint per round bounds plan growth (the
+    classic iterative-algorithm failure mode on Spark)."""
+    df = _q(spark, "x60_knn_pagerank")
+    plan = plan_of(df, "simple")
+    # the final plan sees only the last round's join against the
+    # checkpointed rank RDD — one hash join with the edge table, not a
+    # five-deep join pyramid
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") <= 3
