@@ -1172,3 +1172,90 @@ def a26_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("total").cast("double").alias("total_weight"),
         )
     )
+
+
+# --- A27: KMV accuracy-vs-size calibration sweep -----------------------------
+# The sketch-sizing question every pre-aggregate design asks: how much
+# accuracy does each doubling of k buy? One pass builds nested sketches
+# (the k-min set for k=8 is a prefix of the k=64 set, so ONE ranked scan
+# serves every k) and emits the estimator's relative error per k against
+# the exact count — md5-determinism makes the whole sweep oracle-exact.
+KMV_SWEEP_KS = [8, 16, 32, 64]
+
+
+@register(
+    "a27_kmv_error_sweep",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT substr(md5(CAST(user_id AS VARCHAR)), 1, {_KMV_HEX}) AS hx
+      FROM events
+    ),
+    ranked AS (
+      SELECT hx, ROW_NUMBER() OVER (ORDER BY hx) AS rn, COUNT(*) OVER () AS n_exact
+      FROM h
+    ),
+    ks AS (SELECT unnest([{", ".join(str(k) for k in KMV_SWEEP_KS)}]) AS k)
+    SELECT k,
+           LEAST(k, CAST(MIN(n_exact) AS BIGINT)) AS n_in_sketch,
+           CASE WHEN MIN(n_exact) < k THEN CAST(MIN(n_exact) AS DOUBLE)
+                ELSE ROUND((k - 1.0)
+                     / (CAST(('0x' || MAX(CASE WHEN rn <= k THEN hx END))
+                             AS BIGINT) / {_KMV_SCALE}), 6)
+           END AS est_distinct,
+           CAST(MIN(n_exact) AS BIGINT) AS n_exact,
+           CASE WHEN MIN(n_exact) < k THEN 0.0
+                ELSE ROUND(ABS((k - 1.0)
+                     / (CAST(('0x' || MAX(CASE WHEN rn <= k THEN hx END))
+                             AS BIGINT) / {_KMV_SCALE})
+                     - MIN(n_exact)) / MIN(n_exact), 6)
+           END AS rel_err
+    FROM ranked CROSS JOIN ks
+    GROUP BY k
+    """,
+    doc="A27: KMV accuracy-vs-size sweep — nested sketches (every k-min "
+    "set is a prefix of the largest) built from ONE ranked scan of "
+    "distinct hashes, with the (k-1)/u_k estimator's relative error "
+    "reported per k against the exact count. The empirical answer to "
+    "'what k do my gold-table sketches need', computed without a "
+    "second scan per candidate k; fully oracle-exact via md5 hashing",
+)
+def a27_kmv_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hx = F.substring(F.md5(F.col("user_id").cast("string")), 1, _KMV_HEX)
+    h = ev.select(hx.alias("hx")).distinct()
+    ranked = h.select(
+        "hx",
+        F.row_number().over(W.orderBy("hx")).alias("rn"),
+        F.count("*").over(W.partitionBy()).alias("n_exact"),
+    )
+    ks = spark.createDataFrame([(k,) for k in KMV_SWEEP_KS], "k int")
+    kth = F.max(F.when(F.col("rn") <= F.col("k"), F.col("hx")))
+    grouped = (
+        ranked.join(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.least(
+                F.col("k").cast("bigint"), F.min("n_exact").cast("bigint")
+            ).alias("n_in_sketch"),
+            kth.alias("_kth"),
+            F.min("n_exact").alias("_n_exact"),
+        )
+    )
+    u_k2 = F.conv(F.col("_kth"), 16, 10).cast("long") / F.lit(_KMV_SCALE)
+    est2 = (F.col("k") - 1.0) / u_k2
+    under2 = F.col("_n_exact") < F.col("k")
+    return grouped.select(
+        "k",
+        "n_in_sketch",
+        F.when(under2, F.col("_n_exact").cast("double"))
+        .otherwise(F.round(est2, 6))
+        .alias("est_distinct"),
+        F.col("_n_exact").cast("bigint").alias("n_exact"),
+        F.when(under2, F.lit(0.0))
+        .otherwise(
+            F.round(F.abs(est2 - F.col("_n_exact")) / F.col("_n_exact"), 6)
+        )
+        .alias("rel_err"),
+    )
