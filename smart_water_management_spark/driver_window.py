@@ -35,7 +35,7 @@ x08–x11/x13–x15/x16–x28/x30–x43/x45–x53/x56–x64/x66–x67/x90
 a24–a26/x53/x56–x60/x62–x64/x66–x67/t14–t15/s18–s19/c10/m08/v09 are
 exact-oracle too; x54/x55/x61/x65/x68 stay rows-only),
 s01–s02/s04/s06/s11–s19, a19–a27, c08–c10, j11–j12, k04–k06, v07–v09,
-m04/m06–m08, o02–o03, p02–p05, u01/u03, f13–f16 — more candidates than
+m04/m06–m08, o02–o04, p02–p05, u01/u03, f13–f17 — more candidates than
 slots, so prioritize j/k/c/v (engine core), then x (extensions); keep
 the same 9 retention reps and rotate again in round 6. The names above
 MUST exist in the registry (register_alias fails fast on typos at

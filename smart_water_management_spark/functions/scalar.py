@@ -490,3 +490,43 @@ def f16_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# --- F17: ANSI error-handling surface (try_* variants) -----------------------
+@register(
+    "f17_try_arithmetic",
+    # Both engines run NULL-on-error semantics explicitly (Spark try_*,
+    # DuckDB TRY_CAST + NULLIF guards), so the rows where ANSI mode
+    # would throw become comparable NULLs.
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_id % 10 = 0 THEN NULL
+                ELSE ROUND(value / NULLIF(CAST(event_id % 10 AS DOUBLE), 0), 6)
+           END AS safe_div,
+           TRY_CAST(CASE WHEN event_id % 3 = 0 THEN 'not-a-number'
+                         ELSE CAST(event_id AS VARCHAR) END AS BIGINT)
+             AS parsed_id,
+           TRY_CAST(props AS DOUBLE) AS props_as_num
+    FROM events
+    """,
+    doc="F17: the ANSI-mode migration surface — try_divide / try_cast "
+    "return NULL where strict ANSI arithmetic throws (div-by-zero, "
+    "malformed casts), letting pipelines quarantine bad rows relationally "
+    "(v09) instead of dying mid-job. Pure row-local expressions, "
+    "whole-stage codegen, zero shuffle",
+)
+def f17_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.round(
+            F.try_divide("value", (F.col("event_id") % 10).cast("double")), 6
+        ).alias("safe_div"),
+        F.try_to_number(
+            F.when(F.col("event_id") % 3 == 0, "not-a-number").otherwise(
+                F.col("event_id").cast("string")
+            ),
+            F.lit("999999999999"),
+        ).cast("bigint").alias("parsed_id"),
+        F.expr("try_cast(props AS double)").alias("props_as_num"),
+    )

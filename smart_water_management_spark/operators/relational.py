@@ -424,3 +424,48 @@ def u03_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("intersect_all").alias("which"), "user_id", "n")
     )
     return exc.unionByName(inter)
+
+
+# --- O4 (ext.): explicit null-ordering ranks ---------------------------------
+@register(
+    "o04_null_ordering_topk",
+    # Spark defaults to NULLS FIRST on ASC / NULLS LAST on DESC; DuckDB
+    # (per SQL standard practice) to NULLS LAST on ASC / FIRST on DESC —
+    # so any cross-engine ranking over nullable keys MUST pin the null
+    # ordering explicitly. The rank positions are materialized as values
+    # (row_number), making the ordering itself hash-checkable.
+    oracle="""
+    WITH t AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v7
+      FROM events
+    )
+    SELECT event_id, v7,
+           ROW_NUMBER() OVER (ORDER BY v7 DESC NULLS LAST, event_id) AS rk_desc,
+           ROW_NUMBER() OVER (ORDER BY v7 ASC NULLS FIRST, event_id) AS rk_asc
+    FROM t
+    ORDER BY rk_desc LIMIT 50
+    """,
+    doc="O4 (ext.): ranking over a nullable key with PINNED null ordering "
+    "(desc_nulls_last / asc_nulls_first) — engines disagree on default "
+    "null placement, so portable rankings must say it explicitly; the "
+    "rank positions are emitted as values so the driver hash-checks the "
+    "ordering semantics themselves, not just the row set",
+)
+def o04_null_ordering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    v7 = F.when(F.col("event_id") % 7 == 0, None).otherwise(F.col("value"))
+    t = ev.select("event_id", v7.alias("v7"))
+    rk_desc = F.row_number().over(
+        W.orderBy(F.col("v7").desc_nulls_last(), F.asc("event_id"))
+    )
+    rk_asc = F.row_number().over(
+        W.orderBy(F.col("v7").asc_nulls_first(), F.asc("event_id"))
+    )
+    return (
+        t.select("event_id", "v7", rk_desc.alias("rk_desc"), rk_asc.alias("rk_asc"))
+        .orderBy("rk_desc")
+        .limit(50)
+    )
