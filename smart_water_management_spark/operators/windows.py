@@ -634,3 +634,71 @@ def w17_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         med.alias("rolling_median"),
         (F.col("value") - med).alias("median_resid"),
     )
+
+
+# --- W18 (ext.): session-relative event features -----------------------------
+@register(
+    "w18_session_relative",
+    # Gaps-and-islands (t03's 30-minute rule, lag tie-broken on event_id)
+    # composed with per-session windows: the per-event features a
+    # behavioral model trains on. All windows share the user_id exchange.
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                          - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, event_id, session_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY user_id, session_id ORDER BY ts, event_id
+           ) AS pos_in_session,
+           CAST(FLOOR(epoch(ts)) AS BIGINT)
+             - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id, session_id) AS secs_since_start,
+           COUNT(*) OVER (PARTITION BY user_id, session_id) AS session_len
+    FROM sess
+    """,
+    doc="W18 (ext.): per-event session-relative features — session id via "
+    "gaps-and-islands (t03's 30-min rule), position within session, "
+    "seconds since session start, session length. The feature block a "
+    "behavioral model consumes; every window keys on user_id (the "
+    "session windows refine it), so one exchange carries the whole "
+    "query at any scale",
+)
+def w18_session_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 1800),
+        1,
+    ).otherwise(0)
+    wsum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id", F.sum("is_new").over(wsum)
+    )
+    ws = W.partitionBy("user_id", "session_id")
+    wpos = ws.orderBy("ts", "event_id")
+    return sess.select(
+        "user_id",
+        "event_id",
+        "session_id",
+        F.row_number().over(wpos).alias("pos_in_session"),
+        (
+            F.col("ts").cast("long") - F.min(F.col("ts").cast("long")).over(ws)
+        ).alias("secs_since_start"),
+        F.count("*").over(ws).alias("session_len"),
+    )

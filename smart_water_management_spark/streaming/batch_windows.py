@@ -92,8 +92,12 @@ def t02_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH flagged AS (
       SELECT user_id, ts, value,
+             -- truncated-seconds diff, matching Spark's cast(ts AS long):
+             -- a fractional gap straddling exactly 1800s must sessionize
+             -- identically on both engines
              CASE WHEN LAG(ts) OVER w IS NULL
-                    OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                    OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+                       - CAST(FLOOR(epoch(LAG(ts) OVER w)) AS BIGINT) > 1800
                   THEN 1 ELSE 0 END AS is_new
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
