@@ -30,7 +30,7 @@ the local parity suite; README.md documents the mapping.
 Round-5 rotation plan (once CORRECTNESS_r04 lands green rows for this
 window): swap the 41 newly-green slots for the remaining never-windowed
 oracle-backed names — w01/w03/w07–w11/w13–w18, t05–t15,
-x08–x11/x13–x15/x16–x28/x30–x43/x45–x53/x56–x64/x66–x67/x90
+x08–x11/x13–x15/x16–x28/x30–x43/x45–x53/x56–x64/x66–x67/x69/x90
 (x08/x15/x17/x39/x41 gained exact oracles in r4; the round-4 additions
 a24–a26/x53/x56–x60/x62–x64/x66–x67/t14–t15/s18–s19/c10/m08/v09 are
 exact-oracle too; x54/x55/x61/x65/x68 stay rows-only),

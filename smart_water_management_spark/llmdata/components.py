@@ -164,3 +164,153 @@ def x15_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_members") > 1)
         .orderBy("component")
     )
+
+
+# --- x69: canonical selection by graph centrality ----------------------------
+
+X69_PR_ITERS = 5
+X69_PR_DAMP = 0.85
+
+
+def _x69_oracle() -> str:
+    """x08's pair chain → symmetric edges → degree-normalized PageRank
+    (5 unrolled rounds, x60's decimal-exact recipe, but with VARIABLE
+    out-degrees) → recursive-closure components → per-component argmax.
+    Every stage is deterministic, so the centrality-chosen canonical is
+    oracle-exact."""
+    from .dedup import _x08_cte
+
+    sql = f"""
+    WITH RECURSIVE {_x08_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+    r0 AS (SELECT doc_id, 1.0 / n AS r FROM nodes CROSS JOIN nn)
+    """
+    prev = "r0"
+    for i in range(1, X69_PR_ITERS + 1):
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst AS doc_id,
+             CAST(SUM(CAST(ROUND(p.r / g.d, 12) AS DECIMAL(27,12)))
+                  AS DOUBLE) AS contrib
+      FROM edges e
+      JOIN {prev} p ON e.src = p.doc_id
+      JOIN deg g ON e.src = g.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT nodes.doc_id,
+             ROUND((1.0 - {X69_PR_DAMP}) / nn.n
+                   + {X69_PR_DAMP} * COALESCE(c.contrib, 0.0), 12) AS r
+      FROM nodes CROSS JOIN nn
+      LEFT JOIN c{i} c ON nodes.doc_id = c.doc_id
+    )"""
+        prev = f"r{i}"
+    sql += f""",
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    closure AS (
+      SELECT a, b FROM reach
+      UNION
+      SELECT DISTINCT src AS a, src AS b FROM edges
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM closure GROUP BY a),
+    scored AS (
+      SELECT comp.component, comp.doc_id, pr.r,
+             ROW_NUMBER() OVER (PARTITION BY comp.component
+                                ORDER BY pr.r DESC, comp.doc_id) AS rk
+      FROM comp JOIN {prev} pr ON comp.doc_id = pr.doc_id
+    )
+    SELECT component,
+           COUNT(*) AS n_members,
+           MIN(CASE WHEN rk = 1 THEN doc_id END) AS canonical_doc_id,
+           ROUND(MIN(CASE WHEN rk = 1 THEN r END), 9) AS canonical_pagerank
+    FROM scored GROUP BY component
+    """
+    return sql
+
+
+@register(
+    "x69_canonical_by_pagerank",
+    oracle=_x69_oracle(),
+    doc="canonical selection by centrality: the x08 near-dup graph's "
+    "PageRank (degree-normalized, 5 decimal-exact rounds) picks each "
+    "dedup group's most-connected member as canonical — the quality "
+    "signal x32 derives from rules, derived instead from graph "
+    "structure (a central doc is the one most of its cluster "
+    "duplicates). Components and ranks share the same bounded pair "
+    "graph; the oracle unrolls the iteration AND closes the "
+    "transitivity recursively, so the chosen canonicals are hash-exact",
+)
+def x69_canonical_by_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .dedup import pinned_corpus_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = verify_jaccard(
+        docs, lsh_candidate_pairs(pinned_corpus_signatures(spark, sf_dir))
+    ).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .distinct()
+        .persist()  # re-joined every PR round + degree + components
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    nodes = edges.select(F.col("src").alias("doc_id")).distinct().persist()
+    n = nodes.count()  # bounded driver scalar (graph size)
+    ranks = nodes.select("doc_id", (F.lit(1.0) / n).alias("r"))
+    for _ in range(X69_PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["doc_id"])
+            .join(deg, "src")
+            .select(
+                F.col("dst"),
+                F.round(F.col("r") / F.col("d"), 12)
+                .cast("decimal(27,12)")
+                .alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("double").alias("contrib"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["doc_id"] == contrib["dst"], "left")
+            .select(
+                "doc_id",
+                F.round(
+                    (1.0 - X69_PR_DAMP) / n
+                    + X69_PR_DAMP * F.coalesce("contrib", F.lit(0.0)),
+                    12,
+                ).alias("r"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    comp = connected_components(edges.select(F.col("src").alias("doc_a"),
+                                             F.col("dst").alias("doc_b")))
+    wr = W.partitionBy("component").orderBy(F.desc("r"), F.asc("doc_id"))
+    scored = comp.join(ranks, "doc_id").withColumn("rk", F.row_number().over(wr))
+    out = scored.groupBy("component").agg(
+        F.count("*").alias("n_members"),
+        F.min(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+            "canonical_doc_id"
+        ),
+        F.round(
+            F.min(F.when(F.col("rk") == 1, F.col("r"))), 9
+        ).alias("canonical_pagerank"),
+    )
+    out = out.localCheckpoint(eager=True)
+    edges.unpersist()
+    nodes.unpersist()
+    return out
