@@ -14,7 +14,14 @@ times is reported. A single-pass reading is hostage to whatever else the
 sandbox is doing (round 3's official number was 4.3x contention noise);
 min-of-2 cannot fully defeat a loaded machine but bounds the damage to
 "both passes were interrupted". The reported total is the sum of per-query
-minima.
+minima. Reported numbers are therefore WARM (footer caches, JIT, shared
+scan plans primed); cold-start wall-clock is approximately the first-pass
+time of each query.
+
+Round-5 additions (VERDICT r4 #3): x41 and x65 join the headline so the
+ANN scale path (hyperplane-LSH candidates; IVF cells + PQ codes + exact
+rerank) has a tracked perf number, not just correctness. No other
+protocol change, so r4→r5 per-query numbers stay comparable.
 
 The skew A/B pair (k04_skew_join_salted vs k04_naive_nosplit /
 k04_naive_aqe) times the same hot-key join three ways — salted (static
@@ -54,7 +61,9 @@ HEADLINE = [
     "x08_minhash_lsh_dedup",      # MinHash+LSH near-dup
     "x53_pps_sample",             # systematic PPS weighted sampling
     "x36_tile_dedup",             # tile-level exact substring dedup
-    "x10_bruteforce_cosine_topk", # similarity search
+    "x10_bruteforce_cosine_topk", # similarity search (exact baseline)
+    "x41_hyperplane_lsh_ann",     # hyperplane-LSH ANN (banded candidates)
+    "x65_ivfpq_topk",             # IVF+PQ ANN — the billion-scale shape
     "x01_token_stats",            # text analysis
     "x27_unigram_logppl",         # unigram-LM perplexity (word-count shape)
     "x90_curation_funnel",        # end-to-end curation funnel (capstone)

@@ -27,20 +27,27 @@ underlying operator. Composition:
 The natural (un-aliased) names remain registered and remain covered by
 the local parity suite; README.md documents the mapping.
 
-Round-5 rotation plan (once CORRECTNESS_r04 lands green rows for this
+Round-5 window (this file's DRIVER_WINDOW, per VERDICT r4 directives
+#1/#2): 41 never-windowed oracle-backed engine-core names — the full
+w-family (w01/w03/w07–w11/w13–w18), j11–j12, k04–k06, c08–c10,
+v07–v09, f13–f17, a19–a27 (KMV sketch family included), o02–o04 — plus
+9 retention reps chosen so every family green in r1–r4 stays covered
+(a01/d01/m01/p01/q05/s05/t03/u02/x05). p90_domain_pipeline is EVICTED
+(it has no oracle and recorded r4's only non-green row).
+
+Round-6 rotation plan (once CORRECTNESS_r05 lands green rows for this
 window): swap the 41 newly-green slots for the remaining never-windowed
-oracle-backed names — w01/w03/w07–w11/w13–w18, t05–t15,
-x08–x11/x13–x15/x16–x28/x30–x43/x45–x53/x56–x64/x66–x67/x69/x90
-(x08/x15/x17/x39/x41 gained exact oracles in r4; the round-4 additions
-a24–a26/x53/x56–x60/x62–x64/x66–x67/t14–t15/s18–s19/c10/m08/v09 are
-exact-oracle too; x54/x55/x61/x65/x68 stay rows-only),
-s01–s02/s04/s06/s11–s19, a19–a27, c08–c10, j11–j12, k04–k06, v07–v09,
-m04/m06–m08, o02–o04, p02–p05, u01/u03, f13–f17 — more candidates than
-slots, so prioritize j/k/c/v (engine core), then x (extensions); keep
-the same 9 retention reps and rotate again in round 6. The names above
-MUST exist in the registry (register_alias fails fast on typos at
-import time), so cross-check against OPERATORS.md before editing
-DRIVER_WINDOW. Membership is
+oracle-backed names, prioritizing the streaming family first —
+t05–t15 (availableNow replay jobs with watermark/state semantics,
+all oracle-backed against their batch twins) — then sources
+s01/s02/s04/s06/s11–s19, ML m04/m06–m08, projections p02–p05,
+set-ops u01/u03, and as many x* as fit
+(x08–x11/x13–x28/x30–x53/x56–x60/x62–x64/x66–x67/x69/x90 are
+exact-oracle; x12/x29/x54/x55/x61/x65/x68 stay rows-only and should
+NOT occupy window slots). Keep 9 retention reps covering every
+previously-green family. The names above MUST exist in the registry
+(register_alias fails fast on typos at import time), so cross-check
+against OPERATORS.md before editing DRIVER_WINDOW. Membership is
 asserted by tests/test_oracle_parity.py::test_driver_window_aliases_are_exact,
 so rotate by editing DRIVER_WINDOW only.
 """
@@ -54,63 +61,67 @@ from .registry import register_alias
 # retention reps for already-green families. Order within the window is
 # cosmetic — membership is what the driver records.
 DRIVER_WINDOW: list[str] = [
-    # dashboard SQL suite — the reference's user-facing queries (q01–q16)
-    "q01_total_readings_7d",
-    "q02_active_sensors",
-    "q03_anomaly_rate",
-    "q04_critical_alerts",
-    "q05_district_performance",
-    "q06_sensor_grade",
-    "q07_hourly_pattern",
-    "q08_type_distribution",
-    "q09_high_anomaly_sensors",
-    "q10_district_report",
-    "q11_dow_consumption",
-    "q12_sensor_reliability",
-    "q13_district_view",
-    "q14_monitoring_view",
-    "q15_lineage_view",
-    "q16_current_status_mv",
-    # validation rule engine
-    "v01_fused_validation",
-    "v02_duplicate_detection",
-    "v03_weighted_score",
-    "v04_completeness_profile",
-    "v05_zscore_outliers",
-    "v06_per_type_ranges",
-    # batch time-windows
-    "t01_tumbling_hourly",
-    "t02_sliding_windows",
-    "t03_sessionization",
-    "t04_staleness_monitor",
-    # LLM-data text + dedup operators
-    "x01_token_stats",
-    "x02_quality_score",
-    "x03_language_id",
-    "x04_fingerprint",
-    "x05_exact_dedup",
-    "x06_canonical_docs",
-    "x07_ngram_jaccard",
-    # window functions
-    "w02_range_rolling",
-    "w06_rolling_zscore",
-    "w12_gap_fill",
-    # one rep per never-driver-tested family
-    "o01_topk_orders",
-    "p01_filter_project",
-    "p90_domain_pipeline",  # e2e BASELINE pipeline (rows-only: no single SQL oracle)
-    "s05_partitioned_sink_prune",
-    "u02_intersect_except",
-    # retention reps: one per family already green in CORRECTNESS_r03
+    # window functions — the full never-windowed w-family (13)
+    "w01_rows_rolling",
+    "w03_lag_lead",
+    "w07_sma_ema",
+    "w08_latest_per_key",
+    "w09_hourly_profile",
+    "w10_topk_per_group",
+    "w11_running_total",
+    "w13_time_weighted_avg",
+    "w14_ntile_deciles",
+    "w15_running_distinct",
+    "w16_rank_distributions",
+    "w17_rolling_median",
+    "w18_session_relative",
+    # joins — remaining never-windowed (2)
+    "j11_interval_overlap_join",
+    "j12_nearest_asof",
+    # skew / layout levers (3)
+    "k04_skew_join_salted",
+    "k05_zorder_layout",
+    "k06_bloom_prefilter",
+    # catalog / CDC extensions (3)
+    "c08_snapshot_diff",
+    "c09_late_arriving_dim",
+    "c10_compaction_audit",
+    # validation extensions (3)
+    "v07_violation_runs",
+    "v08_referential_integrity",
+    "v09_quarantine_split",
+    # scalar-function extensions (5)
+    "f13_geo_distance",
+    "f14_bitwise_aggs",
+    "f15_fuzzy_match",
+    "f16_variant_json",
+    "f17_try_arithmetic",
+    # aggregation extensions incl. the KMV sketch family (9)
+    "a19_retention_cohorts",
+    "a20_funnel_conversion",
+    "a21_grouping_sets",
+    "a22_mad_outliers",
+    "a23_equiwidth_histogram",
+    "a24_kmv_sketch",
+    "a25_sketch_intersection",
+    "a26_weighted_median",
+    "a27_kmv_error_sweep",
+    # ordering extensions (3)
+    "o02_bottomk_customers",
+    "o03_keyset_pagination",
+    "o04_null_ordering_topk",
+    # retention reps: one per family green in CORRECTNESS_r01–r04 that the
+    # 41 first-time slots above don't already cover (d/m/p/q/s/t/u/x),
+    # plus the long-standing a01 anchor.
     "a01_multi_agg_pricing",
-    "c03_star_gold_view",
-    "c04_scd2_merge",
     "d01_keyed_dedup",
-    "f03_math_functions",
-    "j03_star_join",
-    "j09_asof_join",
-    "k01_salted_skew_agg",
     "m01_kmeans_clusters",
+    "p01_filter_project",
+    "q05_district_performance",
+    "s05_partitioned_sink_prune",
+    "t03_sessionization",
+    "u02_intersect_except",
+    "x05_exact_dedup",
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)

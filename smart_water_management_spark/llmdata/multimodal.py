@@ -64,19 +64,18 @@ def _pil():
 
 
 def decode_payload(pdf, real: bool = False):
-    """Per-batch decode. ``real=True`` decodes image payloads through PIL
-    when it is installed (mean pixel value + unique-level entropy proxy
-    from actual pixels); audio/video decode needs librosa/ffmpeg which
-    stay stubbed. Without PIL the real path raises."""
+    """Per-batch decode. ``real=True`` really decodes image payloads —
+    through PIL when installed (any format), else through the vendored
+    pure-Python PNG codec (``png_codec``, stdlib zlib; same ITU-R 601-2
+    integer luma as PIL's ``convert("L")``, so the two paths agree on RGB
+    input). Non-PNG images without PIL, and audio/video (librosa/ffmpeg),
+    still refuse loudly rather than fake results."""
     import numpy as np
 
     if real:
+        from . import png_codec
+
         Image = _pil()
-        if Image is None:
-            raise NotImplementedError(
-                "real media decode requires image/audio libraries not present "
-                "in this environment; install PIL for the image path"
-            )
         import io
 
         feats = []
@@ -85,7 +84,17 @@ def decode_payload(pdf, real: bool = False):
                 raise NotImplementedError(
                     "real decode for non-image media needs librosa/ffmpeg"
                 )
-            px = np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
+            if Image is not None:
+                px = np.asarray(Image.open(io.BytesIO(payload)).convert("L"))
+            elif png_codec.is_png(bytes(payload)):
+                w, h, ch, pixels = png_codec.decode_png(bytes(payload))
+                gray = png_codec.to_gray(w, h, ch, pixels)
+                px = np.frombuffer(gray, dtype=np.uint8).reshape(h, w)
+            else:
+                raise NotImplementedError(
+                    "real decode for non-PNG images requires PIL (the vendored "
+                    "codec covers PNG only)"
+                )
             feats.append(
                 (float(px.mean()), len(np.unique(px)) / 256.0, 1)
             )
@@ -260,30 +269,40 @@ def resize_payloads(
 
     Default path "resizes" by stride-sampling the payload down to
     ``target_bytes`` — deterministic, codec-free, and what the x19
-    oracle's byte arithmetic describes. With ``use_codec=True`` and PIL
-    installed, image payloads are really decoded and thumbnailed
-    (8×8 PNG); the Spark-side contract is identical either way: binary
-    in, binary out, bounded output size, Arrow batches end-to-end,
-    payloads never on the driver.
+    oracle's byte arithmetic describes. With ``use_codec=True``, image
+    payloads are really decoded and thumbnailed to ≤8×8 PNG — via PIL
+    when installed, else via the vendored pure-Python PNG codec (PNG
+    payloads only; others fall through to the stride stub). The
+    Spark-side contract is identical either way: binary in, binary out,
+    bounded output size, Arrow batches end-to-end, payloads never on the
+    driver.
     """
-    codec = use_codec and _pil() is not None
+    codec = use_codec
 
     def run(batches):
         import pandas as pd
+
+        from . import png_codec
 
         for pdf in batches:
             thumbs, sizes = [], []
             for payload, mime in zip(pdf["payload"], pdf["mime"]):
                 thumb = None
                 if codec and mime.startswith("image"):
-                    import io
-
                     Image = _pil()
-                    img = Image.open(io.BytesIO(payload))
-                    img.thumbnail((8, 8))
-                    buf = io.BytesIO()
-                    img.save(buf, format="PNG")
-                    thumb = buf.getvalue()
+                    if Image is not None:
+                        import io
+
+                        img = Image.open(io.BytesIO(payload))
+                        img.thumbnail((8, 8))
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        thumb = buf.getvalue()
+                    elif png_codec.is_png(bytes(payload)):
+                        w, h, ch, px = png_codec.decode_png(bytes(payload))
+                        gray = png_codec.to_gray(w, h, ch, px)
+                        tw, th, tpx = png_codec.thumbnail_gray(w, h, gray)
+                        thumb = png_codec.encode_png_gray(tw, th, tpx)
                 if thumb is None:
                     n = len(payload)
                     if n <= target_bytes:

@@ -26,6 +26,7 @@ from ..sources.catalog import fan_out, load_table
 N_QUERIES = 10
 TOP_K = 5
 N_PROBE = 2  # IVF cells searched per query
+IVF_FIT_SAMPLE = 4096  # bounded sample for the layout-invariant quantizer fit
 
 
 def _dbl(col) -> Column:
@@ -148,8 +149,26 @@ def ivf_index(
 
     vecs = em.select(
         "vec_id", "label", F.col("e"), array_to_vector("e").alias("features")
-    ).persist()  # Lloyd iterations re-scan; pin the vectorized corpus once
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features", maxIter=10).fit(vecs)
+    ).persist()  # assignment + downstream probes re-scan; pin once
+    # Fit the coarse quantizer on a BOUNDED, canonically-ordered,
+    # single-partition sample (md5-ordered limit — same device as the PQ
+    # codebook fit): k-means|| init samples per partition and float
+    # partial sums reduce in partition order, so fitting on the raw
+    # distributed corpus makes the centroids a function of physical
+    # layout. A fixed sample in one sorted partition pins the model for
+    # any partitioning (asserted by test_rowsonly_fixed_seed_determinism)
+    # and is also the 100 TB shape: n_cells × dim centroids never need
+    # the full corpus, only a representative bounded sample.
+    fit_sample = (
+        vecs.select("vec_id", "features")
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(IVF_FIT_SAMPLE)
+        .repartition(1)
+        .sortWithinPartitions("vec_id")
+    )
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="features", maxIter=10
+    ).fit(fit_sample)
     assigned = model.transform(vecs).withColumnRenamed("prediction", "cell")
     vecs.unpersist()
     return assigned.drop("features"), model
