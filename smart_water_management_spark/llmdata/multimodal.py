@@ -80,9 +80,42 @@ def decode_payload(pdf, real: bool = False):
 
         feats = []
         for payload, mime in zip(pdf["payload"], pdf["mime"]):
+            if mime.startswith("audio"):
+                # PCM WAV is a stdlib decode (wave module) — real samples,
+                # no optional dependency. Features mirror the image path:
+                # mean |amplitude| rescaled to the byte domain, fraction of
+                # distinct 8-bit levels, frame_count = PCM frame count.
+                import wave
+
+                try:
+                    wf = wave.open(io.BytesIO(bytes(payload)))
+                except (wave.Error, EOFError) as exc:
+                    raise NotImplementedError(
+                        "real decode for non-WAV audio needs librosa/ffmpeg"
+                    ) from exc
+                sw, nfr = wf.getsampwidth(), wf.getnframes()
+                raw = wf.readframes(nfr)
+                dt = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sw)
+                if dt is None:
+                    raise NotImplementedError(f"unsupported WAV sample width {sw}")
+                samples = np.frombuffer(raw, dtype=dt).astype(np.float64)
+                if sw == 1:
+                    samples -= 128.0  # 8-bit WAV is unsigned, center it
+                scale = float(2 ** (8 * sw - 1))
+                lvl = np.clip(
+                    (samples / scale * 128.0 + 128.0), 0, 255
+                ).astype(np.uint8)
+                feats.append(
+                    (
+                        float(np.abs(samples).mean() / scale * 255.0),
+                        len(np.unique(lvl)) / 256.0,
+                        max(1, nfr),
+                    )
+                )
+                continue
             if not mime.startswith("image"):
                 raise NotImplementedError(
-                    "real decode for non-image media needs librosa/ffmpeg"
+                    "real decode for video media needs ffmpeg"
                 )
             if Image is not None:
                 px = np.asarray(Image.open(io.BytesIO(payload)).convert("L"))

@@ -469,3 +469,140 @@ def o04_null_ordering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rk_desc")
         .limit(50)
     )
+
+
+# --- p06-p08 (ext.): subquery shapes and their decorrelated Spark plans.
+# The reference's SQL surface (and any PostgreSQL-backed dashboard) leans
+# on correlated subqueries; Catalyst executes them as decorrelated
+# joins. These three register the classic TPC-H shapes with the ORACLE
+# written in genuine subquery form and the Spark side written as the
+# decorrelated plan — the hash match IS the decorrelation-equivalence
+# proof.
+@register(
+    "p06_correlated_scalar_subquery",
+    # TPC-H Q17 shape: rows below half their group's mean. The correlated
+    # scalar subquery recomputes the per-part mean for every outer row;
+    # the decorrelated plan computes it once per key. Decimal moments
+    # keep the threshold double bit-identical across engines.
+    oracle="""
+    SELECT l.l_partkey AS partkey,
+           COUNT(*) AS n_small_lots,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(27,6))) AS DOUBLE)
+             AS small_lot_revenue
+    FROM lineitem l
+    WHERE l.l_quantity < (
+      SELECT (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(27,6))) AS DOUBLE)
+                / COUNT(l2.l_quantity)) * 0.5
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    GROUP BY 1
+    """,
+    doc="p06 (ext.): correlated scalar subquery (TPC-H Q17 shape) — "
+    "Spark side is the decorrelated per-key pre-aggregation + join; at "
+    "scale that is one co-partitioned shuffle on l_partkey instead of a "
+    "per-row recomputation, and AQE picks broadcast when the agg side "
+    "is small",
+)
+def p06_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import davg, dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    thr = li.groupBy("l_partkey").agg((davg("l_quantity") * 0.5).alias("half_avg_qty"))
+    return (
+        li.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.count("*").alias("n_small_lots"),
+            dsum("l_extendedprice").alias("small_lot_revenue"),
+        )
+    )
+
+
+@register(
+    "p07_in_subquery_having",
+    # TPC-H Q18 shape: IN over a grouped+HAVING subquery. Catalyst plans
+    # the IN as a left-semi join against the aggregated subquery.
+    oracle="""
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_totalprice
+    FROM orders
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(l_quantity AS DECIMAL(27,6))) > 100
+    )
+    """,
+    doc="p07 (ext.): IN + GROUP BY/HAVING subquery (TPC-H Q18 shape) — "
+    "decorrelated to pre-agg + left-semi join; the semi join ships only "
+    "the key column and stops at first match, so the big fact side is "
+    "never widened",
+)
+def p07_in_subquery_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    od = load_table(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(27,6)")).alias("sq"))
+        .filter(F.col("sq") > 100)
+        .select("l_orderkey")
+    )
+    return (
+        od.join(big, od.o_orderkey == big.l_orderkey, "left_semi")
+        .select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+        )
+    )
+
+
+@register(
+    "p08_not_exists_scalar",
+    # TPC-H Q22 shape: scalar subquery threshold + NOT EXISTS anti-join.
+    # "Rich" customers (balance above the positive-balance mean) who have
+    # never placed a 300k+ order, rolled up by market segment.
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) AS n_rich_inactive,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE) AS total_acctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+      SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(c_acctbal)
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000.0
+    )
+    GROUP BY 1
+    """,
+    doc="p08 (ext.): scalar-subquery threshold + NOT EXISTS (TPC-H Q22 "
+    "shape) — the scalar agg is a 1-row broadcast crossJoin, the NOT "
+    "EXISTS a left-anti join against the pre-filtered order keys "
+    "(filter pushed below the join, so the anti side is tiny and "
+    "broadcastable)",
+)
+def p08_not_exists_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import davg, dsum
+
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders")
+    thr = cu.filter(F.col("c_acctbal") > 0.0).agg(davg("c_acctbal").alias("thr"))
+    big_orders = od.filter(F.col("o_totalprice") > 300000.0).select("o_custkey")
+    return (
+        cu.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+        .join(
+            F.broadcast(big_orders),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count("*").alias("n_rich_inactive"),
+            dsum("c_acctbal").alias("total_acctbal"),
+        )
+    )

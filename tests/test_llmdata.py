@@ -157,6 +157,47 @@ def test_real_decode_path_works_without_pil(spark):
             )
 
 
+def test_real_wav_decode_via_stdlib():
+    """audio/wav real decode runs everywhere via the stdlib wave module:
+    a synthesized PCM16 sine wave yields the analytically expected mean
+    |amplitude| and frame count; malformed audio still refuses."""
+    import io
+    import math
+    import struct
+    import wave
+
+    import pandas as pd
+    import pytest
+
+    buf = io.BytesIO()
+    n, amp = 800, 16000
+    w = wave.open(buf, "wb")
+    w.setnchannels(1)
+    w.setsampwidth(2)
+    w.setframerate(8000)
+    w.writeframes(
+        b"".join(
+            struct.pack("<h", int(amp * math.sin(2 * math.pi * i / 80)))
+            for i in range(n)
+        )
+    )
+    w.close()
+    feats = multimodal.decode_payload(
+        pd.DataFrame({"payload": [buf.getvalue()], "mime": ["audio/wav"]}), real=True
+    )
+    mean_amp, lvl_frac, frames = feats[0]
+    assert frames == n
+    # mean |sin| = 2/pi; scaled to the byte domain: amp/2^15 * 255 * 2/pi
+    expect = amp / 32768.0 * 255.0 * 2.0 / math.pi
+    assert abs(mean_amp - expect) < 1.0
+    assert 0.0 < lvl_frac <= 1.0
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_payload(
+            pd.DataFrame({"payload": [b"ID3notawav"], "mime": ["audio/mp3"]}),
+            real=True,
+        )
+
+
 def test_multimodal_real_codec_when_pil_present(spark):
     """With PIL installed, the image path really decodes and thumbnails;
     skipped (not faked) when the optional dependency is absent."""

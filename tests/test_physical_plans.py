@@ -454,3 +454,18 @@ def test_pagerank_iterations_truncate_lineage(spark):
     # checkpointed rank RDD — one hash join with the edge table, not a
     # five-deep join pyramid
     assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") <= 3
+
+
+def test_subquery_decorrelation_plans(spark):
+    """p06-p08: the subquery shapes must plan as their decorrelated join
+    forms — semi/anti joins carrying only keys, scalar thresholds as
+    broadcasts — never as per-row subquery re-execution."""
+    plan = plan_of(_q(spark, "p07_in_subquery_having"))
+    assert "LeftSemi" in plan  # IN → left-semi join
+    plan = plan_of(_q(spark, "p08_not_exists_scalar"))
+    assert "LeftAnti" in plan  # NOT EXISTS → left-anti join
+    assert "BroadcastHashJoin" in plan  # pre-filtered order keys broadcast
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar threshold
+    plan = plan_of(_q(spark, "p06_correlated_scalar_subquery"))
+    # correlated scalar → ONE aggregation over the key, joined back
+    assert plan.count("HashAggregate") >= 2  # partial+final of pre-agg
