@@ -214,3 +214,59 @@ def c05_quantile_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.95)), 6).alias("p95_threshold"),
         F.round(F.percentile("value", F.lit(0.99)), 6).alias("p99_threshold"),
     )
+
+
+# --- c11 (ext.): native recursive CTE over the dimension hierarchy ----------
+# Spark 4 ships WITH RECURSIVE (UNION ALL form). The engine's iterative
+# dataflow closures (x15 label propagation, x60 PageRank) predate it and
+# remain the scale path for cyclic graphs — Spark's rCTE rejects
+# UNION-distinct recursion, which cycle closure needs — but for acyclic
+# hierarchy walks (org charts, BOM explosions, dimension rollup paths)
+# the native operator is the idiomatic expression, and this query proves
+# it end-to-end against DuckDB running the very same recursion.
+_C11_WALK = """
+WITH RECURSIVE walk(node, root_region, depth) AS (
+  SELECT 'R' || CAST(r_regionkey AS {str_t}), r_name, 0 FROM region
+  UNION ALL
+  SELECT e.dst, w.root_region, w.depth + 1
+  FROM walk w JOIN hier_edges e ON e.src = w.node
+)
+SELECT root_region, depth,
+       COUNT(*) AS n_nodes,
+       MIN(node) AS first_node,
+       MAX(node) AS last_node
+FROM walk
+GROUP BY root_region, depth
+"""
+
+_C11_EDGES = """
+SELECT 'R' || CAST(n_regionkey AS {str_t}) AS src,
+       'N' || CAST(n_nationkey AS {str_t}) AS dst
+FROM nation
+UNION ALL
+SELECT 'N' || CAST(c_nationkey AS {str_t}) AS src,
+       'C' || CAST(c_custkey AS {str_t}) AS dst
+FROM customer
+"""
+
+
+@register(
+    "c11_recursive_hierarchy",
+    oracle=(
+        "WITH RECURSIVE hier_edges AS ("
+        + _C11_EDGES.format(str_t="VARCHAR")
+        + "), "
+        + _C11_WALK.format(str_t="VARCHAR").replace("WITH RECURSIVE ", "", 1)
+    ),
+    doc="c11 (ext.): NATIVE Spark 4 WITH RECURSIVE — walk the "
+    "region→nation→customer dimension DAG from the roots, tracking root "
+    "and depth (the org-chart / BOM-explosion shape). Oracle runs the "
+    "identical recursion in DuckDB. Scale: each recursion step is one "
+    "co-partitioned join on the frontier; depth bounds the iteration "
+    "count, and the frontier (not the closure) is the working set",
+)
+def c11_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("region", "nation", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    spark.sql(_C11_EDGES.format(str_t="STRING")).createOrReplaceTempView("hier_edges")
+    return spark.sql(_C11_WALK.format(str_t="STRING"))

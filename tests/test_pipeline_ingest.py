@@ -221,15 +221,20 @@ def test_streaming_scd2_equals_batch(spark):
 )
 def test_pipeline_scale_soak(spark):
     """The same lazy plan at 60x the fixture volume: 1,825 days = 876k
-    readings through generate -> enrich (windows) -> rollup. Guards
-    against accidental driver loops / collects creeping into the
-    pipeline — those scale linearly in wall time, this must not."""
+    readings through generate -> enrich (windows) -> rollup, in BOTH
+    draw modes (md5 = oracle-reproducible, xxhash64 = pure-ingest
+    throughput). Guards against accidental driver loops / collects
+    creeping into the pipeline — those scale linearly in wall time,
+    this must not."""
     import time
 
-    t0 = time.monotonic()
-    rollup = daily_rollup(enrich(generate_readings(spark, n_days=1825)))
-    assert rollup.count() == 5 * 4 * 1825
-    assert time.monotonic() - t0 < 60
+    for mode in ("md5", "xxhash64"):
+        t0 = time.monotonic()
+        rollup = daily_rollup(
+            enrich(generate_readings(spark, n_days=1825, draws=mode))
+        )
+        assert rollup.count() == 5 * 4 * 1825, mode
+        assert time.monotonic() - t0 < 60, mode
 
 
 def test_object_store_csv_roundtrip(spark, tmp_path):
