@@ -33,7 +33,9 @@ w-family (w01/w03/w07–w11/w13–w18), j11–j12, k04–k06, c08–c10,
 v07–v09, f13–f17, a19–a27 (KMV sketch family included), o02–o04 — plus
 9 retention reps chosen so every family green in r1–r4 stays covered
 (a01/d01/m01/p01/q05/s05/t03/u02/x05). p90_domain_pipeline is EVICTED
-(it has no oracle and recorded r4's only non-green row).
+(it had no oracle and recorded r4's only non-green row; later in round 5
+it GAINED an exact DuckDB oracle — md5-seeded fixture + decimal-moment
+windows — so it is a legitimate round-6 window candidate).
 
 Round-6 rotation plan (once CORRECTNESS_r05 lands green rows for this
 window): swap the 41 newly-green slots for the remaining never-windowed
@@ -125,6 +127,37 @@ DRIVER_WINDOW: list[str] = [
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
+
+# Round-6 rotation candidates, in priority order (see docstring). Kept as
+# data — not prose — so tests/test_oracle_parity.py can assert every name
+# exists in the registry and is oracle-backed BEFORE the round-6 edit
+# happens, instead of discovering a typo when the driver runs.
+ROUND6_CANDIDATES: list[str] = [
+    # streaming first: watermark/state semantics the reference only fakes
+    "t05_streaming_hourly", "t06_streaming_session_windows",
+    "t07_streaming_sensor_status", "t08_streaming_sliding",
+    "t09_stateful_run_length", "t10_streaming_dedup", "t11_streaming_scd2",
+    "t12_stream_stream_join", "t13_transform_with_state",
+    "t14_streaming_kmv_sketch", "t15_streaming_lsh_dedup",
+    # sources
+    "s01_csv_roundtrip_schema", "s02_csv_infer_roundtrip", "s04_glob_latest",
+    "s06_compacted_sink", "s11_json_roundtrip", "s12_cached_reuse",
+    "s13_dynamic_partition_overwrite", "s14_orc_roundtrip",
+    "s15_binaryfile_scan", "s16_schema_evolution", "s17_corrupt_records",
+    "s18_text_lines_scan", "s19_sharded_corpus_sink",
+    # ML / projections / set ops / round-5 additions
+    "m04_correlation_matrix", "m06_linear_trend", "m07_weekday_seasonality",
+    "m08_ridge_trend", "p02_case_when_bands", "p03_null_handling",
+    "p04_regex_filter", "p05_stratified_sample",
+    "p06_correlated_scalar_subquery", "p07_in_subquery_having",
+    "p08_not_exists_scalar", "p90_domain_pipeline", "u01_union_by_name",
+    "u03_multiset_ops", "c11_recursive_hierarchy",
+    # x-family (exact-oracle members; extend in round 7+)
+    "x08_minhash_lsh_dedup", "x09_simhash_groups",
+    "x10_bruteforce_cosine_topk", "x11_cosine_near_dupes",
+    "x15_dedup_groups", "x17_quantized_cosine_topk", "x18_tfidf_keywords",
+    "x20_pii_scrub", "x21_gopher_quality_filters",
+]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):
     try:

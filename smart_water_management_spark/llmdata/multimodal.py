@@ -228,14 +228,23 @@ def x14_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes long, frame_hash long"
 
 
-def sample_frames(mm: DataFrame, every_nth: int = 4, frame_size: int = 64) -> DataFrame:
+def sample_frames(
+    mm: DataFrame,
+    every_nth: int = 4,
+    frame_size: int = 64,
+    use_codec: bool = False,
+) -> DataFrame:
     """Frame-sampling stage (1 video row → N frame rows) via mapInPandas.
 
-    The stub treats each ``frame_size``-byte slice of the payload as one
-    frame and keeps every ``every_nth`` — the row-expansion shape (UDTF
-    over Arrow batches) is exactly what a real ffmpeg keyframe sampler
-    produces; only the slicing body changes. Non-video assets pass
-    through with a single frame 0.
+    The default stub treats each ``frame_size``-byte slice of the payload
+    as one frame and keeps every ``every_nth`` — the row-expansion shape
+    (UDTF over Arrow batches) is exactly what a real keyframe sampler
+    produces; only the slicing body changes. With ``use_codec=True``,
+    animated-GIF payloads are REALLY decoded (vendored pure-Python
+    ``gif_codec``: LZW, color tables, luma) and every ``every_nth``
+    decoded frame is emitted with its true pixel size and pixel-content
+    hash; non-GIF payloads fall through to the stub. Non-video assets
+    pass through with a single frame 0 either way.
 
     Scale: expansion happens inside the executor batch (never a driver
     explode); output rows carry a content hash, so a downstream
@@ -247,9 +256,24 @@ def sample_frames(mm: DataFrame, every_nth: int = 4, frame_size: int = 64) -> Da
 
         import pandas as pd
 
+        from . import gif_codec
+
         for pdf in batches:
             out = {"doc_id": [], "frame_idx": [], "frame_bytes": [], "frame_hash": []}
             for doc_id, payload, mime in zip(pdf["doc_id"], pdf["payload"], pdf["mime"]):
+                if (
+                    use_codec
+                    and mime.startswith(("video", "image/gif"))
+                    and gif_codec.is_gif(bytes(payload))
+                ):
+                    frames = gif_codec.decode_gif(bytes(payload))
+                    for i in range(0, len(frames), every_nth):
+                        _w, _h, px = frames[i]
+                        out["doc_id"].append(doc_id)
+                        out["frame_idx"].append(i)
+                        out["frame_bytes"].append(len(px))
+                        out["frame_hash"].append(zlib.crc32(px))
+                    continue
                 if mime.startswith("video"):
                     n_frames = max(1, len(payload) // frame_size)
                     idxs = range(0, n_frames, every_nth)

@@ -157,6 +157,42 @@ def test_real_decode_path_works_without_pil(spark):
             )
 
 
+def test_vendored_gif_codec_and_real_frame_sampling(spark):
+    """The pure-Python GIF codec: multi-frame encode→decode is the
+    identity (drives the real LZW bit paths), and
+    sample_frames(use_codec=True) extracts GENUINE decoded frames —
+    true pixel sizes, pixel-content hashes, every-4th selection — from an
+    animated payload, with identical duplicate frames hashing equal for
+    frame-level dedup."""
+    import zlib
+
+    from smart_water_management_spark.llmdata import gif_codec
+
+    w, h = 16, 12
+    def frame(k):
+        return (w, h, bytes((x * 7 + y * 11 + k * 31) % 256
+                            for y in range(h) for x in range(w)))
+
+    # 9 frames; frames 0 and 8 identical → their sampled hashes must match
+    frames = [frame(k) for k in [0, 1, 2, 3, 4, 5, 6, 7, 0]]
+    gif = gif_codec.encode_gif_gray(frames)
+    assert gif_codec.decode_gif(gif) == frames  # roundtrip through real LZW
+
+    mm = spark.createDataFrame(
+        [(1, gif, ("video/gif", len(gif), "test"))],
+        "doc_id long, payload binary, meta struct<mime:string,n_bytes:long,origin:string>",
+    )
+    rows = sorted(
+        multimodal.sample_frames(mm, use_codec=True).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in rows] == [0, 4, 8]  # every 4th of 9
+    assert all(r.frame_bytes == w * h for r in rows)  # true pixel sizes
+    assert rows[0].frame_hash == rows[2].frame_hash  # duplicate frames agree
+    assert rows[0].frame_hash == zlib.crc32(frames[0][2])
+    assert rows[1].frame_hash != rows[0].frame_hash
+
+
 def test_real_wav_decode_via_stdlib():
     """audio/wav real decode runs everywhere via the stdlib wave module:
     a synthesized PCM16 sine wave yields the analytically expected mean
