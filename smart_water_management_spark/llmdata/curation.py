@@ -1659,3 +1659,114 @@ def x68_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     vec.unpersist()
     return out
+
+
+# --- x70: per-document disposition audit -------------------------------------
+
+# x90 reports the funnel's per-stage YIELDS; operations also needs the
+# per-document WHY — "this doc was dropped at stage S, its surviving
+# canonical is doc C". First matching rule wins, in pipeline order:
+# quality → exact-dup → contamination → sampling. Every stage reuses the
+# exact constants/predicates of its standalone operator (x21/x05-policy/
+# x23/x22), so the audit can never disagree with the stages it explains.
+@register(
+    "x70_doc_disposition",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, text, string_split(lower(text), ' ') AS tk
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang, text, CAST(len(tk) AS BIGINT) AS n_tok,
+             {sql_gopher_metrics("tk")["passes"]} AS q
+      FROM t
+    ),
+    d AS (
+      SELECT *,
+             MIN(CASE WHEN q THEN doc_id END)
+               OVER (PARTITION BY md5(text)) AS canon,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+               < CASE lang
+                 {" ".join(f"WHEN '{l}' THEN '{_hex_threshold(r)}'" for l, r in SAMPLE_RATES.items())}
+                 ELSE '0000' END AS sampled
+      FROM m
+    ),
+    grams AS (
+      SELECT doc_id, unnest(list_transform(
+               range(0, greatest(len(tk) - {NGRAM - 1}, 0)),
+               i -> md5(array_to_string(tk[i+1:i+{NGRAM}], ' ')))) AS g
+      FROM t
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE {BENCH_PRED}),
+    contaminated AS (
+      SELECT DISTINCT t2.doc_id
+      FROM (SELECT doc_id, g FROM grams WHERE NOT ({BENCH_PRED})) t2
+      JOIN bench b USING (g)
+    )
+    SELECT d.doc_id, d.lang, d.n_tok,
+           CASE
+             WHEN NOT d.q THEN 'removed_quality'
+             WHEN d.doc_id <> d.canon THEN 'removed_exact_dup'
+             WHEN c.doc_id IS NOT NULL THEN 'removed_contaminated'
+             WHEN NOT d.sampled THEN 'removed_sampling'
+             ELSE 'kept'
+           END AS disposition,
+           CASE WHEN d.q AND d.doc_id <> d.canon THEN d.canon END
+             AS canonical_doc_id
+    FROM d LEFT JOIN contaminated c ON d.doc_id = c.doc_id
+    """,
+    doc="x70: per-document disposition audit — for every corpus doc, the "
+    "first pipeline stage that removed it (quality -> exact-dup -> "
+    "benchmark-contamination -> sampling) or 'kept', plus the surviving "
+    "canonical for dup removals. One corpus scan for the flags (window "
+    "over md5(text) for the dup groups), one gram-hash semi-join for "
+    "contamination — the same shuffles the standalone stages pay, never "
+    "all-pairs; at 100 TB this materializes as the lineage table next "
+    "to the curated output",
+)
+def x70_doc_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..sources.catalog import fan_out
+
+    from .text import tokens
+
+    d = (
+        fan_out(load_table(spark, sf_dir, "documents"), spark)
+        .withColumn("tk", tokens("text"))
+        .withColumn("n_tok", F.size("tk").cast("long"))
+        .withColumn("q", gopher_metrics(F.col("tk"))["passes"])
+    )
+    w = W.partitionBy(F.md5("text"))
+    d = d.withColumn(
+        "canon", F.min(F.when(F.col("q"), F.col("doc_id"))).over(w)
+    ).withColumn("sampled", _keep_expr())
+
+    grams = doc_gram_table(spark, sf_dir)
+    bench = grams.filter(F.expr(BENCH_PRED)).select("g").distinct()
+    contaminated = (
+        grams.filter(~F.expr(BENCH_PRED))
+        .join(bench, "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(True))
+    )
+    disposition = (
+        F.when(~F.col("q"), "removed_quality")
+        .when(F.col("doc_id") != F.col("canon"), "removed_exact_dup")
+        .when(F.col("is_cont"), "removed_contaminated")
+        .when(~F.col("sampled"), "removed_sampling")
+        .otherwise("kept")
+    )
+    return (
+        d.join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_tok",
+            disposition.alias("disposition"),
+            F.when(
+                F.col("q") & (F.col("doc_id") != F.col("canon")), F.col("canon")
+            ).alias("canonical_doc_id"),
+        )
+    )
