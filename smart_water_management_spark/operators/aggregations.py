@@ -1225,10 +1225,17 @@ def a27_kmv_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hx = F.substring(F.md5(F.col("user_id").cast("string")), 1, _KMV_HEX)
     h = ev.select(hx.alias("hx")).distinct()
-    ranked = h.select(
-        "hx",
-        F.row_number().over(W.orderBy("hx")).alias("rn"),
-        F.count("*").over(W.partitionBy()).alias("n_exact"),
+    # Only the max(k) smallest hashes can ever be a kth-minimum, so rank
+    # a TakeOrdered prefix (per-partition heaps, distributed) instead of
+    # row_number over the full distinct-hash set — the naive global
+    # window single-partitions EVERY distinct user at 100 TB. The exact
+    # count rides along as a 1-row broadcast.
+    top = h.orderBy("hx").limit(max(KMV_SWEEP_KS))
+    totals = h.agg(F.count("*").alias("n_exact"))
+    ranked = (
+        top.withColumn("rn", F.row_number().over(W.orderBy("hx")))
+        .crossJoin(F.broadcast(totals))
+        .select("hx", "rn", "n_exact")
     )
     ks = spark.createDataFrame([(k,) for k in KMV_SWEEP_KS], "k int")
     kth = F.max(F.when(F.col("rn") <= F.col("k"), F.col("hx")))

@@ -450,7 +450,10 @@ def u03_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(desc_nulls_last / asc_nulls_first) — engines disagree on default "
     "null placement, so portable rankings must say it explicitly; the "
     "rank positions are emitted as values so the driver hash-checks the "
-    "ordering semantics themselves, not just the row set",
+    "ordering semantics themselves, not just the row set. The global "
+    "(unpartitioned) windows are the POINT of this demo — emitting "
+    "global positions from both ends; the scale-shaped top-k variants "
+    "are o01/o02 (TakeOrderedAndProject, per-partition heaps)",
 )
 def o04_null_ordering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W

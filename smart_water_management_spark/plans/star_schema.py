@@ -57,10 +57,57 @@ def build_time_dimension(spark: SparkSession, start: str, end: str) -> DataFrame
     )
 
 
+def surrogate_key(df: DataFrame, order_col: str, n_buckets: int = 256):
+    """Dense deterministic surrogate key 1..N for an arbitrarily LARGE
+    dimension, without the single-partition global window a naive
+    ``row_number().over(orderBy(...))`` costs (at 100 TB a billion-row
+    customer dim on one task is a scale killer). Two-phase bucketed rank:
+
+    1. hash-bucket each row (xxhash64 of the natural key — internal only,
+       never compared cross-engine),
+    2. rank WITHIN each bucket (partitioned window — parallel),
+    3. cumsum the 256 bucket counts (a window over 256 rows) into
+       offsets, broadcast them back, key = offset + in-bucket rank.
+
+    Deterministic for any partitioning (pure function of the natural
+    key), unique and dense, and the only global ordering touches
+    n_buckets rows. The equivalent of RDD ``zipWithIndex`` expressed in
+    DataFrame ops."""
+    b = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_buckets)).alias("_skb")
+    ranked = df.withColumn("_skb", b).withColumn(
+        "_skr",
+        F.row_number().over(W.partitionBy("_skb").orderBy(order_col)),
+    )
+    offsets = (
+        ranked.groupBy("_skb")
+        .count()
+        .withColumn(
+            "_sko",
+            F.coalesce(
+                F.sum("count").over(
+                    W.orderBy("_skb").rowsBetween(W.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_skb", "_sko")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_skb")
+        .withColumn("_sk", (F.col("_sko") + F.col("_skr")).cast("long"))
+        .drop("_skb", "_skr", "_sko")
+    )
+
+
 def build_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """C1/C3: extract dimensions with surrogate keys and resolve fact FKs
     set-based — the engine replacement for the reference's O(n·m) iterrows
-    fact load (src/warehouse_loader_real_data.py:192-251)."""
+    fact load (src/warehouse_loader_real_data.py:192-251).
+
+    Key assignment is size-aware: dim_geo (≤25 nations, bounded by the
+    world) takes the simple global row_number; dim_customer — the dim
+    that actually grows with the business — uses the bucketed
+    ``surrogate_key`` so no single task ever sorts the whole dim."""
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
@@ -75,15 +122,15 @@ def build_star(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         )
         .withColumn("geo_key", F.row_number().over(W.orderBy("nation_name")))
     )
-    dim_customer = (
+    dim_customer = surrogate_key(
         c.select(
             F.col("c_custkey").alias("customer_id"),
             F.col("c_name").alias("customer_name"),
             F.col("c_mktsegment").alias("segment"),
             F.col("c_nationkey").alias("nation_id"),
-        )
-        .withColumn("customer_key", F.row_number().over(W.orderBy("customer_id")))
-    )
+        ),
+        "customer_id",
+    ).withColumnRenamed("_sk", "customer_key")
     dim_time = build_time_dimension(spark, "1995-01-01", "2001-12-31")
     fact = (
         o.join(F.broadcast(dim_customer), o.o_custkey == dim_customer.customer_id)
