@@ -93,9 +93,18 @@ def weighted_mean_udaf(v: pd.Series, w: pd.Series) -> float:
 
     Used with ``groupBy(...).agg(weighted_mean_udaf(...))`` — Spark ships
     each group's columns as Arrow arrays; the reduction runs in numpy.
+
+    The sums quantize each term to the 1e-6 grid and accumulate as exact
+    int64 micro-units — the UDAF expression of the engine's decimal-sum
+    device (functions/numeric.py): a plain float ``(v*w).sum()`` depends
+    on Arrow batch order and drifted past round(,6) against the oracle
+    once groups reached sf0.1 size (caught by the 10×-SF parity sweep).
     """
-    denom = w.sum()
-    return float((v * w).sum() / denom) if denom else None
+    import numpy as np
+
+    num = int(np.rint((v * w).to_numpy() * 1e6).astype(np.int64).sum())
+    den = int(np.rint(w.to_numpy() * 1e6).astype(np.int64).sum())
+    return float(num / 1e6) / float(den / 1e6) if den else None
 
 
 def register_sql_udfs(spark: SparkSession) -> None:
@@ -109,11 +118,28 @@ def register_sql_udfs(spark: SparkSession) -> None:
 
 def _normalize_group(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-group z-score normalization (sample stddev, ddof=1 to match
-    SQL STDDEV_SAMP)."""
-    mu = pdf["value"].mean()
-    sd = pdf["value"].std(ddof=1)
+    SQL STDDEV_SAMP). Mean and stddev come from exact integer-micro
+    moment sums (values are 2-decimal), so the z-scores cannot drift
+    against the decimal-moment oracle at any group size or Arrow batch
+    order — the f11 lesson applied ahead of failure."""
+    import math
+
+    import numpy as np
+
+    v = pdf["value"].to_numpy()
+    n = len(v)
+    micro = np.rint(v * 1e6).astype(np.int64)
+    sx = float(int(micro.sum()) / 1e6)
+    # v has 2 decimals -> v*v has 4, exact on the micro grid
+    sx2 = float(int(np.rint(v * v * 1e6).astype(np.int64).sum()) / 1e6)
     pdf = pdf.copy()
-    pdf["value_z"] = ((pdf["value"] - mu) / sd if sd and sd > 0 else 0.0)
+    if n > 1:
+        var = (n * sx2 - sx * sx) / (n * (n - 1.0))
+        sd = math.sqrt(var) if var > 0 else 0.0
+        mu = sx / n
+        pdf["value_z"] = ((pdf["value"] - mu) / sd if sd > 0 else 0.0)
+    else:
+        pdf["value_z"] = 0.0
     pdf["value_z"] = pdf["value_z"].round(6)
     return pdf[["event_id", "user_id", "value", "value_z"]]
 
@@ -201,8 +227,10 @@ def f10_pandas_udf_severity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f11_grouped_agg_udaf",
     oracle="""
     SELECT user_id,
-           ROUND(SUM(value * (1.0 + (event_id % 5))) /
-                 SUM(1.0 + (event_id % 5)), 6) AS weighted_avg
+           CAST(SUM(CAST(value * (1.0 + (event_id % 5)) AS DECIMAL(27,6)))
+                AS DOUBLE)
+             / CAST(SUM(CAST(1.0 + (event_id % 5) AS DECIMAL(27,6)))
+                    AS DOUBLE) AS weighted_avg
     FROM events
     GROUP BY user_id
     """,
@@ -213,20 +241,29 @@ def f11_grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "w", 1.0 + (F.col("event_id") % 5)
     )
+    # unrounded: the exact-micro-sum quotient is bit-identical across
+    # engines, while round() at a decimal midpoint is not (the p90 rule)
     return ev.groupBy("user_id").agg(
-        F.round(weighted_mean_udaf(F.col("value"), F.col("w")), 6).alias(
-            "weighted_avg"
-        )
+        weighted_mean_udaf(F.col("value"), F.col("w")).alias("weighted_avg")
     )
 
 
 @register(
     "f12_apply_in_pandas_norm",
     oracle="""
+    WITH t AS (
+      SELECT event_id, user_id, value,
+             CAST(COUNT(value) OVER w AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value*value AS DECIMAL(27,6))) OVER w AS DOUBLE) AS sx2
+      FROM events WINDOW w AS (PARTITION BY user_id)
+    )
     SELECT event_id, user_id, value,
-           ROUND((value - AVG(value) OVER (PARTITION BY user_id))
-                 / STDDEV_SAMP(value) OVER (PARTITION BY user_id), 6) AS value_z
-    FROM events
+           ROUND(CASE WHEN n > 1 AND (n*sx2 - sx*sx)/(n*(n-1.0)) > 0
+                 THEN (value - sx/n)
+                      / sqrt((n*sx2 - sx*sx)/(n*(n-1.0)))
+                 ELSE 0.0 END, 6) AS value_z
+    FROM t
     """,
     doc="applyInPandas grouped-map (≈UDTF): per-user z-normalization; "
     "one shuffle on the group key, Arrow batches per group",

@@ -402,3 +402,24 @@ def test_tuned_conf_restore_includes_aqe(spark):
         for k, v in own.items():
             spark.conf.set(k, v)
         registry.tune_for_input(spark, SF_DIR)
+
+
+def test_surrogate_key_dense_unique_and_partitioning_invariant(spark):
+    """plans.star_schema.surrogate_key: dense 1..N, unique, and a pure
+    function of the natural key — the same assignment under a different
+    physical partitioning (the property a global row_number gets from a
+    single-partition sort, achieved here with the bucketed two-phase
+    rank that never single-partitions the dim)."""
+    from pyspark.sql import functions as F
+
+    from smart_water_management_spark.plans.star_schema import surrogate_key
+
+    df = spark.range(1, 1001).select(F.col("id").alias("nat"))
+    a = {r.nat: r._sk for r in surrogate_key(df, "nat").collect()}
+    assert len(a) == 1000
+    assert sorted(a.values()) == list(range(1, 1001))  # dense + unique
+    b = {
+        r.nat: r._sk
+        for r in surrogate_key(df.repartition(13), "nat").collect()
+    }
+    assert a == b  # partitioning-independent assignment
