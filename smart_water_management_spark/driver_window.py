@@ -15,17 +15,14 @@ This module takes control of the window: it registers exactly 50
 ``a00_NN_…`` aliases (``"a00_" < "a01_"`` in string sort, so they occupy
 the whole window deterministically). Each alias shares its target's
 callable and oracle verbatim — a green alias row IS a green row for the
-underlying operator. Composition:
-
-- 41 slots: operators that have NEVER had a driver row — all of q01–q16,
-  v01–v06, t01–t04, x01–x07, three w* representatives, and one rep each
-  for the o/p/s/u families (plus p90, the end-to-end BASELINE pipeline).
-- 9 slots: one representative of every family that is currently green in
-  CORRECTNESS_r03 (a, c, d, f, j, k, m) so no previously-verified family
-  leaves the window.
+underlying operator. Standing composition each round: 41 slots for
+operators that have never had a driver row, 9 retention slots so every
+family green in a prior round stays covered.
 
 The natural (un-aliased) names remain registered and remain covered by
-the local parity suite; README.md documents the mapping.
+the local parity suite; README.md documents the mapping. The round-4
+window (q01–q16, v01–v06, t01–t04, x01–x07, w02/w06/w12, family reps)
+went 49/50 green in CORRECTNESS_r04.
 
 Round-5 window (this file's DRIVER_WINDOW, per VERDICT r4 directives
 #1/#2): 41 never-windowed oracle-backed engine-core names — the full
