@@ -148,7 +148,8 @@ ROUND6_CANDIDATES: list[str] = [
     "p04_regex_filter", "p05_stratified_sample",
     "p06_correlated_scalar_subquery", "p07_in_subquery_having",
     "p08_not_exists_scalar", "p90_domain_pipeline", "u01_union_by_name",
-    "u03_multiset_ops", "c11_recursive_hierarchy",
+    "u03_multiset_ops", "c11_recursive_hierarchy", "f18_map_functions",
+    "a28_ordered_string_agg", "x70_doc_disposition",
     # x-family (exact-oracle members; extend in round 7+)
     "x08_minhash_lsh_dedup", "x09_simhash_groups",
     "x10_bruteforce_cosine_topk", "x11_cosine_near_dupes",

@@ -530,3 +530,70 @@ def f17_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("parsed_id"),
         F.expr("try_cast(props AS double)").alias("props_as_num"),
     )
+
+
+@register(
+    "f18_map_functions",
+    # Cross-engine comparison of MAP results without relying on either
+    # engine's map rendering: every map is canonicalized to a
+    # key-sorted "k:v;..." string with values printed as DECIMAL(18,6)
+    # (fixed 6-decimal rendering in both engines); the oracle computes
+    # the same strings from scalar arithmetic, so the hash match checks
+    # Spark's map-HOF semantics against independently derived values.
+    oracle="""
+    SELECT event_id,
+           'h:' || CAST(CAST(hour(ts) AS DOUBLE)/10.0 AS DECIMAL(18,6))
+            || ';v:' || CAST(value/10.0 AS DECIMAL(18,6))
+            || ';v2:' || CAST((value*2)/10.0 AS DECIMAL(18,6)) AS scaled_entries,
+           CONCAT_WS(';',
+             CASE WHEN CAST(hour(ts) AS DOUBLE)/10.0 > 1.0
+                  THEN 'h:' || CAST(CAST(hour(ts) AS DOUBLE)/10.0 AS DECIMAL(18,6)) END,
+             CASE WHEN value/10.0 > 1.0
+                  THEN 'v:' || CAST(value/10.0 AS DECIMAL(18,6)) END,
+             CASE WHEN (value*2)/10.0 > 1.0
+                  THEN 'v2:' || CAST((value*2)/10.0 AS DECIMAL(18,6)) END
+           ) AS kept_entries,
+           (CAST(hour(ts) AS DOUBLE) - CAST(hour(ts) AS DOUBLE)/10.0)
+             + (value - value/10.0)
+             + ((value*2) - (value*2)/10.0) AS delta_sum
+    FROM events WHERE user_id % 25 = 0
+    """,
+    doc="f18 (ext.): MAP higher-order functions — create_map, "
+    "transform_values, map_filter, map_zip_with, map_entries — the map "
+    "half of §2.8's collection surface (f07 covers arrays). All "
+    "JVM-side whole-stage codegen, zero shuffle; maps canonicalized to "
+    "key-sorted entry strings so the oracle is engine-neutral",
+)
+def f18_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    m = F.create_map(
+        F.lit("h"), F.hour("ts").cast("double"),
+        F.lit("v"), F.col("value"),
+        F.lit("v2"), F.col("value") * 2,
+    )
+    scaled = F.transform_values(m, lambda _k, v: v / 10.0)
+    kept = F.map_filter(scaled, lambda _k, v: v > 1.0)
+    delta = F.map_zip_with(m, scaled, lambda _k, a, b: a - b)
+
+    def canon(mp):
+        entries = F.sort_array(F.map_entries(mp))
+        return F.array_join(
+            F.transform(
+                entries,
+                lambda e: F.concat(
+                    e["key"], F.lit(":"),
+                    e["value"].cast("decimal(18,6)").cast("string"),
+                ),
+            ),
+            ";",
+        )
+
+    delta_sum = F.aggregate(
+        F.map_values(delta), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return ev.select(
+        "event_id",
+        canon(scaled).alias("scaled_entries"),
+        canon(kept).alias("kept_entries"),
+        delta_sum.alias("delta_sum"),
+    )

@@ -1266,3 +1266,58 @@ def a27_kmv_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("rel_err"),
     )
+
+
+# --- a28: grouped ORDERED string aggregation (LISTAGG / string_agg) ----------
+@register(
+    "a28_ordered_string_agg",
+    # Scale shape: string_agg over a whole group is unbounded state, so
+    # the group is pre-limited to its K smallest keys with a windowed
+    # row_number (one exchange serves BOTH the rank and the group-size
+    # count), and only that bounded prefix is collected and joined.
+    oracle="""
+    SELECT o_orderpriority AS priority, o_orderstatus AS status,
+           MAX(n_orders) AS n_orders,
+           string_agg(o_orderkey, ',' ORDER BY o_orderkey) AS first_keys
+    FROM (
+      SELECT o_orderpriority, o_orderstatus, o_orderkey,
+             COUNT(*) OVER (PARTITION BY o_orderpriority, o_orderstatus)
+               AS n_orders,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority, o_orderstatus
+                                ORDER BY o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 5
+    GROUP BY 1, 2
+    """,
+    doc="a28 (ext.): LISTAGG/string_agg — grouped ORDERED string "
+    "concatenation, the reporting op ANSI added as LISTAGG. Spark has "
+    "no ordered string_agg; the engine expression is sort_array("
+    "collect_list(...)) + array_join over a window-bounded K-row prefix "
+    "per group, so collected state is K rows regardless of group size "
+    "(the unbounded whole-group LISTAGG is a scale killer)",
+)
+def a28_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority", "o_orderstatus")
+    ranked = o.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        "o_orderkey",
+        F.count("*").over(w).alias("n_orders"),
+        F.row_number().over(w.orderBy("o_orderkey")).alias("rn"),
+    ).filter(F.col("rn") <= 5)
+    return ranked.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderstatus").alias("status"),
+    ).agg(
+        F.max("n_orders").alias("n_orders"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("o_orderkey")),
+                lambda k: k.cast("string"),
+            ),
+            ",",
+        ).alias("first_keys"),
+    )
