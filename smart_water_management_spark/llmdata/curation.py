@@ -1770,3 +1770,98 @@ def x70_doc_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("canonical_doc_id"),
         )
     )
+
+
+# Minimum distinct documents sharing an 8-token run for that run to count
+# as boilerplate (CCNet/RefinedWeb-style template text removal).
+BOILER_MIN_DOCS = 2
+
+
+@register(
+    "x71_boilerplate_scrub",
+    # Exactness: counts and positions are integers; keep_frac is an
+    # unrounded quotient of exact ints (identical IEEE division in both
+    # engines — never ROUND a value that can land on a decimal midpoint,
+    # e.g. 1/64); scrubbed_text is a deterministic positional join.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    pg AS (
+      SELECT doc_id, u.i AS i, u.g AS g
+      FROM (SELECT doc_id, unnest(list_transform(
+              range(0, greatest(len(tk) - {NGRAM - 1}, 0)),
+              i -> {{'i': i, 'g': md5(array_to_string(tk[i+1:i+{NGRAM}], ' '))}})) AS u
+            FROM toks)
+    ),
+    freq AS (SELECT g FROM pg GROUP BY g
+             HAVING COUNT(DISTINCT doc_id) >= {BOILER_MIN_DOCS}),
+    covered AS (
+      SELECT DISTINCT doc_id, i + d.d AS pos
+      FROM pg JOIN freq USING (g)
+      CROSS JOIN (SELECT unnest(range(0, {NGRAM})) AS d) d
+    ),
+    tokpos AS (
+      SELECT doc_id, u.p AS pos, u.w AS w
+      FROM (SELECT doc_id, unnest(list_transform(range(0, len(tk)),
+              p -> {{'p': p, 'w': tk[p+1]}})) AS u FROM toks)
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(c.pos) AS n_scrubbed,
+           CAST(COUNT(*) - COUNT(c.pos) AS DOUBLE) / COUNT(*) AS keep_frac,
+           COALESCE(string_agg(CASE WHEN c.pos IS NULL THEN t.w END, ' '
+                               ORDER BY t.pos), '') AS scrubbed_text
+    FROM tokpos t LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+    GROUP BY t.doc_id
+    """,
+    doc=f"x71 (ext.): CCNet/RefinedWeb-style boilerplate REMOVAL — drops "
+    f"every token covered by an {NGRAM}-token run shared by >= "
+    f"{BOILER_MIN_DOCS} distinct docs and reconstructs the cleaned text. "
+    "Unlike x31 (which only scores boilerplate) this rewrites the corpus. "
+    "Scale shape: one word-count-shaped gram-frequency shuffle + one "
+    "per-doc collect of covered START positions (bounded by the doc's own "
+    "gram count); the rebuild is row-local array algebra on the original "
+    "document row — no token-level shuffle ever carries the text itself",
+)
+def x71_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark).withColumn(
+        "tk", tokens("text")
+    )
+    grams = d.select(
+        "doc_id", F.posexplode(F.expr(_gram_expr("tk"))).alias("i", "g")
+    )
+    boiler = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").alias("nd")
+    ).filter(F.col("nd") >= BOILER_MIN_DOCS)
+    starts = (
+        grams.join(boiler.select("g"), "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("starts"))
+    )
+    cov = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce("starts", F.array().cast("array<int>")),
+                lambda s: F.sequence(s, s + F.lit(NGRAM - 1)),
+            )
+        )
+    )
+    kept = F.filter(
+        "tk", lambda w, i: ~F.array_contains(F.col("cov"), i)
+    )
+    return (
+        d.join(starts, "doc_id", "left")
+        .withColumn("cov", cov)
+        .select(
+            "doc_id",
+            F.size("tk").cast("long").alias("n_tokens"),
+            F.size("cov").cast("long").alias("n_scrubbed"),
+            (
+                (F.size("tk") - F.size("cov")).cast("double") / F.size("tk")
+            ).alias("keep_frac"),
+            F.concat_ws(" ", kept).alias("scrubbed_text"),
+        )
+    )

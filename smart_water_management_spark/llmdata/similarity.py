@@ -1341,3 +1341,159 @@ def x65_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= TOP_K)
         .select("qid", "vec_id", F.round("l2_dist", 6).alias("l2_dist"), "rn")
     )
+
+
+# Micro-quantization scale for order-independent embedding statistics:
+# floor(e * 1e6) is integer-valued in BOTH engines (floor has no
+# rounding-mode ambiguity, unlike DECIMAL casts which can land float32
+# dyadic rationals exactly on a decimal midpoint), so the per-dimension
+# sums are exact integers and every downstream double is deterministic.
+_MICRO = 1_000_000
+
+
+@register(
+    "x72_embedding_dim_stats",
+    oracle=f"""
+    WITH dims AS (
+      SELECT u.d AS dim,
+             CAST(floor(u.e * {_MICRO}.0) AS BIGINT) AS q,
+             u.e AS e
+      FROM (SELECT unnest(list_transform(range(0, len(embedding)),
+              i -> {{'d': i, 'e': CAST(embedding[i+1] AS DOUBLE)}})) AS u
+            FROM embeddings)
+    )
+    SELECT dim,
+           COUNT(*) AS n_vals,
+           CAST(SUM(q) AS DOUBLE) / COUNT(*) / {_MICRO}.0 AS mean_val,
+           sqrt((CAST(SUM(q*q) AS DOUBLE)
+                 - CAST(SUM(q) AS DOUBLE) * CAST(SUM(q) AS DOUBLE) / COUNT(*))
+                / (COUNT(*) - 1)) / {_MICRO}.0 AS std_val,
+           MIN(e) AS min_val,
+           MAX(e) AS max_val
+    FROM dims GROUP BY dim
+    """,
+    doc="x72 (ext.): per-dimension embedding distribution stats (mean/std/"
+    "min/max) for whitening + drift diagnostics before ANN indexing. "
+    "posexplode -> groupBy(dim) is the word-count shape: map-side partial "
+    "aggregation, 64 reducer keys, mergeable integer moments (the decimal-"
+    "moment device from functions/numeric.py, specialized to floor-based "
+    "micro-quantization because raw float32 elements can sit exactly on "
+    "decimal midpoints). At 100 TB the q*q bigint sums widen to "
+    "DECIMAL(38,0) before overflow territory (~1e7 rows/dim); same shape",
+)
+def x72_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    dims = em.select(
+        F.posexplode(_dbl("embedding")).alias("dim", "e")
+    ).withColumn("q", F.floor(F.col("e") * F.lit(float(_MICRO))).cast("bigint"))
+    agg = dims.groupBy("dim").agg(
+        F.count("*").alias("n_vals"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("q") * F.col("q")).alias("sq2"),
+        F.min("e").alias("min_val"),
+        F.max("e").alias("max_val"),
+    )
+    sq = F.col("sq").cast("double")
+    n = F.col("n_vals")
+    return agg.select(
+        "dim",
+        "n_vals",
+        (sq / n / F.lit(float(_MICRO))).alias("mean_val"),
+        (
+            F.sqrt(
+                (F.col("sq2").cast("double") - sq * sq / n) / (n - F.lit(1))
+            )
+            / F.lit(float(_MICRO))
+        ).alias("std_val"),
+        "min_val",
+        "max_val",
+    )
+
+
+# Matryoshka (MRL) truncation: keep the first MRL_DIMS of the embedding —
+# a 4x byte cut on the candidate scan — and audit how much of the exact
+# full-dimension top-k the truncated ranking retains. (On MRL-trained
+# embeddings the prefix carries most of the signal; on this synthetic
+# random fixture recall is low — the AUDIT is the operator, and its
+# structural invariants are asserted in tests.)
+MRL_DIMS = 16
+
+
+@register(
+    "x73_matryoshka_topk",
+    oracle=f"""
+    WITH sliced AS (
+      SELECT vec_id, embedding[1:{MRL_DIMS}] AS m, embedding AS fv
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, m AS qm, fv AS qf FROM sliced
+      WHERE vec_id < {N_QUERIES}
+    ), pairs AS (
+      SELECT qid, s.vec_id,
+             {_SQL_DOT.format(a='qm', b='s.m')}
+               / (SQRT({_SQL_SQNORM.format(a='qm')})
+                  * SQRT({_SQL_SQNORM.format(a='s.m')})) AS cos_m,
+             {_SQL_DOT.format(a='qf', b='s.fv')}
+               / (SQRT({_SQL_SQNORM.format(a='qf')})
+                  * SQRT({_SQL_SQNORM.format(a='s.fv')})) AS cos_f
+      FROM q CROSS JOIN sliced s WHERE s.vec_id <> qid
+    ), ranked AS (
+      SELECT qid, vec_id, cos_m,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_m DESC, vec_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_f DESC, vec_id) AS rn_f
+      FROM pairs
+    )
+    SELECT qid, vec_id, ROUND(cos_m, 6) AS cos_m, rn,
+           CAST(CASE WHEN rn_f <= {TOP_K} THEN 1 ELSE 0 END AS INT)
+             AS in_full_topk
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+    doc=f"x73 (ext.): Matryoshka-truncated cosine top-k ({MRL_DIMS} of 64 "
+    "dims = 4x smaller candidate scan) with a per-hit audit flag marking "
+    "membership in the exact full-dimension top-k. Same broadcast-queries "
+    "x partitioned-candidates shape as x10/x17; the two rankings come out "
+    "of ONE scored pass (two window ranks, one shuffle), so the audit "
+    "costs no extra scan. The scale play pairs with x17's int8 codes: "
+    "prefix dims cut bytes 4x, quantization another 4x, multiplicatively",
+)
+def x73_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id",
+        F.slice(_dbl("embedding"), 1, MRL_DIMS).alias("m"),
+        _dbl("embedding").alias("fv"),
+    )
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("m").alias("qm"),
+        F.col("fv").alias("qf"),
+    )
+    scored = (
+        em.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("qm"), F.col("m")).alias("cos_m"),
+            cosine(F.col("qf"), F.col("fv")).alias("cos_f"),
+        )
+    )
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        "cos_m",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("cos_m"), F.asc("vec_id")))
+        .alias("rn"),
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("cos_f"), F.asc("vec_id")))
+        .alias("rn_f"),
+    )
+    return ranked.filter(F.col("rn") <= TOP_K).select(
+        "qid",
+        "vec_id",
+        F.round("cos_m", 6).alias("cos_m"),
+        "rn",
+        F.when(F.col("rn_f") <= TOP_K, 1).otherwise(0).alias("in_full_topk"),
+    )
