@@ -1497,3 +1497,205 @@ def x73_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.when(F.col("rn_f") <= TOP_K, 1).otherwise(0).alias("in_full_topk"),
     )
+
+
+# Micro-quantization factor for the centroid-outlier device (same constant
+# x72 uses: fine enough that the flag is meaningful, coarse enough that
+# the quantized integers stay far from BIGINT range at bench scale).
+_MQ = 1_000_000
+
+
+@register(
+    "x74_centroid_outliers",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id, label, u.d AS dim,
+             CAST(floor(CAST(u.e AS DOUBLE) * {_MQ}.0) AS BIGINT) AS qe
+      FROM (SELECT vec_id, label,
+                   unnest(list_transform(range(0, len(embedding)),
+                     i -> {{'d': i, 'e': embedding[i+1]}})) AS u
+            FROM embeddings)
+    ),
+    cent AS (SELECT label, dim, SUM(qe) AS cq FROM qv GROUP BY label, dim),
+    nc AS (SELECT label, SUM(CAST(cq AS HUGEINT) * cq) AS nc2
+           FROM cent GROUP BY label),
+    per_vec AS (
+      SELECT v.vec_id, v.label,
+             SUM(CAST(v.qe AS HUGEINT) * c.cq) AS dot_q,
+             SUM(CAST(v.qe AS HUGEINT) * v.qe) AS nv2
+      FROM qv v JOIN cent c ON v.label = c.label AND v.dim = c.dim
+      GROUP BY v.vec_id, v.label
+    )
+    SELECT p.vec_id, p.label,
+           ROUND(CAST(p.dot_q AS DOUBLE)
+                 / sqrt(CAST(p.nv2 AS DOUBLE) * CAST(n.nc2 AS DOUBLE)),
+                 6) AS cos_centroid,
+           CAST(CASE WHEN p.dot_q < 0 THEN 1 ELSE 0 END AS INT) AS is_outlier
+    FROM per_vec p JOIN nc n ON p.label = n.label
+    """,
+    doc="x74 (ext.): mislabel/poisoning audit — cosine of every vector to "
+    "its OWN label centroid, with an outlier flag for vectors pointing "
+    "away from their class (the candidate mislabels a curation pass "
+    "re-examines). Exactness device: elements micro-quantized to BIGINT "
+    "(floor(e*1e6)); the centroid is then an exact integer sum per "
+    "(label, dim), the dot/norm reductions are exact DECIMAL sums, and "
+    "the flag is a pure INTEGER SIGN TEST (dot_q < 0) — no float enters "
+    "any engine-divergent path. Scale shape: posexplode -> two hash aggs "
+    "(word-count shape, map-combined) + a broadcast join of the "
+    "labels x dims centroid table (constant-size at any corpus scale); "
+    "never a pairwise vector join",
+)
+def x74_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    qv = em.select(
+        "vec_id", "label", F.posexplode(_dbl("embedding")).alias("dim", "e")
+    ).withColumn("qe", F.floor(F.col("e") * F.lit(float(_MQ))).cast("bigint"))
+    cent = qv.groupBy("label", "dim").agg(F.sum("qe").alias("cq"))
+    nc = cent.groupBy("label").agg(
+        F.sum(F.col("cq").cast("decimal(38,0)") * F.col("cq")).alias("nc2")
+    )
+    dec = F.col("qe").cast("decimal(38,0)")
+    per_vec = (
+        qv.join(F.broadcast(cent), ["label", "dim"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(dec * F.col("cq")).alias("dot_q"),
+            F.sum(dec * F.col("qe")).alias("nv2"),
+        )
+    )
+    return per_vec.join(F.broadcast(nc), "label").select(
+        "vec_id",
+        "label",
+        F.round(
+            F.col("dot_q").cast("double")
+            / F.sqrt(F.col("nv2").cast("double") * F.col("nc2").cast("double")),
+            6,
+        ).alias("cos_centroid"),
+        F.when(F.col("dot_q") < 0, 1).otherwise(0).alias("is_outlier"),
+    )
+
+
+# Johnson–Lindenstrauss sign projection: JL_DIMS dense ±1 planes drawn
+# once from md5 (hashlib here == engine md5 on the same strings, so the
+# matrix is a shared cross-engine constant embedded as a literal — no
+# per-row hashing). The dense-float sketch complement to x41 (sign BITS)
+# and x73 (prefix dims): same 4x byte cut, but basis-free, so it works on
+# embeddings that were NOT Matryoshka-trained.
+JL_DIMS = 16
+FULL_DIMS = 64
+
+
+def _jl_sign(p: int, d: int) -> float:
+    import hashlib
+
+    h = hashlib.md5(f"jl{p}_{d}".encode()).hexdigest()
+    return 1.0 if int(h[:8], 16) % 2 == 0 else -1.0
+
+
+_JL = [[_jl_sign(p, d) for d in range(FULL_DIMS)] for p in range(JL_DIMS)]
+_JL_SPARK = (
+    "array("
+    + ", ".join(
+        "array(" + ", ".join(f"{s:.1f}D" for s in row) + ")" for row in _JL
+    )
+    + ")"
+)
+_JL_DUCK = (
+    "["
+    + ", ".join("[" + ", ".join(f"{s:.1f}" for s in row) + "]" for row in _JL)
+    + "]"
+)
+
+
+@register(
+    "x75_jl_projection_topk",
+    oracle=f"""
+    WITH sliced AS (
+      SELECT vec_id,
+             list_transform({_JL_DUCK}, s ->
+               list_reduce(list_transform(list_zip(embedding, s),
+                 p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)),
+                 (x, y) -> x + y)) AS jv,
+             embedding AS fv
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id AS qid, jv AS qj, fv AS qf FROM sliced
+      WHERE vec_id < {N_QUERIES}
+    ), pairs AS (
+      SELECT qid, s.vec_id,
+             {_SQL_DOT.format(a='qj', b='s.jv')}
+               / (SQRT({_SQL_SQNORM.format(a='qj')})
+                  * SQRT({_SQL_SQNORM.format(a='s.jv')})) AS cos_j,
+             {_SQL_DOT.format(a='qf', b='s.fv')}
+               / (SQRT({_SQL_SQNORM.format(a='qf')})
+                  * SQRT({_SQL_SQNORM.format(a='s.fv')})) AS cos_f
+      FROM q CROSS JOIN sliced s WHERE s.vec_id <> qid
+    ), ranked AS (
+      SELECT qid, vec_id, cos_j,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_j DESC, vec_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cos_f DESC, vec_id) AS rn_f
+      FROM pairs
+    )
+    SELECT qid, vec_id, ROUND(cos_j, 6) AS cos_j, rn,
+           CAST(CASE WHEN rn_f <= {TOP_K} THEN 1 ELSE 0 END AS INT)
+             AS in_full_topk
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+    doc=f"x75 (ext.): Johnson-Lindenstrauss sign-projection top-k — a dense "
+    f"{JL_DIMS}-dim +/-1 random projection (4x smaller candidate scan) "
+    "with the same free full-dim audit flag as x73. The projection matrix "
+    "is an md5-derived constant folded by Catalyst (no per-row hashing), "
+    "so the sketch is engine-exact and basis-free — it does not require "
+    "Matryoshka-trained embeddings the way x73's prefix truncation does. "
+    "Same broadcast-queries x partitioned-candidates shape as x10; at "
+    "100 TB the projected table is what you persist (16 doubles/row) and "
+    "the full vectors are read only by the final rerank",
+)
+def x75_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = (
+        fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+        .select("vec_id", _dbl("embedding").alias("fv"))
+        .withColumn(
+            "jv",
+            F.expr(
+                f"transform({_JL_SPARK}, s -> "
+                "aggregate(zip_with(fv, s, (x, y) -> x * y), 0D, "
+                "(acc, x) -> acc + x))"
+            ),
+        )
+    )
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("jv").alias("qj"),
+        F.col("fv").alias("qf"),
+    )
+    scored = (
+        em.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("qj"), F.col("jv")).alias("cos_j"),
+            cosine(F.col("qf"), F.col("fv")).alias("cos_f"),
+        )
+    )
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        "cos_j",
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("cos_j"), F.asc("vec_id")))
+        .alias("rn"),
+        F.row_number()
+        .over(W.partitionBy("qid").orderBy(F.desc("cos_f"), F.asc("vec_id")))
+        .alias("rn_f"),
+    )
+    return ranked.filter(F.col("rn") <= TOP_K).select(
+        "qid",
+        "vec_id",
+        F.round("cos_j", 6).alias("cos_j"),
+        "rn",
+        F.when(F.col("rn_f") <= TOP_K, 1).otherwise(0).alias("in_full_topk"),
+    )

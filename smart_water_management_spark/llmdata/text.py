@@ -1179,3 +1179,122 @@ def x62_bigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ce, 6).alias("cross_entropy"),
         F.round(F.exp(ce), 4).alias("ppl"),
     )
+
+
+# Context-window clipping cap (tokens kept per document). Deliberately
+# below the fixture's median length so the clip path is exercised.
+CLIP_TOKENS = 48
+
+
+@register(
+    "x76_context_clip",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS tk
+      FROM documents
+    )
+    SELECT doc_id, source,
+           len(tk) AS n_tokens,
+           LEAST(len(tk), {CLIP_TOKENS}) AS n_kept,
+           CAST(CASE WHEN len(tk) > {CLIP_TOKENS} THEN 1 ELSE 0 END AS INT)
+             AS clipped,
+           CAST(LEAST(len(tk), {CLIP_TOKENS}) AS DOUBLE) / len(tk)
+             AS kept_frac,
+           md5(array_to_string(tk[1:{CLIP_TOKENS}], ' ')) AS clipped_hash
+    FROM tok
+    """,
+    doc=f"x76 (ext.): max-sequence-length clipping — truncate every "
+    f"document to {CLIP_TOKENS} tokens (the tokenizer max_length step of a "
+    "training pipeline), reporting kept/total token counts, the clip flag "
+    "and the md5 of the clipped text so the rewrite itself is "
+    "hash-verified, not just counted. Row-local array slicing: one scan, "
+    "ZERO shuffles at any corpus size; kept_frac is an unrounded quotient "
+    "of exact ints (48/96 sits on a midpoint — never round it)",
+)
+def x76_context_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    n = F.size(tk)
+    kept = F.least(n, F.lit(CLIP_TOKENS))
+    return d.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        kept.alias("n_kept"),
+        F.when(n > CLIP_TOKENS, 1).otherwise(0).alias("clipped"),
+        (kept.cast("double") / n).alias("kept_frac"),
+        F.md5(F.array_join(F.slice(tk, 1, CLIP_TOKENS), " ")).alias(
+            "clipped_hash"
+        ),
+    )
+
+
+@register(
+    "x77_lang_mislabel",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, source, lang AS actual_lang,
+             {", ".join(
+                 "len(list_filter(string_split(lower(text), ' '), w -> w IN ("
+                 + ", ".join(f"'{m}'" for m in ms)
+                 + f"))) AS score_{lg}"
+                 for lg, ms in LANG_MARKERS.items()
+             )}
+      FROM documents
+    ),
+    pred AS (
+      SELECT source, actual_lang,
+             CASE WHEN score_en >= score_fr AND score_en >= score_de THEN 'en'
+                  WHEN score_fr >= score_de THEN 'fr'
+                  ELSE 'de' END AS predicted_lang
+      FROM scores
+    )
+    SELECT source, actual_lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN predicted_lang <> actual_lang THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_flagged,
+           CAST(SUM(CASE WHEN predicted_lang <> actual_lang THEN 1 ELSE 0
+                    END) AS DOUBLE) / COUNT(*) AS flag_rate
+    FROM pred GROUP BY source, actual_lang
+    """,
+    doc="x77 (ext.): language-label noise audit — x03's marker heuristic "
+    "re-predicts every document's language and each (source, stored-lang) "
+    "cell reports how often the prediction disagrees (scraper lang tags "
+    "are a notorious noise source; a cell with a high flag rate gets its "
+    "docs re-identified before training). Languages OUTSIDE the "
+    "heuristic's marker set (es/zh in the fixture) flag at 100% by "
+    "construction — the audit also measures the identifier's own "
+    "coverage gap. One scan + one small hash agg (cells are "
+    "sources x languages, constant at any corpus size); flag_rate is an "
+    "unrounded quotient of exact ints",
+)
+def x77_lang_mislabel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    scores = d.select(
+        "source",
+        F.col("lang").alias("actual_lang"),
+        *[
+            F.size(F.filter(tk, _membership(ms))).alias(f"score_{lg}")
+            for lg, ms in LANG_MARKERS.items()
+        ],
+    )
+    predicted = (
+        F.when(
+            (F.col("score_en") >= F.col("score_fr"))
+            & (F.col("score_en") >= F.col("score_de")),
+            "en",
+        )
+        .when(F.col("score_fr") >= F.col("score_de"), "fr")
+        .otherwise("de")
+    )
+    flag = F.when(predicted != F.col("actual_lang"), 1).otherwise(0)
+    return (
+        scores.withColumn("flag", flag)
+        .groupBy("source", "actual_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("flag").alias("n_flagged"),
+            (F.sum("flag").cast("double") / F.count("*")).alias("flag_rate"),
+        )
+    )
