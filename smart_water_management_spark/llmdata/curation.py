@@ -1865,3 +1865,307 @@ def x71_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws(" ", kept).alias("scrubbed_text"),
         )
     )
+
+
+# --- x78: exact ROC-AUC of the heuristic quality score ----------------------
+
+# x02's banded score re-expressed in exact CENTI-units (50/20 + 30/10 +
+# 20/5 as INTEGER) so it can serve as a tie-aware ranking key without any
+# float entering a grouping column. Same band semantics as quality_expr;
+# the integer form exists so x78/x81 can group and compare on it exactly.
+def _centi_quality(tk):
+    n = F.size(tk)
+    stop_ratio = (
+        F.size(F.filter(tk, lambda w: w.isin(STOPWORDS))).cast("double") / n
+    )
+    ttr = F.size(F.array_distinct(tk)).cast("double") / n
+    return (
+        F.when(n.between(20, 200), 50).otherwise(20)
+        + F.when(stop_ratio.between(0.05, 0.4), 30).otherwise(10)
+        + F.when(ttr > 0.3, 20).otherwise(5)
+    )
+
+
+def _sql_centi_quality(tk: str) -> str:
+    stop = (
+        f"CAST(len(list_filter({tk}, w -> w IN ("
+        + ", ".join(f"'{w}'" for w in STOPWORDS)
+        + f"))) AS DOUBLE) / len({tk})"
+    )
+    ttr = f"CAST(len(list_distinct({tk})) AS DOUBLE) / len({tk})"
+    return (
+        f"(CASE WHEN len({tk}) BETWEEN 20 AND 200 THEN 50 ELSE 20 END"
+        f" + CASE WHEN {stop} BETWEEN 0.05 AND 0.4 THEN 30 ELSE 10 END"
+        f" + CASE WHEN {ttr} > 0.3 THEN 20 ELSE 5 END)"
+    )
+
+
+@register(
+    "x78_quality_auc",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, string_split(lower(text), ' ') AS tk FROM documents
+    ), labeled AS (
+      SELECT source, {_sql_centi_quality("tk")} AS qs,
+             CASE WHEN {sql_gopher_metrics("tk")["passes"]} THEN 1 ELSE 0 END
+               AS pos
+      FROM t
+    ), cells AS (
+      SELECT source, qs,
+             SUM(pos) AS n_pos, COUNT(*) - SUM(pos) AS n_neg
+      FROM labeled GROUP BY source, qs
+    ), ranked AS (
+      SELECT source, qs, n_pos, n_neg,
+             COALESCE(SUM(n_neg) OVER (PARTITION BY source ORDER BY qs
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM cells
+    )
+    SELECT source,
+           CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+           CAST(SUM(CAST(n_pos AS HUGEINT) * (2 * neg_below + n_neg))
+                  AS DOUBLE)
+             / NULLIF(CAST(2 * CAST(SUM(n_pos) AS HUGEINT)
+                             * SUM(n_neg) AS DOUBLE), 0.0)
+             AS auc
+    FROM ranked GROUP BY source
+    """,
+    doc="x78 (ext.): exact ROC-AUC of the x02 heuristic quality score as a "
+    "predictor of the x21 Gopher verdict, per source — the calibration "
+    "number a pipeline reads before swapping a cheap score in for the "
+    "full rule bank (and the exact twin of the sampled AUC a classifier "
+    "eval like x68 reports). Tie-aware Mann-Whitney identity on the "
+    "BANDED integer score: per-(source,score) pos/neg counts (a hash agg "
+    "over at most 8 score values per source), a cumulative window over "
+    "those few cells, and numerator 2*AUC*P*N kept in exact integers "
+    "(DECIMAL widening for 100 TB counts) — the quotient is emitted "
+    "unrounded. Never sorts individual rows: the global rank computation "
+    "collapses onto the tiny (source x score) grid",
+)
+def x78_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    m = gopher_metrics(tk)
+    labeled = d.select(
+        "source",
+        _centi_quality(tk).alias("qs"),
+        F.when(m["passes"], 1).otherwise(0).alias("pos"),
+    )
+    cells = labeled.groupBy("source", "qs").agg(
+        F.sum("pos").alias("n_pos"),
+        (F.count("*") - F.sum("pos")).alias("n_neg"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("qs")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = cells.withColumn(
+        "neg_below", F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+    )
+    num = F.sum(
+        F.col("n_pos").cast("decimal(38,0)")
+        * (2 * F.col("neg_below") + F.col("n_neg"))
+    )
+    return ranked.groupBy("source").agg(
+        F.sum("n_pos").alias("n_pos"),
+        F.sum("n_neg").alias("n_neg"),
+        (
+            num.cast("double")
+            / F.nullif(
+                (
+                    F.lit(2).cast("decimal(38,0)")
+                    * F.sum("n_pos")
+                    * F.sum("n_neg")
+                ).cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("auc"),
+    )
+
+
+# --- x79: padding-waste audit (length-sorted vs arrival-order batching) -----
+
+BATCH_DOCS = 8  # docs per micro-batch in the padding simulation
+
+
+@register(
+    "x79_padding_waste",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, len(string_split(lower(text), ' ')) AS n_tok
+      FROM documents
+    ), assigned AS (
+      SELECT source, n_tok,
+             (ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY n_tok DESC, doc_id) - 1)
+                  // {BATCH_DOCS} AS batch_sorted,
+             (ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY doc_id) - 1)
+                  // {BATCH_DOCS} AS batch_arrival
+      FROM t
+    ), long AS (
+      SELECT source, 'sorted' AS strategy, batch_sorted AS batch, n_tok
+      FROM assigned
+      UNION ALL
+      SELECT source, 'arrival' AS strategy, batch_arrival AS batch, n_tok
+      FROM assigned
+    ), per_batch AS (
+      SELECT source, strategy, batch,
+             MAX(n_tok) AS mx, COUNT(*) AS cnt, SUM(n_tok) AS tok
+      FROM long GROUP BY source, strategy, batch
+    )
+    SELECT source, strategy,
+           CAST(SUM(cnt) AS BIGINT) AS n_docs,
+           COUNT(*) AS n_batches,
+           CAST(SUM(tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(mx * cnt) AS BIGINT) AS padded_tokens,
+           CAST(SUM(mx * cnt) - SUM(tok) AS DOUBLE)
+             / CAST(SUM(mx * cnt) AS DOUBLE) AS waste_frac
+    FROM per_batch GROUP BY source, strategy
+    """,
+    doc=f"x79 (ext.): padding-waste audit — simulate {BATCH_DOCS}-doc "
+    "training micro-batches padded to each batch's longest member, under "
+    "BOTH length-sorted bucketing and naive arrival order, and report "
+    "the padded-token overhead each strategy pays per source. The "
+    "sorted-vs-arrival delta is the classic justification for length "
+    "bucketing (and the cheap alternative to full x61 FFD packing; x34 "
+    "prices the concatenative variant). Shape: one scan, two "
+    "within-source ROW_NUMBER windows sharing the same partition "
+    "exchange, then word-count-shaped aggs over (source, strategy, "
+    "batch); waste_frac is an unrounded quotient of exact ints. At "
+    "100 TB the per-source sort is a range-partitioned shuffle — no "
+    "global ordering is ever required",
+)
+def x79_padding_waste(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.size(tokens("text")).alias("n_tok"))
+    rn_sorted = F.row_number().over(
+        W.partitionBy("source").orderBy(F.desc("n_tok"), F.asc("doc_id"))
+    )
+    rn_arrival = F.row_number().over(
+        W.partitionBy("source").orderBy("doc_id")
+    )
+    assigned = t.select(
+        "source",
+        "n_tok",
+        F.floor((rn_sorted - 1) / BATCH_DOCS).alias("batch_sorted"),
+        F.floor((rn_arrival - 1) / BATCH_DOCS).alias("batch_arrival"),
+    )
+    long = assigned.select(
+        "source",
+        "n_tok",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("sorted").alias("strategy"),
+                    F.col("batch_sorted").alias("batch"),
+                ),
+                F.struct(
+                    F.lit("arrival").alias("strategy"),
+                    F.col("batch_arrival").alias("batch"),
+                ),
+            )
+        ).alias("s"),
+    ).select("source", F.col("s.strategy").alias("strategy"), F.col("s.batch").alias("batch"), "n_tok")
+    per_batch = long.groupBy("source", "strategy", "batch").agg(
+        F.max("n_tok").alias("mx"),
+        F.count("*").alias("cnt"),
+        F.sum("n_tok").alias("tok"),
+    )
+    padded = F.sum(F.col("mx") * F.col("cnt"))
+    return per_batch.groupBy("source", "strategy").agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count("*").alias("n_batches"),
+        F.sum("tok").alias("total_tokens"),
+        padded.alias("padded_tokens"),
+        (
+            (padded - F.sum("tok")).cast("double") / padded.cast("double")
+        ).alias("waste_frac"),
+    )
+
+
+# --- x81: Cohen's kappa between two quality judges ---------------------------
+
+KAPPA_THRESHOLD = 80  # centi-score floor for judge B's "high quality" verdict
+
+
+@register(
+    "x81_kappa_agreement",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, string_split(lower(text), ' ') AS tk FROM documents
+    ), judged AS (
+      SELECT source,
+             CASE WHEN {sql_gopher_metrics("tk")["passes"]} THEN 1 ELSE 0 END
+               AS ja,
+             CASE WHEN {_sql_centi_quality("tk")} >= {KAPPA_THRESHOLD}
+                  THEN 1 ELSE 0 END AS jb
+      FROM t
+    ), counts AS (
+      SELECT source, COUNT(*) AS n,
+             SUM(ja) AS a1, SUM(jb) AS b1,
+             SUM(CASE WHEN ja = jb THEN 1 ELSE 0 END) AS agree
+      FROM judged GROUP BY source
+    )
+    SELECT source, n AS n_docs,
+           CAST(a1 AS BIGINT) AS n_rule_pass,
+           CAST(b1 AS BIGINT) AS n_score_pass,
+           CAST(agree AS BIGINT) AS n_agree,
+           CAST(CAST(n AS HUGEINT) * agree - CAST(a1 AS HUGEINT) * b1
+                  - CAST(n - a1 AS HUGEINT) * (n - b1) AS DOUBLE)
+             / NULLIF(CAST(CAST(n AS HUGEINT) * n
+                  - CAST(a1 AS HUGEINT) * b1
+                  - CAST(n - a1 AS HUGEINT) * (n - b1) AS DOUBLE), 0.0)
+             AS kappa
+    FROM counts
+    """,
+    doc="x81 (ext.): Cohen's kappa between the x21 rule bank and the "
+    f"banded score thresholded at {KAPPA_THRESHOLD} centi-units — "
+    "chance-corrected agreement, the number that says whether a cheap "
+    "judge can replace an expensive one (raw agreement flatters any "
+    "pair when one class dominates, which filtered corpora always do). "
+    "kappa = (n*agree - a1*b1 - a0*b0) / (n^2 - a1*b1 - a0*b0): every "
+    "term an exact integer from ONE scan + one per-source agg, widened "
+    "to DECIMAL/HUGEINT so 100 TB row counts cannot overflow the n^2 "
+    "products; the quotient is emitted unrounded",
+)
+def x81_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    m = gopher_metrics(tk)
+    judged = d.select(
+        "source",
+        F.when(m["passes"], 1).otherwise(0).alias("ja"),
+        F.when(_centi_quality(tk) >= KAPPA_THRESHOLD, 1)
+        .otherwise(0)
+        .alias("jb"),
+    )
+    counts = judged.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("ja").alias("a1"),
+        F.sum("jb").alias("b1"),
+        F.sum(F.when(F.col("ja") == F.col("jb"), 1).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    n = F.col("n").cast("decimal(38,0)")
+    a1 = F.col("a1").cast("decimal(38,0)")
+    b1 = F.col("b1").cast("decimal(38,0)")
+    num = n * F.col("agree") - a1 * F.col("b1") - (n - a1) * (F.col("n") - F.col("b1"))
+    den = n * F.col("n") - a1 * F.col("b1") - (n - a1) * (F.col("n") - F.col("b1"))
+    return counts.select(
+        "source",
+        F.col("n").alias("n_docs"),
+        F.col("a1").alias("n_rule_pass"),
+        F.col("b1").alias("n_score_pass"),
+        F.col("agree").alias("n_agree"),
+        (
+            num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0))
+        ).alias("kappa"),
+    )

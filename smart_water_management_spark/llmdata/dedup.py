@@ -960,3 +960,48 @@ def x63_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- x80: duplication-profile histogram --------------------------------------
+
+
+@register(
+    "x80_dup_cluster_profile",
+    oracle="""
+    WITH c AS (
+      SELECT md5(text) AS h, COUNT(*) AS sz,
+             COUNT(DISTINCT source) AS nsrc
+      FROM documents GROUP BY md5(text)
+    )
+    SELECT sz AS cluster_size,
+           CAST(CASE WHEN nsrc > 1 THEN 1 ELSE 0 END AS INT) AS cross_source,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_redundant
+    FROM c GROUP BY 1, 2
+    """,
+    doc="x80 (ext.): duplication-profile histogram — exact-dup cluster "
+    "sizes (md5(text) groups) bucketed by size and by whether the "
+    "cluster spans multiple sources, with the redundant-copy count each "
+    "bucket contributes. The one-page shape of a corpus's duplication "
+    "(mirror-heavy crawls show large cross-source clusters; template "
+    "spam shows many small intra-source ones) that decides which dedup "
+    "stage to run first — x05 gives the scalar rate, x80 the structure. "
+    "Two word-count-shaped hash aggs (16-byte key, then the constant-"
+    "cardinality (size, flag) grid); no joins, no windows, scans the "
+    "text exactly once at any corpus size",
+)
+def x80_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").alias("sz"),
+        F.countDistinct("source").alias("nsrc"),
+    )
+    return c.groupBy(
+        F.col("sz").alias("cluster_size"),
+        F.when(F.col("nsrc") > 1, 1).otherwise(0).alias("cross_source"),
+    ).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        (F.sum("sz") - F.count("*")).alias("n_redundant"),
+    )
