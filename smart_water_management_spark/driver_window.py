@@ -155,6 +155,13 @@ ROUND6_CANDIDATES: list[str] = [
     "x10_bruteforce_cosine_topk", "x11_cosine_near_dupes",
     "x15_dedup_groups", "x17_quantized_cosine_topk", "x18_tfidf_keywords",
     "x20_pii_scrub", "x21_gopher_quality_filters",
+    # round-5 additions (all exact-oracle)
+    "w19_gapfill_interpolate", "a29_sample_quantile_sketch",
+    "x71_boilerplate_scrub", "x72_embedding_dim_stats",
+    "x73_matryoshka_topk", "x74_centroid_outliers",
+    "x75_jl_projection_topk", "x76_context_clip", "x77_lang_mislabel",
+    "x78_quality_auc", "x79_padding_waste", "x80_dup_cluster_profile",
+    "x81_kappa_agreement",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -1321,3 +1321,113 @@ def a28_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("first_keys"),
     )
+
+
+# --- a29 (ext.): bottom-k sample quantile sketch ------------------------------
+
+# Sample size per group. 64 keeps the sketch bounded and mergeable the
+# same way a24's KMV state is: the union of two groups' bottom-64 sets
+# contains the union's bottom-64.
+SQ_K = 64
+
+
+@register(
+    "a29_sample_quantile_sketch",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS hrn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_total
+      FROM events
+    ),
+    sample AS (
+      SELECT event_type, value, n_total,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, md5(CAST(value AS VARCHAR)))
+               AS vrn,
+             COUNT(*) OVER (PARTITION BY event_type) AS k_actual
+      FROM ranked WHERE hrn <= {SQ_K}
+    )
+    SELECT event_type,
+           MAX(n_total) AS n_total,
+           CAST(MAX(k_actual) AS BIGINT) AS k_actual,
+           MAX(CASE WHEN vrn = CAST(ceil(0.5 * k_actual) AS BIGINT)
+                    THEN value END) AS sample_median,
+           MAX(CASE WHEN vrn = CAST(ceil(0.9 * k_actual) AS BIGINT)
+                    THEN value END) AS sample_p90
+    FROM sample GROUP BY event_type
+    """,
+    doc=f"a29 (ext.): sample-quantile sketch — per key, the {SQ_K} rows "
+    "with the smallest md5(row-key) form a deterministic uniform sample "
+    "(the value-domain analog of a24's KMV distinct sketch, and "
+    "mergeable by the same bottom-k law, so per-day partials combine "
+    "exactly); the nearest-rank median/p90 of the sample approximate the "
+    "group quantiles with a k-row memory bound no exact percentile can "
+    "give at 100 TB. Selection is nearest-rank (an ACTUAL sampled value, "
+    "no midpoint interpolation), which is also what makes the sketch "
+    "engine-exact where approx_percentile never is. Shape: two ranked "
+    "windows over k-bounded state + one hash agg",
+)
+def a29_sample_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+
+    # Per-day partial samples (a24's device): bottom-k within (day, type)
+    # bounds every window partition by one day's rows; the union of
+    # partials contains the global bottom-k because bottom-k-by-hash is
+    # mergeable. No group ever sorts more than a day's rows in one place.
+    keyed = ev.select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "value",
+        F.md5(F.col("event_id").cast("string")).alias("hx"),
+        "event_id",
+    )
+    wd = W.partitionBy("day", "event_type").orderBy("hx", "event_id")
+    partials = (
+        keyed.withColumn("hrn", F.row_number().over(wd))
+        .filter(F.col("hrn") <= SQ_K)
+        .select("event_type", "value", "hx", "event_id")
+    )
+    # Final merge: bottom-k of the (days x k)-bounded partial union.
+    wm = W.partitionBy("event_type").orderBy("hx", "event_id")
+    kept = (
+        partials.withColumn("hrn", F.row_number().over(wm))
+        .filter(F.col("hrn") <= SQ_K)
+    )
+    # n_total is a plain map-combined hash agg, never a window.
+    totals = ev.groupBy("event_type").agg(F.count("*").alias("n_total"))
+    sample = kept.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "value",
+        "n_total",
+        F.row_number()
+        .over(
+            W.partitionBy("event_type").orderBy(
+                "value", F.md5(F.col("value").cast("string"))
+            )
+        )
+        .alias("vrn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("k_actual"),
+    )
+    return sample.groupBy("event_type").agg(
+        F.max("n_total").alias("n_total"),
+        F.max("k_actual").cast("bigint").alias("k_actual"),
+        F.max(
+            F.when(
+                F.col("vrn")
+                == F.ceil(0.5 * F.col("k_actual")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("sample_median"),
+        F.max(
+            F.when(
+                F.col("vrn")
+                == F.ceil(0.9 * F.col("k_actual")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("sample_p90"),
+    )

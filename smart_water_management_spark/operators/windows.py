@@ -702,3 +702,143 @@ def w18_session_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("secs_since_start"),
         F.count("*").over(ws).alias("session_len"),
     )
+
+
+# --- W19 (ext.): gap-fill + LINEAR INTERPOLATION — the hypertable
+# `interpolate()` twin of w12's zero-fill. Missing grid hours get the
+# straight line between the nearest observed hours on each side; hours
+# outside the observed span stay NULL and are labeled 'edge'.
+@register(
+    "w19_gapfill_interpolate",
+    # Exactness: hourly means are unrounded quotients of exact DECIMAL
+    # sums; the interpolation is +,-,*,/ over those doubles with integer
+    # hour indices, the same IEEE expression tree on both engines. The
+    # grid hour is emitted as an ISO string (DATE/TIMESTAMP pandas
+    # comparison pitfall).
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series((SELECT lo FROM bounds),
+                                    (SELECT hi FROM bounds),
+                                    INTERVAL 1 HOUR)) AS hr
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hr, event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+               AS avg_v
+      FROM events GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT CAST(epoch(h.hr) AS BIGINT) / 3600 AS idx, h.hr, t.event_type,
+             a.n, a.avg_v
+      FROM hours h CROSS JOIN types t
+      LEFT JOIN agg a ON a.hr = h.hr AND a.event_type = t.event_type
+    ),
+    ctx AS (
+      SELECT idx, hr, event_type, n, avg_v,
+             LAST_VALUE(avg_v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             LAST_VALUE(CASE WHEN avg_v IS NOT NULL THEN idx END
+                        IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pi,
+             FIRST_VALUE(avg_v IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY idx
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN avg_v IS NOT NULL THEN idx END
+                         IGNORE NULLS) OVER (
+               PARTITION BY event_type ORDER BY idx
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS ni
+      FROM grid
+    )
+    SELECT strftime(hr, '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           CAST(COALESCE(n, 0) AS BIGINT) AS n_events,
+           CASE WHEN n IS NOT NULL THEN avg_v
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                  pv + (nv - pv) * (CAST(idx - pi AS DOUBLE) / (ni - pi))
+                ELSE NULL END AS value_filled,
+           CASE WHEN n IS NOT NULL THEN 'observed'
+                WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interpolated'
+                ELSE 'edge' END AS fill_kind
+    FROM ctx
+    """,
+    doc="W19 (ext.): gap-fill with LINEAR INTERPOLATION — w12's dense "
+    "hour x type scaffold, but missing hours get the straight line "
+    "between the nearest observed neighbors (TimescaleDB "
+    "time_bucket_gapfill + interpolate semantics) and span edges stay "
+    "NULL, labeled. Neighbor lookup is last/first IGNORE NULLS over the "
+    "grid — two window passes over the SAME (type, hour) ordering, one "
+    "exchange; the grid is hours x types, thousands of rows per year "
+    "regardless of corpus size, so the interpolation stage costs nothing "
+    "even when the agg underneath scans 100 TB",
+)
+def w19_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hr")
+    )
+    types = ev.select("event_type").distinct()
+    agg = ev.groupBy(F.date_trunc("hour", "ts").alias("hr"), "event_type").agg(
+        F.count("*").alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(27,6)")).cast("double")
+            / F.count("*")
+        ).alias("avg_v"),
+    )
+    grid = (
+        hours.crossJoin(types)
+        .join(agg, ["hr", "event_type"], "left")
+        .withColumn(
+            "idx", (F.unix_timestamp("hr") / 3600).cast("bigint")
+        )
+    )
+    wp = (
+        W.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    wn = (
+        W.partitionBy("event_type")
+        .orderBy("idx")
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    obs_idx = F.when(F.col("avg_v").isNotNull(), F.col("idx"))
+    ctx = grid.select(
+        "idx",
+        "hr",
+        "event_type",
+        "n",
+        "avg_v",
+        F.last("avg_v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(obs_idx, ignorenulls=True).over(wp).alias("pi"),
+        F.first("avg_v", ignorenulls=True).over(wn).alias("nv"),
+        F.first(obs_idx, ignorenulls=True).over(wn).alias("ni"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("idx") - F.col("pi")).cast("double")
+        / (F.col("ni") - F.col("pi"))
+    )
+    return ctx.select(
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour"),
+        "event_type",
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.when(F.col("n").isNotNull(), F.col("avg_v"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .alias("value_filled"),
+        F.when(F.col("n").isNotNull(), "observed")
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), "interpolated")
+        .otherwise("edge")
+        .alias("fill_kind"),
+    )
