@@ -649,3 +649,71 @@ def s19_sharded_corpus_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*") <= F.countDistinct("f") * SHARD_RECORDS
         ).alias("within_capacity"),
     )
+
+
+# --- c12 (ext.): data-skipping stats manifest ---------------------------------
+
+# Sample predicate the skip verdict prices: value >= C12_VCUT.
+C12_VCUT = 900.0
+
+
+@register(
+    "c12_skipping_manifest",
+    oracle=f"""
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_rows,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(COUNT(CASE WHEN value IS NULL THEN 1 END) AS BIGINT)
+             AS n_null_value,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+           CAST(CASE WHEN MAX(value) < {C12_VCUT} THEN 1 ELSE 0 END AS INT)
+             AS skip_for_vcut
+    FROM events GROUP BY 1
+    """,
+    doc="c12 (ext.): data-skipping manifest — the per-partition stats "
+    "table an Iceberg/Delta manifest carries (row count, column min/max, "
+    "null counts), built by physically writing events partitioned by "
+    f"day (one file per partition) and reading the layout back, plus the "
+    f"skip verdict for a sample predicate (value >= {C12_VCUT}: a "
+    "partition whose max is below the cut is provably skippable without "
+    "opening its file). k05/s05 prove the ENGINE prunes; c12 is the "
+    "CATALOG side — the table the planner consults to skip files at "
+    "100 TB, maintained as an incremental agg per appended partition. "
+    "Stats are exact min/max/count (no float arithmetic), so the "
+    "manifest itself is oracle-checkable",
+)
+def c12_skipping_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import load_table as _lt
+
+    path = _scratch("c12_manifest", sf_dir)
+    ev = _lt(spark, sf_dir, "events").withColumn(
+        "day", F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd")
+    )
+    # One writer task per day => one file per partition directory, so the
+    # per-partition stats below are also the per-FILE stats.
+    (
+        ev.repartition("day")
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(path)
+    )
+    # Partition-column type inference may surface `day` as DATE; the
+    # manifest key is the directory name, pin it to string.
+    back = spark.read.parquet(path).withColumn(
+        "day", F.date_format("day", "yyyy-MM-dd")
+    )
+    return back.groupBy("day").agg(
+        F.count("*").alias("n_rows"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.count(F.when(F.col("value").isNull(), 1))
+        .cast("bigint")
+        .alias("n_null_value"),
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("min_ts"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.when(F.max("value") < C12_VCUT, 1).otherwise(0).alias(
+            "skip_for_vcut"
+        ),
+    )

@@ -169,3 +169,116 @@ def t04_staleness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         staleness.alias("staleness_sec"),
         F.when(staleness > 86400, 1).otherwise(0).alias("is_stale"),
     )
+
+
+# --- t16 (ext.): watermark lateness profile ----------------------------------
+
+# Candidate watermark delays to price. (label, SQL interval literal).
+LATENESS_DELAYS = [
+    ("0s", "INTERVAL 0 SECOND", 0),
+    ("1h", "INTERVAL 1 HOUR", 3600),
+    ("6h", "INTERVAL 6 HOUR", 21600),
+    ("24h", "INTERVAL 24 HOUR", 86400),
+]
+
+
+@register(
+    "t16_watermark_lateness_profile",
+    oracle=f"""
+    WITH arr AS (
+      SELECT ts, md5(CAST(event_id AS VARCHAR)) AS hx, event_id FROM events
+    ),
+    seen AS (
+      SELECT ts,
+             MAX(ts) OVER (ORDER BY hx, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS high
+      FROM arr
+    ),
+    agg AS (
+      SELECT COUNT(*) AS n_total,
+             {", ".join(
+                 f"COUNT(CASE WHEN high > ts + {iv} THEN 1 END) AS late_{lb}"
+                 for lb, iv, _ in LATENESS_DELAYS
+             )}
+      FROM seen
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{lb}' AS delay, CAST({secs} AS BIGINT) AS delay_secs,"
+        f" CAST(late_{lb} AS BIGINT) AS n_late, n_total,"
+        f" CAST(late_{lb} AS DOUBLE) / n_total AS late_frac FROM agg"
+        for lb, _, secs in LATENESS_DELAYS
+    )}
+    """,
+    doc="t16 (ext.): watermark lateness profile — the tuning table read "
+    "BEFORE setting withWatermark(): for each candidate delay D, how "
+    "many rows would arrive more than D behind the stream's running "
+    "max event time and be dropped. Arrival sequence here is a "
+    "deterministic md5 shuffle of event_id (the fixture's at-least-once "
+    "delivery simulation — the parquet fixture arrives perfectly "
+    "ordered, which would profile to all-zeros; a production feed "
+    "passes its real arrival sequence/offset instead). Scale shape: the "
+    "running max is a DISTRIBUTED PREFIX SCAN — 256 md5-prefix blocks, "
+    "within-block running max (block-bounded window) combined with the "
+    "cumulative max of prior blocks' maxima (a 256-row constant-size "
+    "window) — so no window partition ever holds more than 1/256th of "
+    "the stream; lateness tests are pure timestamp comparisons (no "
+    "float), late_frac an unrounded quotient of exact ints",
+)
+def t16_watermark_lateness_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.select(
+        "ts",
+        F.md5(F.col("event_id").cast("string")).alias("hx"),
+        "event_id",
+    ).withColumn("blk", F.substring("hx", 1, 2))
+
+    # Within-block running max over the (hx, event_id) arrival order.
+    w_in = (
+        W.partitionBy("blk")
+        .orderBy("hx", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    within = arr.withColumn("high_in", F.max("ts").over(w_in))
+
+    # Prefix maxima across blocks: 256 rows, constant at any scale.
+    blocks = arr.groupBy("blk").agg(F.max("ts").alias("bmax"))
+    w_blk = W.orderBy("blk").rowsBetween(W.unboundedPreceding, -1)
+    prefix = blocks.select(
+        "blk", F.max("bmax").over(w_blk).alias("high_prev")
+    )
+
+    seen = within.join(F.broadcast(prefix), "blk").withColumn(
+        "high", F.greatest("high_in", "high_prev")
+    )
+    agg = seen.agg(
+        F.count("*").alias("n_total"),
+        *[
+            F.count(
+                F.when(F.col("high") > F.col("ts") + F.expr(iv), 1)
+            ).alias(f"late_{lb}")
+            for lb, iv, _ in LATENESS_DELAYS
+        ],
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lb).alias("delay"),
+                    F.lit(secs).cast("bigint").alias("delay_secs"),
+                    F.col(f"late_{lb}").cast("bigint").alias("n_late"),
+                )
+                for lb, _, secs in LATENESS_DELAYS
+            ]
+        )
+    ).alias("r")
+    return agg.select(rows, "n_total").select(
+        F.col("r.delay").alias("delay"),
+        F.col("r.delay_secs").alias("delay_secs"),
+        F.col("r.n_late").alias("n_late"),
+        "n_total",
+        (F.col("r.n_late").cast("double") / F.col("n_total")).alias(
+            "late_frac"
+        ),
+    )
