@@ -22,7 +22,6 @@ _OPTIONAL_MODULES = [
     "smart_water_management_spark.operators.joins",
     "smart_water_management_spark.operators.windows",
     "smart_water_management_spark.operators.relational",
-    "smart_water_management_spark.operators.setops",
     "smart_water_management_spark.operators.skew",
     "smart_water_management_spark.llmdata.components",
     "smart_water_management_spark.functions.scalar",

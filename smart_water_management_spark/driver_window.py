@@ -24,31 +24,29 @@ the local parity suite; README.md documents the mapping. The round-4
 window (q01–q16, v01–v06, t01–t04, x01–x07, w02/w06/w12, family reps)
 went 49/50 green in CORRECTNESS_r04.
 
-Round-5 window (this file's DRIVER_WINDOW, per VERDICT r4 directives
-#1/#2): 41 never-windowed oracle-backed engine-core names — the full
-w-family (w01/w03/w07–w11/w13–w18), j11–j12, k04–k06, c08–c10,
-v07–v09, f13–f17, a19–a27 (KMV sketch family included), o02–o04 — plus
-9 retention reps chosen so every family green in r1–r4 stays covered
-(a01/d01/m01/p01/q05/s05/t03/u02/x05). p90_domain_pipeline is EVICTED
-(it had no oracle and recorded r4's only non-green row; later in round 5
-it GAINED an exact DuckDB oracle — md5-seeded fixture + decimal-moment
-windows — so it is a legitimate round-6 window candidate).
+Round-6 window (this file's DRIVER_WINDOW, per VERDICT r5 directives
+#2/#3/#8): 41 never-windowed oracle-backed names — the full TRUE
+streaming family t05-t16 (availableNow replay jobs whose
+watermark/state semantics the reference only fakes), sources
+s01/s02/s04/s06/s11-s19, ML m04/m06-m08, projections/subqueries
+p02-p08 (incl. the TPC-H-shape decorrelations), set-ops u01/u03,
+w19 gap-fill interpolation, and c11 recursive CTE + c12 skipping
+manifest — plus 9 retention reps. Retention now includes
+p90_domain_pipeline (driver-tested in r4 without an oracle, the only
+name ever windowed without going green; it gained an exact DuckDB
+oracle in r5, so this is its first realistic shot at a green row —
+VERDICT r5 directive #3) and f05_json_functions (directive #8: keep
+one f-family rep standing so scalar-function regressions stay
+driver-visible). To make room the d-family rep d01_keyed_dedup drops
+out: it is a one-query family, green in r4 AND r5, and its exact-dedup
+semantics are covered by the retained x05_exact_dedup rep.
 
-Round-6 rotation plan (once CORRECTNESS_r05 lands green rows for this
-window): swap the 41 newly-green slots for the remaining never-windowed
-oracle-backed names, prioritizing the streaming family first —
-t05–t15 (availableNow replay jobs with watermark/state semantics,
-all oracle-backed against their batch twins) — then sources
-s01/s02/s04/s06/s11–s19, ML m04/m06–m08, projections p02–p05,
-set-ops u01/u03, and as many x* as fit
-(x08–x11/x13–x28/x30–x53/x56–x60/x62–x64/x66–x67/x69/x90 are
-exact-oracle; x12/x29/x54/x55/x61/x65/x68 stay rows-only and should
-NOT occupy window slots). Keep 9 retention reps covering every
-previously-green family. The names above MUST exist in the registry
-(register_alias fails fast on typos at import time), so cross-check
-against OPERATORS.md before editing DRIVER_WINDOW. Membership is
-asserted by tests/test_oracle_parity.py::test_driver_window_aliases_are_exact,
-so rotate by editing DRIVER_WINDOW only.
+Round-7 rotation plan (once CORRECTNESS_r06 lands): the never-windowed
+oracle-backed remainder is f18, a28/a29, and ~70 x* names — fill all
+41 slots from ROUND7_CANDIDATES below in listed order (x08-x28 core
+dedup/similarity/text first, then x30+), keep 9 retention reps covering
+every family not already in the window, and never window the 10
+rows-only names (m02/m03/m05, x12/x29/x54/x55/x61/x65/x68).
 """
 
 from __future__ import annotations
@@ -60,103 +58,88 @@ from .registry import register_alias
 # retention reps for already-green families. Order within the window is
 # cosmetic — membership is what the driver records.
 DRIVER_WINDOW: list[str] = [
-    # window functions — the full never-windowed w-family (13)
-    "w01_rows_rolling",
-    "w03_lag_lead",
-    "w07_sma_ema",
-    "w08_latest_per_key",
-    "w09_hourly_profile",
-    "w10_topk_per_group",
-    "w11_running_total",
-    "w13_time_weighted_avg",
-    "w14_ntile_deciles",
-    "w15_running_distinct",
-    "w16_rank_distributions",
-    "w17_rolling_median",
-    "w18_session_relative",
-    # joins — remaining never-windowed (2)
-    "j11_interval_overlap_join",
-    "j12_nearest_asof",
-    # skew / layout levers (3)
-    "k04_skew_join_salted",
-    "k05_zorder_layout",
-    "k06_bloom_prefilter",
-    # catalog / CDC extensions (3)
-    "c08_snapshot_diff",
-    "c09_late_arriving_dim",
-    "c10_compaction_audit",
-    # validation extensions (3)
-    "v07_violation_runs",
-    "v08_referential_integrity",
-    "v09_quarantine_split",
-    # scalar-function extensions (5)
-    "f13_geo_distance",
-    "f14_bitwise_aggs",
-    "f15_fuzzy_match",
-    "f16_variant_json",
-    "f17_try_arithmetic",
-    # aggregation extensions incl. the KMV sketch family (9)
-    "a19_retention_cohorts",
-    "a20_funnel_conversion",
-    "a21_grouping_sets",
-    "a22_mad_outliers",
-    "a23_equiwidth_histogram",
-    "a24_kmv_sketch",
-    "a25_sketch_intersection",
-    "a26_weighted_median",
-    "a27_kmv_error_sweep",
-    # ordering extensions (3)
-    "o02_bottomk_customers",
-    "o03_keyset_pagination",
-    "o04_null_ordering_topk",
-    # retention reps: one per family green in CORRECTNESS_r01–r04 that the
-    # 41 first-time slots above don't already cover (d/m/p/q/s/t/u/x),
-    # plus the long-standing a01 anchor.
+    # TRUE streaming family — availableNow replay jobs, oracle-backed
+    # against their batch twins (12)
+    "t05_streaming_hourly",
+    "t06_streaming_session_windows",
+    "t07_streaming_sensor_status",
+    "t08_streaming_sliding",
+    "t09_stateful_run_length",
+    "t10_streaming_dedup",
+    "t11_streaming_scd2",
+    "t12_stream_stream_join",
+    "t13_transform_with_state",
+    "t14_streaming_kmv_sketch",
+    "t15_streaming_lsh_dedup",
+    "t16_watermark_lateness_profile",
+    # sources / sinks / formats (13)
+    "s01_csv_roundtrip_schema",
+    "s02_csv_infer_roundtrip",
+    "s04_glob_latest",
+    "s06_compacted_sink",
+    "s11_json_roundtrip",
+    "s12_cached_reuse",
+    "s13_dynamic_partition_overwrite",
+    "s14_orc_roundtrip",
+    "s15_binaryfile_scan",
+    "s16_schema_evolution",
+    "s17_corrupt_records",
+    "s18_text_lines_scan",
+    "s19_sharded_corpus_sink",
+    # ML closed-form analytics (4)
+    "m04_correlation_matrix",
+    "m06_linear_trend",
+    "m07_weekday_seasonality",
+    "m08_ridge_trend",
+    # projections / subquery decorrelations (7)
+    "p02_case_when_bands",
+    "p03_null_handling",
+    "p04_regex_filter",
+    "p05_stratified_sample",
+    "p06_correlated_scalar_subquery",
+    "p07_in_subquery_having",
+    "p08_not_exists_scalar",
+    # set operations (2)
+    "u01_union_by_name",
+    "u03_multiset_ops",
+    # round-5 window/catalog additions (3)
+    "w19_gapfill_interpolate",
+    "c11_recursive_hierarchy",
+    "c12_skipping_manifest",
+    # retention reps: one per family green in r1-r5 that the 41 first-time
+    # slots above don't already cover (a/f/j/k/o/q/v/x), plus
+    # p90_domain_pipeline's first oracle-backed window attempt (see
+    # docstring for why d01 rotated out).
     "a01_multi_agg_pricing",
-    "d01_keyed_dedup",
-    "m01_kmeans_clusters",
-    "p01_filter_project",
+    "f05_json_functions",
+    "j01_broadcast_dims",
+    "k01_salted_skew_agg",
+    "o01_topk_orders",
     "q05_district_performance",
-    "s05_partitioned_sink_prune",
-    "t03_sessionization",
-    "u02_intersect_except",
+    "v01_fused_validation",
     "x05_exact_dedup",
+    "p90_domain_pipeline",
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
 
-# Round-6 rotation candidates, in priority order (see docstring). Kept as
+# Round-7 rotation candidates, in priority order (see docstring). Kept as
 # data — not prose — so tests/test_oracle_parity.py can assert every name
-# exists in the registry and is oracle-backed BEFORE the round-6 edit
+# exists in the registry and is oracle-backed BEFORE the round-7 edit
 # happens, instead of discovering a typo when the driver runs.
-ROUND6_CANDIDATES: list[str] = [
-    # streaming first: watermark/state semantics the reference only fakes
-    "t05_streaming_hourly", "t06_streaming_session_windows",
-    "t07_streaming_sensor_status", "t08_streaming_sliding",
-    "t09_stateful_run_length", "t10_streaming_dedup", "t11_streaming_scd2",
-    "t12_stream_stream_join", "t13_transform_with_state",
-    "t14_streaming_kmv_sketch", "t15_streaming_lsh_dedup",
-    # sources
-    "s01_csv_roundtrip_schema", "s02_csv_infer_roundtrip", "s04_glob_latest",
-    "s06_compacted_sink", "s11_json_roundtrip", "s12_cached_reuse",
-    "s13_dynamic_partition_overwrite", "s14_orc_roundtrip",
-    "s15_binaryfile_scan", "s16_schema_evolution", "s17_corrupt_records",
-    "s18_text_lines_scan", "s19_sharded_corpus_sink",
-    # ML / projections / set ops / round-5 additions
-    "m04_correlation_matrix", "m06_linear_trend", "m07_weekday_seasonality",
-    "m08_ridge_trend", "p02_case_when_bands", "p03_null_handling",
-    "p04_regex_filter", "p05_stratified_sample",
-    "p06_correlated_scalar_subquery", "p07_in_subquery_having",
-    "p08_not_exists_scalar", "p90_domain_pipeline", "u01_union_by_name",
-    "u03_multiset_ops", "c11_recursive_hierarchy", "f18_map_functions",
-    "a28_ordered_string_agg", "x70_doc_disposition",
-    # x-family (exact-oracle members; extend in round 7+)
+ROUND7_CANDIDATES: list[str] = [
+    # remaining non-x never-windowed names
+    "f18_map_functions",
+    "a28_ordered_string_agg",
+    "a29_sample_quantile_sketch",
+    "x70_doc_disposition",
+    # x-family core: dedup / similarity / text (exact-oracle members only;
+    # x12/x29/x54/x55/x61/x65/x68 are rows-only and MUST NOT be windowed)
     "x08_minhash_lsh_dedup", "x09_simhash_groups",
     "x10_bruteforce_cosine_topk", "x11_cosine_near_dupes",
     "x15_dedup_groups", "x17_quantized_cosine_topk", "x18_tfidf_keywords",
     "x20_pii_scrub", "x21_gopher_quality_filters",
     # round-5 additions (all exact-oracle)
-    "w19_gapfill_interpolate", "a29_sample_quantile_sketch",
     "x71_boilerplate_scrub", "x72_embedding_dim_stats",
     "x73_matryoshka_topk", "x74_centroid_outliers",
     "x75_jl_projection_topk", "x76_context_clip", "x77_lang_mislabel",
