@@ -16,6 +16,8 @@ production the literal is current_date-relative (reference src/app.py:29).
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, SparkSession
 
 from ..registry import register
@@ -33,7 +35,13 @@ CUTOFF = "TIMESTAMP '2024-01-24 00:00:00'"
 # so results are never stale. Resolution happens once against
 # load_table's deterministic output, so later view overwrites by other
 # queries cannot leak into a memoized plan.
-_PLAN_MEMO: dict[tuple[str, str, str], DataFrame] = {}
+_PLAN_MEMO: "OrderedDict[tuple[str, str, str], DataFrame]" = OrderedDict()
+# LRU bound: a DataFrame plan is cheap but not free (analyzed + resolved
+# logical plan held on the driver), and the memo is keyed by raw SQL text —
+# a long-lived session issuing varied ad-hoc SQL would otherwise grow it
+# without limit. 256 comfortably covers the 16-query dashboard suite times
+# every sf_dir used in one process while capping driver-side growth.
+_PLAN_MEMO_MAX = 256
 
 
 def _sql(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataFrame:
@@ -48,6 +56,10 @@ def _sql(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataF
         for t in tables:
             load_table(spark, sf_dir, t).createOrReplaceTempView(t)
         _PLAN_MEMO[key] = spark.sql(sql)
+        while len(_PLAN_MEMO) > _PLAN_MEMO_MAX:
+            _PLAN_MEMO.popitem(last=False)
+    else:
+        _PLAN_MEMO.move_to_end(key)
     return _PLAN_MEMO[key]
 
 

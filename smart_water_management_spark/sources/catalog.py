@@ -9,6 +9,8 @@ hit hive-partitioned directories and prune on year/month/day.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -42,8 +44,12 @@ _TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 # dashboard refresh loop, a bench pass) skip ~80 ms of driver-side file
 # listing per table per call. Data still streams through the scan. The
 # testdata directories are read-only for the engine, so the resolved file
-# index cannot go stale mid-session.
-_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# index cannot go stale mid-session (clear_table_cache evicts it anyway
+# for callers that rewrite a dir they previously scanned). LRU-bounded:
+# keys are (session, sf_dir, table), so a long-lived driver touching many
+# sf_dirs would otherwise accumulate analyzed plans without limit.
+_PLAN_CACHE: "OrderedDict[tuple[str, str, str], DataFrame]" = OrderedDict()
+_PLAN_CACHE_MAX = 256
 
 
 def session_key(spark: SparkSession) -> str:
@@ -101,6 +107,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if not small_input(sf_dir):
         if key not in _PLAN_CACHE:
             _PLAN_CACHE[key] = _read_table(spark, sf_dir, name)
+            while len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+                _PLAN_CACHE.popitem(last=False)
+        else:
+            _PLAN_CACHE.move_to_end(key)
         return _PLAN_CACHE[key]
     if key not in _TABLE_CACHE:
         _TABLE_CACHE[key] = _read_table(spark, sf_dir, name).persist()
@@ -141,9 +151,15 @@ def clear_table_cache(spark: SparkSession) -> None:
     Needed before plan inspection under the production posture: Spark's
     CacheManager substitutes InMemoryRelation into ANY plan that matches
     a cached fragment, so a lingering cached scan would hide the
-    pushdown/pruning behavior the physical-plan CI asserts."""
+    pushdown/pruning behavior the physical-plan CI asserts. Also evicts
+    the session's memoized analyzed scans (_PLAN_CACHE, the non-small
+    posture path) so a "cleared" session re-resolves the file index —
+    without this, a table dir rewritten after first load would keep
+    serving the stale resolved listing."""
     for key in [k for k in _TABLE_CACHE if k[0] == session_key(spark)]:
         _TABLE_CACHE.pop(key).unpersist()
+    for key in [k for k in _PLAN_CACHE if k[0] == session_key(spark)]:
+        _PLAN_CACHE.pop(key)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,61 @@
+"""Driver-side cache hygiene: the table/plan caches in sources.catalog and
+the prepared-statement memo in plans.dashboard must stay bounded and must
+actually empty when a caller clears them (VERDICT r5 ADVICE items)."""
+
+from __future__ import annotations
+
+from smart_water_management_spark.plans import dashboard
+from smart_water_management_spark.sources import catalog
+
+
+def test_clear_table_cache_evicts_plan_cache_too(spark):
+    """clear_table_cache is the 'rescan fresh layout' hook used before the
+    physical-plan assertions; under the non-small posture scans memoize in
+    _PLAN_CACHE (not _TABLE_CACHE), so clearing must cover both or a
+    rewritten table dir keeps serving the stale resolved file index."""
+    key = (catalog.session_key(spark), "/root/testdata/sf0.001", "region")
+    catalog._PLAN_CACHE[key] = catalog._read_table(
+        spark, "/root/testdata/sf0.001", "region"
+    )
+    catalog.clear_table_cache(spark)
+    assert key not in catalog._PLAN_CACHE
+    assert not [k for k in catalog._TABLE_CACHE if k[0] == key[0]]
+
+
+def test_plan_memo_is_lru_bounded(spark):
+    """The dashboard prepared-statement memo is keyed by raw SQL text; a
+    session issuing varied ad-hoc SQL must not grow it without limit."""
+    dashboard._PLAN_MEMO.clear()
+    for i in range(dashboard._PLAN_MEMO_MAX + 32):
+        dashboard._sql(
+            spark, "/root/testdata/sf0.001", f"SELECT {i} AS v", tables=[]
+        )
+    assert len(dashboard._PLAN_MEMO) == dashboard._PLAN_MEMO_MAX
+    # Most-recent entries survive; the earliest were evicted first.
+    sqls = {k[2] for k in dashboard._PLAN_MEMO}
+    assert f"SELECT {dashboard._PLAN_MEMO_MAX + 31} AS v" in sqls
+    assert "SELECT 0 AS v" not in sqls
+    dashboard._PLAN_MEMO.clear()
+
+
+def test_plan_cache_is_lru_bounded(spark, monkeypatch):
+    """_PLAN_CACHE is keyed by (session, sf_dir, table); many tables/dirs in
+    one long-lived driver must not accumulate analyzed plans without limit.
+    Exercises the real load_table population path under the production
+    posture (the branch that memoizes plans instead of persisting)."""
+    from smart_water_management_spark import registry
+
+    catalog._PLAN_CACHE.clear()
+    monkeypatch.setattr(catalog, "_PLAN_CACHE_MAX", 4)
+    registry.set_posture("production")
+    try:
+        for name in ["region", "nation", "customer", "supplier", "part",
+                     "orders", "lineitem"]:
+            catalog.load_table(spark, "/root/testdata/sf0.001", name)
+        assert len(catalog._PLAN_CACHE) == 4
+        # LRU: the most recently loaded tables survive.
+        kept = {k[2] for k in catalog._PLAN_CACHE}
+        assert kept == {"part", "orders", "lineitem", "supplier"}
+    finally:
+        registry.set_posture("auto")
+        catalog._PLAN_CACHE.clear()
