@@ -469,3 +469,60 @@ def test_subquery_decorrelation_plans(spark):
     plan = plan_of(_q(spark, "p06_correlated_scalar_subquery"))
     # correlated scalar → ONE aggregation over the key, joined back
     assert plan.count("HashAggregate") >= 2  # partial+final of pre-agg
+
+
+def test_recursive_hierarchy_native_unionloop(spark):
+    """c11: Spark 4 native WITH RECURSIVE must plan as a UnionLoop whose
+    step joins only the FRONTIER (UnionLoopRef) against the edge table —
+    and the closure is shuffled once, for the final rollup aggregate,
+    never re-shuffled per recursion step."""
+    plan = plan_of(_q(spark, "c11_recursive_hierarchy"), "simple")
+    assert "UnionLoop" in plan          # native recursion, not a driver loop
+    assert "UnionLoopRef" in plan       # step input is the frontier
+    assert "CartesianProduct" not in plan
+    # exactly one exchange: the (root_region, depth) rollup of the closure
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_gapfill_interpolate_single_window_pass(spark):
+    """w19: the prev-neighbor (unbounded-preceding) and next-neighbor
+    (unbounded-following) IGNORE NULLS lookups share partitioning
+    (event_type) AND ordering (idx), so Catalyst must fuse all four into
+    ONE Window node over one sort — the interpolation costs a single pass
+    over the dense grid."""
+    plan = plan_of(_q(spark, "w19_gapfill_interpolate"), "simple")
+    assert plan.count("Window ") == 1
+    assert "CartesianProduct" not in plan
+    # two keyed exchanges total — the types-distinct agg and the hourly
+    # (hr, event_type) agg; the window stage adds NO exchange of its own
+    # because the grid arrives already partitioned by event_type
+    assert plan.count("Exchange hashpartitioning") == 2
+    # and nothing between the Window and its Sort re-shuffles
+    head = plan.split("Window ")[1].split("Sort ")[0]
+    assert "Exchange" not in head
+
+
+def test_sample_quantile_sketch_bounded_sorts(spark):
+    """a29: the bottom-k-by-hash selections must hit Spark's rank-limit
+    pushdown (WindowGroupLimit, with a PARTIAL pass before the exchange so
+    no task ever sorts more than k rows per group), totals must broadcast
+    into the sample, and nothing global-sorts."""
+    plan = plan_of(_q(spark, "a29_sample_quantile_sketch"), "simple")
+    assert plan.count("WindowGroupLimit") >= 2  # partial + final
+    assert "BroadcastHashJoin" in plan          # n_total attach
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_matryoshka_and_jl_topk_single_shuffle(spark):
+    """x73/x75: one scored pass (broadcast bounded queries x partitioned
+    candidates), then BOTH rank windows (truncated-dim and full-dim) key
+    on qid — one hashpartitioning exchange for the whole query, two
+    back-to-back Window nodes with no exchange between."""
+    for name in ("x73_matryoshka_topk", "x75_jl_projection_topk"):
+        plan = plan_of(_q(spark, name), "simple")
+        assert "BroadcastNestedLoopJoin" in plan, name  # bounded-q cross
+        assert plan.count("Window ") == 2, name
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        # the second window follows the first with only a Sort between
+        mid = plan.split("Window ")[1]
+        assert "Exchange" not in mid, name

@@ -320,3 +320,65 @@ def test_queries_degrade_gracefully_on_empty_tables(spark, tmp_path):
         df = get(name).fn(spark, empty_dir)
         rows = df.collect()  # must not raise
         assert rows is not None, name
+
+
+def test_bpe_apply_matches_python_oracle(spark, duck):
+    """VERDICT r5 #7: x55 has no SQL oracle (iterative merge application),
+    so pin it end-to-end instead — learn the merge table from DuckDB with
+    x42's REGISTERED oracle SQL (itself exact-oracle-green), apply the
+    shared pure-Python greedy `apply_merges` to every document, and demand
+    x55's full distributed output matches row-for-row. This upgrades x55
+    from 'deterministic' to 'exact vs an independent engine'."""
+    from smart_water_management_spark.llmdata.text import apply_merges
+
+    merge_rows = duck.execute(
+        _REGISTRY["x42_bpe_first_merges"].oracle + " ORDER BY rn"
+    ).fetchall()
+    merges = [tuple(pair.split(" ", 1)) for pair, _cnt, _rn in merge_rows]
+    expected = {}
+    for doc_id, text in duck.execute(
+        "SELECT doc_id, text FROM documents"
+    ).fetchall():
+        toks = text.lower().split(" ")
+        enc = apply_merges(toks, merges)
+        expected[doc_id] = (
+            len(toks), len(enc), round(len(enc) / len(toks), 6)
+        )
+    got = {
+        r.doc_id: (r.n_tokens_before, r.n_tokens_after, round(r.compression, 6))
+        for r in _run(spark, "x55_bpe_apply").collect()
+    }
+    assert got == expected
+
+
+def test_ffd_bins_exact_and_within_proven_ratio(spark, duck):
+    """VERDICT r5 #7: x61's FFD packing has no SQL oracle (sequential
+    first-fit state), so pin it two ways: (a) bins_used per source equals
+    the shared pure-Python `ffd_pack` run on token sizes extracted by an
+    INDEPENDENT engine (DuckDB), and (b) every source respects the proven
+    FFD guarantee bins <= ceil(11/9 * OPT) + 1 against the DuckDB-computed
+    capacity lower bound (OPT >= ceil(total/capacity))."""
+    import math
+
+    from smart_water_management_spark.llmdata.curation import ffd_pack
+    from smart_water_management_spark.llmdata.text import CONTEXT_LEN
+
+    sizes_by_src = {}
+    for src, n_tok in duck.execute(
+        "SELECT source, len(string_split(lower(text), ' ')) FROM documents"
+    ).fetchall():
+        sizes_by_src.setdefault(src, []).append(n_tok)
+
+    rows = {r.source: r for r in _run(spark, "x61_ffd_packing").collect()}
+    assert set(rows) == set(sizes_by_src)
+    for src, sizes in sizes_by_src.items():
+        r = rows[src]
+        oracle_bins = ffd_pack(sizes, CONTEXT_LEN)
+        total = sum(sizes)
+        lower = math.ceil(total / CONTEXT_LEN)
+        assert r.n_docs == len(sizes), src
+        assert r.total_tokens == total, src
+        assert r.lower_bound == lower, src
+        assert r.bins_used == len(oracle_bins), src          # (a) exact
+        assert lower <= r.bins_used <= math.ceil(lower * 11 / 9) + 1, src  # (b)
+        assert r.utilization == round(total / (r.bins_used * CONTEXT_LEN), 6)
