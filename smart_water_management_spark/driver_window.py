@@ -145,6 +145,9 @@ ROUND7_CANDIDATES: list[str] = [
     "x75_jl_projection_topk", "x76_context_clip", "x77_lang_mislabel",
     "x78_quality_auc", "x79_padding_waste", "x80_dup_cluster_profile",
     "x81_kappa_agreement",
+    # round-6 additions (all exact-oracle)
+    "w20_markov_transitions", "x82_kneser_ney_bigram", "x83_class_balance",
+    "x84_dedup_threshold_sweep", "x85_clip_survival",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.catalog import load_table, pin_derived
+from ..sources.catalog import fan_out, load_table, pin_derived
 from .text import CONTEXT_LEN, STOPWORDS, UNIGRAM_SCORED_SQL, tokens
 
 # --- x21: Gopher-style rule filters -----------------------------------------
@@ -2168,4 +2168,138 @@ def x81_kappa_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             num.cast("double") / F.nullif(den.cast("double"), F.lit(0.0))
         ).alias("kappa"),
+    )
+
+
+# --- x83: class/source balance audit -----------------------------------------
+
+
+@register(
+    "x83_class_balance",
+    # Exactness devices: gini = 1 - sum(n^2)/total^2 is pure BIGINT
+    # arithmetic until one final IEEE division; majority_share is one
+    # exact-integer quotient; entropy uses x45's transcendental posture —
+    # per-class ln(n) rounded to 6 decimals and accumulated as DECIMAL
+    # (order-independent, engine-identical), with the closed form
+    # H = ln(N) - S/N evaluated on identical doubles and rounded once.
+    oracle="""
+    WITH cls AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY source, lang
+    ),
+    per_src AS (
+      SELECT source,
+             CAST(SUM(n) AS BIGINT) AS n_docs,
+             COUNT(*) AS n_langs,
+             CAST(MAX(n) AS BIGINT) AS n_majority,
+             CAST(SUM(CAST(n AS HUGEINT) * n) AS DOUBLE) AS sum_sq,
+             SUM(n * CAST(ROUND(LN(CAST(n AS DOUBLE)), 6)
+                          AS DECIMAL(27,6))) AS s_nln
+      FROM cls GROUP BY source
+    )
+    SELECT source, n_docs, n_langs,
+           CAST(n_majority AS DOUBLE) / n_docs AS majority_share,
+           1.0 - sum_sq / (CAST(n_docs AS DOUBLE) * n_docs) AS gini,
+           ROUND(LN(CAST(n_docs AS DOUBLE))
+                 - CAST(s_nln AS DOUBLE) / n_docs, 6) AS entropy_nats
+    FROM per_src
+    """,
+    doc="x83 (ext.): class/source balance audit — per source, the "
+    "language-mix concentration stats a mixture designer reads before "
+    "setting sampling weights: class count, majority share, Gini "
+    "impurity and Shannon entropy (nats). Exactness: Gini stays in "
+    "integer arithmetic (1 - sum(n^2)/N^2) until one final division; "
+    "entropy uses the x45 device (per-class ln rounded to 6dp, summed "
+    "as DECIMAL, closed form H = ln(N) - S/N on identical doubles). "
+    "Scale shape: two map-combined hash aggs over (source, lang) — the "
+    "output is |sources| rows at any corpus size",
+)
+def x83_class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    cls = d.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    per = cls.groupBy("source").agg(
+        F.sum("n").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+        F.max("n").alias("n_majority"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n"))
+        .cast("double")
+        .alias("sum_sq"),
+        F.sum(
+            F.col("n")
+            * F.round(F.log(F.col("n").cast("double")), 6).cast(
+                "decimal(27,6)"
+            )
+        ).alias("s_nln"),
+    )
+    nd = F.col("n_docs").cast("double")
+    return per.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        (F.col("n_majority").cast("double") / F.col("n_docs")).alias(
+            "majority_share"
+        ),
+        (F.lit(1.0) - F.col("sum_sq") / (nd * nd)).alias("gini"),
+        F.round(
+            F.log(nd) - F.col("s_nln").cast("double") / F.col("n_docs"), 6
+        ).alias("entropy_nats"),
+    )
+
+
+# --- x85: context-clip survival curve -----------------------------------------
+
+CLIP_GRID = [128, 256, 512, 1024, 2048]
+
+
+@register(
+    "x85_clip_survival",
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tok
+      FROM documents
+    ),
+    grid AS (
+      SELECT dt.doc_id, dt.n_tok, g.clip_len
+      FROM dt CROSS JOIN
+           (SELECT unnest([{", ".join(str(c) for c in CLIP_GRID)}])
+              AS clip_len) g
+    )
+    SELECT clip_len,
+           CAST(SUM(CASE WHEN n_tok > clip_len THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_clipped,
+           CAST(SUM(LEAST(n_tok, clip_len)) AS BIGINT) AS tokens_kept,
+           CAST(SUM(GREATEST(n_tok - clip_len, 0)) AS BIGINT) AS tokens_lost,
+           CAST(SUM(LEAST(n_tok, clip_len)) AS DOUBLE) / SUM(n_tok)
+             AS frac_tokens_kept
+    FROM grid GROUP BY clip_len
+    """,
+    doc="x85 (ext.): context-clip survival curve — for a grid of "
+    "max-sequence-length cutoffs, how many documents get truncated and "
+    "what fraction of corpus tokens survives (the capacity-planning "
+    "companion to x76's single-cutoff clip and x79's padding audit). "
+    "All-integer sums with one final exact quotient per grid point. "
+    "Scale shape: one token-count scan exploded by a constant 5-element "
+    "grid, then a map-combined hash agg to |grid| rows",
+)
+def x85_clip_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark).select(
+        F.size(tokens("text")).alias("n_tok")
+    )
+    grid = d.select(
+        "n_tok",
+        F.explode(
+            F.array(*[F.lit(c) for c in CLIP_GRID])
+        ).alias("clip_len"),
+    )
+    return grid.groupBy("clip_len").agg(
+        F.sum(F.when(F.col("n_tok") > F.col("clip_len"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_clipped"),
+        F.sum(F.least("n_tok", "clip_len")).cast("bigint").alias("tokens_kept"),
+        F.sum(F.greatest(F.col("n_tok") - F.col("clip_len"), F.lit(0)))
+        .cast("bigint")
+        .alias("tokens_lost"),
+        (
+            F.sum(F.least("n_tok", "clip_len")).cast("double")
+            / F.sum("n_tok")
+        ).alias("frac_tokens_kept"),
     )

@@ -1005,3 +1005,60 @@ def x80_dup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("sz").alias("n_docs"),
         (F.sum("sz") - F.count("*")).alias("n_redundant"),
     )
+
+
+# --- x84: dedup threshold sweep ------------------------------------------------
+
+SWEEP_TAUS = [0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def _x84_oracle() -> str:
+    taus = ", ".join(str(t) for t in SWEEP_TAUS)
+    return f"""WITH {_x08_cte()},
+    taus AS (SELECT unnest([{taus}]) AS tau),
+    agg AS (
+      SELECT t.tau,
+             COUNT(*) AS n_pairs,
+             COUNT(DISTINCT v.doc_b) AS n_docs_dropped
+      FROM taus t JOIN verified v ON v.jaccard >= t.tau
+      GROUP BY t.tau
+    )
+    SELECT t.tau,
+           COALESCE(a.n_pairs, 0) AS n_pairs,
+           COALESCE(a.n_docs_dropped, 0) AS n_docs_dropped
+    FROM taus t LEFT JOIN agg a USING (tau)"""
+
+
+@register(
+    "x84_dedup_threshold_sweep",
+    oracle=_x84_oracle(),
+    doc="x84 (ext.): dedup-aggressiveness curve — the x08 verified "
+    "near-dup pairs swept across Jaccard thresholds 0.5..0.9, reporting "
+    "surviving pair count and docs dropped under keep-lowest-id "
+    "survivorship at each cut (the knob-setting table a curation run "
+    "reads before committing to a threshold). Exact: both engines sweep "
+    "the SAME verified-pair jaccards (x08's engine-exact pipeline) "
+    "against the same literals. Scale shape: the sweep explodes the "
+    "PAIR table (already LSH-bounded, tiny vs the corpus) by a "
+    "5-element constant grid — one hash agg, zero new corpus scans",
+)
+def x84_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(pinned_corpus_signatures(spark, sf_dir))
+    ver = verify_jaccard(docs, pairs)
+    taus = F.array(*[F.lit(t) for t in SWEEP_TAUS])
+    swept = (
+        ver.select("doc_b", "jaccard", F.explode(taus).alias("tau"))
+        .filter(F.col("jaccard") >= F.col("tau"))
+        .groupBy("tau")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.countDistinct("doc_b").alias("n_docs_dropped"),
+        )
+    )
+    grid = spark.range(1).select(F.explode(taus).alias("tau"))
+    return grid.join(swept, "tau", "left").select(
+        "tau",
+        F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+        F.coalesce("n_docs_dropped", F.lit(0)).alias("n_docs_dropped"),
+    )

@@ -1298,3 +1298,99 @@ def x77_lang_mislabel(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("flag").cast("double") / F.count("*")).alias("flag_rate"),
         )
     )
+
+
+# --- x82: Kneser-Ney smoothed bigram LM ---------------------------------------
+
+KN_DISCOUNT = 0.75  # the standard absolute-discount constant
+KN_TOPN = 30  # report the table for the most frequent bigrams
+
+
+@register(
+    "x82_kneser_ney_bigram",
+    oracle=f"""
+    WITH bg AS (
+      SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+      FROM (SELECT string_split(lower(text), ' ') AS tk FROM documents)
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS c_big FROM bg GROUP BY 1, 2),
+    lt AS (SELECT w1, CAST(SUM(c_big) AS BIGINT) AS c_left,
+                  COUNT(*) AS n_follow
+           FROM cnt GROUP BY w1),
+    pc AS (SELECT w2, COUNT(*) AS n_prec FROM cnt GROUP BY w2),
+    b AS (SELECT COUNT(*) AS n_bigram_types FROM cnt)
+    SELECT w1, w2, c_big, c_left, n_follow, n_prec,
+           GREATEST(CAST(c_big AS DOUBLE) - {KN_DISCOUNT}, 0.0)
+             / c_left
+           + ({KN_DISCOUNT} * n_follow / c_left)
+             * (CAST(n_prec AS DOUBLE) / n_bigram_types) AS p_kn
+    FROM (
+      SELECT cnt.w1, cnt.w2, c_big, c_left, n_follow, n_prec,
+             n_bigram_types,
+             ROW_NUMBER() OVER (ORDER BY c_big DESC, cnt.w1, cnt.w2) AS rn
+      FROM cnt
+      JOIN lt ON cnt.w1 = lt.w1
+      JOIN pc ON cnt.w2 = pc.w2
+      CROSS JOIN b
+    ) WHERE rn <= {KN_TOPN}
+    """,
+    doc=f"x82 (ext.): Kneser-Ney smoothed bigram model — absolute "
+    f"discount D={KN_DISCOUNT} with continuation-probability backoff "
+    "(p_cont = distinct left-contexts / bigram types), the standard "
+    "n-gram LM smoothing (Kneser & Ney 1995; Chen & Goodman 1999) and "
+    "the quality-scoring upgrade over x62's fixed interpolation. "
+    f"Reports the full component table for the top {KN_TOPN} bigrams. "
+    "Exactness: every component is an exact integer count; D=0.75 is "
+    "binary-exact; the probability is a fixed IEEE expression over "
+    "identical operands in both engines — no rounding anywhere. "
+    "Scale shape: bigrams come from the SAME row's token array (no "
+    "self-join); counts are map-combined word-count shuffles; the "
+    "left/continuation tables are vocabulary-sized; the 1-row bigram-"
+    "type total broadcasts. The top-N is a rank over the count table "
+    "with deterministic tie-break",
+)
+def x82_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    pairs = (
+        d.select(tokens("text").alias("tk"))
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, size(tk)-1), "
+                    "(w, i) -> struct(w AS w1, tk[i+1] AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+    )
+    cnt = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c_big"))
+    lt = cnt.groupBy("w1").agg(
+        F.sum("c_big").alias("c_left"), F.count("*").alias("n_follow")
+    )
+    pc = cnt.groupBy("w2").agg(F.count("*").alias("n_prec"))
+    b = cnt.agg(F.count("*").alias("n_bigram_types"))
+    joined = (
+        cnt.join(lt, "w1")
+        .join(pc, "w2")
+        .crossJoin(F.broadcast(b))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.orderBy(F.desc("c_big"), F.asc("w1"), F.asc("w2"))
+            ),
+        )
+        .filter(F.col("rn") <= KN_TOPN)
+    )
+    d_disc = F.lit(KN_DISCOUNT)
+    p_kn = (
+        F.greatest(F.col("c_big").cast("double") - d_disc, F.lit(0.0))
+        / F.col("c_left")
+        + (d_disc * F.col("n_follow") / F.col("c_left"))
+        * (F.col("n_prec").cast("double") / F.col("n_bigram_types"))
+    )
+    return joined.select(
+        "w1", "w2", "c_big", "c_left", "n_follow", "n_prec",
+        p_kn.alias("p_kn"),
+    )

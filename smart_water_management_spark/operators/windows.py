@@ -842,3 +842,60 @@ def w19_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("edge")
         .alias("fill_kind"),
     )
+
+
+# --- w20 (ext.): Markov transition matrix over event sequences ---------------
+
+
+@register(
+    "w20_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events
+    ),
+    trans AS (
+      SELECT from_type, to_type, COUNT(*) AS n_trans
+      FROM seq WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_trans,
+           CAST(n_trans AS DOUBLE)
+             / SUM(n_trans) OVER (PARTITION BY from_type) AS p_trans
+    FROM trans
+    """,
+    doc="w20 (ext.): first-order Markov transition matrix over per-user "
+    "event sequences — lead() within (user, time) order, then a "
+    "transition-count agg and a row-normalized probability (the "
+    "session-flow / funnel-discovery shape). Exactness: p_trans is the "
+    "raw IEEE quotient of two exact BIGINT counts, identical in both "
+    "engines, never rounded. Scale shape: the lead window shuffles once "
+    "on user_id (sequences stay co-located); the transition table is "
+    "|types|^2 rows regardless of corpus size, so the normalizing window "
+    "costs nothing. Reference analog: sequential pattern pass over "
+    "per-sensor readings (src/spark_jobs.py rolling scans)",
+)
+def w20_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type")
+        .over(W.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("to_type"),
+    )
+    trans = (
+        seq.filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        (
+            F.col("n_trans").cast("double")
+            / F.sum("n_trans").over(W.partitionBy("from_type"))
+        ).alias("p_trans"),
+    )
