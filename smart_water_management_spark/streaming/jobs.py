@@ -973,3 +973,131 @@ def t15_streaming_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_dedup_stream(spark, sf_dir).select(
         "doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+# --- t17: incrementally-maintained sample-quantile sketch --------------------
+
+from ..operators.aggregations import SQ_K  # noqa: E402
+
+
+def sample_quantile_upsert_stream(spark: SparkSession, sf_dir: str) -> None:
+    """T17: a29's bottom-k-by-hash uniform sample maintained INCREMENTALLY
+    by a streaming foreachBatch merge, alongside an exact running row
+    count per key.
+
+    Two bounded state tables: ``sq_sample_state`` holds at most k rows per
+    event_type (the k smallest md5(event_id) hashes seen so far, with
+    their values); ``sq_count_state`` holds one row per event_type. Merge
+    = union + re-bottom-k — the k smallest of a union of k-smallest sets
+    IS the global k-smallest set, so the final sample equals the batch
+    a29 sample for ANY micro-batch slicing, and the quantiles computed
+    from it are bit-identical.
+    """
+    from ..sources.catalog import reset_managed_table
+    from pyspark.sql import Window as W
+
+    reset_managed_table(spark, "sq_sample_state")
+    reset_managed_table(spark, "sq_count_state")
+    spark.sql(
+        """CREATE TABLE sq_sample_state
+           (event_type STRING, value DOUBLE, hx STRING, event_id BIGINT)
+           USING parquet"""
+    )
+    spark.sql(
+        """CREATE TABLE sq_count_state
+           (event_type STRING, n_total BIGINT) USING parquet"""
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        rows = batch_df.select(
+            "event_type",
+            "value",
+            F.md5(F.col("event_id").cast("string")).alias("hx"),
+            "event_id",
+        )
+        wk = W.partitionBy("event_type").orderBy("hx", "event_id")
+        merged = (
+            sp.table("sq_sample_state")
+            .unionByName(rows)
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= SQ_K)
+            .select("event_type", "value", "hx", "event_id")
+        )
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").insertInto("sq_sample_state")
+
+        counts = (
+            sp.table("sq_count_state")
+            .unionByName(
+                batch_df.groupBy("event_type").agg(
+                    F.count("*").alias("n_total")
+                )
+            )
+            .groupBy("event_type")
+            .agg(F.sum("n_total").alias("n_total"))
+        )
+        staged_c = counts.localCheckpoint(eager=True)
+        staged_c.write.mode("overwrite").insertInto("sq_count_state")
+
+    ev = read_event_stream(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+from ..registry import get as _get_spec  # noqa: E402
+
+
+@register(
+    "t17_streaming_sample_quantile",
+    # EXACTLY a29's oracle: the incremental bottom-k sample + running
+    # count must land on the identical sketch (and therefore identical
+    # nearest-rank quantiles) bit-for-bit.
+    oracle=_get_spec("a29_sample_quantile_sketch").oracle,
+    doc="T17: a29's sample-quantile sketch maintained incrementally via "
+    "streaming foreachBatch — bounded state (k sample rows + 1 count row "
+    "per key), merge-invariant bottom-k-by-hash, so the final "
+    "median/p90 equal the batch sketch for any micro-batch slicing; "
+    "certified by a29's own md5-deterministic oracle",
+)
+def t17_streaming_sample_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    sample_quantile_upsert_stream(spark, sf_dir)
+    kept = spark.table("sq_sample_state")
+    totals = spark.table("sq_count_state")
+    sample = kept.join(F.broadcast(totals), "event_type").select(
+        "event_type",
+        "value",
+        "n_total",
+        F.row_number()
+        .over(
+            W.partitionBy("event_type").orderBy(
+                "value", F.md5(F.col("value").cast("string"))
+            )
+        )
+        .alias("vrn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("k_actual"),
+    )
+    return sample.groupBy("event_type").agg(
+        F.max("n_total").alias("n_total"),
+        F.max("k_actual").cast("bigint").alias("k_actual"),
+        F.max(
+            F.when(
+                F.col("vrn") == F.ceil(0.5 * F.col("k_actual")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("sample_median"),
+        F.max(
+            F.when(
+                F.col("vrn") == F.ceil(0.9 * F.col("k_actual")).cast("bigint"),
+                F.col("value"),
+            )
+        ).alias("sample_p90"),
+    )
