@@ -1699,3 +1699,189 @@ def x75_jl_projection_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rn",
         F.when(F.col("rn_f") <= TOP_K, 1).otherwise(0).alias("in_full_topk"),
     )
+
+
+# --- x86: deterministic IVF recall audit -------------------------------------
+
+IVF_DET_CELLS = 8  # md5-seeded centroid count for the audit index
+
+
+@register(
+    "x86_ivf_recall_audit",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS cv, rn AS cell FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+      ) WHERE rn <= {IVF_DET_CELLS}
+    ),
+    assign AS (
+      SELECT vec_id, embedding, cell FROM (
+        SELECT e.vec_id, e.embedding, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_DOT.format(a='e.embedding', b='c.cv')}
+                   / (SQRT({_SQL_SQNORM.format(a='e.embedding')})
+                      * SQRT({_SQL_SQNORM.format(a='c.cv')})) DESC,
+                   c.cell) AS arn
+        FROM embeddings e CROSS JOIN cent c
+      ) WHERE arn = 1
+    ),
+    qprobe AS (
+      SELECT qid, qe, cell FROM (
+        SELECT e.vec_id AS qid, e.embedding AS qe, c.cell,
+               ROW_NUMBER() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_SQL_DOT.format(a='e.embedding', b='c.cv')}
+                   / (SQRT({_SQL_SQNORM.format(a='e.embedding')})
+                      * SQRT({_SQL_SQNORM.format(a='c.cv')})) DESC,
+                   c.cell) AS prn
+        FROM embeddings e CROSS JOIN cent c
+        WHERE e.vec_id < {N_QUERIES}
+      ) WHERE prn <= {N_PROBE}
+    ),
+    cand AS (
+      SELECT q.qid, q.qe, a.vec_id, a.embedding
+      FROM qprobe q JOIN assign a USING (cell)
+      WHERE a.vec_id <> q.qid
+    ),
+    ivf_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+                 {_SQL_DOT.format(a='qe', b='embedding')}
+                   / (SQRT({_SQL_SQNORM.format(a='qe')})
+                      * SQRT({_SQL_SQNORM.format(a='embedding')})) DESC,
+                 vec_id) AS rn
+        FROM cand
+      ) WHERE rn <= {TOP_K}
+    ),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT q.vec_id AS qid, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 {_SQL_DOT.format(a='q.embedding', b='c.embedding')}
+                   / (SQRT({_SQL_SQNORM.format(a='q.embedding')})
+                      * SQRT({_SQL_SQNORM.format(a='c.embedding')})) DESC,
+                 c.vec_id) AS rn
+        FROM embeddings q CROSS JOIN embeddings c
+        WHERE q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+      ) WHERE rn <= {TOP_K}
+    ),
+    ncand AS (SELECT qid, COUNT(*) AS n_candidates FROM cand GROUP BY qid)
+    SELECT t.qid,
+           CAST({N_PROBE} AS INT) AS n_cells_probed,
+           n.n_candidates,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(i.vec_id) AS DOUBLE) / {TOP_K} AS recall_at_k
+    FROM truth t
+    LEFT JOIN ivf_top i ON i.qid = t.qid AND i.vec_id = t.vec_id
+    JOIN ncand n ON n.qid = t.qid
+    GROUP BY t.qid, n.n_candidates
+    """,
+    doc=f"x86 (ext.): IVF ANN recall audit with a fully DETERMINISTIC "
+    f"index — {IVF_DET_CELLS} centroids are the vectors with the "
+    "smallest md5(vec_id) (a seedless uniform sample), assignment is "
+    "argmax-cosine with a fixed tie-break, queries probe their "
+    f"{N_PROBE} nearest cells, and recall@{TOP_K} is measured against "
+    "the exact brute-force top-k — so unlike the MLlib-KMeans IVF "
+    "(x12, rows-only) the ENTIRE index + recall pipeline is "
+    "exact-oracle-checkable. The tuning table an ANN deployment reads "
+    "(recall vs candidates scanned). Scale shape: centroid table is "
+    "constant-size and broadcast everywhere; assignment is one "
+    "argmax-over-8 window per vector (word-count shape); the ground "
+    "truth is restricted to the bounded query set, so nothing all-pairs "
+    "ever materializes",
+)
+def x86_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", _dbl("embedding").alias("v")
+    )
+    cent = (
+        em.withColumn("hx", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("hx", "vec_id")
+        .limit(IVF_DET_CELLS)
+        .select(
+            F.row_number().over(W.orderBy("hx", "vec_id")).alias("cell"),
+            F.col("v").alias("cv"),
+        )
+    )
+    # argmax-cosine cell per vector: explode over the broadcast centroid
+    # table, one rank window partitioned by vec_id
+    scored_cells = em.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "v",
+        "cell",
+        F.row_number()
+        .over(
+            W.partitionBy("vec_id").orderBy(
+                F.desc(cosine(F.col("v"), F.col("cv"))), F.asc("cell")
+            )
+        )
+        .alias("arn"),
+    )
+    assign = scored_cells.filter(F.col("arn") == 1).select("vec_id", "v", "cell")
+    qprobe = (
+        scored_cells.filter(
+            (F.col("vec_id") < N_QUERIES) & (F.col("arn") <= N_PROBE)
+        )
+        .select(
+            F.col("vec_id").alias("qid"), F.col("v").alias("qv"), "cell"
+        )
+    )
+    cand = qprobe.join(assign, "cell").filter(F.col("vec_id") != F.col("qid"))
+    ivf_top = (
+        cand.select(
+            "qid",
+            "vec_id",
+            F.row_number()
+            .over(
+                W.partitionBy("qid").orderBy(
+                    F.desc(cosine(F.col("qv"), F.col("v"))), F.asc("vec_id")
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", F.col("vec_id").alias("ivf_vec"))
+    )
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    truth = (
+        em.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.row_number()
+            .over(
+                W.partitionBy("qid").orderBy(
+                    F.desc(cosine(F.col("qv"), F.col("v"))), F.asc("vec_id")
+                )
+            )
+            .alias("rn"),
+        )
+        .filter(F.col("rn") <= TOP_K)
+        .select("qid", "vec_id")
+    )
+    ncand = cand.groupBy("qid").agg(F.count("*").alias("n_candidates"))
+    hits = truth.join(
+        ivf_top,
+        (truth["qid"] == ivf_top["qid"]) & (truth["vec_id"] == ivf_top["ivf_vec"]),
+        "left",
+    ).select(truth["qid"].alias("qid"), ivf_top["ivf_vec"])
+    return (
+        hits.groupBy("qid")
+        .agg(F.count("ivf_vec").alias("n_hits"))
+        .join(F.broadcast(ncand), "qid")
+        .select(
+            "qid",
+            F.lit(N_PROBE).cast("int").alias("n_cells_probed"),
+            "n_candidates",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_hits").cast("double") / F.lit(TOP_K)).alias("recall_at_k"),
+        )
+    )

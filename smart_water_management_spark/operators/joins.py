@@ -678,3 +678,77 @@ def j12_nearest_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter(
         F.col("dt_sec").isNotNull() & (F.col("dt_sec") <= NEAREST_TOL_SEC)
     )
+
+
+# --- j13 (ext.): point-in-time SCD2 dimension lookup -------------------------
+
+_PIT_FLIP = "2024-01-15 00:00:00"  # mid-January: the events straddle it
+
+
+@register(
+    "j13_pit_scd2_lookup",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey AS user_id, c_mktsegment AS seg,
+             TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+             TIMESTAMP '{_PIT_FLIP}' AS valid_to
+      FROM customer WHERE c_custkey < 150
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN 'UPGRADED'
+                  ELSE c_mktsegment END,
+             TIMESTAMP '{_PIT_FLIP}',
+             TIMESTAMP '9999-12-31 00:00:00'
+      FROM customer WHERE c_custkey < 150
+    )
+    SELECT d.seg,
+           strftime(e.ts, '%Y-%m-%d') AS day,
+           COUNT(*) AS n_events,
+           {sql_dsum('e.value')} AS sum_value
+    FROM events e
+    JOIN dim d ON d.user_id = e.user_id
+             AND e.ts >= d.valid_from AND e.ts < d.valid_to
+    GROUP BY d.seg, strftime(e.ts, '%Y-%m-%d')
+    """,
+    doc="j13 (ext.): point-in-time SCD2 lookup — every fact row joins the "
+    "dimension VERSION valid at its event time (equality on the key plus "
+    "valid_from <= ts < valid_to), the standard as-was reporting join "
+    "against a type-2 dimension (c04's shape). The fixture dimension "
+    "flips segment assignments mid-month so the two versions genuinely "
+    "partition the fact stream. Scale shape: the versioned dim is "
+    "|keys| x versions rows — broadcast; the range predicate rides the "
+    "equality hash join as a post-join filter, so facts never shuffle. "
+    "Exactness: counts + exact decimal sums. Reference analog: "
+    "sql/dimensional_schema.sql:43-48 reserved SCD2 columns",
+)
+def j13_pit_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
+    flip = F.lit(_PIT_FLIP).cast("timestamp")
+    v1 = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        flip.alias("valid_to"),
+    )
+    v2 = cust.select(
+        F.col("c_custkey").alias("user_id"),
+        F.when(F.col("c_custkey") % 3 == 0, "UPGRADED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        flip.alias("valid_from"),
+        F.lit("9999-12-31 00:00:00").cast("timestamp").alias("valid_to"),
+    )
+    dim = v1.unionByName(v2)
+    joined = ev.join(
+        F.broadcast(dim),
+        (ev["user_id"] == dim["user_id"])
+        & (ev["ts"] >= dim["valid_from"])
+        & (ev["ts"] < dim["valid_to"]),
+    )
+    return joined.groupBy(
+        "seg", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
