@@ -149,7 +149,7 @@ ROUND7_CANDIDATES: list[str] = [
     "w20_markov_transitions", "x82_kneser_ney_bigram", "x83_class_balance",
     "x84_dedup_threshold_sweep", "x85_clip_survival",
     "t17_streaming_sample_quantile", "j13_pit_scd2_lookup",
-    "x86_ivf_recall_audit",
+    "x86_ivf_recall_audit", "x87_mutual_knn_clusters",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

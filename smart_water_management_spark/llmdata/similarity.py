@@ -1885,3 +1885,87 @@ def x86_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_hits").cast("double") / F.lit(TOP_K)).alias("recall_at_k"),
         )
     )
+
+
+# --- x87: mutual-kNN clustering ----------------------------------------------
+
+
+def _x87_oracle() -> str:
+    """Recursive-closure twin of the mutual-kNN components (x15's oracle
+    device over a different, similarity-derived edge set)."""
+    return f"""
+    WITH RECURSIVE {_pr_knn_sql()},
+    mutual AS (
+      SELECT e1.src AS a, e1.dst AS b
+      FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM mutual
+      UNION
+      SELECT r.a, m.b FROM reach r JOIN mutual m ON r.b = m.a
+    ),
+    closure AS (
+      SELECT a, b FROM reach
+      UNION
+      SELECT DISTINCT a, a FROM mutual
+    ),
+    comp AS (SELECT a AS vec_id, MIN(b) AS cluster FROM closure GROUP BY a)
+    SELECT cluster,
+           COUNT(*) AS n_members,
+           string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id)
+             AS member_ids
+    FROM comp GROUP BY cluster
+    """
+
+
+@register(
+    "x87_mutual_knn_clusters",
+    oracle=_x87_oracle(),
+    doc=f"x87 (ext.): mutual-kNN clustering — keep only RECIPROCATED "
+    f"top-{PR_KNN} cosine edges (a in b's neighbors AND b in a's, the "
+    "standard noise-robust clustering graph), then transitive closure "
+    "via the same min-label propagation as x15's dedup groups; emits "
+    "every cluster with its full sorted membership, so the oracle "
+    "hash-checks the exact partition of the corpus. The "
+    "topic/near-dup discovery pass run over embeddings before choosing "
+    "dedup thresholds. Scale shape: the kNN edge build is x60's "
+    "label-blocked rank window; mutuality is a self-join of the "
+    "k-bounded edge list on (src,dst)=(dst,src); closure state is one "
+    "(node,label) row per node with lineage truncated per round",
+)
+def x87_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .components import connected_components
+
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", _dbl("embedding").alias("e")
+    )
+    a = em.select("label", F.col("vec_id").alias("src"), F.col("e").alias("ea"))
+    b = em.select("label", F.col("vec_id").alias("dst"), F.col("e").alias("eb"))
+    wk = W.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    edges = (
+        a.join(b, "label")
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst", cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= PR_KNN)
+        .select("src", "dst")
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    mutual = edges.join(rev, ["src", "dst"]).filter(F.col("src") < F.col("dst"))
+    comp = connected_components(
+        mutual.select(
+            F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+        )
+    )
+    return comp.groupBy(F.col("component").alias("cluster")).agg(
+        F.count("*").alias("n_members"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda v: v.cast("string"),
+            ),
+            ",",
+        ).alias("member_ids"),
+    )

@@ -526,3 +526,32 @@ def test_matryoshka_and_jl_topk_single_shuffle(spark):
         # the second window follows the first with only a Sort between
         mid = plan.split("Window ")[1]
         assert "Exchange" not in mid, name
+
+
+def test_pit_scd2_lookup_broadcasts_dim(spark):
+    """j13: the versioned dimension (|keys| x versions rows) must enter as
+    a broadcast hash join on the equality key with the validity-range
+    predicate riding as the join condition — facts never shuffle for the
+    lookup itself (the only exchange is the final rollup's)."""
+    plan = plan_of(_q(spark, "j13_pit_scd2_lookup"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_recall_audit_bounded_joins(spark):
+    """x86: the constant-size centroid table and the bounded query set are
+    the ONLY nested-loop sides (both broadcast); candidate generation and
+    ground truth never form an unbounded cartesian."""
+    plan = plan_of(_q(spark, "x86_ivf_recall_audit"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_mutual_knn_clusters_no_cartesian(spark):
+    """x87: kNN edges come from the label-blocked join (hash join), the
+    mutuality check is a hash self-join of the k-bounded edge list, and
+    the closure's lineage is checkpoint-truncated — no cartesian
+    anywhere, no unbounded join pyramid."""
+    plan = plan_of(_q(spark, "x87_mutual_knn_clusters"), "simple")
+    assert "CartesianProduct" not in plan
