@@ -1890,11 +1890,12 @@ def x86_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- x87: mutual-kNN clustering ----------------------------------------------
 
 
-def _x87_oracle() -> str:
-    """Recursive-closure twin of the mutual-kNN components (x15's oracle
-    device over a different, similarity-derived edge set)."""
-    return f"""
-    WITH RECURSIVE {_pr_knn_sql()},
+def _mutual_knn_cte() -> str:
+    """Shared WITH-chain (recursive) ending in ``comp(vec_id, cluster)`` —
+    the mutual-kNN component assignment x87 reports and x88 scores.
+    Recursive-closure twin of the min-label propagation (x15's oracle
+    device over a similarity-derived edge set)."""
+    return f"""{_pr_knn_sql()},
     mutual AS (
       SELECT e1.src AS a, e1.dst AS b
       FROM edges e1 JOIN edges e2 ON e1.src = e2.dst AND e1.dst = e2.src
@@ -1909,7 +1910,12 @@ def _x87_oracle() -> str:
       UNION
       SELECT DISTINCT a, a FROM mutual
     ),
-    comp AS (SELECT a AS vec_id, MIN(b) AS cluster FROM closure GROUP BY a)
+    comp AS (SELECT a AS vec_id, MIN(b) AS cluster FROM closure GROUP BY a)"""
+
+
+def _x87_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_mutual_knn_cte()}
     SELECT cluster,
            COUNT(*) AS n_members,
            string_agg(CAST(vec_id AS VARCHAR), ',' ORDER BY vec_id)
@@ -1918,22 +1924,9 @@ def _x87_oracle() -> str:
     """
 
 
-@register(
-    "x87_mutual_knn_clusters",
-    oracle=_x87_oracle(),
-    doc=f"x87 (ext.): mutual-kNN clustering — keep only RECIPROCATED "
-    f"top-{PR_KNN} cosine edges (a in b's neighbors AND b in a's, the "
-    "standard noise-robust clustering graph), then transitive closure "
-    "via the same min-label propagation as x15's dedup groups; emits "
-    "every cluster with its full sorted membership, so the oracle "
-    "hash-checks the exact partition of the corpus. The "
-    "topic/near-dup discovery pass run over embeddings before choosing "
-    "dedup thresholds. Scale shape: the kNN edge build is x60's "
-    "label-blocked rank window; mutuality is a self-join of the "
-    "k-bounded edge list on (src,dst)=(dst,src); closure state is one "
-    "(node,label) row per node with lineage truncated per round",
-)
-def x87_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+def mutual_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component) assignment over the mutual-kNN graph — the
+    Spark twin of ``_mutual_knn_cte``'s ``comp``; shared by x87 and x88."""
     from .components import connected_components
 
     em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
@@ -1954,11 +1947,30 @@ def x87_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
     mutual = edges.join(rev, ["src", "dst"]).filter(F.col("src") < F.col("dst"))
-    comp = connected_components(
+    return connected_components(
         mutual.select(
             F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
         )
     )
+
+
+@register(
+    "x87_mutual_knn_clusters",
+    oracle=_x87_oracle(),
+    doc=f"x87 (ext.): mutual-kNN clustering — keep only RECIPROCATED "
+    f"top-{PR_KNN} cosine edges (a in b's neighbors AND b in a's, the "
+    "standard noise-robust clustering graph), then transitive closure "
+    "via the same min-label propagation as x15's dedup groups; emits "
+    "every cluster with its full sorted membership, so the oracle "
+    "hash-checks the exact partition of the corpus. The "
+    "topic/near-dup discovery pass run over embeddings before choosing "
+    "dedup thresholds. Scale shape: the kNN edge build is x60's "
+    "label-blocked rank window; mutuality is a self-join of the "
+    "k-bounded edge list on (src,dst)=(dst,src); closure state is one "
+    "(node,label) row per node with lineage truncated per round",
+)
+def x87_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = mutual_knn_components(spark, sf_dir)
     return comp.groupBy(F.col("component").alias("cluster")).agg(
         F.count("*").alias("n_members"),
         F.array_join(
@@ -1968,4 +1980,146 @@ def x87_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("member_ids"),
+    )
+
+
+# --- x88: external cluster-quality score (purity + NMI) ----------------------
+
+
+def _x88_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_mutual_knn_cte()},
+    lab AS (
+      SELECT c.cluster, e.label
+      FROM comp c JOIN embeddings e ON e.vec_id = c.vec_id
+    ),
+    joint AS (
+      SELECT cluster, label, COUNT(*) AS n_cl FROM lab GROUP BY 1, 2
+    ),
+    nt AS (SELECT CAST(SUM(n_cl) AS BIGINT) AS n FROM joint),
+    mc AS (SELECT cluster, CAST(SUM(n_cl) AS BIGINT) AS n_c
+           FROM joint GROUP BY 1),
+    ml AS (SELECT label, CAST(SUM(n_cl) AS BIGINT) AS n_l
+           FROM joint GROUP BY 1),
+    pur AS (
+      SELECT CAST(SUM(mx) AS BIGINT) AS maj FROM (
+        SELECT cluster, MAX(n_cl) AS mx FROM joint GROUP BY 1)
+    ),
+    it AS (
+      SELECT SUM(CAST(ROUND(
+               (CAST(j.n_cl AS DOUBLE) / t.n)
+               * LN((CAST(t.n AS DOUBLE) * j.n_cl)
+                    / (CAST(m1.n_c AS DOUBLE) * m2.n_l)), 6)
+             AS DECIMAL(27,6))) AS i_sum
+      FROM joint j JOIN mc m1 USING (cluster) JOIN ml m2 USING (label)
+      CROSS JOIN nt t
+    ),
+    hc AS (
+      SELECT SUM(CAST(ROUND(
+               (CAST(n_c AS DOUBLE) / t.n)
+               * LN(CAST(n_c AS DOUBLE) / t.n), 6)
+             AS DECIMAL(27,6))) AS h FROM mc CROSS JOIN nt t
+    ),
+    hl AS (
+      SELECT SUM(CAST(ROUND(
+               (CAST(n_l AS DOUBLE) / t.n)
+               * LN(CAST(n_l AS DOUBLE) / t.n), 6)
+             AS DECIMAL(27,6))) AS h FROM ml CROSS JOIN nt t
+    )
+    SELECT t.n AS n_clustered,
+           (SELECT COUNT(*) FROM mc) AS n_clusters,
+           CAST(p.maj AS DOUBLE) / t.n AS purity,
+           ROUND(2.0 * CAST(i.i_sum AS DOUBLE)
+                 / (-CAST(hc.h AS DOUBLE) - CAST(hl.h AS DOUBLE)), 6) AS nmi
+    FROM nt t CROSS JOIN pur p CROSS JOIN it i
+    CROSS JOIN hc CROSS JOIN hl
+    """
+
+
+@register(
+    "x88_cluster_purity",
+    oracle=_x88_oracle(),
+    doc="x88 (ext.): external cluster-quality score — purity and "
+    "normalized mutual information of the x87 mutual-kNN clusters "
+    "against the ground-truth labels (the validation table for any "
+    "unsupervised corpus-structure pass). Exactness: purity is an exact "
+    "integer quotient; mutual information and both entropies use the "
+    "x45 device (each p*ln term rounded to 6dp, accumulated as DECIMAL, "
+    "final NMI assembled from identical doubles and rounded once). "
+    "Scale shape: after the component pass everything operates on "
+    "clusters x labels cells — constant-sized aggregates, broadcast "
+    "scalars, one row out",
+)
+def x88_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = mutual_knn_components(spark, sf_dir)
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label"
+    )
+    lab = comp.join(em, comp["doc_id"] == em["vec_id"]).select(
+        F.col("component").alias("cluster"), "label"
+    )
+    joint = lab.groupBy("cluster", "label").agg(F.count("*").alias("n_cl"))
+    nt = joint.agg(F.sum("n_cl").cast("bigint").alias("n"))
+    mc = joint.groupBy("cluster").agg(F.sum("n_cl").cast("bigint").alias("n_c"))
+    ml = joint.groupBy("label").agg(F.sum("n_cl").cast("bigint").alias("n_l"))
+    dec = lambda c: F.round(c, 6).cast("decimal(27,6)")  # noqa: E731
+    nd = F.col("n").cast("double")
+    it = (
+        joint.join(mc, "cluster")
+        .join(ml, "label")
+        .crossJoin(F.broadcast(nt))
+        .agg(
+            F.sum(
+                dec(
+                    (F.col("n_cl").cast("double") / F.col("n"))
+                    * F.log(
+                        (nd * F.col("n_cl"))
+                        / (F.col("n_c").cast("double") * F.col("n_l"))
+                    )
+                )
+            ).alias("i_sum")
+        )
+    )
+    hc = (
+        mc.crossJoin(F.broadcast(nt))
+        .agg(
+            F.sum(
+                dec(
+                    (F.col("n_c").cast("double") / F.col("n"))
+                    * F.log(F.col("n_c").cast("double") / nd)
+                )
+            ).alias("h_c")
+        )
+    )
+    hl = (
+        ml.crossJoin(F.broadcast(nt))
+        .agg(
+            F.sum(
+                dec(
+                    (F.col("n_l").cast("double") / F.col("n"))
+                    * F.log(F.col("n_l").cast("double") / nd)
+                )
+            ).alias("h_l")
+        )
+    )
+    pur = mc.agg(F.count("*").alias("n_clusters")).crossJoin(
+        joint.groupBy("cluster")
+        .agg(F.max("n_cl").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("maj"))
+    )
+    out = (
+        nt.crossJoin(pur)
+        .crossJoin(it)
+        .crossJoin(hc)
+        .crossJoin(hl)
+    )
+    return out.select(
+        F.col("n").alias("n_clustered"),
+        "n_clusters",
+        (F.col("maj").cast("double") / F.col("n")).alias("purity"),
+        F.round(
+            (F.lit(2.0) * F.col("i_sum").cast("double"))
+            / (-F.col("h_c").cast("double") - F.col("h_l").cast("double")),
+            6,
+        ).alias("nmi"),
     )
