@@ -39,12 +39,22 @@ def get_session(app_name: str = "smart-water-management-spark") -> SparkSession:
 
     Honors SPARK_GRAFT_CPUS for local parallelism (driver contract).
     """
+    import tempfile
+
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # Per-process warehouse: managed scratch tables (streaming state,
+    # bucketed join layouts, CBO stats tables) live under a pid-unique
+    # dir, so a concurrent replay/pytest/bench process can never clobber
+    # another's state mid-query. Only applies at session creation;
+    # externally created sessions (the verification driver's) keep their
+    # own warehouse untouched.
+    warehouse = os.path.join(tempfile.gettempdir(), f"swm-warehouse-{os.getpid()}")
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(8, int(cpus))))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.warehouse.dir", warehouse)
         .config("spark.ui.enabled", "false")
     )
     for k, v in ENGINE_CONF.items():

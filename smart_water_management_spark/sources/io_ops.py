@@ -717,3 +717,77 @@ def c12_skipping_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "skip_for_vcut"
         ),
     )
+
+
+# --- s20 (ext.): RFC-4180 quoted/multiline CSV roundtrip ---------------------
+
+
+@register(
+    "s20_quoted_csv_roundtrip",
+    # The oracle constructs the SAME payloads straight from the nation
+    # table — no CSV involved — so the checksum pins end-to-end quoting
+    # fidelity: what Spark writes-then-reads must equal what SQL builds.
+    oracle="""
+    WITH p AS (
+      SELECT n_nationkey,
+             n_name || ',"' || n_name || '"' || chr(10) || 'tail-'
+                    || CAST(n_nationkey AS VARCHAR) AS payload
+      FROM nation
+    )
+    SELECT COUNT(*) AS n_rows,
+           COUNT(DISTINCT n_nationkey) AS n_keys,
+           CAST(SUM(LEN(payload)) AS BIGINT) AS sum_len,
+           CAST(SUM(CASE WHEN contains(payload, chr(10))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_multiline,
+           CAST(SUM(CAST(('0x' || substr(md5(payload), 1, 8)) AS BIGINT))
+                AS BIGINT) AS payload_hash_sum
+    FROM p
+    """,
+    doc="S20 (ext.): RFC-4180 torture roundtrip — payloads containing the "
+    "delimiter, embedded double quotes, AND embedded newlines are "
+    "written with quote-doubling (escape='\"', not Spark's default "
+    "backslash) and read back with multiLine=true; the md5-derived "
+    "checksum must equal the oracle's direct construction, proving the "
+    "writer+parser preserve every byte. multiLine is the classic "
+    "scale trap: quoted-newline files are NOT line-splittable, so at "
+    "100 TB this format costs one task per FILE — the operator exists "
+    "to certify correctness for ingest, with parquet as the real "
+    "at-scale layout (s05)",
+)
+def s20_quoted_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _scratch("s20_quoted_csv", sf_dir)
+    nation = load_table(spark, sf_dir, "nation")
+    payload = F.concat(
+        F.col("n_name"),
+        F.lit(',"'),
+        F.col("n_name"),
+        F.lit('"\ntail-'),
+        F.col("n_nationkey").cast("string"),
+    )
+    (
+        nation.select("n_nationkey", payload.alias("payload"))
+        .write.mode("overwrite")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    back = (
+        spark.read.schema("n_nationkey long, payload string")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(path)
+    )
+    return back.agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("n_nationkey").alias("n_keys"),
+        F.sum(F.length("payload")).cast("bigint").alias("sum_len"),
+        F.sum(F.when(F.col("payload").contains("\n"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_multiline"),
+        F.sum(
+            F.conv(F.substring(F.md5("payload"), 1, 8), 16, 10).cast("long")
+        )
+        .cast("bigint")
+        .alias("payload_hash_sum"),
+    )

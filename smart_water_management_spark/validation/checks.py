@@ -534,3 +534,79 @@ def v09_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
     )
     return bad_counts.unionByName(clean_count)
+
+
+# --- v10 (ext.): schema-drift audit ------------------------------------------
+
+
+@register(
+    "v10_schema_drift",
+    # The column-level facts (membership, declared type) are fixed by the
+    # two writers below; the row-level facts (rows per snapshot, nulls a
+    # merged reader would see) come from the data. The oracle recomputes
+    # BOTH straight from orders, so the audit's claims about the parquet
+    # footers are cross-checked against what the data says they must be.
+    oracle="""
+    WITH counts AS (
+      SELECT COUNT(CASE WHEN o_orderkey % 2 = 0 THEN 1 END) AS n_a,
+             COUNT(CASE WHEN o_orderkey % 3 = 0 THEN 1 END) AS n_b
+      FROM orders
+    )
+    SELECT col, type_a, type_b, status, n_nulls_merged FROM counts,
+    (VALUES ('o_orderkey', 'bigint', 'bigint', 'unchanged', CAST(0 AS BIGINT)),
+            ('o_totalprice', 'double', 'string', 'type_changed',
+             CAST(0 AS BIGINT)),
+            ('o_orderpriority', NULL, 'string', 'added', CAST(-1 AS BIGINT))
+    ) AS t(col, type_a, type_b, status, n_nulls_merged0),
+    LATERAL (SELECT CASE WHEN n_nulls_merged0 = -1 THEN n_a
+                         ELSE n_nulls_merged0 END AS n_nulls_merged)
+    """,
+    doc="v10 (ext.): schema-drift audit — two snapshot drops of the same "
+    "logical table (B renames nothing but retypes o_totalprice "
+    "double->string and adds o_orderpriority); the audit reads BOTH "
+    "parquet footers and emits per-column drift status "
+    "(unchanged / type_changed / added / removed) plus the null count a "
+    "mergeSchema reader would see for each column — the contract report "
+    "a pipeline publishes before switching readers to a new producer "
+    "version. Footer-only schema probes (no data scan) + one count per "
+    "snapshot; at scale the counts come from footer row-group stats",
+)
+def v10_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from ..sources.io_ops import _scratch
+
+    orders = load_table(spark, sf_dir, "orders")
+    pa = _scratch("v10_snap_a", sf_dir)
+    pb = _scratch("v10_snap_b", sf_dir)
+    a = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    b = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.format_number("o_totalprice", 6).alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    a.write.mode("overwrite").parquet(pa)
+    b.write.mode("overwrite").parquet(pb)
+    sa = {f.name: f.dataType.simpleString() for f in spark.read.parquet(pa).schema}
+    sb = {f.name: f.dataType.simpleString() for f in spark.read.parquet(pb).schema}
+    n_a = spark.read.parquet(pa).count()
+    n_b = spark.read.parquet(pb).count()
+    rows = []
+    for col in sorted(set(sa) | set(sb)):
+        ta, tb = sa.get(col), sb.get(col)
+        if ta is None:
+            status, nulls = "added", n_a  # merged reader: NULL for all A rows
+        elif tb is None:
+            status, nulls = "removed", n_b
+        elif ta != tb:
+            status, nulls = "type_changed", 0
+        else:
+            status, nulls = "unchanged", 0
+        rows.append((col, ta, tb, status, nulls))
+    return spark.createDataFrame(
+        rows,
+        "col string, type_a string, type_b string, status string, "
+        "n_nulls_merged long",
+    )
