@@ -618,3 +618,161 @@ def m08_ridge_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ols, 6).alias("ols_slope"),
         (F.abs(ridge) <= F.abs(ols)).alias("shrinks"),
     )
+
+
+# --- m09 (ext.): multinomial Naive Bayes language classifier -----------------
+
+
+@register(
+    "m09_naive_bayes_lang",
+    # Exactness: every probability is an exact integer ratio; each ln is
+    # rounded to 6dp and scaled by an exact integer token count inside a
+    # DECIMAL sum (the x45 device), so per-(doc, class) scores are
+    # order-independent and engine-identical; argmax ties break on class
+    # name. Resubstitution protocol (train = eval corpus), documented —
+    # the operator certifies the distributed scoring pipeline, not
+    # generalization.
+    oracle="""
+    WITH tok AS (
+      SELECT d.doc_id, d.lang, t.w, COUNT(*) AS c_dw
+      FROM documents d,
+           LATERAL (SELECT unnest(string_split(lower(d.text), ' ')) AS w) t
+      GROUP BY d.doc_id, d.lang, t.w
+    ),
+    classes AS (SELECT DISTINCT lang AS c FROM documents),
+    vocab AS (SELECT DISTINCT w FROM tok),
+    vstat AS (SELECT COUNT(*) AS v FROM vocab),
+    cw AS (
+      SELECT lang AS c, w, CAST(SUM(c_dw) AS BIGINT) AS c_cw
+      FROM tok GROUP BY lang, w
+    ),
+    ctot AS (SELECT c, CAST(SUM(c_cw) AS BIGINT) AS n_c FROM cw GROUP BY c),
+    priors AS (
+      SELECT lang AS c, COUNT(*) AS n_docs_c,
+             (SELECT COUNT(*) FROM documents) AS n_docs
+      FROM documents GROUP BY lang
+    ),
+    full_cw AS (
+      SELECT cl.c, vo.w, COALESCE(cw.c_cw, 0) AS c_cw
+      FROM classes cl CROSS JOIN vocab vo
+      LEFT JOIN cw ON cw.c = cl.c AND cw.w = vo.w
+    ),
+    lterm AS (
+      SELECT f.c, f.w,
+             CAST(ROUND(LN((f.c_cw + 1.0) / (t.n_c + s.v)), 6)
+                  AS DECIMAL(27,6)) AS lw
+      FROM full_cw f JOIN ctot t USING (c) CROSS JOIN vstat s
+    ),
+    scores AS (
+      SELECT tk.doc_id, tk.lang, l.c,
+             SUM(tk.c_dw * l.lw) AS s_words
+      FROM tok tk JOIN lterm l ON l.w = tk.w
+      GROUP BY tk.doc_id, tk.lang, l.c
+    ),
+    pred AS (
+      SELECT doc_id, lang, c AS predicted FROM (
+        SELECT s.doc_id, s.lang, s.c,
+               ROW_NUMBER() OVER (
+                 PARTITION BY s.doc_id
+                 ORDER BY CAST(s.s_words AS DOUBLE)
+                          + ROUND(LN(CAST(p.n_docs_c AS DOUBLE)
+                                     / p.n_docs), 6) DESC,
+                          s.c) AS rn
+        FROM scores s JOIN priors p ON p.c = s.c
+      ) WHERE rn = 1
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN predicted = lang THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS accuracy
+    FROM pred GROUP BY lang
+    """,
+    doc="m09 (ext.): multinomial Naive Bayes language classifier, trained "
+    "and scored wholly as DataFrame algebra — per-(class, word) Laplace-"
+    "smoothed log-likelihoods + log priors, per-document argmax, "
+    "per-language resubstitution accuracy. The from-scratch MLlib-free "
+    "counterpart to m02/m05's MLlib pipelines: every probability is an "
+    "exact integer ratio and every ln goes through the x45 decimal "
+    "device, so the WHOLE classifier is oracle-exact (no seeds, no "
+    "floats drifting). Scale shape: token counts are word-count "
+    "shuffles; the class x vocab likelihood table is vocabulary-sized "
+    "and joins the token stream on the word key; scoring is one "
+    "map-combined aggregate per (doc, class); nothing iterates",
+)
+def m09_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata.text import tokens
+    from ..sources.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    tok = (
+        d.select("doc_id", "lang", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "lang", "w")
+        .agg(F.count("*").alias("c_dw"))
+    )
+    classes = d.select(F.col("lang").alias("c")).distinct()
+    vocab = tok.select("w").distinct()
+    vstat = vocab.agg(F.count("*").alias("v"))
+    cw = tok.groupBy(F.col("lang").alias("c"), "w").agg(
+        F.sum("c_dw").cast("bigint").alias("c_cw")
+    )
+    ctot = cw.groupBy("c").agg(F.sum("c_cw").cast("bigint").alias("n_c"))
+    n_docs_total = d.agg(F.count("*").alias("n_docs"))
+    priors = (
+        d.groupBy(F.col("lang").alias("c"))
+        .agg(F.count("*").alias("n_docs_c"))
+        .crossJoin(F.broadcast(n_docs_total))
+    )
+    full_cw = (
+        classes.crossJoin(vocab)
+        .join(cw, ["c", "w"], "left")
+        .select("c", "w", F.coalesce("c_cw", F.lit(0)).alias("c_cw"))
+    )
+    lterm = (
+        full_cw.join(F.broadcast(ctot), "c")
+        .crossJoin(F.broadcast(vstat))
+        .select(
+            "c",
+            "w",
+            F.round(
+                F.log((F.col("c_cw") + 1.0) / (F.col("n_c") + F.col("v"))), 6
+            )
+            .cast("decimal(27,6)")
+            .alias("lw"),
+        )
+    )
+    scores = (
+        tok.join(lterm, "w")
+        .groupBy("doc_id", "lang", "c")
+        .agg(F.sum(F.col("c_dw") * F.col("lw")).alias("s_words"))
+    )
+    lprior = F.round(
+        F.log(F.col("n_docs_c").cast("double") / F.col("n_docs")), 6
+    )
+    pred = (
+        scores.join(F.broadcast(priors), "c")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy(
+                    F.desc(F.col("s_words").cast("double") + lprior),
+                    F.asc("c"),
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", F.col("c").alias("predicted"))
+    )
+    return pred.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_correct"),
+        (
+            F.sum(
+                F.when(F.col("predicted") == F.col("lang"), 1).otherwise(0)
+            ).cast("double")
+            / F.count("*")
+        ).alias("accuracy"),
+    )
