@@ -1431,3 +1431,75 @@ def a29_sample_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sample_p90"),
     )
+
+
+# --- a30 (ext.): Pareto / revenue-concentration audit ------------------------
+
+PARETO_PCTS = [1, 5, 10, 25]
+
+
+@register(
+    "a30_pareto_concentration",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id,
+             SUM(CAST(value AS DECIMAL(27,6))) AS tot
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, tot,
+             ROW_NUMBER() OVER (ORDER BY tot DESC, user_id) AS rk,
+             COUNT(*) OVER () AS n_users,
+             SUM(tot) OVER () AS grand
+      FROM per_user
+    ),
+    grid AS (SELECT unnest([{", ".join(str(p) for p in PARETO_PCTS)}]) AS pct)
+    SELECT g.pct,
+           CAST(CEIL(g.pct * r0.n_users / 100.0) AS BIGINT) AS n_top_users,
+           CAST(SUM(CASE WHEN r.rk <= CEIL(g.pct * r0.n_users / 100.0)
+                         THEN r.tot END) AS DOUBLE)
+             / CAST(MAX(r.grand) AS DOUBLE) AS value_share
+    FROM grid g
+    CROSS JOIN (SELECT MAX(n_users) AS n_users FROM ranked) r0
+    JOIN ranked r ON TRUE
+    GROUP BY g.pct, r0.n_users
+    """,
+    doc=f"a30 (ext.): Pareto concentration audit — for the top "
+    f"{PARETO_PCTS}% of users by total event value, the share of grand "
+    "total they contribute (the skew-discovery table that motivates k01's "
+    "salting and capacity planning). Exactness: per-user totals are "
+    "exact DECIMAL sums; ranks are integer; each share is one final IEEE "
+    "quotient of two exact decimal sums. Scale shape: one user-keyed "
+    "map-combined agg, then every window runs over |users| rows (already "
+    "reduced), and the percent grid is a constant 4-element explode",
+)
+def a30_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("tot")
+    )
+    ranked = per_user.select(
+        "tot",
+        F.row_number()
+        .over(W.orderBy(F.desc("tot"), F.asc("user_id")))
+        .alias("rk"),
+        F.count("*").over(W.partitionBy()).alias("n_users"),
+        F.sum("tot").over(W.partitionBy()).alias("grand"),
+    )
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in PARETO_PCTS])).alias("pct")
+    )
+    cut = F.ceil(F.col("pct") * F.col("n_users") / 100.0).cast("bigint")
+    return (
+        grid.crossJoin(ranked)
+        .groupBy("pct")
+        .agg(
+            F.max(cut).alias("n_top_users"),
+            (
+                F.sum(F.when(F.col("rk") <= cut, F.col("tot"))).cast("double")
+                / F.max("grand").cast("double")
+            ).alias("value_share"),
+        )
+    )

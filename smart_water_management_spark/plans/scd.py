@@ -433,3 +433,100 @@ def c09_late_arriving_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_backfilled"
         ),
     )
+
+
+# --- c13 (ext.): partition-delta audit after a backfill ----------------------
+
+
+@register(
+    "c13_partition_delta_audit",
+    # The audit's claims (which partitions a dynamic-overwrite backfill
+    # touched, and by how much) recomputed straight from orders: the F
+    # partition gets a 10% price correction and +1 row; O/P are
+    # byte-untouched.
+    oracle="""
+    WITH before AS (
+      SELECT o_orderstatus AS part, COUNT(*) AS n,
+             SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS s
+      FROM orders GROUP BY o_orderstatus
+    ),
+    after AS (
+      SELECT o_orderstatus AS part, COUNT(*) + 1 AS n,
+             SUM(CAST(o_totalprice * 0.9 AS DECIMAL(27,6)))
+               + CAST(0.01 AS DECIMAL(27,6)) AS s
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY o_orderstatus
+      UNION ALL
+      SELECT o_orderstatus, COUNT(*),
+             SUM(CAST(o_totalprice AS DECIMAL(27,6)))
+      FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_orderstatus
+    )
+    SELECT b.part,
+           b.n AS rows_before,
+           a.n AS rows_after,
+           a.n - b.n AS row_delta,
+           CAST(a.s - b.s AS DOUBLE) AS value_delta,
+           CAST(CASE WHEN a.n <> b.n OR a.s <> b.s THEN 1 ELSE 0 END AS INT)
+             AS was_rewritten
+    FROM before b JOIN after a USING (part)
+    """,
+    doc="c13 (ext.): partition-delta audit — snapshot the per-partition "
+    "(row count, exact value sum) profile of a partitioned table before "
+    "and after a dynamic-overwrite backfill (s13's pattern, plus one "
+    "late-arriving row), and report exactly which partitions changed and "
+    "by how much. The blast-radius report a data platform publishes "
+    "with every reprocess: untouched partitions must show delta 0. "
+    "Scale shape: two partition-pruned scans aggregated per partition "
+    "(footer-stat-friendly), joined on the partition key — never a "
+    "row-level diff (c08's snapshot CDC covers that grain)",
+)
+def c13_partition_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io_ops import _scratch
+
+    path = _scratch("c13_backfill", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    profile = lambda df: df.groupBy(  # noqa: E731
+        F.col("o_orderstatus").alias("part")
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(27,6)")).alias("s"),
+    )
+    before = profile(spark.read.parquet(path)).localCheckpoint(eager=True)
+
+    corrected = orders.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 0.9
+    )
+    # one late-arriving row with a sentinel price lands in the backfill
+    extra = spark.createDataFrame(
+        [(-1, 0.01, "1-URGENT", "F")],
+        "o_orderkey long, o_totalprice double, o_orderpriority string, "
+        "o_orderstatus string",
+    )
+    backfill = corrected.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+    ).unionByName(extra.select(
+        "o_orderkey", "o_totalprice", "o_orderpriority", "o_orderstatus"
+    ))
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        backfill.write.mode("overwrite").partitionBy("o_orderstatus").parquet(
+            path
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    after = profile(spark.read.parquet(path))
+    a, b = after.alias("a"), before.alias("b")
+    return b.join(a, "part").select(
+        "part",
+        F.col("b.n").alias("rows_before"),
+        F.col("a.n").alias("rows_after"),
+        (F.col("a.n") - F.col("b.n")).alias("row_delta"),
+        (F.col("a.s") - F.col("b.s")).cast("double").alias("value_delta"),
+        F.when(
+            (F.col("a.n") != F.col("b.n")) | (F.col("a.s") != F.col("b.s")), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("was_rewritten"),
+    )
