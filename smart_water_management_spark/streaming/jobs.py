@@ -1101,3 +1101,61 @@ def t17_streaming_sample_quantile(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("sample_p90"),
     )
+
+
+# --- t18: stream-static point-in-time dimension join -------------------------
+
+from ..registry import get as _get_spec2  # noqa: E402
+
+
+@register(
+    "t18_stream_static_pit_join",
+    # EXACTLY j13's oracle: the stream-static join + complete-mode rollup
+    # must land on the identical as-was report.
+    oracle=_get_spec2("j13_pit_scd2_lookup").oracle,
+    doc="T18: stream-STATIC join — the events stream joins the versioned "
+    "SCD2 dimension (j13's fixture) with the point-in-time validity "
+    "predicate per micro-batch (the dimension is a static broadcast; no "
+    "state store involved, the third join topology after t12's "
+    "stream-stream and t10's dedup state), then a complete-mode rollup; "
+    "the availableNow replay must equal batch j13 bit-for-bit. At "
+    "scale this is the canonical streaming enrichment: facts arrive, "
+    "dims sit in the lake, the broadcast refreshes per batch",
+)
+def t18_stream_static_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dsum
+    from ..operators.joins import _PIT_FLIP
+    from ..sources.catalog import load_table as _lt
+
+    cust = _lt(spark, sf_dir, "customer").filter(F.col("c_custkey") < 150)
+    flip = F.lit(_PIT_FLIP).cast("timestamp")
+    v1 = cust.select(
+        F.col("c_custkey").alias("d_user_id"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        flip.alias("valid_to"),
+    )
+    v2 = cust.select(
+        F.col("c_custkey").alias("d_user_id"),
+        F.when(F.col("c_custkey") % 3 == 0, "UPGRADED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("seg"),
+        flip.alias("valid_from"),
+        F.lit("9999-12-31 00:00:00").cast("timestamp").alias("valid_to"),
+    )
+    dim = F.broadcast(v1.unionByName(v2))
+
+    ev = read_event_stream(spark, sf_dir)
+    joined = ev.join(
+        dim,
+        (ev["user_id"] == dim["d_user_id"])
+        & (ev["ts"] >= dim["valid_from"])
+        & (ev["ts"] < dim["valid_to"]),
+    )
+    agg = joined.groupBy(
+        "seg", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count("*").alias("n_events"),
+        dsum("value").alias("sum_value"),
+    )
+    return run_to_completion(agg, "stream_static_pit", "complete")
