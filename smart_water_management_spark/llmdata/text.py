@@ -1394,3 +1394,128 @@ def x82_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "w1", "w2", "c_big", "c_left", "n_follow", "n_prec",
         p_kn.alias("p_kn"),
     )
+
+
+# --- x89: BM25 retrieval ------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 10
+# Query terms: corpus words ranked 5..7 by document frequency (desc, then
+# word) — deterministic, frequent enough to hit many docs, but below the
+# near-universal head that matches everything.
+BM25_QRANKS = (5, 7)
+
+
+@register(
+    "x89_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, w, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents) GROUP BY doc_id, w
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    df AS (SELECT w, COUNT(*) AS df FROM tok GROUP BY w),
+    qterms AS (
+      SELECT w, df FROM (
+        SELECT w, df, ROW_NUMBER() OVER (ORDER BY df DESC, w) AS rn FROM df
+      ) WHERE rn BETWEEN {BM25_QRANKS[0]} AND {BM25_QRANKS[1]}
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(CAST(ROUND(
+               ROUND(LN((s.n_docs - q.df + 0.5) / (q.df + 0.5)), 6)
+               * (t.tf * ({BM25_K1} + 1.0))
+               / (t.tf + {BM25_K1} * (1.0 - {BM25_B}
+                                      + {BM25_B} * d.dl / s.avgdl)), 6)
+             AS DECIMAL(27,6))) AS score,
+             COUNT(*) AS n_terms_hit
+      FROM tok t
+      JOIN qterms q USING (w)
+      JOIN dl d USING (doc_id)
+      CROSS JOIN stats s
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(score AS DOUBLE) AS score, n_terms_hit, rn AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rn
+      FROM scored
+    ) WHERE rn <= {BM25_TOPK}
+    """,
+    doc=f"x89 (ext.): BM25 retrieval (k1={BM25_K1}, b={BM25_B}) — the "
+    "lexical-search scorer every retrieval/RAG corpus pipeline ships "
+    "next to its dense ANN path (x10/x86), scoring a deterministic "
+    "3-term query (df-ranked corpus words) and returning the top-"
+    f"{BM25_TOPK} documents with tie-broken ranks. Exactness: tf/df/dl "
+    "are exact integers, avgdl is one exact quotient, idf goes through "
+    "the x45 decimal-ln device, and each per-term contribution is "
+    "rounded once and summed as DECIMAL (order-independent). Scale "
+    "shape: word-count shuffles for tf/df, the 3-row query-term table "
+    "and the 1-row corpus stats broadcast into the scoring join, and "
+    "the top-k is a rank over per-doc scores — no all-pairs, no "
+    "per-row UDF",
+)
+def x89_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    tok = (
+        d.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    df_t = tok.groupBy("w").agg(F.count("*").alias("df"))
+    qterms = (
+        df_t.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("df"), F.asc("w")))
+        )
+        .filter(F.col("rn").between(*BM25_QRANKS))
+        .select("w", "df")
+    )
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+        ),
+        6,
+    )
+    term = F.round(
+        idf
+        * (F.col("tf") * (BM25_K1 + 1.0))
+        / (
+            F.col("tf")
+            + BM25_K1
+            * (1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        ),
+        6,
+    ).cast("decimal(27,6)")
+    scored = (
+        tok.join(F.broadcast(qterms), "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(term).alias("score"), F.count("*").alias("n_terms_hit"))
+    )
+    return (
+        scored.withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+        .filter(F.col("rank") <= BM25_TOPK)
+        .select(
+            "doc_id",
+            F.col("score").cast("double").alias("score"),
+            "n_terms_hit",
+            "rank",
+        )
+    )

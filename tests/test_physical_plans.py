@@ -555,3 +555,34 @@ def test_mutual_knn_clusters_no_cartesian(spark):
     anywhere, no unbounded join pyramid."""
     plan = plan_of(_q(spark, "x87_mutual_knn_clusters"), "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_markov_transitions_single_user_shuffle(spark):
+    """w20: the lead() window shuffles once on user_id; the transition
+    agg and row-normalizing window then run over the |types|^2 table."""
+    plan = plan_of(_q(spark, "w20_markov_transitions"), "simple")
+    assert "CartesianProduct" not in plan
+    # exactly: one user_id exchange (window) + one (from,to) exchange
+    # (agg) + one from_type exchange (normalizing window)
+    assert plan.count("Exchange hashpartitioning") == 3
+
+
+def test_pareto_windows_over_reduced_rows(spark):
+    """a30: every window must run AFTER the per-user reduction — the
+    plan's windows sit above the user-keyed partial+final agg, and the
+    4-point grid explode is a broadcast nested loop, never a shuffle of
+    the event stream."""
+    plan = plan_of(_q(spark, "a30_pareto_concentration"), "simple")
+    assert "partial_sum" in plan           # map-side combine of user totals
+    assert "BroadcastNestedLoopJoin" in plan  # constant grid attach
+    assert "CartesianProduct" not in plan
+
+
+def test_naive_bayes_scoring_shapes(spark):
+    """m09: the classifier must score via word-keyed hash joins with the
+    bounded tables (class totals, vocab size, priors) broadcast — never a
+    cartesian of docs x classes."""
+    plan = plan_of(_q(spark, "m09_naive_bayes_lang"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
