@@ -899,3 +899,145 @@ def w20_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_trans").over(W.partitionBy("from_type"))
         ).alias("p_trans"),
     )
+
+
+# --- w21 (ext.): CUSUM drift / change-point detection ------------------------
+
+# Alarm when the scaled CUSUM excursion exceeds this percentage of the
+# per-type value range (numerator/denominator kept integer so the
+# comparison is exact decimal arithmetic in both engines).
+CUSUM_PCT = 25
+
+
+@register(
+    "w21_cusum_drift",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type, ts, event_id,
+             CAST(ROUND(value, 6) AS DECIMAL(27,6)) AS xv,
+             ROW_NUMBER() OVER (
+               PARTITION BY event_type ORDER BY ts, event_id) AS t
+      FROM events
+    ),
+    tot AS (
+      SELECT event_type, COUNT(*) AS n, SUM(xv) AS tsum,
+             MAX(xv) - MIN(xv) AS rng
+      FROM x GROUP BY event_type
+    ),
+    pre AS (
+      SELECT x.event_type, x.ts, x.t, tot.n, tot.rng,
+             CAST(CAST(tot.n AS DECIMAL(10,0))
+                    * CAST(SUM(x.xv) OVER (
+                        PARTITION BY x.event_type ORDER BY x.t)
+                      AS DECIMAL(27,6))
+                  - CAST(x.t AS DECIMAL(10,0))
+                    * CAST(tot.tsum AS DECIMAL(27,6))
+               AS DECIMAL(27,6)) AS p
+      FROM x JOIN tot USING (event_type)
+    ),
+    ext AS (
+      -- DuckDB's LEAST/GREATEST promote DECIMAL to DOUBLE, so the
+      -- clamp-at-zero is spelled as CASE to stay exact decimal
+      SELECT event_type, ts, n, rng, p,
+             MIN(p) OVER (PARTITION BY event_type ORDER BY t) AS mn,
+             MAX(p) OVER (PARTITION BY event_type ORDER BY t) AS mx
+      FROM pre
+    ),
+    s AS (
+      SELECT event_type, ts, n,
+             CAST(p - CASE WHEN mn < 0 THEN mn
+                           ELSE CAST(0 AS DECIMAL(27,6)) END AS DOUBLE)
+               AS s_up,
+             CAST(CASE WHEN mx > 0 THEN mx
+                       ELSE CAST(0 AS DECIMAL(27,6)) END - p AS DOUBLE)
+               AS s_dn,
+             {CUSUM_PCT / 100.0} * CAST(n AS DOUBLE) * CAST(rng AS DOUBLE)
+               AS thr
+      FROM ext
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n_points,
+           CAST(SUM(CASE WHEN s_up > thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms_up,
+           CAST(SUM(CASE WHEN s_dn > thr THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_alarms_dn,
+           STRFTIME(MIN(CASE WHEN s_up > thr THEN ts END),
+                    '%Y-%m-%d %H:%M:%S') AS first_alarm_up_ts,
+           MAX(s_up) AS max_s_up,
+           MAX(s_dn) AS max_s_dn
+    FROM s GROUP BY event_type
+    """,
+    doc="w21 (ext.): one-sided CUSUM drift detection per event_type — the "
+    "classic change-point statistic S_t = P_t - min_{i<=t} P_i computed "
+    "in closed window form, where P_t = n*prefix_sum(x) - t*total_sum is "
+    "the n-scaled cumulative deviation from the series mean (so no "
+    "division ever happens: the excursion stays exact DECIMAL). An alarm "
+    f"fires when the excursion exceeds {CUSUM_PCT}% of n*range; the "
+    "exact decimal excursion and threshold are each cast to DOUBLE once "
+    "(deterministic round-to-nearest in both engines) so the comparison "
+    "is on bit-identical doubles without widening decimals past 38 "
+    "digits. Both drift directions are tracked (s_up via running min of "
+    "P, s_dn via running max). Exactness: per-row values quantized to "
+    "DECIMAL(27,6); prefix sums, running extrema and the scaled products "
+    "are exact decimal ops re-capped to DECIMAL(27,6) (magnitude ≤ "
+    "n²·max|x| ≈ 1e15 at sf1, well inside the 21 integer digits); the "
+    "reported maxima are those same doubles, never rounded. Scale "
+    "shape: one shuffle on event_type for the ordered windows (sequences "
+    "co-located, same layout reused by all three window passes), then a "
+    "per-type agg — the monitoring pass a sensor fleet runs per metric. "
+    "Reference analog: anomaly_flag drift scans in "
+    "src/enhanced_spark_etl.py:411-460 done there with per-batch pandas "
+    "means",
+)
+def w21_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        "ts",
+        F.round("value", 6).cast("decimal(27,6)").alias("xv"),
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("ts", "event_id"))
+        .alias("t"),
+    )
+    tot = x.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("xv").alias("tsum"),
+        (F.max("xv") - F.min("xv")).alias("rng"),
+    )
+    wo = W.partitionBy("event_type").orderBy("t")
+    p = (
+        F.col("n").cast("decimal(10,0)")
+        * F.sum("xv").over(wo).cast("decimal(27,6)")
+        - F.col("t").cast("decimal(10,0)") * F.col("tsum").cast("decimal(27,6)")
+    ).cast("decimal(27,6)")
+    pre = x.join(F.broadcast(tot), "event_type").select(
+        "event_type", "ts", "t", "n", "rng", p.alias("p")
+    )
+    s = pre.select(
+        "event_type",
+        "ts",
+        (F.col("p") - F.least(F.min("p").over(wo), F.lit(0)))
+        .cast("double")
+        .alias("s_up"),
+        (F.greatest(F.max("p").over(wo), F.lit(0)) - F.col("p"))
+        .cast("double")
+        .alias("s_dn"),
+        (
+            F.lit(CUSUM_PCT / 100.0)
+            * F.col("n").cast("double")
+            * F.col("rng").cast("double")
+        ).alias("thr"),
+        "n",
+    )
+    up = F.col("s_up") > F.col("thr")
+    dn = F.col("s_dn") > F.col("thr")
+    return s.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_points"),
+        F.sum(up.cast("int")).cast("bigint").alias("n_alarms_up"),
+        F.sum(dn.cast("int")).cast("bigint").alias("n_alarms_dn"),
+        F.date_format(
+            F.min(F.when(up, F.col("ts"))), "yyyy-MM-dd HH:mm:ss"
+        ).alias("first_alarm_up_ts"),
+        F.max("s_up").alias("max_s_up"),
+        F.max("s_dn").alias("max_s_dn"),
+    )

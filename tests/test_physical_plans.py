@@ -586,3 +586,15 @@ def test_naive_bayes_scoring_shapes(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_cusum_single_stream_exchange(spark):
+    """w21: the event stream shuffles ONCE on event_type and that layout
+    is reused by the ordering window, both running-extrema windows and
+    the final partial+final agg; the only other exchange is the 5-row
+    totals branch that broadcasts back."""
+    plan = plan_of(_q(spark, "w21_cusum_drift"), "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "partial_max" in plan  # final agg keeps map-side combine
