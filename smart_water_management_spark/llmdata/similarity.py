@@ -2123,3 +2123,167 @@ def x88_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("nmi"),
     )
+
+
+# --- x91: retrieval-quality metrics (MRR / precision@k / NDCG@k) -------------
+
+EVAL_K = 10  # evaluated retrieval depth
+
+
+def _dcg_term_sql(rank: str) -> str:
+    """1/log2(1+rank) gain through the x45 decimal-ln device: both lns
+    rounded to 6dp (absorbing libm-ulp skew), the quotient rounded once,
+    accumulated as exact DECIMAL."""
+    return (
+        f"CAST(ROUND(ROUND(LN(2), 6) / ROUND(LN({rank} + 1), 6), 6) "
+        "AS DECIMAL(27,6))"
+    )
+
+
+@register(
+    "x91_retrieval_metrics",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT q.qid, q.qlabel, c.vec_id, c.label,
+             ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+               {_SQL_DOT.format(a='q.qe', b='c.embedding')}
+                 / (SQRT({_SQL_SQNORM.format(a='q.qe')})
+                    * SQRT({_SQL_SQNORM.format(a='c.embedding')})) DESC,
+               c.vec_id) AS rn
+      FROM q CROSS JOIN embeddings c
+      WHERE c.vec_id <> q.qid
+    ),
+    topk AS (
+      SELECT qid, rn, CASE WHEN label = qlabel THEN 1 ELSE 0 END AS rel
+      FROM ranked WHERE rn <= {EVAL_K}
+    ),
+    perq AS (
+      SELECT qid,
+             CAST(SUM(rel) AS BIGINT) AS n_rel_topk,
+             CAST(MIN(CASE WHEN rel = 1 THEN rn END) AS BIGINT)
+               AS first_rel_rank,
+             SUM(CASE WHEN rel = 1 THEN {_dcg_term_sql('rn')}
+                      ELSE CAST(0 AS DECIMAL(27,6)) END) AS dcg_dec
+      FROM topk GROUP BY qid
+    ),
+    lbl AS (SELECT label, COUNT(*) AS cnt FROM embeddings GROUP BY label),
+    nrel AS (
+      SELECT q.qid, CAST(l.cnt - 1 AS BIGINT) AS n_rel_corpus
+      FROM q JOIN lbl l ON l.label = q.qlabel
+    ),
+    igrid AS (
+      SELECT qid, n_rel_corpus,
+             UNNEST(range(1, LEAST({EVAL_K}, n_rel_corpus) + 1)) AS r
+      FROM nrel
+    ),
+    ideal AS (
+      SELECT qid, n_rel_corpus, SUM({_dcg_term_sql('r')}) AS idcg_dec
+      FROM igrid GROUP BY qid, n_rel_corpus
+    )
+    SELECT p.qid, i.n_rel_corpus, p.n_rel_topk, p.first_rel_rank,
+           CASE WHEN p.first_rel_rank IS NULL THEN 0.0
+                ELSE 1.0 / p.first_rel_rank END AS rr,
+           CAST(p.n_rel_topk AS DOUBLE) / {EVAL_K} AS p_at_k,
+           CAST(p.dcg_dec AS DOUBLE) AS dcg,
+           CAST(i.idcg_dec AS DOUBLE) AS idcg,
+           CAST(p.dcg_dec AS DOUBLE) / CAST(i.idcg_dec AS DOUBLE) AS ndcg
+    FROM perq p JOIN ideal i USING (qid)
+    """,
+    doc=f"x91 (ext.): retrieval-quality evaluation of the dense cosine "
+    f"retriever — MRR, precision@{EVAL_K} and NDCG@{EVAL_K} per query "
+    "with label-match relevance (the eval harness a RAG/retrieval "
+    "pipeline runs next to x10's retriever and x86's ANN recall audit). "
+    "Exactness: ranks/counts are exact integers; every DCG gain goes "
+    "through the x45 decimal-ln device (both lns rounded 6dp, quotient "
+    "rounded once, summed as DECIMAL); rr and p@k are IEEE quotients of "
+    "exact integers; ndcg is one quotient of two identical doubles, "
+    "never rounded. Scale shape: the bounded query set broadcasts "
+    "against the partitioned candidate scan (x10's shape), per-query "
+    "metrics are a rank-window + one agg, the ideal-DCG grid is at most "
+    f"{EVAL_K} rows per query built from a per-label count broadcast — "
+    "nothing all-pairs, no UDFs",
+)
+def x91_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", _dbl("embedding").alias("v")
+    )
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("v").alias("qv"),
+    )
+
+    def dcg_term(rank):
+        return F.round(
+            F.round(F.log(F.lit(2.0)), 6) / F.round(F.log(rank + 1), 6), 6
+        ).cast("decimal(27,6)")
+
+    ranked = (
+        em.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "label",
+            F.row_number()
+            .over(
+                W.partitionBy("qid").orderBy(
+                    F.desc(cosine(F.col("qv"), F.col("v"))), F.asc("vec_id")
+                )
+            )
+            .alias("rn"),
+        )
+    )
+    topk = ranked.filter(F.col("rn") <= EVAL_K).withColumn(
+        "rel", (F.col("label") == F.col("qlabel")).cast("int")
+    )
+    perq = topk.groupBy("qid").agg(
+        F.sum("rel").cast("bigint").alias("n_rel_topk"),
+        F.min(F.when(F.col("rel") == 1, F.col("rn")))
+        .cast("bigint")
+        .alias("first_rel_rank"),
+        F.sum(
+            F.when(F.col("rel") == 1, dcg_term(F.col("rn"))).otherwise(
+                F.lit(0).cast("decimal(27,6)")
+            )
+        ).alias("dcg_dec"),
+    )
+    lbl = em.groupBy("label").agg(F.count("*").alias("cnt"))
+    nrel = q.join(F.broadcast(lbl), q["qlabel"] == lbl["label"]).select(
+        "qid", (F.col("cnt") - 1).cast("bigint").alias("n_rel_corpus")
+    )
+    igrid = nrel.select(
+        "qid",
+        "n_rel_corpus",
+        F.explode(
+            F.when(
+                F.col("n_rel_corpus") >= 1,
+                F.sequence(
+                    F.lit(1).cast("bigint"),
+                    F.least(F.lit(EVAL_K).cast("bigint"), F.col("n_rel_corpus")),
+                ),
+            ).otherwise(F.array().cast("array<bigint>"))
+        ).alias("r"),
+    )
+    ideal = igrid.groupBy("qid", "n_rel_corpus").agg(
+        F.sum(dcg_term(F.col("r"))).alias("idcg_dec")
+    )
+    return perq.join(ideal, "qid").select(
+        "qid",
+        "n_rel_corpus",
+        "n_rel_topk",
+        "first_rel_rank",
+        F.when(F.col("first_rel_rank").isNull(), F.lit(0.0))
+        .otherwise(F.lit(1.0) / F.col("first_rel_rank"))
+        .alias("rr"),
+        (F.col("n_rel_topk").cast("double") / EVAL_K).alias("p_at_k"),
+        F.col("dcg_dec").cast("double").alias("dcg"),
+        F.col("idcg_dec").cast("double").alias("idcg"),
+        (
+            F.col("dcg_dec").cast("double") / F.col("idcg_dec").cast("double")
+        ).alias("ndcg"),
+    )

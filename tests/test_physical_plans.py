@@ -598,3 +598,12 @@ def test_cusum_single_stream_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "BroadcastHashJoin" in plan
     assert "partial_max" in plan  # final agg keeps map-side combine
+
+
+def test_retrieval_metrics_broadcast_eval(spark):
+    """x91: the bounded query set and per-label counts broadcast; the
+    candidate scan is never shuffled for the scoring pass and no
+    unbroadcast cartesian appears."""
+    plan = plan_of(_q(spark, "x91_retrieval_metrics"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
