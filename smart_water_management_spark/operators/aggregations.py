@@ -1503,3 +1503,145 @@ def a30_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("value_share"),
         )
     )
+
+
+# --- a31 (ext.): Theil–Sen robust trend --------------------------------------
+
+
+@register(
+    "a31_theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(27,6))) AS sy,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    xy AS (
+      SELECT event_type,
+             CAST(d - MIN(d) OVER (PARTITION BY event_type) AS BIGINT) AS x,
+             CAST(sy AS DOUBLE) / cnt AS y
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.event_type, a.x AS xi, b.x AS xj,
+             (b.y - a.y) / (b.x - a.x) AS slope
+      FROM xy a JOIN xy b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    rp AS (
+      SELECT event_type, slope,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+               ORDER BY slope, xi, xj) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM pairs
+    ),
+    med AS (
+      SELECT event_type, AVG(slope) AS slope, MAX(m) AS n_pairs
+      FROM rp WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+      GROUP BY event_type
+    ),
+    resid AS (
+      SELECT xy.event_type, xy.x, xy.y - med.slope * xy.x AS b
+      FROM xy JOIN med USING (event_type)
+    ),
+    rb AS (
+      SELECT event_type, b,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY b, x) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS m
+      FROM resid
+    ),
+    medb AS (
+      SELECT event_type, AVG(b) AS intercept, MAX(m) AS n_days
+      FROM rb WHERE rn IN ((m + 1) // 2, (m + 2) // 2)
+      GROUP BY event_type
+    )
+    SELECT m.event_type, CAST(mb.n_days AS BIGINT) AS n_days,
+           CAST(m.n_pairs AS BIGINT) AS n_pairs,
+           m.slope AS slope_per_day, mb.intercept
+    FROM med m JOIN medb mb USING (event_type)
+    """,
+    doc="a31 (ext.): Theil–Sen robust trend per event_type — median of all "
+    "pairwise day-over-day slopes of the daily mean, plus the median-"
+    "residual intercept (the outlier-resistant drift estimate a sensor "
+    "fleet reports when OLS (m06) is skewed by spike days). Exactness: "
+    "daily means are exact-decimal sums cast to DOUBLE once over exact "
+    "integer counts; every pairwise slope is one IEEE quotient of "
+    "identical doubles; the median picks elements by rank (odd) or "
+    "averages the two middle values ((a+b)/2, commutative and identical "
+    "in both engines) — nothing is ever rounded. Scale shape: the O(n) "
+    "event stream reduces map-side to one row per (type, day) BEFORE "
+    "any pairing, so the quadratic pair space is bounded by the time "
+    "window length (d(d-1)/2 per type for d days), never by corpus "
+    "size; the rank windows then run on that constant-bounded table. "
+    "Reference analog: trend slopes over daily aggregates in "
+    "src/enhanced_spark_etl.py:500-540",
+)
+def a31_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round("value", 6).cast("decimal(27,6)")).alias("sy"),
+            F.count("*").alias("cnt"),
+        )
+    )
+    xy = daily.select(
+        "event_type",
+        F.datediff(
+            "d", F.min("d").over(W.partitionBy("event_type"))
+        )
+        .cast("bigint")
+        .alias("x"),
+        (F.col("sy").cast("double") / F.col("cnt")).alias("y"),
+    )
+    a = xy.select("event_type", F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = xy.select("event_type", F.col("x").alias("xj"), F.col("y").alias("yj"))
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("xi") < F.col("xj"))
+        .select(
+            "event_type",
+            "xi",
+            "xj",
+            ((F.col("yj") - F.col("yi")) / (F.col("xj") - F.col("xi"))).alias(
+                "slope"
+            ),
+        )
+    )
+
+    def median_of(df, val, order, out, n_out):
+        wp = W.partitionBy("event_type")
+        r = df.select(
+            "event_type",
+            F.col(val),
+            F.row_number().over(wp.orderBy(*order)).alias("rn"),
+            F.count("*").over(wp).alias("m"),
+        )
+        lo = F.floor((F.col("m") + 1) / 2)
+        hi = F.floor((F.col("m") + 2) / 2)
+        return (
+            r.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+            .groupBy("event_type")
+            .agg(F.avg(val).alias(out), F.max("m").cast("bigint").alias(n_out))
+        )
+
+    med = median_of(pairs, "slope", ["slope", "xi", "xj"], "slope", "n_pairs")
+    resid = xy.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "x",
+        (F.col("y") - F.col("slope") * F.col("x")).alias("b"),
+    )
+    medb = median_of(resid, "b", ["b", "x"], "intercept", "n_days")
+    return (
+        med.join(medb, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "n_pairs",
+            F.col("slope").alias("slope_per_day"),
+            "intercept",
+        )
+    )

@@ -607,3 +607,12 @@ def test_retrieval_metrics_broadcast_eval(spark):
     plan = plan_of(_q(spark, "x91_retrieval_metrics"), "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_theil_sen_reduces_before_pairing(spark):
+    """a31: the quadratic pair join must operate on the (type, day)
+    reduction, never the raw event stream — the plan shows a map-side
+    partial agg feeding the self-join and no cartesian."""
+    plan = plan_of(_q(spark, "a31_theil_sen_trend"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
