@@ -1519,3 +1519,68 @@ def x89_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rank",
         )
     )
+
+
+# --- x92: deterministic weighted reservoir sample (Efraimidis–Spirakis) ------
+
+RESERVOIR_K = 20
+
+
+@register(
+    "x92_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ROUND(LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) + 0.5)
+                      / 4294967296.0), 6)
+               / n_chars AS sel_key
+      FROM documents WHERE n_chars > 0
+    )
+    SELECT CAST(rn AS BIGINT) AS rank, doc_id, n_chars, sel_key FROM (
+      SELECT doc_id, n_chars, sel_key,
+             ROW_NUMBER() OVER (ORDER BY sel_key DESC, doc_id) AS rn
+      FROM keyed
+    ) WHERE rn <= {RESERVOIR_K}
+    """,
+    doc=f"x92 (ext.): Efraimidis–Spirakis weighted reservoir sample — "
+    f"top-{RESERVOIR_K} documents by the key ln(u)/w (u an md5-derived "
+    "uniform, w = n_chars), the single-pass weighted-sampling-without-"
+    "replacement primitive a curation pipeline uses to draw a "
+    "char-budget-proportional audit sample (heavier docs "
+    "proportionally likelier, every draw reproducible from the doc_id "
+    "alone — no RNG state, no driver loop). Complements x53's "
+    "systematic PPS (fixed-size strided) with the streaming/mergeable "
+    "variant: per-partition top-k merge gives the exact global top-k. "
+    "Exactness: u = (h + 0.5) / 2^32 is an exact power-of-two quotient "
+    "of an exact integer (bit-identical doubles), ln goes through the "
+    "x45 round-6 device, and the division by the exact integer weight "
+    "is one IEEE op — both engines order identical doubles with a "
+    "doc_id tie-break. Scale shape: embarrassingly parallel scan + "
+    "one top-k rank (TakeOrderedAndProject, no full sort), no shuffle "
+    "of the corpus",
+)
+def x92_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    key = F.round(F.log((h + 0.5) / F.lit(4294967296.0)), 6) / F.col("n_chars")
+    keyed = d.filter(F.col("n_chars") > 0).select(
+        "doc_id", "n_chars", key.alias("sel_key")
+    )
+    return (
+        keyed.withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("sel_key"), F.asc("doc_id"))),
+        )
+        .filter(F.col("rank") <= RESERVOIR_K)
+        .select(
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id",
+            "n_chars",
+            "sel_key",
+        )
+    )

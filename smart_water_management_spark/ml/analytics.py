@@ -776,3 +776,164 @@ def m09_naive_bayes_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("accuracy"),
     )
+
+
+# --- m10 (ext.): Mann–Kendall trend test -------------------------------------
+
+
+@register(
+    "m10_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             SUM(CAST(ROUND(value, 6) AS DECIMAL(27,6))) AS sy,
+             COUNT(*) AS cnt
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    xy AS (
+      SELECT event_type, d, CAST(sy AS DOUBLE) / cnt AS y FROM daily
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM xy a JOIN xy b
+        ON a.event_type = b.event_type AND a.d < b.d
+      GROUP BY a.event_type
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (
+        SELECT event_type, y, COUNT(*) AS t FROM xy
+        GROUP BY event_type, y HAVING COUNT(*) > 1
+      ) GROUP BY event_type
+    ),
+    n AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nd FROM xy
+          GROUP BY event_type),
+    stat AS (
+      SELECT n.event_type, n.nd, s.s_stat,
+             CAST(n.nd * (n.nd - 1) * (2 * n.nd + 5)
+                  - COALESCE(t.tie_term, 0) AS DOUBLE) / 18 AS var_s
+      FROM n JOIN s USING (event_type)
+      LEFT JOIN ties t ON t.event_type = n.event_type
+    )
+    SELECT event_type, nd AS n_days, s_stat,
+           var_s,
+           CASE WHEN s_stat > 0
+                  THEN CAST(s_stat - 1 AS DOUBLE) / SQRT(var_s)
+                WHEN s_stat < 0
+                  THEN CAST(s_stat + 1 AS DOUBLE) / SQRT(var_s)
+                ELSE 0.0 END AS z,
+           CAST(s_stat AS DOUBLE) / (CAST(nd AS DOUBLE) * (nd - 1) / 2)
+             AS tau,
+           CASE WHEN s_stat > 0 AND CAST(s_stat - 1 AS DOUBLE) / SQRT(var_s)
+                     > 1.959964 THEN 'increasing'
+                WHEN s_stat < 0 AND CAST(s_stat + 1 AS DOUBLE) / SQRT(var_s)
+                     < -1.959964 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend
+    FROM stat
+    """,
+    doc="m10 (ext.): Mann–Kendall nonparametric trend test per event_type "
+    "over the daily-mean series — S statistic (sum of pairwise signs), "
+    "tie-corrected variance, normal-approximation Z and Kendall's tau, "
+    "with the 5%-level trend verdict (the distribution-free companion "
+    "to a31's Theil–Sen slope; the pair ships as the standard "
+    "hydrology/sensor drift-test kit). Exactness: S and the tie term "
+    "are exact integers (signs compare identical doubles); var_s is "
+    "one IEEE quotient of an exact integer by 18; Z divides exact "
+    "integers by SQRT(var_s) — IEEE sqrt is correctly rounded in both "
+    "engines, so every double is bit-identical; the 1.959964 cutoff "
+    "compares those identical doubles. Scale shape: the event stream "
+    "reduces map-side to (type, day) rows before the bounded O(d^2) "
+    "sign pairing; tie detection is a constant-size agg. Reference "
+    "analog: trend classification in src/enhanced_spark_etl.py:500-540",
+)
+def m10_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        F.sum(F.round("value", 6).cast("decimal(27,6)")).alias("sy"),
+        F.count("*").alias("cnt"),
+    )
+    xy = daily.select(
+        "event_type", "d", (F.col("sy").cast("double") / F.col("cnt")).alias("y")
+    )
+    a = xy.select("event_type", F.col("d").alias("da"), F.col("y").alias("ya"))
+    b = xy.select("event_type", F.col("d").alias("db"), F.col("y").alias("yb"))
+    s = (
+        a.join(b, "event_type")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        xy.groupBy("event_type", "y")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    n = xy.groupBy("event_type").agg(F.count("*").cast("bigint").alias("nd"))
+    stat = (
+        n.join(s, "event_type")
+        .join(ties, "event_type", "left")
+        .select(
+            "event_type",
+            "nd",
+            "s_stat",
+            (
+                (
+                    F.col("nd") * (F.col("nd") - 1) * (2 * F.col("nd") + 5)
+                    - F.coalesce(F.col("tie_term"), F.lit(0))
+                ).cast("double")
+                / 18
+            ).alias("var_s"),
+        )
+    )
+    z = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / F.sqrt("var_s"),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / F.sqrt("var_s"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return stat.select(
+        "event_type",
+        F.col("nd").alias("n_days"),
+        "s_stat",
+        "var_s",
+        z.alias("z"),
+        (
+            F.col("s_stat").cast("double")
+            / (F.col("nd").cast("double") * (F.col("nd") - 1) / 2)
+        ).alias("tau"),
+        F.when((F.col("s_stat") > 0) & (z > 1.959964), "increasing")
+        .when((F.col("s_stat") < 0) & (z < -1.959964), "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+    )

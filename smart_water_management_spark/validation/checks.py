@@ -610,3 +610,108 @@ def v10_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "col string, type_a string, type_b string, status string, "
         "n_nulls_merged long",
     )
+
+
+# --- v11 (ext.): cross-table aggregate reconciliation audit ------------------
+
+# Relative-difference bucket edges (fractions of the header total).
+V11_EDGES = (0.0001, 0.001, 0.01, 0.1)
+
+
+@register(
+    "v11_reconciliation_audit",
+    oracle=f"""
+    WITH calc AS (
+      SELECT l_orderkey,
+             SUM(CAST(ROUND(l_extendedprice * (1 + l_tax) * (1 - l_discount),
+                            6) AS DECIMAL(27,6))) AS line_total,
+             COUNT(*) AS n_lines
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    joined AS (
+      SELECT o.o_orderkey,
+             CAST(ROUND(o.o_totalprice, 6) AS DECIMAL(27,6)) AS hdr,
+             c.line_total, c.n_lines
+      FROM orders o LEFT JOIN calc c ON c.l_orderkey = o.o_orderkey
+    ),
+    graded AS (
+      SELECT o_orderkey, n_lines,
+             CASE
+               WHEN line_total IS NULL THEN 'no_lineitems'
+               WHEN hdr = line_total THEN 'exact'
+               WHEN ABS(CAST(hdr - line_total AS DOUBLE))
+                    / CAST(hdr AS DOUBLE) < {V11_EDGES[0]} THEN 'lt_1bp'
+               WHEN ABS(CAST(hdr - line_total AS DOUBLE))
+                    / CAST(hdr AS DOUBLE) < {V11_EDGES[1]} THEN 'lt_10bp'
+               WHEN ABS(CAST(hdr - line_total AS DOUBLE))
+                    / CAST(hdr AS DOUBLE) < {V11_EDGES[2]} THEN 'lt_1pct'
+               WHEN ABS(CAST(hdr - line_total AS DOUBLE))
+                    / CAST(hdr AS DOUBLE) < {V11_EDGES[3]} THEN 'lt_10pct'
+               ELSE 'ge_10pct'
+             END AS bucket,
+             CASE WHEN line_total IS NULL THEN NULL
+                  ELSE ABS(CAST(hdr - line_total AS DOUBLE))
+                       / CAST(hdr AS DOUBLE) END AS rel
+      FROM joined
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COALESCE(SUM(n_lines), 0) AS BIGINT) AS n_lines,
+           MAX(rel) AS max_rel_diff
+    FROM graded GROUP BY bucket
+    """,
+    doc="v11 (ext.): cross-table aggregate reconciliation — the "
+    "header-vs-detail audit every warehouse runs (does orders."
+    "o_totalprice equal the lineitem extended total?), graded into "
+    "relative-difference buckets (exact / <1bp / <10bp / <1% / <10% / "
+    ">=10% / no_lineitems). On this synthetic corpus the identity "
+    "deliberately fails, which is exactly what the audit reports. "
+    "Exactness: both sides quantize to DECIMAL(27,6) (the detail side "
+    "per-line before the exact decimal sum), the equality test is "
+    "decimal-exact, and each relative difference is one IEEE quotient "
+    "of identical doubles — bucket edges compare those identical "
+    "doubles. Scale shape: one map-combined agg of the big detail "
+    "table, a key-partitioned join to the header (broadcastable when "
+    "dims allow), and a constant-size bucket agg. Reference analog: "
+    "5-layer validation totals in src/data_validator.py:162-190",
+)
+def v11_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    calc = li.groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice")
+                * (1 + F.col("l_tax"))
+                * (1 - F.col("l_discount")),
+                6,
+            ).cast("decimal(27,6)")
+        ).alias("line_total"),
+        F.count("*").alias("n_lines"),
+    )
+    joined = orders.select(
+        "o_orderkey",
+        F.round("o_totalprice", 6).cast("decimal(27,6)").alias("hdr"),
+    ).join(calc, orders["o_orderkey"] == calc["l_orderkey"], "left")
+    rel = F.abs((F.col("hdr") - F.col("line_total")).cast("double")) / F.col(
+        "hdr"
+    ).cast("double")
+    bucket = (
+        F.when(F.col("line_total").isNull(), "no_lineitems")
+        .when(F.col("hdr") == F.col("line_total"), "exact")
+        .when(rel < V11_EDGES[0], "lt_1bp")
+        .when(rel < V11_EDGES[1], "lt_10bp")
+        .when(rel < V11_EDGES[2], "lt_1pct")
+        .when(rel < V11_EDGES[3], "lt_10pct")
+        .otherwise("ge_10pct")
+    )
+    graded = joined.select(
+        bucket.alias("bucket"),
+        F.when(F.col("line_total").isNotNull(), rel).alias("rel"),
+        "n_lines",
+    )
+    return graded.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.coalesce(F.sum("n_lines"), F.lit(0)).cast("bigint").alias("n_lines"),
+        F.max("rel").alias("max_rel_diff"),
+    )

@@ -616,3 +616,18 @@ def test_theil_sen_reduces_before_pairing(spark):
     plan = plan_of(_q(spark, "a31_theil_sen_trend"), "simple")
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
+
+
+def test_weighted_reservoir_topk_no_global_sort(spark):
+    """x92: the global top-k must run as TakeOrderedAndProject
+    (per-partition heap + merge), never a full sort of the corpus."""
+    plan = plan_of(_q(spark, "x92_weighted_reservoir"), "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_reconciliation_detail_map_combine(spark):
+    """v11: the big detail table reduces map-side (partial_sum) before
+    joining the header; no cartesian anywhere."""
+    plan = plan_of(_q(spark, "v11_reconciliation_audit"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
