@@ -1159,3 +1159,112 @@ def t18_stream_static_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("value").alias("sum_value"),
     )
     return run_to_completion(agg, "stream_static_pit", "complete")
+
+
+# --- t19: streaming weighted reservoir (x92's primitive, incremental) --------
+
+WRES_K = 20
+
+
+def weighted_reservoir_upsert_stream(spark: SparkSession, sf_dir: str) -> None:
+    """T19: the Efraimidis–Spirakis weighted reservoir (x92's primitive,
+    here over events weighted by value) maintained INCREMENTALLY by a
+    streaming foreachBatch merge.
+
+    One bounded state table ``wres_state`` holds at most k rows — the k
+    largest selection keys seen so far. Merge = union + re-top-k: the
+    top-k of a union of per-batch top-k sets IS the global top-k (the
+    key is a pure row-local function of (event_id, value)), so the final
+    reservoir equals the single-pass batch draw for ANY micro-batch
+    slicing.
+    """
+    from pyspark.sql import Window as W
+
+    from ..sources.catalog import reset_managed_table
+
+    reset_managed_table(spark, "wres_state")
+    spark.sql(
+        """CREATE TABLE wres_state
+           (event_id BIGINT, event_type STRING, value DOUBLE,
+            sel_key DOUBLE) USING parquet"""
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        h = F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+        ).cast("long")
+        rows = batch_df.filter(F.col("value") > 0).select(
+            "event_id",
+            "event_type",
+            "value",
+            (
+                F.round(F.log((h + 0.5) / F.lit(4294967296.0)), 6)
+                / F.round("value", 6)
+            ).alias("sel_key"),
+        )
+        wk = W.orderBy(F.desc("sel_key"), F.asc("event_id"))
+        merged = (
+            sp.table("wres_state")
+            .unionByName(rows)
+            .withColumn("rn", F.row_number().over(wk))
+            .filter(F.col("rn") <= WRES_K)
+            .select("event_id", "event_type", "value", "sel_key")
+        )
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").insertInto("wres_state")
+
+    ev = read_event_stream(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+
+@register(
+    "t19_stream_weighted_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT event_id, event_type, value,
+             ROUND(LN((CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                                            1, 8)) AS BIGINT) + 0.5)
+                      / 4294967296.0), 6)
+               / ROUND(value, 6) AS sel_key
+      FROM events WHERE value > 0
+    )
+    SELECT CAST(rn AS BIGINT) AS rank, event_id, event_type, value, sel_key
+    FROM (
+      SELECT event_id, event_type, value, sel_key,
+             ROW_NUMBER() OVER (ORDER BY sel_key DESC, event_id) AS rn
+      FROM keyed
+    ) WHERE rn <= {WRES_K}
+    """,
+    doc="T19: x92's Efraimidis–Spirakis weighted reservoir maintained "
+    "incrementally over the event stream (weight = value) via "
+    "foreachBatch union + re-top-k — bounded state (k rows total), "
+    "merge-exact because the selection key is a pure row-local md5 "
+    "function, so the final reservoir equals the direct single-pass "
+    "draw for any micro-batch slicing; certified by the same "
+    "deterministic SQL oracle as the batch formulation (the streaming "
+    "half of the weighted-sampling kit: x92 draws from the lake, t19 "
+    "keeps the draw fresh as data lands)",
+)
+def t19_stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    weighted_reservoir_upsert_stream(spark, sf_dir)
+    st = spark.table("wres_state")
+    return st.select(
+        F.row_number()
+        .over(W.orderBy(F.desc("sel_key"), F.asc("event_id")))
+        .cast("bigint")
+        .alias("rank"),
+        "event_id",
+        "event_type",
+        "value",
+        "sel_key",
+    )

@@ -367,3 +367,38 @@ def test_streaming_lsh_dedup_multi_batch_equals_batch_x08(spark):
         for r in x08_minhash_lsh_dedup(spark, SF_DIR).collect()
     }
     assert got == want
+
+
+def test_streaming_weighted_reservoir_multi_batch_equals_direct(spark):
+    """t19's exact-merge claim under REAL incrementality: events split
+    into 4 parquet files (maxFilesPerTrigger=1 => 4 micro-batches, so
+    the foreachBatch merge genuinely re-merges partial reservoirs) and
+    the final reservoir must equal the direct single-pass weighted
+    draw over the same rows."""
+    import hashlib
+    import math
+    import os
+
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        ev.repartition(4).write.parquet(os.path.join(sf_dir, "events.parquet"))
+        got = [
+            (r.rank, r.event_id, round(r.sel_key, 10))
+            for r in jobs.t19_stream_weighted_reservoir(spark, sf_dir)
+            .orderBy("rank")
+            .collect()
+        ]
+    rows = ev.filter(F.col("value") > 0).select("event_id", "value").collect()
+    keyed = []
+    for r in rows:
+        h = int(hashlib.md5(str(r.event_id).encode()).hexdigest()[:8], 16)
+        u = (h + 0.5) / 4294967296.0
+        keyed.append((round(math.log(u), 6) / round(r.value, 6), r.event_id))
+    keyed.sort(key=lambda kv: (-kv[0], kv[1]))
+    want = [
+        (i + 1, eid, round(k, 10))
+        for i, (k, eid) in enumerate(keyed[: jobs.WRES_K])
+    ]
+    assert got == want
