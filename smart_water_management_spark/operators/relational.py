@@ -609,3 +609,106 @@ def p08_not_exists_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_acctbal"),
         )
     )
+
+
+# --- p09 (ext.): TPC-H Q21 shape — chained semi + anti join ------------------
+
+P09_LATE_DAYS = 60
+P09_TOP = 20
+
+
+@register(
+    "p09_q21_shape",
+    oracle=f"""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL {P09_LATE_DAYS} DAY
+    ),
+    waiting AS (
+      SELECT w.l_orderkey, w.l_suppkey
+      FROM late w
+      WHERE EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = w.l_orderkey
+                AND l2.l_suppkey <> w.l_suppkey)
+        AND NOT EXISTS (
+              SELECT 1 FROM late l3
+              WHERE l3.l_orderkey = w.l_orderkey
+                AND l3.l_suppkey <> w.l_suppkey)
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, s.s_name)
+                AS BIGINT) AS rank
+    FROM waiting w JOIN supplier s ON s.s_suppkey = w.l_suppkey
+    GROUP BY s.s_name
+    QUALIFY rank <= {P09_TOP}
+    """,
+    doc="p09 (ext.): the TPC-H Q21 'suppliers who kept orders waiting' "
+    "shape — a chained EXISTS (some OTHER supplier on the order) + NOT "
+    "EXISTS (no OTHER supplier was late) over the same fact table, "
+    "decorrelated into one semi-join and one anti-join with a "
+    "non-equi (suppkey <>) residual on the orderkey equi-key, then a "
+    "supplier rollup and top-k. Completes the decorrelation kit begun "
+    "by p06 (correlated scalar), p07 (IN + HAVING), p08 (NOT EXISTS): "
+    f"'late' = shipped > {P09_LATE_DAYS} days after order date on "
+    "status-F orders. Exactness: counts and ranks only. Scale shape: "
+    "every join is equi-keyed on l_orderkey (the suppkey inequality "
+    "rides as a residual), so the self-probes co-partition on one key "
+    "and at sf0.01 Catalyst broadcasts the orders dim and the semi "
+    "probe outright (plan-asserted: no cartesian, residual-bearing "
+    "semi/anti joins); the supplier dim broadcasts into the final "
+    "rollup. Reference analog: multi-condition exception reports in "
+    "src/app.py dashboard SQL",
+)
+def p09_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    od = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    )
+    late = li.join(od, li["l_orderkey"] == od["o_orderkey"]).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {P09_LATE_DAYS} DAYS")
+    ).select("l_orderkey", "l_suppkey")
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    waiting = (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2"))
+            & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3"))
+            & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    counted = (
+        waiting.join(
+            F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
+        .agg(F.count("*").cast("bigint").alias("numwait"))
+    )
+    return (
+        counted.withColumn(
+            "rank",
+            F.row_number()
+            .over(W.orderBy(F.desc("numwait"), F.asc("s_name")))
+            .cast("bigint"),
+        )
+        .filter(F.col("rank") <= P09_TOP)
+    )

@@ -1041,3 +1041,83 @@ def w21_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("s_up").alias("max_s_up"),
         F.max("s_dn").alias("max_s_dn"),
     )
+
+
+# --- w22 (ext.): half-life time-decayed mean ---------------------------------
+
+W22_HALF_LIFE_H = 24
+
+
+@register(
+    "w22_time_decay_mean",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type, epoch_us(ts) AS us,
+             CAST(ROUND(value, 6) AS DECIMAL(27,6)) AS xv
+      FROM events
+    ),
+    t AS (SELECT event_type, MAX(us) AS t_now FROM x GROUP BY event_type),
+    wtd AS (
+      SELECT x.event_type, x.xv,
+             CAST(ROUND(POWER(0.5,
+               CAST((t.t_now - x.us) // 3600000000 AS DOUBLE)
+                 / {W22_HALF_LIFE_H}.0), 6) AS DECIMAL(7,6)) AS w
+      FROM x JOIN t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(w * xv) AS DOUBLE) / CAST(SUM(w) AS DOUBLE)
+             AS decayed_mean,
+           CAST(SUM(xv) AS DOUBLE) / COUNT(*) AS plain_mean,
+           (CAST(SUM(w * xv) AS DOUBLE) / CAST(SUM(w) AS DOUBLE))
+             / (CAST(SUM(xv) AS DOUBLE) / COUNT(*)) AS recency_ratio
+    FROM wtd GROUP BY event_type
+    """,
+    doc=f"w22 (ext.): half-life time-decayed mean per event_type — each "
+    f"observation weighted 2^(-age_hours/{W22_HALF_LIFE_H}) relative to "
+    "the key's newest event (the freshness-weighted leaderboard / "
+    "decayed-counter primitive; recency_ratio > 1 means the metric is "
+    "trending up). Unlike w07's row-ordered EMA this is an unordered "
+    "AGGREGATE — no sequential dependency, so it map-side combines. "
+    "Exactness: ages are exact integer hours from exact epoch-micro "
+    "arithmetic; each weight goes through POWER(0.5, h/24) rounded to "
+    "6dp (absorbing libm ulp skew) then DECIMAL(7,6); weighted sums "
+    "are exact decimal products summed as DECIMAL; the three reported "
+    "ratios are IEEE quotients of identical doubles. Scale shape: two "
+    "map-combined aggs over the event stream (per-type max, then the "
+    "weighted sums) with the 5-row max table broadcast between them — "
+    "no window, no shuffle of raw events beyond the agg combine. "
+    "Reference analog: dashboard freshness weighting in src/app.py",
+)
+def w22_time_decay_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    x = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round("value", 6).cast("decimal(27,6)").alias("xv"),
+    )
+    t = x.groupBy("event_type").agg(F.max("us").alias("t_now"))
+    wtd = x.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "xv",
+        F.round(
+            F.pow(
+                F.lit(0.5),
+                F.expr("CAST((t_now - us) DIV 3600000000 AS DOUBLE)")
+                / W22_HALF_LIFE_H,
+            ),
+            6,
+        )
+        .cast("decimal(7,6)")
+        .alias("w"),
+    )
+    dm = F.sum(F.col("w") * F.col("xv")).cast("double") / F.sum("w").cast(
+        "double"
+    )
+    pm = F.sum("xv").cast("double") / F.count("*")
+    return wtd.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        dm.alias("decayed_mean"),
+        pm.alias("plain_mean"),
+        (dm / pm).alias("recency_ratio"),
+    )

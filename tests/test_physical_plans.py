@@ -631,3 +631,22 @@ def test_reconciliation_detail_map_combine(spark):
     plan = plan_of(_q(spark, "v11_reconciliation_audit"), "simple")
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan
+
+
+def test_q21_shape_semi_anti_no_cartesian(spark):
+    """p09: the EXISTS/NOT EXISTS chain must decorrelate to residual-
+    bearing semi/anti joins on the orderkey equi-key — no cartesian."""
+    plan = plan_of(_q(spark, "p09_q21_shape"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_time_decay_no_window_operator(spark):
+    """w22: the decayed mean is an unordered aggregate — the plan must
+    contain NO window operator and keep map-side combine, with the
+    per-type max broadcast back."""
+    plan = plan_of(_q(spark, "w22_time_decay_mean"), "simple")
+    assert "Window" not in plan
+    assert "partial_sum" in plan
+    assert "BroadcastHashJoin" in plan
