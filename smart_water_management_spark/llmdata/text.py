@@ -1584,3 +1584,255 @@ def x92_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sel_key",
         )
     )
+
+
+# --- x93: word co-occurrence PMI ---------------------------------------------
+
+PMI_TOP_WORDS = 15
+
+
+@register(
+    "x93_word_pmi",
+    oracle=f"""
+    WITH dw AS (
+      SELECT DISTINCT doc_id, w FROM (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents)
+      WHERE w NOT IN ('{"','".join(STOPWORDS)}')
+    ),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM dw),
+    df AS (SELECT w, COUNT(*) AS df FROM dw GROUP BY w),
+    top AS (
+      SELECT w, df FROM (
+        SELECT w, df, ROW_NUMBER() OVER (ORDER BY df DESC, w) AS rn FROM df
+      ) WHERE rn <= {PMI_TOP_WORDS}
+    ),
+    co AS (
+      SELECT a.w AS w1, b.w AS w2, COUNT(*) AS co_df
+      FROM (SELECT dw.doc_id, dw.w FROM dw JOIN top USING (w)) a
+      JOIN (SELECT dw.doc_id, dw.w FROM dw JOIN top USING (w)) b
+        ON a.doc_id = b.doc_id AND a.w < b.w
+      GROUP BY a.w, b.w
+    )
+    SELECT c.w1, c.w2, ta.df AS df_1, tb.df AS df_2, c.co_df,
+           CAST(CAST(ROUND(LN(c.co_df), 6) AS DECIMAL(27,6))
+                + CAST(ROUND(LN(n.n_docs), 6) AS DECIMAL(27,6))
+                - CAST(ROUND(LN(ta.df), 6) AS DECIMAL(27,6))
+                - CAST(ROUND(LN(tb.df), 6) AS DECIMAL(27,6))
+             AS DOUBLE) AS pmi
+    FROM co c
+    JOIN top ta ON ta.w = c.w1
+    JOIN top tb ON tb.w = c.w2
+    CROSS JOIN n
+    """,
+    doc=f"x93 (ext.): word co-occurrence PMI over the top-{PMI_TOP_WORDS} "
+    "non-stopword vocabulary — pointwise mutual information "
+    "ln(N·co/(df1·df2)) from document-level presence counts (the "
+    "collocation / topic-structure probe a corpus analysis runs before "
+    "choosing phrase-aware tokenization; positive PMI = words travel "
+    "together, negative = they repel). Exactness: all counts are exact "
+    "integers and the log decomposes into four per-integer ln terms, "
+    "each through the x45 round-6 device, combined exactly as "
+    "DECIMAL and cast to DOUBLE once. Scale shape: the distinct "
+    "(doc, word) projection is one word-count shuffle; the tiny top-"
+    "vocabulary table semi-filters both join sides so the pair fanout "
+    f"is bounded by {PMI_TOP_WORDS} words per doc; df and corpus-size "
+    "scalars broadcast into the final scoring join",
+)
+def x93_word_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    dw = (
+        d.select("doc_id", F.explode(tokens("text")).alias("w"))
+        .filter(~F.col("w").isin(STOPWORDS))
+        .distinct()
+    )
+    n = dw.agg(F.countDistinct("doc_id").alias("n_docs"))
+    df_t = dw.groupBy("w").agg(F.count("*").alias("df"))
+    top = (
+        df_t.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("df"), F.asc("w")))
+        )
+        .filter(F.col("rn") <= PMI_TOP_WORDS)
+        .select("w", "df")
+    )
+    filt = dw.join(F.broadcast(top.select("w")), "w")
+    a = filt.select("doc_id", F.col("w").alias("w1"))
+    b = filt.select("doc_id", F.col("w").alias("w2"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("w1") < F.col("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("co_df"))
+    )
+
+    def lnd(c):
+        return F.round(F.log(c.cast("double")), 6).cast("decimal(27,6)")
+
+    ta = top.select(F.col("w").alias("w1"), F.col("df").alias("df_1"))
+    tb = top.select(F.col("w").alias("w2"), F.col("df").alias("df_2"))
+    return (
+        co.join(F.broadcast(ta), "w1")
+        .join(F.broadcast(tb), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            "df_1",
+            "df_2",
+            "co_df",
+            (
+                lnd(F.col("co_df"))
+                + lnd(F.col("n_docs"))
+                - lnd(F.col("df_1"))
+                - lnd(F.col("df_2"))
+            )
+            .cast("double")
+            .alias("pmi"),
+        )
+    )
+
+
+# --- x94: RAKE keyphrase extraction ------------------------------------------
+
+RAKE_MAX_LEN = 4
+RAKE_TOPK = 15
+
+
+@register(
+    "x94_rake_keyphrases",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(lower(text), ' ')) AS w,
+             generate_subscripts(string_split(lower(text), ' '), 1) AS pos
+      FROM documents
+    ),
+    marked AS (
+      SELECT doc_id, pos, w,
+             CASE WHEN w IN ('{"','".join(STOPWORDS)}') THEN 1 ELSE 0 END
+               AS is_stop,
+             SUM(CASE WHEN w IN ('{"','".join(STOPWORDS)}')
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+      FROM tok
+    ),
+    member AS (
+      SELECT doc_id, phrase_id, pos, w FROM marked WHERE is_stop = 0
+    ),
+    cand AS (
+      SELECT doc_id, phrase_id, COUNT(*) AS len
+      FROM member GROUP BY doc_id, phrase_id
+      HAVING COUNT(*) <= {RAKE_MAX_LEN}
+    ),
+    cm AS (
+      SELECT m.doc_id, m.phrase_id, m.pos, m.w, c.len
+      FROM member m JOIN cand c USING (doc_id, phrase_id)
+    ),
+    wscore AS (
+      SELECT w, (SUM(len) * 1000000) // COUNT(*) AS score_u
+      FROM cm GROUP BY w
+    ),
+    pscore AS (
+      SELECT cm.doc_id, cm.phrase_id,
+             SUM(ws.score_u) AS score_u,
+             STRING_AGG(cm.w, ' ' ORDER BY cm.pos) AS phrase
+      FROM cm JOIN wscore ws USING (w)
+      GROUP BY cm.doc_id, cm.phrase_id
+    ),
+    agg AS (
+      SELECT phrase, MAX(score_u) AS score_u, COUNT(*) AS n_occurrences
+      FROM pscore GROUP BY phrase
+    )
+    SELECT CAST(rn AS BIGINT) AS rank, phrase,
+           CAST(score_u AS BIGINT) AS score_u,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM (
+      SELECT phrase, score_u, n_occurrences,
+             ROW_NUMBER() OVER (ORDER BY score_u DESC, phrase) AS rn
+      FROM agg
+    ) WHERE rn <= {RAKE_TOPK}
+    """,
+    doc=f"x94 (ext.): RAKE keyphrase extraction — candidate phrases are "
+    "maximal stopword-delimited word runs (length <= "
+    f"{RAKE_MAX_LEN}), each word scored degree/frequency over the "
+    "candidate set, each phrase scored as the sum of its word scores, "
+    f"then the corpus-wide top-{RAKE_TOPK} distinct phrases (the "
+    "unsupervised keyword pass a corpus catalog runs next to x18's "
+    "TF-IDF keywords — TF-IDF ranks single terms per doc, RAKE "
+    "surfaces multi-word phrases corpus-wide). Exactness: the "
+    "degree/frequency quotient is computed as an exact integer "
+    "MICROSCORE ((degree*1e6) DIV freq) so phrase scores are exact "
+    "BIGINT sums — no float appears anywhere in the pipeline. Scale "
+    "shape: phrase segmentation is one doc-partitioned prefix-sum "
+    "window (sequences co-located); word stats and phrase re-scoring "
+    "are word-count-shaped aggs with the small word-score table "
+    "joining back on the gram key; ordered phrase text is rebuilt "
+    "per (doc, phrase) group from its own bounded members",
+)
+def x94_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import fan_out, pin_derived
+
+    def build_members() -> DataFrame:
+        d = fan_out(load_table(spark, sf_dir, "documents"), spark)
+        tok = d.select(
+            "doc_id", F.posexplode(tokens("text")).alias("pos0", "w")
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+        is_stop = F.col("w").isin(STOPWORDS).cast("int")
+        marked = tok.select(
+            "doc_id",
+            "pos",
+            "w",
+            is_stop.alias("is_stop"),
+            F.sum(is_stop)
+            .over(W.partitionBy("doc_id").orderBy("pos"))
+            .alias("phrase_id"),
+        )
+        return marked.filter(F.col("is_stop") == 0).select(
+            "doc_id", "phrase_id", "pos", "w"
+        )
+
+    # three consumers probe the segmented member table (length filter,
+    # word stats, phrase re-scoring) — pin it so the explode + prefix-sum
+    # window runs ONCE instead of once per plan branch
+    member = pin_derived(spark, sf_dir, "rake_members", build_members)
+    cand = (
+        member.groupBy("doc_id", "phrase_id")
+        .agg(F.count("*").alias("len"))
+        .filter(F.col("len") <= RAKE_MAX_LEN)
+    )
+    cm = member.join(cand, ["doc_id", "phrase_id"])
+    wscore = cm.groupBy("w").agg(
+        F.expr("(SUM(len) * 1000000) DIV COUNT(*)").alias("score_u")
+    )
+    pscore = (
+        cm.join(wscore, "w")
+        .groupBy("doc_id", "phrase_id")
+        .agg(
+            F.sum("score_u").alias("score_u"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+        )
+    )
+    agg = pscore.groupBy("phrase").agg(
+        F.max("score_u").cast("bigint").alias("score_u"),
+        F.count("*").cast("bigint").alias("n_occurrences"),
+    )
+    return (
+        agg.withColumn(
+            "rn", F.row_number().over(W.orderBy(F.desc("score_u"), F.asc("phrase")))
+        )
+        .filter(F.col("rn") <= RAKE_TOPK)
+        .select(
+            F.col("rn").cast("bigint").alias("rank"),
+            "phrase",
+            "score_u",
+            "n_occurrences",
+        )
+    )

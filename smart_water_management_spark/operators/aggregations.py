@@ -1645,3 +1645,75 @@ def a31_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "intercept",
         )
     )
+
+
+# --- a32 (ext.): Benford first-digit audit -----------------------------------
+
+
+@register(
+    "a32_benford_audit",
+    oracle="""
+    WITH c AS (
+      SELECT CAST(ROUND(l_extendedprice * 1000000, 0) AS BIGINT) AS micros
+      FROM lineitem WHERE l_extendedprice > 0
+    ),
+    d AS (
+      SELECT CAST(SUBSTRING(CAST(micros AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM c WHERE micros > 0
+    ),
+    o AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
+    n AS (SELECT SUM(n_obs) AS n_total FROM o)
+    SELECT o.digit, CAST(o.n_obs AS BIGINT) AS n_obs,
+           ROUND(LN(1.0 + 1.0 / o.digit), 6) / ROUND(LN(10), 6)
+             AS expected_share,
+           CAST(n.n_total AS BIGINT) AS n_total,
+           (CAST(o.n_obs AS DOUBLE) / n.n_total)
+             / (ROUND(LN(1.0 + 1.0 / o.digit), 6) / ROUND(LN(10), 6))
+             AS obs_over_expected
+    FROM o CROSS JOIN n
+    """,
+    doc="a32 (ext.): Benford first-significant-digit audit of "
+    "l_extendedprice — observed digit counts vs the Benford expectation "
+    "log10(1+1/d) with the observed/expected ratio per digit (the "
+    "classic financial-anomaly / synthetic-data-detection screen; a "
+    "ratio far from 1 on low digits flags fabricated or truncated "
+    "amounts). Exactness: values quantize to exact integer micros "
+    "(round-then-cast, never a truncating double->int cast) and the "
+    "first digit is taken from the integer's decimal string — no "
+    "log10-boundary risk; the expectation is a ratio of two round-6 ln "
+    "terms, an IEEE quotient of identical doubles in both engines; "
+    "per-digit output avoids any "
+    "order-dependent float total. Scale shape: one map-combined "
+    "9-bucket agg over the scan — word-count shape at any corpus "
+    "size. Reference analog: distribution checks in "
+    "src/data_validator.py:240-280",
+)
+def a32_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    micros = F.round(F.col("l_extendedprice") * 1000000, 0).cast("bigint")
+    d = (
+        li.filter(F.col("l_extendedprice") > 0)
+        .select(micros.alias("micros"))
+        .filter(F.col("micros") > 0)
+        .select(
+            F.substring(F.col("micros").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    o = d.groupBy("digit").agg(F.count("*").alias("n_obs"))
+    n = o.agg(F.sum("n_obs").alias("n_total"))
+
+    share = F.round(
+        F.log(F.lit(1.0) + F.lit(1.0) / F.col("digit")), 6
+    ) / F.round(F.log(F.lit(10.0)), 6)
+    return o.crossJoin(F.broadcast(n)).select(
+        "digit",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        share.alias("expected_share"),
+        F.col("n_total").cast("bigint").alias("n_total"),
+        (
+            (F.col("n_obs").cast("double") / F.col("n_total"))
+            / share
+        ).alias("obs_over_expected"),
+    )

@@ -650,3 +650,26 @@ def test_time_decay_no_window_operator(spark):
     assert "Window" not in plan
     assert "partial_sum" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_word_pmi_bounded_pair_fanout(spark):
+    """x93: the pair build must be an equi-join on doc_id over the
+    top-vocab-filtered projection (bounded fanout) — no cartesian; the
+    vocab/df/scalar tables broadcast."""
+    plan = plan_of(_q(spark, "x93_word_pmi"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rake_single_segmentation_window(spark):
+    """x94: phrase segmentation is ONE doc-partitioned prefix-sum
+    window; everything downstream is hash aggs and equi-joins."""
+    plan = plan_of(_q(spark, "x94_rake_keyphrases"), "simple")
+    assert "CartesianProduct" not in plan
+    # the segmented member table is pinned: all three consumers (length
+    # filter, word stats, phrase re-scoring) must read the SAME cached
+    # copy, so the explode + prefix-sum window executes once
+    assert plan.count("InMemoryTableScan") >= 2
+    # the final top-k runs as a distributed TakeOrderedAndProject
+    # (per-partition heap + merge) BEFORE the 15-row rank window
+    assert "TakeOrderedAndProject" in plan
