@@ -314,3 +314,129 @@ def x69_canonical_by_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges.unpersist()
     nodes.unpersist()
     return out
+
+
+# --- x95: group-aware train/val/test split assignment ------------------------
+
+# Percent cut points of the md5 hash of the GROUP key (not the doc key):
+# assigning whole dedup groups keeps near-duplicates out of the eval
+# splits — the remedy for the leakage x44 measures.
+SPLIT_CUTS = (80, 90)
+
+
+def _x95_oracle() -> str:
+    from .dedup import _x08_cte
+
+    return f"""
+    WITH RECURSIVE {_x08_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    closure AS (
+      SELECT a, b FROM reach
+      UNION
+      SELECT DISTINCT src AS a, src AS b FROM edges
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM closure GROUP BY a),
+    alldocs AS (
+      SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+             len(string_split(lower(d.text), ' ')) AS n_tok
+      FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    assigned AS (
+      SELECT doc_id, component, n_tok,
+             CASE WHEN h < {SPLIT_CUTS[0]} THEN 'train'
+                  WHEN h < {SPLIT_CUTS[1]} THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT *, CAST(('0x' || substr(md5(CAST(component AS VARCHAR)),
+                                       1, 8)) AS BIGINT) % 100 AS h
+        FROM alldocs)
+    ),
+    straddle AS (
+      SELECT component FROM assigned
+      GROUP BY component HAVING COUNT(DISTINCT split) > 1
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT component) AS BIGINT) AS n_groups,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST((SELECT COUNT(*) FROM straddle) AS BIGINT)
+             AS n_straddling_groups,
+           CAST(COUNT(*) AS DOUBLE)
+             / (SELECT COUNT(*) FROM documents) AS doc_share
+    FROM assigned GROUP BY split
+    """
+
+
+@register(
+    "x95_group_split_assign",
+    oracle=_x95_oracle(),
+    doc="x95 (ext.): group-integral train/val/test assignment — every "
+    "doc inherits its dedup GROUP's split (md5 of the component id, "
+    f"{SPLIT_CUTS[0]}/{SPLIT_CUTS[1] - SPLIT_CUTS[0]}/"
+    f"{100 - SPLIT_CUTS[1]} percent cuts), so near-duplicate pairs can "
+    "never straddle train and eval — the constructive remedy for the "
+    "contamination x44 measures, with the straddle count reported as a "
+    "zero-by-construction audit column. Split assignment is pure "
+    "hashing (reproducible, no RNG state, stable under corpus "
+    "append). Exactness: counts are exact integers; doc_share is one "
+    "IEEE quotient. Scale shape: reuses x15's pinned signatures + "
+    "label-propagation components (per-round join + agg, "
+    "localCheckpoint-truncated lineage), then one hash-bucket "
+    "projection and a 3-row agg with the straddle audit broadcast "
+    "back. Reference analog: none in the reference — BASELINE.json "
+    "extension surface (split hygiene for training corpora)",
+)
+def x95_group_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import pinned_corpus_signatures
+    from .text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    deduped = dedup_corpus(docs, sigs=pinned_corpus_signatures(spark, sf_dir))
+    h = F.conv(
+        F.substring(F.md5(F.col("component").cast("string")), 1, 8), 16, 10
+    ).cast("long") % 100
+    assigned = deduped.select(
+        "doc_id",
+        "component",
+        F.size(tokens("text")).alias("n_tok"),
+        F.when(h < SPLIT_CUTS[0], "train")
+        .when(h < SPLIT_CUTS[1], "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    straddle = (
+        assigned.groupBy("component")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .agg(F.count("*").cast("bigint").alias("n_straddling_groups"))
+    )
+    total = assigned.agg(F.count("*").alias("n_total"))
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("component").cast("bigint").alias("n_groups"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(straddle))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "split",
+            "n_docs",
+            "n_groups",
+            "n_tokens",
+            "n_straddling_groups",
+            (F.col("n_docs").cast("double") / F.col("n_total")).alias(
+                "doc_share"
+            ),
+        )
+    )

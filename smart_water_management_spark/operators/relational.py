@@ -712,3 +712,72 @@ def p09_q21_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= P09_TOP)
     )
+
+
+# --- p10 (ext.): TPC-H Q15 shape — argmax over an aggregated view ------------
+
+P10_FROM = "1996-01-01"
+P10_TO = "1996-04-01"
+
+
+@register(
+    "p10_q15_shape",
+    oracle=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount), 6)
+                      AS DECIMAL(27,6))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{P10_FROM}'
+        AND l_shipdate < TIMESTAMP '{P10_TO}'
+      GROUP BY l_suppkey
+    ),
+    mx AS (SELECT MAX(total_revenue) AS max_revenue FROM revenue)
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    CROSS JOIN mx
+    WHERE r.total_revenue = mx.max_revenue
+    """,
+    doc="p10 (ext.): the TPC-H Q15 'top supplier' shape — an aggregated "
+    "revenue view, a scalar MAX over it, and an equality join back "
+    "(returns ALL tied argmax rows, which a naive ORDER BY ... LIMIT 1 "
+    "silently drops). The scalar-subquery-over-view decorrelation "
+    "pattern, completing p06–p09. Exactness: revenue totals are exact "
+    "decimal sums, so the MAX equality is decimal-exact (an equality "
+    "on floats here would be a correctness bug — the reason the "
+    "decimal device matters beyond hashing). Scale shape: one "
+    "map-combined agg of the filtered fact scan (predicate pushed to "
+    "parquet), the 1-row MAX broadcast back over the agg output, and "
+    "the supplier dim broadcast into the final join. Reference "
+    "analog: 'top supplier' dashboard cards in src/app.py",
+)
+def p10_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(P10_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(P10_TO).cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+                ).cast("decimal(27,6)")
+            ).alias("total_revenue")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(sup), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )

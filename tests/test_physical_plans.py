@@ -673,3 +673,21 @@ def test_rake_single_segmentation_window(spark):
     # the final top-k runs as a distributed TakeOrderedAndProject
     # (per-partition heap + merge) BEFORE the 15-row rank window
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q15_decimal_exact_argmax(spark):
+    """p10: the argmax-with-ties must compare exact decimals (a float
+    equality would be a correctness bug) and the 1-row MAX + supplier
+    dim must broadcast — no sort of the revenue view."""
+    plan = plan_of(_q(spark, "p10_q15_shape"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_sum" in plan
+    assert "TakeOrderedAndProject" not in plan  # no limit-1 shortcut
+
+
+def test_group_split_no_cartesian(spark):
+    """x95: component labels + hash-bucket projection + 3-row agg; the
+    straddle audit and total broadcast back — no cartesian blowup."""
+    plan = plan_of(_q(spark, "x95_group_split_assign"), "simple")
+    assert "CartesianProduct" not in plan
