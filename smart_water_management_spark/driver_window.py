@@ -156,7 +156,7 @@ ROUND7_CANDIDATES: list[str] = [
     "x89_bm25_topk", "w21_cusum_drift", "x91_retrieval_metrics", "a31_theil_sen_trend", "v11_reconciliation_audit",
     "m10_mann_kendall", "x92_weighted_reservoir", "t19_stream_weighted_reservoir", "p09_q21_shape", "w22_time_decay_mean", "x93_word_pmi",
     "a32_benford_audit", "x94_rake_keyphrases", "x95_group_split_assign",
-    "p10_q15_shape",
+    "p10_q15_shape", "m11_isotonic_calibration",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -937,3 +937,114 @@ def m10_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("no_trend")
         .alias("trend"),
     )
+
+
+# --- m11 (ext.): isotonic (PAV) calibration via the minimax identity ---------
+
+M11_BUCKET_W = 50  # n_chars per bucket
+
+
+@register(
+    "m11_isotonic_calibration",
+    oracle=f"""
+    WITH docs AS (
+      SELECT n_chars // {M11_BUCKET_W} AS b,
+             len(string_split(lower(text), ' ')) AS n_tok,
+             len(list_filter(string_split(lower(text), ' '),
+                             w -> w IN ('the', 'a', 'of', 'and', 'to')))
+               AS n_stop
+      FROM documents
+    ),
+    buckets AS (
+      SELECT b, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tok,
+             CAST(SUM(n_stop) AS BIGINT) AS n_stop
+      FROM docs GROUP BY b
+    ),
+    intervals AS (
+      SELECT j.b AS j, k.b AS k,
+             CAST(SUM(m.n_stop) AS DOUBLE) / SUM(m.n_tok) AS m
+      FROM buckets j
+      JOIN buckets k ON j.b <= k.b
+      JOIN buckets m ON m.b BETWEEN j.b AND k.b
+      GROUP BY j.b, k.b
+    ),
+    t1 AS (
+      SELECT i.b AS b, v.j, MIN(v.m) AS mn
+      FROM buckets i JOIN intervals v ON v.j <= i.b AND v.k >= i.b
+      GROUP BY i.b, v.j
+    ),
+    iso AS (SELECT b, MAX(mn) AS iso_rate FROM t1 GROUP BY b)
+    SELECT bk.b AS bucket, bk.n_docs, bk.n_tok, bk.n_stop,
+           CAST(bk.n_stop AS DOUBLE) / bk.n_tok AS raw_rate,
+           iso.iso_rate
+    FROM buckets bk JOIN iso ON iso.b = bk.b
+    """,
+    doc="m11 (ext.): isotonic regression (pool-adjacent-violators) of "
+    "stopword density vs document-length bucket, computed through the "
+    "PAV minimax identity fit_i = max_{{j<=i}} min_{{k>=i}} "
+    "mean(y[j..k]) — the monotone-calibration primitive a curation "
+    "pipeline uses to turn a raw quality signal into a monotone "
+    "keep-probability curve (MLlib's IsotonicRegression is the "
+    "sequential counterpart; this closed form is exact, "
+    "embarrassingly parallel, and oracle-checkable). Exactness: every "
+    "interval mean is one IEEE quotient of exact BIGINT token sums; "
+    "min/max scan identical doubles; nothing rounded. Scale shape: "
+    "the corpus reduces map-side to one row per length bucket BEFORE "
+    "any pairing, so the O(B^3) minimax fan-out is over the "
+    "constant-size bucket table (B ~ 12), all three joins "
+    "broadcastable. Reference analog: quality-band calibration in "
+    "src/enhanced_spark_etl.py:216-225, done there with fixed CASE "
+    "thresholds",
+)
+def m11_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..llmdata.text import STOPWORDS, tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    docs = d.select(
+        F.floor(F.col("n_chars") / M11_BUCKET_W).alias("b"),
+        F.size(toks).alias("n_tok"),
+        F.size(F.filter(toks, lambda w: w.isin(STOPWORDS))).alias("n_stop"),
+    )
+    buckets = docs.groupBy("b").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tok"),
+        F.sum("n_stop").cast("bigint").alias("n_stop"),
+    )
+    j = buckets.select(F.col("b").alias("j"))
+    k = buckets.select(F.col("b").alias("k"))
+    m = buckets.select(
+        F.col("b").alias("mb"),
+        F.col("n_stop").alias("ms"),
+        F.col("n_tok").alias("mt"),
+    )
+    intervals = (
+        j.join(F.broadcast(k), F.col("j") <= F.col("k"))
+        .join(
+            F.broadcast(m),
+            (F.col("mb") >= F.col("j")) & (F.col("mb") <= F.col("k")),
+        )
+        .groupBy("j", "k")
+        .agg((F.sum("ms").cast("double") / F.sum("mt")).alias("m"))
+    )
+    i = buckets.select(F.col("b").alias("i"))
+    t1 = (
+        i.join(
+            F.broadcast(intervals),
+            (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")),
+        )
+        .groupBy("i", "j")
+        .agg(F.min("m").alias("mn"))
+    )
+    iso = t1.groupBy("i").agg(F.max("mn").alias("iso_rate"))
+    return buckets.join(
+        F.broadcast(iso), buckets["b"] == iso["i"]
+    ).select(
+        F.col("b").alias("bucket"),
+        "n_docs",
+        "n_tok",
+        "n_stop",
+        (F.col("n_stop").cast("double") / F.col("n_tok")).alias("raw_rate"),
+        "iso_rate",
+    )

@@ -691,3 +691,11 @@ def test_group_split_no_cartesian(spark):
     straddle audit and total broadcast back — no cartesian blowup."""
     plan = plan_of(_q(spark, "x95_group_split_assign"), "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_isotonic_reduces_before_minimax(spark):
+    """m11: the corpus must reduce to per-bucket rows (map-side combine)
+    BEFORE the O(B^3) minimax joins, which all broadcast."""
+    plan = plan_of(_q(spark, "m11_isotonic_calibration"), "simple")
+    assert "partial_sum" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
