@@ -157,6 +157,9 @@ ROUND7_CANDIDATES: list[str] = [
     "m10_mann_kendall", "x92_weighted_reservoir", "t19_stream_weighted_reservoir", "p09_q21_shape", "w22_time_decay_mean", "x93_word_pmi",
     "a32_benford_audit", "x94_rake_keyphrases", "x95_group_split_assign",
     "p10_q15_shape", "m11_isotonic_calibration",
+    "m12_classical_decomposition", "m13_acf_profile",
+    "w23_seasonal_naive_outliers", "x96_tokenizer_fertility",
+    "f19_url_functions", "t20_streaming_countmin",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -597,3 +597,63 @@ def f18_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         canon(kept).alias("kept_entries"),
         delta_sum.alias("delta_sum"),
     )
+
+
+# --- f19 (ext.): URL parsing functions ---------------------------------------
+
+
+@register(
+    "f19_url_functions",
+    # The oracle recomputes host/path/param CONSTRUCTIVELY (the URL is
+    # built from source/lang/doc_id, so its parts are closed-form) —
+    # Spark's parse_url must land on the same decomposition, i.e. the
+    # oracle tests the parser against ground truth rather than against
+    # another regex.
+    oracle="""
+    WITH u AS (
+      SELECT source || '.example.org' AS host,
+             '/' || lang || '/doc-' || CAST(doc_id % 50 AS VARCHAR) AS path,
+             doc_id % 7 AS p
+      FROM documents
+    )
+    SELECT host,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT path) AS BIGINT) AS n_paths,
+           CAST(SUM(p) AS BIGINT) AS p_sum,
+           CAST(MAX(p) AS BIGINT) AS p_max
+    FROM u GROUP BY host
+    """,
+    doc="f19 (ext.): URL parsing — parse_url(HOST/PATH/QUERY param) over "
+    "per-doc canonical URLs, rolled up per host (doc count, distinct "
+    "paths, query-param aggregates). The JVM-side parser (java.net.URI "
+    "semantics) is certified against a constructive oracle that knows "
+    "the true decomposition — the provenance/domain-mix audit every "
+    "web-scale corpus pipeline runs before source weighting. Scale: "
+    "one scan, expressions fused into the aggregate's project; the "
+    "host rollup is a map-combined hash agg on a low-cardinality key",
+)
+def f19_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?id="),
+        F.col("doc_id").cast("string"),
+        F.lit("&p="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    parsed = d.select(
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("p")).cast("long").alias("p"),
+    )
+    return parsed.groupBy("host").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.countDistinct("path").cast("bigint").alias("n_paths"),
+        F.sum("p").cast("bigint").alias("p_sum"),
+        F.max("p").cast("bigint").alias("p_max"),
+    )

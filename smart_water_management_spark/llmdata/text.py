@@ -602,9 +602,11 @@ def _sql_cms_bucket(word: str, seed: int) -> str:
     )
 
 
-@register(
-    "x46_countmin_heavy_hitters",
-    oracle=f"""
+def _x46_oracle() -> str:
+    """The count-min grid + top-k probe oracle — shared verbatim by the
+    batch sketch (x46) and its incrementally-maintained streaming twin
+    (t20), the same single-oracle pattern as a24/t14."""
+    return f"""
     WITH wc AS (
       SELECT w, COUNT(*) AS cnt FROM (
         SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
@@ -628,7 +630,12 @@ def _sql_cms_bucket(word: str, seed: int) -> str:
       ON c.seed = s.seed
      AND c.bucket = CASE s.seed {" ".join(f"WHEN {d} THEN {_sql_cms_bucket('top.w', d)}" for d in range(CMS_DEPTH))} END
     GROUP BY 1, 2
-    """,
+    """
+
+
+@register(
+    "x46_countmin_heavy_hitters",
+    oracle=_x46_oracle(),
     doc=f"count-min sketch heavy hitters: a {CMS_DEPTH}x{CMS_WIDTH} "
     "md5-bucketed counter grid (built by SUM — re-aggregatable across "
     "corpus shards like a17's HLL sketches) probed for the top-"
@@ -1835,4 +1842,68 @@ def x94_rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score_u",
             "n_occurrences",
         )
+    )
+
+
+# --- x96: tokenizer fertility audit ------------------------------------------
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-alnum marks
+# (the GPT-2 pre-tokenizer's shape without the unicode categories the
+# sandbox regex dialects disagree on). Disjoint alternatives => identical
+# matches under Java regex (Spark) and RE2 (DuckDB).
+_X96_PAT = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@register(
+    "x96_tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+             AS n_words,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{_X96_PAT}')))
+             AS BIGINT) AS n_subwords,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           ROUND(CAST(SUM(len(regexp_extract_all(lower(text), '{_X96_PAT}')))
+                      AS DOUBLE)
+                 / SUM(len(string_split(lower(text), ' '))), 6) AS fertility,
+           ROUND(CAST(SUM(length(text)) AS DOUBLE)
+                 / SUM(len(regexp_extract_all(lower(text), '{_X96_PAT}'))), 6)
+             AS chars_per_subword
+    FROM documents GROUP BY lang
+    """,
+    doc="x96: tokenizer fertility audit per language — whitespace words "
+    "vs BPE-style pre-tokens (letter runs / digit runs / single marks) "
+    "vs characters; fertility = subwords per word, the number that "
+    "converts a corpus token budget between tokenizers (and the first "
+    "thing that blows up a multilingual data mix if unchecked). "
+    "Exactness: all counts are integers off one JVM-regex scan; the two "
+    "ratios are single IEEE quotients. Scale: one map-combined "
+    "aggregate, no explode — counts come from size() of the match "
+    "arrays, so nothing row-expands; the regex alternatives are "
+    "disjoint classes, so Java and RE2 tokenize identically",
+)
+def x96_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    lower = F.lower(F.col("text"))
+    n_sub = F.size(F.regexp_extract_all(lower, F.lit(_X96_PAT), 0))
+    n_w = F.size(F.split(lower, " "))
+    agg = d.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(n_w).cast("bigint").alias("n_words"),
+        F.sum(n_sub).cast("bigint").alias("n_subwords"),
+        F.sum(F.length("text")).cast("bigint").alias("n_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_subwords",
+        "n_chars",
+        F.round(
+            F.col("n_subwords").cast("double") / F.col("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("n_chars").cast("double") / F.col("n_subwords"), 6
+        ).alias("chars_per_subword"),
     )

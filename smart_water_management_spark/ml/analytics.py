@@ -1048,3 +1048,200 @@ def m11_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_stop").cast("double") / F.col("n_tok")).alias("raw_rate"),
         "iso_rate",
     )
+
+
+# --- M12 (ext.): classical additive decomposition ----------------------------
+
+# The seasonal-index decomposition a demand-forecasting pipeline runs
+# before model choice (reference analog: the seasonality probe next to
+# the RF forecaster, src/enhanced_spark_etl.py:451-524 — the reference
+# eyeballs hourly means; we compute the textbook trend/seasonal split).
+# Exactness device: the hourly series is an exact DECIMAL sum, the
+# centered 25-term moving-average trend is a DECIMAL window sum, and the
+# detrended value is computed as 25*y - trend_sum — DECIMAL minus
+# DECIMAL, so every intermediate is exact and order-independent; the
+# only doubles are the two final quotients, identical IEEE expressions
+# in both engines, rounded once.
+_M12_HALF = 12  # centered MA half-width: 2*12+1 = 25 observed hours
+
+
+def _hourly_series_sql() -> str:
+    """Shared oracle CTE: exact-decimal hourly totals per event type."""
+    return """
+    hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             SUM(CAST(value AS DECIMAL(27,6))) AS hv
+      FROM events GROUP BY 1, 2
+    )"""
+
+
+def _hourly_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-decimal hourly totals per event type (m12/m13/w23 share it).
+
+    One map-combined hash aggregate collapses the fact table to at most
+    (types x hours) rows — the pre-reduction that makes every downstream
+    window/self-join run on a calendar-bounded series (8,760 rows/year
+    per type) no matter how many raw events feed it."""
+    ev = load_table(spark, sf_dir, "events")
+    h = F.floor(
+        (F.unix_timestamp("ts") - F.lit(1704067200)) / F.lit(3600.0)
+    ).cast("long")
+    return ev.groupBy("event_type", h.alias("h")).agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("hv")
+    )
+
+
+@register(
+    "m12_classical_decomposition",
+    oracle=f"""
+    WITH {_hourly_series_sql()},
+    tr AS (
+      SELECT event_type, h, hv,
+             SUM(hv) OVER w AS tsum,
+             COUNT(*) OVER w AS nf
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN {_M12_HALF} PRECEDING
+                            AND {_M12_HALF} FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, h % 24 AS hod,
+             hv * {2 * _M12_HALF + 1} - tsum AS d, tsum
+      FROM tr WHERE nf = {2 * _M12_HALF + 1}
+    )
+    SELECT event_type, hod,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           ROUND(CAST(SUM(d) AS DOUBLE)
+                 / ({2 * _M12_HALF + 1}.0 * COUNT(*)), 6) AS seasonal_index,
+           ROUND(CAST(SUM(tsum) AS DOUBLE)
+                 / ({2 * _M12_HALF + 1}.0 * COUNT(*)), 6) AS trend_level
+    FROM det GROUP BY 1, 2
+    """,
+    doc="M12 (ext.): classical additive decomposition of the hourly "
+    "demand series per event type — trend via a centered 25-term "
+    "observed-hour moving average (ROWS frame: gap-skipping, so sparse "
+    "fixtures and dense production series share one definition), "
+    "seasonal index per hour-of-day as the mean detrended value. "
+    "Exact-decimal end-to-end (detrended = 25*y - trend_sum, DECIMAL "
+    "arithmetic); the two output quotients are single IEEE expressions "
+    "on identical doubles. Scale: one map-combined pre-agg bounds the "
+    "series to calendar size; the window runs per type on that bounded "
+    "series, never on raw events",
+)
+def m12_classical_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_terms = 2 * _M12_HALF + 1
+    hourly = _hourly_series(spark, sf_dir)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-_M12_HALF, _M12_HALF)
+    )
+    tr = hourly.select(
+        "event_type",
+        "h",
+        "hv",
+        F.sum("hv").over(w).alias("tsum"),
+        F.count("*").over(w).alias("nf"),
+    ).filter(F.col("nf") == n_terms)
+    det = tr.select(
+        "event_type",
+        (F.col("h") % 24).alias("hod"),
+        (F.col("hv") * n_terms - F.col("tsum")).alias("d"),
+        "tsum",
+    )
+    return det.groupBy("event_type", "hod").agg(
+        F.count("*").cast("bigint").alias("n_obs"),
+        F.round(
+            F.sum("d").cast("double") / (float(n_terms) * F.count("*")), 6
+        ).alias("seasonal_index"),
+        F.round(
+            F.sum("tsum").cast("double") / (float(n_terms) * F.count("*")), 6
+        ).alias("trend_level"),
+    )
+
+
+# --- M13 (ext.): autocorrelation profile (ACF lags 1-3) -----------------------
+
+_M13_LAGS = 3
+
+
+@register(
+    "m13_acf_profile",
+    oracle=f"""
+    WITH {_hourly_series_sql()},
+    x AS (SELECT event_type, h, CAST(hv AS DOUBLE) AS v FROM hourly),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.v AS xv, b.v AS yv
+      FROM x a
+      CROSS JOIN (SELECT CAST(unnest(generate_series(1, {_M13_LAGS}))
+                          AS INT) AS lag) l
+      JOIN x b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+    ),
+    m AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {sql_dsum('xv', 38)} AS sx,
+             {sql_dsum('yv', 38)} AS sy,
+             {sql_dsum('xv*xv', 38)} AS sxx,
+             {sql_dsum('yv*yv', 38)} AS syy,
+             {sql_dsum('xv*yv', 38)} AS sxy
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+           ROUND((n * sxy - sx * sy)
+                 / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS autocorr
+    FROM m
+    """,
+    doc="M13 (ext.): the autocorrelation profile (lags 1-3 over observed "
+    "hours) of the hourly demand series per event type — the ACF a "
+    "forecaster checks before choosing AR terms, as a lagged self-join "
+    "on the calendar-bounded hourly pre-agg plus one exact-decimal "
+    "moment pass (a15/m06's determinism pattern: Pearson r from six "
+    "DECIMAL moments, closed form on identical doubles). Scale: the "
+    "self-join and moments run on (types x hours) rows, never raw "
+    "events; the lag relation is a 3-row broadcast",
+)
+def m13_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = _hourly_series(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("v")
+    )
+    # lag fanout happens IN-ROW (explode of a 3-literal array) — no join
+    # operator at all for the lag relation, the row count triples inside
+    # the same stage
+    lag_arr = F.array(*[F.lit(k) for k in range(1, _M13_LAGS + 1)])
+    a = x.select(
+        "event_type",
+        F.explode(lag_arr).alias("lag"),
+        "h",
+        F.col("v").alias("xv"),
+    ).select(
+        "event_type",
+        "lag",
+        (F.col("h") + F.col("lag")).alias("hk"),
+        "xv",
+    )
+    pairs = a.join(
+        x.select("event_type", F.col("h").alias("hk"), F.col("v").alias("yv")),
+        ["event_type", "hk"],
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("xv", 38).alias("sx"),
+        dsum("yv", 38).alias("sy"),
+        dsum(F.col("xv") * F.col("xv"), 38).alias("sxx"),
+        dsum(F.col("yv") * F.col("yv"), 38).alias("syy"),
+        dsum(F.col("xv") * F.col("yv"), 38).alias("sxy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select(
+        "event_type",
+        "lag",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        F.round(r, 6).alias("autocorr"),
+    )

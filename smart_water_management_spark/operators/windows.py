@@ -1121,3 +1121,82 @@ def w22_time_decay_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         pm.alias("plain_mean"),
         (dm / pm).alias("recency_ratio"),
     )
+
+
+# --- w23 (ext.): seasonal-naive residual outliers -----------------------------
+
+_W23_SEASON = 168  # hours: same clock hour one week earlier
+_W23_TOPK = 3
+
+
+@register(
+    "w23_seasonal_naive_outliers",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             SUM(CAST(value AS DECIMAL(27,6))) AS hv
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT c.event_type, c.h, c.hv AS actual, p.hv AS baseline,
+             c.hv - p.hv AS resid
+      FROM hourly c
+      JOIN hourly p ON p.event_type = c.event_type
+                   AND p.h = c.h - {_W23_SEASON}
+    ),
+    r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY ABS(resid) DESC, h) AS rk
+      FROM j
+    )
+    SELECT event_type, h, rk,
+           CAST(actual AS DOUBLE) AS actual,
+           CAST(baseline AS DOUBLE) AS baseline,
+           CAST(resid AS DOUBLE) AS residual
+    FROM r WHERE rk <= {_W23_TOPK}
+    """,
+    doc=f"w23 (ext.): seasonal-naive anomaly screen — each observed "
+    f"hour's total demand vs the same clock hour {_W23_SEASON}h (one "
+    f"week) earlier, top-{_W23_TOPK} absolute residuals per event type. "
+    "The fastest-possible seasonal baseline (no model fit), the screen "
+    "an ops dashboard runs before paging on a demand spike. Exactness: "
+    "hourly totals, baselines and residuals are all DECIMAL (exact "
+    "subtraction — ranking never compares drifting doubles); doubles "
+    "appear only in the final casts. Scale: the self-join and ranking "
+    "run on the calendar-bounded hourly pre-agg (types x hours), one "
+    "equi-join co-partitioned with the window's hash on event_type",
+)
+def w23_seasonal_naive_outliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..ml.analytics import _hourly_series
+
+    hourly = _hourly_series(spark, sf_dir)
+    cur = hourly.select(
+        "event_type", "h", F.col("hv").alias("actual")
+    )
+    prev = hourly.select(
+        "event_type",
+        (F.col("h") + _W23_SEASON).alias("h"),
+        F.col("hv").alias("baseline"),
+    )
+    j = cur.join(prev, ["event_type", "h"]).withColumn(
+        "resid", F.col("actual") - F.col("baseline")
+    )
+    w = W.partitionBy("event_type").orderBy(
+        F.abs(F.col("resid")).desc(), F.col("h").asc()
+    )
+    return (
+        j.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _W23_TOPK)
+        .select(
+            "event_type",
+            "h",
+            "rk",
+            F.col("actual").cast("double").alias("actual"),
+            F.col("baseline").cast("double").alias("baseline"),
+            F.col("resid").cast("double").alias("residual"),
+        )
+    )

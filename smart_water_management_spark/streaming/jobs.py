@@ -1268,3 +1268,120 @@ def t19_stream_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame
         "value",
         "sel_key",
     )
+
+
+# --- t20: incrementally-maintained count-min sketch --------------------------
+
+from ..llmdata.text import (  # noqa: E402
+    CMS_DEPTH,
+    CMS_TOPK,
+    _cms_seeded_bucket,
+    _x46_oracle,
+    doc_token_table,
+    tokens as _doc_tokens,
+)
+
+
+def countmin_upsert_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20: x46's count-min grid maintained INCREMENTALLY by a streaming
+    foreachBatch merge — the heavy-hitter state a firehose ingest keeps.
+
+    State is the d x w counter grid itself (at most CMS_DEPTH*CMS_WIDTH
+    rows, CONSTANT in corpus size — the whole point of the sketch as
+    streaming state). Each micro-batch reduces its new docs to a partial
+    grid (map-combined word counts, then bucket sums) and merge =
+    union + SUM per (seed, bucket). Counter addition is associative and
+    commutative over integers, so the final grid equals the batch x46
+    grid bit-for-bit for ANY micro-batch slicing."""
+    from ..sources.catalog import reset_managed_table
+
+    reset_managed_table(spark, "cms_grid_state")
+    spark.sql(
+        "CREATE TABLE cms_grid_state "
+        "(seed INT, bucket BIGINT, counter BIGINT) USING parquet"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        wc = (
+            batch_df.select(F.explode(_doc_tokens("text")).alias("w"))
+            .groupBy("w")
+            .agg(F.count("*").alias("cnt"))
+        )
+        seeds = sp.range(CMS_DEPTH).select(
+            F.col("id").cast("int").alias("seed")
+        )
+        partial = (
+            wc.crossJoin(F.broadcast(seeds))
+            .select("seed", _cms_seeded_bucket("w").alias("bucket"), "cnt")
+            .groupBy("seed", "bucket")
+            .agg(F.sum("cnt").alias("counter"))
+        )
+        merged = (
+            sp.table("cms_grid_state")
+            .unionByName(partial)
+            .groupBy("seed", "bucket")
+            .agg(F.sum("counter").alias("counter"))
+            .select("seed", "bucket", "counter")
+        )
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").insertInto("cms_grid_state")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = _stage_table_dir(sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("cms_grid_state")
+
+
+@register(
+    "t20_streaming_countmin",
+    # Exactly x46's oracle: the incrementally-merged grid must answer the
+    # top-k probe identically to the batch-built grid.
+    oracle=_x46_oracle(),
+    doc="T20: count-min heavy-hitter sketch maintained incrementally via "
+    "streaming foreachBatch — each micro-batch folds its word counts "
+    "into the constant-size d x w counter grid (integer SUM merge: "
+    "associative + commutative, so the final state equals the batch "
+    "x46 grid for ANY slicing); the grid is then probed for the "
+    f"top-{CMS_TOPK} true words and certified by x46's own oracle. "
+    "The state never grows with the corpus — the property that makes "
+    "sketches the right heavy-hitter state for unbounded streams",
+)
+def t20_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = countmin_upsert_stream(spark, sf_dir)
+    wc = (
+        doc_token_table(spark, sf_dir)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    seeds = spark.range(CMS_DEPTH).select(F.col("id").cast("int").alias("seed"))
+    top = wc.orderBy(F.desc("cnt"), F.asc("w")).limit(CMS_TOPK)
+    probes = top.crossJoin(F.broadcast(seeds)).select(
+        "w", "cnt", "seed", _cms_seeded_bucket("w").alias("bucket")
+    )
+    return (
+        probes.join(F.broadcast(grid), ["seed", "bucket"])
+        .groupBy("w", "cnt")
+        .agg(F.min("counter").alias("cms_estimate"))
+        .select(
+            F.col("w").alias("word"),
+            F.col("cnt").alias("true_count"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("cnt")).alias("overestimate"),
+        )
+    )

@@ -699,3 +699,53 @@ def test_isotonic_reduces_before_minimax(spark):
     plan = plan_of(_q(spark, "m11_isotonic_calibration"), "simple")
     assert "partial_sum" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_classical_decomposition_preagg_before_window(spark):
+    """m12: the raw-event scan must collapse through a map-combined hash
+    aggregate (partial_sum of the decimal hourly totals) BEFORE the
+    25-term MA window — the window runs on calendar-bounded rows, and
+    the seasonal rollup is a second hash agg, not another sort."""
+    plan = plan_of(_q(spark, "m12_classical_decomposition"), "simple")
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    # exactly one window operator (trend sum + count share the frame)
+    assert plan.count("Window") == 1
+
+
+def test_acf_profile_joins_bounded_series(spark):
+    """m13: the lag relation broadcasts and the lagged self-join is an
+    equi-join over the PRE-REDUCED hourly series — never raw events;
+    moments are map-combined."""
+    plan = plan_of(_q(spark, "m13_acf_profile"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("partial_sum") >= 2  # hourly pre-agg + moment pass
+
+
+def test_seasonal_naive_equijoin_on_preagg(spark):
+    """w23: the week-back baseline is an equi-join of the hourly pre-agg
+    to itself (h = h+168 pushed into the join key) — no range/cartesian
+    scan — and the top-k rank runs per event_type after the join."""
+    plan = plan_of(_q(spark, "w23_seasonal_naive_outliers"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_tokenizer_fertility_no_explode(spark):
+    """x96: fertility counts come from size() of in-row match arrays —
+    the plan must contain NO row-expanding Generate (explode) and one
+    map-combined aggregate; nothing shuffles except the 5-key rollup."""
+    plan = plan_of(_q(spark, "x96_tokenizer_fertility"), "simple")
+    assert "Generate" not in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_url_functions_single_scan_rollup(spark):
+    """f19: parse_url expressions fuse into the projection above ONE
+    documents scan; the host rollup map-combines (distinct-path count
+    expands to a two-level agg, still no join)."""
+    plan = plan_of(_q(spark, "f19_url_functions"), "simple")
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") + plan.count("InMemoryTableScan") >= 1
