@@ -160,6 +160,8 @@ ROUND7_CANDIDATES: list[str] = [
     "m12_classical_decomposition", "m13_acf_profile",
     "w23_seasonal_naive_outliers", "x96_tokenizer_fertility",
     "f19_url_functions", "t20_streaming_countmin",
+    "p11_q20_shape", "v12_suggested_rules",
+    "a33_gini_concentration", "x97_hard_negative_mining",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

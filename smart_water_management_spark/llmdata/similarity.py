@@ -2287,3 +2287,97 @@ def x91_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dcg_dec").cast("double") / F.col("idcg_dec").cast("double")
         ).alias("ndcg"),
     )
+
+
+# --- x97: contrastive hard-negative mining ------------------------------------
+
+_X97_MARGIN = 0.2
+
+
+@register(
+    "x97_hard_negative_mining",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlab, embedding AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, q.qlab, c.vec_id, c.label,
+             {_SQL_DOT.format(a='q.qe', b='c.embedding')}
+               / (SQRT({_SQL_SQNORM.format(a='q.qe')})
+                  * SQRT({_SQL_SQNORM.format(a='c.embedding')})) AS cos_sim
+      FROM q CROSS JOIN embeddings c
+      WHERE c.vec_id <> q.qid
+    ),
+    pos AS (
+      SELECT qid, vec_id AS pos_id, cos_sim AS cos_pos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored WHERE label = qlab
+      ) WHERE rn = 1
+    ),
+    neg AS (
+      SELECT qid, vec_id AS neg_id, cos_sim AS cos_neg FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored WHERE label <> qlab
+      ) WHERE rn = 1
+    )
+    SELECT qid, pos_id, ROUND(cos_pos, 6) AS cos_pos,
+           neg_id, ROUND(cos_neg, 6) AS cos_neg,
+           ROUND(cos_pos - cos_neg, 6) AS margin,
+           cos_pos - cos_neg < {_X97_MARGIN} AS is_hard
+    FROM pos JOIN neg USING (qid)
+    """,
+    doc="x97: contrastive training-pair mining — for each anchor, the "
+    "nearest same-label neighbor (positive) and the nearest other-label "
+    "neighbor (hardest negative), with the triplet margin and a "
+    f"margin-violation flag (< {_X97_MARGIN}): the pair generator for "
+    "contrastive embedding fine-tuning, and the purity probe for an "
+    "existing labeling. Shape: x10's broadcast-anchors x partitioned-"
+    "candidates scan with TWO rank windows over the same scored pass "
+    "(one exchange on qid); margins compare raw doubles (identical "
+    "IEEE folds both engines), rounding only at output. Scale: anchors "
+    "are a bounded query set; candidates never pair with each other",
+)
+def x97_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlab"),
+        _dbl("embedding").alias("qe"),
+    )
+    c = em.select("vec_id", "label", _dbl("embedding").alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlab",
+            "vec_id",
+            "label",
+            cosine(F.col("qe"), F.col("ce")).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    pos = (
+        scored.filter(F.col("label") == F.col("qlab"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("vec_id").alias("pos_id"), F.col("cos_sim").alias("cos_pos"))
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("qlab"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("vec_id").alias("neg_id"), F.col("cos_sim").alias("cos_neg"))
+    )
+    return pos.join(neg, "qid").select(
+        "qid",
+        "pos_id",
+        F.round("cos_pos", 6).alias("cos_pos"),
+        "neg_id",
+        F.round("cos_neg", 6).alias("cos_neg"),
+        F.round(F.col("cos_pos") - F.col("cos_neg"), 6).alias("margin"),
+        (F.col("cos_pos") - F.col("cos_neg") < _X97_MARGIN).alias("is_hard"),
+    )

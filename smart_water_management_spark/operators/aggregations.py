@@ -1717,3 +1717,75 @@ def a32_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / share
         ).alias("obs_over_expected"),
     )
+
+
+# --- a33 (ext.): Gini coefficient of the token distribution -------------------
+
+
+@register(
+    "a33_gini_concentration",
+    # The inequality statistic behind "is this source a few mega-docs or
+    # many small ones" — the full-distribution complement to a30's
+    # top-k Pareto share. Closed form on sorted values:
+    # G = (2*Σ i*x_(i) - (n+1)*Σx) / (n*Σx), i = ascending rank.
+    # Exactness: token counts are integers, so every moment (Σx, Σ i*x)
+    # is an exact BIGINT sum; the single quotient is one IEEE division.
+    # Ties in x are broken by doc_id — but the Gini formula is invariant
+    # to the order WITHIN a tie group (equal x contribute the same
+    # Σ i*x for any permutation of consecutive ranks), so the tiebreak
+    # only pins engine agreement, it never changes the statistic.
+    oracle="""
+    WITH tok AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS x
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, x,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY x, doc_id) AS i
+      FROM tok
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(x) AS BIGINT) AS total_tokens,
+           ROUND((2.0 * SUM(i * x) - (COUNT(*) + 1.0) * SUM(x))
+                 / (CAST(COUNT(*) AS DOUBLE) * SUM(x)), 6) AS gini
+    FROM ranked GROUP BY source
+    """,
+    doc="a33 (ext.): per-source Gini coefficient of doc token counts — "
+    "the inequality audit that tells a data-mixing pipeline whether a "
+    "source's token mass sits in a few huge docs (cap-sampling them "
+    "distorts the mix) or spreads evenly; complements a30's top-k "
+    "Pareto share with the full-distribution statistic. Integer-exact "
+    "moments off one rank window + one hash agg; the rank sort is "
+    "per-source (hash-partitioned), never global",
+)
+def a33_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.lower("text"), " ")).cast("bigint").alias("x"),
+    )
+    ranked = tok.select(
+        "source",
+        "x",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy("x", "doc_id"))
+        .alias("i"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("x").cast("bigint").alias("total_tokens"),
+        F.round(
+            (
+                2.0 * F.sum(F.col("i") * F.col("x"))
+                - (F.count("*") + 1.0) * F.sum("x")
+            )
+            / (F.count("*").cast("double") * F.sum("x")),
+            6,
+        ).alias("gini"),
+    )

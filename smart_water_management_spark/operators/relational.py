@@ -781,3 +781,86 @@ def p10_q15_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_revenue").cast("double").alias("total_revenue"),
         )
     )
+
+
+# --- p11 (ext.): Q20-shape correlated-agg-threshold IN, decorrelated ---------
+
+
+@register(
+    "p11_q20_shape",
+    # TPC-H Q20's plan shape (IN subquery whose inner side carries a
+    # correlated aggregate threshold — reference analog: the dashboard's
+    # "suppliers with concentrated shipments" drill-down) adapted to this
+    # schema: a supplier x part x year ships "concentrated" when one
+    # quarter carries more than half the year's quantity. Decorrelation:
+    # the correlated inner aggregate becomes ONE quarter-grain pre-agg,
+    # the per-year threshold becomes a window sum over the SAME rows (no
+    # second scan, no re-shuffle — the window reuses the agg's hash
+    # partitioning on a prefix of its keys), and the IN becomes a plain
+    # aggregate + broadcast dim join. Exactness: quantities are exact
+    # DECIMAL sums and the threshold compares 2*q > y in decimal — no
+    # float halving.
+    oracle="""
+    WITH lf AS (
+      SELECT l.l_suppkey AS sk, l.l_partkey AS pk,
+             CAST(year(l_shipdate) AS INT) AS yr,
+             CAST(quarter(l_shipdate) AS INT) AS qtr,
+             CAST(l_quantity AS DECIMAL(27,6)) AS qty
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_size < 15
+    ),
+    qq AS (
+      SELECT sk, pk, yr, qtr, SUM(qty) AS q_qty
+      FROM lf GROUP BY 1, 2, 3, 4
+    ),
+    yy AS (
+      SELECT sk, pk, yr, q_qty,
+             SUM(q_qty) OVER (PARTITION BY sk, pk, yr) AS y_qty
+      FROM qq
+    ),
+    ex AS (
+      SELECT DISTINCT sk, pk, yr FROM yy
+      WHERE 2 * q_qty > y_qty AND y_qty >= 50
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS n_concentrated
+    FROM ex JOIN supplier s ON s.s_suppkey = ex.sk
+    GROUP BY 1, 2
+    """,
+    doc="p11 (ext.): TPC-H Q20-shape correlated-agg-threshold IN, "
+    "decorrelated Spark-first — quarter-grain pre-agg once, the "
+    "correlated per-year threshold as a window sum over the same "
+    "shuffle (partition keys are a prefix of the agg keys), 2*q > y "
+    "compared in exact DECIMAL, then distinct + broadcast supplier "
+    "join. The filter on part pushes into the scan and the part join "
+    "broadcasts; nothing rescans lineitem",
+)
+def p11_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").filter(F.col("p_size") < 15)
+    lf = li.join(
+        F.broadcast(pt.select("p_partkey")),
+        li["l_partkey"] == pt["p_partkey"],
+    ).select(
+        F.col("l_suppkey").alias("sk"),
+        F.col("l_partkey").alias("pk"),
+        F.year("l_shipdate").cast("int").alias("yr"),
+        F.quarter("l_shipdate").cast("int").alias("qtr"),
+        F.col("l_quantity").cast("decimal(27,6)").alias("qty"),
+    )
+    qq = lf.groupBy("sk", "pk", "yr", "qtr").agg(F.sum("qty").alias("q_qty"))
+    yy = qq.withColumn(
+        "y_qty", F.sum("q_qty").over(W.partitionBy("sk", "pk", "yr"))
+    )
+    ex = (
+        yy.filter((F.col("q_qty") * 2 > F.col("y_qty")) & (F.col("y_qty") >= 50))
+        .select("sk", "pk", "yr")
+        .distinct()
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        ex.join(F.broadcast(sup), ex["sk"] == sup["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").cast("bigint").alias("n_concentrated"))
+    )

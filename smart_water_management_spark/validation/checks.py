@@ -715,3 +715,64 @@ def v11_reconciliation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("n_lines"), F.lit(0)).cast("bigint").alias("n_lines"),
         F.max("rel").alias("max_rel_diff"),
     )
+
+
+# --- v12 (ext.): auto-suggested validation bounds -----------------------------
+
+
+@register(
+    "v12_suggested_rules",
+    # Rule DISCOVERY, the step before v06's rules-as-data: profile each
+    # event type's value distribution, suggest [p01, p99] bounds, and
+    # immediately score the corpus against the suggestion (violation
+    # rate ~2% by construction on clean data; drift shows up as a rate
+    # shift). Exactness: F.percentile is DuckDB's quantile_cont
+    # (interpolated type-7) bit-for-bit on identical doubles (a07's
+    # device); comparisons run on the UNROUNDED bounds so no midpoint
+    # ever decides a count; rounding happens only in the output.
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(ANY_VALUE(b.lo), 6) AS suggested_lo,
+           ROUND(ANY_VALUE(b.hi), 6) AS suggested_hi,
+           CAST(COUNT(*) FILTER (e.value < b.lo OR e.value > b.hi)
+                AS BIGINT) AS n_violations,
+           ROUND(CAST(COUNT(*) FILTER (e.value < b.lo OR e.value > b.hi)
+                      AS DOUBLE) / COUNT(*), 6) AS violation_rate
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc="v12 (ext.): validation-rule discovery — per-type [p01, p99] "
+    "bounds suggested from the data (exact interpolated percentiles, "
+    "a07's engine-exact device) and scored back over the corpus in the "
+    "same query: the bootstrap a data-quality platform runs on a table "
+    "it has never seen. Scale: one percentile agg (sort-based within "
+    "groups) + one broadcast of the per-type bounds back onto the "
+    "scan — the scoring pass is map-only",
+)
+def v12_suggested_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("lo"),
+        F.percentile("value", F.lit(0.99)).alias("hi"),
+    )
+    viol = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.round(F.any_value("lo"), 6).alias("suggested_lo"),
+            F.round(F.any_value("hi"), 6).alias("suggested_hi"),
+            F.count_if(viol).cast("bigint").alias("n_violations"),
+            F.round(
+                F.count_if(viol).cast("double") / F.count("*"), 6
+            ).alias("violation_rate"),
+        )
+    )

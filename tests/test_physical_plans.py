@@ -749,3 +749,43 @@ def test_url_functions_single_scan_rollup(spark):
     plan = plan_of(_q(spark, "f19_url_functions"), "simple")
     assert "Join" not in plan
     assert plan.count("FileScan parquet") + plan.count("InMemoryTableScan") >= 1
+
+
+def test_q20_shape_single_lineitem_scan(spark):
+    """p11: the part filter broadcasts into ONE lineitem scan; the
+    correlated year threshold is a window over the quarter pre-agg's own
+    shuffle (partition keys are a key prefix) — no lineitem rescan, no
+    sort-merge join, no cartesian."""
+    plan = plan_of(_q(spark, "p11_q20_shape"), "simple")
+    assert plan.count("FileScan parquet") + plan.count("InMemoryTableScan") <= 4
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_suggested_rules_bounds_broadcast_back(spark):
+    """v12: the per-type bounds table (5 rows) must broadcast onto the
+    scoring scan — a shuffled join here would move the whole fact table
+    to validate it."""
+    plan = plan_of(_q(spark, "v12_suggested_rules"), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_gini_rank_is_per_source(spark):
+    """a33: the rank window partitions by source (hash exchange, per-key
+    sort) — never a single global sort — and the moments map-combine."""
+    plan = plan_of(_q(spark, "a33_gini_concentration"), "simple")
+    assert "partial_sum" in plan
+    # window exchange must be hashpartitioning on source, not a global
+    # SinglePartition sort
+    assert "SinglePartition" not in plan
+
+
+def test_hard_negative_two_windows_one_scored_pass(spark):
+    """x97: anchors broadcast (bounded query set); candidates never pair
+    with each other (no candidate-candidate join); both rank windows hash
+    on qid."""
+    plan = plan_of(_q(spark, "x97_hard_negative_mining"), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
