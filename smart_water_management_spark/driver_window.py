@@ -162,6 +162,7 @@ ROUND7_CANDIDATES: list[str] = [
     "f19_url_functions", "t20_streaming_countmin",
     "p11_q20_shape", "v12_suggested_rules",
     "a33_gini_concentration", "x97_hard_negative_mining",
+    "c14_fk_discovery", "s21_bloom_filter_write", "x98_label_confusion",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

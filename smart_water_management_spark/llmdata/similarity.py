@@ -2381,3 +2381,112 @@ def x97_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cos_pos") - F.col("cos_neg"), 6).alias("margin"),
         (F.col("cos_pos") - F.col("cos_neg") < _X97_MARGIN).alias("is_hard"),
     )
+
+
+# --- x98: centroid-predictor label confusion matrix ---------------------------
+
+_X98_DIMS = 64  # embeddings.embedding is fixed-width (asserted by x72)
+
+
+@register(
+    "x98_label_confusion",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS emb
+      FROM embeddings
+    ),
+    dims AS (
+      SELECT vec_id, label, d.i AS dim, emb[d.i] AS v
+      FROM e CROSS JOIN
+           (SELECT unnest(generate_series(1, {_X98_DIMS})) AS i) d
+    ),
+    cents AS (
+      SELECT label AS clabel, dim,
+             CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS c
+      FROM dims GROUP BY 1, 2
+    ),
+    cvecs AS (
+      SELECT clabel, list(c ORDER BY dim) AS cvec FROM cents GROUP BY clabel
+    ),
+    scored AS (
+      SELECT e.vec_id, e.label, cv.clabel,
+             list_reduce(list_transform(list_zip(e.emb, cv.cvec),
+                         p -> (p[1] - p[2]) * (p[1] - p[2])),
+                         (a, b) -> a + b) AS d2
+      FROM e CROSS JOIN cvecs cv
+    ),
+    pred AS (
+      SELECT vec_id, label, clabel AS predicted FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY d2, clabel) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT label AS given_label, predicted,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (PARTITION BY label), 6) AS row_share,
+           label = predicted AS is_correct
+    FROM pred GROUP BY 1, 2
+    """,
+    doc="x98: label-noise screen via a nearest-centroid predictor — fit "
+    "per-label mean embeddings (exact decimal per-dim means), re-predict "
+    "every vector's label by closest centroid (identical IEEE "
+    "zip-fold distance both engines, ties to the smaller label), and "
+    "emit the given-vs-predicted CONFUSION MATRIX with per-row shares — "
+    "confident-learning's first step: off-diagonal mass marks label "
+    "pairs that bleed into each other, the candidates for relabeling "
+    "before the corpus trains anything. Scale: centroids are a bounded "
+    "(labels x dims) artifact broadcast onto one scan; the per-dim fit "
+    "is a word-count-shaped map-combined agg; no vector ever pairs "
+    "with another vector",
+)
+def x98_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", _dbl("embedding").alias("emb")
+    )
+    dims = em.select(
+        "label", F.posexplode("emb").alias("dim", "v")
+    )
+    cents = dims.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        (
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+            / F.count("*")
+        ).alias("c")
+    )
+    cvecs = cents.groupBy("clabel").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "c"))),
+            lambda s: s["c"],
+        ).alias("cvec")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("emb"), F.col("cvec"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = em.crossJoin(F.broadcast(cvecs)).select(
+        "vec_id", "label", "clabel", d2.alias("d2")
+    )
+    w = W.partitionBy("vec_id").orderBy("d2", "clabel")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", F.col("clabel").alias("predicted"))
+    )
+    conf = pred.groupBy(
+        F.col("label").alias("given_label"), "predicted"
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    wl = W.partitionBy("given_label")
+    return conf.select(
+        "given_label",
+        "predicted",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wl), 6).alias(
+            "row_share"
+        ),
+        (F.col("given_label") == F.col("predicted")).alias("is_correct"),
+    )

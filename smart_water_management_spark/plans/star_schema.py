@@ -317,3 +317,101 @@ def c11_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     spark.sql(_C11_EDGES.format(str_t="STRING")).createOrReplaceTempView("hier_edges")
     return spark.sql(_C11_WALK.format(str_t="STRING"))
+
+
+# --- c14 (ext.): foreign-key discovery ----------------------------------------
+
+# Candidate (child, parent) column pairs to profile — the schema-inference
+# sweep a warehouse bootstrap runs over an undocumented landing zone.
+# Includes the four true FKs, one reversed pair (low containment) and one
+# cross-domain impostor (events.user_id vs c_custkey) as negative
+# controls, so the query's verdict column actually discriminates.
+_C14_CANDIDATES = [
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("customer", "c_custkey", "orders", "o_custkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+_C14_THRESHOLD = 0.999
+
+
+def _c14_oracle() -> str:
+    blocks = []
+    for ct, cc, pt, pc in _C14_CANDIDATES:
+        blocks.append(f"""
+    SELECT '{ct}.{cc}' AS child_col, '{pt}.{pc}' AS parent_col,
+           (SELECT COUNT(DISTINCT {cc}) FROM {ct}) AS n_child_keys,
+           (SELECT COUNT(DISTINCT {pc}) FROM {pt}) AS n_parent_keys,
+           (SELECT COUNT(*) FROM
+              (SELECT DISTINCT {cc} FROM {ct} WHERE {cc} IS NOT NULL) c
+            WHERE c.{cc} NOT IN (SELECT {pc} FROM {pt} WHERE {pc} IS NOT NULL))
+             AS n_orphan_keys""")
+    inner = "\n    UNION ALL\n".join(blocks)
+    return f"""
+    SELECT child_col, parent_col,
+           CAST(n_child_keys AS BIGINT) AS n_child_keys,
+           CAST(n_parent_keys AS BIGINT) AS n_parent_keys,
+           CAST(n_orphan_keys AS BIGINT) AS n_orphan_keys,
+           ROUND(1.0 - CAST(n_orphan_keys AS DOUBLE) / n_child_keys, 6)
+             AS containment,
+           1.0 - CAST(n_orphan_keys AS DOUBLE) / n_child_keys
+             >= {_C14_THRESHOLD} AS inferred_fk
+    FROM ({inner})
+    """
+
+
+@register(
+    "c14_fk_discovery",
+    oracle=_c14_oracle(),
+    doc="c14 (ext.): foreign-key DISCOVERY — the inverse of v08's "
+    "referential-integrity check: profile candidate (child, parent) key "
+    "pairs (the four true FKs plus a reversed pair and a cross-domain "
+    "impostor as negative controls) by distinct-key containment, and "
+    "infer FK where containment >= 99.9%. The schema-inference sweep a "
+    "warehouse bootstrap runs over an undocumented landing zone. "
+    "Exactness: pure integer counts + one quotient. Scale: each pair "
+    "is DISTINCT (map-combined) then LEFT ANTI on the parent's "
+    "distinct keys — set-sized exchanges, never row-sized; candidate "
+    "pairs are metadata, so the sweep parallelizes per pair",
+)
+def c14_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for ct, cc, pt, pc in _C14_CANDIDATES:
+        child = (
+            load_table(spark, sf_dir, ct)
+            .select(F.col(cc).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+        parent = (
+            load_table(spark, sf_dir, pt)
+            .select(F.col(pc).alias("k"))
+            .filter(F.col("k").isNotNull())
+            .distinct()
+        )
+        orphans = child.join(parent, "k", "left_anti")
+        row = (
+            child.agg(F.count("*").alias("n_child_keys"))
+            .crossJoin(parent.agg(F.count("*").alias("n_parent_keys")))
+            .crossJoin(orphans.agg(F.count("*").alias("n_orphan_keys")))
+            .select(
+                F.lit(f"{ct}.{cc}").alias("child_col"),
+                F.lit(f"{pt}.{pc}").alias("parent_col"),
+                F.col("n_child_keys").cast("bigint"),
+                F.col("n_parent_keys").cast("bigint"),
+                F.col("n_orphan_keys").cast("bigint"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    cont = 1.0 - F.col("n_orphan_keys").cast("double") / F.col("n_child_keys")
+    return out.select(
+        "child_col",
+        "parent_col",
+        "n_child_keys",
+        "n_parent_keys",
+        "n_orphan_keys",
+        F.round(cont, 6).alias("containment"),
+        (cont >= _C14_THRESHOLD).alias("inferred_fk"),
+    )

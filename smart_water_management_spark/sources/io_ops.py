@@ -791,3 +791,95 @@ def s20_quoted_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("payload_hash_sum"),
     )
+
+
+# --- s21 (ext.): parquet bloom-filter write -----------------------------------
+
+_S21_PROBE = 1  # point-lookup key the audit prices
+
+
+@register(
+    "s21_bloom_filter_write",
+    oracle="""
+    SELECT 'l_partkey' AS bloom_col,
+           TRUE AS bloom_grows_file,
+           TRUE AS roundtrip_equal,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(DISTINCT l_partkey) FROM lineitem) AS BIGINT)
+             AS n_keys,
+           CAST((SELECT COUNT(*) FROM lineitem WHERE l_partkey = 1)
+                AS BIGINT) AS probe_rows
+    """,
+    doc="s21 (ext.): parquet bloom-filter authoring — writes lineitem "
+    "with parquet bloom filters (parquet.bloom.filter.enabled write "
+    "option) and audits it against a twin write "
+    "WITHOUT the filter: same rows back (exact count + distinct-key "
+    "checksum), strictly larger file (the serialized bitset is "
+    "physically present; pyarrow 16 can't expose bloom offsets, so "
+    "size-delta is the honest structural probe), and the point-lookup "
+    "row count the filter accelerates. At 100 TB bloom filters are the "
+    "point-lookup complement to min/max skipping (c12): high-"
+    "cardinality keys defeat zone maps, the bloom still skips "
+    "row-groups. Both writes coalesce(1) + sort so the twin files "
+    "differ ONLY by the filter bytes",
+)
+def s21_bloom_filter_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    base = _scratch("s21_nobloom", sf_dir)
+    bloom = _scratch("s21_bloom", sf_dir)
+    pinned = li.coalesce(1).sortWithinPartitions("l_orderkey", "l_partkey")
+    # Dictionary-encoded chunks SKIP bloom filters by design (the
+    # dictionary is already an exact membership structure), and this
+    # fixture's keys are small enough to stay dictionary-encoded — so
+    # both twins pin dictionary off, making the size delta exactly the
+    # serialized bitsets. At 100 TB high-cardinality keys blow past the
+    # dictionary page limit naturally and get blooms without this pin.
+    # (The per-column `...enabled#col` option is additionally a no-op in
+    # this Spark build — measured identical twins — hence the table-wide
+    # toggle.)
+    pinned.write.mode("overwrite").option(
+        "parquet.enable.dictionary", "false"
+    ).parquet(base)
+    (
+        pinned.write.mode("overwrite")
+        .option("parquet.enable.dictionary", "false")
+        .option("parquet.bloom.filter.enabled", "true")
+        .option("parquet.bloom.filter.expected.ndv#l_partkey", "100000")
+        .parquet(bloom)
+    )
+
+    def _bytes(path: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+
+    grew = _bytes(bloom) > _bytes(base)
+    back = spark.read.parquet(bloom)
+    src = li.agg(
+        F.count("*").alias("n"), F.count_distinct("l_partkey").alias("k")
+    )
+    return (
+        back.agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.count_distinct("l_partkey").cast("bigint").alias("n_keys"),
+            F.count_if(F.col("l_partkey") == _S21_PROBE)
+            .cast("bigint")
+            .alias("probe_rows"),
+        )
+        .crossJoin(F.broadcast(src))
+        .select(
+            F.lit("l_partkey").alias("bloom_col"),
+            F.lit(grew).alias("bloom_grows_file"),
+            (
+                (F.col("n_rows") == F.col("n"))
+                & (F.col("n_keys") == F.col("k"))
+            ).alias("roundtrip_equal"),
+            "n_rows",
+            "n_keys",
+            "probe_rows",
+        )
+    )

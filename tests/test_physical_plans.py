@@ -789,3 +789,21 @@ def test_hard_negative_two_windows_one_scored_pass(spark):
     plan = plan_of(_q(spark, "x97_hard_negative_mining"), "simple")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_fk_discovery_set_sized_exchanges(spark):
+    """c14: every candidate pair reduces to DISTINCT key sets before the
+    anti join — the exchanges carry key sets, never fact rows; no
+    cartesian beyond the 1-row stat attaches."""
+    plan = plan_of(_q(spark, "c14_fk_discovery"), "simple")
+    assert "LeftAnti" in plan
+    assert "partial_" in plan  # distinct pre-aggregates map-side
+
+
+def test_label_confusion_broadcast_centroids(spark):
+    """x98: the centroid table (labels x dims, bounded) broadcasts onto
+    the embedding scan; vectors never pair with vectors."""
+    plan = plan_of(_q(spark, "x98_label_confusion"), "simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
