@@ -163,6 +163,7 @@ ROUND7_CANDIDATES: list[str] = [
     "p11_q20_shape", "v12_suggested_rules",
     "a33_gini_concentration", "x97_hard_negative_mining",
     "c14_fk_discovery", "s21_bloom_filter_write", "x98_label_confusion",
+    "v13_k_anonymity", "m14_ks_drift_test", "t21_streaming_ri_monitor",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

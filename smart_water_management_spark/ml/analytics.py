@@ -1245,3 +1245,113 @@ def m13_acf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_pairs"),
         F.round(r, 6).alias("autocorr"),
     )
+
+
+# --- M14 (ext.): two-sample Kolmogorov-Smirnov drift test ----------------------
+
+
+@register(
+    "m14_ks_drift_test",
+    oracle="""
+    WITH vals AS (
+      SELECT value AS v, COUNT(*) AS c_all FROM events GROUP BY 1
+    ),
+    tv AS (
+      SELECT event_type, value AS v, COUNT(*) AS c_t
+      FROM events GROUP BY 1, 2
+    ),
+    types AS (
+      SELECT event_type, COUNT(*) AS n_t FROM events GROUP BY 1
+    ),
+    grid AS (
+      SELECT t.event_type, t.n_t, va.v, va.c_all, COALESCE(tv.c_t, 0) AS c_t
+      FROM types t CROSS JOIN vals va
+      LEFT JOIN tv ON tv.event_type = t.event_type AND tv.v = va.v
+    ),
+    cum AS (
+      SELECT event_type, n_t, v,
+             SUM(c_t) OVER (PARTITION BY event_type ORDER BY v) AS ct,
+             SUM(c_all) OVER (PARTITION BY event_type ORDER BY v) AS ca
+      FROM grid
+    )
+    SELECT event_type,
+           CAST(ANY_VALUE(n_t) AS BIGINT) AS n_type,
+           CAST((SELECT SUM(c_all) FROM vals) AS BIGINT) AS n_all,
+           ROUND(MAX(ABS(CAST(ct AS DOUBLE) / n_t
+                         - CAST(ca AS DOUBLE)
+                           / (SELECT SUM(c_all) FROM vals))), 6) AS ks_d,
+           ROUND(MAX(ABS(CAST(ct AS DOUBLE) / n_t
+                         - CAST(ca AS DOUBLE)
+                           / (SELECT SUM(c_all) FROM vals)))
+                 * SQRT(CAST(ANY_VALUE(n_t) AS DOUBLE)
+                        * (SELECT SUM(c_all) FROM vals)
+                        / (ANY_VALUE(n_t)
+                           + (SELECT SUM(c_all) FROM vals))), 6)
+             AS ks_scaled
+    FROM cum GROUP BY event_type
+    """,
+    doc="M14 (ext.): two-sample Kolmogorov-Smirnov drift test — each "
+    "event type's value distribution against the pooled corpus: "
+    "D = max |F_t - F_all| over the merged support, plus the "
+    "sqrt(n*m/(n+m))-scaled statistic. The distribution-level drift "
+    "gate (complements w21's sequential CUSUM and v10's schema drift): "
+    "a type whose D spikes changed shape, not just mean. Exactness: "
+    "cumulative counts are integer window sums; the ECDFs are single "
+    "IEEE quotients; max/abs of identical doubles. Scale: support "
+    "collapses to DISTINCT values first (map-combined), the type x "
+    "value grid fans a bounded 5-row broadcast over it, and each "
+    "ECDF is one partitioned window — nothing global",
+)
+def m14_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.groupBy(F.col("value").alias("v")).agg(
+        F.count("*").alias("c_all")
+    )
+    tv = ev.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.count("*").alias("c_t")
+    )
+    types = ev.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    n_all = ev.agg(F.count("*").alias("n_all"))
+    grid = (
+        vals.crossJoin(F.broadcast(types))
+        .join(tv, ["event_type", "v"], "left")
+        .select(
+            "event_type",
+            "n_t",
+            "v",
+            "c_all",
+            F.coalesce(F.col("c_t"), F.lit(0)).alias("c_t"),
+        )
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("v")
+        .rangeBetween(W.unboundedPreceding, 0)
+    )
+    cum = grid.select(
+        "event_type",
+        "n_t",
+        F.sum("c_t").over(w).alias("ct"),
+        F.sum("c_all").over(w).alias("ca"),
+    ).crossJoin(F.broadcast(n_all))
+    diff = F.abs(
+        F.col("ct").cast("double") / F.col("n_t")
+        - F.col("ca").cast("double") / F.col("n_all")
+    )
+    agg = cum.groupBy("event_type").agg(
+        F.any_value("n_t").cast("bigint").alias("n_type"),
+        F.any_value("n_all").cast("bigint").alias("n_all"),
+        F.max(diff).alias("d_raw"),
+    )
+    scale = F.sqrt(
+        F.col("n_type").cast("double")
+        * F.col("n_all")
+        / (F.col("n_type") + F.col("n_all"))
+    )
+    return agg.select(
+        "event_type",
+        "n_type",
+        "n_all",
+        F.round("d_raw", 6).alias("ks_d"),
+        F.round(F.col("d_raw") * scale, 6).alias("ks_scaled"),
+    )

@@ -1385,3 +1385,114 @@ def t20_streaming_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") - F.col("cnt")).alias("overestimate"),
         )
     )
+
+
+# --- t21: streaming referential-integrity monitor -----------------------------
+
+
+def ri_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21: v08's referential-integrity audit as a STREAMING monitor —
+    fact rows (lineitem) arrive in micro-batches and are checked against
+    the static orders dimension on arrival.
+
+    State is ONE row of mergeable audit moments (row count, orphan
+    count, min/max orphan key): per-batch counts are independent sums
+    over disjoint row sets, so merge = SUM/SUM/MIN/MAX and the final
+    state equals the batch v08 lineitem block for ANY slicing — the
+    shape every streaming data-quality counter takes."""
+    from ..sources.catalog import load_table as _lt
+    from ..sources.catalog import reset_managed_table
+
+    reset_managed_table(spark, "ri_monitor_state")
+    spark.sql(
+        "CREATE TABLE ri_monitor_state "
+        "(n_rows BIGINT, n_orphans BIGINT, "
+        "min_orphan_key BIGINT, max_orphan_key BIGINT) USING parquet"
+    )
+    parent_keys = (
+        _lt(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        orphans = batch_df.join(
+            parent_keys, batch_df["l_orderkey"] == parent_keys["k"], "left_anti"
+        )
+        partial = batch_df.agg(
+            F.count("*").cast("bigint").alias("n_rows")
+        ).crossJoin(
+            orphans.agg(
+                F.count("*").cast("bigint").alias("n_orphans"),
+                F.min("l_orderkey").cast("bigint").alias("min_orphan_key"),
+                F.max("l_orderkey").cast("bigint").alias("max_orphan_key"),
+            )
+        )
+        merged = (
+            sp.table("ri_monitor_state")
+            .unionByName(partial)
+            .agg(
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+                F.sum("n_orphans").cast("bigint").alias("n_orphans"),
+                F.min("min_orphan_key").cast("bigint").alias("min_orphan_key"),
+                F.max("max_orphan_key").cast("bigint").alias("max_orphan_key"),
+            )
+        )
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").insertInto("ri_monitor_state")
+
+    stage = _stage_table_dir(sf_dir, "lineitem")
+    stream = (
+        spark.readStream.schema("l_orderkey long")  # schema projection:
+        # the monitor needs only the FK column, parquet prunes the rest
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("ri_monitor_state")
+
+
+@register(
+    "t21_streaming_ri_monitor",
+    oracle="""
+    SELECT 'lineitem.l_orderkey -> orders.o_orderkey' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT)
+             AS n_orphans,
+           ROUND(CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+                      AS DOUBLE) / COUNT(*), 6) AS orphan_rate,
+           CAST(MIN(CASE WHEN o.o_orderkey IS NULL THEN l.l_orderkey END)
+                AS BIGINT) AS min_orphan_key,
+           CAST(MAX(CASE WHEN o.o_orderkey IS NULL THEN l.l_orderkey END)
+                AS BIGINT) AS max_orphan_key
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    """,
+    doc="T21: referential integrity ON ARRIVAL — the streaming twin of "
+    "v08: each fact micro-batch anti-joins the static dimension and "
+    "folds (rows, orphans, min/max orphan key) into one mergeable "
+    "audit row; per-batch counts are sums over disjoint row sets, so "
+    "the final state equals the batch audit for ANY slicing. The "
+    "stream reads ONLY the FK column (schema projection into the "
+    "parquet file source); the dimension key set is reused across "
+    "batches. The always-on data-quality counter a CDC ingest runs",
+)
+def t21_streaming_ri_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = ri_monitor_stream(spark, sf_dir)
+    return st.select(
+        F.lit("lineitem.l_orderkey -> orders.o_orderkey").alias("fk"),
+        "n_rows",
+        "n_orphans",
+        F.round(
+            F.col("n_orphans").cast("double") / F.col("n_rows"), 6
+        ).alias("orphan_rate"),
+        "min_orphan_key",
+        "max_orphan_key",
+    )

@@ -776,3 +776,80 @@ def v12_suggested_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("violation_rate"),
         )
     )
+
+
+# --- v13 (ext.): k-anonymity audit ---------------------------------------------
+
+# Quasi-identifier tuple: nation + market segment + account-balance band
+# (the attacker-joinable attributes of the customer dimension).
+_V13_KS = (2, 5, 10)
+
+
+@register(
+    "v13_k_anonymity",
+    oracle=f"""
+    WITH qi AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             COUNT(*) AS grp_n
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT k, n_groups, n_groups_below_k, rows_at_risk,
+           ROUND(CAST(rows_at_risk AS DOUBLE) / n_rows, 6) AS risk_rate,
+           min_group_size
+    FROM (
+      SELECT ks.k,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(COUNT(CASE WHEN grp_n < ks.k THEN 1 END) AS BIGINT)
+               AS n_groups_below_k,
+             CAST(SUM(CASE WHEN grp_n < ks.k THEN grp_n ELSE 0 END)
+                  AS BIGINT) AS rows_at_risk,
+             CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+             CAST(MIN(grp_n) AS BIGINT) AS min_group_size
+      FROM qi CROSS JOIN
+           (SELECT CAST(unnest(ARRAY{list(_V13_KS)}) AS INT) AS k) ks
+      GROUP BY ks.k
+    )
+    """,
+    doc="v13 (ext.): k-anonymity audit over the customer dimension's "
+    "quasi-identifier tuple (nation, market segment, $1000 balance "
+    "band) — for each privacy threshold k in "
+    f"{_V13_KS}, the group count, groups below k, re-identifiable row "
+    "mass and achieved minimum group size: the governance gate a "
+    "pipeline checks before exporting a 'pseudonymized' extract. "
+    "Exactness: pure integer counts + one quotient. Scale: ONE "
+    "map-combined QI aggregate (groups, not rows, cross the wire), "
+    "then a 3-way threshold sweep over the group table fanned out "
+    "in-row — the fact is scanned once for all k",
+)
+def v13_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+    ).agg(F.count("*").alias("grp_n"))
+    ks = F.array(*[F.lit(k) for k in _V13_KS])
+    fanned = qi.select("grp_n", F.explode(ks).alias("k"))
+    at_risk = F.when(F.col("grp_n") < F.col("k"), F.col("grp_n")).otherwise(
+        F.lit(0)
+    )
+    agg = fanned.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.count_if(F.col("grp_n") < F.col("k"))
+        .cast("bigint")
+        .alias("n_groups_below_k"),
+        F.sum(at_risk).cast("bigint").alias("rows_at_risk"),
+        F.sum("grp_n").cast("bigint").alias("n_rows"),
+        F.min("grp_n").cast("bigint").alias("min_group_size"),
+    )
+    return agg.select(
+        "k",
+        "n_groups",
+        "n_groups_below_k",
+        "rows_at_risk",
+        F.round(
+            F.col("rows_at_risk").cast("double") / F.col("n_rows"), 6
+        ).alias("risk_rate"),
+        "min_group_size",
+    )

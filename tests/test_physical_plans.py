@@ -807,3 +807,21 @@ def test_label_confusion_broadcast_centroids(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ks_drift_support_reduces_first(spark):
+    """m14: the merged support must be DISTINCT-value-sized before the
+    bounded type fanout — raw events never enter the grid join — and
+    each ECDF window hashes on event_type (no global sort)."""
+    plan = plan_of(_q(spark, "m14_ks_drift_test"), "simple")
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_k_anonymity_groups_cross_wire(spark):
+    """v13: one QI hash-agg collapses rows to groups before the in-row
+    threshold fanout — no join at all in the plan."""
+    plan = plan_of(_q(spark, "v13_k_anonymity"), "simple")
+    assert "Join" not in plan
+    assert "Generate" in plan  # the 3-threshold explode is in-row

@@ -402,3 +402,59 @@ def test_streaming_weighted_reservoir_multi_batch_equals_direct(spark):
         for i, (k, eid) in enumerate(keyed[: jobs.WRES_K])
     ]
     assert got == want
+
+
+def test_streaming_countmin_multi_batch_merge_equals_batch_x46(spark):
+    """t20's exact-merge claim under REAL incrementality: split documents
+    into 3 parquet files (3 micro-batches), so the foreachBatch merge
+    genuinely re-sums partial grids, and check the probed heavy hitters
+    equal the batch x46 output exactly."""
+    import os
+
+    from smart_water_management_spark.llmdata.text import (
+        x46_countmin_heavy_hitters,
+    )
+    from smart_water_management_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        docs.repartition(3).write.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        streamed = {
+            r.word: (r.true_count, r.cms_estimate)
+            for r in jobs.t20_streaming_countmin(spark, sf_dir).collect()
+        }
+    batch = {
+        r.word: (r.true_count, r.cms_estimate)
+        for r in x46_countmin_heavy_hitters(spark, SF_DIR).collect()
+    }
+    assert streamed == batch
+
+
+def test_streaming_ri_monitor_multi_batch_equals_batch(spark):
+    """t21 under real incrementality: 4 fact micro-batches, final audit
+    row equals the one-shot batch left-join audit."""
+    import os
+
+    from smart_water_management_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        li.repartition(4).write.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+        load_table(spark, SF_DIR, "orders").write.parquet(
+            os.path.join(sf_dir, "orders.parquet")
+        )
+        row = jobs.t21_streaming_ri_monitor(spark, sf_dir).collect()[0]
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"], "left")
+    n_rows = joined.count()
+    orphans = joined.filter(F.col("o_orderkey").isNull())
+    n_orph = orphans.count()
+    assert (row.n_rows, row.n_orphans) == (n_rows, n_orph)
+    if n_orph == 0:
+        assert row.min_orphan_key is None and row.max_orphan_key is None
