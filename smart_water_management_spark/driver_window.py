@@ -164,6 +164,8 @@ ROUND7_CANDIDATES: list[str] = [
     "a33_gini_concentration", "x97_hard_negative_mining",
     "c14_fk_discovery", "s21_bloom_filter_write", "x98_label_confusion",
     "v13_k_anonymity", "m14_ks_drift_test", "t21_streaming_ri_monitor",
+    "f20_timezone_functions", "a34_last_touch_attribution",
+    "x99_seqlen_sweep",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -657,3 +657,58 @@ def f19_url_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p").cast("bigint").alias("p_sum"),
         F.max("p").cast("bigint").alias("p_max"),
     )
+
+
+# --- f20 (ext.): timezone conversion functions ---------------------------------
+
+_F20_ZONES = ["America/New_York", "Asia/Kolkata", "Asia/Tokyo"]
+
+
+@register(
+    "f20_timezone_functions",
+    # DuckDB twin: timezone('UTC', ts) pins the naive instant as UTC,
+    # the outer timezone(zone, ...) renders the zone's wall time —
+    # byte-identical to Spark's from_utc_timestamp (both read the IANA
+    # tzdb; Kolkata exercises a half-hour offset).
+    oracle=f"""
+    WITH z AS (
+      SELECT unnest(ARRAY{_F20_ZONES!r}) AS zone
+    ),
+    loc AS (
+      SELECT z.zone, e.ts,
+             timezone(z.zone, timezone('UTC', e.ts)) AS local_ts
+      FROM events e CROSS JOIN z
+    )
+    SELECT zone,
+           CAST(hour(local_ts) AS INT) AS local_hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(date_diff('minute', ts, local_ts)) AS BIGINT)
+             AS min_offset_min,
+           CAST(MAX(date_diff('minute', ts, local_ts)) AS BIGINT)
+             AS max_offset_min
+    FROM loc GROUP BY 1, 2
+    """,
+    doc="f20 (ext.): timezone conversions — from_utc_timestamp across "
+    "three IANA zones (incl. a half-hour offset), rolled up as the "
+    "local-hour load profile with min/max UTC-offset minutes per zone: "
+    "the localization layer a global ops dashboard puts over a "
+    "UTC-normalized event store. The zone fanout is an in-row explode "
+    "(no join); both engines resolve the same tzdb so wall times are "
+    "byte-identical",
+)
+def f20_timezone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    zones = F.array(*[F.lit(z) for z in _F20_ZONES])
+    loc = ev.select(
+        "ts", F.explode(zones).alias("zone")
+    ).withColumn("local_ts", F.from_utc_timestamp("ts", F.col("zone")))
+    off = (
+        (F.unix_timestamp("local_ts") - F.unix_timestamp("ts")) / 60
+    ).cast("bigint")
+    return loc.groupBy(
+        "zone", F.hour("local_ts").cast("int").alias("local_hour")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.min(off).alias("min_offset_min"),
+        F.max(off).alias("max_offset_min"),
+    )

@@ -2303,3 +2303,73 @@ def x85_clip_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tok")
         ).alias("frac_tokens_kept"),
     )
+
+
+# --- x99: sequence-length tuning sweep -----------------------------------------
+
+_X99_LENS = (64, 128, 256, 512)
+
+
+@register(
+    "x99_seqlen_sweep",
+    oracle=f"""
+    WITH tok AS (
+      SELECT CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    sweep AS (
+      SELECT ls.L, n,
+             CASE WHEN n > ls.L THEN n - ls.L ELSE 0 END AS clipped,
+             ls.L - CASE WHEN n < ls.L THEN n ELSE ls.L END AS padded
+      FROM tok CROSS JOIN
+           (SELECT CAST(unnest(ARRAY{list(_X99_LENS)}) AS INT) AS L) ls
+    )
+    SELECT L,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens,
+           CAST(SUM(clipped) AS BIGINT) AS clipped_tokens,
+           CAST(SUM(padded) AS BIGINT) AS padded_slots,
+           -- UNROUNDED quotients: pad_frac can terminate in decimal
+           -- (e.g. 8078/32000 = .2524375, a 6-dp midpoint) and the two
+           -- engines round shortest-repr vs exact-binary differently;
+           -- the raw IEEE quotient is bit-identical, so emit that
+           CAST(SUM(clipped) AS DOUBLE) / SUM(n) AS clip_frac,
+           CAST(SUM(padded) AS DOUBLE) / (COUNT(*) * L) AS pad_frac
+    FROM sweep GROUP BY L
+    """,
+    doc="x99: sequence-length tuning sweep — for each candidate context "
+    f"length in {_X99_LENS}, the clipped-token fraction (content lost "
+    "to truncation) and padded-slot fraction (compute wasted on "
+    "padding) under pad-to-L batching: the two curves whose crossing "
+    "picks a training run's sequence length BEFORE committing the "
+    "tokenization budget (completes x76 clip / x79 padding / x85 "
+    "survival with the tuning sweep, as x84 does for dedup "
+    "thresholds). Exactness: pure integer token arithmetic, two final "
+    "quotients. Scale: ONE token-count scan, the L fanout is in-row "
+    "(explode of a 4-literal array), one map-combined agg",
+)
+def x99_seqlen_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.size(tokens("text")).cast("bigint").alias("n"))
+    lens = F.array(*[F.lit(v) for v in _X99_LENS])
+    sweep = tok.select("n", F.explode(lens).alias("L")).select(
+        "L",
+        "n",
+        F.when(F.col("n") > F.col("L"), F.col("n") - F.col("L"))
+        .otherwise(0)
+        .alias("clipped"),
+        (F.col("L") - F.least("n", "L")).alias("padded"),
+    )
+    return sweep.groupBy("L").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.sum("clipped").cast("bigint").alias("clipped_tokens"),
+        F.sum("padded").cast("bigint").alias("padded_slots"),
+        (F.sum("clipped").cast("double") / F.sum("n")).alias("clip_frac"),
+        (
+            F.sum("padded").cast("double")
+            / (F.count("*") * F.any_value("L"))
+        ).alias("pad_frac"),
+    )

@@ -1789,3 +1789,101 @@ def a33_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- a34 (ext.): last-touch conversion attribution ----------------------------
+
+_A34_WINDOW_S = 3600  # attribution lookback: 1 hour
+
+
+@register(
+    "a34_last_touch_attribution",
+    # Last-touch = per conversion, the most recent PRIOR non-purchase
+    # event by the same user within the lookback — an as-of join (j09's
+    # shape) resolved here with ONE user-partitioned sort window over the
+    # unioned stream: tag rows, lag() the last non-target event's type
+    # and time forward, filter to conversions in-window. Ties at the
+    # same timestamp break by event_id (unique), pinning both engines.
+    oracle=f"""
+    WITH tagged AS (
+      SELECT user_id, event_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ),
+    -- argmax-by-(sec,event_id) as a lexicographic MAX over a zero-padded
+    -- string key: fixed-width digits sort identically to the integer
+    -- tuple, so MAX carries the LATEST prior touch and its payload
+    lastsrc AS (
+      SELECT user_id, event_id, event_type, sec,
+             MAX(CASE WHEN event_type <> 'purchase'
+                      THEN printf('%012d%012d', sec, event_id)
+                           || event_type END)
+               OVER (PARTITION BY user_id ORDER BY sec, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_key
+      FROM tagged
+    )
+    SELECT COALESCE(CASE WHEN sec - CAST(substr(prior_key, 1, 12) AS BIGINT)
+                              <= {_A34_WINDOW_S}
+                         THEN substr(prior_key, 25) END, '(none)')
+             AS touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM lastsrc WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+    doc="a34 (ext.): last-touch conversion attribution — each purchase "
+    f"credits the user's most recent non-purchase event within "
+    f"{_A34_WINDOW_S}s, unattributed conversions fall to '(none)'; "
+    "resolved with ONE user-partitioned running window over the event "
+    "stream (the as-of join j09 materializes, done here in-stream: no "
+    "second scan, no join). The funnel-credit query a growth dashboard "
+    "runs; exact integer counts, shares are single quotients",
+)
+def a34_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("sec"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    nonp = F.col("event_type") != "purchase"
+    key = F.concat(
+        F.format_string("%012d%012d", F.col("sec"), F.col("event_id")),
+        F.col("event_type"),
+    )
+    tagged = ev.select(
+        "event_type",
+        "sec",
+        F.max(F.when(nonp, key)).over(w).alias("prior_key"),
+    )
+    conv = tagged.filter(F.col("event_type") == "purchase").select(
+        F.coalesce(
+            F.when(
+                F.col("sec") - F.substring("prior_key", 1, 12).cast("bigint")
+                <= _A34_WINDOW_S,
+                F.expr("substr(prior_key, 25)"),
+            ),
+            F.lit("(none)"),
+        ).alias("touch_type")
+    )
+    agg = conv.groupBy("touch_type").agg(
+        F.count("*").cast("bigint").alias("n_conversions")
+    )
+    return agg.select(
+        "touch_type",
+        "n_conversions",
+        F.round(
+            F.col("n_conversions").cast("double")
+            / F.sum("n_conversions").over(W.partitionBy()),
+            6,
+        ).alias("share"),
+    )

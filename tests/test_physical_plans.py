@@ -825,3 +825,21 @@ def test_k_anonymity_groups_cross_wire(spark):
     plan = plan_of(_q(spark, "v13_k_anonymity"), "simple")
     assert "Join" not in plan
     assert "Generate" in plan  # the 3-threshold explode is in-row
+
+
+def test_timezone_fanout_in_row(spark):
+    """f20: the 3-zone fanout is an in-row Generate over one scan — no
+    join; the rollup map-combines."""
+    plan = plan_of(_q(spark, "f20_timezone_functions"), "simple")
+    assert "Join" not in plan
+    assert "Generate" in plan
+    assert "partial_count" in plan
+
+
+def test_attribution_single_window_no_join(spark):
+    """a34: last-touch resolves with ONE user-partitioned running window
+    over the stream — no self-join, no as-of join materialization; the
+    grand-total share is the only later exchange."""
+    plan = plan_of(_q(spark, "a34_last_touch_attribution"), "simple")
+    assert "Join" not in plan
+    assert plan.count("Window") <= 2  # running max + grand-total share
