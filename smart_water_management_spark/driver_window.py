@@ -165,7 +165,7 @@ ROUND7_CANDIDATES: list[str] = [
     "c14_fk_discovery", "s21_bloom_filter_write", "x98_label_confusion",
     "v13_k_anonymity", "m14_ks_drift_test", "t21_streaming_ri_monitor",
     "f20_timezone_functions", "a34_last_touch_attribution",
-    "x99_seqlen_sweep",
+    "x99_seqlen_sweep", "m15_holt_smoothing", "o05_pareto_skyline",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

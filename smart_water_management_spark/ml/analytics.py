@@ -1355,3 +1355,95 @@ def m14_ks_drift_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("d_raw", 6).alias("ks_d"),
         F.round(F.col("d_raw") * scale, 6).alias("ks_scaled"),
     )
+
+
+# --- M15 (ext.): Holt double-exponential smoothing ------------------------------
+
+_M15_ALPHA = 0.5
+_M15_BETA = 0.3
+
+
+@register(
+    "m15_holt_smoothing",
+    # A sequential recurrence (level/trend pair) is still engine-exact:
+    # both engines run the IDENTICAL left fold over the identical
+    # h-ordered doubles (Spark F.aggregate ≙ DuckDB list_reduce, the
+    # x45/x82 fold device extended to a PAIR accumulator carried as a
+    # 2-element array), so level and trend come out bit-identical and
+    # need no rounding at all.
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             SUM(CAST(value AS DECIMAL(27,6))) AS hv
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type, list(CAST(hv AS DOUBLE) ORDER BY h) AS xs
+      FROM hourly GROUP BY 1
+    ),
+    fold AS (
+      SELECT event_type, len(xs) AS n_hours,
+             list_reduce(
+               list_prepend([xs[1], xs[2] - xs[1]],
+                            list_transform(xs[3:],
+                                           e -> [e, CAST(0.0 AS DOUBLE)])),
+               (acc, x) ->
+                 [{_M15_ALPHA} * x[1]
+                    + {1 - _M15_ALPHA} * (acc[1] + acc[2]),
+                  {_M15_BETA} * (({_M15_ALPHA} * x[1]
+                    + {1 - _M15_ALPHA} * (acc[1] + acc[2])) - acc[1])
+                    + {1 - _M15_BETA} * acc[2]]) AS st
+      FROM ser WHERE len(xs) >= 2
+    )
+    SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+           st[1] AS level, st[2] AS trend,
+           st[1] + st[2] AS forecast_next
+    FROM fold
+    """,
+    doc=f"M15 (ext.): Holt double-exponential smoothing (alpha="
+    f"{_M15_ALPHA}, beta={_M15_BETA}) of the hourly demand series per "
+    "event type — final level/trend state and the one-step-ahead "
+    "forecast. A sequential recurrence made engine-exact by running the "
+    "identical left fold in both engines over identical doubles (pair "
+    "accumulator as a 2-array; no rounding anywhere). Scale: the fold "
+    "runs on the calendar-bounded per-type series (collect after the "
+    "map-combined hourly pre-agg), the same shape a per-key "
+    "applyInPandas forecaster takes — but with zero Python in the "
+    "loop",
+)
+def m15_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_series(spark, sf_dir)
+    ser = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("h", F.col("hv").cast("double").alias("v"))
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("xs")
+    ).filter(F.size("xs") >= 2)
+    xs = F.col("xs")
+    init = F.array(xs[0], xs[1] - xs[0])
+    rest = F.slice(
+        xs, 3, F.greatest(F.size(xs) - 2, F.lit(0))
+    )
+    a, b = _M15_ALPHA, _M15_BETA
+    st = F.aggregate(
+        rest,
+        init,
+        lambda acc, x: F.array(
+            a * x + (1 - a) * (acc[0] + acc[1]),
+            b * ((a * x + (1 - a) * (acc[0] + acc[1])) - acc[0])
+            + (1 - b) * acc[1],
+        ),
+    )
+    return ser.select(
+        "event_type",
+        F.size("xs").cast("bigint").alias("n_hours"),
+        st[0].alias("level"),
+        st[1].alias("trend"),
+        (st[0] + st[1]).alias("forecast_next"),
+    )

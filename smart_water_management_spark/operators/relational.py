@@ -864,3 +864,82 @@ def p11_q20_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").cast("bigint").alias("n_concentrated"))
     )
+
+
+# --- o05 (ext.): Pareto-frontier (skyline) per group ---------------------------
+
+
+@register(
+    "o05_pareto_skyline",
+    # Skyline = the orders no other same-priority order strictly
+    # dominates on (totalprice higher, orderdate later). Two-phase:
+    # collapse to distinct price LEVELS carrying their max date (only
+    # that date can survive per level), then one partitioned window —
+    # a level is on the frontier iff its max date strictly exceeds the
+    # running max over all strictly-higher price levels; ties at the
+    # frontier (same price, same date) all survive, none strictly
+    # dominates the other. All comparisons on exact doubles/timestamps;
+    # no arithmetic at all.
+    oracle="""
+    WITH lvl AS (
+      SELECT o_orderpriority AS pri, o_totalprice AS price,
+             MAX(o_orderdate) AS dmax
+      FROM orders GROUP BY 1, 2
+    ),
+    scan AS (
+      SELECT pri, price, dmax,
+             MAX(dmax) OVER (PARTITION BY pri ORDER BY price DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS prev_dmax
+      FROM lvl
+    ),
+    frontier AS (
+      SELECT pri, price, dmax FROM scan
+      WHERE prev_dmax IS NULL OR dmax > prev_dmax
+    )
+    SELECT o.o_orderpriority AS priority,
+           CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           o.o_totalprice AS totalprice,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM orders o JOIN frontier f
+      ON f.pri = o.o_orderpriority AND f.price = o.o_totalprice
+     AND f.dmax = o.o_orderdate
+    """,
+    doc="o05 (ext.): Pareto-frontier (skyline) query — per priority "
+    "class, the orders not strictly dominated on (totalprice, "
+    "orderdate): the 'best tradeoffs' operator relational engines ship "
+    "as SKYLINE OF. Spark-first two-phase: a map-combined price-level "
+    "pre-agg (only a level's max date can survive) then ONE "
+    "partitioned running-max window and a semi-join back — never an "
+    "all-pairs dominance test, never a global sort; at 100 TB the "
+    "pre-agg bounds the window input to distinct price levels per "
+    "group",
+)
+def o05_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    lvl = orders.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_totalprice").alias("price"),
+    ).agg(F.max("o_orderdate").alias("dmax"))
+    w = (
+        W.partitionBy("pri")
+        .orderBy(F.desc("price"))
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    scan = lvl.withColumn("prev_dmax", F.max("dmax").over(w))
+    frontier = scan.filter(
+        F.col("prev_dmax").isNull() | (F.col("dmax") > F.col("prev_dmax"))
+    ).select("pri", "price", "dmax")
+    return orders.join(
+        F.broadcast(frontier),
+        (orders["o_orderpriority"] == frontier["pri"])
+        & (orders["o_totalprice"] == frontier["price"])
+        & (orders["o_orderdate"] == frontier["dmax"]),
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+    )

@@ -843,3 +843,22 @@ def test_attribution_single_window_no_join(spark):
     plan = plan_of(_q(spark, "a34_last_touch_attribution"), "simple")
     assert "Join" not in plan
     assert plan.count("Window") <= 2  # running max + grand-total share
+
+
+def test_holt_folds_after_preagg(spark):
+    """m15: the sequential fold runs on per-type COLLECTED series built
+    from the hourly pre-agg — raw events hash-aggregate first
+    (partial_sum) and no Python UDF appears anywhere."""
+    plan = plan_of(_q(spark, "m15_holt_smoothing"), "simple")
+    assert "partial_sum" in plan
+    assert "Python" not in plan  # the fold is JVM-side higher-order funcs
+
+
+def test_skyline_window_partitioned_no_all_pairs(spark):
+    """o05: dominance resolves with a price-level pre-agg + ONE
+    partitioned running-max window + a broadcast semi-join back — no
+    all-pairs self-join, no global single-partition sort."""
+    plan = plan_of(_q(spark, "o05_pareto_skyline"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
