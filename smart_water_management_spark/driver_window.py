@@ -166,6 +166,7 @@ ROUND7_CANDIDATES: list[str] = [
     "v13_k_anonymity", "m14_ks_drift_test", "t21_streaming_ri_monitor",
     "f20_timezone_functions", "a34_last_touch_attribution",
     "x99_seqlen_sweep", "m15_holt_smoothing", "o05_pareto_skyline",
+    "a35_rfm_segments", "p12_q11_shape",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

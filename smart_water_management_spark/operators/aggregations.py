@@ -1887,3 +1887,109 @@ def a34_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("share"),
     )
+
+
+# --- a35 (ext.): RFM segmentation ----------------------------------------------
+
+
+@register(
+    "a35_rfm_segments",
+    # Quintile scoring WITHOUT a global ntile window: exact interpolated
+    # quintile thresholds (a07's engine-exact percentile device) computed
+    # once over the user pre-agg, broadcast back, and banded with CASE —
+    # fully parallel at any user count where ntile would need a global
+    # sort. Recency is integer seconds, frequency integer counts,
+    # monetary an exact decimal sum cast once to double; all band
+    # comparisons run on unrounded identical doubles.
+    oracle="""
+    WITH u AS (
+      SELECT user_id,
+             CAST((SELECT MAX(FLOOR(epoch(ts))) FROM events)
+                  - MAX(FLOOR(epoch(ts))) AS BIGINT) AS rec,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS mon
+      FROM events GROUP BY user_id
+    ),
+    th AS (
+      SELECT quantile_cont(CAST(rec AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS tr,
+             quantile_cont(CAST(freq AS DOUBLE), [0.2, 0.4, 0.6, 0.8]) AS tf,
+             quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS tm
+      FROM u
+    ),
+    scored AS (
+      SELECT
+        CASE WHEN rec <= tr[1] THEN 5 WHEN rec <= tr[2] THEN 4
+             WHEN rec <= tr[3] THEN 3 WHEN rec <= tr[4] THEN 2
+             ELSE 1 END AS r_score,
+        CASE WHEN freq <= tf[1] THEN 1 WHEN freq <= tf[2] THEN 2
+             WHEN freq <= tf[3] THEN 3 WHEN freq <= tf[4] THEN 4
+             ELSE 5 END AS f_score,
+        CASE WHEN mon <= tm[1] THEN 1 WHEN mon <= tm[2] THEN 2
+             WHEN mon <= tm[3] THEN 3 WHEN mon <= tm[4] THEN 4
+             ELSE 5 END AS m_score,
+        mon
+      FROM u CROSS JOIN th
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CAST(mon AS DECIMAL(27,6))) AS DOUBLE)
+             AS total_monetary
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    doc="a35 (ext.): RFM (recency/frequency/monetary) segmentation — "
+    "per-user moments off one hash agg, quintile thresholds via the "
+    "exact interpolated percentile (a07's device) instead of a global "
+    "ntile sort, CASE banding broadcast back, segment population + "
+    "exact monetary mass per (R,F,M) cell. The lifecycle-marketing "
+    "segmentation every customer warehouse ships; here it doubles as "
+    "the sensor-fleet activity triage (recently-reporting x chatty x "
+    "high-volume). Scale: two passes over the USER pre-agg (threshold "
+    "agg + banding scan), zero windows, zero global sorts",
+)
+def a35_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts"))
+    gmax = ev.agg(F.max(sec).alias("gmax"))
+    u = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max(sec).alias("umax"),
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum(F.col("value").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("mon"),
+        )
+        .crossJoin(F.broadcast(gmax))
+        .select(
+            (F.col("gmax") - F.col("umax")).cast("bigint").alias("rec"),
+            "freq",
+            "mon",
+        )
+    )
+    th = u.agg(
+        F.percentile(F.col("rec").cast("double"), F.lit([0.2, 0.4, 0.6, 0.8])).alias("tr"),
+        F.percentile(F.col("freq").cast("double"), F.lit([0.2, 0.4, 0.6, 0.8])).alias("tf"),
+        F.percentile("mon", F.lit([0.2, 0.4, 0.6, 0.8])).alias("tm"),
+    )
+
+    def band(c, t, asc: bool):
+        scores = [1, 2, 3, 4, 5] if asc else [5, 4, 3, 2, 1]
+        expr = F.when(c <= t[0], scores[0])
+        for i in range(1, 4):
+            expr = expr.when(c <= t[i], scores[i])
+        return expr.otherwise(scores[4])
+
+    scored = u.crossJoin(F.broadcast(th)).select(
+        band(F.col("rec"), F.col("tr"), False).cast("int").alias("r_score"),
+        band(F.col("freq"), F.col("tf"), True).cast("int").alias("f_score"),
+        band(F.col("mon"), F.col("tm"), True).cast("int").alias("m_score"),
+        "mon",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.col("mon").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("total_monetary"),
+    )

@@ -943,3 +943,67 @@ def o05_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_totalprice").alias("totalprice"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
     )
+
+
+# --- p12 (ext.): Q11-shape HAVING vs global scalar, decorrelated ---------------
+
+_P12_FRACTION = 0.002
+
+
+@register(
+    "p12_q11_shape",
+    # TPC-H Q11's plan shape: a grouped aggregate kept only where its
+    # value exceeds a FRACTION OF THE GLOBAL TOTAL (scalar subquery in
+    # HAVING). Decorrelated Spark-first: the global total is the SAME
+    # aggregate re-reduced (re-aggregable decimal partials — no second
+    # scan of the fact) and broadcast as a 1-row literal join; the
+    # HAVING compares exact decimal revenue against fraction * total on
+    # identical doubles.
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(27,6))) AS r
+      FROM lineitem GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(ROUND(r, 6) AS DECIMAL(27,6))) AS DOUBLE) AS t
+      FROM rev
+    )
+    SELECT CAST(l_suppkey AS BIGINT) AS l_suppkey,
+           CAST(r AS DOUBLE) AS revenue,
+           CAST(r AS DOUBLE) / t AS share
+    FROM rev CROSS JOIN tot
+    WHERE CAST(r AS DOUBLE) > {_P12_FRACTION} * t
+    """,
+    doc="p12 (ext.): TPC-H Q11-shape 'HAVING > fraction of global "
+    "total', decorrelated — the per-supplier revenue aggregate's own "
+    "decimal partials re-reduce to the global scalar (one fact scan "
+    "total), which broadcasts back for the threshold filter. Exact "
+    "decimal sums; the share and threshold are single IEEE expressions "
+    "on identical doubles (no rounding anywhere, so no midpoint can "
+    "flip a row's membership differently per engine)",
+)
+def p12_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                "decimal(27,6)"
+            )
+        ).alias("r")
+    )
+    tot = rev.agg(
+        F.sum(F.round("r", 6).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("t")
+    )
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .filter(F.col("r").cast("double") > _P12_FRACTION * F.col("t"))
+        .select(
+            F.col("l_suppkey").cast("bigint").alias("l_suppkey"),
+            F.col("r").cast("double").alias("revenue"),
+            (F.col("r").cast("double") / F.col("t")).alias("share"),
+        )
+    )

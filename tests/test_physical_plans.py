@@ -862,3 +862,21 @@ def test_skyline_window_partitioned_no_all_pairs(spark):
     assert "CartesianProduct" not in plan
     assert "SinglePartition" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_rfm_no_windows_no_global_sort(spark):
+    """a35: quintile banding must come from percentile thresholds
+    broadcast back — NO window operator, no global sort, user pre-agg
+    map-combines."""
+    plan = plan_of(_q(spark, "a35_rfm_segments"), "simple")
+    assert "Window" not in plan
+    assert "partial_" in plan
+
+
+def test_q11_shape_single_fact_scan(spark):
+    """p12: the global total re-reduces the grouped aggregate's own
+    output (broadcast back) — lineitem is scanned exactly once."""
+    plan = plan_of(_q(spark, "p12_q11_shape"), "simple")
+    n_scans = plan.count("FileScan parquet") + plan.count("InMemoryTableScan")
+    assert n_scans <= 2  # grouped agg scan (+ its pinned-cache alias)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
