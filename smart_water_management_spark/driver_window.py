@@ -167,6 +167,7 @@ ROUND7_CANDIDATES: list[str] = [
     "f20_timezone_functions", "a34_last_touch_attribution",
     "x99_seqlen_sweep", "m15_holt_smoothing", "o05_pareto_skyline",
     "a35_rfm_segments", "p12_q11_shape",
+    "t22_streaming_stats_manifest", "a36_winsorized_stats",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

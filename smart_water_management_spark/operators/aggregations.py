@@ -1993,3 +1993,75 @@ def a35_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_monetary"),
     )
+
+
+# --- a36 (ext.): winsorized robust statistics ----------------------------------
+
+
+@register(
+    "a36_winsorized_stats",
+    # Winsorize at the exact interpolated [p05, p95] (a07's engine-exact
+    # percentile), then aggregate the CLAMPED values in exact decimal.
+    # Clamping compares raw doubles against unrounded thresholds —
+    # identical IEEE comparisons both engines — so the clamped multiset
+    # is identical before any arithmetic happens.
+    oracle="""
+    WITH th AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    ),
+    cl AS (
+      SELECT e.event_type,
+             CASE WHEN e.value < t.lo THEN t.lo
+                  WHEN e.value > t.hi THEN t.hi
+                  ELSE e.value END AS w,
+             CASE WHEN e.value < t.lo OR e.value > t.hi
+                  THEN 1 ELSE 0 END AS clamped
+      FROM events e JOIN th t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(clamped) AS BIGINT) AS n_clamped,
+           ROUND(CAST(SUM(CAST(w AS DECIMAL(27,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS winsorized_mean,
+           ROUND(MIN(w), 6) AS w_min,
+           ROUND(MAX(w), 6) AS w_max
+    FROM cl GROUP BY event_type
+    """,
+    doc="a36 (ext.): winsorized statistics per event type — clamp to "
+    "the exact interpolated [p05, p95] (a07's percentile device) and "
+    "aggregate the clamped values in exact decimal: the robust mean a "
+    "billing/telemetry rollup uses so one stuck sensor can't drag a "
+    "district average. Scale: one percentile agg + broadcast of the "
+    "per-type bounds onto the scan (map-only clamp), one decimal hash "
+    "agg; complements a22's MAD (outlier FLAGGING) with outlier-"
+    "RESISTANT estimation",
+)
+def a36_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    th = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.05)).alias("lo"),
+        F.percentile("value", F.lit(0.95)).alias("hi"),
+    )
+    w = (
+        F.when(F.col("value") < F.col("lo"), F.col("lo"))
+        .when(F.col("value") > F.col("hi"), F.col("hi"))
+        .otherwise(F.col("value"))
+    )
+    clamped = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    cl = ev.join(F.broadcast(th), "event_type").select(
+        "event_type", w.alias("w"), clamped.cast("int").alias("clamped")
+    )
+    return cl.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum("clamped").cast("bigint").alias("n_clamped"),
+        F.round(
+            F.sum(F.col("w").cast("decimal(27,6)")).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("winsorized_mean"),
+        F.round(F.min("w"), 6).alias("w_min"),
+        F.round(F.max("w"), 6).alias("w_max"),
+    )

@@ -1496,3 +1496,104 @@ def t21_streaming_ri_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_orphan_key",
         "max_orphan_key",
     )
+
+
+# --- t22: incrementally-maintained data-skipping manifest ----------------------
+
+
+def stats_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22: c12's data-skipping manifest maintained INCREMENTALLY — the
+    Delta/Iceberg pattern where each appended batch upserts its
+    partitions' stats rather than re-scanning the table.
+
+    State: one row per day with (rows, min/max value, null count,
+    min/max ts). All five moments are mergeable (SUM/MIN/MAX), so the
+    final manifest equals the batch-built one for ANY micro-batch
+    slicing — and a planner consulting it mid-stream only ever
+    over-includes (a day's min can only tighten downward), never
+    wrongly skips."""
+    from ..sources.catalog import reset_managed_table
+
+    reset_managed_table(spark, "stats_manifest_state")
+    spark.sql(
+        "CREATE TABLE stats_manifest_state "
+        "(day STRING, n_rows BIGINT, min_value DOUBLE, max_value DOUBLE, "
+        "n_null_value BIGINT, min_ts STRING, max_ts STRING) USING parquet"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        partial = batch_df.groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "day"
+            )
+        ).agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.when(F.col("value").isNull(), 1))
+            .cast("bigint")
+            .alias("n_null_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "min_ts"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "max_ts"
+            ),
+        )
+        merged = (
+            sp.table("stats_manifest_state")
+            .unionByName(partial)
+            .groupBy("day")
+            .agg(
+                F.sum("n_rows").cast("bigint").alias("n_rows"),
+                F.min("min_value").alias("min_value"),
+                F.max("max_value").alias("max_value"),
+                F.sum("n_null_value").cast("bigint").alias("n_null_value"),
+                F.min("min_ts").alias("min_ts"),
+                F.max("max_ts").alias("max_ts"),
+            )
+            .select(
+                "day", "n_rows", "min_value", "max_value",
+                "n_null_value", "min_ts", "max_ts",
+            )
+        )
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").insertInto("stats_manifest_state")
+
+    ev = read_event_stream(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("stats_manifest_state")
+
+
+@register(
+    "t22_streaming_stats_manifest",
+    # Day-grain stats identical to c12's manifest semantics (ISO strings
+    # for dates/timestamps per the cross-engine DATE rule).
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           CAST(COUNT(CASE WHEN value IS NULL THEN 1 END) AS BIGINT)
+             AS n_null_value,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS min_ts,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS max_ts
+    FROM events GROUP BY 1
+    """,
+    doc="T22: the data-skipping manifest (c12) maintained INCREMENTALLY "
+    "by streaming foreachBatch upserts — per-day rows/min/max/null "
+    "stats are all SUM/MIN/MAX-mergeable, so the manifest equals the "
+    "batch build for any slicing; this is exactly how Delta/Iceberg "
+    "keep file stats current on append without table rescans, and a "
+    "mid-stream reader can only over-include, never wrongly skip",
+)
+def t22_streaming_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stats_manifest_stream(spark, sf_dir)

@@ -880,3 +880,11 @@ def test_q11_shape_single_fact_scan(spark):
     n_scans = plan.count("FileScan parquet") + plan.count("InMemoryTableScan")
     assert n_scans <= 2  # grouped agg scan (+ its pinned-cache alias)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_winsorize_bounds_broadcast(spark):
+    """a36: the per-type [p05,p95] bounds broadcast onto the clamp scan —
+    no shuffled join of the fact table against its own thresholds."""
+    plan = plan_of(_q(spark, "a36_winsorized_stats"), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
