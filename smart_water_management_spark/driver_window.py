@@ -168,6 +168,8 @@ ROUND7_CANDIDATES: list[str] = [
     "x99_seqlen_sweep", "m15_holt_smoothing", "o05_pareto_skyline",
     "a35_rfm_segments", "p12_q11_shape",
     "t22_streaming_stats_manifest", "a36_winsorized_stats",
+    "s22_compression_codecs", "s23_rowgroup_tuning",
+    "x100_stable_docid_assignment",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -883,3 +883,139 @@ def s21_bloom_filter_write(spark: SparkSession, sf_dir: str) -> DataFrame:
             "probe_rows",
         )
     )
+
+
+# --- s22 (ext.): compression-codec tuning audit --------------------------------
+
+_S22_CODECS = ("uncompressed", "snappy", "zstd")
+
+
+@register(
+    "s22_compression_codecs",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+           TRUE AS roundtrip_equal_all_codecs,
+           TRUE AS snappy_smaller_than_uncompressed,
+           TRUE AS zstd_smaller_than_snappy
+    FROM events
+    """,
+    doc="s22 (ext.): parquet compression-codec tuning — the same events "
+    "written uncompressed / snappy / zstd (pinned single sorted file "
+    "per codec so the twins differ only by codec), audited for "
+    "byte-identical roundtrips (exact decimal checksum through every "
+    "codec) and the expected size ordering zstd < snappy < "
+    "uncompressed. At 100 TB codec choice is a first-order cost lever "
+    "(zstd trades ~2x better ratio for CPU; snappy is the "
+    "scan-throughput default); this is the audit that justifies the "
+    "choice with measurements instead of folklore",
+)
+def s22_compression_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pinned = ev.coalesce(1).sortWithinPartitions("event_id")
+    sizes: dict[str, int] = {}
+    backs = []
+    for codec in _S22_CODECS:
+        path = _scratch(f"s22_{codec}", sf_dir)
+        pinned.write.mode("overwrite").option("compression", codec).parquet(
+            path
+        )
+        sizes[codec] = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        backs.append(
+            spark.read.parquet(path).agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(27,6)"))
+                .cast("double")
+                .alias("s"),
+            )
+        )
+    b0, b1, b2 = (
+        b.withColumnRenamed("n", f"n{i}").withColumnRenamed("s", f"s{i}")
+        for i, b in enumerate(backs)
+    )
+    return (
+        b0.crossJoin(F.broadcast(b1))
+        .crossJoin(F.broadcast(b2))
+        .select(
+            F.col("n0").cast("bigint").alias("n_rows"),
+            F.col("s0").alias("sum_value"),
+            (
+                (F.col("n0") == F.col("n1"))
+                & (F.col("n1") == F.col("n2"))
+                & (F.col("s0") == F.col("s1"))
+                & (F.col("s1") == F.col("s2"))
+            ).alias("roundtrip_equal_all_codecs"),
+            F.lit(sizes["snappy"] < sizes["uncompressed"]).alias(
+                "snappy_smaller_than_uncompressed"
+            ),
+            F.lit(sizes["zstd"] < sizes["snappy"]).alias(
+                "zstd_smaller_than_snappy"
+            ),
+        )
+    )
+
+
+# --- s23 (ext.): row-group size tuning audit ------------------------------------
+
+_S23_SMALL = 64 * 1024
+_S23_LARGE = 128 * 1024 * 1024
+
+
+@register(
+    "s23_rowgroup_tuning",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value,
+           TRUE AS small_blocks_at_least_as_granular,
+           TRUE AS all_rows_in_groups
+    FROM events
+    """,
+    doc="s23 (ext.): parquet row-group sizing — twin writes at 64 KiB vs "
+    "128 MiB parquet.block.size, row-group counts read from the file "
+    "footers (pyarrow), auditing that the small-block layout is at "
+    "least as granular and both layouts hold every row. Row-group size "
+    "is THE skipping granularity at 100 TB: min/max stats (c12) and "
+    "bloom filters (s21) prune per row group, so a 64 KiB group skips "
+    "finer but pays more footer+seek overhead — this audit is how the "
+    "trade is measured before a fleet-wide layout choice",
+)
+def s23_rowgroup_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    ev = load_table(spark, sf_dir, "events")
+    pinned = ev.coalesce(1).sortWithinPartitions("event_id")
+    stats: dict[int, tuple[int, int]] = {}
+    for bs in (_S23_SMALL, _S23_LARGE):
+        path = _scratch(f"s23_bs{bs}", sf_dir)
+        pinned.write.mode("overwrite").option(
+            "parquet.block.size", str(bs)
+        ).parquet(path)
+        groups = rows = 0
+        for f in os.listdir(path):
+            if f.endswith(".parquet"):
+                md = pq.ParquetFile(os.path.join(path, f)).metadata
+                groups += md.num_row_groups
+                rows += md.num_rows
+        stats[bs] = (groups, rows)
+    src = ev.agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return src.select(
+        "n_rows",
+        "sum_value",
+        F.lit(stats[_S23_SMALL][0] >= stats[_S23_LARGE][0]).alias(
+            "small_blocks_at_least_as_granular"
+        ),
+        (
+            F.lit(stats[_S23_SMALL][1]) == F.col("n_rows")
+        ).__and__(F.lit(stats[_S23_LARGE][1]) == F.col("n_rows")).alias(
+            "all_rows_in_groups"
+        ),
+    )

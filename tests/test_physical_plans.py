@@ -888,3 +888,14 @@ def test_winsorize_bounds_broadcast(spark):
     plan = plan_of(_q(spark, "a36_winsorized_stats"), "simple")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_stable_docid_no_global_sort(spark):
+    """x100: the dense enumeration must run as 16 parallel bucket
+    windows + a broadcast offset join — the oracle's global ROW_NUMBER
+    (SinglePartition sort) must NOT appear in the Spark plan."""
+    plan = plan_of(_q(spark, "x100_stable_docid_assignment"), "simple")
+    assert "SinglePartition" not in plan.split("BroadcastExchange")[0], (
+        "global sort materialized on the ranking path"
+    )
+    assert "BroadcastHashJoin" in plan
