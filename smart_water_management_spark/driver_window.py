@@ -170,6 +170,7 @@ ROUND7_CANDIDATES: list[str] = [
     "t22_streaming_stats_manifest", "a36_winsorized_stats",
     "s22_compression_codecs", "s23_rowgroup_tuning",
     "x100_stable_docid_assignment",
+    "w24_activity_streaks", "c15_scd3_previous_value",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -1200,3 +1200,60 @@ def w23_seasonal_naive_outliers(
             F.col("resid").cast("double").alias("residual"),
         )
     )
+
+
+# --- w24 (ext.): consecutive-day activity streaks ------------------------------
+
+
+@register(
+    "w24_activity_streaks",
+    # Gaps-and-islands via the date-minus-rank device: per user, rank
+    # the DISTINCT active days; day - rank(day) is constant within a
+    # consecutive run, so grouping by it yields the streaks — one
+    # distinct pre-agg, one partitioned rank window, one hash agg:
+    # no self-join, no recursion. All values are integers (epoch days).
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts) / 86400.0) AS BIGINT) AS d
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, d,
+             d - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+               AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, grp, COUNT(*) AS len
+      FROM runs GROUP BY 1, 2
+    )
+    SELECT CAST(len AS BIGINT) AS streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM streaks GROUP BY len
+    """,
+    doc="w24 (ext.): consecutive-day activity streaks per user (sensor "
+    "uptime runs), via the date-minus-rank gaps-and-islands device — "
+    "distinct active days, one user-partitioned rank window, then "
+    "day - rank is constant exactly within a consecutive run; reduced "
+    "to the streak-length histogram. The uptime/engagement metric "
+    "every monitoring dashboard wants, with no self-join and no "
+    "recursion; complements t09's event-level run lengths at day "
+    "grain. Integer-exact throughout",
+)
+def w24_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / 86400.0).cast("bigint").alias("d"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    runs = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    streaks = runs.groupBy("user_id", "grp").agg(F.count("*").alias("len"))
+    return streaks.groupBy(F.col("len").cast("bigint").alias("streak_days")).agg(
+        F.count("*").cast("bigint").alias("n_streaks"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )

@@ -530,3 +530,84 @@ def c13_partition_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("was_rewritten"),
     )
+
+
+# --- c15 (ext.): SCD Type 3 — previous-value dimension --------------------------
+
+
+@register(
+    "c15_scd3_previous_value",
+    # SCD Type 3 keeps limited history IN-ROW (current + previous value
+    # + change timestamp) instead of SCD2's row-per-version. Built from
+    # the event stream per user: collapse consecutive repeats of the
+    # same event_type (runs, via lag), then take the last two DISTINCT
+    # RUNS' types with one partitioned window pass each. Ties pinned by
+    # (sec, event_id); all values integers/strings — no float anywhere.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY FLOOR(epoch(ts)), event_id)
+               AS prev_in_seq
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, sec, event_id
+      FROM seq
+      WHERE prev_in_seq IS NULL OR event_type <> prev_in_seq
+    ),
+    ranked AS (
+      SELECT user_id, event_type, sec,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY sec DESC, event_id DESC) AS rn
+      FROM changes
+    )
+    SELECT c.user_id,
+           MAX(CASE WHEN rn = 1 THEN event_type END) AS current_type,
+           MAX(CASE WHEN rn = 2 THEN event_type END) AS previous_type,
+           CAST(MAX(CASE WHEN rn = 1 THEN sec END) AS BIGINT)
+             AS changed_at_sec,
+           CAST(COUNT(*) AS BIGINT) AS n_changes
+    FROM ranked c GROUP BY c.user_id
+    """,
+    doc="c15 (ext.): SCD Type 3 dimension build — per user, the current "
+    "attribute value, the PREVIOUS distinct value and the change "
+    "timestamp held in-row (Type 3's limited-history contract, vs "
+    "c04's row-per-version Type 2). Run-collapse via lag() then one "
+    "rank window, both on the same user-hash exchange; n_changes "
+    "counts distinct runs. Integer/string-exact; the "
+    "'current vs previous plan' column pair every ops dashboard asks "
+    "of a dimension without paying SCD2's row explosion",
+)
+def c15_scd3_previous_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("sec"),
+        "event_id",
+    )
+    wseq = W.partitionBy("user_id").orderBy("sec", "event_id")
+    seq = ev.withColumn("prev_in_seq", F.lag("event_type").over(wseq))
+    changes = seq.filter(
+        F.col("prev_in_seq").isNull()
+        | (F.col("event_type") != F.col("prev_in_seq"))
+    )
+    wr = W.partitionBy("user_id").orderBy(
+        F.desc("sec"), F.desc("event_id")
+    )
+    ranked = changes.withColumn("rn", F.row_number().over(wr))
+    return ranked.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias(
+            "current_type"
+        ),
+        F.max(F.when(F.col("rn") == 2, F.col("event_type"))).alias(
+            "previous_type"
+        ),
+        F.max(F.when(F.col("rn") == 1, F.col("sec")))
+        .cast("bigint")
+        .alias("changed_at_sec"),
+        F.count("*").cast("bigint").alias("n_changes"),
+    )

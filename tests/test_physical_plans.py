@@ -899,3 +899,19 @@ def test_stable_docid_no_global_sort(spark):
         "global sort materialized on the ranking path"
     )
     assert "BroadcastHashJoin" in plan
+
+
+def test_streaks_islands_one_window(spark):
+    """w24: gaps-and-islands via date-minus-rank — distinct pre-agg, ONE
+    user-partitioned rank window, hash aggs; no self-join."""
+    plan = plan_of(_q(spark, "w24_activity_streaks"), "simple")
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
+
+
+def test_scd3_windows_share_user_exchange(spark):
+    """c15: the run-collapse lag and the recency rank both partition by
+    user_id — Catalyst reuses one hash exchange; no join anywhere."""
+    plan = plan_of(_q(spark, "c15_scd3_previous_value"), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
