@@ -316,6 +316,28 @@ def test_connected_components_long_chain(spark):
     assert comps == {100}
 
 
+def test_connected_components_diameter_beyond_round_budget(spark):
+    """Regression for the sf0.1 x87 failure: a 200-node path graph has
+    diameter 199 — plain min-label propagation needs ~199 rounds and
+    blew MAX_ROUNDS=20; pointer jumping (label := label(label) each
+    round) must collapse it within the same budget, because the
+    distance-to-min now shrinks geometrically, not linearly."""
+    from smart_water_management_spark.llmdata.components import (
+        MAX_ROUNDS,
+        connected_components,
+    )
+
+    n = 200
+    assert n - 1 > MAX_ROUNDS  # the test is vacuous otherwise
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000, 1000 + n - 1)],
+        "doc_a long, doc_b long",
+    )
+    got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {1000}
+    assert len(got) == n
+
+
 def test_dedup_corpus_keeps_one_canonical_per_group(spark):
     from smart_water_management_spark.llmdata.components import dedup_corpus
 
