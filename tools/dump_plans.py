@@ -43,6 +43,12 @@ SHOW = [
     ("x94_rake_keyphrases", "RAKE keyphrases — pinned segmentation window shared by 3 consumers, all-integer scoring, TakeOrdered top-k before the rank window"),
     ("p09_q21_shape", "Q21 semi/anti chain — EXISTS/NOT EXISTS as residual-bearing equi-joins on l_orderkey, dims broadcast"),
     ("w22_time_decay_mean", "half-life decayed mean — unordered aggregate shape: two map-combined aggs, broadcast max, NO window operator"),
+    ("m12_classical_decomposition", "classical decomposition — map-combined hourly pre-agg, ONE shared 25-term MA window, decimal-exact detrending"),
+    ("o05_pareto_skyline", "Pareto skyline — price-level pre-agg + ONE partitioned running-max window + broadcast join-back; no all-pairs dominance test"),
+    ("x100_stable_docid_assignment", "sort-free dense id enumeration — 16 parallel bucket rank windows + broadcast offset prefix sum; the oracle's global ROW_NUMBER never materializes"),
+    ("p11_q20_shape", "Q20 correlated-agg threshold — quarter pre-agg once, year threshold as a window over the SAME shuffle, exact-decimal 2q>y"),
+    ("a35_rfm_segments", "RFM segmentation — percentile thresholds broadcast back, CASE banding: zero windows, zero global sorts"),
+    ("m14_ks_drift_test", "two-sample KS — distinct-value support, bounded type fanout, per-type ECDF windows; raw events never enter the grid"),
 ]
 
 
