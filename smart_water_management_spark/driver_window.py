@@ -171,6 +171,7 @@ ROUND7_CANDIDATES: list[str] = [
     "s22_compression_codecs", "s23_rowgroup_tuning",
     "x100_stable_docid_assignment",
     "w24_activity_streaks", "c15_scd3_previous_value",
+    "m16_period_detection", "c16_forget_user",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

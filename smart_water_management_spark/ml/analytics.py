@@ -1447,3 +1447,115 @@ def m15_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         st[1].alias("trend"),
         (st[0] + st[1]).alias("forecast_next"),
     )
+
+
+# --- M16 (ext.): seasonal-period detection via ACF argmax -----------------------
+
+_M16_MAX_LAG = 24
+
+
+@register(
+    "m16_period_detection",
+    # m13's ACF machinery widened to lags 1..24 and reduced to the
+    # DETECTED PERIOD: the lag with the maximum autocorrelation (ties to
+    # the smaller lag — both engines compare the identical doubles).
+    # The automated "does this series have a daily cycle, and at what
+    # period" probe a forecasting pipeline runs before m07/m12/m15.
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             SUM(CAST(value AS DECIMAL(27,6))) AS hv
+      FROM events GROUP BY 1, 2
+    ),
+    x AS (SELECT event_type, h, CAST(hv AS DOUBLE) AS v FROM hourly),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.v AS xv, b.v AS yv
+      FROM x a
+      CROSS JOIN (SELECT CAST(unnest(generate_series(1, {_M16_MAX_LAG}))
+                          AS INT) AS lag) l
+      JOIN x b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+    ),
+    m AS (
+      SELECT event_type, lag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {sql_dsum('xv', 38)} AS sx,
+             {sql_dsum('yv', 38)} AS sy,
+             {sql_dsum('xv*xv', 38)} AS sxx,
+             {sql_dsum('yv*yv', 38)} AS syy,
+             {sql_dsum('xv*yv', 38)} AS sxy
+      FROM pairs GROUP BY 1, 2
+    ),
+    acf AS (
+      SELECT event_type, lag, CAST(n AS BIGINT) AS n_pairs,
+             (n * sxy - sx * sy)
+             / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r
+      FROM m
+    ),
+    best AS (
+      SELECT event_type, lag, n_pairs, r,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY r DESC, lag) AS rk
+      FROM acf
+    )
+    SELECT event_type,
+           CAST(lag AS INT) AS detected_period,
+           n_pairs,
+           ROUND(r, 6) AS acf_at_period,
+           detected_period = 24 AS is_daily
+    FROM best WHERE rk = 1
+    """,
+    doc=f"M16 (ext.): seasonal-period detection — the ACF over lags "
+    f"1..{_M16_MAX_LAG} observed hours per event type, reduced to the "
+    "argmax lag (the detected cycle length) with a daily-cycle flag: "
+    "the automated seasonality probe that picks the period m07/m12/m15 "
+    "then condition on. Same exact-decimal moment pass as m13 (six "
+    "DECIMAL moments per (type, lag), closed-form Pearson r on "
+    "identical doubles); the lag fanout is in-row and the argmax is "
+    "one rank window over (types x 24) rows",
+)
+def m16_period_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    x = _hourly_series(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("v")
+    )
+    lag_arr = F.array(*[F.lit(k) for k in range(1, _M16_MAX_LAG + 1)])
+    a = x.select(
+        "event_type", F.explode(lag_arr).alias("lag"), "h", F.col("v").alias("xv")
+    ).select(
+        "event_type", "lag", (F.col("h") + F.col("lag")).alias("hk"), "xv"
+    )
+    pairs = a.join(
+        x.select("event_type", F.col("h").alias("hk"), F.col("v").alias("yv")),
+        ["event_type", "hk"],
+    )
+    m = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("xv", 38).alias("sx"),
+        dsum("yv", 38).alias("sy"),
+        dsum(F.col("xv") * F.col("xv"), 38).alias("sxx"),
+        dsum(F.col("yv") * F.col("yv"), 38).alias("syy"),
+        dsum(F.col("xv") * F.col("yv"), 38).alias("sxy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    acf = m.select(
+        "event_type",
+        "lag",
+        F.col("n").cast("bigint").alias("n_pairs"),
+        r.alias("r"),
+    )
+    wk = W.partitionBy("event_type").orderBy(F.desc("r"), F.asc("lag"))
+    return (
+        acf.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("lag").cast("int").alias("detected_period"),
+            "n_pairs",
+            F.round("r", 6).alias("acf_at_period"),
+            (F.col("lag") == 24).alias("is_daily"),
+        )
+    )

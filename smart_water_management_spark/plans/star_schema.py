@@ -415,3 +415,81 @@ def c14_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(cont, 6).alias("containment"),
         (cont >= _C14_THRESHOLD).alias("inferred_fk"),
     )
+
+
+# --- c16 (ext.): right-to-be-forgotten delete + completeness audit --------------
+
+
+@register(
+    "c16_forget_user",
+    # GDPR-style erasure over an immutable parquet lake: rewrite the
+    # managed copy WITHOUT the forget-set (anti-join — the rewrite
+    # pattern deletion vectors amortize), then AUDIT the erasure:
+    # zero remaining rows for forgotten users, and surviving
+    # rows + checksum reconcile exactly with the source complement.
+    oracle="""
+    WITH forget AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 17 = 3
+    ),
+    kept AS (
+      SELECT e.* FROM events e LEFT JOIN forget f USING (user_id)
+      WHERE f.user_id IS NULL
+    )
+    SELECT CAST((SELECT COUNT(*) FROM forget) AS BIGINT)
+             AS n_forgotten_users,
+           CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_rows_before,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_after,
+           CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE)
+             AS kept_value_checksum,
+           CAST(0 AS BIGINT) AS n_leaked_rows,
+           TRUE AS erasure_complete
+    FROM kept
+    """,
+    doc="c16 (ext.): right-to-be-forgotten — delete every event of a "
+    "forget-set of users (user_id % 17 = 3, the deterministic stand-in "
+    "for a DSAR list) by anti-join rewrite of the managed copy, then "
+    "audit the erasure by RE-READING the sink: zero leaked rows for "
+    "forgotten users, surviving count + exact decimal checksum "
+    "reconciling with the source complement. The compliance op every "
+    "lake needs; at 100 TB the same anti-join runs partition-wise and "
+    "deletion vectors amortize the rewrite — the AUDIT query is "
+    "identical either way. Scale: forget-set is DISTINCT user ids "
+    "(set-sized broadcast), one rewrite scan, one audit scan of the "
+    "rewritten sink",
+)
+def c16_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.io_ops import _scratch
+
+    ev = load_table(spark, sf_dir, "events")
+    forget = (
+        ev.filter(F.col("user_id") % 17 == 3).select("user_id").distinct()
+    )
+    path = _scratch("c16_forgotten", sf_dir)
+    kept = ev.join(F.broadcast(forget), "user_id", "left_anti")
+    kept.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    audit = back.agg(
+        F.count("*").cast("bigint").alias("n_rows_after"),
+        F.sum(F.col("value").cast("decimal(27,6)"))
+        .cast("double")
+        .alias("kept_value_checksum"),
+    )
+    leaked = (
+        back.join(F.broadcast(forget), "user_id", "left_semi")
+        .agg(F.count("*").cast("bigint").alias("n_leaked_rows"))
+    )
+    before = ev.agg(F.count("*").cast("bigint").alias("n_rows_before"))
+    nf = forget.agg(F.count("*").cast("bigint").alias("n_forgotten_users"))
+    return (
+        audit.crossJoin(F.broadcast(leaked))
+        .crossJoin(F.broadcast(before))
+        .crossJoin(F.broadcast(nf))
+        .select(
+            "n_forgotten_users",
+            "n_rows_before",
+            "n_rows_after",
+            "kept_value_checksum",
+            "n_leaked_rows",
+            (F.col("n_leaked_rows") == 0).alias("erasure_complete"),
+        )
+    )

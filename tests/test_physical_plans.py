@@ -915,3 +915,22 @@ def test_scd3_windows_share_user_exchange(spark):
     plan = plan_of(_q(spark, "c15_scd3_previous_value"), "simple")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_period_detection_bounded_fanout(spark):
+    """m16: the 24-lag fanout is in-row over the hourly pre-agg; the
+    argmax is a rank window over (types x 24) rows — no BNLJ, no
+    cartesian."""
+    plan = plan_of(_q(spark, "m16_period_detection"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan
+
+
+def test_forget_user_antijoin_broadcast(spark):
+    """c16: the forget-set (distinct ids) broadcasts into a LEFT ANTI
+    rewrite and a LEFT SEMI leak audit — the fact table never shuffles
+    for the erasure."""
+    plan = plan_of(_q(spark, "c16_forget_user"), "simple")
+    assert "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
