@@ -172,6 +172,7 @@ ROUND7_CANDIDATES: list[str] = [
     "x100_stable_docid_assignment",
     "w24_activity_streaks", "c15_scd3_previous_value",
     "m16_period_detection", "c16_forget_user",
+    "t23_streaming_bloom_state", "x101_hapax_density",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

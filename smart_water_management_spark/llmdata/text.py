@@ -1907,3 +1907,75 @@ def x96_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_chars").cast("double") / F.col("n_subwords"), 6
         ).alias("chars_per_subword"),
     )
+
+
+# --- x101: hapax-density quality flag -------------------------------------------
+
+_X101_FLAG_FRAC = 0.5
+
+
+@register(
+    "x101_hapax_density",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w),
+    per_doc AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_tok,
+             COUNT(CASE WHEN wc.n = 1 THEN 1 END) AS n_hapax
+      FROM tok t JOIN wc ON wc.w = t.w
+      GROUP BY t.doc_id
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(p.n_hapax) AS BIGINT) AS n_hapax_tokens,
+           CAST(SUM(p.n_hapax) AS DOUBLE) / SUM(p.n_tok)
+             AS corpus_hapax_share,
+           CAST(COUNT(CASE WHEN CAST(p.n_hapax AS DOUBLE) / p.n_tok
+                                > {_X101_FLAG_FRAC} THEN 1 END) AS BIGINT)
+             AS n_flagged_docs
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+    doc="x101: hapax-density screen — per document, the fraction of its "
+    "tokens that occur EXACTLY ONCE in the whole corpus; docs past "
+    f"{_X101_FLAG_FRAC:.0%} are flagged (gibberish, OCR noise and "
+    "base64 blobs are hapax-dense; natural text is not), rolled up per "
+    "source with the corpus-level hapax share (the Zipf tail mass x51 "
+    "fits, x57 grows). Shape: one exploded token table feeds both the "
+    "corpus word count and the per-doc reduce — two word-count-shaped "
+    "map-combined shuffles joined on the word hash, never all-pairs; "
+    "integer counts + unrounded IEEE quotients (no midpoint risk)",
+)
+def x101_hapax_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = doc_token_table(spark, sf_dir)
+    wc = tok.groupBy("w").agg(F.count("*").alias("n"))
+    per_doc = (
+        tok.join(wc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tok"),
+            F.count_if(F.col("n") == 1).alias("n_hapax"),
+        )
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    flagged = (
+        F.col("n_hapax").cast("double") / F.col("n_tok") > _X101_FLAG_FRAC
+    )
+    return (
+        per_doc.join(d, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+            F.sum("n_hapax").cast("bigint").alias("n_hapax_tokens"),
+            (
+                F.sum("n_hapax").cast("double") / F.sum("n_tok")
+            ).alias("corpus_hapax_share"),
+            F.count_if(flagged).cast("bigint").alias("n_flagged_docs"),
+        )
+    )

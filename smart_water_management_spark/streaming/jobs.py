@@ -1597,3 +1597,200 @@ def stats_manifest_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def t22_streaming_stats_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats_manifest_stream(spark, sf_dir)
+
+
+# --- t23: incrementally-maintained bloom membership state -----------------------
+
+_T23_BITS = 2048
+_T23_WORDS = _T23_BITS // 32  # 32-bit words: DuckDB's << is overflow-checked at bit 63
+_T23_HASHES = 4
+_T23_SHIFT = 100_000  # synthetic non-member probe offset
+
+
+def _t23_hash(j: int, col):
+    """md5-derived bit position — the one hash family both engines share
+    (k06's xxhash64 bloom has no DuckDB twin; this one does)."""
+    md = F.md5(F.concat(F.lit(f"{j}|"), col.cast("string")))
+    return F.conv(F.substring(md, 1, 12), 16, 10).cast("long") % _T23_BITS
+
+
+def _t23_sql_hash(j: int, expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{j}|' || CAST({expr} AS VARCHAR)), 1, 12))"
+        f" AS BIGINT) % {_T23_BITS}"
+    )
+
+
+def bloom_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T23: a bloom filter as STREAMING STATE — each micro-batch ORs its
+    new members' bits into a 2048-bit word table (32 rows, constant in
+    stream length). bit_or is associative/commutative/idempotent, so the
+    final bitset equals the batch-built bloom for ANY slicing AND under
+    at-least-once replay — idempotent state, the strongest merge class
+    (t14's k-min and t20's counters tolerate slicing; the bloom also
+    tolerates duplicate delivery)."""
+    from ..sources.catalog import reset_managed_table
+
+    reset_managed_table(spark, "bloom_membership_state")
+    spark.sql(
+        "CREATE TABLE bloom_membership_state "
+        "(word_idx INT, word BIGINT) USING parquet"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        members = batch_df.select("user_id").distinct()
+        hashed = members.select(
+            F.explode(
+                F.array(
+                    *[_t23_hash(j, F.col("user_id")) for j in range(_T23_HASHES)]
+                )
+            ).alias("h")
+        )
+        partial = (
+            hashed.select(
+                F.expr("cast(h div 32 as int)").alias("word_idx"),
+                F.expr("shiftleft(1L, cast(h % 32 as int))").alias("word"),
+            )
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word"))
+        )
+        merged = (
+            sp.table("bloom_membership_state")
+            .unionByName(partial)
+            .groupBy("word_idx")
+            .agg(F.bit_or("word").alias("word"))
+            .select("word_idx", "word")
+        )
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").insertInto("bloom_membership_state")
+
+    ev = read_event_stream(spark, sf_dir)
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            ev.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("bloom_membership_state")
+
+
+@register(
+    "t23_streaming_bloom_state",
+    # The oracle REBUILDS the identical md5-derived bloom in SQL and
+    # probes it with the same member + shifted-non-member sets — bit
+    # math is engine-shared, so the false-positive COUNT is exact, not
+    # just bounded.
+    oracle=f"""
+    WITH m AS (SELECT DISTINCT user_id FROM events),
+    hashes AS (
+      SELECT {" UNION ALL SELECT ".join(
+          f"user_id, {_t23_sql_hash(j, 'user_id')} AS h FROM m"
+          for j in range(_T23_HASHES))}
+    ),
+    words AS (
+      SELECT CAST(h // 32 AS INT) AS word_idx,
+             bit_or(CAST(1 AS BIGINT) << CAST(h % 32 AS INT)) AS word
+      FROM hashes GROUP BY 1
+    ),
+    probes AS (
+      SELECT user_id AS pid, TRUE AS is_member FROM m
+      UNION ALL
+      SELECT user_id + {_T23_SHIFT}, FALSE FROM m
+    ),
+    ph AS (
+      SELECT {" UNION ALL SELECT ".join(
+          f"pid, is_member, {_t23_sql_hash(j, 'pid')} AS h FROM probes"
+          for j in range(_T23_HASHES))}
+    ),
+    hit AS (
+      SELECT ph.pid, ph.is_member,
+             BOOL_AND((COALESCE(w.word, 0)
+                       & (CAST(1 AS BIGINT) << CAST(ph.h % 32 AS INT)))
+                      <> 0) AS bloom_hit
+      FROM ph LEFT JOIN words w ON w.word_idx = CAST(ph.h // 32 AS INT)
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(CASE WHEN is_member THEN 1 END) AS BIGINT)
+             AS n_members,
+           BOOL_AND(CASE WHEN is_member THEN bloom_hit ELSE TRUE END)
+             AS all_members_hit,
+           CAST(COUNT(CASE WHEN NOT is_member THEN 1 END) AS BIGINT)
+             AS n_nonmember_probes,
+           CAST(COUNT(CASE WHEN NOT is_member AND bloom_hit THEN 1 END)
+                AS BIGINT) AS n_false_positives,
+           CAST(COUNT(CASE WHEN NOT is_member AND bloom_hit THEN 1 END)
+                AS DOUBLE)
+             / COUNT(CASE WHEN NOT is_member THEN 1 END) AS fp_rate
+    FROM hit
+    """,
+    doc=f"T23: a {_T23_BITS}-bit bloom filter as streaming state — each "
+    "micro-batch ORs its members' md5-derived bits into a constant "
+    f"{_T23_WORDS}-row 32-bit-word table; bit_or is idempotent as well as "
+    "mergeable, so the state survives BOTH arbitrary slicing and "
+    "at-least-once redelivery (stronger than t14/t20's merge class). "
+    "Probed with every true member (must all hit) and a shifted "
+    "non-member set whose EXACT false-positive count the oracle "
+    "recomputes bit-for-bit in SQL. The 'have we seen this key' gate "
+    "a streaming dedup puts in front of expensive state lookups",
+)
+def t23_streaming_bloom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.catalog import load_table as _lt
+
+    words = bloom_state_stream(spark, sf_dir)
+    members = (
+        _lt(spark, sf_dir, "events").select("user_id").distinct()
+    )
+    probes = members.select(
+        F.col("user_id").alias("pid"), F.lit(True).alias("is_member")
+    ).unionByName(
+        members.select(
+            (F.col("user_id") + _T23_SHIFT).alias("pid"),
+            F.lit(False).alias("is_member"),
+        )
+    )
+    ph = probes.select(
+        "pid",
+        "is_member",
+        F.explode(
+            F.array(*[_t23_hash(j, F.col("pid")) for j in range(_T23_HASHES)])
+        ).alias("h"),
+    )
+    hit = (
+        ph.join(
+            F.broadcast(words),
+            F.expr("cast(h div 32 as int)") == words["word_idx"],
+            "left",
+        )
+        .select(
+            "pid",
+            "is_member",
+            (
+                (
+                    F.coalesce(F.col("word"), F.lit(0))
+                    .bitwiseAND(F.expr("shiftleft(1L, cast(h % 32 as int))"))
+                )
+                != 0
+            ).alias("bit_set"),
+        )
+        .groupBy("pid", "is_member")
+        .agg(F.bool_and("bit_set").alias("bloom_hit"))
+    )
+    return hit.agg(
+        F.count_if("is_member").cast("bigint").alias("n_members"),
+        F.bool_and(
+            F.when(F.col("is_member"), F.col("bloom_hit")).otherwise(True)
+        ).alias("all_members_hit"),
+        F.count_if(~F.col("is_member")).cast("bigint").alias(
+            "n_nonmember_probes"
+        ),
+        F.count_if(~F.col("is_member") & F.col("bloom_hit"))
+        .cast("bigint")
+        .alias("n_false_positives"),
+        (
+            F.count_if(~F.col("is_member") & F.col("bloom_hit")).cast("double")
+            / F.count_if(~F.col("is_member"))
+        ).alias("fp_rate"),
+    )

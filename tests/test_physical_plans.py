@@ -934,3 +934,12 @@ def test_forget_user_antijoin_broadcast(spark):
     plan = plan_of(_q(spark, "c16_forget_user"), "simple")
     assert "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hapax_shares_token_table(spark):
+    """x101: the exploded token table is pinned — the corpus word count
+    and the per-doc reduce read the same cached explode; joins are
+    hash equi-joins, never cartesian."""
+    plan = plan_of(_q(spark, "x101_hapax_density"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan
