@@ -173,6 +173,7 @@ ROUND7_CANDIDATES: list[str] = [
     "w24_activity_streaks", "c15_scd3_previous_value",
     "m16_period_detection", "c16_forget_user",
     "t23_streaming_bloom_state", "x101_hapax_density",
+    "v14_column_profile",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

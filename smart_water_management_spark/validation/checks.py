@@ -853,3 +853,61 @@ def v13_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("risk_rate"),
         "min_group_size",
     )
+
+
+# --- v14 (ext.): column statistics profile (ANALYZE TABLE equivalent) ----------
+
+_V14_COLS = ["event_id", "user_id", "event_type", "value"]
+
+
+def _v14_oracle() -> str:
+    blocks = []
+    for c in _V14_COLS:
+        blocks.append(f"""
+    SELECT '{c}' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_nulls,
+           CAST(MIN({c}) AS VARCHAR) AS min_str,
+           CAST(MAX({c}) AS VARCHAR) AS max_str
+    FROM events""")
+    return "\n    UNION ALL\n".join(blocks)
+
+
+@register(
+    "v14_column_profile",
+    oracle=_v14_oracle(),
+    doc="v14 (ext.): per-column statistics profile — row count, NDV, "
+    "null count, min/max (as strings so one row schema fits every "
+    "column type) for the fact table's columns: the ANALYZE TABLE "
+    "stats a cost-based optimizer consumes and the first page of any "
+    "data-discovery tool. Spark-first: ONE pass computes every "
+    "column's aggregates side by side (shared scan), then an in-row "
+    "stack() unpivots to the per-column rows — no per-column rescan, "
+    "which at 100 TB is the difference between one table scan and "
+    "len(columns) of them. Exactness: counts are integers; min/max "
+    "stringified with engine-identical formatting (value is rounded "
+    "only by cast, both engines print shortest-repr doubles)",
+)
+def v14_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _V14_COLS:
+        aggs += [
+            F.count_distinct(F.col(c)).cast("bigint").alias(f"{c}__ndv"),
+            (F.count("*") - F.count(F.col(c)))
+            .cast("bigint")
+            .alias(f"{c}__nulls"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = ev.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__ndv, {c}__nulls, {c}__min, {c}__max"
+        for c in _V14_COLS
+    )
+    return wide.selectExpr(
+        "n_rows",
+        f"stack({len(_V14_COLS)}, {stack_args}) "
+        "as (col, n_distinct, n_nulls, min_str, max_str)",
+    ).select("col", "n_rows", "n_distinct", "n_nulls", "min_str", "max_str")

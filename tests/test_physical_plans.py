@@ -943,3 +943,13 @@ def test_hapax_shares_token_table(spark):
     plan = plan_of(_q(spark, "x101_hapax_density"), "simple")
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_column_profile_single_scan(spark):
+    """v14: all columns' stats come from ONE shared scan + agg; the
+    per-column rows are an in-row stack() unpivot (Generate/Expand),
+    never a per-column rescan."""
+    plan = plan_of(_q(spark, "v14_column_profile"), "simple")
+    n_scans = plan.count("FileScan parquet") + plan.count("InMemoryTableScan")
+    assert n_scans <= 2  # one logical scan (count_distinct expands it)
+    assert "Join" not in plan
