@@ -24,7 +24,17 @@ the local parity suite; README.md documents the mapping. The round-4
 window (q01–q16, v01–v06, t01–t04, x01–x07, w02/w06/w12, family reps)
 went 49/50 green in CORRECTNESS_r04.
 
-Round-6 window (this file's DRIVER_WINDOW, per VERDICT r5 directives
+Round-7 window (this file's DRIVER_WINDOW, per VERDICT r6 directives
+#1/#5): 46 never-windowed oracle-backed names — the first 41 of the
+round-6 ROUND7_CANDIDATES queue in their listed order, PLUS t19-t23
+pulled forward so the entire t17-t23 streaming-state family gets
+driver rows this round — and 4 retention reps (k01/o01/q05/p90). The
+10 rows-only names (m02/m03/m05, x12/x29/x54/x55/x61/x65/x68) are
+never windowed. Round-6 went 50/50 green; cumulative driver-green
+natural names before this rotation: 173/321; after a green round 7:
+219/321.
+
+Round-6 window, for the record (per VERDICT r5 directives
 #2/#3/#8): 41 never-windowed oracle-backed names — the full TRUE
 streaming family t05-t16 (availableNow replay jobs whose
 watermark/state semantics the reference only fakes), sources
@@ -41,12 +51,9 @@ driver-visible). To make room the d-family rep d01_keyed_dedup drops
 out: it is a one-query family, green in r4 AND r5, and its exact-dedup
 semantics are covered by the retained x05_exact_dedup rep.
 
-Round-7 rotation plan (once CORRECTNESS_r06 lands): the never-windowed
-oracle-backed remainder is f18, a28/a29, and ~70 x* names — fill all
-41 slots from ROUND7_CANDIDATES below in listed order (x08-x28 core
-dedup/similarity/text first, then x30+), keep 9 retention reps covering
-every family not already in the window, and never window the 10
-rows-only names (m02/m03/m05, x12/x29/x54/x55/x61/x65/x68).
+Round-8 rotation plan (once CORRECTNESS_r07 lands): fill 41 slots from
+ROUND8_CANDIDATES below in listed order, restore u/p/d retention reps
+first (they lapsed in round 7), and never window the rows-only names.
 """
 
 from __future__ import annotations
@@ -58,121 +65,123 @@ from .registry import register_alias
 # retention reps for already-green families. Order within the window is
 # cosmetic — membership is what the driver records.
 DRIVER_WINDOW: list[str] = [
-    # TRUE streaming family — availableNow replay jobs, oracle-backed
-    # against their batch twins (12)
-    "t05_streaming_hourly",
-    "t06_streaming_session_windows",
-    "t07_streaming_sensor_status",
-    "t08_streaming_sliding",
-    "t09_stateful_run_length",
-    "t10_streaming_dedup",
-    "t11_streaming_scd2",
-    "t12_stream_stream_join",
-    "t13_transform_with_state",
-    "t14_streaming_kmv_sketch",
-    "t15_streaming_lsh_dedup",
-    "t16_watermark_lateness_profile",
-    # sources / sinks / formats (13)
-    "s01_csv_roundtrip_schema",
-    "s02_csv_infer_roundtrip",
-    "s04_glob_latest",
-    "s06_compacted_sink",
-    "s11_json_roundtrip",
-    "s12_cached_reuse",
-    "s13_dynamic_partition_overwrite",
-    "s14_orc_roundtrip",
-    "s15_binaryfile_scan",
-    "s16_schema_evolution",
-    "s17_corrupt_records",
-    "s18_text_lines_scan",
-    "s19_sharded_corpus_sink",
-    # ML closed-form analytics (4)
-    "m04_correlation_matrix",
-    "m06_linear_trend",
-    "m07_weekday_seasonality",
-    "m08_ridge_trend",
-    # projections / subquery decorrelations (7)
-    "p02_case_when_bands",
-    "p03_null_handling",
-    "p04_regex_filter",
-    "p05_stratified_sample",
-    "p06_correlated_scalar_subquery",
-    "p07_in_subquery_having",
-    "p08_not_exists_scalar",
-    # set operations (2)
-    "u01_union_by_name",
-    "u03_multiset_ops",
-    # round-5 window/catalog additions (3)
-    "w19_gapfill_interpolate",
-    "c11_recursive_hierarchy",
-    "c12_skipping_manifest",
-    # retention reps: one per family green in r1-r5 that the 41 first-time
-    # slots above don't already cover (a/f/j/k/o/q/v/x), plus
-    # p90_domain_pipeline's first oracle-backed window attempt (see
-    # docstring for why d01 rotated out).
-    "a01_multi_agg_pricing",
-    "f05_json_functions",
-    "j01_broadcast_dims",
+    # round-7 first-time slots 1-41: the round-6 ROUND7_CANDIDATES queue
+    # in listed order, per VERDICT r6 directive #1 - the x08-x28
+    # MinHash/SimHash/cosine/TF-IDF/PII/Gopher core first, then the
+    # r5/r6 x* additions, w20, t17/t18, j13, s20, v10, m09, a30, c13,
+    # x89.
+    "f18_map_functions",
+    "a28_ordered_string_agg",
+    "a29_sample_quantile_sketch",
+    "x70_doc_disposition",
+    "x08_minhash_lsh_dedup",
+    "x09_simhash_groups",
+    "x10_bruteforce_cosine_topk",
+    "x11_cosine_near_dupes",
+    "x15_dedup_groups",
+    "x17_quantized_cosine_topk",
+    "x18_tfidf_keywords",
+    "x20_pii_scrub",
+    "x21_gopher_quality_filters",
+    "x71_boilerplate_scrub",
+    "x72_embedding_dim_stats",
+    "x73_matryoshka_topk",
+    "x74_centroid_outliers",
+    "x75_jl_projection_topk",
+    "x76_context_clip",
+    "x77_lang_mislabel",
+    "x78_quality_auc",
+    "x79_padding_waste",
+    "x80_dup_cluster_profile",
+    "x81_kappa_agreement",
+    "w20_markov_transitions",
+    "x82_kneser_ney_bigram",
+    "x83_class_balance",
+    "x84_dedup_threshold_sweep",
+    "x85_clip_survival",
+    "t17_streaming_sample_quantile",
+    "j13_pit_scd2_lookup",
+    "x86_ivf_recall_audit",
+    "x87_mutual_knn_clusters",
+    "x88_cluster_purity",
+    "s20_quoted_csv_roundtrip",
+    "v10_schema_drift",
+    "m09_naive_bayes_lang",
+    "a30_pareto_concentration",
+    "c13_partition_delta_audit",
+    "t18_stream_static_pit_join",
+    "x89_bm25_topk",
+    # slots 42-46: the remaining TRUE-streaming state maintainers
+    # t19-t23, pulled forward per VERDICT r6 directive #5 (all of
+    # t17-t23 must get driver rows this round) - also first-time names.
+    "t19_stream_weighted_reservoir",
+    "t20_streaming_countmin",
+    "t21_streaming_ri_monitor",
+    "t22_streaming_stats_manifest",
+    "t23_streaming_bloom_state",
+    # slots 47-50: retention reps. The 46 first-time slots already cover
+    # families a/c/f/j/m/s/t/v/w/x, so the reps keep k, o, q and the
+    # flagship p90 driver-visible. Families u, p and d lapse for ONE
+    # round (u01/u03, p02-p08, d01 all hold prior-round green rows;
+    # directive #5 outranks their retention this round).
     "k01_salted_skew_agg",
     "o01_topk_orders",
     "q05_district_performance",
-    "v01_fused_validation",
-    "x05_exact_dedup",
     "p90_domain_pipeline",
 ]
 
 assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
 
-# Round-7 rotation candidates, in priority order (see docstring). Kept as
-# data — not prose — so tests/test_oracle_parity.py can assert every name
-# exists in the registry and is oracle-backed BEFORE the round-7 edit
-# happens, instead of discovering a typo when the driver runs.
-ROUND7_CANDIDATES: list[str] = [
-    # remaining non-x never-windowed names
-    "f18_map_functions",
-    "a28_ordered_string_agg",
-    "a29_sample_quantile_sketch",
-    "x70_doc_disposition",
-    # x-family core: dedup / similarity / text (exact-oracle members only;
-    # x12/x29/x54/x55/x61/x65/x68 are rows-only and MUST NOT be windowed)
-    "x08_minhash_lsh_dedup", "x09_simhash_groups",
-    "x10_bruteforce_cosine_topk", "x11_cosine_near_dupes",
-    "x15_dedup_groups", "x17_quantized_cosine_topk", "x18_tfidf_keywords",
-    "x20_pii_scrub", "x21_gopher_quality_filters",
-    # round-5 additions (all exact-oracle)
-    "x71_boilerplate_scrub", "x72_embedding_dim_stats",
-    "x73_matryoshka_topk", "x74_centroid_outliers",
-    "x75_jl_projection_topk", "x76_context_clip", "x77_lang_mislabel",
-    "x78_quality_auc", "x79_padding_waste", "x80_dup_cluster_profile",
-    "x81_kappa_agreement",
-    # round-6 additions (all exact-oracle)
-    "w20_markov_transitions", "x82_kneser_ney_bigram", "x83_class_balance",
-    "x84_dedup_threshold_sweep", "x85_clip_survival",
-    "t17_streaming_sample_quantile", "j13_pit_scd2_lookup",
-    "x86_ivf_recall_audit", "x87_mutual_knn_clusters",
-    "x88_cluster_purity", "s20_quoted_csv_roundtrip", "v10_schema_drift",
-    "m09_naive_bayes_lang", "a30_pareto_concentration",
-    "c13_partition_delta_audit", "t18_stream_static_pit_join",
-    "x89_bm25_topk", "w21_cusum_drift", "x91_retrieval_metrics", "a31_theil_sen_trend", "v11_reconciliation_audit",
-    "m10_mann_kendall", "x92_weighted_reservoir", "t19_stream_weighted_reservoir", "p09_q21_shape", "w22_time_decay_mean", "x93_word_pmi",
-    "a32_benford_audit", "x94_rake_keyphrases", "x95_group_split_assign",
-    "p10_q15_shape", "m11_isotonic_calibration",
-    "m12_classical_decomposition", "m13_acf_profile",
-    "w23_seasonal_naive_outliers", "x96_tokenizer_fertility",
-    "f19_url_functions", "t20_streaming_countmin",
-    "p11_q20_shape", "v12_suggested_rules",
-    "a33_gini_concentration", "x97_hard_negative_mining",
-    "c14_fk_discovery", "s21_bloom_filter_write", "x98_label_confusion",
-    "v13_k_anonymity", "m14_ks_drift_test", "t21_streaming_ri_monitor",
-    "f20_timezone_functions", "a34_last_touch_attribution",
-    "x99_seqlen_sweep", "m15_holt_smoothing", "o05_pareto_skyline",
-    "a35_rfm_segments", "p12_q11_shape",
-    "t22_streaming_stats_manifest", "a36_winsorized_stats",
-    "s22_compression_codecs", "s23_rowgroup_tuning",
+# Round-8 rotation candidates, in priority order: the 45 oracle-backed
+# natural names that have never had a driver row after the round-7
+# window above (91 queued at end of r6, minus the 46 windowed). Kept as
+# data so tests/test_oracle_parity.py can assert every name exists and
+# is oracle-backed BEFORE the round-8 edit happens.
+ROUND8_CANDIDATES: list[str] = [
+    "w21_cusum_drift",
+    "x91_retrieval_metrics",
+    "a31_theil_sen_trend",
+    "v11_reconciliation_audit",
+    "m10_mann_kendall",
+    "x92_weighted_reservoir",
+    "p09_q21_shape",
+    "w22_time_decay_mean",
+    "x93_word_pmi",
+    "a32_benford_audit",
+    "x94_rake_keyphrases",
+    "x95_group_split_assign",
+    "p10_q15_shape",
+    "m11_isotonic_calibration",
+    "m12_classical_decomposition",
+    "m13_acf_profile",
+    "w23_seasonal_naive_outliers",
+    "x96_tokenizer_fertility",
+    "f19_url_functions",
+    "p11_q20_shape",
+    "v12_suggested_rules",
+    "a33_gini_concentration",
+    "x97_hard_negative_mining",
+    "c14_fk_discovery",
+    "s21_bloom_filter_write",
+    "x98_label_confusion",
+    "v13_k_anonymity",
+    "m14_ks_drift_test",
+    "f20_timezone_functions",
+    "a34_last_touch_attribution",
+    "x99_seqlen_sweep",
+    "m15_holt_smoothing",
+    "o05_pareto_skyline",
+    "a35_rfm_segments",
+    "p12_q11_shape",
+    "a36_winsorized_stats",
+    "s22_compression_codecs",
+    "s23_rowgroup_tuning",
     "x100_stable_docid_assignment",
-    "w24_activity_streaks", "c15_scd3_previous_value",
-    "m16_period_detection", "c16_forget_user",
-    "t23_streaming_bloom_state", "x101_hapax_density",
+    "w24_activity_streaks",
+    "c15_scd3_previous_value",
+    "m16_period_detection",
+    "c16_forget_user",
+    "x101_hapax_density",
     "v14_column_profile",
 ]
 
