@@ -136,6 +136,11 @@ def main() -> None:
 
     total = sum(timings[n] for n in HEADLINE)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Ambient-load control (VERDICT r6 directive #4): k04_naive_nosplit is
+    # fixed work, untouched since round 4, so suite/naive normalizes away
+    # machine-load noise — r5->r6 raw wall moved +17% while this ratio
+    # IMPROVED 4.77->3.83 on identical headline code. Compare rounds on
+    # the ratio; the raw wall stays the headline for BASELINE.md parity.
     print(
         json.dumps(
             {
@@ -143,6 +148,9 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                "suite_over_naive_nosplit": round(
+                    total / timings["k04_naive_nosplit"], 3
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
