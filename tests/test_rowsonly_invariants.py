@@ -382,3 +382,106 @@ def test_ffd_bins_exact_and_within_proven_ratio(spark, duck):
         assert r.bins_used == len(oracle_bins), src          # (a) exact
         assert lower <= r.bins_used <= math.ceil(lower * 11 / 9) + 1, src  # (b)
         assert r.utilization == round(total / (r.bins_used * CONTEXT_LEN), 6)
+
+
+def test_mllib_model_fit_stability(spark):
+    """VERDICT r6 #8: the rows-only five (x12/x29/x54/x65/x68) are
+    MLlib/numpy-seeded; their query OUTPUTS are already pinned by
+    test_rowsonly_fixed_seed_determinism. This narrows what rows-only
+    leaves unchecked one level deeper: the FITTED MODELS themselves are
+    cross-run stable — same seed ⇒ identical KMeans centroid matrix,
+    identical per-vector cell-assignment hash (the x12/x29/x65 coarse
+    quantizer), identical PQ codebooks (x54/x65), identical logistic
+    coefficients (x68) — so two runs agreeing on visible rows can never
+    be two different models coincidentally agreeing."""
+    import hashlib
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from smart_water_management_spark.llmdata.similarity import (
+        ivf_index,
+        pq_codebooks,
+    )
+    from smart_water_management_spark.sources.catalog import load_table
+
+    em = load_table(spark, SF_DIR, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+
+    def ivf_fingerprint():
+        # cache_key=None -> genuine refit each call
+        assigned, model = ivf_index(em, cache_key=None)
+        centroids = tuple(
+            tuple(float(x) for x in c) for c in model.clusterCenters()
+        )
+        assigns = sorted(
+            (r["vec_id"], r["cell"])
+            for r in assigned.select("vec_id", "cell").collect()
+        )
+        h = hashlib.md5(repr(assigns).encode()).hexdigest()
+        return centroids, h
+
+    c1, h1 = ivf_fingerprint()
+    c2, h2 = ivf_fingerprint()
+    assert c1 == c2, "KMeans centroids differ across same-seed refits"
+    assert h1 == h2, "cell-assignment hash differs across same-seed refits"
+
+    b1 = pq_codebooks(em, cache_key=None)
+    b2 = pq_codebooks(em, cache_key=None)
+    assert np.array_equal(b1, b2), "PQ codebooks differ across refits"
+
+
+def test_x68_classifier_coefficients_stable(spark):
+    """x68's logistic quality classifier: same seed/data ⇒ the same LBFGS
+    solution. Coefficients are compared at high precision (1e-9 rel) —
+    LBFGS is deterministic given a fixed single-session environment, and
+    the persisted feature table removes scan-order noise."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.sql import functions as F
+
+    from smart_water_management_spark.llmdata.curation import gopher_metrics
+    from smart_water_management_spark.llmdata.text import HASH_DIM, tokens
+    from smart_water_management_spark.sources.catalog import load_table
+
+    d = load_table(spark, SF_DIR, "documents")
+    tk = tokens("text")
+    m = gopher_metrics(tk)
+    bucket_tf = [
+        F.size(
+            F.filter(
+                tk,
+                lambda w, i=i: (
+                    F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+                    % HASH_DIM
+                    == i
+                ),
+            )
+        ).cast("double")
+        for i in range(HASH_DIM)
+    ]
+    feat = d.select(
+        m["passes"].cast("double").alias("label"),
+        *[c.alias(f"tf{i}") for i, c in enumerate(bucket_tf)],
+    )
+    vec = VectorAssembler(
+        inputCols=[f"tf{i}" for i in range(HASH_DIM)], outputCol="features"
+    ).transform(feat).persist()
+    try:
+        def coefs():
+            lr = LogisticRegression(
+                maxIter=25, regParam=0.01, featuresCol="features",
+                labelCol="label",
+            )
+            mdl = lr.fit(vec)
+            return [float(x) for x in mdl.coefficients] + [float(mdl.intercept)]
+
+        a, b = coefs(), coefs()
+        assert len(a) == HASH_DIM + 1
+        for x, y in zip(a, b):
+            assert x == y or abs(x - y) <= 1e-9 * max(abs(x), abs(y)), (a, b)
+    finally:
+        vec.unpersist()
