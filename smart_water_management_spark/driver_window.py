@@ -183,6 +183,16 @@ ROUND8_CANDIDATES: list[str] = [
     "c16_forget_user",
     "x101_hapax_density",
     "v14_column_profile",
+    # round-7 additions (all exact-oracle)
+    "p13_q02_shape",
+    "a37_spearman_corr",
+    "a38_chisq_independence",
+    "v15_fd_discovery",
+    "x102_url_canonical_dedup",
+    "x103_token_budget_waterfill",
+    "m17_holt_winters",
+    "m18_ab_proportion_test",
+    "w25_ewma_control",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

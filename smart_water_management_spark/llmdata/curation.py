@@ -2434,3 +2434,210 @@ def x100_stable_docid_assignment(
         (F.col("off") + F.col("rn")).cast("bigint").alias("new_id"),
         "bucket",
     )
+
+
+# --- x102: URL canonicalization dedup -------------------------------------------
+
+
+@register(
+    "x102_url_canonical_dedup",
+    # Each doc carries a deterministically MESSY url (upper-case host
+    # every 3rd doc, trailing slash every 5th, utm_source param every
+    # 2nd, #fragment every 4th). Spark canonicalizes by PARSING the raw
+    # string (lower host + path sans trailing slash + the q param only);
+    # the oracle builds the canonical form CONSTRUCTIVELY from the doc
+    # fields — so the parser-based canonicalizer is certified against
+    # ground truth (the f19 device), and the dup groups it induces are
+    # hash-checked.
+    oracle="""
+    WITH u AS (
+      SELECT doc_id, n_chars,
+             'https://'
+               || (CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END)
+               || '.example.org/' || lang || '/doc-'
+               || CAST(doc_id % 50 AS VARCHAR)
+               || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+               || (CASE WHEN doc_id % 2 = 0
+                        THEN '?utm_source=feed&q=' ELSE '?q=' END)
+               || CAST(doc_id % 10 AS VARCHAR)
+               || (CASE WHEN doc_id % 4 = 0 THEN '#sec' ELSE '' END) AS raw,
+             lower(source) || '.example.org/' || lang || '/doc-'
+               || CAST(doc_id % 50 AS VARCHAR)
+               || '?q=' || CAST(doc_id % 10 AS VARCHAR) AS canon
+      FROM documents
+    )
+    SELECT canon AS canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_raw_variants,
+           CAST(MIN(doc_id) AS BIGINT) AS canonical_doc,
+           CAST(COUNT(*) - 1 AS BIGINT) AS dup_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM u GROUP BY canon
+    """,
+    doc="x102: URL canonicalization dedup — normalize each doc's URL "
+    "(lower-case host, strip trailing slash, drop tracking params and "
+    "fragments, keep content-bearing params) and collapse docs sharing "
+    "a canonical URL, keeping the min-id copy. The crawl-dedup stage "
+    "that runs BEFORE any content hashing: at web scale most "
+    "duplicates are the same page re-crawled under cosmetic URL "
+    "variants, and the canonical-key groupBy removes them for the "
+    "cost of ONE word-count-shaped shuffle (vs content-shingle "
+    "MinHash on the full corpus). Spark parses with JVM parse_url; "
+    "the constructive oracle certifies the parser against ground "
+    "truth (f19 device)",
+)
+def x102_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("https://"),
+        F.when(
+            F.col("doc_id") % 3 == 0, F.upper(F.col("source"))
+        ).otherwise(F.col("source")),
+        F.lit(".example.org/"),
+        F.col("lang"),
+        F.lit("/doc-"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0, F.lit("?utm_source=feed&q=")
+        ).otherwise(F.lit("?q=")),
+        (F.col("doc_id") % 10).cast("string"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    canon = F.concat(
+        F.lower(F.parse_url(raw, F.lit("HOST"))),
+        F.regexp_replace(F.parse_url(raw, F.lit("PATH")), "/$", ""),
+        F.lit("?q="),
+        F.parse_url(raw, F.lit("QUERY"), F.lit("q")),
+    )
+    return (
+        d.select(
+            "doc_id", "n_chars", raw.alias("raw"), canon.alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.countDistinct("raw").cast("bigint").alias("n_raw_variants"),
+            F.min("doc_id").cast("bigint").alias("canonical_doc"),
+            (F.count("*") - 1).cast("bigint").alias("dup_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+# --- x103: token-budget water-filling allocator ----------------------------------
+
+
+@register(
+    "x103_token_budget_waterfill",
+    # Allocate a training-token budget B (60% of the corpus) across
+    # sources by WATER-FILLING: every source contributes min(n_s, L)
+    # where the level L solves sum min(n_s, L) = B — small sources are
+    # taken whole, large sources are capped at a common level (the
+    # max-min fair allocation used to balance corpus mixtures without
+    # starving small domains). The level comes from a prefix-sum scan
+    # of the SORTED source table (bounded: one row per source).
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(SUM(len(string_split(lower(text), ' '))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
+             FLOOR(CAST(SUM(n_tokens) AS DOUBLE) * 3 / 5) AS b,
+             COUNT(*) AS s
+      FROM src
+    ),
+    scan AS (
+      SELECT source, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, source) AS rn,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY n_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix
+      FROM src
+    ),
+    lvl AS (
+      SELECT (t.b - sc.prefix) / (t.s - sc.rn + 1) AS level
+      FROM scan sc, tot t
+      WHERE (t.b - sc.prefix) / (t.s - sc.rn + 1) <= sc.n_tokens
+      ORDER BY sc.rn LIMIT 1
+    )
+    SELECT sc.source, sc.n_tokens,
+           LEAST(CAST(sc.n_tokens AS DOUBLE),
+                 COALESCE(l.level, CAST('inf' AS DOUBLE))) AS alloc_tokens,
+           LEAST(CAST(sc.n_tokens AS DOUBLE),
+                 COALESCE(l.level, CAST('inf' AS DOUBLE)))
+             / sc.n_tokens AS fill_frac,
+           t.b AS budget
+    FROM scan sc
+    LEFT JOIN lvl l ON TRUE, tot t
+    """,
+    doc="x103: token-budget water-filling — the max-min fair allocation "
+    "of a training budget across sources (take small sources whole, "
+    "cap large ones at the common level L with sum min(n_s,L) = B). "
+    "The mixture-planning primitive between x30's fixed-temperature "
+    "weights and x33's solver: budget-feasible by construction and "
+    "starvation-free. Scale: per-source token totals are ONE "
+    "map-combined aggregate over the corpus; the sort/prefix-sum/"
+    "level search all run on the bounded source table (rows = "
+    "#sources), broadcast back. Exactness: token counts are integers; "
+    "the level and allocations are single IEEE expressions on them",
+)
+def x103_token_budget_waterfill(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.sum(F.size(tokens("text"))).cast("bigint").alias("n_tokens")
+    )
+    tot = src.agg(
+        F.sum("n_tokens").cast("bigint").alias("total"),
+        F.floor(F.sum("n_tokens").cast("double") * 3 / 5).alias("b"),
+        F.count("*").alias("s"),
+    )
+    order = [F.col("n_tokens").asc(), F.col("source").asc()]
+    wr = W.orderBy(*order)
+    wp = W.orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+    scan = src.select(
+        "source",
+        "n_tokens",
+        F.row_number().over(wr).alias("rn"),
+        F.coalesce(F.sum("n_tokens").over(wp), F.lit(0)).alias("prefix"),
+    )
+    cand = (
+        scan.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "level",
+            (F.col("b") - F.col("prefix")) / (F.col("s") - F.col("rn") + 1),
+        )
+        .filter(F.col("level") <= F.col("n_tokens"))
+        .orderBy("rn")
+        .limit(1)
+        .select("level")
+    )
+    return (
+        scan.join(F.broadcast(cand), F.lit(True), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.least(
+                F.col("n_tokens").cast("double"),
+                F.coalesce(F.col("level"), F.lit(float("inf"))),
+            ).alias("alloc_tokens"),
+            (
+                F.least(
+                    F.col("n_tokens").cast("double"),
+                    F.coalesce(F.col("level"), F.lit(float("inf"))),
+                )
+                / F.col("n_tokens")
+            ).alias("fill_frac"),
+            F.col("b").alias("budget"),
+        )
+    )

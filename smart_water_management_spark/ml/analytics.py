@@ -1559,3 +1559,234 @@ def m16_period_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lag") == 24).alias("is_daily"),
         )
     )
+
+
+# --- M17 (ext.): Holt-Winters triple exponential smoothing ----------------------
+
+_M17_ALPHA = 0.3
+_M17_BETA = 0.1
+_M17_GAMMA = 0.2
+_M17_PERIOD = 24
+
+
+@register(
+    "m17_holt_winters",
+    # m15's pair-fold device extended to the FULL Holt-Winters additive
+    # state: a 26-wide accumulator [level, trend, s1..s24] where the
+    # seasonal queue rotates one slot per step (drop the consumed front,
+    # append the re-estimated value). Both engines run the identical
+    # left fold over the identical h-ordered doubles, so every output
+    # is bit-exact with zero rounding. Init is the textbook two-season
+    # start: L0 = mean(season 1), B0 = (mean(season 2) - L0)/24,
+    # S_i = x_i - L0.
+    oracle=f"""
+    WITH {_hourly_series_sql().strip()},
+    ser AS (
+      SELECT event_type, list(CAST(hv AS DOUBLE) ORDER BY h) AS xs
+      FROM hourly GROUP BY 1
+    ),
+    ini AS (
+      SELECT event_type, xs, len(xs) AS n_hours,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), xs[1:24]),
+                         (a, b) -> a + b) / 24.0 AS m1,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), xs[25:48]),
+                         (a, b) -> a + b) / 24.0 AS m2
+      FROM ser WHERE len(xs) >= 49
+    ),
+    fold AS (
+      SELECT event_type, n_hours,
+             list_reduce(
+               list_prepend(
+                 list_concat([m1, (m2 - m1) / 24.0],
+                             list_transform(xs[1:24], v -> v - m1)),
+                 list_transform(xs[49:], e -> [e])),
+               (acc, x) ->
+                 list_concat(list_concat(
+                   [{_M17_ALPHA} * (x[1] - acc[3])
+                      + {1 - _M17_ALPHA} * (acc[1] + acc[2]),
+                    {_M17_BETA} * (({_M17_ALPHA} * (x[1] - acc[3])
+                      + {1 - _M17_ALPHA} * (acc[1] + acc[2])) - acc[1])
+                      + {1 - _M17_BETA} * acc[2]],
+                   acc[4:26]),
+                   [{_M17_GAMMA} * (x[1] - ({_M17_ALPHA} * (x[1] - acc[3])
+                      + {1 - _M17_ALPHA} * (acc[1] + acc[2])))
+                      + {1 - _M17_GAMMA} * acc[3]])) AS st
+      FROM ini
+    )
+    SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+           st[1] AS level, st[2] AS trend, st[3] AS s_next,
+           st[1] + st[2] + st[3] AS forecast_next,
+           list_max(st[3:26]) - list_min(st[3:26]) AS season_amplitude
+    FROM fold
+    """,
+    doc=f"M17 (ext.): Holt-Winters additive triple smoothing (alpha="
+    f"{_M17_ALPHA}, beta={_M17_BETA}, gamma={_M17_GAMMA}, period="
+    f"{_M17_PERIOD}) of the hourly demand series per event type — "
+    "final level/trend/seasonal state, the one-step forecast, and the "
+    "seasonal amplitude. The go-to operational forecaster for series "
+    "with a daily cycle (m16 DETECTS the period; m17 exploits it). "
+    "Engine-exact via the m15 fold device widened to a 26-element "
+    "rotating accumulator. Scale: fold runs on the calendar-bounded "
+    "per-type series after ONE map-combined hourly pre-agg; state is "
+    "O(period) per key regardless of corpus size",
+)
+def m17_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_series(spark, sf_dir)
+    ser = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("h", F.col("hv").cast("double").alias("v"))
+                    )
+                ),
+                lambda s: s["v"],
+            ).alias("xs")
+        )
+        .filter(F.size("xs") >= 2 * _M17_PERIOD + 1)
+    )
+    xs = F.col("xs")
+    m = _M17_PERIOD
+    sum1 = F.aggregate(
+        F.slice(xs, 1, m), F.lit(0.0), lambda a, b: a + b
+    )
+    sum2 = F.aggregate(
+        F.slice(xs, m + 1, m), F.lit(0.0), lambda a, b: a + b
+    )
+    ini = ser.select(
+        "event_type",
+        "xs",
+        F.size("xs").cast("bigint").alias("n_hours"),
+        (sum1 / float(m)).alias("m1"),
+        (sum2 / float(m)).alias("m2"),
+    )
+    a, b, g = _M17_ALPHA, _M17_BETA, _M17_GAMMA
+    acc0 = F.concat(
+        F.array(
+            F.col("m1"), (F.col("m2") - F.col("m1")) / float(m)
+        ),
+        F.transform(F.slice(xs, 1, m), lambda v: v - F.col("m1")),
+    )
+    rest = F.slice(
+        xs, 2 * m + 1, F.greatest(F.size(xs) - 2 * m, F.lit(0))
+    )
+
+    def step(acc, x):
+        lnew = a * (x - acc[2]) + (1 - a) * (acc[0] + acc[1])
+        bnew = b * (lnew - acc[0]) + (1 - b) * acc[1]
+        snew = g * (x - lnew) + (1 - g) * acc[2]
+        return F.concat(
+            F.array(lnew, bnew), F.slice(acc, 4, m - 1), F.array(snew)
+        )
+
+    st = F.aggregate(rest, acc0, step)
+    seas = F.slice(st, 3, m)
+    return ini.select(
+        "event_type",
+        "n_hours",
+        st[0].alias("level"),
+        st[1].alias("trend"),
+        st[2].alias("s_next"),
+        (st[0] + st[1] + st[2]).alias("forecast_next"),
+        (F.array_max(seas) - F.array_min(seas)).alias("season_amplitude"),
+    )
+
+
+# --- M18 (ext.): two-proportion z-test (deterministic A/B) -----------------------
+
+_M18_CUT = 50.0
+
+
+@register(
+    "m18_ab_proportion_test",
+    # A deterministic md5-parity split assigns every user to arm A or B
+    # (reproducible, balanced in expectation); "conversion" is
+    # value > cut. The two-proportion pooled z statistic per event type
+    # is pure closed-form IEEE arithmetic on exact integer counts — the
+    # experiment-analysis primitive (and the null calibration check:
+    # a random split should yield |z| mostly under 2).
+    oracle=f"""
+    WITH armed AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 2 AS arm,
+             CASE WHEN value > {_M18_CUT} THEN 1 ELSE 0 END AS conv
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_b
+      FROM armed GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b, conv_a, conv_b,
+           CAST(conv_a AS DOUBLE) / n_a AS p_a,
+           CAST(conv_b AS DOUBLE) / n_b AS p_b,
+           (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)) AS z
+    FROM agg
+    """,
+    doc=f"M18 (ext.): two-proportion z-test over a deterministic "
+    "md5-parity A/B split (conversion = value > "
+    f"{_M18_CUT}) — the pooled z statistic per event type, computed "
+    "closed-form from ONE map-combined conditional aggregate. The "
+    "experimentation primitive the reference's dashboards lack, plus "
+    "a null-calibration property (random split ⇒ |z| ~ N(0,1)). "
+    "Exactness: integer counts, single IEEE expression per statistic; "
+    "md5 arm draws are engine-identical",
+)
+def m18_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 2
+    )
+    conv = F.when(F.col("value") > _M18_CUT, 1).otherwise(0)
+    agg = (
+        ev.select("event_type", arm.alias("arm"), conv.alias("conv"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_b"),
+            F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+            .cast("bigint")
+            .alias("conv_a"),
+            F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+            .cast("bigint")
+            .alias("conv_b"),
+        )
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return agg.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        p_a.alias("p_a"),
+        p_b.alias("p_b"),
+        (
+            (p_a - p_b)
+            / F.sqrt(
+                pool
+                * (1 - pool)
+                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            )
+        ).alias("z"),
+    )

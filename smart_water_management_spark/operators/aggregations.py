@@ -2065,3 +2065,269 @@ def a36_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("w"), 6).alias("w_min"),
         F.round(F.max("w"), 6).alias("w_max"),
     )
+
+
+# --- a37 (ext.): Spearman rank correlation, ties-aware --------------------------
+
+_A37_COLS = ["l_quantity", "l_discount", "l_tax"]
+_A37_PAIRS = [
+    ("l_quantity", "l_discount"),
+    ("l_quantity", "l_tax"),
+    ("l_discount", "l_tax"),
+]
+
+
+@register(
+    "a37_spearman_corr",
+    # Spearman = Pearson over AVERAGE ranks (ties share the mean of the
+    # positions they occupy). The scale device: ranks come from the
+    # VALUE DOMAIN, not a global row sort — each column pre-aggregates
+    # to its distinct values (these three columns are low-cardinality
+    # by schema: ~50 quantities, ~11 discounts, ~9 taxes), a prefix-sum
+    # window over that tiny table yields avg_rank(v) = cnt_less +
+    # (cnt+1)/2, and the rank map BROADCASTS back onto the fact scan.
+    # No row ever moves for ranking. Ranks are integers or halves, so
+    # decimal-moment sums make every rho engine-exact.
+    oracle="""
+    WITH f AS (SELECT l_quantity, l_discount, l_tax FROM lineitem),
+    rq AS (
+      SELECT l_quantity AS v,
+             COALESCE(SUM(COUNT(*)) OVER (ORDER BY l_quantity
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (COUNT(*) + 1) / 2.0 AS r
+      FROM f GROUP BY l_quantity
+    ),
+    rd AS (
+      SELECT l_discount AS v,
+             COALESCE(SUM(COUNT(*)) OVER (ORDER BY l_discount
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (COUNT(*) + 1) / 2.0 AS r
+      FROM f GROUP BY l_discount
+    ),
+    rt AS (
+      SELECT l_tax AS v,
+             COALESCE(SUM(COUNT(*)) OVER (ORDER BY l_tax
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (COUNT(*) + 1) / 2.0 AS r
+      FROM f GROUP BY l_tax
+    ),
+    ranked AS (
+      SELECT CAST(rq.r AS DECIMAL(19,6)) AS xq,
+             CAST(rd.r AS DECIMAL(19,6)) AS xd,
+             CAST(rt.r AS DECIMAL(19,6)) AS xt
+      FROM f
+      JOIN rq ON rq.v = f.l_quantity
+      JOIN rd ON rd.v = f.l_discount
+      JOIN rt ON rt.v = f.l_tax
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(xq) AS DOUBLE) AS sq,
+             CAST(SUM(xd) AS DOUBLE) AS sd,
+             CAST(SUM(xt) AS DOUBLE) AS st,
+             CAST(SUM(xq*xq) AS DOUBLE) AS sqq,
+             CAST(SUM(xd*xd) AS DOUBLE) AS sdd,
+             CAST(SUM(xt*xt) AS DOUBLE) AS stt,
+             CAST(SUM(xq*xd) AS DOUBLE) AS sqd,
+             CAST(SUM(xq*xt) AS DOUBLE) AS sqt,
+             CAST(SUM(xd*xt) AS DOUBLE) AS sdt
+      FROM ranked
+    )
+    SELECT p.col_x, p.col_y, CAST(mom.n AS BIGINT) AS n,
+           CASE p.col_x || '|' || p.col_y
+             WHEN 'l_quantity|l_discount' THEN
+               (n*sqd - sq*sd) / (SQRT(n*sqq - sq*sq) * SQRT(n*sdd - sd*sd))
+             WHEN 'l_quantity|l_tax' THEN
+               (n*sqt - sq*st) / (SQRT(n*sqq - sq*sq) * SQRT(n*stt - st*st))
+             ELSE
+               (n*sdt - sd*st) / (SQRT(n*sdd - sd*sd) * SQRT(n*stt - st*st))
+           END AS rho
+    FROM mom, (VALUES ('l_quantity','l_discount'),
+                      ('l_quantity','l_tax'),
+                      ('l_discount','l_tax')) AS p(col_x, col_y)
+    """,
+    doc="a37 (ext.): Spearman rank correlation matrix (ties-aware, "
+    "average ranks) over lineitem's bounded-domain measures — the "
+    "monotone-association complement to a15's Pearson. Scale: ranks "
+    "derive from per-column DISTINCT-VALUE prefix sums (tiny windows "
+    "over pre-aggregated domains) broadcast back onto one fact scan; "
+    "one decimal-moment aggregate yields all three rhos. No global "
+    "row sort anywhere — the classic distributed-Spearman trap "
+    "avoided. Exactness: avg ranks are integers/halves (decimal-"
+    "exact); every rho is IEEE arithmetic on identical exact moments",
+)
+def a37_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(*_A37_COLS)
+    enriched = li
+    for c in _A37_COLS:
+        g = li.groupBy(c).count()
+        w = W.orderBy(c).rowsBetween(W.unboundedPreceding, -1)
+        ranks = g.select(
+            F.col(c).alias("v"),
+            (
+                F.coalesce(F.sum("count").over(w), F.lit(0))
+                + (F.col("count") + 1) / 2.0
+            )
+            .cast("decimal(19,6)")
+            .alias(f"r_{c}"),
+        )
+        enriched = enriched.join(
+            F.broadcast(ranks), enriched[c] == ranks["v"]
+        ).drop("v")
+    xq, xd, xt = [F.col(f"r_{c}") for c in _A37_COLS]
+    mom = enriched.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum(xq).cast("double").alias("sq"),
+        F.sum(xd).cast("double").alias("sd"),
+        F.sum(xt).cast("double").alias("st"),
+        F.sum(xq * xq).cast("double").alias("sqq"),
+        F.sum(xd * xd).cast("double").alias("sdd"),
+        F.sum(xt * xt).cast("double").alias("stt"),
+        F.sum(xq * xd).cast("double").alias("sqd"),
+        F.sum(xq * xt).cast("double").alias("sqt"),
+        F.sum(xd * xt).cast("double").alias("sdt"),
+    )
+    n, sq, sd, st = F.col("n"), F.col("sq"), F.col("sd"), F.col("st")
+    sqq, sdd, stt = F.col("sqq"), F.col("sdd"), F.col("stt")
+    sqd, sqt, sdt = F.col("sqd"), F.col("sqt"), F.col("sdt")
+
+    def rho(sxy, sx, sy, sxx, syy):
+        return (n * sxy - sx * sy) / (
+            F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+        )
+
+    rhos = {
+        ("l_quantity", "l_discount"): rho(sqd, sq, sd, sqq, sdd),
+        ("l_quantity", "l_tax"): rho(sqt, sq, st, sqq, stt),
+        ("l_discount", "l_tax"): rho(sdt, sd, st, sdd, stt),
+    }
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(x).alias("col_x"),
+                    F.lit(y).alias("col_y"),
+                    r.alias("rho"),
+                )
+                for (x, y), r in rhos.items()
+            ]
+        )
+    ).alias("p")
+    return mom.select(pairs, n.cast("bigint").alias("n")).select(
+        "p.col_x", "p.col_y", "n", "p.rho"
+    )
+
+
+# --- a38 (ext.): chi-square independence test + Cramér's V ----------------------
+
+
+@register(
+    "a38_chisq_independence",
+    # Independence of o_orderpriority x o_orderstatus. Per-cell terms
+    # are identical IEEE arithmetic on exact integer counts; the final
+    # reduction over the r x c cells is the m15 FOLD device (sum the
+    # cells in (priority, status) order via the identical left fold in
+    # both engines), so chi2 needs no rounding despite being a float
+    # sum — cell order is pinned, not shuffle-dependent.
+    oracle="""
+    WITH cells AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st,
+             CAST(COUNT(*) AS DOUBLE) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(o) AS DOUBLE) AS nn,
+             CAST(COUNT(DISTINCT pri) AS DOUBLE) AS nr,
+             CAST(COUNT(DISTINCT st) AS DOUBLE) AS nc
+      FROM cells
+    ),
+    m AS (
+      SELECT c.pri, c.st, c.o,
+             SUM(c.o) OVER (PARTITION BY c.pri) AS rt,
+             SUM(c.o) OVER (PARTITION BY c.st) AS ct
+      FROM cells c
+    ),
+    terms AS (
+      SELECT pri, st,
+             (o - rt * ct / t.nn) * (o - rt * ct / t.nn)
+               / (rt * ct / t.nn) AS term
+      FROM m, tot t
+    ),
+    folded AS (
+      SELECT list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list(term ORDER BY pri, st)),
+               (a, b) -> a + b) AS chi2,
+             COUNT(*) AS n_cells
+      FROM terms
+    )
+    SELECT CAST(t.nn AS BIGINT) AS n,
+           CAST(f.n_cells AS BIGINT) AS n_cells,
+           CAST((t.nr - 1) * (t.nc - 1) AS BIGINT) AS dof,
+           f.chi2 AS chi2,
+           SQRT(f.chi2 / (t.nn * LEAST(t.nr - 1, t.nc - 1))) AS cramers_v
+    FROM folded f, tot t
+    """,
+    doc="a38 (ext.): chi-square test of independence + Cramér's V over "
+    "the o_orderpriority x o_orderstatus contingency table — the "
+    "categorical-association screen (a15/a37 cover numeric columns). "
+    "Scale: ONE map-combined cell aggregate collapses the fact table "
+    "to r x c rows; marginals are windows over that bounded cell "
+    "table; the chi2 reduction folds the cells in pinned order "
+    "(engine-exact float sum, the m15 device). Exactness: counts are "
+    "integers, every per-cell term is identical IEEE arithmetic",
+)
+def a38_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    ).agg(F.count("*").cast("double").alias("o"))
+    m = cells.select(
+        "pri",
+        "st",
+        "o",
+        F.sum("o").over(W.partitionBy("pri")).alias("rt"),
+        F.sum("o").over(W.partitionBy("st")).alias("ct"),
+    )
+    tot = cells.agg(
+        F.sum("o").alias("nn"),
+        F.countDistinct("pri").cast("double").alias("nr"),
+        F.countDistinct("st").cast("double").alias("nc"),
+    )
+    e = F.col("rt") * F.col("ct") / F.col("nn")
+    terms = m.crossJoin(F.broadcast(tot)).select(
+        "pri",
+        "st",
+        "nn",
+        "nr",
+        "nc",
+        ((F.col("o") - e) * (F.col("o") - e) / e).alias("term"),
+    )
+    folded = terms.groupBy("nn", "nr", "nc").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("pri", "st", "term"))
+                ),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda a, b: a + b,
+        ).alias("chi2"),
+        F.count("*").cast("bigint").alias("n_cells"),
+    )
+    return folded.select(
+        F.col("nn").cast("bigint").alias("n"),
+        "n_cells",
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (F.col("nn") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+        ).alias("cramers_v"),
+    )

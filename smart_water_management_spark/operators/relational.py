@@ -1007,3 +1007,82 @@ def p12_q11_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r").cast("double") / F.col("t")).alias("share"),
         )
     )
+
+
+# --- p13 (ext.): TPC-H Q2 shape — correlated MIN subquery, decorrelated --------
+
+
+@register(
+    "p13_q02_shape",
+    # TPC-H Q2's signature shape: for each part, the supplier(s) offering
+    # the MINIMUM unit cost, where the minimum comes from a correlated
+    # scalar subquery over the same link table. The oracle keeps the
+    # genuine correlated form; the Spark side is the decorrelated
+    # per-part MIN pre-aggregation joined back — the equality on the
+    # exact IEEE quotient keeps ties (Q2 returns all tied suppliers).
+    # The testdata has no partsupp table, so lineitem plays the
+    # part-supplier link with extendedprice/quantity as the unit cost
+    # (reference analog: the reference's dashboards never decorrelate —
+    # PostgreSQL does it for them; here the decorrelated plan IS the
+    # implementation and the hash match proves equivalence).
+    oracle="""
+    WITH link AS (
+      SELECT l_partkey, l_suppkey,
+             l_extendedprice / l_quantity AS unit_cost
+      FROM lineitem
+    )
+    SELECT p.p_partkey AS p_partkey,
+           p.p_brand AS p_brand,
+           s.s_suppkey AS s_suppkey,
+           n.n_name AS nation,
+           l.unit_cost AS unit_cost
+    FROM link l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE l.unit_cost = (
+      SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+      FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+    )
+    """,
+    doc="p13 (ext.): TPC-H Q2 shape — min-cost supplier per part via a "
+    "correlated MIN scalar subquery, decorrelated into a per-part MIN "
+    "pre-aggregation + equi-join back (ties kept, as Q2 requires). At "
+    "scale: ONE shuffle on l_partkey shared by the pre-agg and the "
+    "join (vs the correlated form's per-row rescan); supplier/nation/"
+    "part dims broadcast. MIN over doubles is order-independent, so "
+    "the quotient needs no rounding device",
+)
+def p13_q02_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    link = li.select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"),
+    )
+    min_cost = link.groupBy("l_partkey").agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    return (
+        link.join(min_cost, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .select(
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            "p_brand",
+            F.col("s_suppkey").cast("bigint").alias("s_suppkey"),
+            "nation",
+            "unit_cost",
+        )
+    )

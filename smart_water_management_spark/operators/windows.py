@@ -1257,3 +1257,132 @@ def w24_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_streaks"),
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
     )
+
+
+# --- w25 (ext.): EWMA control chart ------------------------------------------
+
+_W25_ALPHA = 0.2
+_W25_L = 3.0
+# Embedded as repr() so both engines parse the IDENTICAL double: the
+# smoothing complement squared and the variance-inflation ratio.
+_W25_C2 = repr((1 - _W25_ALPHA) ** 2)          # (1-a)^2
+_W25_RATIO = repr(_W25_ALPHA / (2 - _W25_ALPHA))  # a/(2-a)
+
+
+@register(
+    "w25_ewma_control",
+    # The EWMA control chart (Roberts 1959): s_t = a*x_t + (1-a)*s_{t-1}
+    # seeded at the series mean, with time-varying control limits
+    # mu ± L*sigma*sqrt(a/(2-a)*(1-(1-a)^(2t))). Sequential state, so
+    # the m15 fold device again: a 3-wide accumulator [s, (1-a)^(2t),
+    # violations] folds the h-ordered series identically in both
+    # engines; mu/sigma come from exact decimal moments. Detects
+    # small sustained shifts that w21's CUSUM and a 3-sigma Shewhart
+    # rule trade off differently.
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS hv
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type,
+             list(hv ORDER BY h) AS xs,
+             COUNT(*) AS n_hours,
+             (CAST(SUM(CAST(hv AS DECIMAL(27,6))) AS DOUBLE) / COUNT(hv))
+               AS mu,
+             CASE WHEN COUNT(hv) > 1 THEN SQRT(GREATEST(
+               (CAST(COUNT(hv) AS DOUBLE)
+                  * CAST(SUM(CAST(hv*hv AS DECIMAL(27,6))) AS DOUBLE)
+                - CAST(SUM(CAST(hv AS DECIMAL(27,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(hv AS DECIMAL(27,6))) AS DOUBLE))
+               / (CAST(COUNT(hv) AS DOUBLE)
+                  * (CAST(COUNT(hv) AS DOUBLE) - 1.0)), 0.0)) END AS sigma
+      FROM hourly GROUP BY event_type
+    ),
+    fold AS (
+      SELECT event_type, n_hours, mu, sigma,
+             list_reduce(
+               list_prepend([mu, CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+                            list_transform(xs, e -> [e])),
+               (acc, x) ->
+                 [{_W25_ALPHA} * x[1] + {1 - _W25_ALPHA} * acc[1],
+                  acc[2] * CAST({_W25_C2} AS DOUBLE),
+                  acc[3] + (CASE WHEN
+                    ABS(({_W25_ALPHA} * x[1] + {1 - _W25_ALPHA} * acc[1])
+                        - mu)
+                    > {_W25_L} * sigma
+                      * SQRT(CAST({_W25_RATIO} AS DOUBLE)
+                             * (1 - acc[2] * CAST({_W25_C2} AS DOUBLE)))
+                    THEN 1.0 ELSE 0.0 END)]) AS st
+      FROM ser WHERE n_hours >= 2
+    )
+    SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours, mu, sigma,
+           st[1] AS ewma_final,
+           CAST(st[3] AS BIGINT) AS n_violations,
+           mu + {_W25_L} * sigma
+             * SQRT(CAST({_W25_RATIO} AS DOUBLE) * (1 - st[2])) AS ucl_final
+    FROM fold
+    """,
+    doc=f"w25 (ext.): EWMA control chart (alpha={_W25_ALPHA}, "
+    f"L={_W25_L}) over the hourly demand series per event type — "
+    "final smoothed state, the count of points outside the "
+    "time-varying control limits, and the final upper limit. The "
+    "small-shift drift monitor between w21's CUSUM (cumulative "
+    "evidence) and plain z-score thresholds (memoryless): EWMA "
+    "weights recent evidence geometrically. Engine-exact via the "
+    "fold device (3-wide accumulator carries the EWMA, the "
+    "(1-a)^(2t) limit term, and the violation count); mu/sigma are "
+    "decimal-moment exact. Scale: one map-combined hourly pre-agg, "
+    "then O(period) fold state per key",
+)
+def w25_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import davg, dstddev
+    from ..ml.analytics import _hourly_series
+
+    hourly = _hourly_series(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("hv")
+    )
+    ser = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", "hv"))),
+                lambda s: s["hv"],
+            ).alias("xs"),
+            F.count("*").cast("bigint").alias("n_hours"),
+            davg("hv").alias("mu"),
+            dstddev("hv").alias("sigma"),
+        )
+        .filter(F.col("n_hours") >= 2)
+    )
+    a, L = _W25_ALPHA, _W25_L
+    c2 = F.lit(float(_W25_C2))
+    ratio = F.lit(float(_W25_RATIO))
+    mu, sigma = F.col("mu"), F.col("sigma")
+
+    def step(acc, x):
+        s_new = a * x + (1 - a) * acc[0]
+        p_new = acc[1] * c2
+        limit = L * sigma * F.sqrt(ratio * (1 - p_new))
+        return F.array(
+            s_new,
+            p_new,
+            acc[2]
+            + F.when(F.abs(s_new - mu) > limit, F.lit(1.0)).otherwise(0.0),
+        )
+
+    st = F.aggregate(
+        F.col("xs"), F.array(mu, F.lit(1.0), F.lit(0.0)), step
+    )
+    return ser.select(
+        "event_type",
+        "n_hours",
+        "mu",
+        "sigma",
+        st[0].alias("ewma_final"),
+        st[2].cast("bigint").alias("n_violations"),
+        (mu + L * sigma * F.sqrt(ratio * (1 - st[1]))).alias("ucl_final"),
+    )

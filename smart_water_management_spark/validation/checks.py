@@ -911,3 +911,114 @@ def v14_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_V14_COLS)}, {stack_args}) "
         "as (col, n_distinct, n_nulls, min_str, max_str)",
     ).select("col", "n_rows", "n_distinct", "n_nulls", "min_str", "max_str")
+
+
+# --- v15 (ext.): functional-dependency discovery --------------------------------
+
+# (table, determinant, dependent) candidates — keys that SHOULD determine
+# and plausible-but-false dependencies, so both verdicts are exercised.
+_V15_CANDIDATES = [
+    ("orders", "o_orderkey", "o_custkey"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("customer", "c_custkey", "c_mktsegment"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+]
+
+
+@register(
+    "v15_fd_discovery",
+    # FD A->B holds iff every A value maps to exactly one distinct B.
+    # The per-candidate verdict comes from ONE grouped aggregate on the
+    # determinant (count distinct dependents per key), reduced to key
+    # counts + violation counts — the profiling primitive schema-
+    # inference and normalization tools run before trusting a join key
+    # (complements c14's cross-table FK containment with intra-table
+    # dependency structure).
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders' AS tbl, 'o_orderkey' AS lhs, 'o_custkey' AS rhs,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_keys,
+             CAST(MAX(nd) AS BIGINT) AS max_distinct,
+             (SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0) AS fd_holds
+      FROM (SELECT COUNT(DISTINCT o_custkey) AS nd
+            FROM orders GROUP BY o_orderkey)
+      UNION ALL
+      SELECT 'orders', 'o_custkey', 'o_orderpriority',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(MAX(nd) AS BIGINT),
+             (SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0)
+      FROM (SELECT COUNT(DISTINCT o_orderpriority) AS nd
+            FROM orders GROUP BY o_custkey)
+      UNION ALL
+      SELECT 'customer', 'c_custkey', 'c_mktsegment',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(MAX(nd) AS BIGINT),
+             (SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0)
+      FROM (SELECT COUNT(DISTINCT c_mktsegment) AS nd
+            FROM customer GROUP BY c_custkey)
+      UNION ALL
+      SELECT 'customer', 'c_nationkey', 'c_mktsegment',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(MAX(nd) AS BIGINT),
+             (SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0)
+      FROM (SELECT COUNT(DISTINCT c_mktsegment) AS nd
+            FROM customer GROUP BY c_nationkey)
+      UNION ALL
+      SELECT 'nation', 'n_nationkey', 'n_regionkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(MAX(nd) AS BIGINT),
+             (SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0)
+      FROM (SELECT COUNT(DISTINCT n_regionkey) AS nd
+            FROM nation GROUP BY n_nationkey)
+      UNION ALL
+      SELECT 'lineitem', 'l_orderkey', 'l_returnflag',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+             CAST(MAX(nd) AS BIGINT),
+             (SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) = 0)
+      FROM (SELECT COUNT(DISTINCT l_returnflag) AS nd
+            FROM lineitem GROUP BY l_orderkey)
+    )
+    """,
+    doc="v15 (ext.): functional-dependency discovery — for each "
+    "candidate A->B, the number of determinant keys, how many map to "
+    ">1 dependent value (violations), the worst fan-out, and the "
+    "verdict. The schema-profiling step that validates normalization "
+    "assumptions and join-key safety before a model ships (c14 finds "
+    "cross-table FKs; v15 finds intra-table dependencies). Scale: one "
+    "map-combined two-level aggregate per candidate (group on the "
+    "determinant, then a scalar reduce); candidates on the same table "
+    "share the cached scan; output is bounded by the candidate list",
+)
+def v15_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, lhs, rhs in _V15_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        per_key = t.groupBy(lhs).agg(
+            F.countDistinct(rhs).alias("nd")
+        )
+        row = per_key.agg(
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum((F.col("nd") > 1).cast("int"))
+            .cast("bigint")
+            .alias("violating_keys"),
+            F.max("nd").cast("bigint").alias("max_distinct"),
+        ).select(
+            F.lit(tbl).alias("tbl"),
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            "n_keys",
+            "violating_keys",
+            "max_distinct",
+            (F.col("violating_keys") == 0).alias("fd_holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

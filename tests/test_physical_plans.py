@@ -1101,3 +1101,88 @@ def test_o05_skyline_window_bounded_by_level_preagg(spark):
     assert "BroadcastHashJoin" in plan
     assert plan.count("Window") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_q02_shape_broadcasts_dims_and_shares_partkey_shuffle(spark):
+    """p13: the decorrelated min-cost join must broadcast part/supplier/
+    nation and co-partition link vs per-part MIN on l_partkey — never a
+    per-row correlated rescan, never a cartesian."""
+    plan = plan_of(_q(spark, "p13_q02_shape"), "simple")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_spearman_ranks_broadcast(spark):
+    """a37: the three distinct-value rank maps must BROADCAST onto the
+    single fact scan — the distributed-Spearman trap is a global row
+    sort; the value-domain device avoids any."""
+    plan = plan_of(_q(spark, "a37_spearman_corr"), "simple")
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in plan
+    df = _q(spark, "a37_spearman_corr")
+    assert unbounded_global_windows(df) == []
+
+
+def test_chisq_windows_over_cell_aggregate(spark):
+    """a38: marginals are windows over the r x c CELL table (aggregate
+    beneath every window); the totals attach is a 1-row broadcast."""
+    df = _q(spark, "a38_chisq_independence")
+    assert unbounded_global_windows(df) == []
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_fd_discovery_no_joins(spark):
+    """v15: each candidate is a two-level aggregate — no joins anywhere,
+    and candidates on the same table share the cached scan."""
+    plan = plan_of(_q(spark, "v15_fd_discovery"), "simple")
+    assert "Join" not in plan
+    assert "Union" in plan
+
+
+def test_url_canonical_dedup_single_shuffle(spark):
+    """x102: canonicalize-then-group is ONE word-count-shaped hash
+    aggregate; no join, no window."""
+    plan = plan_of(_q(spark, "x102_url_canonical_dedup"), "simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_waterfill_level_search_is_bounded_and_broadcast(spark):
+    """x103: the corpus is touched by ONE map-combined aggregate; the
+    sort/prefix/level machinery runs on the bounded source table and
+    attaches back via broadcast only."""
+    df = _q(spark, "x103_token_budget_waterfill")
+    assert unbounded_global_windows(df) == []  # windows sit over the agg
+    plan = plan_of(df, "simple")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_holt_winters_fold_no_join(spark):
+    """m17: the 26-wide rotating fold runs inside the per-type aggregate
+    over the hourly pre-agg — no join, no window, two hash aggregates."""
+    plan = plan_of(_q(spark, "m17_holt_winters"), "simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_ab_test_single_pass(spark):
+    """m18: all four arm/conversion counts come from ONE map-combined
+    conditional aggregate — no self-join of arms."""
+    plan = plan_of(_q(spark, "m18_ab_proportion_test"), "simple")
+    assert "Join" not in plan
+    assert "partial_" in plan
+
+
+def test_ewma_fold_no_join(spark):
+    """w25: EWMA + limits + violation count all fold inside the per-type
+    aggregate; mu/sigma share that same agg — so exactly the two
+    inherent shuffles (hourly pre-agg on (type,h), per-type regroup)
+    and nothing more."""
+    plan = plan_of(_q(spark, "w25_ewma_control"), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
