@@ -193,6 +193,10 @@ ROUND8_CANDIDATES: list[str] = [
     "m17_holt_winters",
     "m18_ab_proportion_test",
     "w25_ewma_control",
+    "m19_changepoint_detection",
+    "x104_psi_drift",
+    "x105_triangle_count",
+    "t24_streaming_ab_monitor",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

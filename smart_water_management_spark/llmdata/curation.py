@@ -2641,3 +2641,115 @@ def x103_token_budget_waterfill(
             F.col("b").alias("budget"),
         )
     )
+
+
+# --- x104: PSI (population stability index) drift per source --------------------
+
+_X104_BIN_W = 50
+_X104_NBINS = 7  # bins 0..5 are 50-token ranges, bin 6 is 300+
+
+
+@register(
+    "x104_psi_drift",
+    # PSI of each source's token-length distribution vs the corpus-wide
+    # one over 7 fixed bins (Laplace +1 smoothing so empty bins are
+    # defined). Complements x45's unigram-KL drift with the
+    # length-profile drift monitors actually page on. Every per-bin
+    # term is ROUND(.,6)->DECIMAL before summing (the x45 LN device:
+    # libm vs JVM log differ in the last ulp, and 6-dp rounding of an
+    # irrational-valued term is engine-stable).
+    oracle=f"""
+    WITH lens AS (
+      SELECT source,
+             LEAST(CAST(FLOOR(len(string_split(lower(text), ' '))
+                              / {_X104_BIN_W}.0) AS BIGINT),
+                   {_X104_NBINS - 1}) AS bin
+      FROM documents
+    ),
+    corpus AS (
+      SELECT bin, COUNT(*) AS c FROM lens GROUP BY bin
+    ),
+    nsrc AS (
+      SELECT source, COUNT(*) AS n_docs FROM lens GROUP BY source
+    ),
+    grid AS (
+      SELECT s.source, s.n_docs, g.bin
+      FROM nsrc s, range({_X104_NBINS}) AS g(bin)
+    ),
+    sb AS (
+      SELECT source, bin, COUNT(*) AS s FROM lens GROUP BY source, bin
+    ),
+    terms AS (
+      SELECT g.source, g.n_docs,
+             ROUND(
+               ((COALESCE(sb.s, 0) + 1.0) / (g.n_docs + {_X104_NBINS})
+                - (COALESCE(c.c, 0) + 1.0)
+                  / ((SELECT SUM(c) FROM corpus) + {_X104_NBINS}))
+               * LN(((COALESCE(sb.s, 0) + 1.0) / (g.n_docs + {_X104_NBINS}))
+                    / ((COALESCE(c.c, 0) + 1.0)
+                       / ((SELECT SUM(c) FROM corpus) + {_X104_NBINS}))),
+               6) AS term
+      FROM grid g
+      LEFT JOIN sb ON sb.source = g.source AND sb.bin = g.bin
+      LEFT JOIN corpus c ON c.bin = g.bin
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(term AS DECIMAL(27,6))) AS DOUBLE) AS psi
+    FROM terms GROUP BY source, n_docs
+    """,
+    doc="x104: population-stability-index drift — PSI of each source's "
+    "token-length histogram against the corpus-wide profile (7 fixed "
+    "bins, Laplace-smoothed). The production drift gauge (PSI > 0.25 "
+    "= investigate) next to x45's unigram KL: lengths shift first "
+    "when a scraper breaks or a template changes. Scale: ONE corpus "
+    "scan feeds both histograms (map-combined count aggregates on "
+    "bounded keys); the source x bin grid is an in-row explode of a "
+    "7-literal range over the tiny source table; terms join on "
+    "bounded keys and broadcast. Exactness: counts are integers, "
+    "fractions are identical IEEE quotients, each LN term is "
+    "6-dp-rounded to DECIMAL before the order-free sum (x45 device)",
+)
+def x104_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        "source",
+        F.least(
+            F.floor(F.size(tokens("text")) / float(_X104_BIN_W)).cast(
+                "bigint"
+            ),
+            F.lit(_X104_NBINS - 1),
+        ).alias("bin"),
+    )
+    corpus = lens.groupBy("bin").agg(F.count("*").alias("c"))
+    total = corpus.agg(F.sum("c").alias("n_corpus"))
+    nsrc = lens.groupBy("source").agg(F.count("*").alias("n_docs"))
+    grid = nsrc.select(
+        "source",
+        "n_docs",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_X104_NBINS)])
+        ).alias("bin"),
+    )
+    sb = lens.groupBy("source", "bin").agg(F.count("*").alias("s"))
+    j = (
+        grid.join(sb, ["source", "bin"], "left")
+        .join(F.broadcast(corpus), "bin", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    q = (F.coalesce(F.col("s"), F.lit(0)) + 1.0) / (
+        F.col("n_docs") + _X104_NBINS
+    )
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (
+        F.col("n_corpus") + _X104_NBINS
+    )
+    term = F.round((q - p) * F.log(q / p), 6).cast("decimal(27,6)")
+    return (
+        j.select("source", "n_docs", term.alias("term"))
+        .groupBy("source", "n_docs")
+        .agg(F.sum("term").cast("double").alias("psi"))
+        .select(
+            "source", F.col("n_docs").cast("bigint").alias("n_docs"), "psi"
+        )
+    )

@@ -1062,3 +1062,113 @@ def x84_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
         F.coalesce("n_docs_dropped", F.lit(0)).alias("n_docs_dropped"),
     )
+
+
+# --- x105: triangle count + clustering coefficient on the dedup graph -----------
+
+
+def _x105_oracle() -> str:
+    return f"""WITH {_x08_cte()},
+    edges AS (SELECT doc_a, doc_b FROM verified),
+    nodes AS (
+      SELECT doc_a AS v FROM edges UNION SELECT doc_b FROM edges
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d FROM (
+        SELECT doc_a AS v FROM edges UNION ALL SELECT doc_b FROM edges
+      ) GROUP BY v
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_tri
+      FROM edges e1
+      JOIN edges e2 ON e2.doc_a = e1.doc_b
+      JOIN edges e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(t.n_tri AS BIGINT) AS n_triangles,
+           CAST((SELECT SUM(d * (d - 1) / 2) FROM deg) AS BIGINT)
+             AS n_wedges,
+           CASE WHEN (SELECT SUM(d * (d - 1) / 2) FROM deg) > 0
+                THEN 3.0 * t.n_tri
+                     / (SELECT SUM(d * (d - 1) / 2) FROM deg)
+                ELSE 0.0 END AS global_clustering
+    FROM tri t"""
+
+
+@register(
+    "x105_triangle_count",
+    # Triangle counting on the x08 Jaccard-verified near-dup graph with
+    # the standard ordered-edge device: edges are stored (a < b), so
+    # every triangle a<b<c is counted exactly once by joining
+    # e1=(a,b), e2=(b,c), e3=(a,c) — no orientation dedup pass, no
+    # factor-6 overcount. The global clustering coefficient
+    # (3*triangles / wedges) says whether near-dup similarity is
+    # TRANSITIVE in this corpus — high clustering justifies x15's
+    # connected-component collapse; low clustering means components
+    # over-merge and a stricter threshold is needed.
+    oracle=_x105_oracle(),
+    doc="x105: triangle count + global clustering coefficient of the "
+    "near-dup graph (x08's verified pairs) — the graph-shape audit "
+    "behind the dedup-by-components policy: clustering ~1 means "
+    "near-dup groups are cliques (component collapse is safe); low "
+    "clustering flags chain-shaped components that over-merge (the "
+    "x84 threshold sweep's structural companion). Scale: edges come "
+    "from banded LSH candidates (never all-pairs); the triangle join "
+    "is two hash equi-joins on edge endpoints of the BOUNDED verified "
+    "pair set, partitioned on the join key — the standard "
+    "ordered-wedge plan whose skew bound is the max degree; wedge "
+    "counts are one aggregate over the degree table",
+)
+def x105_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    edges = (
+        verify_jaccard(
+            docs, lsh_candidate_pairs(pinned_corpus_signatures(spark, sf_dir))
+        )
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    nodes = (
+        edges.select(F.col("doc_a").alias("v"))
+        .union(edges.select("doc_b"))
+        .distinct()
+        .agg(F.count("*").cast("bigint").alias("n_nodes"))
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("v"))
+        .unionAll(edges.select("doc_b"))
+        .groupBy("v")
+        .agg(F.count("*").alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("d") * (F.col("d") - 1) / 2)
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    e1 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = edges.select(F.col("doc_a").alias("b"), F.col("doc_b").alias("c"))
+    e3 = edges.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("c"))
+    tri = (
+        e1.join(e2, "b")
+        .join(e3, ["a", "c"])
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+    n_edges = edges.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(tri))
+        .crossJoin(F.broadcast(wedges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                3.0 * F.col("n_triangles") / F.col("n_wedges"),
+            )
+            .otherwise(0.0)
+            .alias("global_clustering"),
+        )
+    )

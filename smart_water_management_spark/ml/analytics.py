@@ -1790,3 +1790,118 @@ def m18_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z"),
     )
+
+
+# --- M19 (ext.): single change-point detection (binary segmentation step) -------
+
+
+@register(
+    "m19_changepoint_detection",
+    # Least-squares single change-point: the split t minimizing
+    # SSE(1..t) + SSE(t+1..n) over the hourly series, computed from
+    # PREFIX moments — cumulative decimal sums are exact at every
+    # prefix in both engines, so every candidate cost is identical
+    # IEEE arithmetic and the argmin (ties to the earlier split) is
+    # engine-exact with no rounding.
+    oracle=f"""
+    WITH {_hourly_series_sql().strip()},
+    ser AS (
+      SELECT event_type, h, CAST(hv AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t,
+             CAST(SUM(CAST(hv AS DECIMAL(27,6)))
+                  OVER (PARTITION BY event_type ORDER BY h) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(hv AS DOUBLE) * CAST(hv AS DOUBLE)
+                           AS DECIMAL(27,6)))
+                  OVER (PARTITION BY event_type ORDER BY h) AS DOUBLE) AS s2,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             CAST(SUM(CAST(hv AS DECIMAL(27,6)))
+                  OVER (PARTITION BY event_type) AS DOUBLE) AS s1t,
+             CAST(SUM(CAST(CAST(hv AS DOUBLE) * CAST(hv AS DOUBLE)
+                           AS DECIMAL(27,6)))
+                  OVER (PARTITION BY event_type) AS DOUBLE) AS s2t
+      FROM hourly
+    ),
+    cost AS (
+      SELECT event_type, h, t, n, s1, s1t, s2t,
+             (s2 - s1 * s1 / t)
+               + ((s2t - s2) - (s1t - s1) * (s1t - s1) / (n - t)) AS c
+      FROM ser WHERE t < n
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY c, t) AS rk
+      FROM cost
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(t AS BIGINT) AS split_t,
+           CAST(h AS BIGINT) AS split_hour,
+           (s2t - s1t * s1t / n) - c AS gain,
+           s1 / t AS mean_left,
+           (s1t - s1) / (n - t) AS mean_right
+    FROM best WHERE rk = 1
+    """,
+    doc="M19 (ext.): least-squares change-point detection — the single "
+    "split of each event type's hourly series that maximally reduces "
+    "within-segment variance (one step of binary segmentation), with "
+    "the variance gain and the segment means. Localizes WHEN the "
+    "drift m14/w21 merely flag happened. Scale: candidate costs come "
+    "from prefix-moment windows over the calendar-bounded hourly "
+    "pre-agg (partitioned by type, never the raw fact table); the "
+    "argmin is a rank window over the same partitioning — Catalyst "
+    "reuses one exchange. Exactness: prefix decimal sums are exact at "
+    "every t; costs and means are single IEEE expressions; ties break "
+    "to the earlier split in both engines",
+)
+def m19_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    hourly = _hourly_series(spark, sf_dir)
+    x = F.col("hv").cast("double")
+    wp = W.partitionBy("event_type").orderBy("h")
+    wa = W.partitionBy("event_type")
+    ser = hourly.select(
+        "event_type",
+        "h",
+        F.row_number().over(wp).alias("t"),
+        F.sum(F.col("hv").cast("decimal(27,6)"))
+        .over(wp)
+        .cast("double")
+        .alias("s1"),
+        F.sum((x * x).cast("decimal(27,6)"))
+        .over(wp)
+        .cast("double")
+        .alias("s2"),
+        F.count("*").over(wa).alias("n"),
+        F.sum(F.col("hv").cast("decimal(27,6)"))
+        .over(wa)
+        .cast("double")
+        .alias("s1t"),
+        F.sum((x * x).cast("decimal(27,6)"))
+        .over(wa)
+        .cast("double")
+        .alias("s2t"),
+    )
+    s1, s2, t, n = F.col("s1"), F.col("s2"), F.col("t"), F.col("n")
+    s1t, s2t = F.col("s1t"), F.col("s2t")
+    cost = ser.filter(t < n).withColumn(
+        "c",
+        (s2 - s1 * s1 / t)
+        + ((s2t - s2) - (s1t - s1) * (s1t - s1) / (n - t)),
+    )
+    rk = F.row_number().over(
+        W.partitionBy("event_type").orderBy("c", "t")
+    )
+    return (
+        cost.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            n.cast("bigint").alias("n_hours"),
+            t.cast("bigint").alias("split_t"),
+            F.col("h").cast("bigint").alias("split_hour"),
+            ((s2t - s1t * s1t / n) - F.col("c")).alias("gain"),
+            (s1 / t).alias("mean_left"),
+            ((s1t - s1) / (n - t)).alias("mean_right"),
+        )
+    )

@@ -1794,3 +1794,149 @@ def t23_streaming_bloom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count_if(~F.col("is_member"))
         ).alias("fp_rate"),
     )
+
+
+# --- t24: streaming A/B experiment monitor --------------------------------------
+
+
+def ab_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T24: m18's two-proportion experiment as an ALWAYS-ON monitor —
+    each event micro-batch folds into per-(event_type, arm) sufficient
+    statistics (n, conversions); the z statistic is recomputed from
+    state after every merge.
+
+    The state is the minimal sufficient-statistics table: counts are
+    sums over disjoint row sets, so merge = groupBy-SUM and the state
+    after any slicing equals the batch computation — the property that
+    lets an experimentation dashboard read significance mid-flight
+    without rescanning history."""
+    from ..sources.catalog import reset_managed_table
+
+    reset_managed_table(spark, "ab_monitor_state")
+    spark.sql(
+        "CREATE TABLE ab_monitor_state "
+        "(event_type STRING, arm INT, n BIGINT, conv BIGINT) USING parquet"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        arm = (
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).cast("int")
+        partial = (
+            batch_df.select(
+                "event_type",
+                arm.alias("arm"),
+                F.when(F.col("value") > 50.0, 1).otherwise(0).alias("c"),
+            )
+            .groupBy("event_type", "arm")
+            .agg(
+                F.count("*").cast("bigint").alias("n"),
+                F.sum("c").cast("bigint").alias("conv"),
+            )
+        )
+        merged = (
+            sp.table("ab_monitor_state")
+            .unionByName(partial)
+            .groupBy("event_type", "arm")
+            .agg(
+                F.sum("n").cast("bigint").alias("n"),
+                F.sum("conv").cast("bigint").alias("conv"),
+            )
+        )
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").insertInto("ab_monitor_state")
+
+    stream = read_event_stream(spark, sf_dir).select(
+        "user_id", "event_type", "value"
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("ab_monitor_state")
+
+
+@register(
+    "t24_streaming_ab_monitor",
+    # Must equal m18's batch z-test bit-for-bit: integer sufficient
+    # statistics merge exactly under any batch slicing, and the final z
+    # is one IEEE expression on them.
+    oracle="""
+    WITH armed AS (
+      SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 2 AS arm,
+             CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS conv
+      FROM events
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_a,
+             CAST(SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+               AS conv_b
+      FROM armed GROUP BY event_type
+    )
+    SELECT event_type, n_a, n_b, conv_a, conv_b,
+           (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+             / SQRT((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                    * (1.0 / n_a + 1.0 / n_b)) AS z
+    FROM agg
+    """,
+    doc="T24: streaming A/B experiment monitor — m18's two-proportion "
+    "z-test maintained incrementally: per-(type, arm) sufficient "
+    "statistics (n, conversions) merge per micro-batch (disjoint-set "
+    "sums, so state == batch answer under ANY slicing) and the pooled "
+    "z recomputes from state on read. The mid-flight significance "
+    "dashboard an experimentation platform serves without rescanning "
+    "history; state is 2 rows per event type regardless of traffic",
+)
+def t24_streaming_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = ab_monitor_stream(spark, sf_dir)
+    piv = st.groupBy("event_type").agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    p_a = F.col("conv_a").cast("double") / F.col("n_a")
+    p_b = F.col("conv_b").cast("double") / F.col("n_b")
+    pool = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    return piv.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        (
+            (p_a - p_b)
+            / F.sqrt(
+                pool
+                * (1 - pool)
+                * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+            )
+        ).alias("z"),
+    )

@@ -1186,3 +1186,29 @@ def test_ewma_fold_no_join(spark):
     plan = plan_of(_q(spark, "w25_ewma_control"), "simple")
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_changepoint_windows_over_hourly_preagg(spark):
+    """m19: every prefix-moment window partitions by event_type over the
+    hourly pre-agg — no join, no global window, shared exchanges."""
+    df = _q(spark, "m19_changepoint_detection")
+    assert unbounded_global_windows(df) == []
+    plan = plan_of(df, "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_psi_joins_bounded_and_broadcast(spark):
+    """x104: histograms join on bounded (source, bin) keys; the corpus
+    totals attach via broadcast; never a cartesian."""
+    plan = plan_of(_q(spark, "x104_psi_drift"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_triangle_count_equi_joins_only(spark):
+    """x105: the ordered-wedge triangle plan is hash EQUI-joins on edge
+    endpoints (plus 1-row broadcast scalar attaches) — no cartesian, no
+    all-pairs."""
+    plan = plan_of(_q(spark, "x105_triangle_count"), "simple")
+    assert "CartesianProduct" not in plan

@@ -458,3 +458,37 @@ def test_streaming_ri_monitor_multi_batch_equals_batch(spark):
     assert (row.n_rows, row.n_orphans) == (n_rows, n_orph)
     if n_orph == 0:
         assert row.min_orphan_key is None and row.max_orphan_key is None
+
+
+def test_streaming_ab_monitor_multi_batch_equals_batch_m18(spark):
+    """t24 under real incrementality: 4 event micro-batches; the merged
+    sufficient statistics (and the z recomputed from them) must equal
+    m18's one-shot batch computation bit-for-bit."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        ev.repartition(4).write.parquet(os.path.join(sf_dir, "events.parquet"))
+        got = {
+            r.event_type: r
+            for r in jobs.t24_streaming_ab_monitor(spark, sf_dir).collect()
+        }
+    want = {
+        r.event_type: r
+        for r in _REGISTRY["m18_ab_proportion_test"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for et, w in want.items():
+        g = got[et]
+        assert (g.n_a, g.n_b, g.conv_a, g.conv_b) == (
+            w.n_a,
+            w.n_b,
+            w.conv_a,
+            w.conv_b,
+        ), et
+        assert g.z == w.z, et
