@@ -197,6 +197,11 @@ ROUND8_CANDIDATES: list[str] = [
     "x104_psi_drift",
     "x105_triangle_count",
     "t24_streaming_ab_monitor",
+    "p14_q13_shape",
+    "x106_vocab_coverage_curve",
+    "x107_lsh_scurve_planner",
+    "w26_rolling_higher_moments",
+    "t25_streaming_psi_monitor",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -1172,3 +1172,80 @@ def x105_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("global_clustering"),
         )
     )
+
+
+# --- x107: LSH banding S-curve planner -------------------------------------------
+
+_X107_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8)]  # (bands, rows), b*r = 16
+_X107_GRID = [round(0.05 * i, 2) for i in range(1, 20)]  # J = 0.05 .. 0.95
+
+
+def _x107_oracle() -> str:
+    # p(candidate | J) = 1 - (1 - J^r)^b, with the powers written as
+    # explicit left-assoc multiplication chains so both engines execute
+    # the identical IEEE ops (POWER() may route through exp/log and
+    # differ in the last ulp).
+    rows = []
+    for b, r in _X107_CONFIGS:
+        jr = " * ".join(["j"] * r)
+        q = f"(1 - {jr})"
+        qb = " * ".join([q] * b)
+        rows.append(
+            f"SELECT {b} AS bands, {r} AS rws, j, 1 - ({qb}) AS p_candidate "
+            f"FROM grid"
+        )
+        union = "\n      UNION ALL ".join(rows)
+    grid = ", ".join(f"(CAST({j} AS DOUBLE))" for j in _X107_GRID)
+    return f"""
+    WITH grid AS (SELECT j FROM (VALUES {grid}) AS g(j))
+    SELECT bands, rws, j, p_candidate,
+           p_candidate >= 0.5 AS catches_half
+    FROM ({union})
+    """
+
+
+@register(
+    "x107_lsh_scurve_planner",
+    oracle=_x107_oracle(),
+    doc="x107: LSH banding S-curve planner — the analytic candidate "
+    "probability p(J) = 1-(1-J^r)^b for every (bands, rows) split of "
+    "the 16-hash MinHash signature, swept over a Jaccard grid. The "
+    "tuning table read BEFORE running x08/x84: pick the (b,r) whose "
+    "S-curve knee sits at the dedup threshold (8x2 catches J=0.5 "
+    "pairs ~96% of the time; 2x8 nearly never — that's the "
+    "precision/recall dial). Pure closed-form planning: a 4-config x "
+    "19-point in-row fanout, zero table scans, zero shuffles — the "
+    "powers are explicit multiplication chains so both engines run "
+    "identical IEEE ops (no POWER()/exp/log divergence)",
+)
+def x107_lsh_scurve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(float(j)) for j in _X107_GRID])
+        ).alias("j")
+    )
+    out = []
+    j = F.col("j")
+    for b, r in _X107_CONFIGS:
+        jr = j
+        for _ in range(r - 1):
+            jr = jr * j
+        q = 1 - jr
+        qb = q
+        for _ in range(b - 1):
+            qb = qb * q
+        out.append(
+            F.struct(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rws"),
+                (1 - qb).alias("p_candidate"),
+            )
+        )
+    fan = grid.select("j", F.explode(F.array(*out)).alias("cfg"))
+    return fan.select(
+        F.col("cfg.bands").alias("bands"),
+        F.col("cfg.rws").alias("rws"),
+        "j",
+        F.col("cfg.p_candidate").alias("p_candidate"),
+        (F.col("cfg.p_candidate") >= 0.5).alias("catches_half"),
+    )

@@ -1979,3 +1979,95 @@ def x101_hapax_density(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(flagged).cast("bigint").alias("n_flagged_docs"),
         )
     )
+
+
+# --- x106: tokenizer vocabulary coverage curve -----------------------------------
+
+_X106_KS = [100, 500, 1000, 5000]
+
+
+@register(
+    "x106_vocab_coverage_curve",
+    # Corpus coverage of a top-K frequency vocabulary, swept over K —
+    # the curve that sizes a tokenizer's vocab before training it
+    # (x58 audits ONE fixed vocab; x96 measures fertility after). The
+    # candidate set is the top max(K) words by (count DESC, word) —
+    # a BOUNDED TakeOrdered, never a global vocab sort — and each
+    # coverage@K is a conditional sum over that bounded set.
+    oracle=f"""
+    WITH wc AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+            FROM documents)
+      GROUP BY w
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+             CAST(COUNT(*) AS BIGINT) AS vocab_size
+      FROM wc
+    ),
+    top AS (
+      SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rk
+      FROM wc ORDER BY c DESC, w LIMIT {max(_X106_KS)}
+    )
+    SELECT k.k AS vocab_k,
+           CAST(SUM(CASE WHEN top.rk <= k.k THEN top.c ELSE 0 END)
+                AS BIGINT) AS covered_tokens,
+           t.total_tokens, t.vocab_size,
+           CAST(SUM(CASE WHEN top.rk <= k.k THEN top.c ELSE 0 END)
+                AS DOUBLE) / t.total_tokens AS coverage
+    FROM top, tot t,
+         (VALUES {", ".join(f"({k})" for k in _X106_KS)}) AS k(k)
+    GROUP BY k.k, t.total_tokens, t.vocab_size
+    """,
+    doc="x106: vocabulary coverage curve — corpus token coverage of a "
+    "top-K frequency vocab for K in "
+    f"{_X106_KS} (ties broken lexicographically so the vocab is "
+    "deterministic). Reads as 'a 5k-word vocab covers X% of corpus "
+    "tokens' — the sizing curve run before committing a tokenizer "
+    "budget. Scale: ONE word-count shuffle, then TakeOrdered bounds "
+    "the candidate set to max(K) rows (per-partition heaps, no "
+    "global sort); the K-sweep is conditional sums over that bounded "
+    "table. Exactness: integer counts, one IEEE quotient per K",
+)
+def x106_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = wc.agg(
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.count("*").cast("bigint").alias("vocab_size"),
+    )
+    top = (
+        wc.orderBy(F.desc("c"), F.asc("w"))
+        .limit(max(_X106_KS))
+        .withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("c"), F.asc("w")))
+        )
+    )
+    ks = F.explode(F.array(*[F.lit(k) for k in _X106_KS])).alias("vocab_k")
+    swept = top.select("rk", "c", ks)
+    return (
+        swept.groupBy("vocab_k")
+        .agg(
+            F.sum(F.when(F.col("rk") <= F.col("vocab_k"), F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("covered_tokens")
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "vocab_k",
+            "covered_tokens",
+            "total_tokens",
+            "vocab_size",
+            (
+                F.col("covered_tokens").cast("double")
+                / F.col("total_tokens")
+            ).alias("coverage"),
+        )
+    )

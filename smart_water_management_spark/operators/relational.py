@@ -1086,3 +1086,45 @@ def p13_q02_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             "unit_cost",
         )
     )
+
+
+# --- p14 (ext.): TPC-H Q13 shape — left-join count distribution -----------------
+
+
+@register(
+    "p14_q13_shape",
+    # Q13's customer-order distribution: LEFT join so zero-order
+    # customers survive with c_count = 0, then the distribution of the
+    # per-customer counts. Two stacked aggregations over one join — the
+    # "histogram of group sizes" shape every engagement dashboard runs.
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey,
+             CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    doc="p14 (ext.): TPC-H Q13 shape — the distribution of orders per "
+    "customer including zero-order customers (LEFT join + COUNT(col) "
+    "null semantics + a second aggregate over the first's output). "
+    "Scale: the join and the per-customer count share one "
+    "hash-partitioning on the customer key (Catalyst reuses the "
+    "exchange); the distribution aggregate runs on the already-"
+    "reduced per-customer table, map-combined on the tiny c_count "
+    "domain. Exactness: pure integer counts",
+)
+def p14_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").cast("bigint").alias("custdist")
+    )

@@ -1386,3 +1386,141 @@ def w25_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
         st[2].cast("bigint").alias("n_violations"),
         (mu + L * sigma * F.sqrt(ratio * (1 - st[1]))).alias("ucl_final"),
     )
+
+
+# --- w26 (ext.): rolling skewness / kurtosis -------------------------------------
+
+
+@register(
+    "w26_rolling_higher_moments",
+    # Rolling 24h third/fourth standardized moments per event type. The
+    # x^3/x^4 magnitudes break the decimal-sum device (at ~1e9 a
+    # double's ulp rivals the 6-dp quantum, so double->decimal rounding
+    # is no longer engine-stable) — so this uses a ROLLING FOLD
+    # instead: the per-type series is collected once (calendar-bounded)
+    # and every row's 24-slice folds [n, s1, s2, s3, s4] left-to-right
+    # in h order, identically in both engines. Zero rounding anywhere.
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type,
+             list(x ORDER BY h) AS xs,
+             list(h ORDER BY h) AS hs
+      FROM hourly GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type,
+             unnest(list_transform(range(1, len(xs) + 1), t -> {
+               'h': hs[t],
+               'm': list_reduce(
+                 list_prepend([CAST(0 AS DOUBLE), 0, 0, 0, 0],
+                   list_transform(xs[greatest(t - 23, 1):t], v -> [v])),
+                 (a, x) -> [a[1] + 1, a[2] + x[1], a[3] + x[1] * x[1],
+                            a[4] + (x[1] * x[1]) * x[1],
+                            a[5] + (x[1] * x[1]) * (x[1] * x[1])])
+             })) AS r
+      FROM ser
+    ),
+    m AS (
+      SELECT event_type, r.h AS h, r.m[1] AS n24,
+             r.m[2] / r.m[1] AS mu,
+             r.m[3] / r.m[1] - (r.m[2] / r.m[1]) * (r.m[2] / r.m[1]) AS m2,
+             r.m[4] / r.m[1] - 3 * (r.m[2] / r.m[1]) * (r.m[3] / r.m[1])
+               + 2 * (r.m[2] / r.m[1]) * (r.m[2] / r.m[1])
+                   * (r.m[2] / r.m[1]) AS m3,
+             r.m[5] / r.m[1] - 4 * (r.m[2] / r.m[1]) * (r.m[4] / r.m[1])
+               + 6 * (r.m[2] / r.m[1]) * (r.m[2] / r.m[1])
+                   * (r.m[3] / r.m[1])
+               - 3 * (r.m[2] / r.m[1]) * (r.m[2] / r.m[1])
+                   * (r.m[2] / r.m[1]) * (r.m[2] / r.m[1]) AS m4
+      FROM ex
+    )
+    SELECT event_type, CAST(h AS BIGINT) AS h,
+           CAST(n24 AS BIGINT) AS n24, mu,
+           CASE WHEN m2 > 0 THEN m3 / (m2 * SQRT(m2)) END AS skew_24h,
+           CASE WHEN m2 > 0 THEN m4 / (m2 * m2) - 3 END AS kurt_24h
+    FROM m
+    """,
+    doc="w26 (ext.): rolling 24h skewness and excess kurtosis of the "
+    "hourly demand per event type — the distribution-SHAPE monitors "
+    "(w02/w06 track location/scale; heavy tails and asymmetry move "
+    "first in fraud/burst regimes). Exactness device: a ROLLING FOLD "
+    "— every row's 24-slice of the h-ordered series folds "
+    "[n, s1..s4] in identical order in both engines (the decimal-sum "
+    "device is unusable here: x^4 magnitudes push double ulp past "
+    "the 6-dp quantum). Scale: the fold runs in-row over the "
+    "calendar-bounded per-type series (<=8,760 rows/year/type "
+    "regardless of corpus size) after ONE map-combined hourly "
+    "pre-agg; O(24) work per output row, no window exchange at all",
+)
+def w26_rolling_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.analytics import _hourly_series
+
+    hourly = _hourly_series(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("x")
+    )
+    ser = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "x"))),
+            lambda s: s["x"],
+        ).alias("xs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "x"))),
+            lambda s: s["h"],
+        ).alias("hs"),
+    )
+    init = F.array(*[F.lit(0.0)] * 5)
+
+    def merge(a, v):
+        return F.array(
+            a[0] + 1,
+            a[1] + v,
+            a[2] + v * v,
+            a[3] + (v * v) * v,
+            a[4] + (v * v) * (v * v),
+        )
+
+    def row_for(t):
+        sl = F.slice(
+            F.col("xs"),
+            F.greatest(t - 23, F.lit(1)),
+            F.least(t, F.lit(24)),
+        )
+        return F.struct(
+            F.element_at("hs", t).alias("h"),
+            F.aggregate(sl, init, merge).alias("m"),
+        )
+
+    ex = ser.select(
+        "event_type",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("xs")), lambda t: row_for(t)
+            )
+        ).alias("r"),
+    )
+    m = F.col("r.m")
+    n = m[0]
+    mu = m[1] / n
+    m2 = m[2] / n - mu * mu
+    m3 = m[3] / n - 3 * mu * (m[2] / n) + 2 * mu * mu * mu
+    m4 = (
+        m[4] / n
+        - 4 * mu * (m[3] / n)
+        + 6 * mu * mu * (m[2] / n)
+        - 3 * mu * mu * mu * mu
+    )
+    return ex.select(
+        "event_type",
+        F.col("r.h").cast("bigint").alias("h"),
+        n.cast("bigint").alias("n24"),
+        mu.alias("mu"),
+        F.when(m2 > 0, m3 / (m2 * F.sqrt(m2))).alias("skew_24h"),
+        F.when(m2 > 0, m4 / (m2 * m2) - 3).alias("kurt_24h"),
+    )

@@ -1940,3 +1940,162 @@ def t24_streaming_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("z"),
     )
+
+
+# --- t25: streaming PSI drift monitor --------------------------------------------
+
+
+def psi_monitor_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T25: x104's PSI drift gauge maintained INCREMENTALLY — each
+    document micro-batch folds into per-(source, bin) token-length
+    histogram counts; PSI recomputes from state on read.
+
+    The state is the bounded histogram grid (sources x 7 bins of
+    integer counts): per-batch counts are disjoint-set sums, so
+    merge = groupBy-SUM and state equals the batch histogram under any
+    slicing. The reference distribution (corpus-wide) is derived from
+    the SAME state by re-aggregation — no second pass over history."""
+    from ..sources.catalog import reset_managed_table
+
+    reset_managed_table(spark, "psi_monitor_state")
+    spark.sql(
+        "CREATE TABLE psi_monitor_state "
+        "(source STRING, bin BIGINT, n BIGINT) USING parquet"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..llmdata.curation import _X104_BIN_W, _X104_NBINS
+        from ..llmdata.text import tokens
+
+        sp = batch_df.sparkSession
+        partial = (
+            batch_df.select(
+                "source",
+                F.least(
+                    F.floor(
+                        F.size(tokens("text")) / float(_X104_BIN_W)
+                    ).cast("bigint"),
+                    F.lit(_X104_NBINS - 1),
+                ).alias("bin"),
+            )
+            .groupBy("source", "bin")
+            .agg(F.count("*").cast("bigint").alias("n"))
+        )
+        merged = (
+            sp.table("psi_monitor_state")
+            .unionByName(partial)
+            .groupBy("source", "bin")
+            .agg(F.sum("n").cast("bigint").alias("n"))
+        )
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").insertInto("psi_monitor_state")
+
+    stage = _stage_table_dir(sf_dir, "documents")
+    stream = (
+        spark.readStream.schema("source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("psi_monitor_state")
+
+
+def _t25_psi_from_state(state: DataFrame) -> DataFrame:
+    """PSI per source from the (source, bin, n) histogram state —
+    byte-identical math to x104 (Laplace +1, 6-dp-rounded LN terms)."""
+    from ..llmdata.curation import _X104_NBINS
+
+    corpus = state.groupBy("bin").agg(F.sum("n").alias("c"))
+    total = corpus.agg(F.sum("c").alias("n_corpus"))
+    nsrc = state.groupBy("source").agg(F.sum("n").alias("n_docs"))
+    grid = nsrc.select(
+        "source",
+        "n_docs",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(_X104_NBINS)])
+        ).alias("bin"),
+    )
+    sb = state.groupBy("source", "bin").agg(F.sum("n").alias("s"))
+    j = (
+        grid.join(sb, ["source", "bin"], "left")
+        .join(F.broadcast(corpus), "bin", "left")
+        .crossJoin(F.broadcast(total))
+    )
+    q = (F.coalesce(F.col("s"), F.lit(0)) + 1.0) / (
+        F.col("n_docs") + _X104_NBINS
+    )
+    p = (F.coalesce(F.col("c"), F.lit(0)) + 1.0) / (
+        F.col("n_corpus") + _X104_NBINS
+    )
+    term = F.round((q - p) * F.log(q / p), 6).cast("decimal(27,6)")
+    return (
+        j.select("source", "n_docs", term.alias("term"))
+        .groupBy("source", "n_docs")
+        .agg(F.sum("term").cast("double").alias("psi"))
+        .select(
+            "source", F.col("n_docs").cast("bigint").alias("n_docs"), "psi"
+        )
+    )
+
+
+@register(
+    "t25_streaming_psi_monitor",
+    # Must equal x104's batch PSI bit-for-bit: histogram counts merge
+    # exactly, and the PSI recompute is x104's identical expression
+    # (Laplace +1, ROUND(LN-term, 6) -> DECIMAL sum).
+    oracle="""
+    WITH lens AS (
+      SELECT source,
+             LEAST(CAST(FLOOR(len(string_split(lower(text), ' '))
+                              / 50.0) AS BIGINT), 6) AS bin
+      FROM documents
+    ),
+    corpus AS (
+      SELECT bin, COUNT(*) AS c FROM lens GROUP BY bin
+    ),
+    nsrc AS (
+      SELECT source, COUNT(*) AS n_docs FROM lens GROUP BY source
+    ),
+    grid AS (
+      SELECT s.source, s.n_docs, g.bin
+      FROM nsrc s, range(7) AS g(bin)
+    ),
+    sb AS (
+      SELECT source, bin, COUNT(*) AS s FROM lens GROUP BY source, bin
+    ),
+    terms AS (
+      SELECT g.source, g.n_docs,
+             ROUND(
+               ((COALESCE(sb.s, 0) + 1.0) / (g.n_docs + 7)
+                - (COALESCE(c.c, 0) + 1.0)
+                  / ((SELECT SUM(c) FROM corpus) + 7))
+               * LN(((COALESCE(sb.s, 0) + 1.0) / (g.n_docs + 7))
+                    / ((COALESCE(c.c, 0) + 1.0)
+                       / ((SELECT SUM(c) FROM corpus) + 7))),
+               6) AS term
+      FROM grid g
+      LEFT JOIN sb ON sb.source = g.source AND sb.bin = g.bin
+      LEFT JOIN corpus c ON c.bin = g.bin
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(SUM(CAST(term AS DECIMAL(27,6))) AS DOUBLE) AS psi
+    FROM terms GROUP BY source, n_docs
+    """,
+    doc="T25: streaming PSI drift monitor — x104's token-length "
+    "population-stability gauge maintained incrementally: each doc "
+    "micro-batch folds into the bounded per-(source, bin) histogram "
+    "state (7 bins x sources, integer counts, disjoint-set merge), "
+    "and PSI recomputes from state on read — including the corpus "
+    "reference, derived by re-aggregating the SAME state. The "
+    "always-on scraper-health alarm: state size is independent of "
+    "traffic, and the answer equals the batch x104 under any slicing",
+)
+def t25_streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _t25_psi_from_state(psi_monitor_stream(spark, sf_dir))

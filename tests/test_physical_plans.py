@@ -1212,3 +1212,41 @@ def test_triangle_count_equi_joins_only(spark):
     all-pairs."""
     plan = plan_of(_q(spark, "x105_triangle_count"), "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_q13_shape_shares_custkey_exchange(spark):
+    """p14: the left join and the per-customer count both key on the
+    customer key; the distribution agg is map-combined on the tiny
+    c_count domain — no extra exchange for it."""
+    plan = plan_of(_q(spark, "p14_q13_shape"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan
+
+
+def test_vocab_coverage_bounded_topk(spark):
+    """x106: the vocab candidate set must come from TakeOrdered (bounded
+    per-partition heaps), never a global sort of the whole vocabulary;
+    the rank window then sits over that GlobalLimit."""
+    df = _q(spark, "x106_vocab_coverage_curve")
+    assert unbounded_global_windows(df) == []
+    plan = plan_of(df, "simple")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_lsh_scurve_no_scans_no_shuffles(spark):
+    """x107: pure closed-form planning — zero table scans, zero
+    exchanges, one in-row fanout."""
+    plan = plan_of(_q(spark, "x107_lsh_scurve_planner"), "simple")
+    assert "FileScan parquet" not in plan
+    assert "Exchange" not in plan
+    assert "Generate" in plan
+
+
+def test_rolling_moments_fold_no_window_exchange(spark):
+    """w26: the rolling fold replaces the window operator entirely — no
+    Window node, no join; the only shuffles are the hourly pre-agg and
+    the per-type collect."""
+    plan = plan_of(_q(spark, "w26_rolling_higher_moments"), "simple")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2

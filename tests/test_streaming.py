@@ -492,3 +492,33 @@ def test_streaming_ab_monitor_multi_batch_equals_batch_m18(spark):
             w.conv_b,
         ), et
         assert g.z == w.z, et
+
+
+def test_streaming_psi_monitor_multi_batch_equals_batch_x104(spark):
+    """t25 under real incrementality: 4 document micro-batches; the
+    merged histogram state must reproduce x104's batch PSI exactly."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        docs.repartition(4).write.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        got = {
+            r.source: r
+            for r in jobs.t25_streaming_psi_monitor(spark, sf_dir).collect()
+        }
+    want = {
+        r.source: r
+        for r in _REGISTRY["x104_psi_drift"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for src, w in want.items():
+        g = got[src]
+        assert g.n_docs == w.n_docs, src
+        assert g.psi == w.psi, src
