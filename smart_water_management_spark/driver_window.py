@@ -202,6 +202,10 @@ ROUND8_CANDIDATES: list[str] = [
     "x107_lsh_scurve_planner",
     "w26_rolling_higher_moments",
     "t25_streaming_psi_monitor",
+    "x108_expected_lsh_recall",
+    "x109_dedup_token_savings",
+    "x110_quality_length_mi",
+    "m20_segmented_trend",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

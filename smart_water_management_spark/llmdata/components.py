@@ -462,3 +462,91 @@ def x95_group_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- x109: dedup token-savings report ---------------------------------------------
+
+
+def _x109_oracle() -> str:
+    from .dedup import _x08_cte
+
+    return f"""
+    WITH RECURSIVE {_x08_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    closure AS (
+      SELECT a, b FROM reach
+      UNION
+      SELECT DISTINCT src AS a, src AS b FROM edges
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM closure GROUP BY a),
+    marked AS (
+      SELECT d.source,
+             len(string_split(lower(d.text), ' ')) AS n_tokens,
+             (d.doc_id = COALESCE(c.component, d.doc_id)) AS kept
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CASE WHEN kept THEN n_tokens ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE n_tokens END) AS BIGINT)
+             AS dup_tokens,
+           CAST(SUM(CASE WHEN kept THEN 0 ELSE n_tokens END) AS DOUBLE)
+             / SUM(n_tokens) AS savings_frac
+    FROM marked GROUP BY source
+    """
+
+
+@register(
+    "x109_dedup_token_savings",
+    oracle=_x109_oracle(),
+    doc="x109: dedup token-savings report — per source, the tokens the "
+    "x15 component collapse removes (duplicates' tokens) vs keeps "
+    "(canonicals'), and the savings fraction. The 'what did dedup buy "
+    "us' line every curation run reports next to x90's funnel: "
+    "token savings is what actually moves the training bill, not doc "
+    "counts. Scale: reuses the pinned signature table and the "
+    "pointer-jumped components (bounded pair graph, never all-pairs); "
+    "one left join of the corpus against the component map + one "
+    "map-combined per-source aggregate. Exactness: integer token "
+    "counts, one IEEE quotient",
+)
+def x109_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import pinned_corpus_signatures
+    from .text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    marked = dedup_corpus(
+        docs, sigs=pinned_corpus_signatures(spark, sf_dir)
+    ).select(
+        "source",
+        F.size(tokens("text")).alias("n_tokens"),
+        F.col("is_canonical").alias("kept"),
+    )
+    return marked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("kept").cast("int")).cast("bigint").alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("kept"), F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("kept_tokens"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(F.col("n_tokens")))
+        .cast("bigint")
+        .alias("dup_tokens"),
+        (
+            F.sum(F.when(F.col("kept"), 0).otherwise(F.col("n_tokens")))
+            .cast("double")
+            / F.sum("n_tokens")
+        ).alias("savings_frac"),
+    )

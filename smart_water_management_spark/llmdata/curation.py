@@ -2753,3 +2753,129 @@ def x104_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source", F.col("n_docs").cast("bigint").alias("n_docs"), "psi"
         )
     )
+
+
+# --- x110: quality x length mutual information -----------------------------------
+
+
+@register(
+    "x110_quality_length_mi",
+    # Mutual information (and the entropies that normalize it) between
+    # the doc-length bin (x104's 7 bins) and the x21 Gopher pass flag —
+    # "does the quality filter systematically bias against long docs?".
+    # The bounded 7x2 cell table makes every probability an exact
+    # integer quotient; each LN term is ROUND(.,6)->DECIMAL before the
+    # order-free sum (x45 device).
+    oracle=f"""
+    WITH t AS (
+      SELECT LEAST(CAST(FLOOR(len(string_split(lower(text), ' '))
+                              / 50.0) AS BIGINT), 6) AS bin,
+             CASE WHEN {sql_gopher_metrics("string_split(lower(text), ' ')")["passes"]}
+                  THEN 1 ELSE 0 END AS q
+      FROM documents
+    ),
+    cells AS (
+      SELECT bin, q, CAST(COUNT(*) AS DOUBLE) AS c FROM t GROUP BY bin, q
+    ),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cells),
+    marg AS (
+      SELECT c.bin, c.q, c.c,
+             SUM(c.c) OVER (PARTITION BY c.bin) AS cb,
+             SUM(c.c) OVER (PARTITION BY c.q) AS cq
+      FROM cells c
+    ),
+    mi_terms AS (
+      SELECT ROUND((m.c / t.n)
+               * LN((m.c / t.n) / ((m.cb / t.n) * (m.cq / t.n))), 6) AS v
+      FROM marg m, tot t
+    ),
+    hb_terms AS (
+      SELECT ROUND(-(cb / n) * LN(cb / n), 6) AS v FROM
+        (SELECT DISTINCT bin, cb FROM marg), tot
+    ),
+    hq_terms AS (
+      SELECT ROUND(-(cq / n) * LN(cq / n), 6) AS v FROM
+        (SELECT DISTINCT q, cq FROM marg), tot
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_docs,
+           (SELECT CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE)
+            FROM mi_terms) AS mi,
+           (SELECT CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE)
+            FROM hb_terms) AS h_length,
+           (SELECT CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE)
+            FROM hq_terms) AS h_quality
+    FROM tot t
+    """,
+    doc="x110: mutual information between doc-length bin and the x21 "
+    "Gopher pass flag, with both marginal entropies — the "
+    "filter-bias audit ('quality' filters often proxy for length; "
+    "high MI means the kept corpus has a skewed length profile, the "
+    "thing x76/x99 then pay for). Scale: ONE scan to the 7x2 cell "
+    "table (map-combined), everything downstream is windows and "
+    "folds over <=14 rows. Exactness: integer-quotient "
+    "probabilities, 6-dp-rounded LN terms summed as decimals",
+)
+def x110_quality_length_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    t = d.select(
+        F.least(
+            F.floor(F.size(tk) / 50.0).cast("bigint"), F.lit(6)
+        ).alias("bin"),
+        gopher_metrics(tk)["passes"].cast("int").alias("q"),
+    )
+    cells = t.groupBy("bin", "q").agg(F.count("*").cast("double").alias("c"))
+    tot = cells.agg(F.sum("c").alias("n"))
+    marg = cells.select(
+        "bin",
+        "q",
+        "c",
+        F.sum("c").over(W.partitionBy("bin")).alias("cb"),
+        F.sum("c").over(W.partitionBy("q")).alias("cq"),
+    ).crossJoin(F.broadcast(tot))
+    n = F.col("n")
+    mi = marg.select(
+        F.round(
+            (F.col("c") / n)
+            * F.log(
+                (F.col("c") / n) / ((F.col("cb") / n) * (F.col("cq") / n))
+            ),
+            6,
+        )
+        .cast("decimal(27,6)")
+        .alias("v")
+    ).agg(F.sum("v").cast("double").alias("mi"))
+    hb = (
+        marg.select("bin", "cb", "n")
+        .distinct()
+        .select(
+            F.round(
+                -(F.col("cb") / n) * F.log(F.col("cb") / n), 6
+            )
+            .cast("decimal(27,6)")
+            .alias("v")
+        )
+        .agg(F.sum("v").cast("double").alias("h_length"))
+    )
+    hq = (
+        marg.select("q", "cq", "n")
+        .distinct()
+        .select(
+            F.round(
+                -(F.col("cq") / n) * F.log(F.col("cq") / n), 6
+            )
+            .cast("decimal(27,6)")
+            .alias("v")
+        )
+        .agg(F.sum("v").cast("double").alias("h_quality"))
+    )
+    return (
+        tot.select(F.col("n").cast("bigint").alias("n_docs"))
+        .crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hb))
+        .crossJoin(F.broadcast(hq))
+    )

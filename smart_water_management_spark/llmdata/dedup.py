@@ -1249,3 +1249,75 @@ def x107_lsh_scurve_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cfg.p_candidate").alias("p_candidate"),
         (F.col("cfg.p_candidate") >= 0.5).alias("catches_half"),
     )
+
+
+# --- x108: expected LSH recall per banding config ---------------------------------
+
+
+def _x108_oracle() -> str:
+    rows = []
+    for b, r in _X107_CONFIGS:
+        jr = " * ".join(["jaccard"] * r)
+        q = f"(1 - {jr})"
+        qb = " * ".join([q] * b)
+        rows.append(
+            f"SELECT {b} AS bands, {r} AS rws, "
+            f"ROUND(1 - ({qb}), 6) AS p FROM verified"
+        )
+    union = "\n      UNION ALL ".join(rows)
+    return f"""WITH {_x08_cte()},
+    probs AS ({union})
+    SELECT bands, rws,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CAST(p AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*)
+             AS expected_recall
+    FROM probs GROUP BY bands, rws
+    """
+
+
+@register(
+    "x108_expected_lsh_recall",
+    oracle=_x108_oracle(),
+    doc="x108: expected LSH recall per banding config — x107's analytic "
+    "S-curve EVALUATED on the real pair population: for every "
+    "Jaccard-verified near-dup pair, the probability each (bands, "
+    "rows) split of the 16-hash signature would have caught it, "
+    "averaged per config. Turns the banding choice into a number "
+    "('4x4 would drop 18% of the dups 8x2 finds') BEFORE re-running "
+    "the pipeline — conditioned, honestly, on the pair population "
+    "the current banding surfaces. Scale: the pair set is the "
+    "banded-LSH output (bounded, never all-pairs); the per-pair "
+    "probability is an in-row multiplication chain; one tiny "
+    "aggregate per config. Exactness: Jaccard quotients are "
+    "identical IEEE; each probability is 6-dp-rounded to DECIMAL "
+    "before the order-free mean",
+)
+def x108_expected_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = verify_jaccard(
+        docs, lsh_candidate_pairs(pinned_corpus_signatures(spark, sf_dir))
+    )
+    j = F.col("jaccard")
+    out = []
+    for b, r in _X107_CONFIGS:
+        jr = j
+        for _ in range(r - 1):
+            jr = jr * j
+        q = 1 - jr
+        qb = q
+        for _ in range(b - 1):
+            qb = qb * q
+        out.append(
+            F.struct(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rws"),
+                F.round(1 - qb, 6).cast("decimal(27,6)").alias("p"),
+            )
+        )
+    fan = pairs.select(F.explode(F.array(*out)).alias("cfg")).select(
+        "cfg.bands", "cfg.rws", "cfg.p"
+    )
+    return fan.groupBy("bands", "rws").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (F.sum("p").cast("double") / F.count("*")).alias("expected_recall"),
+    )

@@ -1905,3 +1905,182 @@ def m19_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((s1t - s1) / (n - t)).alias("mean_right"),
         )
     )
+
+
+# --- M20 (ext.): segmented trend around the detected change-point ----------------
+
+
+@register(
+    "m20_segmented_trend",
+    # m19's least-squares split feeds two per-segment OLS fits (the m06
+    # decimal-moment device, x = within-segment hour index t): slope and
+    # intercept on each side of the break plus the level shift across
+    # it. The composition a drift postmortem actually reads: WHEN it
+    # broke (m19), and what the trend was before vs after (m20).
+    oracle=f"""
+    WITH {_hourly_series_sql().strip()},
+    ser AS (
+      SELECT event_type, h, CAST(hv AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t,
+             CAST(SUM(CAST(hv AS DECIMAL(27,6)))
+                  OVER (PARTITION BY event_type ORDER BY h) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(hv AS DOUBLE) * CAST(hv AS DOUBLE)
+                           AS DECIMAL(27,6)))
+                  OVER (PARTITION BY event_type ORDER BY h) AS DOUBLE) AS s2,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             CAST(SUM(CAST(hv AS DECIMAL(27,6)))
+                  OVER (PARTITION BY event_type) AS DOUBLE) AS s1t,
+             CAST(SUM(CAST(CAST(hv AS DOUBLE) * CAST(hv AS DOUBLE)
+                           AS DECIMAL(27,6)))
+                  OVER (PARTITION BY event_type) AS DOUBLE) AS s2t
+      FROM hourly
+    ),
+    best AS (
+      SELECT event_type, t AS split_t,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY
+               (s2 - s1 * s1 / t)
+                 + ((s2t - s2) - (s1t - s1) * (s1t - s1) / (n - t)), t)
+               AS rk
+      FROM ser WHERE t < n
+    ),
+    seg AS (
+      SELECT s.event_type,
+             b.split_t,
+             (s.t <= b.split_t) AS is_left,
+             CAST(s.t AS DOUBLE) AS tx,
+             s.x
+      FROM ser s JOIN best b
+        ON b.event_type = s.event_type AND b.rk = 1
+    ),
+    fits AS (
+      SELECT event_type, split_t, is_left,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(tx AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(tx*tx AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(tx*x AS DECIMAL(38,6))) AS DOUBLE) AS sxy
+      FROM seg GROUP BY event_type, split_t, is_left
+    ),
+    sides AS (
+      SELECT event_type, split_t,
+             MAX(CASE WHEN is_left AND n*sxx - sx*sx <> 0 THEN
+               (n*sxy - sx*sy) / (n*sxx - sx*sx) END) AS slope_left,
+             MAX(CASE WHEN is_left AND n*sxx - sx*sx <> 0 THEN
+               (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n END)
+               AS intercept_left,
+             MAX(CASE WHEN NOT is_left AND n*sxx - sx*sx <> 0 THEN
+               (n*sxy - sx*sy) / (n*sxx - sx*sx) END) AS slope_right,
+             MAX(CASE WHEN NOT is_left AND n*sxx - sx*sx <> 0 THEN
+               (sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n END)
+               AS intercept_right
+      FROM fits GROUP BY event_type, split_t
+    )
+    SELECT event_type, CAST(split_t AS BIGINT) AS split_t,
+           ROUND(slope_left, 6) AS slope_left,
+           ROUND(intercept_left, 6) AS intercept_left,
+           ROUND(slope_right, 6) AS slope_right,
+           ROUND(intercept_right, 6) AS intercept_right,
+           ROUND((intercept_right + slope_right * (split_t + 1))
+                 - (intercept_left + slope_left * (split_t + 1)), 6)
+             AS level_shift_at_break
+    FROM sides
+    """,
+    doc="M20 (ext.): segmented trend — per event type, OLS slope and "
+    "intercept on each side of m19's least-squares change-point, plus "
+    "the level shift across the break (both lines evaluated at the "
+    "first post-break hour). The drift postmortem companion: m19 says "
+    "WHEN, m20 says what changed (slope regime vs level step). Scale: "
+    "the split reuses m19's prefix-moment windows over the "
+    "calendar-bounded hourly pre-agg; the two fits are ONE grouped "
+    "decimal-moment aggregate keyed (type, side). Exactness: m06's "
+    "decimal-moment OLS device per segment; 6-dp rounding only on "
+    "final irrational-valued outputs",
+)
+def m20_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.numeric import dsum
+
+    hourly = _hourly_series(spark, sf_dir)
+    x = F.col("hv").cast("double")
+    wp = W.partitionBy("event_type").orderBy("h")
+    wa = W.partitionBy("event_type")
+    ser = hourly.select(
+        "event_type",
+        F.row_number().over(wp).alias("t"),
+        x.alias("x"),
+        F.sum(F.col("hv").cast("decimal(27,6)"))
+        .over(wp)
+        .cast("double")
+        .alias("s1"),
+        F.sum((x * x).cast("decimal(27,6)"))
+        .over(wp)
+        .cast("double")
+        .alias("s2"),
+        F.count("*").over(wa).alias("n"),
+        F.sum(F.col("hv").cast("decimal(27,6)"))
+        .over(wa)
+        .cast("double")
+        .alias("s1t"),
+        F.sum((x * x).cast("decimal(27,6)"))
+        .over(wa)
+        .cast("double")
+        .alias("s2t"),
+    )
+    s1, s2, t, n = F.col("s1"), F.col("s2"), F.col("t"), F.col("n")
+    s1t, s2t = F.col("s1t"), F.col("s2t")
+    cost = (s2 - s1 * s1 / t) + (
+        (s2t - s2) - (s1t - s1) * (s1t - s1) / (n - t)
+    )
+    best = (
+        ser.filter(t < n)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("event_type").orderBy(cost, t)
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("event_type", t.alias("split_t"))
+    )
+    seg = ser.join(F.broadcast(best), "event_type").select(
+        "event_type",
+        "split_t",
+        (t <= F.col("split_t")).alias("is_left"),
+        t.cast("double").alias("tx"),
+        "x",
+    )
+    fits = seg.groupBy("event_type", "split_t", "is_left").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("tx", 38).alias("sx"),
+        dsum("x", 38).alias("sy"),
+        dsum(F.col("tx") * F.col("tx"), 38).alias("sxx"),
+        dsum(F.col("tx") * F.col("x"), 38).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.when(
+        den != 0,
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
+    )
+    intercept = F.when(
+        den != 0, (F.col("sy") - slope * F.col("sx")) / F.col("n")
+    )
+    sides = fits.groupBy("event_type", "split_t").agg(
+        F.max(F.when(F.col("is_left"), slope)).alias("sl"),
+        F.max(F.when(F.col("is_left"), intercept)).alias("il"),
+        F.max(F.when(~F.col("is_left"), slope)).alias("sr"),
+        F.max(F.when(~F.col("is_left"), intercept)).alias("ir"),
+    )
+    return sides.select(
+        "event_type",
+        F.col("split_t").cast("bigint").alias("split_t"),
+        F.round("sl", 6).alias("slope_left"),
+        F.round("il", 6).alias("intercept_left"),
+        F.round("sr", 6).alias("slope_right"),
+        F.round("ir", 6).alias("intercept_right"),
+        F.round(
+            (F.col("ir") + F.col("sr") * (F.col("split_t") + 1))
+            - (F.col("il") + F.col("sl") * (F.col("split_t") + 1)),
+            6,
+        ).alias("level_shift_at_break"),
+    )

@@ -1250,3 +1250,42 @@ def test_rolling_moments_fold_no_window_exchange(spark):
     assert "Window" not in plan
     assert "Join" not in plan
     assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_expected_recall_inrow_fanout(spark):
+    """x108: the per-pair config probabilities are an in-row explode of
+    a 4-literal array over the bounded verified-pair set — no BNLJ, no
+    cartesian; the pair generation stays banded."""
+    plan = plan_of(_q(spark, "x108_expected_lsh_recall"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Generate" in plan
+
+
+def test_token_savings_left_join_on_components(spark):
+    """x109: the corpus joins the component map once (left), then ONE
+    map-combined per-source aggregate — no all-pairs machinery on the
+    reporting path."""
+    plan = plan_of(_q(spark, "x109_dedup_token_savings"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_mi_audit_bounded_cells(spark):
+    """x110: marginals are windows over the 7x2 CELL aggregate; the
+    scalar attaches broadcast; one corpus scan."""
+    df = _q(spark, "x110_quality_length_mi")
+    assert unbounded_global_windows(df) == []
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_segmented_trend_reuses_type_exchange(spark):
+    """m20: prefix windows, the argmin rank, and the split broadcast all
+    key on event_type over the hourly pre-agg; the per-segment fits are
+    one grouped aggregate — no global window anywhere."""
+    df = _q(spark, "m20_segmented_trend")
+    assert unbounded_global_windows(df) == []
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
