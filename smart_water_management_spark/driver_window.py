@@ -206,6 +206,9 @@ ROUND8_CANDIDATES: list[str] = [
     "x109_dedup_token_savings",
     "x110_quality_length_mi",
     "m20_segmented_trend",
+    "t26_streaming_changepoint",
+    "v16_quantile_drift",
+    "x111_bigram_entropy_rate",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

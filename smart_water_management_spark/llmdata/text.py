@@ -2071,3 +2071,132 @@ def x106_vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+# --- x111: bigram conditional entropy rate per source -----------------------------
+
+
+@register(
+    "x111_bigram_entropy_rate",
+    # H(W2 | W1) per source from within-doc adjacent bigram counts:
+    # -sum p(w1,w2) * ln(c(w1,w2)/c(w1·)). Every probability is an
+    # exact integer quotient; every LN term is ROUND(.,6)->DECIMAL
+    # before the order-free sum (x45 device). The unigram entropy H(W)
+    # rides along so the redundancy ratio is one subtraction away.
+    oracle="""
+    WITH tk AS (
+      SELECT source, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    bg AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i + 1])) AS b
+      FROM tk WHERE len(t) >= 2
+    ),
+    bc AS (
+      SELECT source, b, COUNT(*) AS c FROM bg GROUP BY source, b
+    ),
+    w1c AS (
+      SELECT source, string_split(b, ' ')[1] AS w1, SUM(c) AS cw
+      FROM bc GROUP BY source, string_split(b, ' ')[1]
+    ),
+    nsrc AS (
+      SELECT source, SUM(c) AS nb FROM bc GROUP BY source
+    ),
+    hterm AS (
+      SELECT bc.source,
+             ROUND(-(CAST(bc.c AS DOUBLE) / n.nb)
+                   * LN(CAST(bc.c AS DOUBLE) / w.cw), 6) AS v
+      FROM bc
+      JOIN w1c w ON w.source = bc.source
+                AND w.w1 = string_split(bc.b, ' ')[1]
+      JOIN nsrc n ON n.source = bc.source
+    ),
+    uterm AS (
+      SELECT w.source,
+             ROUND(-(CAST(w.cw AS DOUBLE) / n.nb)
+                   * LN(CAST(w.cw AS DOUBLE) / n.nb), 6) AS v
+      FROM w1c w JOIN nsrc n ON n.source = w.source
+    )
+    SELECT n.source,
+           CAST(n.nb AS BIGINT) AS n_bigrams,
+           (SELECT CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE)
+            FROM hterm h WHERE h.source = n.source) AS h_cond,
+           (SELECT CAST(SUM(CAST(v AS DECIMAL(27,6))) AS DOUBLE)
+            FROM uterm u WHERE u.source = n.source) AS h_unigram
+    FROM nsrc n
+    """,
+    doc="x111: bigram conditional entropy rate per source — H(next "
+    "word | word) from within-doc adjacent pairs, next to the "
+    "first-word marginal entropy H(W). The language-complexity / "
+    "templatedness gauge: boilerplate-heavy sources have LOW "
+    "conditional entropy (the next word is predictable) long before "
+    "x25's repetition counters fire; the H(W)-H(W2|W1) gap is the "
+    "per-source redundancy x82's Kneser-Ney model exploits. Scale: "
+    "word-count-shaped shuffles only (bigram counts, first-word "
+    "rollup, per-source totals), all map-combined, never all-pairs. "
+    "Exactness: integer counts, 6-dp-rounded LN terms as decimals",
+)
+def x111_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tk = d.select("source", tokens("text").alias("t")).filter(
+        F.size("t") >= 2
+    )
+    bg = tk.select(
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat(
+                    F.element_at("t", i),
+                    F.lit(" "),
+                    F.element_at("t", i + 1),
+                ),
+            )
+        ).alias("b"),
+    )
+    bc = bg.groupBy("source", "b").agg(F.count("*").alias("c"))
+    w1 = F.split(F.col("b"), " ")[0]
+    w1c = bc.groupBy("source", w1.alias("w1")).agg(
+        F.sum("c").alias("cw")
+    )
+    nsrc = bc.groupBy("source").agg(F.sum("c").alias("nb"))
+    hterm = (
+        bc.join(
+            w1c,
+            (bc["source"] == w1c["source"]) & (w1.eqNullSafe(w1c["w1"])),
+        )
+        .drop(w1c["source"])
+        .join(nsrc, "source")
+        .select(
+            "source",
+            F.round(
+                -(F.col("c").cast("double") / F.col("nb"))
+                * F.log(F.col("c").cast("double") / F.col("cw")),
+                6,
+            )
+            .cast("decimal(27,6)")
+            .alias("v"),
+        )
+    )
+    h_cond = hterm.groupBy("source").agg(
+        F.sum("v").cast("double").alias("h_cond")
+    )
+    uterm = w1c.join(nsrc, "source").select(
+        "source",
+        F.round(
+            -(F.col("cw").cast("double") / F.col("nb"))
+            * F.log(F.col("cw").cast("double") / F.col("nb")),
+            6,
+        )
+        .cast("decimal(27,6)")
+        .alias("v"),
+    )
+    h_uni = uterm.groupBy("source").agg(
+        F.sum("v").cast("double").alias("h_unigram")
+    )
+    return (
+        nsrc.select("source", F.col("nb").cast("bigint").alias("n_bigrams"))
+        .join(h_cond, "source")
+        .join(h_uni, "source")
+    )

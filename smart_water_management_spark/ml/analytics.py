@@ -1854,9 +1854,14 @@ def m18_ab_proportion_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to the earlier split in both engines",
 )
 def m19_changepoint_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return changepoint_from_hourly(_hourly_series(spark, sf_dir))
+
+
+def changepoint_from_hourly(hourly: DataFrame) -> DataFrame:
+    """m19's split search over any (event_type, h, hv) hourly table —
+    shared with t26's incrementally-maintained state twin."""
     from pyspark.sql import Window as W
 
-    hourly = _hourly_series(spark, sf_dir)
     x = F.col("hv").cast("double")
     wp = W.partitionBy("event_type").orderBy("h")
     wa = W.partitionBy("event_type")

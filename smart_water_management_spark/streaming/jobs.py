@@ -2099,3 +2099,118 @@ def _t25_psi_from_state(state: DataFrame) -> DataFrame:
 )
 def t25_streaming_psi_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t25_psi_from_state(psi_monitor_stream(spark, sf_dir))
+
+
+# --- t26: streaming change-point monitor ------------------------------------------
+
+
+def hourly_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T26 state maintainer: the exact-decimal hourly demand grid
+    (event_type, h, hv) kept incrementally — each event micro-batch's
+    partial decimal sums merge by groupBy-SUM (decimal addition is
+    exact and order-free, so state equals the batch hourly pre-agg
+    under any slicing). The grid is calendar-bounded: types x hours,
+    independent of traffic volume."""
+    from ..sources.catalog import reset_managed_table
+
+    reset_managed_table(spark, "hourly_state")
+    spark.sql(
+        "CREATE TABLE hourly_state "
+        "(event_type STRING, h BIGINT, hv DECIMAL(27,6)) USING parquet"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        h = F.floor(
+            (F.unix_timestamp("ts") - F.lit(1704067200)) / F.lit(3600.0)
+        ).cast("bigint")
+        partial = (
+            batch_df.select("event_type", h.alias("h"), "value")
+            .groupBy("event_type", "h")
+            .agg(F.sum(F.col("value").cast("decimal(27,6)")).alias("hv"))
+        )
+        merged = (
+            sp.table("hourly_state")
+            .unionByName(partial)
+            .groupBy("event_type", "h")
+            .agg(F.sum("hv").cast("decimal(27,6)").alias("hv"))
+        )
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").insertInto("hourly_state")
+
+    stream = read_event_stream(spark, sf_dir).select(
+        "event_type", "ts", "value"
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("hourly_state")
+
+
+@register(
+    "t26_streaming_changepoint",
+    # Must equal m19's batch change-point bit-for-bit: the decimal
+    # hourly grid merges exactly, and the split search is the SAME code
+    # (ml.analytics.changepoint_from_hourly) over that state.
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             SUM(CAST(value AS DECIMAL(27,6))) AS hv
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type, h, CAST(hv AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t,
+             CAST(SUM(CAST(hv AS DECIMAL(27,6)))
+                  OVER (PARTITION BY event_type ORDER BY h) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(hv AS DOUBLE) * CAST(hv AS DOUBLE)
+                           AS DECIMAL(27,6)))
+                  OVER (PARTITION BY event_type ORDER BY h) AS DOUBLE) AS s2,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             CAST(SUM(CAST(hv AS DECIMAL(27,6)))
+                  OVER (PARTITION BY event_type) AS DOUBLE) AS s1t,
+             CAST(SUM(CAST(CAST(hv AS DOUBLE) * CAST(hv AS DOUBLE)
+                           AS DECIMAL(27,6)))
+                  OVER (PARTITION BY event_type) AS DOUBLE) AS s2t
+      FROM hourly
+    ),
+    cost AS (
+      SELECT event_type, h, t, n, s1, s1t, s2t,
+             (s2 - s1 * s1 / t)
+               + ((s2t - s2) - (s1t - s1) * (s1t - s1) / (n - t)) AS c
+      FROM ser WHERE t < n
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY c, t) AS rk
+      FROM cost
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(t AS BIGINT) AS split_t,
+           CAST(h AS BIGINT) AS split_hour,
+           (s2t - s1t * s1t / n) - c AS gain,
+           s1 / t AS mean_left,
+           (s1t - s1) / (n - t) AS mean_right
+    FROM best WHERE rk = 1
+    """,
+    doc="T26: streaming change-point monitor — m19's least-squares drift "
+    "localizer running on an incrementally-maintained exact-decimal "
+    "hourly grid: each event micro-batch merges partial decimal sums "
+    "into the calendar-bounded (type, hour) state, and the split "
+    "search (the SAME helper m19 uses) recomputes from state on read. "
+    "Localizes WHEN the regime changed while the stream is still "
+    "running; state size is types x hours regardless of traffic, and "
+    "the answer equals batch m19 under any slicing",
+)
+def t26_streaming_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.analytics import changepoint_from_hourly
+
+    return changepoint_from_hourly(hourly_state_stream(spark, sf_dir))

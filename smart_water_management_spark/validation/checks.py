@@ -1022,3 +1022,109 @@ def v15_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- v16 (ext.): quantile drift between time halves -------------------------------
+
+_V16_SPLIT_H = 360  # events span hours 0..719; compare halves
+
+
+@register(
+    "v16_quantile_drift",
+    # Exact interpolated quartiles (F.percentile ≙ quantile_cont — the
+    # established parity device) of `value` per event type, first half
+    # of the time range vs second, with deltas. The quantile companion
+    # to m14's KS test: KS says THAT the distribution moved, the
+    # quartile deltas say WHERE.
+    oracle=f"""
+    WITH halves AS (
+      SELECT event_type,
+             CASE WHEN FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                             / 3600.0) < {_V16_SPLIT_H}
+                  THEN 0 ELSE 1 END AS half,
+             value
+      FROM events
+    ),
+    q AS (
+      SELECT event_type, half,
+             COUNT(*) AS n,
+             quantile_cont(value, 0.25) AS q25,
+             quantile_cont(value, 0.50) AS q50,
+             quantile_cont(value, 0.75) AS q75
+      FROM halves GROUP BY event_type, half
+    )
+    SELECT a.event_type,
+           CAST(a.n AS BIGINT) AS n_first,
+           CAST(b.n AS BIGINT) AS n_second,
+           a.q25 AS q25_first, b.q25 AS q25_second,
+           a.q50 AS q50_first, b.q50 AS q50_second,
+           a.q75 AS q75_first, b.q75 AS q75_second,
+           b.q50 - a.q50 AS median_shift,
+           (b.q75 - b.q25) - (a.q75 - a.q25) AS iqr_change
+    FROM q a JOIN q b
+      ON a.event_type = b.event_type AND a.half = 0 AND b.half = 1
+    """,
+    doc="v16 (ext.): quantile drift — exact interpolated quartiles of "
+    "the value distribution per event type, first half of the window "
+    "vs second, with median shift and IQR change. The data-quality "
+    "screen that localizes WHERE a distribution moved (m14's KS only "
+    "says that it did) — robust to outliers where v12's mean/stddev "
+    "bounds are not. Scale: ONE grouped percentile aggregate on "
+    "(type, half) — Spark's percentile is a single-pass mergeable "
+    "sketch-free exact aggregate — then a self-join of the 2-row-per-"
+    "type result. Exactness: F.percentile and quantile_cont "
+    "interpolate identically on identical doubles",
+)
+def v16_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    half = (
+        F.when(
+            F.floor(
+                (F.unix_timestamp("ts") - F.lit(1704067200)) / F.lit(3600.0)
+            )
+            < _V16_SPLIT_H,
+            0,
+        )
+        .otherwise(1)
+        .alias("half")
+    )
+    q = (
+        ev.select("event_type", half, "value")
+        .groupBy("event_type", "half")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.percentile("value", 0.25).alias("q25"),
+            F.percentile("value", 0.50).alias("q50"),
+            F.percentile("value", 0.75).alias("q75"),
+        )
+    )
+    a = q.filter(F.col("half") == 0).select(
+        "event_type",
+        F.col("n").alias("n_first"),
+        F.col("q25").alias("q25_first"),
+        F.col("q50").alias("q50_first"),
+        F.col("q75").alias("q75_first"),
+    )
+    b = q.filter(F.col("half") == 1).select(
+        "event_type",
+        F.col("n").alias("n_second"),
+        F.col("q25").alias("q25_second"),
+        F.col("q50").alias("q50_second"),
+        F.col("q75").alias("q75_second"),
+    )
+    return a.join(b, "event_type").select(
+        "event_type",
+        "n_first",
+        "n_second",
+        "q25_first",
+        "q25_second",
+        "q50_first",
+        "q50_second",
+        "q75_first",
+        "q75_second",
+        (F.col("q50_second") - F.col("q50_first")).alias("median_shift"),
+        (
+            (F.col("q75_second") - F.col("q25_second"))
+            - (F.col("q75_first") - F.col("q25_first"))
+        ).alias("iqr_change"),
+    )

@@ -1289,3 +1289,20 @@ def test_segmented_trend_reuses_type_exchange(spark):
     plan = plan_of(df, "simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_quantile_drift_single_grouped_percentile(spark):
+    """v16: both halves' quartiles come from ONE grouped percentile
+    aggregate on (type, half); the halves self-join is on the tiny
+    per-type result."""
+    plan = plan_of(_q(spark, "v16_quantile_drift"), "simple")
+    assert "percentile" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_entropy_rate_wordcount_shuffles_only(spark):
+    """x111: bigram counts, first-word rollup, per-source totals — all
+    map-combined hash aggregates and equi-joins on bounded keys."""
+    plan = plan_of(_q(spark, "x111_bigram_entropy_rate"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan or "partial_count" in plan

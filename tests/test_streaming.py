@@ -522,3 +522,40 @@ def test_streaming_psi_monitor_multi_batch_equals_batch_x104(spark):
         g = got[src]
         assert g.n_docs == w.n_docs, src
         assert g.psi == w.psi, src
+
+
+def test_streaming_changepoint_multi_batch_equals_batch_m19(spark):
+    """t26 under real incrementality: 4 event micro-batches; the merged
+    decimal hourly grid must reproduce m19's batch change-point exactly
+    (split index, hour, gain, and segment means bit-for-bit)."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        ev.repartition(4).write.parquet(os.path.join(sf_dir, "events.parquet"))
+        got = {
+            r.event_type: r
+            for r in jobs.t26_streaming_changepoint(spark, sf_dir).collect()
+        }
+    want = {
+        r.event_type: r
+        for r in _REGISTRY["m19_changepoint_detection"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for et, w in want.items():
+        g = got[et]
+        assert (g.n_hours, g.split_t, g.split_hour) == (
+            w.n_hours,
+            w.split_t,
+            w.split_hour,
+        ), et
+        assert (g.gain, g.mean_left, g.mean_right) == (
+            w.gain,
+            w.mean_left,
+            w.mean_right,
+        ), et
