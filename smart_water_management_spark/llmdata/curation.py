@@ -2546,7 +2546,7 @@ def x102_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     tot AS (
       SELECT CAST(SUM(n_tokens) AS BIGINT) AS total,
-             FLOOR(CAST(SUM(n_tokens) AS DOUBLE) * 3 / 5) AS b,
+             CAST(FLOOR(CAST(SUM(n_tokens) AS DOUBLE) * 3 / 5) AS BIGINT) AS b,
              COUNT(*) AS s
       FROM src
     ),
