@@ -209,6 +209,9 @@ ROUND8_CANDIDATES: list[str] = [
     "t26_streaming_changepoint",
     "v16_quantile_drift",
     "x111_bigram_entropy_rate",
+    "x112_stratified_quality_auc",
+    "a39_conversion_latency",
+    "m21_pacf_profile",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

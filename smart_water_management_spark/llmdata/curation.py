@@ -2879,3 +2879,104 @@ def x110_quality_length_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hb))
         .crossJoin(F.broadcast(hq))
     )
+
+
+# --- x112: length-stratified quality AUC -------------------------------------------
+
+
+@register(
+    "x112_stratified_quality_auc",
+    # x78's exact tie-aware Mann-Whitney AUC, stratified by the x104
+    # length bin instead of source: does the quality score still
+    # discriminate WITHIN a length class, or was its skill mostly the
+    # length proxy x110's MI exposes? Same engine-exact device:
+    # per-(bin, score) pos/neg cells, a cumulative window over the
+    # bounded cell grid, integer numerator, one unrounded quotient.
+    oracle=f"""
+    WITH t AS (
+      SELECT LEAST(CAST(FLOOR(len(string_split(lower(text), ' '))
+                              / 50.0) AS BIGINT), 6) AS bin,
+             string_split(lower(text), ' ') AS tk
+      FROM documents
+    ), labeled AS (
+      SELECT bin, {_sql_centi_quality("tk")} AS qs,
+             CASE WHEN {sql_gopher_metrics("tk")["passes"]} THEN 1 ELSE 0 END
+               AS pos
+      FROM t
+    ), cells AS (
+      SELECT bin, qs,
+             SUM(pos) AS n_pos, COUNT(*) - SUM(pos) AS n_neg
+      FROM labeled GROUP BY bin, qs
+    ), ranked AS (
+      SELECT bin, qs, n_pos, n_neg,
+             COALESCE(SUM(n_neg) OVER (PARTITION BY bin ORDER BY qs
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM cells
+    )
+    SELECT bin,
+           CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(n_neg) AS BIGINT) AS n_neg,
+           CAST(SUM(CAST(n_pos AS HUGEINT) * (2 * neg_below + n_neg))
+                  AS DOUBLE)
+             / NULLIF(CAST(2 * CAST(SUM(n_pos) AS HUGEINT)
+                             * SUM(n_neg) AS DOUBLE), 0.0)
+             AS auc
+    FROM ranked GROUP BY bin
+    """,
+    doc="x112: length-stratified quality AUC — x78's exact Mann-Whitney "
+    "AUC of the cheap quality score vs the Gopher verdict, computed "
+    "WITHIN each x104 length bin. The deconfounding audit x110 "
+    "motivates: if pooled AUC is high but within-bin AUC ~0.5, the "
+    "score was a length proxy and filtering on it just reshapes the "
+    "length profile. Scale: identical to x78 — cell-grid aggregation "
+    "(bins x ~8 score bands), window over the bounded grid, never a "
+    "row-level sort; DECIMAL-widened integer numerator, one unrounded "
+    "quotient",
+)
+def x112_stratified_quality_auc(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    m = gopher_metrics(tk)
+    labeled = d.select(
+        F.least(
+            F.floor(F.size(tk) / 50.0).cast("bigint"), F.lit(6)
+        ).alias("bin"),
+        _centi_quality(tk).alias("qs"),
+        F.when(m["passes"], 1).otherwise(0).alias("pos"),
+    )
+    cells = labeled.groupBy("bin", "qs").agg(
+        F.sum("pos").alias("n_pos"),
+        (F.count("*") - F.sum("pos")).alias("n_neg"),
+    )
+    w = (
+        W.partitionBy("bin")
+        .orderBy("qs")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = cells.withColumn(
+        "neg_below", F.coalesce(F.sum("n_neg").over(w), F.lit(0))
+    )
+    num = F.sum(
+        F.col("n_pos").cast("decimal(38,0)")
+        * (2 * F.col("neg_below") + F.col("n_neg"))
+    )
+    den = (
+        F.lit(2).cast("decimal(38,0)")
+        * F.sum("n_pos").cast("decimal(38,0)")
+        * F.sum("n_neg").cast("decimal(38,0)")
+    )
+    return ranked.groupBy("bin").agg(
+        F.sum("n_pos").cast("bigint").alias("n_pos"),
+        F.sum("n_neg").cast("bigint").alias("n_neg"),
+        (
+            num.cast("double")
+            / F.nullif(den.cast("double"), F.lit(0.0))
+        ).alias("auc"),
+    )

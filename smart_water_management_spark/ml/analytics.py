@@ -2089,3 +2089,193 @@ def m20_segmented_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("level_shift_at_break"),
     )
+
+
+# --- M21 (ext.): partial autocorrelation via Durbin-Levinson fold ----------------
+
+_M21_K = 6
+
+
+def _m21_oracle() -> str:
+    # Durbin-Levinson as a single list_reduce: state (1-based) =
+    # [k, v, phi_1..phi_k, pacf_1..pacf_k]. The reflection coefficient
+    # a = (r_{k+1} - sum_j phi_j r_{k+1-j}) / v has no let-binding in
+    # lambda SQL, so the dot product is inlined wherever `a` appears —
+    # textual duplication, identical IEEE ops.
+    K = _M21_K
+    dot = (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        "list_transform(range(1, CAST(acc[1] AS INT) + 1), "
+        "j -> acc[2 + j] * rho[CAST(acc[1] AS INT) + 1 - j])), "
+        "(p, q) -> p + q)"
+    )
+    a = f"((x[1] - {dot}) / acc[2])"
+    step = (
+        "list_concat(list_concat(list_concat(list_concat("
+        f"[acc[1] + 1, acc[2] * (1 - {a} * {a})], "
+        "list_transform(range(1, CAST(acc[1] AS INT) + 1), "
+        f"j -> acc[2 + j] - {a} "
+        "* acc[2 + CAST(acc[1] AS INT) + 1 - j])), "
+        f"[{a}]), "
+        "acc[CAST(acc[1] AS INT) + 3 : 2 + 2 * CAST(acc[1] AS INT)]), "
+        f"[{a}])"
+    )
+    return f"""
+    WITH {_hourly_series_sql().strip()},
+    x AS (SELECT event_type, h, CAST(hv AS DOUBLE) AS v FROM hourly),
+    base AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             {sql_dsum('v', 38)} AS s1, {sql_dsum('v*v', 38)} AS s2
+      FROM x GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.v AS xv, b.v AS yv
+      FROM x a
+      CROSS JOIN (SELECT CAST(unnest(generate_series(1, {K}))
+                          AS INT) AS lag) l
+      JOIN x b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+    ),
+    lm AS (
+      SELECT event_type, lag, CAST(COUNT(*) AS DOUBLE) AS nk,
+             {sql_dsum('xv', 38)} AS sx, {sql_dsum('yv', 38)} AS sy,
+             {sql_dsum('xv*yv', 38)} AS sxy
+      FROM pairs GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT lm.event_type, lm.lag,
+             (lm.sxy - (b.s1 / b.n) * (lm.sx + lm.sy)
+                + lm.nk * (b.s1 / b.n) * (b.s1 / b.n))
+               / (b.s2 - b.n * (b.s1 / b.n) * (b.s1 / b.n)) AS r
+      FROM lm JOIN base b ON b.event_type = lm.event_type
+    ),
+    ser AS (
+      SELECT event_type, list(r ORDER BY lag) AS rho
+      FROM rk GROUP BY event_type HAVING COUNT(*) = {K}
+    ),
+    fold AS (
+      SELECT event_type, rho,
+             list_reduce(
+               list_prepend([CAST(1 AS DOUBLE), 1 - rho[1] * rho[1],
+                             rho[1], rho[1]],
+                            list_transform(rho[2:{K}], e -> [e])),
+               (acc, x) -> {step}) AS st
+      FROM ser
+    )
+    SELECT event_type, CAST(g.lag AS BIGINT) AS lag,
+           ROUND(st[{K} + 2 + g.lag], 6) AS pacf
+    FROM fold, range(1, {K} + 1) AS g(lag)
+    """
+
+
+@register(
+    "m21_pacf_profile",
+    oracle=_m21_oracle(),
+    doc=f"M21 (ext.): partial autocorrelation (lags 1-{_M21_K}) of the "
+    "hourly demand per event type via the Durbin-Levinson recursion "
+    "run as a SINGLE fold — state [k, v, phi_1..k, pacf_1..k] updates "
+    "with the reflection coefficient each step, identically in both "
+    "engines (nested lambdas, zero rounding until the final 6-dp "
+    "emit). m13's ACF says which lags correlate; the PACF says which "
+    "lags matter DIRECTLY — the AR-order picker. Scale: the ACF "
+    "inputs come from the m13 lagged-join decimal moments over the "
+    "calendar-bounded hourly grid; the recursion is O(K^2) per type "
+    "on the driver-free fold path",
+)
+def m21_pacf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dsum
+
+    K = _M21_K
+    x = _hourly_series(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("v")
+    )
+    base = x.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("v", 38).alias("s1"),
+        dsum(F.col("v") * F.col("v"), 38).alias("s2"),
+    )
+    lag_arr = F.array(*[F.lit(k) for k in range(1, K + 1)])
+    a_side = x.select(
+        "event_type",
+        F.explode(lag_arr).alias("lag"),
+        (F.col("h") + F.col("lag")).alias("hk"),
+        F.col("v").alias("xv"),
+    )
+    pairs = a_side.join(
+        x.select(
+            "event_type", F.col("h").alias("hk"), F.col("v").alias("yv")
+        ),
+        ["event_type", "hk"],
+    )
+    lm = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").cast("double").alias("nk"),
+        dsum("xv", 38).alias("sx"),
+        dsum("yv", 38).alias("sy"),
+        dsum(F.col("xv") * F.col("yv"), 38).alias("sxy"),
+    )
+    mu = F.col("s1") / F.col("n")
+    rk = lm.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "lag",
+        (
+            (F.col("sxy") - mu * (F.col("sx") + F.col("sy"))
+             + F.col("nk") * mu * mu)
+            / (F.col("s2") - F.col("n") * mu * mu)
+        ).alias("r"),
+    )
+    ser = (
+        rk.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lag", "r"))),
+                lambda s: s["r"],
+            ).alias("rho")
+        )
+        .filter(F.size("rho") == K)
+    )
+    rho = F.col("rho")
+
+    def step(acc, r):
+        kk = F.element_at(acc, 1).cast("int")
+        v = F.element_at(acc, 2)
+        dot = F.aggregate(
+            F.sequence(F.lit(1), kk),
+            F.lit(0.0),
+            lambda s, j: s
+            + F.element_at(acc, j + 2) * F.element_at(rho, kk + 1 - j),
+        )
+        a = (r - dot) / v
+        newphi = F.transform(
+            F.sequence(F.lit(1), kk),
+            lambda j: F.element_at(acc, j + 2)
+            - a * F.element_at(acc, kk + 1 - j + 2),
+        )
+        pacf_prev = F.slice(acc, kk + 3, kk)
+        return F.concat(
+            F.array(
+                (kk + 1).cast("double"), v * (1 - a * a)
+            ),
+            newphi,
+            F.array(a),
+            pacf_prev,
+            F.array(a),
+        )
+
+    r1 = F.element_at(rho, 1)
+    acc0 = F.array(F.lit(1.0), 1 - r1 * r1, r1, r1)
+    st = F.aggregate(F.slice(rho, 2, K - 1), acc0, step)
+    fold = ser.select("event_type", st.alias("st"))
+    out = fold.select(
+        "event_type",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(K)),
+                lambda i: F.struct(
+                    i.cast("bigint").alias("lag"),
+                    F.round(
+                        F.element_at(F.col("st"), i + K + 2), 6
+                    ).alias("pacf"),
+                ),
+            )
+        ).alias("g"),
+    )
+    return out.select("event_type", "g.lag", "g.pacf")

@@ -2331,3 +2331,86 @@ def a38_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("nn") * F.least(F.col("nr") - 1, F.col("nc") - 1))
         ).alias("cramers_v"),
     )
+
+
+# --- a39 (ext.): conversion latency ---------------------------------------------
+
+_A39_PAIRS = [("signup", "purchase"), ("view", "click"), ("view", "purchase")]
+
+
+@register(
+    "a39_conversion_latency",
+    # Per funnel edge (A -> B): among users whose first A precedes
+    # their first B, the latency distribution (exact interpolated
+    # median / p90 over integer epoch-second deltas) plus the
+    # conversion rate. Completes a20's funnel counts with the TIME
+    # dimension ("how long does conversion take", not just "how many").
+    oracle=f"""
+    WITH firsts AS (
+      SELECT user_id, event_type,
+             MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS first_s
+      FROM events
+      GROUP BY user_id, event_type
+    ),
+    pairs AS (
+      {" UNION ALL ".join(
+        f'''SELECT '{a}' AS step_a, '{b}' AS step_b,
+             a.user_id,
+             b.first_s - a.first_s AS delta_s
+      FROM (SELECT user_id, first_s FROM firsts
+            WHERE event_type = '{a}') a
+      LEFT JOIN (SELECT user_id, first_s FROM firsts
+            WHERE event_type = '{b}') b ON b.user_id = a.user_id'''
+        for a, b in _A39_PAIRS)}
+    )
+    SELECT step_a, step_b,
+           CAST(COUNT(*) AS BIGINT) AS n_users_a,
+           CAST(COUNT(CASE WHEN delta_s > 0 THEN 1 END) AS BIGINT)
+             AS n_converted,
+           CAST(COUNT(CASE WHEN delta_s > 0 THEN 1 END) AS DOUBLE)
+             / COUNT(*) AS conversion_rate,
+           quantile_cont(CASE WHEN delta_s > 0 THEN CAST(delta_s AS DOUBLE)
+                         END, 0.5) AS median_latency_s,
+           quantile_cont(CASE WHEN delta_s > 0 THEN CAST(delta_s AS DOUBLE)
+                         END, 0.9) AS p90_latency_s
+    FROM pairs GROUP BY step_a, step_b
+    """,
+    doc="a39 (ext.): conversion latency — for each funnel edge, among "
+    "users whose first step-A precedes their first step-B: the "
+    "conversion rate and the exact median / p90 time-to-convert. "
+    "The time dimension a20's funnel counts lack (latency "
+    "regressions show up before rate regressions). Scale: ONE "
+    "(user, type) first-touch aggregate feeds every edge; each edge "
+    "is a co-partitioned self-join on user_id and a grouped exact "
+    "percentile. Exactness: integer epoch deltas; F.percentile ≙ "
+    "quantile_cont interpolate identically",
+)
+def a39_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id", "event_type").agg(
+        F.min(F.unix_timestamp("ts")).cast("bigint").alias("first_s")
+    )
+    out = None
+    for a, b in _A39_PAIRS:
+        fa = firsts.filter(F.col("event_type") == a).select(
+            "user_id", F.col("first_s").alias("s_a")
+        )
+        fb = firsts.filter(F.col("event_type") == b).select(
+            "user_id", F.col("first_s").alias("s_b")
+        )
+        delta = (F.col("s_b") - F.col("s_a")).alias("delta_s")
+        pairs = fa.join(fb, "user_id", "left").select(delta)
+        conv = F.when(F.col("delta_s") > 0, F.col("delta_s").cast("double"))
+        row = pairs.agg(
+            F.lit(a).alias("step_a"),
+            F.lit(b).alias("step_b"),
+            F.count("*").cast("bigint").alias("n_users_a"),
+            F.count(conv).cast("bigint").alias("n_converted"),
+            (F.count(conv).cast("double") / F.count("*")).alias(
+                "conversion_rate"
+            ),
+            F.percentile(conv, 0.5).alias("median_latency_s"),
+            F.percentile(conv, 0.9).alias("p90_latency_s"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1306,3 +1306,31 @@ def test_entropy_rate_wordcount_shuffles_only(spark):
     plan = plan_of(_q(spark, "x111_bigram_entropy_rate"), "simple")
     assert "CartesianProduct" not in plan
     assert "partial_sum" in plan or "partial_count" in plan
+
+
+def test_stratified_auc_cell_grid_windows(spark):
+    """x112: the AUC never sorts rows — cells grid agg, window over the
+    bounded grid, grouped reduce."""
+    df = _q(spark, "x112_stratified_quality_auc")
+    assert unbounded_global_windows(df) == []
+    plan = plan_of(df, "simple")
+    assert "Join" not in plan
+
+
+def test_conversion_latency_shares_firsts_agg(spark):
+    """a39: every funnel edge derives from ONE (user, type) first-touch
+    aggregate; edges are equi-joins on user_id + grouped percentiles."""
+    plan = plan_of(_q(spark, "a39_conversion_latency"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "percentile" in plan
+
+
+def test_pacf_fold_over_bounded_acf(spark):
+    """m21: the Durbin-Levinson recursion runs inside the fold over the
+    6-element ACF array — no iterative joins, no global window; the
+    lag fanout is in-row and the moments are grouped decimal sums."""
+    df = _q(spark, "m21_pacf_profile")
+    assert unbounded_global_windows(df) == []
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
