@@ -212,6 +212,9 @@ ROUND8_CANDIDATES: list[str] = [
     "x112_stratified_quality_auc",
     "a39_conversion_latency",
     "m21_pacf_profile",
+    "x113_minhash_estimator_audit",
+    "x114_dedup_survivorship_audit",
+    "t27_streaming_conversion_latency",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

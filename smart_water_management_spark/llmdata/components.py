@@ -550,3 +550,94 @@ def x109_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_tokens")
         ).alias("savings_frac"),
     )
+
+
+# --- x114: dedup survivorship-bias audit --------------------------------------------
+
+
+def _x114_oracle() -> str:
+    from .curation import sql_gopher_metrics
+    from .dedup import _x08_cte
+
+    passes = sql_gopher_metrics("string_split(lower(text), ' ')")["passes"]
+    return f"""
+    WITH RECURSIVE {_x08_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    closure AS (
+      SELECT a, b FROM reach
+      UNION
+      SELECT DISTINCT src AS a, src AS b FROM edges
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM closure GROUP BY a),
+    marked AS (
+      SELECT CASE WHEN d.doc_id = COALESCE(c.component, d.doc_id)
+                  THEN 'kept' ELSE 'removed' END AS disposition,
+             len(string_split(lower(d.text), ' ')) AS n_tokens,
+             CASE WHEN {passes} THEN 1 ELSE 0 END AS q
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT disposition,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           (CAST(SUM(CAST(n_tokens AS DECIMAL(27,6))) AS DOUBLE)
+              / COUNT(*)) AS mean_tokens,
+           quantile_cont(CAST(n_tokens AS DOUBLE), 0.5) AS median_tokens,
+           CAST(SUM(q) AS BIGINT) AS n_quality_pass,
+           CAST(SUM(q) AS DOUBLE) / COUNT(*) AS quality_pass_rate
+    FROM marked GROUP BY disposition
+    """
+
+
+@register(
+    "x114_dedup_survivorship_audit",
+    oracle=_x114_oracle(),
+    doc="x114: dedup survivorship-bias audit — length and quality "
+    "profile of the docs the x15 component collapse KEEPS vs REMOVES "
+    "(count, mean/median tokens, Gopher pass rate). Dedup is supposed "
+    "to remove copies, not a systematically different slice of the "
+    "corpus; a kept-vs-removed quality gap means the min-id canonical "
+    "policy is biased and x32's quality-aware selection should run "
+    "instead. Scale: reuses the pinned pair graph + pointer-jumped "
+    "components; ONE corpus scan with a 2-group aggregate. Exactness: "
+    "integer counts, decimal-moment mean, exact interpolated median",
+)
+def x114_dedup_survivorship_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .curation import gopher_metrics
+    from .dedup import pinned_corpus_signatures
+    from .text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    marked = dedup_corpus(
+        docs, sigs=pinned_corpus_signatures(spark, sf_dir)
+    ).select(
+        F.when(F.col("is_canonical"), "kept")
+        .otherwise("removed")
+        .alias("disposition"),
+        F.size(tk).alias("n_tokens"),
+        gopher_metrics(tk)["passes"].cast("int").alias("q"),
+    )
+    return marked.groupBy("disposition").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (
+            F.sum(F.col("n_tokens").cast("decimal(27,6)")).cast("double")
+            / F.count("*")
+        ).alias("mean_tokens"),
+        F.percentile(F.col("n_tokens").cast("double"), 0.5).alias(
+            "median_tokens"
+        ),
+        F.sum("q").cast("bigint").alias("n_quality_pass"),
+        (F.sum("q").cast("double") / F.count("*")).alias(
+            "quality_pass_rate"
+        ),
+    )

@@ -1321,3 +1321,121 @@ def x108_expected_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_pairs"),
         (F.sum("p").cast("double") / F.count("*")).alias("expected_recall"),
     )
+
+
+# --- x113: MinHash estimator calibration audit -------------------------------------
+
+
+def _x113_oracle() -> str:
+    match_terms = " + ".join(
+        f"(CASE WHEN sa.h{i} = sb.h{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_K)
+    )
+    return f"""WITH {_sig_banded_cte("documents")},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bh = b.bh
+                   AND a.doc_id < b.doc_id
+    ),
+    tkd AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk
+      FROM documents
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b,
+             ({match_terms}) AS matches,
+             CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+               / (len(ta.tk) + len(tb.tk)
+                  - len(list_intersect(ta.tk, tb.tk))) AS jac
+      FROM pairs p
+      JOIN sig sa ON sa.doc_id = p.doc_a
+      JOIN sig sb ON sb.doc_id = p.doc_b
+      JOIN tkd ta ON ta.doc_id = p.doc_a
+      JOIN tkd tb ON tb.doc_id = p.doc_b
+    )
+    SELECT matches,
+           CAST(matches AS DOUBLE) / {MINHASH_K} AS est_jaccard,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           (CAST(SUM(CAST(jac AS DECIMAL(27,6))) AS DOUBLE) / COUNT(jac))
+             AS mean_exact_jaccard,
+           (CAST(SUM(CAST(ABS(CAST(matches AS DOUBLE) / {MINHASH_K} - jac)
+                          AS DECIMAL(27,6))) AS DOUBLE) / COUNT(jac))
+             AS mean_abs_error
+    FROM scored GROUP BY matches
+    """
+
+
+@register(
+    "x113_minhash_estimator_audit",
+    oracle=_x113_oracle(),
+    doc="x113: MinHash estimator calibration — for every LSH candidate "
+    "pair, the signature-estimated Jaccard (matching hashes / "
+    f"{MINHASH_K}) against the exact token-set Jaccard, grouped by "
+    "match count: pair counts, mean exact similarity, and the "
+    "estimator's mean absolute error per band. The sketch-quality "
+    "audit behind x08/x84/x107: the S-curve planner assumes the "
+    "estimator is unbiased; this measures it on the real corpus "
+    "(k=16 ⇒ expect MAE ≈ sqrt(J(1-J)/16) ≈ 0.12 at J=0.5). Scale: "
+    "candidates stay banded (never all-pairs); signatures join back "
+    "by doc_id (co-partitioned); the calibration table is 17 rows. "
+    "Exactness: md5 signatures are engine-identical, the estimate is "
+    "an integer quotient, means are decimal-sum exact",
+)
+def x113_minhash_estimator_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = pinned_corpus_signatures(spark, sf_dir)
+    pairs = lsh_candidate_pairs(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_K)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_K)],
+    )
+    tk = docs.select(
+        "doc_id", F.array_distinct(tokens("text")).alias("tk")
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_K)
+    )
+    inter = F.size(F.array_intersect("tk_a", "tk_b"))
+    jac = inter.cast("double") / (
+        F.size("tk_a") + F.size("tk_b") - inter
+    )
+    scored = (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(
+            tk.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "tk", "tk_a"
+            ),
+            "doc_a",
+        )
+        .join(
+            tk.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "tk", "tk_b"
+            ),
+            "doc_b",
+        )
+        .select(matches.alias("matches"), jac.alias("jac"))
+    )
+    est = F.col("matches").cast("double") / MINHASH_K
+    return scored.groupBy("matches").agg(
+        F.any_value(est).alias("est_jaccard"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+        (
+            F.sum(F.col("jac").cast("decimal(27,6)")).cast("double")
+            / F.count("jac")
+        ).alias("mean_exact_jaccard"),
+        (
+            F.sum(F.abs(est - F.col("jac")).cast("decimal(27,6)")).cast(
+                "double"
+            )
+            / F.count("jac")
+        ).alias("mean_abs_error"),
+    )

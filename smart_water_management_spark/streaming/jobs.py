@@ -2214,3 +2214,130 @@ def t26_streaming_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.analytics import changepoint_from_hourly
 
     return changepoint_from_hourly(hourly_state_stream(spark, sf_dir))
+
+
+# --- t27: streaming conversion-latency monitor -------------------------------------
+
+
+def first_touch_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T27 state maintainer: per-(user, event_type) FIRST-touch epoch
+    seconds kept incrementally — merge = groupBy-MIN (idempotent,
+    commutative, associative), so the state equals the batch first-touch
+    table under any slicing and any replay. State is keyed by entity
+    (one row per user x type) — the standard funnel-state shape."""
+    from ..sources.catalog import reset_managed_table
+
+    reset_managed_table(spark, "first_touch_state")
+    spark.sql(
+        "CREATE TABLE first_touch_state "
+        "(user_id BIGINT, event_type STRING, first_s BIGINT) USING parquet"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        partial = batch_df.groupBy("user_id", "event_type").agg(
+            F.min(F.unix_timestamp("ts")).cast("bigint").alias("first_s")
+        )
+        merged = (
+            sp.table("first_touch_state")
+            .unionByName(partial)
+            .groupBy("user_id", "event_type")
+            .agg(F.min("first_s").cast("bigint").alias("first_s"))
+        )
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").insertInto("first_touch_state")
+
+    stream = read_event_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts"
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("first_touch_state")
+
+
+@register(
+    "t27_streaming_conversion_latency",
+    # Must equal a39's batch computation bit-for-bit: first-touch MINs
+    # merge exactly; the latency/percentile read is the same math.
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, event_type,
+             MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS first_s
+      FROM events GROUP BY user_id, event_type
+    ),
+    pairs AS (
+      SELECT 'signup' AS step_a, 'purchase' AS step_b, a.user_id,
+             b.first_s - a.first_s AS delta_s
+      FROM (SELECT user_id, first_s FROM firsts
+            WHERE event_type = 'signup') a
+      LEFT JOIN (SELECT user_id, first_s FROM firsts
+            WHERE event_type = 'purchase') b ON b.user_id = a.user_id
+      UNION ALL
+      SELECT 'view', 'click', a.user_id, b.first_s - a.first_s
+      FROM (SELECT user_id, first_s FROM firsts
+            WHERE event_type = 'view') a
+      LEFT JOIN (SELECT user_id, first_s FROM firsts
+            WHERE event_type = 'click') b ON b.user_id = a.user_id
+      UNION ALL
+      SELECT 'view', 'purchase', a.user_id, b.first_s - a.first_s
+      FROM (SELECT user_id, first_s FROM firsts
+            WHERE event_type = 'view') a
+      LEFT JOIN (SELECT user_id, first_s FROM firsts
+            WHERE event_type = 'purchase') b ON b.user_id = a.user_id
+    )
+    SELECT step_a, step_b,
+           CAST(COUNT(*) AS BIGINT) AS n_users_a,
+           CAST(COUNT(CASE WHEN delta_s > 0 THEN 1 END) AS BIGINT)
+             AS n_converted,
+           CAST(COUNT(CASE WHEN delta_s > 0 THEN 1 END) AS DOUBLE)
+             / COUNT(*) AS conversion_rate,
+           quantile_cont(CASE WHEN delta_s > 0 THEN CAST(delta_s AS DOUBLE)
+                         END, 0.5) AS median_latency_s,
+           quantile_cont(CASE WHEN delta_s > 0 THEN CAST(delta_s AS DOUBLE)
+                         END, 0.9) AS p90_latency_s
+    FROM pairs GROUP BY step_a, step_b
+    """,
+    doc="T27: streaming conversion-latency monitor — a39's funnel-edge "
+    "latency served from an incrementally-maintained per-(user, type) "
+    "first-touch state (MIN-merged: idempotent under replay, exact "
+    "under any batch slicing — late events can only move a first "
+    "touch EARLIER, which MIN absorbs). The live funnel dashboard "
+    "read: conversion rate and exact median/p90 time-to-convert per "
+    "edge without rescanning history. State is one row per engaged "
+    "(user, type), the canonical entity-keyed streaming shape",
+)
+def t27_streaming_conversion_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    firsts = first_touch_stream(spark, sf_dir)
+    out = None
+    for a, b in [("signup", "purchase"), ("view", "click"), ("view", "purchase")]:
+        fa = firsts.filter(F.col("event_type") == a).select(
+            "user_id", F.col("first_s").alias("s_a")
+        )
+        fb = firsts.filter(F.col("event_type") == b).select(
+            "user_id", F.col("first_s").alias("s_b")
+        )
+        pairs = fa.join(fb, "user_id", "left").select(
+            (F.col("s_b") - F.col("s_a")).alias("delta_s")
+        )
+        conv = F.when(F.col("delta_s") > 0, F.col("delta_s").cast("double"))
+        row = pairs.agg(
+            F.lit(a).alias("step_a"),
+            F.lit(b).alias("step_b"),
+            F.count("*").cast("bigint").alias("n_users_a"),
+            F.count(conv).cast("bigint").alias("n_converted"),
+            (F.count(conv).cast("double") / F.count("*")).alias(
+                "conversion_rate"
+            ),
+            F.percentile(conv, 0.5).alias("median_latency_s"),
+            F.percentile(conv, 0.9).alias("p90_latency_s"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1334,3 +1334,19 @@ def test_pacf_fold_over_bounded_acf(spark):
     plan = plan_of(df, "simple")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_minhash_estimator_audit_banded(spark):
+    """x113: calibration pairs come from the banded candidate join —
+    never all-pairs; signatures re-join by doc_id equi-joins."""
+    plan = plan_of(_q(spark, "x113_minhash_estimator_audit"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_survivorship_audit_two_group_agg(spark):
+    """x114: one corpus scan + component left-join + a 2-group aggregate
+    with exact percentile — no all-pairs on the reporting path."""
+    plan = plan_of(_q(spark, "x114_dedup_survivorship_audit"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "percentile" in plan

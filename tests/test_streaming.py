@@ -559,3 +559,38 @@ def test_streaming_changepoint_multi_batch_equals_batch_m19(spark):
             w.mean_left,
             w.mean_right,
         ), et
+
+
+def test_streaming_conversion_latency_multi_batch_equals_a39(spark):
+    """t27 under real incrementality: 4 event micro-batches; the
+    MIN-merged first-touch state must reproduce a39's batch funnel
+    latencies exactly."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        ev.repartition(4).write.parquet(os.path.join(sf_dir, "events.parquet"))
+        got = {
+            (r.step_a, r.step_b): r
+            for r in jobs.t27_streaming_conversion_latency(
+                spark, sf_dir
+            ).collect()
+        }
+    want = {
+        (r.step_a, r.step_b): r
+        for r in _REGISTRY["a39_conversion_latency"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert (g.n_users_a, g.n_converted) == (w.n_users_a, w.n_converted), k
+        assert (
+            g.conversion_rate,
+            g.median_latency_s,
+            g.p90_latency_s,
+        ) == (w.conversion_rate, w.median_latency_s, w.p90_latency_s), k
