@@ -215,6 +215,8 @@ ROUND8_CANDIDATES: list[str] = [
     "x113_minhash_estimator_audit",
     "x114_dedup_survivorship_audit",
     "t27_streaming_conversion_latency",
+    "x115_dedup_method_agreement",
+    "m22_forecast_backtest",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -1439,3 +1439,144 @@ def x113_minhash_estimator_audit(
             / F.count("jac")
         ).alias("mean_abs_error"),
     )
+
+
+# --- x115: dedup method agreement (exact vs MinHash vs SimHash) ---------------------
+
+
+def _x115_oracle() -> str:
+    sim = _simhash_sig_cte().strip()
+    assert sim.startswith("WITH")
+    sim_body = sim[len("WITH"):].strip().replace(" sig AS (", " ssig AS (")
+    kappa_rows = []
+    for fa, fb, la, lb in [
+        ("f_exact", "f_minhash", "exact", "minhash"),
+        ("f_exact", "f_simhash", "exact", "simhash"),
+        ("f_minhash", "f_simhash", "minhash", "simhash"),
+    ]:
+        kappa_rows.append(f"""
+      SELECT '{la}' AS method_a, '{lb}' AS method_b,
+             CAST(SUM(CASE WHEN {fa} AND {fb} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n11,
+             CAST(SUM(CASE WHEN {fa} AND NOT {fb} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n10,
+             CAST(SUM(CASE WHEN NOT {fa} AND {fb} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n01,
+             CAST(SUM(CASE WHEN NOT {fa} AND NOT {fb} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n00,
+             ((CAST(SUM(CASE WHEN {fa} = {fb} THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*))
+              - (CAST(SUM(CASE WHEN {fa} THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*)
+                 * (CAST(SUM(CASE WHEN {fb} THEN 1 ELSE 0 END) AS DOUBLE)
+                    / COUNT(*))
+                 + (1 - CAST(SUM(CASE WHEN {fa} THEN 1 ELSE 0 END)
+                             AS DOUBLE) / COUNT(*))
+                   * (1 - CAST(SUM(CASE WHEN {fb} THEN 1 ELSE 0 END)
+                               AS DOUBLE) / COUNT(*))))
+             / (1 - (CAST(SUM(CASE WHEN {fa} THEN 1 ELSE 0 END) AS DOUBLE)
+                       / COUNT(*)
+                     * (CAST(SUM(CASE WHEN {fb} THEN 1 ELSE 0 END)
+                             AS DOUBLE) / COUNT(*))
+                     + (1 - CAST(SUM(CASE WHEN {fa} THEN 1 ELSE 0 END)
+                                 AS DOUBLE) / COUNT(*))
+                       * (1 - CAST(SUM(CASE WHEN {fb} THEN 1 ELSE 0 END)
+                                   AS DOUBLE) / COUNT(*))))
+               AS kappa
+      FROM flags""")
+    union = "\n      UNION ALL".join(kappa_rows)
+    return f"""WITH {_x08_cte()},
+    {sim_body},
+    eg AS (SELECT md5(text) AS fp, COUNT(*) AS c FROM documents GROUP BY 1),
+    nearset AS (
+      SELECT doc_a AS doc_id FROM verified
+      UNION SELECT doc_b FROM verified
+    ),
+    sgc AS (SELECT simhash, COUNT(*) AS c FROM ssig GROUP BY simhash),
+    flags AS (
+      SELECT d.doc_id,
+             (eg.c > 1) AS f_exact,
+             (n.doc_id IS NOT NULL) AS f_minhash,
+             (sgc.c > 1) AS f_simhash
+      FROM documents d
+      JOIN eg ON eg.fp = md5(d.text)
+      LEFT JOIN nearset n ON n.doc_id = d.doc_id
+      JOIN ssig s ON s.doc_id = d.doc_id
+      JOIN sgc ON sgc.simhash = s.simhash
+    )
+    SELECT * FROM ({union})
+    """
+
+
+@register(
+    "x115_dedup_method_agreement",
+    oracle=_x115_oracle(),
+    doc="x115: dedup-method agreement matrix — per-doc duplicate flags "
+    "under the three detectors (exact content hash x05, "
+    "Jaccard-verified MinHash pairs x08, identical SimHash-64 x09) "
+    "compared pairwise with confusion counts and Cohen's kappa (the "
+    "x81 device on method pairs instead of annotators). Reads as "
+    "'SimHash agrees with verified-MinHash at kappa=K' — the evidence "
+    "for choosing the cheap detector at 100 TB. Scale: each flag is "
+    "the method's own bounded machinery (hash groupBy / banded pairs "
+    "/ 64-bit signature groupBy); the comparison is one 3-row "
+    "aggregate over per-doc booleans. Exactness: integer confusion "
+    "counts; kappa is one IEEE expression on exact quotients",
+)
+def x115_dedup_method_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    eg = docs.groupBy(F.md5("text").alias("fp")).agg(
+        F.count("*").alias("c_exact")
+    )
+    verified = verify_jaccard(
+        docs, lsh_candidate_pairs(pinned_corpus_signatures(spark, sf_dir))
+    )
+    nearset = (
+        verified.select(F.col("doc_a").alias("doc_id"))
+        .union(verified.select("doc_b"))
+        .distinct()
+        .withColumn("near", F.lit(True))
+    )
+    sgc = (
+        simhash64(docs)
+        .groupBy("simhash")
+        .agg(F.count("*").alias("c_sim"))
+    )
+    flags = (
+        docs.select("doc_id", F.md5("text").alias("fp"))
+        .join(eg, "fp")
+        .join(nearset, "doc_id", "left")
+        .join(simhash64(docs), "doc_id")
+        .join(sgc, "simhash")
+        .select(
+            "doc_id",
+            (F.col("c_exact") > 1).alias("f_exact"),
+            F.coalesce(F.col("near"), F.lit(False)).alias("f_minhash"),
+            (F.col("c_sim") > 1).alias("f_simhash"),
+        )
+    )
+    out = None
+    for fa, fb, la, lb in [
+        ("f_exact", "f_minhash", "exact", "minhash"),
+        ("f_exact", "f_simhash", "exact", "simhash"),
+        ("f_minhash", "f_simhash", "minhash", "simhash"),
+    ]:
+        a, b = F.col(fa), F.col(fb)
+        n = F.count("*")
+        po = F.sum((a == b).cast("int")).cast("double") / n
+        pa = F.sum(a.cast("int")).cast("double") / n
+        pb = F.sum(b.cast("int")).cast("double") / n
+        pe = pa * pb + (1 - pa) * (1 - pb)
+        row = flags.agg(
+            F.lit(la).alias("method_a"),
+            F.lit(lb).alias("method_b"),
+            F.sum((a & b).cast("int")).cast("bigint").alias("n11"),
+            F.sum((a & ~b).cast("int")).cast("bigint").alias("n10"),
+            F.sum((~a & b).cast("int")).cast("bigint").alias("n01"),
+            F.sum((~a & ~b).cast("int")).cast("bigint").alias("n00"),
+            ((po - pe) / (1 - pe)).alias("kappa"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2279,3 +2279,143 @@ def m21_pacf_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g"),
     )
     return out.select("event_type", "g.lag", "g.pacf")
+
+
+# --- M22 (ext.): one-step forecast backtest --------------------------------------
+
+_M22_HOLDOUT = 48  # evaluate on each type's last 48 observed hours
+
+
+@register(
+    "m22_forecast_backtest",
+    # Rolling one-step backtest of the three closed-form baselines every
+    # forecast must beat: naive (x_{t-1}), seasonal-naive (x_{t-24}),
+    # and drift (x_{t-1} + average historical step). Errors come from
+    # lag windows over the hourly grid; MAE/RMSE are decimal-moment
+    # exact. The evaluation harness that gives m15/m17/w23 their
+    # baseline bars.
+    oracle=f"""
+    WITH {_hourly_series_sql().strip()},
+    ser AS (
+      SELECT event_type, h, CAST(hv AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             LAG(CAST(hv AS DOUBLE), 1) OVER
+               (PARTITION BY event_type ORDER BY h) AS x1,
+             LAG(CAST(hv AS DOUBLE), 24) OVER
+               (PARTITION BY event_type ORDER BY h) AS x24,
+             FIRST_VALUE(CAST(hv AS DOUBLE)) OVER
+               (PARTITION BY event_type ORDER BY h) AS x0
+      FROM hourly
+    ),
+    holdout AS (
+      SELECT * FROM ser
+      WHERE t > n - {_M22_HOLDOUT} AND x24 IS NOT NULL AND t >= 3
+    ),
+    preds AS (
+      SELECT event_type, 'naive' AS model, x, x1 AS yhat FROM holdout
+      UNION ALL
+      SELECT event_type, 'seasonal_naive', x, x24 FROM holdout
+      UNION ALL
+      SELECT event_type, 'drift', x,
+             x1 + (x1 - x0) / (t - 2) FROM holdout
+    ),
+    ordls AS (
+      SELECT event_type, model,
+             list(ABS(x - yhat) ORDER BY x, yhat) AS ae,
+             list((x - yhat) * (x - yhat) ORDER BY x, yhat) AS se
+      FROM preds GROUP BY event_type, model
+    )
+    SELECT event_type, model,
+           CAST(len(ae) AS BIGINT) AS n_evals,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE), ae),
+                       (a, b) -> a + b) / len(ae) AS mae,
+           SQRT(list_reduce(list_prepend(CAST(0 AS DOUBLE), se),
+                            (a, b) -> a + b) / len(se)) AS rmse
+    FROM ordls
+    """,
+    doc=f"M22 (ext.): one-step forecast backtest — MAE/RMSE of the "
+    "naive, seasonal-naive and drift baselines over each event type's "
+    f"last {_M22_HOLDOUT} observed hours. The honest evaluation every "
+    "forecasting claim needs (m15/m17 fit smoothers; m22 measures "
+    "whether they beat x_(t-1) at all). Scale: lag windows over the "
+    "calendar-bounded hourly grid (one exchange per type partition), "
+    "a 3-model in-plan union, and one map-combined error aggregate. "
+    "Exactness: forecasts are identical IEEE expressions on exact "
+    "hourly doubles; error moments are decimal sums",
+)
+def m22_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    hourly = _hourly_series(spark, sf_dir)
+    wp = W.partitionBy("event_type").orderBy("h")
+    wa = W.partitionBy("event_type")
+    x = F.col("hv").cast("double")
+    ser = hourly.select(
+        "event_type",
+        "h",
+        x.alias("x"),
+        F.row_number().over(wp).alias("t"),
+        F.count("*").over(wa).alias("n"),
+        F.lag(x, 1).over(wp).alias("x1"),
+        F.lag(x, 24).over(wp).alias("x24"),
+        F.first(x).over(wp).alias("x0"),
+    )
+    holdout = ser.filter(
+        (F.col("t") > F.col("n") - _M22_HOLDOUT)
+        & F.col("x24").isNotNull()
+        & (F.col("t") >= 3)
+    )
+    preds = (
+        holdout.select(
+            "event_type",
+            F.lit("naive").alias("model"),
+            "x",
+            F.col("x1").alias("yhat"),
+        )
+        .unionByName(
+            holdout.select(
+                "event_type",
+                F.lit("seasonal_naive").alias("model"),
+                "x",
+                F.col("x24").alias("yhat"),
+            )
+        )
+        .unionByName(
+            holdout.select(
+                "event_type",
+                F.lit("drift").alias("model"),
+                "x",
+                (
+                    F.col("x1")
+                    + (F.col("x1") - F.col("x0")) / (F.col("t") - 2)
+                ).alias("yhat"),
+            )
+        )
+    )
+    # 48 bounded terms per group: sum them as a PINNED-ORDER fold (sort
+    # by (x, yhat) — drift errors can sit exactly on 6-dp midpoints, so
+    # the decimal-rounding device is unsafe here; the fold needs none)
+    e = F.col("x") - F.col("yhat")
+    ordered = preds.groupBy("event_type", "model").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("x", "yhat", F.abs(e).alias("v")))
+            ),
+            lambda s: s["v"],
+        ).alias("ae"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("x", "yhat", (e * e).alias("v")))
+            ),
+            lambda s: s["v"],
+        ).alias("se"),
+    )
+    fsum = lambda col: F.aggregate(col, F.lit(0.0), lambda a, b: a + b)
+    return ordered.select(
+        "event_type",
+        "model",
+        F.size("ae").cast("bigint").alias("n_evals"),
+        (fsum(F.col("ae")) / F.size("ae")).alias("mae"),
+        F.sqrt(fsum(F.col("se")) / F.size("se")).alias("rmse"),
+    )

@@ -1350,3 +1350,20 @@ def test_survivorship_audit_two_group_agg(spark):
     plan = plan_of(_q(spark, "x114_dedup_survivorship_audit"), "simple")
     assert "CartesianProduct" not in plan
     assert "percentile" in plan
+
+
+def test_method_agreement_no_allpairs(spark):
+    """x115: three detector flags from each method's own bounded
+    machinery, compared by a 3-row aggregate — no all-pairs anywhere."""
+    plan = plan_of(_q(spark, "x115_dedup_method_agreement"), "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_backtest_lag_windows_share_exchange(spark):
+    """m22: all three baselines derive from ONE set of lag windows over
+    the per-type partitioning; the model fanout is an in-plan union."""
+    df = _q(spark, "m22_forecast_backtest")
+    assert unbounded_global_windows(df) == []
+    plan = plan_of(df, "simple")
+    assert "Join" not in plan
+    assert "Union" in plan
