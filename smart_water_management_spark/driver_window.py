@@ -217,6 +217,10 @@ ROUND8_CANDIDATES: list[str] = [
     "t27_streaming_conversion_latency",
     "x115_dedup_method_agreement",
     "m22_forecast_backtest",
+    "m23_trend_prediction_bands",
+    "x116_filter_ablation",
+    "v17_uniqueness_discovery",
+    "w27_interevent_gap_distribution",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -2980,3 +2980,116 @@ def x112_stratified_quality_auc(
             / F.nullif(den.cast("double"), F.lit(0.0))
         ).alias("auc"),
     )
+
+
+# --- x116: quality-filter leave-one-out ablation -------------------------------------
+
+
+@register(
+    "x116_filter_ablation",
+    # Leave-one-out over the four Gopher rules: for each rule, how many
+    # docs pass when THAT rule is dropped (vs the full bank), i.e. each
+    # rule's marginal bite = docs it alone excludes. The filter-tuning
+    # table read before loosening any single band — a rule with zero
+    # marginal bite is dead weight; one with a huge bite deserves x110's
+    # bias check. In-row fanout: the four leave-one-out verdicts are
+    # computed per doc in ONE scan, then a tiny per-rule aggregate.
+    oracle=f"""
+    WITH t AS (
+      SELECT string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    m AS (
+      SELECT len(tk) AS nw,
+             CAST(list_aggregate(list_transform(tk, w -> length(w)), 'avg')
+                  AS DOUBLE) AS mwl,
+             1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS dup,
+             CAST(len(list_filter(tk, w -> w IN
+               ({", ".join(f"''{w}''".replace("''", "'") for w in STOPWORDS)})))
+               AS DOUBLE) / len(tk) AS stop
+      FROM t
+    ),
+    flags AS (
+      SELECT (nw BETWEEN {MIN_WORDS} AND {MAX_WORDS}) AS f_len,
+             (mwl BETWEEN {MIN_MWL} AND {MAX_MWL}) AS f_mwl,
+             (dup <= {MAX_DUP_FRAC}) AS f_dup,
+             (stop >= {MIN_STOP_FRAC}) AS f_stop
+      FROM m
+    )
+    SELECT rule,
+           CAST(SUM(pass_full) AS BIGINT) AS n_pass_full,
+           CAST(SUM(pass_loo) AS BIGINT) AS n_pass_without_rule,
+           CAST(SUM(pass_loo) - SUM(pass_full) AS BIGINT)
+             AS marginal_bite,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM (
+      SELECT 'word_count' AS rule,
+             CASE WHEN f_len AND f_mwl AND f_dup AND f_stop
+                  THEN 1 ELSE 0 END AS pass_full,
+             CASE WHEN f_mwl AND f_dup AND f_stop THEN 1 ELSE 0 END
+               AS pass_loo
+      FROM flags
+      UNION ALL
+      SELECT 'mean_word_len',
+             CASE WHEN f_len AND f_mwl AND f_dup AND f_stop
+                  THEN 1 ELSE 0 END,
+             CASE WHEN f_len AND f_dup AND f_stop THEN 1 ELSE 0 END
+      FROM flags
+      UNION ALL
+      SELECT 'dup_word_frac',
+             CASE WHEN f_len AND f_mwl AND f_dup AND f_stop
+                  THEN 1 ELSE 0 END,
+             CASE WHEN f_len AND f_mwl AND f_stop THEN 1 ELSE 0 END
+      FROM flags
+      UNION ALL
+      SELECT 'stopword_frac',
+             CASE WHEN f_len AND f_mwl AND f_dup AND f_stop
+                  THEN 1 ELSE 0 END,
+             CASE WHEN f_len AND f_mwl AND f_dup THEN 1 ELSE 0 END
+      FROM flags
+    ) GROUP BY rule
+    """,
+    doc="x116: Gopher-filter leave-one-out ablation — for each of the "
+    "four rules, the docs that pass the full bank vs the bank without "
+    "that rule; the difference is the rule's MARGINAL bite (docs only "
+    "it excludes). The filter-tuning evidence x21 doesn't give "
+    "(per-rule fail counts overlap; marginal bite doesn't). Scale: "
+    "ONE corpus scan computes the four flags per doc; the ablation "
+    "fanout is an in-plan union of conditional sums — no rescans. "
+    "Exactness: pure integer counts of identical boolean predicates",
+)
+def x116_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    m = gopher_metrics(tk)
+    flags = d.select(
+        m["n_words"].between(MIN_WORDS, MAX_WORDS).alias("f_len"),
+        m["mean_word_len"].between(MIN_MWL, MAX_MWL).alias("f_mwl"),
+        (m["dup_word_frac"] <= MAX_DUP_FRAC).alias("f_dup"),
+        (m["stopword_frac"] >= MIN_STOP_FRAC).alias("f_stop"),
+    )
+    full = (
+        F.col("f_len") & F.col("f_mwl") & F.col("f_dup") & F.col("f_stop")
+    )
+    loo = {
+        "word_count": F.col("f_mwl") & F.col("f_dup") & F.col("f_stop"),
+        "mean_word_len": F.col("f_len") & F.col("f_dup") & F.col("f_stop"),
+        "dup_word_frac": F.col("f_len") & F.col("f_mwl") & F.col("f_stop"),
+        "stopword_frac": F.col("f_len") & F.col("f_mwl") & F.col("f_dup"),
+    }
+    out = None
+    for rule, pred in loo.items():
+        row = flags.agg(
+            F.lit(rule).alias("rule"),
+            F.sum(full.cast("int")).cast("bigint").alias("n_pass_full"),
+            F.sum(pred.cast("int"))
+            .cast("bigint")
+            .alias("n_pass_without_rule"),
+            (F.sum(pred.cast("int")) - F.sum(full.cast("int")))
+            .cast("bigint")
+            .alias("marginal_bite"),
+            F.count("*").cast("bigint").alias("n_docs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -2419,3 +2419,114 @@ def m22_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         (fsum(F.col("ae")) / F.size("ae")).alias("mae"),
         F.sqrt(fsum(F.col("se")) / F.size("se")).alias("rmse"),
     )
+
+
+# --- M23 (ext.): trend prediction bands --------------------------------------------
+
+_M23_Z = 1.96
+_M23_H = 24  # forecast horizon: 24 hours past the last observation
+
+
+@register(
+    "m23_trend_prediction_bands",
+    # Closed-form OLS prediction interval at x* = (last hour + horizon):
+    # yhat = a + b x*, se^2 = s2 (1 + 1/n + (x* - xbar)^2 / Sxx_c),
+    # where s2 is the residual variance — all derivable from the same
+    # five decimal moments m06 uses (residual SS via the algebraic
+    # identity Syy_c - b^2 Sxx_c, no second pass over the data).
+    oracle=f"""
+    WITH {_hourly_series_sql().strip()},
+    t AS (
+      SELECT event_type,
+             CAST(h AS DOUBLE) AS x, CAST(hv AS DOUBLE) AS y,
+             MAX(h) OVER (PARTITION BY event_type) AS hmax
+      FROM hourly
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             {sql_dsum('x', 38)} AS sx, {sql_dsum('y', 38)} AS sy,
+             {sql_dsum('x*x', 38)} AS sxx, {sql_dsum('y*y', 38)} AS syy,
+             {sql_dsum('x*y', 38)} AS sxy,
+             CAST(MAX(hmax) AS DOUBLE) AS hmax
+      FROM t GROUP BY event_type
+    ),
+    f AS (
+      SELECT event_type, n, hmax + {_M23_H} AS xstar,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS b,
+             (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n AS a,
+             (sxx - sx * sx / n) AS sxxc,
+             (syy - sy * sy / n)
+               - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                 * ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                 * (sxx - sx * sx / n) AS rss,
+             sx / n AS xbar
+      FROM m WHERE n > 2
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           CAST(xstar AS BIGINT) AS forecast_hour,
+           ROUND(a + b * xstar, 6) AS yhat,
+           ROUND(a + b * xstar - {_M23_Z}
+                 * SQRT((rss / (n - 2))
+                        * (1 + 1 / n
+                           + (xstar - xbar) * (xstar - xbar) / sxxc)),
+                 6) AS lo95,
+           ROUND(a + b * xstar + {_M23_Z}
+                 * SQRT((rss / (n - 2))
+                        * (1 + 1 / n
+                           + (xstar - xbar) * (xstar - xbar) / sxxc)),
+                 6) AS hi95
+    FROM f
+    """,
+    doc=f"M23 (ext.): OLS trend forecast with a 95% prediction interval "
+    f"{_M23_H} hours past the last observation — the closed-form "
+    "uncertainty band m06's point trend lacks (the difference between "
+    "'demand will be X' and 'between lo and hi'). Everything derives "
+    "from the SAME five decimal moments (residual SS via "
+    "Syy_c - b^2 Sxx_c — no second residual pass over the data). "
+    "Scale: one map-combined moment aggregate over the hourly "
+    "pre-agg. Exactness: decimal moments, single IEEE expressions, "
+    "6-dp rounding only on the final irrational-valued outputs",
+)
+def m23_trend_prediction_bands(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..functions.numeric import dsum
+
+    hourly = _hourly_series(spark, sf_dir)
+    t = hourly.select(
+        "event_type",
+        F.col("h").cast("double").alias("x"),
+        F.col("hv").cast("double").alias("y"),
+        F.max("h").over(W.partitionBy("event_type")).alias("hmax"),
+    )
+    m = t.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("x", 38).alias("sx"),
+        dsum("y", 38).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 38).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 38).alias("syy"),
+        dsum(F.col("x") * F.col("y"), 38).alias("sxy"),
+        F.max("hmax").cast("double").alias("hmax"),
+    ).filter(F.col("n") > 2)
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    sxxc = sxx - sx * sx / n
+    rss = (syy - sy * sy / n) - b * b * sxxc
+    xbar = sx / n
+    xstar = F.col("hmax") + _M23_H
+    se = F.sqrt(
+        (rss / (n - 2))
+        * (1 + 1 / n + (xstar - xbar) * (xstar - xbar) / sxxc)
+    )
+    return m.select(
+        "event_type",
+        n.cast("bigint").alias("n_hours"),
+        xstar.cast("bigint").alias("forecast_hour"),
+        F.round(a + b * xstar, 6).alias("yhat"),
+        F.round(a + b * xstar - _M23_Z * se, 6).alias("lo95"),
+        F.round(a + b * xstar + _M23_Z * se, 6).alias("hi95"),
+    )

@@ -1524,3 +1524,60 @@ def w26_rolling_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(m2 > 0, m3 / (m2 * F.sqrt(m2))).alias("skew_24h"),
         F.when(m2 > 0, m4 / (m2 * m2) - 3).alias("kurt_24h"),
     )
+
+
+# --- w27 (ext.): inter-event gap distribution --------------------------------------
+
+
+@register(
+    "w27_interevent_gap_distribution",
+    # Per-user inter-event gaps (lag over the user timeline), summarized
+    # per event type with exact interpolated quantiles — the arrival-
+    # process profile that sizes t03/t06's session timeout: the p75/p90
+    # gap IS the evidence for a 30-minute session gap, not a guess.
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               - LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER
+                   (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+           quantile_cont(CAST(gap_s AS DOUBLE), 0.5) AS p50_gap_s,
+           quantile_cont(CAST(gap_s AS DOUBLE), 0.75) AS p75_gap_s,
+           quantile_cont(CAST(gap_s AS DOUBLE), 0.9) AS p90_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY event_type
+    """,
+    doc="w27 (ext.): inter-event gap distribution — per event type, the "
+    "exact p50/p75/p90 of the seconds since the same user's previous "
+    "event (any type), plus the max. The arrival-process evidence "
+    "behind session-timeout choices (t03/t06) and staleness bounds "
+    "(t04): pick the timeout ABOVE the p90 within-session gap. Scale: "
+    "one lag window partitioned by user over the fact scan (the same "
+    "exchange w18's session-relative numbers use), then a grouped "
+    "exact percentile on the tiny type domain. Exactness: integer "
+    "epoch gaps; F.percentile ≙ quantile_cont",
+)
+def w27_interevent_gap_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp("ts").cast("bigint")
+    gap = s - F.lag(s).over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+    )
+    gaps = ev.select("event_type", gap.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull()
+    )
+    gd = F.col("gap_s").cast("double")
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_s").cast("bigint").alias("n_gaps"),
+        F.percentile(gd, 0.5).alias("p50_gap_s"),
+        F.percentile(gd, 0.75).alias("p75_gap_s"),
+        F.percentile(gd, 0.9).alias("p90_gap_s"),
+        F.max("gap_s").cast("bigint").alias("max_gap_s"),
+    )

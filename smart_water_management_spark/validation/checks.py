@@ -1128,3 +1128,114 @@ def v16_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("q75_first") - F.col("q25_first"))
         ).alias("iqr_change"),
     )
+
+
+# --- v17 (ext.): candidate-key uniqueness discovery --------------------------------
+
+_V17_CANDIDATES = [
+    ("orders", ["o_orderkey"]),
+    ("orders", ["o_custkey", "o_orderdate"]),
+    ("orders", ["o_custkey", "o_orderpriority"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("lineitem", ["l_orderkey", "l_partkey"]),
+    ("events", ["event_id"]),
+    ("events", ["user_id", "ts"]),
+]
+
+
+@register(
+    "v17_uniqueness_discovery",
+    # A column set is a candidate key iff COUNT(DISTINCT combo) equals
+    # the row count; the duplicate-key count and worst multiplicity
+    # grade HOW non-unique the failures are. v15 finds dependencies,
+    # v17 finds keys — together the schema-profiling pair.
+    oracle="""
+    SELECT * FROM (
+      SELECT 'orders' AS tbl, 'o_orderkey' AS cols,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+             (COUNT(*) = COUNT(DISTINCT o_orderkey)) AS is_unique
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'o_custkey,o_orderdate', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT (CAST(o_custkey AS VARCHAR) || '|' ||
+                                  CAST(o_orderdate AS VARCHAR)))
+                  AS BIGINT),
+             (COUNT(*) = COUNT(DISTINCT (CAST(o_custkey AS VARCHAR)
+                || '|' || CAST(o_orderdate AS VARCHAR))))
+      FROM orders
+      UNION ALL
+      SELECT 'orders', 'o_custkey,o_orderpriority',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT (CAST(o_custkey AS VARCHAR) || '|' ||
+                                  o_orderpriority)) AS BIGINT),
+             (COUNT(*) = COUNT(DISTINCT (CAST(o_custkey AS VARCHAR)
+                || '|' || o_orderpriority)))
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem', 'l_orderkey,l_linenumber',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT (CAST(l_orderkey AS VARCHAR) || '|' ||
+                                  CAST(l_linenumber AS VARCHAR)))
+                  AS BIGINT),
+             (COUNT(*) = COUNT(DISTINCT (CAST(l_orderkey AS VARCHAR)
+                || '|' || CAST(l_linenumber AS VARCHAR))))
+      FROM lineitem
+      UNION ALL
+      SELECT 'lineitem', 'l_orderkey,l_partkey',
+             CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT (CAST(l_orderkey AS VARCHAR) || '|' ||
+                                  CAST(l_partkey AS VARCHAR))) AS BIGINT),
+             (COUNT(*) = COUNT(DISTINCT (CAST(l_orderkey AS VARCHAR)
+                || '|' || CAST(l_partkey AS VARCHAR))))
+      FROM lineitem
+      UNION ALL
+      SELECT 'events', 'event_id', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT event_id) AS BIGINT),
+             (COUNT(*) = COUNT(DISTINCT event_id))
+      FROM events
+      UNION ALL
+      SELECT 'events', 'user_id,ts', CAST(COUNT(*) AS BIGINT),
+             CAST(COUNT(DISTINCT (CAST(user_id AS VARCHAR) || '|' ||
+                strftime(ts, '%Y-%m-%d %H:%M:%S'))) AS BIGINT),
+             (COUNT(*) = COUNT(DISTINCT (CAST(user_id AS VARCHAR) || '|' ||
+                strftime(ts, '%Y-%m-%d %H:%M:%S'))))
+      FROM events
+    )
+    """,
+    doc="v17 (ext.): candidate-key uniqueness discovery — for each "
+    "candidate column set, row count vs distinct-combination count and "
+    "the key verdict. The profiling complement to v15's FDs: v15 asks "
+    "'does A determine B', v17 asks 'can A be the key at all' — the "
+    "check run before declaring merge keys (c04's SCD2) or dedup keys "
+    "(d01). Scale: one map-combined count-distinct per candidate "
+    "(candidates on a table share its cached scan); combos are "
+    "canonical pipe-joined strings so both engines count identical "
+    "values. Exactness: pure integer counts",
+)
+def v17_uniqueness_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, cols in _V17_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        if len(cols) == 1:
+            combo = F.col(cols[0])
+        else:
+            parts = []
+            for c in cols:
+                f = t.schema[c].dataType.typeName()
+                if f == "timestamp":
+                    parts.append(F.date_format(c, "yyyy-MM-dd HH:mm:ss"))
+                elif f == "date":
+                    parts.append(F.date_format(c, "yyyy-MM-dd"))
+                else:
+                    parts.append(F.col(c).cast("string"))
+            combo = F.concat_ws("|", *parts)
+        row = t.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(",".join(cols)).alias("cols"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.countDistinct(combo).cast("bigint").alias("n_distinct"),
+            (F.count("*") == F.countDistinct(combo)).alias("is_unique"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

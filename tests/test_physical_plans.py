@@ -1367,3 +1367,37 @@ def test_backtest_lag_windows_share_exchange(spark):
     plan = plan_of(df, "simple")
     assert "Join" not in plan
     assert "Union" in plan
+
+
+def test_prediction_bands_one_moment_pass(spark):
+    """m23: point forecast AND interval from ONE moment aggregate — no
+    residual re-scan, no join."""
+    plan = plan_of(_q(spark, "m23_trend_prediction_bands"), "simple")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_filter_ablation_single_scan_union(spark):
+    """x116: four leave-one-out verdicts from one flag projection; the
+    ablation fanout is an in-plan union of conditional sums."""
+    plan = plan_of(_q(spark, "x116_filter_ablation"), "simple")
+    assert "Join" not in plan
+    assert "Union" in plan
+
+
+def test_uniqueness_candidates_share_table_scans(spark):
+    """v17: candidates never join; each is one count-distinct aggregate
+    and same-table candidates reuse the cached scan."""
+    plan = plan_of(_q(spark, "v17_uniqueness_discovery"), "simple")
+    assert "Join" not in plan
+    assert "Union" in plan
+
+
+def test_gap_distribution_one_user_window(spark):
+    """w27: one lag window partitioned by user, one grouped percentile —
+    no join, no global window."""
+    df = _q(spark, "w27_interevent_gap_distribution")
+    assert unbounded_global_windows(df) == []
+    plan = plan_of(df, "simple")
+    assert "Join" not in plan
+    assert plan.count("Window") == 1
