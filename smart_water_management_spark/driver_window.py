@@ -221,6 +221,7 @@ ROUND8_CANDIDATES: list[str] = [
     "x116_filter_ablation",
     "v17_uniqueness_discovery",
     "w27_interevent_gap_distribution",
+    "x117_shard_manifest",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

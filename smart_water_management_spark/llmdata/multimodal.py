@@ -517,3 +517,85 @@ def x67_perceptual_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "phash",
         F.count("*").over(W.partitionBy("phash")).alias("n_same_hash"),
     )
+
+
+# --- x117: multimodal shard-packing manifest ----------------------------------------
+
+_X117_BUDGET = 4096  # bytes per output shard (tiny to exercise the math)
+
+
+@register(
+    "x117_shard_manifest",
+    # Pack payloads into fixed-byte-budget output shards per source
+    # (the webdataset/tar-shard layout step): shard index = floor of
+    # the EXCLUSIVE running byte total / budget, in deterministic
+    # doc_id order. Oversized payloads own their shard; the manifest
+    # rows are what the writer job consumes.
+    oracle=f"""
+    WITH mm AS (
+      SELECT doc_id, source,
+             octet_length(encode(text)) AS n_bytes
+      FROM documents
+    ),
+    run AS (
+      SELECT doc_id, source, n_bytes,
+             COALESCE(SUM(n_bytes) OVER (PARTITION BY source
+               ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND 1 PRECEDING), 0) AS bytes_before
+      FROM mm
+    ),
+    assigned AS (
+      SELECT source,
+             CAST(FLOOR(CAST(bytes_before AS DOUBLE) / {_X117_BUDGET})
+                  AS BIGINT) AS shard,
+             doc_id, n_bytes
+      FROM run
+    )
+    SELECT source, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_bytes) AS BIGINT) AS shard_bytes,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM assigned GROUP BY source, shard
+    """,
+    doc="x117: multimodal shard-packing manifest — assign every payload to a "
+    "fixed-byte-budget output shard per source (exclusive running "
+    "byte total / budget, deterministic doc_id order): the "
+    "webdataset/tar-shard layout plan a multimodal training pipeline "
+    "writes before materializing shards. Scale: the running sum "
+    "partitions by source (never a global window); payload bytes come "
+    "from metadata, not decode; the manifest is what the distributed "
+    "writer consumes shard-by-shard. Exactness: integer byte counts "
+    "and floor arithmetic",
+)
+def x117_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    mm = (
+        to_multimodal(docs)
+        .select("doc_id", F.col("meta.n_bytes").alias("n_bytes"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    assigned = mm.select(
+        "source",
+        F.floor(
+            F.coalesce(F.sum("n_bytes").over(w), F.lit(0)).cast("double")
+            / _X117_BUDGET
+        )
+        .cast("bigint")
+        .alias("shard"),
+        "doc_id",
+        "n_bytes",
+    )
+    return assigned.groupBy("source", "shard").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("shard_bytes"),
+        F.min("doc_id").cast("bigint").alias("first_doc"),
+        F.max("doc_id").cast("bigint").alias("last_doc"),
+    )

@@ -1401,3 +1401,13 @@ def test_gap_distribution_one_user_window(spark):
     plan = plan_of(df, "simple")
     assert "Join" not in plan
     assert plan.count("Window") == 1
+
+
+def test_shard_manifest_per_source_window(spark):
+    """x117: the running byte total partitions by source — never a
+    global window — and the manifest is one grouped aggregate."""
+    df = _q(spark, "x117_shard_manifest")
+    assert unbounded_global_windows(df) == []
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") == 1
