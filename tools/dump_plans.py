@@ -45,10 +45,19 @@ SHOW = [
     ("w22_time_decay_mean", "half-life decayed mean — unordered aggregate shape: two map-combined aggs, broadcast max, NO window operator"),
     ("m12_classical_decomposition", "classical decomposition — map-combined hourly pre-agg, ONE shared 25-term MA window, decimal-exact detrending"),
     ("o05_pareto_skyline", "Pareto skyline — price-level pre-agg + ONE partitioned running-max window + broadcast join-back; no all-pairs dominance test"),
-    ("x100_stable_docid_assignment", "sort-free dense id enumeration — 16 parallel bucket rank windows + broadcast offset prefix sum; the oracle's global ROW_NUMBER never materializes"),
+    ("x100_stable_docid_assignment", "sort-free dense id enumeration — 4096 parallel bucket rank windows (3-hex-char prefix, r7 fix of the 16-way ceiling) + broadcast offset prefix sum; the oracle's global ROW_NUMBER never materializes"),
     ("p11_q20_shape", "Q20 correlated-agg threshold — quarter pre-agg once, year threshold as a window over the SAME shuffle, exact-decimal 2q>y"),
     ("a35_rfm_segments", "RFM segmentation — percentile thresholds broadcast back, CASE banding: zero windows, zero global sorts"),
     ("m14_ks_drift_test", "two-sample KS — distinct-value support, bounded type fanout, per-type ECDF windows; raw events never enter the grid"),
+    ("a37_spearman_corr", "ties-aware Spearman — distinct-value rank maps BROADCAST onto one fact scan; no global row sort anywhere"),
+    ("p13_q02_shape", "Q2 min-cost decorrelation — per-part MIN pre-agg + equi-join back, part/supplier/nation broadcast"),
+    ("m19_changepoint_detection", "least-squares change-point — prefix-moment windows + argmin rank share ONE event_type exchange over the hourly grid"),
+    ("m21_pacf_profile", "PACF — the whole Durbin-Levinson recursion inside one fold over the 6-element ACF array; no iterative joins"),
+    ("w26_rolling_higher_moments", "rolling skew/kurtosis — ROLLING-FOLD device: per-row 24-slice folds in-row, no Window operator at all"),
+    ("x105_triangle_count", "near-dup graph triangles — ordered-wedge equi-join plan on the bounded banded pair set, wedge counts from the degree table"),
+    ("x106_vocab_coverage_curve", "vocab coverage curve — TakeOrdered bounds the candidate vocab (per-partition heaps); the K-sweep is conditional sums"),
+    ("x113_minhash_estimator_audit", "MinHash estimator calibration — banded candidates, signature equi-join back, 17-row calibration table"),
+    ("t26_streaming_changepoint", "streaming change-point — m19 over an incrementally MIN/SUM-merged exact-decimal hourly grid (calendar-bounded state)"),
 ]
 
 
