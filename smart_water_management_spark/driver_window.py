@@ -222,6 +222,8 @@ ROUND8_CANDIDATES: list[str] = [
     "v17_uniqueness_discovery",
     "w27_interevent_gap_distribution",
     "x117_shard_manifest",
+    "m24_hw_backtest",
+    "k07_shuffle_hash_join",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

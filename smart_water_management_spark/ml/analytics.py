@@ -2530,3 +2530,145 @@ def m23_trend_prediction_bands(
         F.round(a + b * xstar - _M23_Z * se, 6).alias("lo95"),
         F.round(a + b * xstar + _M23_Z * se, 6).alias("hi95"),
     )
+
+
+# --- M24 (ext.): Holt-Winters in-fold one-step backtest ---------------------------
+
+
+@register(
+    "m24_hw_backtest",
+    # m17's 26-wide rotating fold widened to 30: the accumulator also
+    # carries [t, n_evals, sum|e|, sum e^2], scoring each step's
+    # one-step-ahead forecast (L + B + S_next, computed BEFORE the
+    # update absorbs the observation) against the observation, counted
+    # only over the trailing holdout window. One fold = fit AND
+    # backtest; numbers line up against m22's baseline table.
+    oracle=f"""
+    WITH {_hourly_series_sql().strip()},
+    ser AS (
+      SELECT event_type, list(CAST(hv AS DOUBLE) ORDER BY h) AS xs
+      FROM hourly GROUP BY 1
+    ),
+    ini AS (
+      SELECT event_type, xs, len(xs) AS n_hours,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), xs[1:24]),
+                         (a, b) -> a + b) / 24.0 AS m1,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE), xs[25:48]),
+                         (a, b) -> a + b) / 24.0 AS m2
+      FROM ser WHERE len(xs) >= 49
+    ),
+    fold AS (
+      SELECT event_type, n_hours,
+             list_reduce(
+               list_prepend(
+                 list_concat(list_concat(
+                   [m1, (m2 - m1) / 24.0],
+                   list_transform(xs[1:24], v -> v - m1)),
+                   [CAST(48 AS DOUBLE), 0, 0, 0]),
+                 list_transform(xs[49:], e -> [e])),
+               (acc, x) ->
+                 list_concat(list_concat(list_concat(list_concat(
+                   [{_M17_ALPHA} * (x[1] - acc[3])
+                      + {1 - _M17_ALPHA} * (acc[1] + acc[2]),
+                    {_M17_BETA} * (({_M17_ALPHA} * (x[1] - acc[3])
+                      + {1 - _M17_ALPHA} * (acc[1] + acc[2])) - acc[1])
+                      + {1 - _M17_BETA} * acc[2]],
+                   acc[4:26]),
+                   [{_M17_GAMMA} * (x[1] - ({_M17_ALPHA} * (x[1] - acc[3])
+                      + {1 - _M17_ALPHA} * (acc[1] + acc[2])))
+                      + {1 - _M17_GAMMA} * acc[3]]),
+                   [acc[27] + 1]),
+                   CASE WHEN acc[27] + 1 > n_hours - {_M22_HOLDOUT}
+                        THEN [acc[28] + 1,
+                              acc[29] + ABS(x[1]
+                                - (acc[1] + acc[2] + acc[3])),
+                              acc[30] + (x[1] - (acc[1] + acc[2] + acc[3]))
+                                * (x[1] - (acc[1] + acc[2] + acc[3]))]
+                        ELSE [acc[28], acc[29], acc[30]] END)) AS st
+      FROM ini
+    )
+    SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+           CAST(st[28] AS BIGINT) AS n_evals,
+           st[29] / st[28] AS mae,
+           SQRT(st[30] / st[28]) AS rmse
+    FROM fold WHERE st[28] > 0
+    """,
+    doc=f"M24 (ext.): Holt-Winters one-step backtest — m17's rotating "
+    "fold widened to carry the evaluation state, so fitting and "
+    "scoring happen in the SAME pass: each step's pre-update forecast "
+    "(level + trend + due seasonal) is scored against the incoming "
+    f"observation over the trailing {_M22_HOLDOUT}-hour holdout. Read "
+    "against m22's naive/seasonal/drift table: if HW doesn't beat "
+    "seasonal-naive here, m17's extra state isn't paying. Exactness: "
+    "pure fold arithmetic, zero rounding. Scale: same as m17 — one "
+    "hourly pre-agg, O(period) state per key",
+)
+def m24_hw_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_series(spark, sf_dir)
+    ser = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("h", F.col("hv").cast("double").alias("v"))
+                    )
+                ),
+                lambda s: s["v"],
+            ).alias("xs")
+        )
+        .filter(F.size("xs") >= 2 * _M17_PERIOD + 1)
+    )
+    xs = F.col("xs")
+    m = _M17_PERIOD
+    sum1 = F.aggregate(F.slice(xs, 1, m), F.lit(0.0), lambda a, b: a + b)
+    sum2 = F.aggregate(
+        F.slice(xs, m + 1, m), F.lit(0.0), lambda a, b: a + b
+    )
+    ini = ser.select(
+        "event_type",
+        "xs",
+        F.size("xs").cast("bigint").alias("n_hours"),
+        (sum1 / float(m)).alias("m1"),
+        (sum2 / float(m)).alias("m2"),
+    )
+    a, b, g = _M17_ALPHA, _M17_BETA, _M17_GAMMA
+    acc0 = F.concat(
+        F.array(F.col("m1"), (F.col("m2") - F.col("m1")) / float(m)),
+        F.transform(F.slice(xs, 1, m), lambda v: v - F.col("m1")),
+        F.array(
+            F.lit(float(2 * m)), F.lit(0.0), F.lit(0.0), F.lit(0.0)
+        ),
+    )
+    rest = F.slice(xs, 2 * m + 1, F.greatest(F.size(xs) - 2 * m, F.lit(0)))
+    n_hours = F.col("n_hours")
+
+    def step(acc, x):
+        fc = acc[0] + acc[1] + acc[2]  # pre-update one-step forecast
+        lnew = a * (x - acc[2]) + (1 - a) * (acc[0] + acc[1])
+        bnew = b * (lnew - acc[0]) + (1 - b) * acc[1]
+        snew = g * (x - lnew) + (1 - g) * acc[2]
+        t_new = acc[26] + 1
+        in_hold = t_new > n_hours - _M22_HOLDOUT
+        evals = F.when(in_hold, acc[27] + 1).otherwise(acc[27])
+        sae = F.when(in_hold, acc[28] + F.abs(x - fc)).otherwise(acc[28])
+        sse = F.when(in_hold, acc[29] + (x - fc) * (x - fc)).otherwise(
+            acc[29]
+        )
+        return F.concat(
+            F.array(lnew, bnew),
+            F.slice(acc, 4, m - 1),
+            F.array(snew, t_new, evals, sae, sse),
+        )
+
+    st = F.aggregate(rest, acc0, step)
+    return (
+        ini.select(
+            "event_type",
+            "n_hours",
+            st[27].cast("bigint").alias("n_evals"),
+            (st[28] / st[27]).alias("mae"),
+            F.sqrt(st[29] / st[27]).alias("rmse"),
+        )
+        .filter(F.col("n_evals") > 0)
+    )

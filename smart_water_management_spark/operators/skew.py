@@ -600,3 +600,50 @@ def k06_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_lines"),
         dsum("l_extendedprice").alias("revenue"),
     )
+
+
+# --- k07 (ext.): shuffle-hash join strategy lever -----------------------------------
+
+
+@register(
+    "k07_shuffle_hash_join",
+    # The third join-strategy lever after broadcast (j03) and bucketed
+    # SMJ (k02): SHUFFLE_HASH builds an in-memory hash map per
+    # partition of the SMALLER side instead of sorting BOTH sides —
+    # the right call when the build side fits per-partition memory but
+    # exceeds the broadcast threshold (a ~100 MB dim against a 100 TB
+    # fact: too big to broadcast, wasteful to sort). Results are
+    # strategy-invariant — the oracle pins them while the plan test
+    # pins the ShuffledHashJoin operator.
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+             AS revenue
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    doc="k07 (ext.): shuffle-hash join — the orders x customer join "
+    "executed with the SHUFFLE_HASH hint (per-partition hash build on "
+    "the customer side, no sort on either side), the strategy for "
+    "dims too big to broadcast but small enough to hash per "
+    "partition. Completes the join-strategy lever set: j03 broadcast, "
+    "k02 bucketed sort-merge, k04 salted, k07 shuffle-hash. Scale: "
+    "one co-partitioned shuffle each side, zero sorts (vs SMJ's two); "
+    "plan-asserted ShuffledHashJoin. Exactness: integer counts + "
+    "decimal revenue sums",
+)
+def k07_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = o.join(
+        c.hint("SHUFFLE_HASH"), o["o_custkey"] == c["c_custkey"]
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )

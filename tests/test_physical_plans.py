@@ -1411,3 +1411,20 @@ def test_shard_manifest_per_source_window(spark):
     plan = plan_of(df, "simple")
     assert "CartesianProduct" not in plan
     assert plan.count("Window") == 1
+
+
+def test_hw_backtest_single_fold_no_window(spark):
+    """m24: fit + backtest in ONE fold over the per-type series — no
+    window operator, no join, two inherent exchanges."""
+    plan = plan_of(_q(spark, "m24_hw_backtest"), "simple")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_shuffle_hash_join_planned(spark):
+    """k07: the SHUFFLE_HASH hint must produce a ShuffledHashJoin — no
+    sort on either side, no SMJ, no broadcast."""
+    plan = plan_of(_q(spark, "k07_shuffle_hash_join"), "simple")
+    assert "ShuffledHashJoin" in plan
+    assert "SortMergeJoin" not in plan
