@@ -2134,14 +2134,19 @@ _A37_PAIRS = [
       FROM ranked
     )
     SELECT p.col_x, p.col_y, CAST(mom.n AS BIGINT) AS n,
-           CASE p.col_x || '|' || p.col_y
+           -- ROUND(.,9): at 100x SF the scaled moment integers exceed
+           -- 2^53, and decimal->double conversion is correctly rounded
+           -- in one engine but two-step in the other — the quotient can
+           -- differ in the last ulp, so the irrational-valued rho is
+           -- emitted at 9 dp
+           ROUND(CASE p.col_x || '|' || p.col_y
              WHEN 'l_quantity|l_discount' THEN
                (n*sqd - sq*sd) / (SQRT(n*sqq - sq*sq) * SQRT(n*sdd - sd*sd))
              WHEN 'l_quantity|l_tax' THEN
                (n*sqt - sq*st) / (SQRT(n*sqq - sq*sq) * SQRT(n*stt - st*st))
              ELSE
                (n*sdt - sd*st) / (SQRT(n*sdd - sd*sd) * SQRT(n*stt - st*st))
-           END AS rho
+           END, 9) AS rho
     FROM mom, (VALUES ('l_quantity','l_discount'),
                       ('l_quantity','l_tax'),
                       ('l_discount','l_tax')) AS p(col_x, col_y)
@@ -2209,7 +2214,7 @@ def a37_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.struct(
                     F.lit(x).alias("col_x"),
                     F.lit(y).alias("col_y"),
-                    r.alias("rho"),
+                    F.round(r, 9).alias("rho"),
                 )
                 for (x, y), r in rhos.items()
             ]
