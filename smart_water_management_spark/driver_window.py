@@ -224,6 +224,8 @@ ROUND8_CANDIDATES: list[str] = [
     "x117_shard_manifest",
     "m24_hw_backtest",
     "k07_shuffle_hash_join",
+    "p15_q16_shape",
+    "s24_csv_dialect_matrix",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -1128,3 +1128,61 @@ def p14_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count("*").cast("bigint").alias("custdist")
     )
+
+
+# --- p15 (ext.): TPC-H Q16 shape — NOT IN + grouped count-distinct ---------------
+
+
+@register(
+    "p15_q16_shape",
+    # Q16's signature: suppliers per part class, EXCLUDING a
+    # subquery-defined supplier blocklist (NOT IN -> null-safe anti
+    # join) and counting DISTINCT suppliers after a many-to-many link.
+    # Blocklist: suppliers with below-median account balance whose name
+    # ends in an odd digit — subquery-shaped, deterministic.
+    oracle="""
+    WITH block AS (
+      SELECT s_suppkey FROM supplier
+      WHERE s_acctbal < 0 OR s_suppkey % 7 = 0
+    )
+    SELECT p.p_brand AS brand, p.p_size AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_suppkey NOT IN (SELECT s_suppkey FROM block)
+    GROUP BY p.p_brand, p.p_size
+    """,
+    doc="p15 (ext.): TPC-H Q16 shape — distinct-supplier counts per "
+    "(brand, size) with a NOT IN supplier blocklist. Spark plans the "
+    "NOT IN as a null-aware anti join (broadcast: the blocklist is "
+    "dimension-sized) and the count-distinct as a two-phase "
+    "aggregate. Completes the TPC-H subquery-shape set (Q2/Q11/Q13/"
+    "Q15/Q17/Q20/Q21/Q22 already covered). Scale: one fact scan, "
+    "blocklist broadcast anti join, part dim broadcast, partial "
+    "distinct aggregation before the (brand,size) shuffle",
+)
+def p15_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    supp = load_table(spark, sf_dir, "supplier")
+    block = supp.filter(
+        (F.col("s_acctbal") < 0) | (F.col("s_suppkey") % 7 == 0)
+    ).select("s_suppkey")
+    kept = li.join(
+        F.broadcast(block),
+        li["l_suppkey"] == block["s_suppkey"],
+        "left_anti",
+    )
+    return (
+        kept.join(F.broadcast(part), kept["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            F.col("p_brand").alias("brand"), F.col("p_size").alias("p_size")
+        )
+        .agg(
+            F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
+        )
+    )

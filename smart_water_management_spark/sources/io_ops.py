@@ -1019,3 +1019,89 @@ def s23_rowgroup_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "all_rows_in_groups"
         ),
     )
+
+
+# --- s24 (ext.): CSV dialect matrix roundtrip ---------------------------------------
+
+_S24_DIALECTS = [
+    ("comma_quote", ",", '"'),
+    ("pipe_quote", "|", '"'),
+    ("tab_single", "\t", "'"),
+]
+
+
+@register(
+    "s24_csv_dialect_matrix",
+    # Three write+read roundtrips of the same delimiter-hostile payload
+    # under three CSV dialects (separator x quote char); every dialect
+    # must reproduce the identical checksum the oracle builds straight
+    # from the source table. s20 proves RFC-4180 quoting depth; s24
+    # proves dialect OPTIONS fidelity (the ingest reality: every vendor
+    # exports a different dialect).
+    oracle="""
+    WITH p AS (
+      SELECT n_nationkey,
+             n_name || ',|' || chr(9) || 'x-'
+                    || CAST(n_nationkey AS VARCHAR) AS payload
+      FROM nation
+    ),
+    chk AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(LEN(payload)) AS BIGINT) AS sum_len,
+             CAST(SUM(CAST(('0x' || substr(md5(payload), 1, 8)) AS BIGINT))
+                  AS BIGINT) AS payload_hash_sum
+      FROM p
+    )
+    SELECT d.dialect, c.n_rows, c.sum_len, c.payload_hash_sum
+    FROM chk c,
+         (VALUES ('comma_quote'), ('pipe_quote'), ('tab_single'))
+           AS d(dialect)
+    """,
+    doc="S24 (ext.): CSV dialect matrix — the same payload (containing "
+    "comma, pipe AND tab, so every dialect's separator appears in the "
+    "data) written and re-read under three (sep, quote) dialects; all "
+    "three roundtrips must hash-match the oracle's direct "
+    "construction. The multi-vendor ingest certification on top of "
+    "s20's RFC-4180 depth test. Scale: dimension-sized demo by "
+    "design — the certified options then apply to any landing "
+    "directory; splittability caveats are s20's",
+)
+def s24_csv_dialect_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    payload = F.concat(
+        F.col("n_name"),
+        F.lit(",|\tx-"),
+        F.col("n_nationkey").cast("string"),
+    )
+    src = nation.select("n_nationkey", payload.alias("payload"))
+    out = None
+    for dialect, sep, quote in _S24_DIALECTS:
+        path = _scratch(f"s24_{dialect}", sf_dir)
+        (
+            src.write.mode("overwrite")
+            .option("sep", sep)
+            .option("quote", quote)
+            .option("escape", quote)
+            .csv(path)
+        )
+        back = (
+            spark.read.schema("n_nationkey long, payload string")
+            .option("sep", sep)
+            .option("quote", quote)
+            .option("escape", quote)
+            .csv(path)
+        )
+        row = back.agg(
+            F.lit(dialect).alias("dialect"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.length("payload")).cast("bigint").alias("sum_len"),
+            F.sum(
+                F.conv(F.substring(F.md5("payload"), 1, 8), 16, 10).cast(
+                    "long"
+                )
+            )
+            .cast("bigint")
+            .alias("payload_hash_sum"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

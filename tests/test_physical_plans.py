@@ -1428,3 +1428,12 @@ def test_shuffle_hash_join_planned(spark):
     plan = plan_of(_q(spark, "k07_shuffle_hash_join"), "simple")
     assert "ShuffledHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_q16_shape_null_aware_anti_broadcast(spark):
+    """p15: NOT IN plans as a broadcast anti join; the part dim
+    broadcasts; count-distinct runs partial-first."""
+    plan = plan_of(_q(spark, "p15_q16_shape"), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
