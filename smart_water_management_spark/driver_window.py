@@ -226,6 +226,8 @@ ROUND8_CANDIDATES: list[str] = [
     "k07_shuffle_hash_join",
     "p15_q16_shape",
     "s24_csv_dialect_matrix",
+    "x118_dedup_idempotence",
+    "f21_binary_codecs",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -712,3 +712,65 @@ def f20_timezone_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(off).alias("min_offset_min"),
         F.max(off).alias("max_offset_min"),
     )
+
+
+# --- f21 (ext.): binary codec functions ------------------------------------------
+
+
+@register(
+    "f21_binary_codecs",
+    # base64 / hex / sha256 over UTF-8 payloads, rolled up per source —
+    # the checksum-and-transport surface (webhook signatures, content
+    # addressing, manifest digests). Both engines compute the SAME
+    # RFC 4648 base64, uppercase-free hex, and FIPS-180 sha256, so the
+    # per-source digests hash-match exactly.
+    oracle="""
+    WITH enc AS (
+      SELECT source,
+             to_base64(encode(text)) AS b64,
+             lower(hex(encode(substr(text, 1, 8)))) AS hx,
+             sha256(text) AS sh
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LEN(b64)) AS BIGINT) AS b64_len_sum,
+           CAST(SUM(CAST(('0x' || substr(md5(b64), 1, 8)) AS BIGINT))
+                AS BIGINT) AS b64_hash_sum,
+           CAST(SUM(CAST(('0x' || substr(hx, 1, 8)) AS BIGINT))
+                AS BIGINT) AS hex_prefix_sum,
+           CAST(SUM(CAST(('0x' || substr(sh, 1, 8)) AS BIGINT))
+                AS BIGINT) AS sha_prefix_sum
+    FROM enc GROUP BY source
+    """,
+    doc="f21 (ext.): binary codec surface — base64(UTF-8 payload), hex "
+    "of the 8-byte prefix, sha256 digest, rolled up per source with "
+    "order-free integer checksums. Completes §2.8's function families "
+    "with the transport/content-addressing codecs (manifest digests, "
+    "webhook signature verification, cache keys). All JVM-side "
+    "whole-stage codegen, one scan, one map-combined aggregate; both "
+    "engines implement the same RFC 4648 / FIPS-180 definitions so "
+    "every digest is byte-identical",
+)
+def f21_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    enc = d.select(
+        "source",
+        # Spark's base64 is MIME-chunked (CRLF every 76 chars); strip to
+        # the RFC 4648 canonical form DuckDB's to_base64 emits
+        F.regexp_replace(
+            F.base64(F.encode("text", "UTF-8")), "\r\n", ""
+        ).alias("b64"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8"))).alias(
+            "hx"
+        ),
+        F.sha2("text", 256).alias("sh"),
+    )
+    h8 = lambda c: F.conv(F.substring(c, 1, 8), 16, 10).cast("long")
+    return enc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.length("b64")).cast("bigint").alias("b64_len_sum"),
+        F.sum(h8(F.md5("b64"))).cast("bigint").alias("b64_hash_sum"),
+        F.sum(h8(F.col("hx"))).cast("bigint").alias("hex_prefix_sum"),
+        F.sum(h8(F.col("sh"))).cast("bigint").alias("sha_prefix_sum"),
+    )

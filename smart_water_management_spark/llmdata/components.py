@@ -641,3 +641,95 @@ def x114_dedup_survivorship_audit(
             "quality_pass_rate"
         ),
     )
+
+
+# --- x118: dedup idempotence audit ---------------------------------------------------
+
+
+def _x118_oracle() -> str:
+    from .dedup import _x08_cte
+
+    return f"""
+    WITH RECURSIVE {_x08_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    closure AS (
+      SELECT a, b FROM reach
+      UNION
+      SELECT DISTINCT src AS a, src AS b FROM edges
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM closure GROUP BY a),
+    canon AS (
+      SELECT d.doc_id FROM documents d
+      LEFT JOIN comp c ON c.doc_id = d.doc_id
+      WHERE d.doc_id = COALESCE(c.component, d.doc_id)
+    ),
+    second_pass AS (
+      SELECT v.doc_a, v.doc_b FROM verified v
+      JOIN canon ca ON ca.doc_id = v.doc_a
+      JOIN canon cb ON cb.doc_id = v.doc_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM canon) AS BIGINT) AS n_canonical,
+           CAST((SELECT COUNT(*) FROM verified) AS BIGINT)
+             AS first_pass_pairs,
+           CAST((SELECT COUNT(*) FROM second_pass) AS BIGINT)
+             AS residual_pairs,
+           ((SELECT COUNT(*) FROM second_pass) = 0) AS idempotent
+    """
+
+
+@register(
+    "x118_dedup_idempotence",
+    oracle=_x118_oracle(),
+    doc="x118: dedup idempotence audit — re-probe the verified near-dup "
+    "pair set against the CANONICAL survivors: a second dedup pass "
+    "over the deduped corpus must find zero pairs (components place "
+    "every verified pair inside one group, so at most one endpoint "
+    "survives). residual_pairs > 0 means the component closure is "
+    "broken (the exact failure x87/x88's non-convergence would have "
+    "caused — here it's a standing, driver-checkable invariant, not "
+    "just a unit test). Scale: reuses the banded pair set and the "
+    "pointer-jumped components; the audit itself is two semi-joins "
+    "and a scalar row",
+)
+def x118_dedup_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import pinned_corpus_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = pinned_corpus_signatures(spark, sf_dir)
+    pairs = verify_jaccard(docs, lsh_candidate_pairs(sigs)).persist()
+    comps = connected_components(pairs.select("doc_a", "doc_b"))
+    canon = (
+        docs.join(comps, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+        .filter(F.col("doc_id") == F.col("component"))
+        .select("doc_id")
+    )
+    second = pairs.join(
+        canon.withColumnRenamed("doc_id", "doc_a"), "doc_a"
+    ).join(canon.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    n_canon = canon.agg(F.count("*").cast("bigint").alias("n_canonical"))
+    n_first = pairs.agg(
+        F.count("*").cast("bigint").alias("first_pass_pairs")
+    )
+    n_resid = second.agg(
+        F.count("*").cast("bigint").alias("residual_pairs")
+    )
+    return (
+        n_canon.crossJoin(F.broadcast(n_first))
+        .crossJoin(F.broadcast(n_resid))
+        .select(
+            "n_canonical",
+            "first_pass_pairs",
+            "residual_pairs",
+            (F.col("residual_pairs") == 0).alias("idempotent"),
+        )
+    )

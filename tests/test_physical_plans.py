@@ -1437,3 +1437,17 @@ def test_q16_shape_null_aware_anti_broadcast(spark):
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_idempotence_audit_semijoins_only(spark):
+    """x118: the second-pass probe is two hash semi-joins of the bounded
+    pair set against canonicals + scalar attaches — no all-pairs."""
+    plan = plan_of(_q(spark, "x118_dedup_idempotence"), "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_binary_codecs_single_scan(spark):
+    """f21: codecs fuse into one scan + one map-combined aggregate."""
+    plan = plan_of(_q(spark, "f21_binary_codecs"), "simple")
+    assert "Join" not in plan
+    assert "partial_sum" in plan
