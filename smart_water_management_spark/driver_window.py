@@ -228,6 +228,7 @@ ROUND8_CANDIDATES: list[str] = [
     "s24_csv_dialect_matrix",
     "x118_dedup_idempotence",
     "f21_binary_codecs",
+    "m25_decomposition_strength",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

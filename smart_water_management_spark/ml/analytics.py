@@ -2672,3 +2672,140 @@ def m24_hw_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_evals") > 0)
     )
+
+
+# --- M25 (ext.): decomposition strength indices -----------------------------------
+
+
+@register(
+    "m25_decomposition_strength",
+    # Hyndman's strength-of-trend / strength-of-seasonality on m12's
+    # classical decomposition: F_T = max(0, 1 - Var(R)/Var(x - S)),
+    # F_S = max(0, 1 - Var(R)/Var(x - T)). The detrended series rides
+    # as the SCALED integer-exact (25x - MA-sum) decimal so every
+    # intermediate is exact; the only doubles are final quotients.
+    oracle=f"""
+    WITH {_hourly_series_sql().strip()},
+    tr AS (
+      SELECT event_type, h, hv,
+             SUM(hv) OVER w AS tsum, COUNT(*) OVER w AS nf
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN {_M12_HALF} PRECEDING
+                            AND {_M12_HALF} FOLLOWING)
+    ),
+    det AS (
+      SELECT event_type, h, h % 24 AS hod,
+             CAST(hv AS DOUBLE) AS x,
+             CAST(tsum AS DOUBLE) / {2 * _M12_HALF + 1} AS t,
+             (CAST(hv AS DOUBLE) * {2 * _M12_HALF + 1}
+                - CAST(tsum AS DOUBLE)) / {2 * _M12_HALF + 1} AS d
+      FROM tr WHERE nf = {2 * _M12_HALF + 1}
+    ),
+    seas AS (
+      SELECT event_type, hod,
+             (CAST(SUM(CAST(d AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*))
+               AS s
+      FROM det GROUP BY event_type, hod
+    ),
+    joined AS (
+      SELECT det.event_type,
+             det.d - seas.s AS r,
+             det.x - seas.s AS xs,
+             det.d AS d
+      FROM det JOIN seas
+        ON seas.event_type = det.event_type AND seas.hod = det.hod
+    ),
+    v AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             {sql_dsum('r', 38)} AS sr, {sql_dsum('r*r', 38)} AS srr,
+             {sql_dsum('xs', 38)} AS sxs, {sql_dsum('xs*xs', 38)} AS sxx,
+             {sql_dsum('d', 38)} AS sd, {sql_dsum('d*d', 38)} AS sdd
+      FROM joined GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_obs,
+           ROUND(GREATEST(0.0,
+             1 - (srr - sr * sr / n) / (sxx - sxs * sxs / n)), 6)
+             AS trend_strength,
+           ROUND(GREATEST(0.0,
+             1 - (srr - sr * sr / n) / (sdd - sd * sd / n)), 6)
+             AS seasonal_strength,
+           ROUND((srr - sr * sr / n) / n, 6) AS var_remainder
+    FROM v
+    """,
+    doc="M25 (ext.): decomposition strength — Hyndman's F_trend and "
+    "F_seasonal computed from m12's classical decomposition "
+    "(remainder variance against the detrended and deseasonalized "
+    "variances). The single-number answer to 'is this series "
+    "seasonal enough for m17/w23 to pay off' (m16 finds the period; "
+    "m25 grades its strength). Scale: the centered-MA window and "
+    "seasonal means run on the calendar-bounded hourly grid; the "
+    "strength indices come from ONE decimal-moment aggregate over "
+    "the joined remainder. Exactness: decimal moments; 6-dp rounding "
+    "only on final irrational-valued outputs",
+)
+def m25_decomposition_strength(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.numeric import dsum
+
+    n_terms = 2 * _M12_HALF + 1
+    hourly = _hourly_series(spark, sf_dir)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-_M12_HALF, _M12_HALF)
+    )
+    tr = hourly.select(
+        "event_type",
+        "h",
+        "hv",
+        F.sum("hv").over(w).alias("tsum"),
+        F.count("*").over(w).alias("nf"),
+    ).filter(F.col("nf") == n_terms)
+    det = tr.select(
+        "event_type",
+        (F.col("h") % 24).alias("hod"),
+        F.col("hv").cast("double").alias("x"),
+        (
+            (F.col("hv").cast("double") * n_terms
+             - F.col("tsum").cast("double"))
+            / float(n_terms)
+        ).alias("d"),
+    )
+    seas = det.groupBy("event_type", "hod").agg(
+        (
+            F.sum(F.col("d").cast("decimal(27,6)")).cast("double")
+            / F.count("*")
+        ).alias("s")
+    )
+    joined = det.join(F.broadcast(seas), ["event_type", "hod"]).select(
+        "event_type",
+        (F.col("d") - F.col("s")).alias("r"),
+        (F.col("x") - F.col("s")).alias("xs"),
+        "d",
+    )
+    v = joined.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("r", 38).alias("sr"),
+        dsum(F.col("r") * F.col("r"), 38).alias("srr"),
+        dsum("xs", 38).alias("sxs"),
+        dsum(F.col("xs") * F.col("xs"), 38).alias("sxx"),
+        dsum("d", 38).alias("sd"),
+        dsum(F.col("d") * F.col("d"), 38).alias("sdd"),
+    )
+    n = F.col("n")
+    var_r = F.col("srr") - F.col("sr") * F.col("sr") / n
+    var_xs = F.col("sxx") - F.col("sxs") * F.col("sxs") / n
+    var_d = F.col("sdd") - F.col("sd") * F.col("sd") / n
+    return v.select(
+        "event_type",
+        n.cast("bigint").alias("n_obs"),
+        F.round(F.greatest(F.lit(0.0), 1 - var_r / var_xs), 6).alias(
+            "trend_strength"
+        ),
+        F.round(F.greatest(F.lit(0.0), 1 - var_r / var_d), 6).alias(
+            "seasonal_strength"
+        ),
+        F.round(var_r / n, 6).alias("var_remainder"),
+    )

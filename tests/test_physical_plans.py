@@ -1451,3 +1451,14 @@ def test_binary_codecs_single_scan(spark):
     plan = plan_of(_q(spark, "f21_binary_codecs"), "simple")
     assert "Join" not in plan
     assert "partial_sum" in plan
+
+
+def test_decomposition_strength_bounded_grid(spark):
+    """m25: the MA window and seasonal means run on the hourly grid; the
+    strength indices are ONE decimal-moment aggregate; seasonal table
+    broadcasts back."""
+    df = _q(spark, "m25_decomposition_strength")
+    assert unbounded_global_windows(df) == []
+    plan = plan_of(df, "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
