@@ -229,6 +229,7 @@ ROUND8_CANDIDATES: list[str] = [
     "x118_dedup_idempotence",
     "f21_binary_codecs",
     "m25_decomposition_strength",
+    "x119_mmr_diversity_rerank",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -2490,3 +2490,205 @@ def x98_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("given_label") == F.col("predicted")).alias("is_correct"),
     )
+
+
+# --- x119: maximal-marginal-relevance diversity rerank ------------------------------
+
+_X119_M = 8     # relevance candidates per query
+_X119_K = 3     # diverse picks per query
+_X119_LAM = 0.5
+
+
+def _x119_oracle() -> str:
+    cos = (
+        _SQL_DOT.format(a="{a}", b="{b}")
+        + " / (SQRT(" + _SQL_SQNORM.format(a="{a}") + ")"
+        + " * SQRT(" + _SQL_SQNORM.format(a="{b}") + "))"
+    )
+    qc = cos.format(a="q.qe", b="e.embedding")
+    ab = cos.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id, {qc} AS rel
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+    ),
+    cand AS (
+      SELECT qid, vec_id, rel FROM (
+        SELECT qid, vec_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= {_X119_M}
+    ),
+    pair AS (
+      SELECT a.qid, a.vec_id AS va, b.vec_id AS vb, {ab} AS sim
+      FROM cand a
+      JOIN cand b ON b.qid = a.qid AND b.vec_id <> a.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+    ),
+    s1 AS (
+      SELECT qid, vec_id AS v1, rel AS score1 FROM (
+        SELECT qid, vec_id, rel,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, vec_id) AS rn
+        FROM cand
+      ) WHERE rn = 1
+    ),
+    s2 AS (
+      SELECT qid, vec_id AS v2, score2 FROM (
+        SELECT c.qid, c.vec_id,
+               c.rel - {_X119_LAM} * p.sim AS score2,
+               ROW_NUMBER() OVER (PARTITION BY c.qid
+                 ORDER BY c.rel - {_X119_LAM} * p.sim DESC, c.vec_id)
+                 AS rn
+        FROM cand c
+        JOIN s1 ON s1.qid = c.qid AND c.vec_id <> s1.v1
+        JOIN pair p ON p.qid = c.qid AND p.va = c.vec_id
+                    AND p.vb = s1.v1
+      ) WHERE rn = 1
+    ),
+    s3 AS (
+      SELECT qid, vec_id AS v3, score3 FROM (
+        SELECT c.qid, c.vec_id,
+               c.rel - {_X119_LAM} * GREATEST(p1.sim, p2.sim) AS score3,
+               ROW_NUMBER() OVER (PARTITION BY c.qid
+                 ORDER BY c.rel - {_X119_LAM} * GREATEST(p1.sim, p2.sim)
+                   DESC, c.vec_id) AS rn
+        FROM cand c
+        JOIN s1 ON s1.qid = c.qid
+        JOIN s2 ON s2.qid = c.qid
+        JOIN pair p1 ON p1.qid = c.qid AND p1.va = c.vec_id
+                     AND p1.vb = s1.v1
+        JOIN pair p2 ON p2.qid = c.qid AND p2.va = c.vec_id
+                     AND p2.vb = s2.v2
+        WHERE c.vec_id <> s1.v1 AND c.vec_id <> s2.v2
+      ) WHERE rn = 1
+    )
+    SELECT qid, 1 AS pick, v1 AS vec_id, ROUND(score1, 6) AS mmr_score
+    FROM s1
+    UNION ALL
+    SELECT qid, 2, v2, ROUND(score2, 6) FROM s2
+    UNION ALL
+    SELECT qid, 3, v3, ROUND(score3, 6) FROM s3
+    """
+
+
+@register(
+    "x119_mmr_diversity_rerank",
+    oracle=_x119_oracle(),
+    doc=f"x119: maximal-marginal-relevance rerank — per query, greedily "
+    f"pick {_X119_K} results from the top-{_X119_M} relevance "
+    f"candidates maximizing rel - {_X119_LAM}*max-sim-to-selected "
+    "(Carbonell-Goldstein MMR), the diversity selection retrieval and "
+    "data-curation pipelines run after x10's pure-relevance top-k "
+    "(near-duplicate results waste context slots; MMR spends them on "
+    "coverage). Scale: candidates bound everything — the greedy "
+    "recursion touches only the M x M per-query pair grid (broadcast-"
+    "joined selections, never the corpus); the unrolled rounds are "
+    "rank windows over that bounded grid. Exactness: fold-computed "
+    "cosines are engine-identical; ties break on vec_id; 6-dp "
+    "rounding only on emitted scores",
+)
+def x119_mmr_diversity_rerank(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), _dbl("embedding").alias("qe")
+    )
+    c = em.select("vec_id", _dbl("embedding").alias("ce"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id", "ce", cosine(F.col("qe"), F.col("ce")).alias("rel")
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _X119_M)
+        .select("qid", "vec_id", "ce", "rel")
+        .persist()
+    )
+    a = cand.select("qid", F.col("vec_id").alias("va"), F.col("ce").alias("ea"))
+    b = cand.select("qid", F.col("vec_id").alias("vb"), F.col("ce").alias("eb"))
+    pair = (
+        a.join(b, "qid")
+        .filter(F.col("va") != F.col("vb"))
+        .select(
+            "qid", "va", "vb", cosine(F.col("ea"), F.col("eb")).alias("sim")
+        )
+    )
+    s1 = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("vec_id").alias("v1"), F.col("rel").alias("score1"))
+    )
+    lam = _X119_LAM
+    c2 = (
+        cand.join(F.broadcast(s1), "qid")
+        .filter(F.col("vec_id") != F.col("v1"))
+        .join(
+            pair.select("qid", F.col("va").alias("vec_id"),
+                        F.col("vb").alias("v1"), "sim"),
+            ["qid", "vec_id", "v1"],
+        )
+        .withColumn("score2", F.col("rel") - lam * F.col("sim"))
+    )
+    w2 = W.partitionBy("qid").orderBy(F.desc("score2"), F.asc("vec_id"))
+    s2 = (
+        c2.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("vec_id").alias("v2"), "score2")
+    )
+    p1 = pair.select(
+        "qid", F.col("va").alias("vec_id"), F.col("vb").alias("v1"),
+        F.col("sim").alias("sim1"),
+    )
+    p2 = pair.select(
+        "qid", F.col("va").alias("vec_id"), F.col("vb").alias("v2"),
+        F.col("sim").alias("sim2"),
+    )
+    c3 = (
+        cand.join(F.broadcast(s1), "qid")
+        .join(F.broadcast(s2), "qid")
+        .filter(
+            (F.col("vec_id") != F.col("v1")) & (F.col("vec_id") != F.col("v2"))
+        )
+        .join(p1, ["qid", "vec_id", "v1"])
+        .join(p2, ["qid", "vec_id", "v2"])
+        .withColumn(
+            "score3",
+            F.col("rel") - lam * F.greatest(F.col("sim1"), F.col("sim2")),
+        )
+    )
+    w3 = W.partitionBy("qid").orderBy(F.desc("score3"), F.asc("vec_id"))
+    s3 = (
+        c3.withColumn("rn", F.row_number().over(w3))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("vec_id").alias("v3"), "score3")
+    )
+    return (
+        s1.select(
+            "qid", F.lit(1).alias("pick"), F.col("v1").alias("vec_id"),
+            F.round("score1", 6).alias("mmr_score"),
+        )
+        .unionByName(
+            s2.select(
+                "qid", F.lit(2).alias("pick"), F.col("v2").alias("vec_id"),
+                F.round("score2", 6).alias("mmr_score"),
+            )
+        )
+        .unionByName(
+            s3.select(
+                "qid", F.lit(3).alias("pick"), F.col("v3").alias("vec_id"),
+                F.round("score3", 6).alias("mmr_score"),
+            )
+        )
+    )

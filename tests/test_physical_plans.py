@@ -1462,3 +1462,11 @@ def test_decomposition_strength_bounded_grid(spark):
     plan = plan_of(df, "simple")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mmr_rounds_bounded_to_candidate_grid(spark):
+    """x119: after the broadcast-query relevance pass, every greedy
+    round touches only the bounded per-query candidate grid — all
+    joins are hash equi-joins, selections broadcast."""
+    plan = plan_of(_q(spark, "x119_mmr_diversity_rerank"), "simple")
+    assert "CartesianProduct" not in plan
