@@ -230,6 +230,9 @@ ROUND8_CANDIDATES: list[str] = [
     "f21_binary_codecs",
     "m25_decomposition_strength",
     "x119_mmr_diversity_rerank",
+    "o06_nucleus_cover",
+    "x120_cluster_term_labels",
+    "c17_versioned_snapshot_read",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

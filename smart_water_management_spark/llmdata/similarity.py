@@ -2692,3 +2692,138 @@ def x119_mmr_diversity_rerank(
             )
         )
     )
+
+
+# --- x120: cluster term labels (characteristic terms per kNN cluster) ---------------
+
+_X120_TOPK = 3
+_X120_MIN_COUNT = 2
+
+
+def _x120_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_mutual_knn_cte()},
+    member AS (
+      SELECT c.cluster, d.doc_id,
+             list_distinct(string_split(lower(d.text), ' ')) AS tk
+      FROM comp c JOIN documents d ON d.doc_id = c.vec_id
+    ),
+    csize AS (
+      SELECT cluster, COUNT(*) AS n_members FROM member GROUP BY cluster
+    ),
+    cterm AS (
+      SELECT cluster, unnest(tk) AS term FROM member
+    ),
+    cin AS (
+      SELECT cluster, term, COUNT(*) AS c_in FROM cterm
+      GROUP BY cluster, term
+    ),
+    ctot AS (
+      SELECT cluster, SUM(c_in) AS n_in FROM cin GROUP BY cluster
+    ),
+    allterm AS (
+      SELECT term, COUNT(*) AS c_all FROM (
+        SELECT unnest(list_distinct(string_split(lower(text), ' ')))
+          AS term
+        FROM documents
+      ) GROUP BY term
+    ),
+    atot AS (SELECT SUM(c_all) AS n_all FROM allterm),
+    lifted AS (
+      SELECT cin.cluster, cin.term, cin.c_in,
+             (CAST(cin.c_in AS DOUBLE) / ctot.n_in)
+               / (CAST(a.c_all AS DOUBLE) / t.n_all) AS lift
+      FROM cin
+      JOIN ctot ON ctot.cluster = cin.cluster
+      JOIN allterm a ON a.term = cin.term
+      JOIN atot t ON TRUE
+      WHERE cin.c_in >= {_X120_MIN_COUNT}
+    ),
+    ranked AS (
+      SELECT cluster, term, c_in, lift,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY lift DESC, term) AS rk
+      FROM lifted
+    )
+    SELECT r.cluster, CAST(s.n_members AS BIGINT) AS n_members,
+           CAST(r.rk AS BIGINT) AS rk, r.term,
+           CAST(r.c_in AS BIGINT) AS c_in, r.lift
+    FROM ranked r JOIN csize s ON s.cluster = r.cluster
+    WHERE r.rk <= {_X120_TOPK}
+    """
+
+
+@register(
+    "x120_cluster_term_labels",
+    oracle=_x120_oracle(),
+    doc=f"x120: cluster cards — the top-{_X120_TOPK} characteristic "
+    "terms of every x87 mutual-kNN cluster by lift (in-cluster "
+    "document frequency over corpus document frequency, min count "
+    f"{_X120_MIN_COUNT}), with cluster sizes. Turns x87's anonymous "
+    "component ids into human-readable labels — the triage view a "
+    "curation run reads before deciding which semantic clusters to "
+    "down-sample (x88 scores the clustering; x120 names it). Scale: "
+    "the components come from the banded kNN graph; term stats are "
+    "word-count-shaped shuffles; ranking is a window over the "
+    "(cluster x qualifying-term) aggregate grid. Exactness: integer "
+    "counts; lift is a quotient of quotients of identical doubles "
+    "(emitted unrounded); ties break lexicographically",
+)
+def x120_cluster_term_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .text import tokens
+
+    comp = mutual_knn_components(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    member = comp.join(
+        docs, comp["doc_id"] == docs["doc_id"]
+    ).select(
+        F.col("component").alias("cluster"),
+        F.array_distinct(tokens("text")).alias("tk"),
+    )
+    csize = member.groupBy("cluster").agg(
+        F.count("*").alias("n_members")
+    )
+    cterm = member.select("cluster", F.explode("tk").alias("term"))
+    cin = cterm.groupBy("cluster", "term").agg(
+        F.count("*").alias("c_in")
+    )
+    ctot = cin.groupBy("cluster").agg(F.sum("c_in").alias("n_in"))
+    allterm = (
+        docs.select(F.explode(F.array_distinct(tokens("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("c_all"))
+    )
+    atot = allterm.agg(F.sum("c_all").alias("n_all"))
+    lifted = (
+        cin.filter(F.col("c_in") >= _X120_MIN_COUNT)
+        .join(F.broadcast(ctot), "cluster")
+        .join(allterm, "term")
+        .crossJoin(F.broadcast(atot))
+        .select(
+            "cluster",
+            "term",
+            "c_in",
+            (
+                (F.col("c_in").cast("double") / F.col("n_in"))
+                / (F.col("c_all").cast("double") / F.col("n_all"))
+            ).alias("lift"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("cluster").orderBy(F.desc("lift"), F.asc("term"))
+    )
+    return (
+        lifted.withColumn("rk", rk)
+        .filter(F.col("rk") <= _X120_TOPK)
+        .join(F.broadcast(csize), "cluster")
+        .select(
+            "cluster",
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col("rk").cast("bigint").alias("rk"),
+            "term",
+            F.col("c_in").cast("bigint").alias("c_in"),
+            "lift",
+        )
+    )

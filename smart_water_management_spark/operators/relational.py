@@ -1186,3 +1186,80 @@ def p15_q16_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_suppkey").cast("bigint").alias("supplier_cnt")
         )
     )
+
+
+# --- o06 (ext.): nucleus cover (min top-k reaching a share target) ---------------
+
+
+@register(
+    "o06_nucleus_cover",
+    # Per event type: the smallest number of top users whose combined
+    # value reaches 90% of the type's total (the inverse of a30's
+    # "share held by top X%"). The >= 90% test is done IN DECIMAL
+    # (cum*10 >= total*9) so no float quotient can flip the boundary
+    # row differently per engine.
+    oracle="""
+    WITH per_user AS (
+      SELECT event_type, user_id,
+             SUM(CAST(value AS DECIMAL(27,6))) AS tot
+      FROM events GROUP BY event_type, user_id
+    ),
+    ranked AS (
+      SELECT event_type, tot,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY tot DESC, user_id) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_users,
+             SUM(tot) OVER (PARTITION BY event_type
+                            ORDER BY tot DESC, user_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum,
+             SUM(tot) OVER (PARTITION BY event_type) AS grand
+      FROM per_user
+    )
+    SELECT event_type,
+           CAST(MAX(n_users) AS BIGINT) AS n_users,
+           CAST(MIN(CASE WHEN cum * 10 >= grand * 9 THEN rk END)
+                AS BIGINT) AS nucleus_users,
+           CAST(MIN(CASE WHEN cum * 10 >= grand * 9 THEN rk END)
+                AS DOUBLE) / MAX(n_users) AS nucleus_user_frac
+    FROM ranked GROUP BY event_type
+    """,
+    doc="o06 (ext.): nucleus cover — per event type, the minimum number "
+    "of top users whose combined value reaches 90% of the total, and "
+    "the fraction of the user base that is (top-p/nucleus selection "
+    "applied to contribution analysis; a30 answers 'how much do the "
+    "top X% hold', o06 answers 'how few cover 90%'). Scale: windows "
+    "run over the per-(type, user) pre-aggregate, partitioned by "
+    "type; the share test is exact decimal arithmetic (cum*10 >= "
+    "total*9), so the boundary user never flips between engines",
+)
+def o06_nucleus_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.sum(F.col("value").cast("decimal(27,6)")).alias("tot")
+    )
+    wo = W.partitionBy("event_type").orderBy(
+        F.desc("tot"), F.asc("user_id")
+    )
+    wa = W.partitionBy("event_type")
+    ranked = per_user.select(
+        "event_type",
+        F.row_number().over(wo).alias("rk"),
+        F.count("*").over(wa).alias("n_users"),
+        F.sum("tot")
+        .over(wo.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cum"),
+        F.sum("tot").over(wa).alias("grand"),
+    )
+    hit = F.when(
+        F.col("cum") * 10 >= F.col("grand") * 9, F.col("rk")
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n_users").cast("bigint").alias("n_users"),
+        F.min(hit).cast("bigint").alias("nucleus_users"),
+        (F.min(hit).cast("double") / F.max("n_users")).alias(
+            "nucleus_user_frac"
+        ),
+    )

@@ -611,3 +611,133 @@ def c15_scd3_previous_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("changed_at_sec"),
         F.count("*").cast("bigint").alias("n_changes"),
     )
+
+
+# --- c17 (ext.): versioned snapshot table + read-at-version ------------------------
+
+
+@register(
+    "c17_versioned_snapshot_read",
+    # A poor-man's time-travel table: snapshots land under version=N
+    # partitions (v0 = the base subset, v1 = full corpus with a
+    # deterministic price restatement), and "read at version" is a
+    # partition-pruned scan. The query reads BOTH versions and emits
+    # the version profile plus the time-travel diff (added/updated/
+    # unchanged), all reconstructible by the oracle straight from the
+    # orders table.
+    oracle="""
+    WITH v0 AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    v1 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN o_totalprice + 1.5 ELSE o_totalprice END
+               AS o_totalprice
+      FROM orders
+    ),
+    profile AS (
+      SELECT 0 AS version, COUNT(*) AS n_rows,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+               AS price_sum
+      FROM v0
+      UNION ALL
+      SELECT 1, COUNT(*),
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS DOUBLE)
+      FROM v1
+    ),
+    diff AS (
+      SELECT CAST(SUM(CASE WHEN v0.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS added,
+             CAST(SUM(CASE WHEN v0.o_orderkey IS NOT NULL
+                            AND v1.o_totalprice <> v0.o_totalprice
+                           THEN 1 ELSE 0 END) AS BIGINT) AS updated,
+             CAST(SUM(CASE WHEN v0.o_orderkey IS NOT NULL
+                            AND v1.o_totalprice = v0.o_totalprice
+                           THEN 1 ELSE 0 END) AS BIGINT) AS unchanged
+      FROM v1 LEFT JOIN v0 ON v0.o_orderkey = v1.o_orderkey
+    )
+    SELECT p.version, CAST(p.n_rows AS BIGINT) AS n_rows, p.price_sum,
+           d.added, d.updated, d.unchanged
+    FROM profile p, diff d
+    """,
+    doc="c17 (ext.): versioned snapshot table — snapshots written under "
+    "version=N partitions, read-at-version as a partition-PRUNED scan "
+    "(the lakehouse time-travel pattern without a table format: the "
+    "manifest is the partition column), plus the v0->v1 time-travel "
+    "diff (added / restated / unchanged). Completes the c08 CDC story "
+    "with the physical layout that makes old versions cheap to read "
+    "at 100 TB — pruning means a version read touches ONE version's "
+    "files. Exactness: integer counts + decimal price sums",
+)
+def c17_versioned_snapshot_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import os
+
+    from ..sources.io_ops import _scratch
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    path = _scratch("c17_versions", sf_dir)
+    marker = os.path.join(path, "_SUCCESS_V1")
+    v0_src = orders.filter(F.col("o_orderkey") % 10 != 0).withColumn(
+        "version", F.lit(0)
+    )
+    v1_src = orders.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.5
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    ).withColumn("version", F.lit(1))
+    if not os.path.exists(marker):
+        v0_src.unionByName(v1_src).write.mode("overwrite").partitionBy(
+            "version"
+        ).parquet(path)
+        open(marker, "w").close()
+    snap = spark.read.parquet(path)
+    v0 = snap.filter(F.col("version") == 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("p0")
+    )
+    v1 = snap.filter(F.col("version") == 1).select(
+        "o_orderkey", F.col("o_totalprice").alias("p1")
+    )
+    profile = (
+        snap.groupBy("version")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("price_sum"),
+        )
+    )
+    diff = v1.join(v0, "o_orderkey", "left").agg(
+        F.sum(F.when(F.col("p0").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("added"),
+        F.sum(
+            F.when(
+                F.col("p0").isNotNull() & (F.col("p1") != F.col("p0")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("updated"),
+        F.sum(
+            F.when(
+                F.col("p0").isNotNull() & (F.col("p1") == F.col("p0")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("unchanged"),
+    )
+    return profile.crossJoin(F.broadcast(diff)).select(
+        F.col("version").cast("int").alias("version"),
+        "n_rows",
+        "price_sum",
+        "added",
+        "updated",
+        "unchanged",
+    )

@@ -1470,3 +1470,32 @@ def test_mmr_rounds_bounded_to_candidate_grid(spark):
     joins are hash equi-joins, selections broadcast."""
     plan = plan_of(_q(spark, "x119_mmr_diversity_rerank"), "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_nucleus_cover_windows_over_user_preagg(spark):
+    """o06: all windows partition by event_type over the per-(type,user)
+    aggregate; the 90% test is exact decimal arithmetic."""
+    df = _q(spark, "o06_nucleus_cover")
+    assert unbounded_global_windows(df) == []
+    plan = plan_of(df, "simple")
+    assert "Join" not in plan
+
+
+def test_cluster_labels_wordcount_shapes(spark):
+    """x120: term stats are word-count shuffles; cluster totals/sizes
+    broadcast; the rank window sits over the aggregate grid."""
+    df = _q(spark, "x120_cluster_term_labels")
+    assert unbounded_global_windows(df) == []
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_versioned_read_prunes_partitions(spark):
+    """c17: reading one version must prune to that version's partition
+    (PartitionFilters on the version column)."""
+    import re
+
+    df = _q(spark, "c17_versioned_snapshot_read")
+    plan = plan_of(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any(re.search(r"version.*=", l) for l in pf), pf
