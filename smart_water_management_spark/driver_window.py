@@ -233,6 +233,8 @@ ROUND8_CANDIDATES: list[str] = [
     "o06_nucleus_cover",
     "x120_cluster_term_labels",
     "c17_versioned_snapshot_read",
+    "x121_decontam_ngram_sweep",
+    "d02_normalized_dedup",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

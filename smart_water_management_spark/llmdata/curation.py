@@ -3093,3 +3093,145 @@ def x116_filter_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- x121: decontamination n-gram-size sweep -----------------------------------------
+
+_X121_NS = [4, 6, 8, 12]
+
+
+@register(
+    "x121_decontam_ngram_sweep",
+    # x23's contamination screen swept over the n-gram size — the
+    # single knob that trades decontamination recall (small n flags
+    # more) against collateral removal (common phrases). For each n:
+    # how many training docs share any n-token run with the benchmark
+    # split, and how many training tokens that would remove. The
+    # gram fanout for ALL n values happens in one scan (in-row
+    # transform per n over the same token array).
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    grams AS (
+      {" UNION ALL ".join(
+        f'''SELECT {n} AS n, doc_id,
+             unnest(list_transform(
+               range(0, greatest(len(tk) - {n - 1}, 0)),
+               i -> md5(array_to_string(tk[i+1:i+{n}], ' ')))) AS g
+      FROM toks'''
+        for n in _X121_NS)}
+    ),
+    bench AS (
+      SELECT DISTINCT n, g FROM grams WHERE {BENCH_PRED}
+    ),
+    train AS (
+      SELECT n, doc_id, g FROM grams WHERE NOT ({BENCH_PRED})
+    ),
+    hits AS (
+      SELECT t.n, t.doc_id
+      FROM train t JOIN bench b ON b.n = t.n AND b.g = t.g
+      GROUP BY t.n, t.doc_id
+    ),
+    train_docs AS (
+      SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens
+      FROM documents WHERE NOT ({BENCH_PRED})
+    )
+    SELECT n.n AS ngram_size,
+           CAST((SELECT COUNT(*) FROM train_docs) AS BIGINT)
+             AS n_train_docs,
+           CAST(COALESCE((SELECT COUNT(*) FROM hits h WHERE h.n = n.n), 0)
+                AS BIGINT) AS n_contaminated,
+           CAST(COALESCE((SELECT SUM(td.n_tokens) FROM hits h
+                          JOIN train_docs td ON td.doc_id = h.doc_id
+                          WHERE h.n = n.n), 0) AS BIGINT)
+             AS tokens_removed,
+           CAST(COALESCE((SELECT COUNT(*) FROM hits h WHERE h.n = n.n), 0)
+                AS DOUBLE)
+             / (SELECT COUNT(*) FROM train_docs) AS contaminated_frac
+    FROM (VALUES {", ".join(f"({n})" for n in _X121_NS)}) AS n(n)
+    """,
+    doc=f"x121: decontamination n-gram-size sweep — x23's benchmark-"
+    f"overlap screen evaluated at n in {_X121_NS}: contaminated-doc "
+    "counts, the training tokens each setting would remove, and the "
+    "contamination fraction. THE tuning table for the "
+    "decontamination knob (production pipelines debate 8 vs 13-gram; "
+    "small n burns real data, large n leaks) — x84 does this for the "
+    "dedup threshold, x121 for the contamination n. Scale: the gram "
+    "fanout for every n shares ONE token-array scan (in-row "
+    "transforms); each n's overlap is the x23 gram-hash semi-join, "
+    "hash-partitioned on the gram, never all-pairs. Exactness: "
+    "md5 gram hashes, integer counts, one IEEE quotient per row",
+)
+def x121_decontam_ngram_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = fan_out(d, spark).select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    def _gram_fn(width):
+        # NB: a two-parameter lambda would make pyspark's transform pass
+        # (element, index) and shadow the captured width — closure it.
+        return lambda i: F.md5(F.array_join(F.slice("tk", i, width), " "))
+
+    gram_sets = []
+    for n in _X121_NS:
+        g = toks.filter(F.size("tk") >= n).select(
+            F.lit(n).alias("n"),
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("tk") - n + 1),
+                    _gram_fn(n),
+                )
+            ).alias("g"),
+        )
+        gram_sets.append(g)
+    grams = gram_sets[0]
+    for g in gram_sets[1:]:
+        grams = grams.unionByName(g)
+    bench = grams.filter(F.expr(BENCH_PRED)).select("n", "g").distinct()
+    train = grams.filter(~F.expr(BENCH_PRED))
+    hits = (
+        train.join(bench, ["n", "g"])
+        .select("n", "doc_id")
+        .distinct()
+    )
+    train_docs = d.filter(~F.expr(BENCH_PRED)).select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    totals = train_docs.agg(
+        F.count("*").cast("bigint").alias("n_train_docs")
+    )
+    per_n = (
+        hits.join(train_docs, "doc_id")
+        .groupBy("n")
+        .agg(
+            F.count("*").cast("bigint").alias("n_contaminated"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_removed"),
+        )
+    )
+    ns = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in _X121_NS])).alias("n")
+    )
+    return (
+        ns.join(per_n, "n", "left")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("n").alias("ngram_size"),
+            "n_train_docs",
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.coalesce(F.col("tokens_removed"), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            (
+                F.coalesce(F.col("n_contaminated"), F.lit(0)).cast("double")
+                / F.col("n_train_docs")
+            ).alias("contaminated_frac"),
+        )
+    )

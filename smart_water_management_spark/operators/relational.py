@@ -1263,3 +1263,70 @@ def o06_nucleus_cover(spark: SparkSession, sf_dir: str) -> DataFrame:
             "nucleus_user_frac"
         ),
     )
+
+
+# --- d02 (ext.): normalize-then-dedup (entity resolution lite) ------------------
+
+
+@register(
+    "d02_normalized_dedup",
+    # Two deterministically DIRTY variants of every customer name
+    # (case flips, padding whitespace, spaced-out '#') are normalized
+    # (lower + trim + collapse around '#') and deduped on the
+    # normalized key — the canonical entity-resolution-lite stage that
+    # runs before any exact-key dedup (d01) can work. Every group must
+    # come out with exactly the two variants merged.
+    oracle="""
+    WITH dirty AS (
+      SELECT c_custkey * 2 AS row_id,
+             upper(c_name) || '  ' AS raw
+      FROM customer
+      UNION ALL
+      SELECT c_custkey * 2 + 1,
+             '  ' || replace(c_name, '#', ' # ')
+      FROM customer
+    ),
+    norm AS (
+      SELECT row_id,
+             regexp_replace(trim(lower(raw)), ' *# *', '#', 'g') AS k
+      FROM dirty
+    )
+    SELECT k AS normalized_name,
+           CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(MIN(row_id) AS BIGINT) AS survivor_row,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_removed
+    FROM norm GROUP BY k
+    """,
+    doc="d02 (ext.): normalize-then-dedup — deterministic dirty name "
+    "variants (case, padding, spaced punctuation) collapse onto one "
+    "normalized key (lower + trim + collapse-around-#), keeping the "
+    "min-id survivor. The entity-resolution-lite stage upstream of "
+    "d01's exact keyed dedup: raw operational keys rarely match "
+    "byte-for-byte. Scale: pure JVM string expressions fused into the "
+    "scan + ONE hash aggregate on the normalized key — the word-count "
+    "shuffle shape. Exactness: identical normalization in both "
+    "engines, integer counts",
+)
+def d02_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select(
+        (F.col("c_custkey") * 2).alias("row_id"),
+        F.concat(F.upper("c_name"), F.lit("  ")).alias("raw"),
+    )
+    v2 = c.select(
+        (F.col("c_custkey") * 2 + 1).alias("row_id"),
+        F.concat(
+            F.lit("  "), F.regexp_replace("c_name", "#", " # ")
+        ).alias("raw"),
+    )
+    norm = v1.unionByName(v2).select(
+        "row_id",
+        F.regexp_replace(
+            F.trim(F.lower("raw")), " *# *", "#"
+        ).alias("k"),
+    )
+    return norm.groupBy(F.col("k").alias("normalized_name")).agg(
+        F.count("*").cast("bigint").alias("n_variants"),
+        F.min("row_id").cast("bigint").alias("survivor_row"),
+        (F.count("*") - 1).cast("bigint").alias("n_removed"),
+    )

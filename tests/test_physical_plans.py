@@ -1499,3 +1499,19 @@ def test_versioned_read_prunes_partitions(spark):
     plan = plan_of(df)
     pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any(re.search(r"version.*=", l) for l in pf), pf
+
+
+def test_decontam_sweep_shares_token_scan(spark):
+    """x121: the per-n gram fanouts union over the same token table; the
+    overlap is gram-hash semi-joins — no all-pairs, no cartesian."""
+    plan = plan_of(_q(spark, "x121_decontam_ngram_sweep"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "Union" in plan
+
+
+def test_normalized_dedup_one_hash_agg(spark):
+    """d02: normalization fuses into the scan; dedup is ONE hash
+    aggregate on the normalized key."""
+    plan = plan_of(_q(spark, "d02_normalized_dedup"), "simple")
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
