@@ -235,6 +235,9 @@ ROUND8_CANDIDATES: list[str] = [
     "c17_versioned_snapshot_read",
     "x121_decontam_ngram_sweep",
     "d02_normalized_dedup",
+    "m26_ljung_box",
+    "v18_arrival_completeness",
+    "x122_training_mix_manifest",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

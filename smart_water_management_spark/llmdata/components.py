@@ -733,3 +733,168 @@ def x118_dedup_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("residual_pairs") == 0).alias("idempotent"),
         )
     )
+
+
+# --- x122: final training-mix manifest ------------------------------------------------
+
+
+def _x122_oracle() -> str:
+    from .curation import sql_gopher_metrics
+    from .dedup import _x08_cte
+
+    passes = sql_gopher_metrics("string_split(lower(d.text), ' ')")["passes"]
+    return f"""
+    WITH RECURSIVE {_x08_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    closure AS (
+      SELECT a, b FROM reach
+      UNION
+      SELECT DISTINCT src AS a, src AS b FROM edges
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM closure GROUP BY a),
+    marked AS (
+      SELECT d.source,
+             len(string_split(lower(d.text), ' ')) AS n_tokens,
+             CASE WHEN d.doc_id = COALESCE(c.component, d.doc_id)
+                   AND ({passes}) THEN 1 ELSE 0 END AS eligible
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(eligible) AS BIGINT) AS n_eligible,
+             CAST(SUM(CASE WHEN eligible = 1 THEN n_tokens ELSE 0 END)
+                  AS BIGINT) AS elig_tokens
+      FROM marked GROUP BY source
+    ),
+    tot AS (
+      SELECT CAST(FLOOR(CAST(SUM(elig_tokens) AS DOUBLE) * 3 / 5)
+                  AS BIGINT) AS b,
+             COUNT(*) AS s
+      FROM src
+    ),
+    scan AS (
+      SELECT source, n_docs, n_eligible, elig_tokens,
+             ROW_NUMBER() OVER (ORDER BY elig_tokens, source) AS rn,
+             COALESCE(SUM(elig_tokens) OVER (ORDER BY elig_tokens, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS prefix
+      FROM src
+    ),
+    lvl AS (
+      SELECT (t.b - sc.prefix) / (t.s - sc.rn + 1) AS level
+      FROM scan sc, tot t
+      WHERE (t.b - sc.prefix) / (t.s - sc.rn + 1) <= sc.elig_tokens
+      ORDER BY sc.rn LIMIT 1
+    )
+    SELECT sc.source, sc.n_docs, sc.n_eligible, sc.elig_tokens,
+           LEAST(CAST(sc.elig_tokens AS DOUBLE),
+                 COALESCE(l.level, CAST('inf' AS DOUBLE)))
+             AS alloc_tokens,
+           CASE WHEN sc.elig_tokens > 0 THEN
+             LEAST(CAST(sc.elig_tokens AS DOUBLE),
+                   COALESCE(l.level, CAST('inf' AS DOUBLE)))
+               / sc.elig_tokens END AS fill_frac,
+           t.b AS budget
+    FROM scan sc LEFT JOIN lvl l ON TRUE, tot t
+    """
+
+
+@register(
+    "x122_training_mix_manifest",
+    oracle=_x122_oracle(),
+    doc="x122: the FINAL training-mix manifest — x103's water-filling "
+    "budget allocation computed over the CURATED corpus (docs that "
+    "survive both the x15 dedup collapse AND the x21 quality bank), "
+    "per source: raw docs, eligible docs, eligible tokens, allocated "
+    "tokens, fill fraction, budget. The capstone composition: "
+    "dedup (components) -> quality (Gopher) -> mixing (waterfill) in "
+    "one plan — the artifact a data-curation run actually hands to "
+    "training. Scale: each stage is its own bounded machinery "
+    "(banded pairs, one corpus scan, source-table waterfill); "
+    "nothing new shuffles. Exactness: integer counts, exact-decimal "
+    "level search, IEEE quotients",
+)
+def x122_training_mix_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .curation import gopher_metrics
+    from .dedup import pinned_corpus_signatures
+    from .text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = tokens("text")
+    marked = dedup_corpus(
+        docs, sigs=pinned_corpus_signatures(spark, sf_dir)
+    ).select(
+        "source",
+        F.size(tk).alias("n_tokens"),
+        (F.col("is_canonical") & gopher_metrics(tk)["passes"])
+        .cast("int")
+        .alias("eligible"),
+    )
+    src = marked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("eligible").cast("bigint").alias("n_eligible"),
+        F.sum(F.when(F.col("eligible") == 1, F.col("n_tokens")).otherwise(0))
+        .cast("bigint")
+        .alias("elig_tokens"),
+    )
+    tot = src.agg(
+        F.floor(F.sum("elig_tokens").cast("double") * 3 / 5)
+        .cast("bigint")
+        .alias("b"),
+        F.count("*").alias("s"),
+    )
+    order = [F.col("elig_tokens").asc(), F.col("source").asc()]
+    wr = W.orderBy(*order)
+    wp = W.orderBy(*order).rowsBetween(W.unboundedPreceding, -1)
+    scan = src.select(
+        "source",
+        "n_docs",
+        "n_eligible",
+        "elig_tokens",
+        F.row_number().over(wr).alias("rn"),
+        F.coalesce(F.sum("elig_tokens").over(wp), F.lit(0)).alias("prefix"),
+    )
+    cand = (
+        scan.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "level",
+            (F.col("b") - F.col("prefix")) / (F.col("s") - F.col("rn") + 1),
+        )
+        .filter(F.col("level") <= F.col("elig_tokens"))
+        .orderBy("rn")
+        .limit(1)
+        .select("level")
+    )
+    alloc = F.least(
+        F.col("elig_tokens").cast("double"),
+        F.coalesce(F.col("level"), F.lit(float("inf"))),
+    )
+    return (
+        scan.join(F.broadcast(cand), F.lit(True), "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_eligible",
+            "elig_tokens",
+            alloc.alias("alloc_tokens"),
+            F.when(
+                F.col("elig_tokens") > 0, alloc / F.col("elig_tokens")
+            ).alias("fill_frac"),
+            F.col("b").alias("budget"),
+        )
+    )

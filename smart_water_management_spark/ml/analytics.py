@@ -2809,3 +2809,142 @@ def m25_decomposition_strength(
         ),
         F.round(var_r / n, 6).alias("var_remainder"),
     )
+
+
+# --- M26 (ext.): Ljung-Box portmanteau test ----------------------------------------
+
+_M26_LAGS = 6
+
+
+@register(
+    "m26_ljung_box",
+    # Q = n(n+2) * sum_k r_k^2/(n-k) over lags 1..6, with the r_k from
+    # the SAME classical-ACF construction m21 uses (global-mean
+    # covariances from decimal moments). The white-noise screen read
+    # after any model fit: Q >> chi2(6) means structure remains. The
+    # final sum runs over a pinned-order 6-element fold (no rounding).
+    oracle=f"""
+    WITH {_hourly_series_sql().strip()},
+    x AS (SELECT event_type, h, CAST(hv AS DOUBLE) AS v FROM hourly),
+    base AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             {sql_dsum('v', 38)} AS s1, {sql_dsum('v*v', 38)} AS s2
+      FROM x GROUP BY event_type
+    ),
+    pairs AS (
+      SELECT a.event_type, l.lag, a.v AS xv, b.v AS yv
+      FROM x a
+      CROSS JOIN (SELECT CAST(unnest(generate_series(1, {_M26_LAGS}))
+                          AS INT) AS lag) l
+      JOIN x b ON b.event_type = a.event_type AND b.h = a.h + l.lag
+    ),
+    lm AS (
+      SELECT event_type, lag, CAST(COUNT(*) AS DOUBLE) AS nk,
+             {sql_dsum('xv', 38)} AS sx, {sql_dsum('yv', 38)} AS sy,
+             {sql_dsum('xv*yv', 38)} AS sxy
+      FROM pairs GROUP BY 1, 2
+    ),
+    rk AS (
+      SELECT lm.event_type, lm.lag, b.n,
+             (lm.sxy - (b.s1 / b.n) * (lm.sx + lm.sy)
+                + lm.nk * (b.s1 / b.n) * (b.s1 / b.n))
+               / (b.s2 - b.n * (b.s1 / b.n) * (b.s1 / b.n)) AS r
+      FROM lm JOIN base b ON b.event_type = lm.event_type
+    ),
+    folded AS (
+      SELECT event_type, ANY_VALUE(n) AS n,
+             list_reduce(
+               list_prepend(CAST(0 AS DOUBLE),
+                            list(r * r / (n - lag) ORDER BY lag)),
+               (a, b) -> a + b) AS s
+      FROM rk GROUP BY event_type HAVING COUNT(*) = {_M26_LAGS}
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           {_M26_LAGS} AS n_lags,
+           n * (n + 2) * s AS q_stat
+    FROM folded
+    """,
+    doc=f"M26 (ext.): Ljung-Box portmanteau test (lags 1-{_M26_LAGS}) "
+    "on the hourly demand per event type — the is-there-any-"
+    "autocorrelation-left screen (compare q_stat to chi-square with "
+    f"{_M26_LAGS} dof; the hourly series itself should fail "
+    "spectacularly, residuals from a good m17 fit should not). "
+    "Composes m21's exact classical-ACF machinery; the weighted "
+    "r^2 sum folds 6 terms in lag order — engine-exact with zero "
+    "rounding. Scale: identical to m13/m21 — lagged joins over the "
+    "calendar-bounded grid, decimal moments, bounded folds",
+)
+def m26_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import dsum
+
+    K = _M26_LAGS
+    x = _hourly_series(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("v")
+    )
+    base = x.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("v", 38).alias("s1"),
+        dsum(F.col("v") * F.col("v"), 38).alias("s2"),
+    )
+    lag_arr = F.array(*[F.lit(k) for k in range(1, K + 1)])
+    a_side = x.select(
+        "event_type",
+        F.explode(lag_arr).alias("lag"),
+        (F.col("h") + F.col("lag")).alias("hk"),
+        F.col("v").alias("xv"),
+    )
+    pairs = a_side.join(
+        x.select(
+            "event_type", F.col("h").alias("hk"), F.col("v").alias("yv")
+        ),
+        ["event_type", "hk"],
+    )
+    lm = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").cast("double").alias("nk"),
+        dsum("xv", 38).alias("sx"),
+        dsum("yv", 38).alias("sy"),
+        dsum(F.col("xv") * F.col("yv"), 38).alias("sxy"),
+    )
+    mu = F.col("s1") / F.col("n")
+    rk = lm.join(F.broadcast(base), "event_type").select(
+        "event_type",
+        "lag",
+        "n",
+        (
+            (F.col("sxy") - mu * (F.col("sx") + F.col("sy"))
+             + F.col("nk") * mu * mu)
+            / (F.col("s2") - F.col("n") * mu * mu)
+        ).alias("r"),
+    )
+    folded = (
+        rk.groupBy("event_type")
+        .agg(
+            F.any_value("n").alias("n"),
+            F.aggregate(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "lag",
+                                (
+                                    F.col("r") * F.col("r")
+                                    / (F.col("n") - F.col("lag"))
+                                ).alias("t"),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+                F.lit(0.0),
+                lambda a, b: a + b,
+            ).alias("s"),
+            F.count("*").alias("n_lags_got"),
+        )
+        .filter(F.col("n_lags_got") == K)
+    )
+    return folded.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.lit(K).alias("n_lags"),
+        (F.col("n") * (F.col("n") + 2) * F.col("s")).alias("q_stat"),
+    )

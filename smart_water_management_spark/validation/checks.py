@@ -1239,3 +1239,85 @@ def v17_uniqueness_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- v18 (ext.): arrival-completeness audit ------------------------------------------
+
+
+@register(
+    "v18_arrival_completeness",
+    # Every (event type, day) should show all 24 hours of traffic; the
+    # audit scaffolds the full calendar grid between each type's first
+    # and last observed hour (in-row sequence + explode, no driver
+    # loop) and left-joins the observed hourly counts — missing hours
+    # and their share localize ingest outages that row counts alone
+    # hide (a full day of zero rows doesn't lower any average).
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT event_type, MIN(h) AS h0, MAX(h) AS h1 FROM hourly
+      GROUP BY event_type
+    ),
+    grid AS (
+      SELECT b.event_type, unnest(range(b.h0, b.h1 + 1)) AS h FROM bounds b
+    ),
+    joined AS (
+      SELECT g.event_type, CAST(FLOOR(g.h / 24.0) AS BIGINT) AS day,
+             CASE WHEN hr.n IS NULL THEN 1 ELSE 0 END AS missing
+      FROM grid g LEFT JOIN hourly hr
+        ON hr.event_type = g.event_type AND hr.h = g.h
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS expected_hours,
+           CAST(COUNT(*) - SUM(missing) AS BIGINT) AS observed_hours,
+           CAST(SUM(missing) AS BIGINT) AS missing_hours,
+           CAST(SUM(missing) AS DOUBLE) / COUNT(*) AS missing_frac
+    FROM joined GROUP BY event_type, day
+    """,
+    doc="v18 (ext.): arrival-completeness audit — for every (event "
+    "type, day), expected vs observed vs missing hours against the "
+    "full calendar grid between each type's first and last "
+    "observation. The ingest-outage localizer that row-count and "
+    "average-based checks miss entirely (an absent hour changes no "
+    "aggregate it doesn't appear in); feeds w19's gap-fill with WHERE "
+    "to interpolate and t04's freshness with WHY it went stale. "
+    "Scale: grid is an in-row sequence explode per type (bounded by "
+    "the calendar), one left join against the hourly pre-agg, one "
+    "grouped count. Exactness: pure integer counts + one quotient",
+)
+def v18_arrival_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    h = F.floor(
+        (F.unix_timestamp("ts") - F.lit(1704067200)) / F.lit(3600.0)
+    ).cast("bigint")
+    hourly = ev.groupBy("event_type", h.alias("h")).agg(
+        F.count("*").alias("n")
+    )
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+    )
+    joined = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type",
+        F.floor(F.col("h") / 24).cast("bigint").alias("day"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).alias("missing"),
+    )
+    return joined.groupBy("event_type", "day").agg(
+        F.count("*").cast("bigint").alias("expected_hours"),
+        (F.count("*") - F.sum("missing")).cast("bigint").alias(
+            "observed_hours"
+        ),
+        F.sum("missing").cast("bigint").alias("missing_hours"),
+        (F.sum("missing").cast("double") / F.count("*")).alias(
+            "missing_frac"
+        ),
+    )

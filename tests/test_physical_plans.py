@@ -1515,3 +1515,29 @@ def test_normalized_dedup_one_hash_agg(spark):
     plan = plan_of(_q(spark, "d02_normalized_dedup"), "simple")
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_ljung_box_bounded_fold(spark):
+    """m26: the weighted r^2 sum folds 6 terms in lag order over the
+    grouped ACF grid — no global window, moments grouped."""
+    df = _q(spark, "m26_ljung_box")
+    assert unbounded_global_windows(df) == []
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_arrival_completeness_inrow_grid(spark):
+    """v18: the calendar grid is an in-row sequence explode per type —
+    Generate, one left join on the hourly pre-agg, no cartesian."""
+    plan = plan_of(_q(spark, "v18_arrival_completeness"), "simple")
+    assert "Generate" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mix_manifest_composes_bounded_stages(spark):
+    """x122: dedup components + quality flags + waterfill compose with
+    no new shuffle class — no cartesian, broadcast scalar attaches."""
+    df = _q(spark, "x122_training_mix_manifest")
+    assert unbounded_global_windows(df) == []  # waterfill windows sit over agg
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
