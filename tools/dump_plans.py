@@ -58,6 +58,11 @@ SHOW = [
     ("x106_vocab_coverage_curve", "vocab coverage curve — TakeOrdered bounds the candidate vocab (per-partition heaps); the K-sweep is conditional sums"),
     ("x113_minhash_estimator_audit", "MinHash estimator calibration — banded candidates, signature equi-join back, 17-row calibration table"),
     ("t26_streaming_changepoint", "streaming change-point — m19 over an incrementally MIN/SUM-merged exact-decimal hourly grid (calendar-bounded state)"),
+    ("x119_mmr_diversity_rerank", "MMR diversity rerank — broadcast-query relevance pass, then greedy rounds over the bounded per-query candidate grid"),
+    ("o06_nucleus_cover", "nucleus cover — per-type windows over the (type,user) pre-agg; the 90% boundary tested in exact decimal (cum*10 >= total*9)"),
+    ("c17_versioned_snapshot_read", "versioned snapshot read — version=N partition pruning makes time travel touch ONE version's files"),
+    ("x121_decontam_ngram_sweep", "decontamination n-sweep — per-n gram fanouts share one token scan; each overlap is a gram-hash semi-join"),
+    ("x122_training_mix_manifest", "training-mix manifest — dedup components + Gopher flags + waterfill composed; no new shuffle class anywhere"),
 ]
 
 
