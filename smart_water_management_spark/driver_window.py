@@ -238,6 +238,8 @@ ROUND8_CANDIDATES: list[str] = [
     "m26_ljung_box",
     "v18_arrival_completeness",
     "x122_training_mix_manifest",
+    "w29_rolling_cross_correlation",
+    "a41_cooccurrence_pairs",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -2419,3 +2419,104 @@ def a39_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- a41 (ext.): event-type co-occurrence pairs (market-basket lite) -------------
+
+
+@register(
+    "a41_cooccurrence_pairs",
+    # Baskets = (user, day); items = distinct event types in the
+    # basket; output = every type pair's support and LIFT
+    # (P(a,b)/(P(a)P(b))) — the association-rule primitive (which
+    # behaviors travel together) from two word-count-shaped aggregates
+    # and an in-basket pair fanout that is combinatorially bounded by
+    # the 5-type domain.
+    oracle="""
+    WITH basket AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 86400.0) AS BIGINT) AS day,
+             event_type
+      FROM events
+    ),
+    nb AS (
+      SELECT COUNT(DISTINCT (CAST(user_id AS VARCHAR) || '|'
+                             || CAST(day AS VARCHAR))) AS n_baskets
+      FROM basket
+    ),
+    item AS (
+      SELECT event_type, COUNT(*) AS c FROM basket GROUP BY event_type
+    ),
+    pair AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             COUNT(*) AS c_ab
+      FROM basket a
+      JOIN basket b ON b.user_id = a.user_id AND b.day = a.day
+                   AND b.event_type > a.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           CAST(p.c_ab AS BIGINT) AS n_cobaskets,
+           CAST(ia.c AS BIGINT) AS n_a,
+           CAST(ib.c AS BIGINT) AS n_b,
+           CAST(p.c_ab AS DOUBLE) / t.n_baskets AS support,
+           (CAST(p.c_ab AS DOUBLE) / t.n_baskets)
+             / ((CAST(ia.c AS DOUBLE) / t.n_baskets)
+                * (CAST(ib.c AS DOUBLE) / t.n_baskets)) AS lift
+    FROM pair p
+    JOIN item ia ON ia.event_type = p.type_a
+    JOIN item ib ON ib.event_type = p.type_b, nb t
+    """,
+    doc="a41 (ext.): event-type co-occurrence — support and lift of "
+    "every type pair over (user, day) baskets, the association-rule "
+    "primitive (lift >> 1 = behaviors travel together; << 1 = "
+    "substitutes). Scale: baskets pre-aggregate to distinct (user, "
+    "day, type) rows; the pair join is within-basket on the "
+    "co-partitioned basket key with a 5-type combinatorial bound per "
+    "basket — never a cross-basket product. Exactness: integer "
+    "counts, quotients of identical doubles emitted unrounded",
+)
+def a41_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(
+        (F.unix_timestamp("ts") - F.lit(1704067200)) / F.lit(86400.0)
+    ).cast("bigint")
+    basket = ev.select(
+        "user_id", day.alias("day"), "event_type"
+    ).distinct()
+    nb = basket.select("user_id", "day").distinct().agg(
+        F.count("*").alias("n_baskets")
+    )
+    item = basket.groupBy("event_type").agg(F.count("*").alias("c"))
+    a = basket.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = basket.select("user_id", "day", F.col("event_type").alias("type_b"))
+    pair = (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("type_b") > F.col("type_a"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("c_ab"))
+    )
+    ia = item.select(
+        F.col("event_type").alias("type_a"), F.col("c").alias("n_a")
+    )
+    ib = item.select(
+        F.col("event_type").alias("type_b"), F.col("c").alias("n_b")
+    )
+    j = (
+        pair.join(F.broadcast(ia), "type_a")
+        .join(F.broadcast(ib), "type_b")
+        .crossJoin(F.broadcast(nb))
+    )
+    sup = F.col("c_ab").cast("double") / F.col("n_baskets")
+    pa = F.col("n_a").cast("double") / F.col("n_baskets")
+    pb = F.col("n_b").cast("double") / F.col("n_baskets")
+    return j.select(
+        "type_a",
+        "type_b",
+        F.col("c_ab").cast("bigint").alias("n_cobaskets"),
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        sup.alias("support"),
+        (sup / (pa * pb)).alias("lift"),
+    )

@@ -1581,3 +1581,123 @@ def w27_interevent_gap_distribution(
         F.percentile(gd, 0.9).alias("p90_gap_s"),
         F.max("gap_s").cast("bigint").alias("max_gap_s"),
     )
+
+
+# --- w29 (ext.): rolling cross-correlation between series --------------------------
+
+_W29_PAIRS = [("click", "view"), ("view", "purchase")]
+
+
+@register(
+    "w29_rolling_cross_correlation",
+    # Rolling 24h Pearson correlation BETWEEN two event types' hourly
+    # series (co-movement monitor): the series join on the hour grid,
+    # one set of shared windows produces all five rolling moments, and
+    # the correlation is closed-form on exact decimal window sums —
+    # the w06 device applied to a PAIR of series.
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    paired AS (
+      {" UNION ALL ".join(
+        f'''SELECT '{a}' AS series_a, '{b}' AS series_b, a.h,
+             a.x AS xa, b.x AS xb
+      FROM (SELECT h, x FROM hourly WHERE event_type = '{a}') a
+      JOIN (SELECT h, x FROM hourly WHERE event_type = '{b}') b
+        ON b.h = a.h'''
+        for a, b in _W29_PAIRS)}
+    ),
+    m AS (
+      SELECT series_a, series_b, h,
+             COUNT(*) OVER win AS n24,
+             CAST(SUM(CAST(xa AS DECIMAL(27,6))) OVER win AS DOUBLE) AS sa,
+             CAST(SUM(CAST(xb AS DECIMAL(27,6))) OVER win AS DOUBLE) AS sb,
+             CAST(SUM(CAST(xa*xa AS DECIMAL(27,6))) OVER win AS DOUBLE)
+               AS saa,
+             CAST(SUM(CAST(xb*xb AS DECIMAL(27,6))) OVER win AS DOUBLE)
+               AS sbb,
+             CAST(SUM(CAST(xa*xb AS DECIMAL(27,6))) OVER win AS DOUBLE)
+               AS sab
+      FROM paired
+      WINDOW win AS (PARTITION BY series_a, series_b ORDER BY h
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT series_a, series_b, CAST(h AS BIGINT) AS h,
+           CAST(n24 AS BIGINT) AS n24,
+           CASE WHEN n24 > 1
+                 AND (n24*saa - sa*sa) > 0 AND (n24*sbb - sb*sb) > 0
+                THEN (n24*sab - sa*sb)
+                     / (SQRT(n24*saa - sa*sa) * SQRT(n24*sbb - sb*sb))
+           END AS corr_24h
+    FROM m
+    """,
+    doc="w29 (ext.): rolling 24h cross-correlation between event-type "
+    "pairs' hourly series — the co-movement monitor (decoupling of "
+    "normally-correlated streams is an incident signal uni-series "
+    "monitors like w21/w25 can't see). Scale: the two series join on "
+    "the calendar-bounded hour grid; ONE window frame yields all five "
+    "rolling moments; correlation is closed-form on exact decimal "
+    "window sums (w06 device, paired). Exactness: decimal window "
+    "sums, single IEEE expression, NULL-guarded degenerate windows",
+)
+def w29_rolling_cross_correlation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..ml.analytics import _hourly_series
+
+    hourly = _hourly_series(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("x")
+    )
+    out = None
+    for a, b in _W29_PAIRS:
+        sa = hourly.filter(F.col("event_type") == a).select(
+            "h", F.col("x").alias("xa")
+        )
+        sb = hourly.filter(F.col("event_type") == b).select(
+            "h", F.col("x").alias("xb")
+        )
+        pair = sa.join(sb, "h").select(
+            F.lit(a).alias("series_a"),
+            F.lit(b).alias("series_b"),
+            "h",
+            "xa",
+            "xb",
+        )
+        out = pair if out is None else out.unionByName(pair)
+    win = (
+        W.partitionBy("series_a", "series_b")
+        .orderBy("h")
+        .rowsBetween(-23, 0)
+    )
+    dec = "decimal(27,6)"
+    xa, xb = F.col("xa"), F.col("xb")
+    m = out.select(
+        "series_a",
+        "series_b",
+        "h",
+        F.count("*").over(win).alias("n24"),
+        F.sum(xa.cast(dec)).over(win).cast("double").alias("sa"),
+        F.sum(xb.cast(dec)).over(win).cast("double").alias("sb"),
+        F.sum((xa * xa).cast(dec)).over(win).cast("double").alias("saa"),
+        F.sum((xb * xb).cast(dec)).over(win).cast("double").alias("sbb"),
+        F.sum((xa * xb).cast(dec)).over(win).cast("double").alias("sab"),
+    )
+    n = F.col("n24").cast("double")
+    va = n * F.col("saa") - F.col("sa") * F.col("sa")
+    vb = n * F.col("sbb") - F.col("sb") * F.col("sb")
+    return m.select(
+        "series_a",
+        "series_b",
+        F.col("h").cast("bigint").alias("h"),
+        F.col("n24").cast("bigint").alias("n24"),
+        F.when(
+            (F.col("n24") > 1) & (va > 0) & (vb > 0),
+            (n * F.col("sab") - F.col("sa") * F.col("sb"))
+            / (F.sqrt(va) * F.sqrt(vb)),
+        ).alias("corr_24h"),
+    )

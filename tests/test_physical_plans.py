@@ -1541,3 +1541,21 @@ def test_mix_manifest_composes_bounded_stages(spark):
     assert unbounded_global_windows(df) == []  # waterfill windows sit over agg
     plan = plan_of(df, "simple")
     assert "CartesianProduct" not in plan
+
+
+def test_cross_correlation_one_window_frame(spark):
+    """w29: all five rolling moments share one (pair, h) window frame
+    over the joined hourly grid."""
+    df = _q(spark, "w29_rolling_cross_correlation")
+    assert unbounded_global_windows(df) == []
+    plan = plan_of(df, "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_cooccurrence_within_basket_join(spark):
+    """a41: the pair join keys on the basket (user, day) — co-partitioned,
+    combinatorially bounded by the type domain; item/total attaches
+    broadcast."""
+    plan = plan_of(_q(spark, "a41_cooccurrence_pairs"), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
