@@ -105,10 +105,21 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        timings[name] = round(_best_of(lambda: fn(spark, sf_dir).count()), 3)
+    # Frozen protocol (pass A): each query twice, per-query min, summed.
+    # VERDICT r7 directive #3: raw wall swung ±17% across rounds on
+    # unchanged code, so a SECOND full back-to-back suite pass (pass B)
+    # runs after the A/B skew block, and the elementwise minima are
+    # emitted additively as queries_min2/wall_min2 — the existing
+    # fields keep their exact pass-A meaning so the historical series
+    # stays comparable; judges compare min-of-2 to min-of-2 from r8 on.
+    def _suite_pass() -> dict[str, float]:
+        out: dict[str, float] = {}
+        for name in HEADLINE:
+            fn = qs[name]
+            out[name] = round(_best_of(lambda: fn(spark, sf_dir).count()), 3)
+        return out
+
+    timings: dict[str, float] = _suite_pass()
 
     # Skew A/B: the same hot-key join without salting, with AQE skew-split
     # off (straggler baseline) then on (runtime fix). Conf toggles are
@@ -134,6 +145,14 @@ def main() -> None:
         for k, v in saved.items():
             spark.conf.set(k, v)
 
+    # Pass B: full back-to-back re-run of the headline suite; min-of-2
+    # damping per VERDICT r7 directive #3 (additive fields only).
+    pass_b = _suite_pass()
+    queries_min2 = {
+        n: round(min(timings[n], pass_b[n]), 3) for n in HEADLINE
+    }
+    wall_min2 = round(sum(queries_min2.values()), 3)
+
     total = sum(timings[n] for n in HEADLINE)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Ambient-load control (VERDICT r6 directive #4): k04_naive_nosplit is
@@ -151,6 +170,8 @@ def main() -> None:
                 "suite_over_naive_nosplit": round(
                     total / timings["k04_naive_nosplit"], 3
                 ),
+                "queries_min2": queries_min2,
+                "wall_min2": wall_min2,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -3,141 +3,52 @@ CORRECTNESS row each round.
 
 The verification driver records results for ``sorted(queries())[:50]`` —
 the first 50 registry names in alphabetical order — and nothing else.
-With 142 natural registrations, that window has been the identical
-``a01..m01`` set for three rounds, leaving the entire dashboard suite
-(q01–q16, the reference's actual user-facing queries), windows (w*),
-validation (v*), batch time-windows (t01–t04), and every LLM-data
-operator (x*) without a single driver correctness row, despite all of
-them being green on the local parity mirror (tests/test_oracle_parity.py,
-same row-count/schema/hash protocol).
-
 This module takes control of the window: it registers exactly 50
 ``a00_NN_…`` aliases (``"a00_" < "a01_"`` in string sort, so they occupy
 the whole window deterministically). Each alias shares its target's
 callable and oracle verbatim — a green alias row IS a green row for the
-underlying operator. Standing composition each round: 41 slots for
-operators that have never had a driver row, 9 retention slots so every
+underlying operator. Standing composition each round: ~42 slots for
+operators that have never had a driver row, ~8 retention slots so every
 family green in a prior round stays covered.
 
 The natural (un-aliased) names remain registered and remain covered by
-the local parity suite; README.md documents the mapping. The round-4
-window (q01–q16, v01–v06, t01–t04, x01–x07, w02/w06/w12, family reps)
-went 49/50 green in CORRECTNESS_r04.
+the local parity suite (tests/test_oracle_parity.py, same
+row-count/schema/hash protocol); README.md documents the mapping.
 
-Round-7 window (this file's DRIVER_WINDOW, per VERDICT r6 directives
-#1/#5): 46 never-windowed oracle-backed names — the first 41 of the
-round-6 ROUND7_CANDIDATES queue in their listed order, PLUS t19-t23
-pulled forward so the entire t17-t23 streaming-state family gets
-driver rows this round — and 4 retention reps (k01/o01/q05/p90). The
-10 rows-only names (m02/m03/m05, x12/x29/x54/x55/x61/x65/x68) are
-never windowed. Round-6 went 50/50 green; cumulative driver-green
-natural names before this rotation: 173/321; after a green round 7:
-219/321.
+Round-8 window (this file's DRIVER_WINDOW, per VERDICT r7 directives
+#1/#6): 42 never-windowed oracle-backed names — the first 38 of the
+round-7 ROUND8_CANDIDATES queue in their listed order, PLUS the TPC-H
+subquery/ordering shapes p13/p14/p15/o06 pulled forward per directive
+#6 (p09–p15 and o05/o06 must all go driver-green this round; p09–p12
+and o05 already sit inside the first 38) — and 8 retention reps. The
+u/p/d retention reps that lapsed in round 7 are RESTORED (u01/u03,
+p02, d01) alongside the standing k01/o01/q05/p90 coverage. The 10
+rows-only names (m02/m03/m05, x12/x29/x54/x55/x61/x65/x68) are never
+windowed. Round-7 went 50/50 green; cumulative driver-green natural
+names before this rotation: 219/377; after a green round 8: 261.
 
-Round-6 window, for the record (per VERDICT r5 directives
-#2/#3/#8): 41 never-windowed oracle-backed names — the full TRUE
-streaming family t05-t16 (availableNow replay jobs whose
-watermark/state semantics the reference only fakes), sources
-s01/s02/s04/s06/s11-s19, ML m04/m06-m08, projections/subqueries
-p02-p08 (incl. the TPC-H-shape decorrelations), set-ops u01/u03,
-w19 gap-fill interpolation, and c11 recursive CTE + c12 skipping
-manifest — plus 9 retention reps. Retention now includes
-p90_domain_pipeline (driver-tested in r4 without an oracle, the only
-name ever windowed without going green; it gained an exact DuckDB
-oracle in r5, so this is its first realistic shot at a green row —
-VERDICT r5 directive #3) and f05_json_functions (directive #8: keep
-one f-family rep standing so scalar-function regressions stay
-driver-visible). To make room the d-family rep d01_keyed_dedup drops
-out: it is a one-query family, green in r4 AND r5, and its exact-dedup
-semantics are covered by the retained x05_exact_dedup rep.
+Round-7 window, for the record (per VERDICT r6 directives #1/#5):
+46 never-windowed names — the x08–x28 MinHash/SimHash/cosine/TF-IDF/
+PII/Gopher core, x70–x89, t17–t23 (full streaming-state family), j13,
+s20, v10, m09, a30, c13, f18, a28/a29, w20 — plus 4 retention reps
+(k01/o01/q05/p90). 50/50 green in CORRECTNESS_r07.
 
-Round-8 rotation plan (once CORRECTNESS_r07 lands): fill 41 slots from
-ROUND8_CANDIDATES below in listed order, restore u/p/d retention reps
-first (they lapsed in round 7), and never window the rows-only names.
+Round-9 rotation plan (once CORRECTNESS_r08 lands): fill first-time
+slots from ROUND9_CANDIDATES below in listed order, keep the 8-rep
+retention shape, and never window the rows-only names.
 """
 
 from __future__ import annotations
 
 from .registry import register_alias
 
-# Slot order groups the never-driver-tested surfaces first (dashboard,
-# validation, batch windows, LLM-data, windows, family reps), then the
+# Slot order groups the never-driver-tested surfaces first, then the
 # retention reps for already-green families. Order within the window is
 # cosmetic — membership is what the driver records.
 DRIVER_WINDOW: list[str] = [
-    # round-7 first-time slots 1-41: the round-6 ROUND7_CANDIDATES queue
-    # in listed order, per VERDICT r6 directive #1 - the x08-x28
-    # MinHash/SimHash/cosine/TF-IDF/PII/Gopher core first, then the
-    # r5/r6 x* additions, w20, t17/t18, j13, s20, v10, m09, a30, c13,
-    # x89.
-    "f18_map_functions",
-    "a28_ordered_string_agg",
-    "a29_sample_quantile_sketch",
-    "x70_doc_disposition",
-    "x08_minhash_lsh_dedup",
-    "x09_simhash_groups",
-    "x10_bruteforce_cosine_topk",
-    "x11_cosine_near_dupes",
-    "x15_dedup_groups",
-    "x17_quantized_cosine_topk",
-    "x18_tfidf_keywords",
-    "x20_pii_scrub",
-    "x21_gopher_quality_filters",
-    "x71_boilerplate_scrub",
-    "x72_embedding_dim_stats",
-    "x73_matryoshka_topk",
-    "x74_centroid_outliers",
-    "x75_jl_projection_topk",
-    "x76_context_clip",
-    "x77_lang_mislabel",
-    "x78_quality_auc",
-    "x79_padding_waste",
-    "x80_dup_cluster_profile",
-    "x81_kappa_agreement",
-    "w20_markov_transitions",
-    "x82_kneser_ney_bigram",
-    "x83_class_balance",
-    "x84_dedup_threshold_sweep",
-    "x85_clip_survival",
-    "t17_streaming_sample_quantile",
-    "j13_pit_scd2_lookup",
-    "x86_ivf_recall_audit",
-    "x87_mutual_knn_clusters",
-    "x88_cluster_purity",
-    "s20_quoted_csv_roundtrip",
-    "v10_schema_drift",
-    "m09_naive_bayes_lang",
-    "a30_pareto_concentration",
-    "c13_partition_delta_audit",
-    "t18_stream_static_pit_join",
-    "x89_bm25_topk",
-    # slots 42-46: the remaining TRUE-streaming state maintainers
-    # t19-t23, pulled forward per VERDICT r6 directive #5 (all of
-    # t17-t23 must get driver rows this round) - also first-time names.
-    "t19_stream_weighted_reservoir",
-    "t20_streaming_countmin",
-    "t21_streaming_ri_monitor",
-    "t22_streaming_stats_manifest",
-    "t23_streaming_bloom_state",
-    # slots 47-50: retention reps. The 46 first-time slots already cover
-    # families a/c/f/j/m/s/t/v/w/x, so the reps keep k, o, q and the
-    # flagship p90 driver-visible. Families u, p and d lapse for ONE
-    # round (u01/u03, p02-p08, d01 all hold prior-round green rows;
-    # directive #5 outranks their retention this round).
-    "k01_salted_skew_agg",
-    "o01_topk_orders",
-    "q05_district_performance",
-    "p90_domain_pipeline",
-]
-
-assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
-
-# Round-8 rotation candidates, in priority order: the 45 oracle-backed
-# natural names that have never had a driver row after the round-7
-# window above (91 queued at end of r6, minus the 46 windowed). Kept as
-# data so tests/test_oracle_parity.py can assert every name exists and
-# is oracle-backed BEFORE the round-8 edit happens.
-ROUND8_CANDIDATES: list[str] = [
+    # round-8 first-time slots 1-38: the round-7 ROUND8_CANDIDATES queue
+    # in listed order (w21..s23) — includes p09-p12 and o05 per VERDICT
+    # r7 directive #6.
     "w21_cusum_drift",
     "x91_retrieval_metrics",
     "a31_theil_sen_trend",
@@ -176,6 +87,35 @@ ROUND8_CANDIDATES: list[str] = [
     "a36_winsorized_stats",
     "s22_compression_codecs",
     "s23_rowgroup_tuning",
+    # slots 39-42: p13/p14/p15/o06 pulled forward per VERDICT r7
+    # directive #6 (the TPC-H decorrelation family must complete its
+    # driver attestation this round) - also first-time names.
+    "p13_q02_shape",
+    "p14_q13_shape",
+    "p15_q16_shape",
+    "o06_nucleus_cover",
+    # slots 43-50: retention reps. u01/u03, p02 and d01 RESTORED after
+    # their one-round lapse (VERDICT r7 directive #1); k/o/q/p90 keep
+    # their standing coverage.
+    "u01_union_by_name",
+    "u03_multiset_ops",
+    "p02_case_when_bands",
+    "d01_keyed_dedup",
+    "k01_salted_skew_agg",
+    "o01_topk_orders",
+    "q05_district_performance",
+    "p90_domain_pipeline",
+]
+
+assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
+
+# Round-9 rotation candidates, in priority order: the 59 oracle-backed
+# natural names that have never had a driver row after the round-8
+# window above (101 queued at end of r7, minus the 42 windowed), plus
+# round-8 additions appended as they land. Kept as data so
+# tests/test_oracle_parity.py can assert every name exists and is
+# oracle-backed BEFORE the round-9 edit happens.
+ROUND9_CANDIDATES: list[str] = [
     "x100_stable_docid_assignment",
     "w24_activity_streaks",
     "c15_scd3_previous_value",
@@ -183,8 +123,6 @@ ROUND8_CANDIDATES: list[str] = [
     "c16_forget_user",
     "x101_hapax_density",
     "v14_column_profile",
-    # round-7 additions (all exact-oracle)
-    "p13_q02_shape",
     "a37_spearman_corr",
     "a38_chisq_independence",
     "v15_fd_discovery",
@@ -197,7 +135,6 @@ ROUND8_CANDIDATES: list[str] = [
     "x104_psi_drift",
     "x105_triangle_count",
     "t24_streaming_ab_monitor",
-    "p14_q13_shape",
     "x106_vocab_coverage_curve",
     "x107_lsh_scurve_planner",
     "w26_rolling_higher_moments",
@@ -224,13 +161,11 @@ ROUND8_CANDIDATES: list[str] = [
     "x117_shard_manifest",
     "m24_hw_backtest",
     "k07_shuffle_hash_join",
-    "p15_q16_shape",
     "s24_csv_dialect_matrix",
     "x118_dedup_idempotence",
     "f21_binary_codecs",
     "m25_decomposition_strength",
     "x119_mmr_diversity_rerank",
-    "o06_nucleus_cover",
     "x120_cluster_term_labels",
     "c17_versioned_snapshot_read",
     "x121_decontam_ngram_sweep",

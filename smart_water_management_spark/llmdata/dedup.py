@@ -1194,7 +1194,7 @@ def _x107_oracle() -> str:
             f"SELECT {b} AS bands, {r} AS rws, j, 1 - ({qb}) AS p_candidate "
             f"FROM grid"
         )
-        union = "\n      UNION ALL ".join(rows)
+    union = "\n      UNION ALL ".join(rows)
     grid = ", ".join(f"(CAST({j} AS DOUBLE))" for j in _X107_GRID)
     return f"""
     WITH grid AS (SELECT j FROM (VALUES {grid}) AS g(j))

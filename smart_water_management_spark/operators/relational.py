@@ -1153,10 +1153,12 @@ def p14_q13_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY p.p_brand, p.p_size
     """,
     doc="p15 (ext.): TPC-H Q16 shape — distinct-supplier counts per "
-    "(brand, size) with a NOT IN supplier blocklist. Spark plans the "
-    "NOT IN as a null-aware anti join (broadcast: the blocklist is "
-    "dimension-sized) and the count-distinct as a two-phase "
-    "aggregate. Completes the TPC-H subquery-shape set (Q2/Q11/Q13/"
+    "(brand, size) with a NOT IN supplier blocklist. The NOT IN is "
+    "hand-decorrelated into a plain broadcast LEFT ANTI join (valid "
+    "because s_suppkey is a non-nullable key column, so the NOT IN "
+    "null semantics cannot diverge; the LeftAnti plan shape is "
+    "asserted in test_q16_shape_null_aware_anti_broadcast) and the "
+    "count-distinct is a two-phase aggregate. Completes the TPC-H subquery-shape set (Q2/Q11/Q13/"
     "Q15/Q17/Q20/Q21/Q22 already covered). Scale: one fact scan, "
     "blocklist broadcast anti join, part dim broadcast, partial "
     "distinct aggregation before the (brand,size) shuffle",

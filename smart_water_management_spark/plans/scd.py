@@ -693,6 +693,14 @@ def c17_versioned_snapshot_read(
         .otherwise(F.col("o_totalprice"))
         .alias("o_totalprice"),
     ).withColumn("version", F.lit(1))
+    # Marker-gated single-writer memoization: the fixture content is a
+    # pure function of (sf_dir, the two version transforms above), so a
+    # directory carrying _SUCCESS_V1 is valid iff it was produced by
+    # this exact code path. Test processes run this single-process (the
+    # parity suite and the driver both serialize queries), so there is
+    # no concurrent overwrite-then-mark race to defend against here;
+    # a concurrent-writer deployment would need a content-keyed scratch
+    # path (or an always-rewrite policy like s24's).
     if not os.path.exists(marker):
         v0_src.unionByName(v1_src).write.mode("overwrite").partitionBy(
             "version"

@@ -1045,6 +1045,179 @@ def unbounded_global_windows(df) -> list[str]:
     return bad
 
 
+# ---- low-cardinality partitionBy audit (VERDICT r7 directive #2) ----
+# A Window whose partitionSpec is non-empty but whose keys are ALL
+# fixed-cardinality catalog enums (or literals) caps parallelism at the
+# enum's NDV no matter the cluster size — over unreduced data that is
+# the o05-shape smell the empty-spec audit cannot see. NDVs here are
+# generator-fixed and SF-independent.
+_LOW_NDV_CATALOG_COLUMNS = {
+    "event_type",       # events: 5 values
+    "lang",             # documents: 5 values
+    "source",           # documents: 20 values
+    "label",            # embeddings: small fixed label set
+    "o_orderstatus",    # orders: 3 values
+    "o_orderpriority",  # orders: 5 values
+    "l_returnflag",     # lineitem: 3 values
+    "l_linestatus",     # lineitem: 2 values
+    "c_mktsegment",     # customer: 5 values
+    "p_brand",          # part: ~25 values
+}
+
+# name -> why a low-NDV-partitioned window over a plan-unreduced subtree
+# is the right call anyway (same justify-or-fix contract as
+# _GLOBAL_WINDOW_EXCEPTIONS; every entry must keep reproducing a hit or
+# the anti-rot test deletes it). Common thread: EXACT per-enum-group
+# ORDERED semantics (medians, Lorenz ranks, systematic samples, CUSUM,
+# packing) genuinely require one ordered pass per group — the scale
+# path is the cited sketch/bucketed twin, not a different plan for the
+# exact query.
+_LOW_NDV_WINDOW_EXCEPTIONS: dict[str, str] = {
+    "a26_weighted_median": "exact weighted median = ordered prefix-weight "
+    "scan per l_returnflag class (the query's grain); mergeable scale "
+    "twin is the a29 sample-quantile sketch",
+    "a28_ordered_string_agg": "deterministic string_agg concat order IS "
+    "the semantics; one ordered pass per 15-cell (priority,status) "
+    "grid, output one row per cell",
+    "a33_gini_concentration": "Gini needs the exact Lorenz ranking "
+    "(rank-weighted cum-sum) per source; sketch twin: quantile-based "
+    "Lorenz approximation (a29/v16 family)",
+    "t17_streaming_sample_quantile": "windows run over the materialized "
+    "reservoir STATE table, bounded at sample capacity per event_type "
+    "by construction (t19's precedent)",
+    "t26_streaming_changepoint": "windows run over the per-(type,hour) "
+    "aggregated state table — bounded by the hour grid, just not "
+    "plan-visible through the state scan",
+    "w10_topk_per_group": "bundles ntile(4) quartiles with the ranks in "
+    "ONE window — ntile needs the full group, which blocks "
+    "WindowGroupLimit; plain top-k at scale is o01/WindowGroupLimit",
+    "w13_time_weighted_avg": "trapezoidal TWA lags over each type's "
+    "full irregular timeline; segment-and-stitch per (type,day) is the "
+    "documented scale variant",
+    "w14_ntile_deciles": "exact deciles per type = full-group sort by "
+    "definition; approx_percentile/a29 is the scale twin",
+    "w16_rank_distributions": "percent_rank needs exact group size and "
+    "position; same exact-order class as w14",
+    "w21_cusum_drift": "CUSUM is an inherently sequential prefix scan "
+    "per type; the bounded-state streaming twin is t26",
+    "x117_shard_manifest": "greedy shard packing is a sequential "
+    "running-capacity fold per source (webdataset semantics); at scale "
+    "pack per (source,date) shard-group",
+    "x47_source_cap_sample": "deterministic per-source systematic "
+    "sample needs stable md5-ordered positions; x100's hash-bucket "
+    "assignment is the scalable twin",
+    "x53_pps_sample": "systematic PPS sampling walks the per-lang "
+    "cumulative-weight prefix in one ordered pass; bucketed "
+    "subtotal+offset stitching is the scale variant",
+    "x56_ppl_buckets": "ntile(3) perplexity buckets per lang — exact "
+    "tertiles need the full group (w14's class)",
+    "x79_padding_waste": "row_number pairing per source simulates "
+    "sequential batch packing — order is the semantics",
+}
+
+
+def low_ndv_partitioned_windows(df) -> list[str]:
+    """Window nodes whose partition keys are ALL literals or known
+    low-NDV catalog enums AND whose input subtree is not reduced before
+    any scan. A single high-NDV key in the spec clears the node (the
+    enum then only sub-partitions an already-parallel shuffle)."""
+    bad: list[str] = []
+
+    def _spec_exprs(node):
+        spec = node.partitionSpec()
+        return [spec.apply(i) for i in range(spec.length())]
+
+    def _is_low_ndv(expr) -> bool:
+        cls = expr.getClass().getSimpleName()
+        if cls == "Literal":
+            return True
+        if cls == "AttributeReference":
+            return expr.name() in _LOW_NDV_CATALOG_COLUMNS
+        # derived expressions (hash buckets, concat keys, ...) — assume
+        # high-NDV; the empty-spec audit still covers degenerate cases
+        return False
+
+    def walk(node):
+        if _lp_cls(node) == "Window":
+            exprs = _spec_exprs(node)
+            if exprs and all(_is_low_ndv(e) for e in exprs):
+                if _subtree_unreduced(_lp_children(node)[0]):
+                    bad.append(str(node.simpleString(80))[:120])
+        for k in _lp_children(node):
+            walk(k)
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return bad
+
+
+def test_low_ndv_helper_catches_synthetic_regression(spark):
+    """The helper must flag partitionBy(<5-value enum>) and
+    partitionBy(lit) over a raw scan, and must NOT flag the same window
+    once a high-NDV key joins the spec or an aggregate reduces the
+    input — the exact blind spot VERDICT r7 named."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from smart_water_management_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+
+    flagged = ev.withColumn(
+        "rn", F.row_number().over(W.partitionBy("event_type").orderBy("ts"))
+    )
+    assert low_ndv_partitioned_windows(flagged), "enum partitionBy missed"
+
+    # Catalyst FOLDS a constant partition key away entirely, leaving an
+    # empty partitionSpec — so partitionBy(lit) lands in the original
+    # global-window audit, and the two helpers together close the hole.
+    lit_flagged = ev.withColumn(
+        "rn", F.row_number().over(W.partitionBy(F.lit(1)).orderBy("ts"))
+    )
+    assert (
+        low_ndv_partitioned_windows(lit_flagged)
+        or unbounded_global_windows(lit_flagged)
+    ), "literal partitionBy missed by both audits"
+
+    ok_high_ndv = ev.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("event_type", "user_id").orderBy("ts")
+        ),
+    )
+    assert low_ndv_partitioned_windows(ok_high_ndv) == []
+
+    reduced = (
+        ev.groupBy("event_type", F.hour("ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .withColumn(
+            "rn", F.row_number().over(W.partitionBy("event_type").orderBy("h"))
+        )
+    )
+    assert low_ndv_partitioned_windows(reduced) == []
+
+
+def test_no_low_ndv_partition_window_anywhere(spark):
+    """Registry-wide: no query may partition a window over unreduced
+    data by enum-cardinality keys alone (parallelism would be capped at
+    the enum NDV on any cluster)."""
+    violations = {}
+    for name in sorted(n for n, s in _REGISTRY.items() if s.alias_of is None):
+        if name in _LOW_NDV_WINDOW_EXCEPTIONS:
+            continue
+        df = _REGISTRY[name].fn(spark, SF_DIR)
+        bad = low_ndv_partitioned_windows(df)
+        if bad:
+            violations[name] = bad
+    assert not violations, violations
+
+
+def test_low_ndv_window_exceptions_still_needed(spark):
+    """Anti-rot: every allowlist entry must still reproduce a hit."""
+    for name in _LOW_NDV_WINDOW_EXCEPTIONS:
+        df = _REGISTRY[name].fn(spark, SF_DIR)
+        assert low_ndv_partitioned_windows(df), f"stale exception: {name}"
+
+
 def test_no_unbounded_global_window_anywhere(spark):
     """Registry-wide: no query may single-task-sort unreduced data.
     (One sweep, all violations reported together; ~the cost of building
