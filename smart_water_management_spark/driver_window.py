@@ -175,6 +175,20 @@ ROUND9_CANDIDATES: list[str] = [
     "x122_training_mix_manifest",
     "w29_rolling_cross_correlation",
     "a41_cooccurrence_pairs",
+    # round-8 additions (all exact-oracle; x123 is rows-only and is
+    # NEVER windowed — it joins the m02-class invariant-tested set)
+    "x124_png_metadata_audit",
+    "x125_wav_fingerprint_dedup",
+    "x126_caption_image_consistency",
+    "a42_kendall_tau",
+    "x127_embedding_mmd_matrix",
+    "x128_quality_signal_bundle",
+    "x129_contamination_matrix",
+    "t28_streaming_mmd_monitor",
+    "m27_diebold_mariano",
+    "x130_hybrid_rrf_fusion",
+    "w30_rolling_window_quantiles",
+    "p16_q04_shape",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

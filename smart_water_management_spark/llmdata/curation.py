@@ -3235,3 +3235,131 @@ def x121_decontam_ngram_sweep(
             ).alias("contaminated_frac"),
         )
     )
+
+
+# --- x129: cross-source contamination containment matrix -----------------------------
+
+_X129_N = 8  # gram size: the production decontamination default
+
+
+@register(
+    "x129_contamination_matrix",
+    # The source x source generalization of x121's split screen: for
+    # every ORDERED pair (train source a, eval source b != a), how many
+    # of b's docs share at least one 8-token run with ANY doc of a.
+    # One gram-hash equi-join computes every pair at once (the join
+    # output carries (train_source, eval_doc) pairs); the 20x20 grid
+    # attaches by broadcast so zero-hit pairs still emit rows.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, source,
+             unnest(list_transform(
+               range(0, greatest(len(tk) - {_X129_N - 1}, 0)),
+               i -> md5(array_to_string(tk[i+1:i+{_X129_N}], ' ')))) AS g
+      FROM toks
+    ),
+    train AS (SELECT DISTINCT source, g FROM grams),
+    hits AS (
+      SELECT DISTINCT t.source AS train_source,
+             e.source AS eval_source, e.doc_id
+      FROM grams e JOIN train t
+        ON t.g = e.g AND t.source <> e.source
+    ),
+    hit_counts AS (
+      SELECT train_source, eval_source, COUNT(*) AS n_contaminated
+      FROM hits GROUP BY 1, 2
+    ),
+    src AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+    SELECT a.source AS train_source, b.source AS eval_source,
+           CAST(b.n_docs AS BIGINT) AS n_eval_docs,
+           CAST(COALESCE(h.n_contaminated, 0) AS BIGINT)
+             AS n_contaminated,
+           CAST(COALESCE(h.n_contaminated, 0) AS DOUBLE) / b.n_docs
+             AS contaminated_frac
+    FROM src a JOIN src b ON a.source <> b.source
+    LEFT JOIN hit_counts h
+      ON h.train_source = a.source AND h.eval_source = b.source
+    """,
+    doc=f"x129: cross-source contamination matrix — for every ordered "
+    f"source pair, the fraction of the eval source's docs sharing at "
+    f"least one {_X129_N}-token run with any doc of the train source "
+    "(x121 tunes the n knob on one split; x129 maps WHERE the "
+    "contamination lives, the matrix a data-governance review reads "
+    "before declaring eval sets clean). Scale: ONE md5-gram "
+    "equi-join computes all pairs simultaneously — hash-partitioned "
+    "on the gram, never per-pair rescans; the source grid attach is "
+    "a broadcast over |sources|^2 rows. Exactness: md5 gram hashes, "
+    "DISTINCT-ed integer counts, one IEEE quotient per row",
+)
+def x129_contamination_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower("text"), " ").alias("tk")
+    )
+    n = _X129_N
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.size("tk") - (n - 1), F.lit(0)) - 1,
+                ),
+                lambda i: F.md5(
+                    F.concat_ws(" ", F.slice(F.col("tk"), i + 1, n))
+                ),
+            )
+        ).alias("g"),
+    ).distinct()
+    train = grams.select("source", "g").distinct()
+    hits = (
+        grams.alias("e")
+        .join(
+            train.alias("t"),
+            (F.col("t.g") == F.col("e.g"))
+            & (F.col("t.source") != F.col("e.source")),
+        )
+        .select(
+            F.col("t.source").alias("train_source"),
+            F.col("e.source").alias("eval_source"),
+            F.col("e.doc_id").alias("doc_id"),
+        )
+        .distinct()
+        .groupBy("train_source", "eval_source")
+        .agg(F.count("*").alias("n_contaminated"))
+    )
+    src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    grid = (
+        src.select(F.col("source").alias("train_source"))
+        .crossJoin(
+            F.broadcast(
+                src.select(
+                    F.col("source").alias("eval_source"),
+                    F.col("n_docs").alias("n_eval_docs"),
+                )
+            )
+        )
+        .filter(F.col("train_source") != F.col("eval_source"))
+    )
+    return (
+        grid.join(hits, ["train_source", "eval_source"], "left")
+        .select(
+            "train_source",
+            "eval_source",
+            F.col("n_eval_docs").cast("bigint").alias("n_eval_docs"),
+            F.coalesce("n_contaminated", F.lit(0))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0)).cast("double")
+                / F.col("n_eval_docs")
+            ).alias("contaminated_frac"),
+        )
+    )

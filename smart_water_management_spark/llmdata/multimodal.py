@@ -599,3 +599,460 @@ def x117_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("first_doc"),
         F.max("doc_id").cast("bigint").alias("last_doc"),
     )
+
+
+# --- x124-x126: deep multimodal audits (VERDICT r7 directive #5) --------------------
+#
+# All three build REAL container files (PNG via the vendored codec,
+# RIFF/WAV via the stdlib wave module) from deterministic pixel/sample
+# streams derived from documents.text, push them through genuine binary
+# decode stages (header walk + CRC + full pixel/sample reconstruction),
+# and emit fields an engine that never saw the binary column can
+# re-derive from the source text — so the entire encode->bytes->decode
+# round trip is exact-oracle-checked, not just smoke-run.
+
+_X126_CORRUPT_MOD = 13  # every 13th pairing gets a truncated image
+
+
+def _png_payloads(docs: DataFrame, corrupt_mod: int | None = None) -> DataFrame:
+    """Deterministic grayscale PNG per document: pixels are the ASCII
+    byte stream of the text, width 8 + doc_id % 9, zero-padded to the
+    last row; ``corrupt_mod`` truncates every corrupt_mod-th doc's
+    pixels to the first half (the planted caption<->image mismatch for
+    x126). Returns (doc_id, payload) with real encoded PNG bytes."""
+
+    def build(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from . import png_codec
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                if corrupt_mod is not None and doc_id % corrupt_mod == 0:
+                    data = data[: len(data) // 2]
+                w = 8 + int(doc_id) % 9
+                h = max(1, -(-len(data) // w))
+                data = data + bytes(w * h - len(data))
+                payloads.append(png_codec.encode_png_gray(w, h, data))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+
+_PNG_AUDIT_SCHEMA = (
+    "doc_id long, width long, height long, bit_depth long, "
+    "color_type long, ihdr_crc_ok boolean, n_chunks long, px_sum long"
+)
+
+
+def _parse_png_header(payload: bytes):
+    """Walk the real chunk stream: signature, IHDR fields, per-chunk CRC
+    of IHDR, chunk count. Pure stdlib (struct + zlib.crc32)."""
+    import struct
+    import zlib
+
+    from . import png_codec
+
+    assert payload[:8] == png_codec.PNG_SIG
+    off = 8
+    n_chunks = 0
+    width = height = bit_depth = color_type = -1
+    crc_ok = False
+    while off < len(payload):
+        (clen,) = struct.unpack(">I", payload[off : off + 4])
+        ctype = payload[off + 4 : off + 8]
+        body = payload[off + 8 : off + 8 + clen]
+        (crc,) = struct.unpack(
+            ">I", payload[off + 8 + clen : off + 12 + clen]
+        )
+        if ctype == b"IHDR":
+            width, height, bit_depth, color_type = struct.unpack(
+                ">IIBB", body[:10]
+            )
+            crc_ok = zlib.crc32(ctype + body) == crc
+        n_chunks += 1
+        off += 12 + clen
+    return width, height, bit_depth, color_type, crc_ok, n_chunks
+
+
+@register(
+    "x124_png_metadata_audit",
+    # Every emitted field is a pure function of (n_chars, doc_id):
+    # width = 8 + doc_id % 9, height = ceil(n_chars / width), fixed
+    # 8-bit grayscale, 3 chunks (IHDR/IDAT/IEND), CRC always valid for
+    # a correct encoder, pixel sum = sum of the text's byte codes
+    # (zero padding adds nothing). The Spark side derives them all
+    # from the DECODED BYTES, the oracle from the source text — any
+    # encoder/decoder/CRC disagreement breaks the hash match.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, n_chars AS n,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w
+      FROM documents
+    ),
+    px AS (
+      SELECT d.doc_id,
+             CAST(SUM(ascii(substr(d.text, CAST(u.pos AS INT), 1)))
+                  AS BIGINT) AS px_sum
+      FROM documents d,
+           (SELECT doc_id, unnest(range(1, n_chars + 1)) AS pos
+            FROM documents) u
+      WHERE u.doc_id = d.doc_id
+      GROUP BY d.doc_id
+    )
+    SELECT b.doc_id,
+           b.w AS width,
+           GREATEST(1, CAST(FLOOR((b.n + b.w - 1) / b.w) AS BIGINT))
+             AS height,
+           CAST(8 AS BIGINT) AS bit_depth,
+           CAST(0 AS BIGINT) AS color_type,
+           TRUE AS ihdr_crc_ok,
+           CAST(3 AS BIGINT) AS n_chunks,
+           px.px_sum
+    FROM base b JOIN px USING (doc_id)
+    """,
+    doc="x124: PNG metadata audit — encode every document's byte stream "
+    "as a real grayscale PNG (vendored pure-Python codec), then a "
+    "separate Arrow-batched decode stage walks the actual chunk "
+    "stream: signature check, IHDR width/height/bit-depth/color-type, "
+    "IHDR CRC-32 verification, chunk count, and a full pixel decode "
+    "whose sum must equal the source text's byte sum. The "
+    "header-level integrity pass a multimodal ingest pipeline runs "
+    "before trusting third-party image payloads. Scale: payloads "
+    "stay inside executor Arrow batches end-to-end; decode is "
+    "embarrassingly parallel per partition. Exactness: every field "
+    "integer-derived; oracle reconstructs all of them from text",
+)
+def x124_png_metadata_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pngs = _png_payloads(docs)
+
+    def audit(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from . import png_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                w, h, depth, ctype, crc_ok, n_chunks = _parse_png_header(b)
+                dw, dh, ch, pixels = png_codec.decode_png(b)
+                assert (dw, dh) == (w, h)
+                rows.append(
+                    (
+                        int(doc_id), w, h, depth, ctype, crc_ok,
+                        n_chunks, sum(pixels),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "bit_depth",
+                    "color_type", "ihdr_crc_ok", "n_chunks", "px_sum",
+                ],
+            )
+
+    return pngs.mapInPandas(audit, _PNG_AUDIT_SCHEMA)
+
+
+_X125_BLOCKS = 32  # fingerprint bits (coarser than x67's 64: audio frames)
+
+
+@register(
+    "x125_wav_fingerprint_dedup",
+    # Samples are the text's byte codes (8-bit unsigned PCM), so the
+    # 32-bit average-energy fingerprint is reproducible in SQL with
+    # x67's integer cross-multiply device over ascii codes — but HERE
+    # the Spark side computes it from samples decoded out of a real
+    # RIFF/WAV container (stdlib wave roundtrip), so container
+    # framing, sample width and frame count are all under test.
+    oracle=f"""
+    WITH bytes AS (
+      SELECT doc_id, n_chars AS n,
+             unnest(range(1, n_chars + 1)) AS pos
+      FROM documents
+    ),
+    coded AS (
+      SELECT b.doc_id, b.n, b.pos,
+             ascii(substr(d.text, CAST(b.pos AS INT), 1)) AS code,
+             CAST(FLOOR((b.pos - 1) * {_X125_BLOCKS} / b.n) AS BIGINT)
+               AS blk
+      FROM bytes b JOIN documents d USING (doc_id)
+    ),
+    blocks AS (
+      SELECT doc_id, blk,
+             CAST(SUM(code) AS BIGINT) AS bsum,
+             COUNT(*) AS bcnt
+      FROM coded GROUP BY doc_id, blk
+    ),
+    all_blocks AS (
+      SELECT d.doc_id, unnest(range(0, {_X125_BLOCKS})) AS blk
+      FROM documents d
+    ),
+    filled AS (
+      SELECT a.doc_id, a.blk,
+             COALESCE(b.bsum, 0) AS bsum,
+             COALESCE(b.bcnt, 0) AS bcnt
+      FROM all_blocks a LEFT JOIN blocks b
+        ON a.doc_id = b.doc_id AND a.blk = b.blk
+    ),
+    totals AS (
+      SELECT doc_id, CAST(SUM(bsum) AS BIGINT) AS tsum,
+             CAST(SUM(bcnt) AS BIGINT) AS tcnt
+      FROM filled GROUP BY doc_id
+    ),
+    fp AS (
+      SELECT f.doc_id,
+             string_agg(
+               CASE WHEN bsum * tcnt > tsum * bcnt THEN '1' ELSE '0' END,
+               '' ORDER BY blk) AS wav_fp
+      FROM filled f JOIN totals t USING (doc_id)
+      GROUP BY f.doc_id
+    )
+    SELECT fp.doc_id, fp.wav_fp,
+           CAST(d.n_chars AS BIGINT) AS n_frames,
+           COUNT(*) OVER (PARTITION BY fp.wav_fp) AS n_same_fp,
+           fp.doc_id = MIN(fp.doc_id) OVER (PARTITION BY fp.wav_fp)
+             AS is_canonical
+    FROM fp JOIN documents d USING (doc_id)
+    """,
+    doc=f"x125: WAV fingerprint dedup — write every document's byte "
+    "stream as a real 8-bit PCM RIFF/WAV file (stdlib wave module), "
+    "decode it back in a separate Arrow stage (container framing, "
+    f"sample width and frame count verified), fold the samples into "
+    f"a {_X125_BLOCKS}-bit average-energy fingerprint (x67's exact "
+    "integer cross-multiply device, coarser blocks), and group by "
+    "fingerprint to find duplicate audio: per row the group size and "
+    "whether this doc is the canonical (min doc_id) copy — the "
+    "audio-dedup step of a multimodal curation pipeline. Scale: "
+    "fingerprints bucket the corpus exactly like x67; no pairwise "
+    "compare; decode is per-partition parallel. Exactness: planted "
+    "duplicate texts produce byte-identical WAVs, hence equal "
+    "fingerprints, on both engines",
+)
+def x125_wav_fingerprint_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def build(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                buf = io.BytesIO()
+                wf = wave.open(buf, "wb")
+                wf.setnchannels(1)
+                wf.setsampwidth(1)
+                wf.setframerate(8000)
+                wf.writeframes(text.encode("utf-8"))
+                wf.close()
+                payloads.append(buf.getvalue())
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    wavs = docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+    def fingerprint(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                wf = wave.open(io.BytesIO(bytes(payload)))
+                assert wf.getsampwidth() == 1 and wf.getnchannels() == 1
+                n = wf.getnframes()
+                arr = np.frombuffer(
+                    wf.readframes(n), dtype=np.uint8
+                ).astype(np.int64)
+                blk = (np.arange(n) * _X125_BLOCKS) // n
+                bsum = np.bincount(
+                    blk, weights=arr, minlength=_X125_BLOCKS
+                ).astype(np.int64)
+                bcnt = np.bincount(blk, minlength=_X125_BLOCKS).astype(
+                    np.int64
+                )
+                tsum, tcnt = int(arr.sum()), n
+                bits = (bsum * tcnt) > (tsum * bcnt)
+                rows.append(
+                    (
+                        int(doc_id),
+                        "".join("1" if b else "0" for b in bits),
+                        n,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "wav_fp", "n_frames"]
+            )
+
+    fp = wavs.mapInPandas(
+        fingerprint, "doc_id long, wav_fp string, n_frames long"
+    )
+    wfp = W.partitionBy("wav_fp")
+    return fp.select(
+        "doc_id",
+        "wav_fp",
+        "n_frames",
+        F.count("*").over(wfp).alias("n_same_fp"),
+        (F.col("doc_id") == F.min("doc_id").over(wfp)).alias(
+            "is_canonical"
+        ),
+    )
+
+
+@register(
+    "x126_caption_image_consistency",
+    # The pairing audit: captions (documents.text) vs their image
+    # payloads, where every 13th image was built from a TRUNCATED
+    # pixel stream. Consistency = decoded height and pixel sum match
+    # what the caption predicts; the oracle recomputes both sides of
+    # the comparison from text arithmetic alone.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, n_chars AS n,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w,
+             CASE WHEN doc_id % {_X126_CORRUPT_MOD} = 0
+                  THEN CAST(FLOOR(n_chars / 2.0) AS BIGINT)
+                  ELSE CAST(n_chars AS BIGINT) END AS n_used
+      FROM documents
+    ),
+    sums AS (
+      SELECT b.doc_id,
+             CAST(SUM(CASE WHEN u.pos <= b.n_used
+                  THEN ascii(substr(d.text, CAST(u.pos AS INT), 1))
+                  ELSE 0 END) AS BIGINT) AS actual_sum,
+             CAST(SUM(ascii(substr(d.text, CAST(u.pos AS INT), 1)))
+                  AS BIGINT) AS expected_sum
+      FROM base b
+      JOIN documents d USING (doc_id),
+           (SELECT doc_id, unnest(range(1, n_chars + 1)) AS pos
+            FROM documents) u
+      WHERE u.doc_id = b.doc_id
+      GROUP BY b.doc_id
+    )
+    SELECT b.doc_id, b.source,
+           b.w AS width,
+           GREATEST(1, CAST(FLOOR((b.n + b.w - 1) / b.w) AS BIGINT))
+             AS expected_h,
+           GREATEST(1, CAST(FLOOR((b.n_used + b.w - 1) / b.w) AS BIGINT))
+             AS actual_h,
+           GREATEST(1, CAST(FLOOR((b.n + b.w - 1) / b.w) AS BIGINT))
+             = GREATEST(1, CAST(FLOOR((b.n_used + b.w - 1) / b.w)
+               AS BIGINT)) AS h_match,
+           s.expected_sum = s.actual_sum AS sum_match,
+           (GREATEST(1, CAST(FLOOR((b.n + b.w - 1) / b.w) AS BIGINT))
+             = GREATEST(1, CAST(FLOOR((b.n_used + b.w - 1) / b.w)
+               AS BIGINT)))
+             AND s.expected_sum = s.actual_sum AS pair_consistent
+    FROM base b JOIN sums s USING (doc_id)
+    """,
+    doc=f"x126: image<->caption pairing consistency audit — join every "
+    "caption to its (deliberately sometimes-corrupted: every "
+    f"{_X126_CORRUPT_MOD}th image is built from a truncated pixel "
+    "stream) PNG payload, REALLY decode the image, and flag pairs "
+    "whose decoded geometry (height) or content (pixel sum) "
+    "contradicts what the caption predicts — the text<->image "
+    "alignment gate a multimodal training pipeline runs before "
+    "admitting pairs (mismatched pairs poison contrastive "
+    "training). Scale: one hash join caption->payload on doc_id, "
+    "decode per Arrow batch, no shuffle beyond the join. Exactness: "
+    "heights and pixel sums are integers; the oracle re-derives "
+    "both the decoded truth and the caption prediction from text",
+)
+def x126_caption_image_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pngs = _png_payloads(docs, corrupt_mod=_X126_CORRUPT_MOD)
+
+    def decode(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from . import png_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, ch, pixels = png_codec.decode_png(bytes(payload))
+                rows.append((int(doc_id), w, h, sum(pixels)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "actual_h", "actual_sum"]
+            )
+
+    decoded = pngs.mapInPandas(
+        decode, "doc_id long, width long, actual_h long, actual_sum long"
+    )
+
+    caption = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").alias("n"),
+        (F.lit(8) + F.col("doc_id") % 9).cast("bigint").alias("w"),
+    )
+    # caption-predicted content: byte sum of the FULL text, computed
+    # JVM-side (split to chars -> ascii -> fold), never touching the
+    # binary column
+    exp_sum = docs.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(
+                F.split(F.col("text"), ""),
+                lambda c: F.when(F.length(c) > 0, F.ascii(c)).otherwise(
+                    F.lit(0)
+                ).cast("bigint"),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("expected_sum"),
+    )
+    geo = caption.select(
+        "doc_id",
+        "source",
+        "w",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor((F.col("n") + F.col("w") - 1) / F.col("w")).cast(
+                "bigint"
+            ),
+        ).alias("expected_h"),
+    )
+    out = (
+        decoded.join(geo, "doc_id")
+        .join(exp_sum, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.col("w").alias("width"),
+            "expected_h",
+            "actual_h",
+            (F.col("expected_h") == F.col("actual_h")).alias("h_match"),
+            (F.col("expected_sum") == F.col("actual_sum")).alias(
+                "sum_match"
+            ),
+            (
+                (F.col("expected_h") == F.col("actual_h"))
+                & (F.col("expected_sum") == F.col("actual_sum"))
+            ).alias("pair_consistent"),
+        )
+    )
+    return out

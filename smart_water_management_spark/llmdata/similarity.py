@@ -1207,21 +1207,14 @@ def x60_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- x65: IVF+PQ composed ANN (coarse cells + code scan + exact rerank) ------
 
 
-@register(
-    "x65_ivfpq_topk",
-    oracle=None,  # doubly approximate (cell routing + lossy codes);
-    # recall vs exact L2 asserted in tests
-    doc=f"IVF+PQ composed ANN — the standard billion-scale index shape: "
-    f"KMeans coarse cells (x12) bound WHICH rows are scanned "
-    f"(nprobe={N_PROBE} of the cell list), {PQ_M}-nibble PQ codes (x54) "
-    "bound HOW MUCH is read per row (ADC lookup tables instead of float "
-    "vectors), and an exact rerank of the bounded shortlist restores "
-    "recall. Scan cost per query ~ (corpus/n_cells)*nprobe rows x m "
-    "byte-lookups; everything distributed — broadcast centroids + LUTs, "
-    "partitioned code table, no driver materialization beyond the "
-    "bounded query set",
-)
-def x65_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivfpq_exact_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF+PQ candidate stream with exact distances: KMeans coarse
+    cells bound WHICH rows are scanned (nprobe cells per query), PQ/ADC
+    byte-lookups bound HOW MUCH is read per row, and the bounded
+    shortlist (<= PQ_RERANK rows per query) is re-scored with exact L2.
+    Shared spine of x65 (pure-relevance top-k) and x123 (ANN->MMR
+    composition, VERDICT r7 directive #4): both consume this stream
+    instead of a corpus crossJoin. Returns (qid, vec_id, l2_dist)."""
     import numpy as np
     import pandas as pd
 
@@ -1330,11 +1323,29 @@ def x65_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    exact = (
+    return (
         shortlist.join(em.select("vec_id", F.col("e").alias("ce")), "vec_id")
         .join(F.broadcast(q), "qid")
         .select("qid", "vec_id", l2.alias("l2_dist"))
     )
+
+
+@register(
+    "x65_ivfpq_topk",
+    oracle=None,  # doubly approximate (cell routing + lossy codes);
+    # recall vs exact L2 asserted in tests
+    doc=f"IVF+PQ composed ANN — the standard billion-scale index shape: "
+    f"KMeans coarse cells (x12) bound WHICH rows are scanned "
+    f"(nprobe={N_PROBE} of the cell list), {PQ_M}-nibble PQ codes (x54) "
+    "bound HOW MUCH is read per row (ADC lookup tables instead of float "
+    "vectors), and an exact rerank of the bounded shortlist restores "
+    "recall. Scan cost per query ~ (corpus/n_cells)*nprobe rows x m "
+    "byte-lookups; everything distributed — broadcast centroids + LUTs, "
+    "partitioned code table, no driver materialization beyond the "
+    "bounded query set",
+)
+def x65_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = ivfpq_exact_shortlist(spark, sf_dir)
     w = W.partitionBy("qid").orderBy(F.asc("l2_dist"), F.asc("vec_id"))
     return (
         exact.withColumn("rn", F.row_number().over(w))
@@ -2616,6 +2627,18 @@ def x119_mmr_diversity_rerank(
         .select("qid", "vec_id", "ce", "rel")
         .persist()
     )
+    return mmr_greedy_picks(cand)
+
+
+def mmr_greedy_picks(cand: DataFrame) -> DataFrame:
+    """The 3-round Carbonell-Goldstein greedy over a BOUNDED per-query
+    candidate set ``(qid, vec_id, ce, rel)`` (<= _X119_M rows per qid,
+    pre-persisted by the caller). Shared by x119 (brute-force relevance
+    candidates) and x123 (x65's IVF+PQ candidate stream) so the two
+    rerankers are provably the same selection over different candidate
+    generators. Only the bounded M x M per-query pair grid is ever
+    joined — never the corpus."""
+    w = W.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
     a = cand.select("qid", F.col("vec_id").alias("va"), F.col("ce").alias("ea"))
     b = cand.select("qid", F.col("vec_id").alias("vb"), F.col("ce").alias("eb"))
     pair = (
@@ -2692,6 +2715,52 @@ def x119_mmr_diversity_rerank(
             )
         )
     )
+
+
+# --- x123: ANN->MMR composed rerank (x65's candidate stream into x119's greedy) -----
+
+
+@register(
+    "x123_ann_mmr_rerank",
+    oracle=None,  # candidates inherit x65's KMeans cell routing
+    # (approximate); pick-level agreement vs the brute-force twin x119
+    # is asserted in tests (exact equality wherever the IVF+PQ candidate
+    # set recalled the full brute-force top-M)
+    doc=f"x123: ANN->MMR composition (VERDICT r7 directive #4) — the "
+    f"MMR diversity rerank CONSUMING x65's IVF+PQ candidate stream "
+    f"instead of x119's brute-force corpus crossJoin: IVF cells bound "
+    f"which rows are scanned, PQ/ADC bounds bytes per row, the exact-"
+    f"rerank shortlist (<= {PQ_RERANK}/query) is re-scored with exact "
+    f"cosine relevance, cut to the top-{_X119_M} candidates, and fed "
+    "through the SAME shared 3-round greedy (mmr_greedy_picks) as "
+    "x119 — so at 100 TB the rerank rides the index, never the "
+    "corpus. Wherever the candidate stream recalls the brute-force "
+    "top-M, the picks are byte-identical to x119 by construction "
+    "(same greedy, same candidates); the recall-conditioned agreement "
+    "is pinned in tests/test_llmdata.py",
+)
+def x123_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    shortlist = ivfpq_exact_shortlist(spark, sf_dir).select("qid", "vec_id")
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), _dbl("embedding").alias("qe")
+    )
+    c = em.select("vec_id", _dbl("embedding").alias("ce"))
+    scored = (
+        shortlist.join(c, "vec_id")
+        .join(F.broadcast(q), "qid")
+        .select(
+            "qid", "vec_id", "ce", cosine(F.col("qe"), F.col("ce")).alias("rel")
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
+    cand = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _X119_M)
+        .select("qid", "vec_id", "ce", "rel")
+        .persist()
+    )
+    return mmr_greedy_picks(cand)
 
 
 # --- x120: cluster term labels (characteristic terms per kNN cluster) ---------------
@@ -2825,5 +2894,295 @@ def x120_cluster_term_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             F.col("c_in").cast("bigint").alias("c_in"),
             "lift",
+        )
+    )
+
+
+# --- x127: linear-MMD embedding drift matrix between label groups -------------------
+
+
+def _x127_oracle() -> str:
+    return f"""
+    WITH dims AS (
+      SELECT label, u.d AS d,
+             CAST(floor(u.e * {_MICRO}.0) AS BIGINT) AS q
+      FROM (SELECT label,
+                   unnest(list_transform(range(0, len(embedding)),
+                     i -> {{'d': i, 'e': CAST(embedding[i+1] AS DOUBLE)}}))
+                     AS u
+            FROM embeddings)
+    ),
+    gs AS (
+      SELECT label, d, CAST(SUM(q) AS BIGINT) AS s, COUNT(*) AS c
+      FROM dims GROUP BY label, d
+    ),
+    arr AS (
+      SELECT label, list(s ORDER BY d) AS sv, MAX(c) AS n
+      FROM gs GROUP BY label
+    )
+    SELECT a.label AS label_a, b.label AS label_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           ROUND(list_reduce(
+             list_concat([CAST(0 AS DOUBLE)],
+               list_transform(range(1, len(a.sv) + 1),
+                 i -> (CAST(a.sv[i] AS DOUBLE) / a.n
+                       - CAST(b.sv[i] AS DOUBLE) / b.n) / {_MICRO}.0)),
+             (acc, x) -> acc + x * x), 9) AS mmd2
+    FROM arr a JOIN arr b ON a.label < b.label
+    """
+
+
+@register(
+    "x127_embedding_mmd_matrix",
+    # Linear-kernel MMD^2 between two groups is just the squared
+    # distance of their mean embeddings — the cheapest distribution-
+    # shift test over embedding space. Exactness: per-(label, dim)
+    # integer micro-sums (x72's floor device) make both means exact
+    # rationals; the 64 per-dim mean-diff squares are folded in DIM
+    # ORDER (Spark F.aggregate == DuckDB list_reduce with a 0.0 seed),
+    # so every double op is order-pinned and engine-identical; one
+    # 9-dp round at the end.
+    oracle=_x127_oracle(),
+    doc="x127: linear-MMD embedding drift matrix — squared mean-"
+    "embedding distance between every pair of label groups, the "
+    "O(n) distribution-shift screen run before mixing corpora or "
+    "after re-embedding (a large MMD between shards that should be "
+    "iid flags encoder or pipeline drift). Scale: one posexplode -> "
+    "(label, dim) integer aggregate (word-count shape, 640 reducer "
+    "keys), then a label x label broadcast self-join that is "
+    "INDEPENDENT of corpus size — the statistic streams, the "
+    "comparison is O(labels^2 * dims). Exactness: micro-quantized "
+    "integer sums; dim-ordered fold of mean-diff squares; 9-dp "
+    "round. Ref parity: extends the reference's driver-side "
+    "correlation utilities (src/analysis.py) to embedding-space "
+    "shift testing",
+)
+def x127_embedding_mmd_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    gs = mmd_moment_sums(em)
+    return mmd_matrix_from_sums(gs)
+
+
+def mmd_moment_sums(em: DataFrame) -> DataFrame:
+    """The mergeable sufficient statistics behind x127: per-(label, dim)
+    integer micro-sums + counts. Plain integer SUMs — associative and
+    commutative — so partial grids from any data slicing merge to the
+    batch answer bit-for-bit (the property t28 exploits as streaming
+    state)."""
+    dims = em.select(
+        "label", F.posexplode(F.col("embedding")).alias("d", "e")
+    ).select(
+        "label",
+        "d",
+        F.floor(F.col("e").cast("double") * _MICRO).cast("bigint").alias("q"),
+    )
+    return dims.groupBy("label", "d").agg(
+        F.sum("q").cast("bigint").alias("s"), F.count("*").alias("c")
+    )
+
+
+def mmd_matrix_from_sums(gs: DataFrame) -> DataFrame:
+    """Finalize the linear-MMD label-pair matrix from the (label, d, s, c)
+    moment table (shared by x127 batch and t28 streaming state)."""
+    arr = gs.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "s"))),
+            lambda x: x["s"],
+        ).alias("sv"),
+        F.max("c").alias("n"),
+    )
+    a = arr.select(
+        F.col("label").alias("label_a"),
+        F.col("sv").alias("sa"),
+        F.col("n").alias("na"),
+    )
+    b = arr.select(
+        F.col("label").alias("label_b"),
+        F.col("sv").alias("sb"),
+        F.col("n").alias("nb"),
+    )
+    diffs = F.zip_with(
+        F.col("sa"),
+        F.col("sb"),
+        lambda x, y: (
+            x.cast("double") / F.col("na") - y.cast("double") / F.col("nb")
+        )
+        / F.lit(float(_MICRO)),
+    )
+    return (
+        a.join(F.broadcast(b), F.col("label_a") < F.col("label_b"))
+        .select(
+            "label_a",
+            "label_b",
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.round(
+                F.aggregate(
+                    diffs, F.lit(0.0), lambda acc, x: acc + x * x
+                ),
+                9,
+            ).alias("mmd2"),
+        )
+    )
+
+
+# --- x130: reciprocal-rank fusion of lexical + dense retrieval ----------------------
+
+_X130_RRF_K = 60   # the standard RRF damping constant
+_X130_TOPK = 5
+
+
+def _x130_oracle() -> str:
+    cos = (
+        _SQL_DOT.format(a="q.qe", b="e.embedding")
+        + " / (SQRT(" + _SQL_SQNORM.format(a="q.qe") + ")"
+        + " * SQRT(" + _SQL_SQNORM.format(a="e.embedding") + "))"
+    )
+    inter = "len(list_filter(c.w, x -> list_contains(qd.qw, x)))"
+    return f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ),
+    qd AS (
+      SELECT doc_id AS qid,
+             list_distinct(string_split(lower(text), ' ')) AS qw
+      FROM documents WHERE doc_id < {N_QUERIES}
+    ),
+    cw AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    lex AS (
+      SELECT qd.qid, c.doc_id,
+             CAST({inter} AS DOUBLE)
+               / (len(c.w) + len(qd.qw) - {inter}) AS jac
+      FROM qd, cw c WHERE c.doc_id <> qd.qid
+    ),
+    lexr AS (
+      SELECT qid, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY jac DESC, doc_id) AS lex_rank
+      FROM lex
+    ),
+    den AS (
+      SELECT q.qid, e.vec_id AS doc_id, {cos} AS cs
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+    ),
+    denr AS (
+      SELECT qid, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY cs DESC, doc_id) AS dense_rank
+      FROM den
+    ),
+    fused AS (
+      SELECT l.qid, l.doc_id, l.lex_rank, d.dense_rank,
+             1.0 / ({_X130_RRF_K} + l.lex_rank)
+               + 1.0 / ({_X130_RRF_K} + d.dense_rank) AS rrf_score
+      FROM lexr l JOIN denr d
+        ON d.qid = l.qid AND d.doc_id = l.doc_id
+    )
+    SELECT qid, doc_id,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(dense_rank AS BIGINT) AS dense_rank,
+           rrf_score,
+           CAST(fr AS BIGINT) AS fused_rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+               ORDER BY rrf_score DESC, doc_id) AS fr
+      FROM fused
+    ) WHERE fr <= {_X130_TOPK}
+    """
+
+
+@register(
+    "x130_hybrid_rrf_fusion",
+    oracle=_x130_oracle(),
+    doc=f"x130: hybrid retrieval via reciprocal-rank fusion — for each "
+    f"query-by-example document, a LEXICAL ranking (distinct-word "
+    f"Jaccard) and a DENSE ranking (exact cosine over the doc_id== "
+    f"vec_id pairing) are fused by RRF (1/({_X130_RRF_K}+r_lex) + "
+    f"1/({_X130_RRF_K}+r_dense)), emitting the top-{_X130_TOPK} fused "
+    "results with both source ranks — the standard hybrid-search "
+    "combiner (lexical catches exact terms dense misses; dense "
+    "catches paraphrase lexical misses; RRF needs no score "
+    "calibration, only ranks). Scale: both rankers here are the "
+    "bounded-query exact twins (broadcast queries x partitioned "
+    "corpus, the documented stand-ins for an inverted-index join and "
+    "the x65 IVF stream); the fusion join is per-(query, doc) and "
+    "the rank windows partition on qid. Exactness: ranks are "
+    "integers; jaccard is one int/int quotient; the RRF sum is two "
+    "IEEE quotients in pinned order — no rounding anywhere. "
+    "Ref parity: the reference has no retrieval surface; this "
+    "completes the x89/x10 ranker pair with the industry-standard "
+    "fusion layer",
+)
+def x130_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"), spark)
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    qd = docs.filter(F.col("doc_id") < N_QUERIES).select(
+        F.col("doc_id").alias("qid"),
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("qw"),
+    )
+    cw = docs.select(
+        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("w")
+    )
+    inter = F.size(F.array_intersect(F.col("w"), F.col("qw")))
+    lex = (
+        cw.crossJoin(F.broadcast(qd))
+        .filter(F.col("doc_id") != F.col("qid"))
+        .select(
+            "qid",
+            "doc_id",
+            (
+                inter.cast("double")
+                / (F.size("w") + F.size("qw") - inter)
+            ).alias("jac"),
+        )
+    )
+    wl = W.partitionBy("qid").orderBy(F.desc("jac"), F.asc("doc_id"))
+    lexr = lex.select(
+        "qid", "doc_id", F.row_number().over(wl).alias("lex_rank")
+    )
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), _dbl("embedding").alias("qe")
+    )
+    den = (
+        em.select("vec_id", _dbl("embedding").alias("ce"))
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("doc_id"),
+            cosine(F.col("qe"), F.col("ce")).alias("cs"),
+        )
+    )
+    wd = W.partitionBy("qid").orderBy(F.desc("cs"), F.asc("doc_id"))
+    denr = den.select(
+        "qid", "doc_id", F.row_number().over(wd).alias("dense_rank")
+    )
+    fused = lexr.join(denr, ["qid", "doc_id"]).select(
+        "qid",
+        "doc_id",
+        "lex_rank",
+        "dense_rank",
+        (
+            F.lit(1.0) / (_X130_RRF_K + F.col("lex_rank"))
+            + F.lit(1.0) / (_X130_RRF_K + F.col("dense_rank"))
+        ).alias("rrf_score"),
+    )
+    wf = W.partitionBy("qid").orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(wf))
+        .filter(F.col("fused_rank") <= _X130_TOPK)
+        .select(
+            "qid",
+            "doc_id",
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("dense_rank").cast("bigint").alias("dense_rank"),
+            "rrf_score",
+            F.col("fused_rank").cast("bigint").alias("fused_rank"),
         )
     )

@@ -2200,3 +2200,114 @@ def x111_bigram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(h_cond, "source")
         .join(h_uni, "source")
     )
+
+
+# --- x128: quality-signal bundle (C4/RedPajama-style multi-signal pass) -------------
+
+_X128_STOPWORDS = (
+    "the", "a", "of", "and", "in", "to", "is", "on", "for", "with",
+)
+_X128_MIN_WORDS = 20
+_X128_MIN_TTR = 0.2
+_X128_MIN_STOP = 0.02
+
+
+@register(
+    "x128_quality_signal_bundle",
+    # Every signal is integer-derived (word counts, char sums, distinct
+    # counts) with at most ONE int/int division per emitted double —
+    # correctly rounded identically on both engines, no rounding
+    # needed. The top-word count is the only shuffle-bearing signal
+    # (word-count shape); everything else folds inside the row.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             string_split(text, ' ') AS ws
+      FROM documents
+    ),
+    tw AS (
+      SELECT doc_id, MAX(c) AS top_c FROM (
+        SELECT doc_id, COUNT(*) AS c
+        FROM (SELECT doc_id, unnest(ws) AS w FROM base)
+        GROUP BY doc_id, w
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.source,
+           CAST(len(b.ws) AS BIGINT) AS n_words,
+           CAST(list_reduce(list_transform(b.ws, w -> len(w)),
+                            (x, y) -> x + y) AS BIGINT) AS n_word_chars,
+           CAST(list_reduce(list_transform(b.ws, w -> len(w)),
+                            (x, y) -> x + y) AS DOUBLE) / len(b.ws)
+             AS mean_word_len,
+           CAST(len(list_distinct(b.ws)) AS DOUBLE) / len(b.ws) AS ttr,
+           CAST(len(list_filter(b.ws,
+                 w -> list_contains({list(_X128_STOPWORDS)}, w)))
+                AS DOUBLE) / len(b.ws) AS stopword_frac,
+           CAST(t.top_c AS DOUBLE) / len(b.ws) AS top_word_frac,
+           len(b.ws) >= {_X128_MIN_WORDS}
+             AND CAST(len(list_distinct(b.ws)) AS DOUBLE) / len(b.ws)
+                 >= {_X128_MIN_TTR}
+             AND CAST(len(list_filter(b.ws,
+                   w -> list_contains({list(_X128_STOPWORDS)}, w)))
+                  AS DOUBLE) / len(b.ws) >= {_X128_MIN_STOP}
+             AS keep_flag
+    FROM base b JOIN tw t USING (doc_id)
+    """,
+    doc="x128: quality-signal bundle — the C4/RedPajama-style "
+    "multi-signal document profile computed in ONE pass: word count, "
+    "mean word length, type-token ratio, stopword fraction, top-word "
+    "dominance (repetition proxy), plus the composed keep flag the "
+    "curation funnel consumes (complements x21's Gopher rules with "
+    "the lexical-diversity axis). Scale: all per-row signals fold "
+    "inside the row via array HOFs (zero shuffle); only the top-word "
+    "count is a word-count-shaped aggregate with map-side combine. "
+    "Exactness: integer counts, one int/int division per double. "
+    "Ref parity: the reference's quality gate is a fixed WHERE "
+    "clause (src/etl.py filters); this emits the full signal vector",
+)
+def x128_quality_signal_bundle(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("ws")
+    )
+    words = base.select("doc_id", F.explode("ws").alias("w"))
+    top = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    nw = F.size("ws")
+    chars = F.aggregate(
+        F.transform(F.col("ws"), F.length),
+        F.lit(0),
+        lambda a, x: a + x,
+    )
+    stop = F.size(
+        F.filter(
+            F.col("ws"),
+            lambda w: w.isin(*_X128_STOPWORDS),
+        )
+    )
+    ttr = F.size(F.array_distinct("ws")).cast("double") / nw
+    stop_frac = stop.cast("double") / nw
+    return (
+        base.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            nw.cast("bigint").alias("n_words"),
+            chars.cast("bigint").alias("n_word_chars"),
+            (chars.cast("double") / nw).alias("mean_word_len"),
+            ttr.alias("ttr"),
+            stop_frac.alias("stopword_frac"),
+            (F.col("top_c").cast("double") / nw).alias("top_word_frac"),
+            (
+                (nw >= _X128_MIN_WORDS)
+                & (ttr >= _X128_MIN_TTR)
+                & (stop_frac >= _X128_MIN_STOP)
+            ).alias("keep_flag"),
+        )
+    )

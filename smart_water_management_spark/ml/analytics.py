@@ -2948,3 +2948,175 @@ def m26_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(K).alias("n_lags"),
         (F.col("n") * (F.col("n") + 2) * F.col("s")).alias("q_stat"),
     )
+
+
+# --- M27 (ext.): Diebold-Mariano forecast-comparison test --------------------------
+
+
+@register(
+    "m27_diebold_mariano",
+    # Which backtest difference is REAL? For every pair of m22's
+    # baseline models, the Diebold-Mariano statistic on the squared-
+    # error loss differential d_t = e_a^2 - e_b^2 over the shared
+    # holdout: DM = mean(d) / sqrt(var(d)/n). One-step-ahead forecasts
+    # (h=1) need no HAC correction, so the plain variance is the
+    # textbook statistic. Loss differentials are identical IEEE
+    # expressions on both engines; their mean/variance come from
+    # h-ordered folds (48 bounded terms per pair), so no decimal
+    # rounding is needed anywhere.
+    oracle=f"""
+    WITH {_hourly_series_sql().strip()},
+    ser AS (
+      SELECT event_type, h, CAST(hv AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             LAG(CAST(hv AS DOUBLE), 1) OVER
+               (PARTITION BY event_type ORDER BY h) AS x1,
+             LAG(CAST(hv AS DOUBLE), 24) OVER
+               (PARTITION BY event_type ORDER BY h) AS x24,
+             FIRST_VALUE(CAST(hv AS DOUBLE)) OVER
+               (PARTITION BY event_type ORDER BY h) AS x0
+      FROM hourly
+    ),
+    holdout AS (
+      SELECT * FROM ser
+      WHERE t > n - {_M22_HOLDOUT} AND x24 IS NOT NULL AND t >= 3
+    ),
+    err AS (
+      SELECT event_type, h, 'naive' AS model,
+             (x - x1) * (x - x1) AS se FROM holdout
+      UNION ALL
+      SELECT event_type, h, 'seasonal_naive',
+             (x - x24) * (x - x24) FROM holdout
+      UNION ALL
+      SELECT event_type, h, 'drift',
+             (x - (x1 + (x1 - x0) / (t - 2)))
+             * (x - (x1 + (x1 - x0) / (t - 2))) FROM holdout
+    ),
+    pair AS (
+      SELECT a.event_type, a.model AS model_a, b.model AS model_b,
+             a.h, a.se - b.se AS d
+      FROM err a JOIN err b
+        ON b.event_type = a.event_type AND b.h = a.h
+       AND a.model < b.model
+    ),
+    folds AS (
+      SELECT event_type, model_a, model_b,
+             COUNT(*) AS n,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(d ORDER BY h)), (p, q) -> p + q) AS sd,
+             list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list(d * d ORDER BY h)), (p, q) -> p + q) AS sdd
+      FROM pair GROUP BY 1, 2, 3
+    )
+    SELECT event_type, model_a, model_b,
+           CAST(n AS BIGINT) AS n_evals,
+           sd / n AS mean_loss_diff,
+           CASE WHEN (sdd - sd * sd / n) / (n - 1) > 0
+                THEN (sd / n)
+                     / SQRT(((sdd - sd * sd / n) / (n - 1)) / n)
+                END AS dm_stat,
+           CASE WHEN sd / n < 0 THEN model_a
+                WHEN sd / n > 0 THEN model_b
+                ELSE 'tie' END AS lower_loss_model
+    FROM folds
+    """,
+    doc="M27 (ext.): Diebold-Mariano forecast-comparison test — for "
+    "every pair of m22's baseline models, whether the backtest loss "
+    "gap is statistically real: DM = mean(d)/sqrt(var(d)/n) on the "
+    "squared-error differential over the shared holdout (one-step "
+    "horizon => no HAC lag correction needed). m22 ranks the models; "
+    "m27 says whether the ranking is noise — the sign-off a "
+    "forecasting-model swap needs. Scale: errors ride m22's lag "
+    "windows over the calendar-bounded hourly grid; the model-pair "
+    "fanout is a 3-row in-plan self-join per type; folds see 48 "
+    "terms per pair. Exactness: identical IEEE loss expressions, "
+    "h-ordered folds, variance guarded against the degenerate "
+    "zero-variance pair (NULL, not a div-by-zero)",
+)
+def m27_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    hourly = _hourly_series(spark, sf_dir)
+    wp = W.partitionBy("event_type").orderBy("h")
+    wa = W.partitionBy("event_type")
+    x = F.col("hv").cast("double")
+    ser = hourly.select(
+        "event_type",
+        "h",
+        x.alias("x"),
+        F.row_number().over(wp).alias("t"),
+        F.count("*").over(wa).alias("n"),
+        F.lag(x, 1).over(wp).alias("x1"),
+        F.lag(x, 24).over(wp).alias("x24"),
+        F.first(x).over(wp).alias("x0"),
+    )
+    holdout = ser.filter(
+        (F.col("t") > F.col("n") - _M22_HOLDOUT)
+        & F.col("x24").isNotNull()
+        & (F.col("t") >= 3)
+    )
+    e1 = F.col("x") - F.col("x1")
+    e24 = F.col("x") - F.col("x24")
+    edr = F.col("x") - (
+        F.col("x1") + (F.col("x1") - F.col("x0")) / (F.col("t") - 2)
+    )
+    err = (
+        holdout.select(
+            "event_type", "h", F.lit("naive").alias("model"),
+            (e1 * e1).alias("se"),
+        )
+        .unionByName(
+            holdout.select(
+                "event_type", "h",
+                F.lit("seasonal_naive").alias("model"),
+                (e24 * e24).alias("se"),
+            )
+        )
+        .unionByName(
+            holdout.select(
+                "event_type", "h", F.lit("drift").alias("model"),
+                (edr * edr).alias("se"),
+            )
+        )
+    )
+    a = err.select(
+        "event_type", "h", F.col("model").alias("model_a"),
+        F.col("se").alias("sea"),
+    )
+    b = err.select(
+        "event_type", "h", F.col("model").alias("model_b"),
+        F.col("se").alias("seb"),
+    )
+    pair = a.join(b, ["event_type", "h"]).filter(
+        F.col("model_a") < F.col("model_b")
+    )
+    fsum = lambda col: F.aggregate(col, F.lit(0.0), lambda p, q: p + q)
+    folds = pair.groupBy("event_type", "model_a", "model_b").agg(
+        F.count("*").alias("n"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("h", (F.col("sea") - F.col("seb")).alias("d"))
+                )
+            ),
+            lambda s: s["d"],
+        ).alias("ds"),
+    )
+    nd = F.col("n").cast("double")
+    sd = fsum(F.col("ds"))
+    sdd = fsum(F.transform(F.col("ds"), lambda v: v * v))
+    var = (sdd - sd * sd / nd) / (nd - 1)
+    mean = sd / nd
+    return folds.select(
+        "event_type",
+        "model_a",
+        "model_b",
+        F.col("n").cast("bigint").alias("n_evals"),
+        mean.alias("mean_loss_diff"),
+        F.when(var > 0, mean / F.sqrt(var / nd)).alias("dm_stat"),
+        F.when(mean < 0, F.col("model_a"))
+        .when(mean > 0, F.col("model_b"))
+        .otherwise(F.lit("tie"))
+        .alias("lower_loss_model"),
+    )

@@ -2520,3 +2520,164 @@ def a41_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         sup.alias("support"),
         (sup / (pa * pb)).alias("lift"),
     )
+
+
+# --- a42 (ext.): Kendall tau-b via bounded value-domain cells --------------------
+
+
+@register(
+    "a42_kendall_tau",
+    # Kendall's tau-b between l_quantity (50-value domain) and the
+    # discount percent (11-value domain) WITHOUT any pairwise row
+    # compare: aggregate the fact table once into the 50 x 11 cell
+    # grid, then count concordant/discordant PAIRS OF CELLS (a bounded
+    # 550^2 self-join) weighted by cell-count products. All pair
+    # counts are integers held in DECIMAL(38,0) (n^2-scale: int64
+    # overflows near petabyte row counts); tau's final sqrt/divide
+    # runs on doubles converted from identical integers on both
+    # engines, 9-dp rounded (a37's lesson).
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS qx,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS dy,
+             CAST(COUNT(*) AS DECIMAL(38,0)) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS n FROM cells
+    ),
+    conc AS (
+      SELECT
+        CAST(COALESCE(SUM(CASE WHEN b.qx > a.qx AND b.dy > a.dy
+                               THEN a.c * b.c END), 0)
+             AS DECIMAL(38,0)) AS cc,
+        CAST(COALESCE(SUM(CASE WHEN b.qx > a.qx AND b.dy < a.dy
+                               THEN a.c * b.c END), 0)
+             AS DECIMAL(38,0)) AS dd
+      FROM cells a JOIN cells b
+        ON b.qx > a.qx AND b.dy <> a.dy
+    ),
+    ties AS (
+      SELECT
+        CAST(SUM(tc * (tc - 1) / 2) AS DECIMAL(38,0)) AS tx
+      FROM (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS tc
+            FROM cells GROUP BY qx)
+    ),
+    tiesy AS (
+      SELECT
+        CAST(SUM(tc * (tc - 1) / 2) AS DECIMAL(38,0)) AS ty
+      FROM (SELECT CAST(SUM(c) AS DECIMAL(38,0)) AS tc
+            FROM cells GROUP BY dy)
+    )
+    SELECT CAST(t.n AS BIGINT) AS n_rows,
+           CAST(c.cc AS BIGINT) AS concordant,
+           CAST(c.dd AS BIGINT) AS discordant,
+           ROUND(
+             (CAST(c.cc AS DOUBLE) - CAST(c.dd AS DOUBLE))
+             / SQRT((CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) - 1) / 2
+                     - CAST(s.tx AS DOUBLE))
+                    * (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE) - 1) / 2
+                       - CAST(y.ty AS DOUBLE))),
+             9) AS tau_b
+    FROM conc c, tot t, ties s, tiesy y
+    """,
+    doc="a42 (ext.): Kendall tau-b rank correlation between quantity "
+    "and discount — the pairwise-concordance statistic computed with "
+    "ZERO pairwise row comparisons: one fact-table aggregate to the "
+    "bounded 50x11 value-domain cell grid (the a37 device), then "
+    "concordant/discordant pair MASS from a 550-cell self-join "
+    "weighted by count products, ties from the marginals. Scale: the "
+    "only shuffle is the cell aggregate (map-side combined); the "
+    "cell self-join is broadcast-trivial and INDEPENDENT of row "
+    "count, so the plan is identical at 100 TB. Exactness: integer "
+    "pair masses in DECIMAL(38,0) (int64 dies at ~n=4e9 rows), one "
+    "9-dp-rounded double at the very end. "
+    "Ref parity: reference computes correlations driver-side "
+    "(src/analysis.py pearson utilities); tau-b extends that "
+    "surface with tie-aware rank association",
+)
+def a42_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("qx"),
+        F.round(F.col("l_discount") * 100).cast("bigint").alias("dy"),
+    )
+    cells = (
+        li.groupBy("qx", "dy")
+        .agg(F.count("*").cast("decimal(38,0)").alias("c"))
+        .persist()
+    )
+    a = cells.select(
+        F.col("qx").alias("ax"), F.col("dy").alias("ay"),
+        F.col("c").alias("ac"),
+    )
+    b = cells.select(
+        F.col("qx").alias("bx"), F.col("dy").alias("by"),
+        F.col("c").alias("bc"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("bx") > F.col("ax")) & (F.col("by") != F.col("ay")),
+    )
+    conc = pairs.agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("by") > F.col("ay"),
+                    F.col("ac") * F.col("bc"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("cc"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("by") < F.col("ay"),
+                    F.col("ac") * F.col("bc"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("decimal(38,0)")
+        .alias("dd"),
+    )
+    tot = cells.agg(F.sum("c").cast("decimal(38,0)").alias("n"))
+    tx = (
+        cells.groupBy("qx")
+        .agg(F.sum("c").cast("decimal(38,0)").alias("tc"))
+        .agg(
+            F.sum(F.col("tc") * (F.col("tc") - 1) / 2)
+            .cast("decimal(38,0)")
+            .alias("tx")
+        )
+    )
+    ty = (
+        cells.groupBy("dy")
+        .agg(F.sum("c").cast("decimal(38,0)").alias("tc"))
+        .agg(
+            F.sum(F.col("tc") * (F.col("tc") - 1) / 2)
+            .cast("decimal(38,0)")
+            .alias("ty")
+        )
+    )
+    nd = F.col("n").cast("double")
+    half = nd * (nd - 1) / 2
+    return (
+        conc.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("cc").cast("bigint").alias("concordant"),
+            F.col("dd").cast("bigint").alias("discordant"),
+            F.round(
+                (F.col("cc").cast("double") - F.col("dd").cast("double"))
+                / F.sqrt(
+                    (half - F.col("tx").cast("double"))
+                    * (half - F.col("ty").cast("double"))
+                ),
+                9,
+            ).alias("tau_b"),
+        )
+    )

@@ -1332,3 +1332,63 @@ def d02_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("row_id").cast("bigint").alias("survivor_row"),
         (F.count("*") - 1).cast("bigint").alias("n_removed"),
     )
+
+
+# --- p16 (ext.): TPC-H Q4 shape — EXISTS semi-join priority count -------------------
+
+
+@register(
+    "p16_q04_shape",
+    # Q4's signature: orders in a date window having AT LEAST ONE
+    # late line item (EXISTS with a correlated date comparison across
+    # tables), counted by priority. The EXISTS decorrelates to a LEFT
+    # SEMI join on the order key with the date predicate as the join
+    # filter — one pass over each table, no per-order rescans, and
+    # duplicate late lines cannot double-count (semi-join semantics).
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 80 DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+    doc="p16 (ext.): TPC-H Q4 shape — count orders per priority that "
+    "have at least one late line item (ship date beyond 80 days "
+    "after the order date) within a one-year window. The correlated "
+    "EXISTS decorrelates to a LEFT SEMI hash join on o_orderkey with "
+    "the cross-table date comparison as a join-side filter; the date "
+    "window prunes the orders scan first. Completes the TPC-H "
+    "subquery-shape set alongside p08's Q22 NOT EXISTS and p09's "
+    "Q21 chained EXISTS/NOT EXISTS. Scale: both scans filter before "
+    "the key-partitioned semi join; the 5-row priority aggregate is "
+    "map-side combined. Exactness: pure integer counts. "
+    "Ref parity: the reference dashboard's HAVING/derived-table "
+    "shapes (src/app.py:48-57) never need EXISTS because SQLite "
+    "inlines it; Spark plans it as LeftSemi explicitly",
+)
+def p16_q04_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 80 DAYS")
+        ),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").cast("bigint").alias("order_count")
+    )

@@ -1701,3 +1701,118 @@ def w29_rolling_cross_correlation(
             / (F.sqrt(va) * F.sqrt(vb)),
         ).alias("corr_24h"),
     )
+
+
+# --- w30 (ext.): rolling 24h order-statistic quantiles ------------------------------
+
+
+@register(
+    "w30_rolling_window_quantiles",
+    # Rolling 24h p25/p50/p75/p90 per event type as EXACT order
+    # statistics: each row's 24-slice of the h-ordered hourly series is
+    # sorted in-row and indexed at ceil(n*q) — pure SELECTION, zero
+    # float arithmetic except the final IQR subtraction of two
+    # identical doubles, so both engines agree bit-for-bit with no
+    # rounding device at all (the selection analog of w26's rolling
+    # fold).
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type,
+             list(x ORDER BY h) AS xs,
+             list(h ORDER BY h) AS hs
+      FROM hourly GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type,
+             unnest(list_transform(range(1, len(xs) + 1), t -> {
+               'h': hs[t],
+               's': list_sort(xs[greatest(t - 23, 1):t])
+             })) AS r
+      FROM ser
+    )
+    SELECT event_type, CAST(r.h AS BIGINT) AS h,
+           CAST(len(r.s) AS BIGINT) AS win_n,
+           r.s[CAST(CEIL(len(r.s) * 0.25) AS INT)] AS p25,
+           r.s[CAST(CEIL(len(r.s) * 0.5) AS INT)] AS p50,
+           r.s[CAST(CEIL(len(r.s) * 0.75) AS INT)] AS p75,
+           r.s[CAST(CEIL(len(r.s) * 0.9) AS INT)] AS p90,
+           r.s[CAST(CEIL(len(r.s) * 0.75) AS INT)]
+             - r.s[CAST(CEIL(len(r.s) * 0.25) AS INT)] AS iqr
+    FROM ex
+    """,
+    doc="w30 (ext.): rolling 24h exact quantiles (p25/p50/p75/p90 + "
+    "IQR) of the hourly demand per event type — the robust-scale "
+    "band behind w06's z-scores (mean/std break under bursts; the "
+    "rolling IQR doesn't), and the exact twin of what a production "
+    "monitor approximates with sketches. Exactness device: in-row "
+    "SORT + ceil(n*q) indexing of each row's 24-slice — pure "
+    "selection, so there is nothing to round and both engines agree "
+    "bit-for-bit. Scale: the per-type series is calendar-bounded "
+    "(8,760 rows/year/type) after ONE map-combined hourly pre-agg; "
+    "each output row does O(24 log 24) in-row work; no window "
+    "exchange. At raw-event grain the same monitor would ride the "
+    "a29 mergeable quantile sketch instead",
+)
+def w30_rolling_window_quantiles(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..ml.analytics import _hourly_series
+
+    hourly = _hourly_series(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("x")
+    )
+    ser = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "x"))),
+            lambda s: s["x"],
+        ).alias("xs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "x"))),
+            lambda s: s["h"],
+        ).alias("hs"),
+    )
+
+    def row_for(t):
+        sl = F.slice(
+            F.col("xs"),
+            F.greatest(t - 23, F.lit(1)),
+            F.least(t, F.lit(24)),
+        )
+        return F.struct(
+            F.element_at("hs", t).alias("h"),
+            F.array_sort(sl).alias("s"),
+        )
+
+    ex = ser.select(
+        "event_type",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("xs")), lambda t: row_for(t)
+            )
+        ).alias("r"),
+    )
+    s = F.col("r.s")
+    n = F.size(s)
+
+    def q_at(q):
+        return F.element_at(
+            s, F.ceil(n * F.lit(q)).cast("int")
+        )
+
+    return ex.select(
+        "event_type",
+        F.col("r.h").cast("bigint").alias("h"),
+        n.cast("bigint").alias("win_n"),
+        q_at(0.25).alias("p25"),
+        q_at(0.5).alias("p50"),
+        q_at(0.75).alias("p75"),
+        q_at(0.9).alias("p90"),
+        (q_at(0.75) - q_at(0.25)).alias("iqr"),
+    )

@@ -2341,3 +2341,88 @@ def t27_streaming_conversion_latency(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- t28: streaming embedding-drift (linear-MMD) moment state ----------------------
+
+from ..llmdata.similarity import (  # noqa: E402
+    _x127_oracle,
+    mmd_matrix_from_sums,
+    mmd_moment_sums,
+)
+
+
+def mmd_moment_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T28: x127's per-(label, dim) integer micro-sum moments maintained
+    INCREMENTALLY by a streaming foreachBatch merge.
+
+    State is the (label, dim) moment grid — at most |labels| x 64 rows,
+    CONSTANT in corpus size. Each micro-batch reduces its new vectors to
+    a partial grid (mmd_moment_sums — plain integer SUMs/COUNTs) and
+    merge = union + SUM per (label, dim). Integer addition is
+    associative and commutative, so the merged state equals the batch
+    moment table bit-for-bit under ANY micro-batch slicing — and the
+    finalized MMD matrix is certified by x127's own oracle."""
+    from ..sources.catalog import reset_managed_table
+
+    reset_managed_table(spark, "mmd_moment_state")
+    spark.sql(
+        "CREATE TABLE mmd_moment_state "
+        "(label INT, d INT, s BIGINT, c BIGINT) USING parquet"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        partial = mmd_moment_sums(batch_df)
+        merged = (
+            sp.table("mmd_moment_state")
+            .unionByName(partial)
+            .groupBy("label", "d")
+            .agg(
+                F.sum("s").cast("bigint").alias("s"),
+                F.sum("c").cast("bigint").alias("c"),
+            )
+            .select("label", "d", "s", "c")
+        )
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").insertInto("mmd_moment_state")
+
+    stage = _stage_table_dir(sf_dir, "embeddings")
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("mmd_moment_state")
+
+
+@register(
+    "t28_streaming_mmd_monitor",
+    # Exactly x127's oracle: the incrementally-merged moment state must
+    # finalize to the identical label-pair MMD matrix.
+    oracle=_x127_oracle(),
+    doc="T28: embedding-drift monitor maintained incrementally — each "
+    "micro-batch of new vectors folds into the constant-size "
+    "(label, dim) integer micro-sum grid (associative + commutative "
+    "SUM merge, so the state equals x127's batch moments bit-for-bit "
+    "for ANY slicing); finalization computes the linear-MMD label-"
+    "pair matrix and is certified by x127's own oracle. The "
+    "embedding-space analog of t25's PSI monitor: a re-embedding or "
+    "encoder regression shows up as an MMD step without rescanning "
+    "history, because the sufficient statistics are mergeable",
+)
+def t28_streaming_mmd_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    state = mmd_moment_stream(spark, sf_dir)
+    return mmd_matrix_from_sums(state)

@@ -848,6 +848,96 @@ def test_ivfpq_recall_and_contract(spark):
         assert dists == sorted(dists)
 
 
+def test_ann_mmr_matches_greedy_twin_on_its_candidates(spark):
+    """x123 (ANN->MMR composition): the shared greedy must select, from
+    the IVF+PQ candidate stream, EXACTLY what a sequential MMR greedy
+    selects over the same candidates — picks and 6-dp scores
+    bit-identical to a pure-Python twin that mirrors the fold's
+    left-associated float adds. Additionally, any query whose candidate
+    stream recalled the full brute-force top-M must agree byte-for-byte
+    with x119 (same greedy, same candidates => same picks); at sf0.001
+    the tiny corpus rarely reaches full recall, so that stronger check
+    fires opportunistically (the sf0.01 replay exercises it for real)."""
+    from smart_water_management_spark.llmdata import similarity as sim
+
+    brute = sim.x119_mmr_diversity_rerank(spark, SF_DIR).collect()
+    ann = sim.x123_ann_mmr_rerank(spark, SF_DIR).collect()
+    short = sim.ivfpq_exact_shortlist(spark, SF_DIR).collect()
+    cand_ids = {}
+    for r in short:
+        cand_ids.setdefault(r.qid, set()).add(r.vec_id)
+
+    emb = {
+        r.vec_id: [float(v) for v in r.embedding]
+        for r in spark.read.parquet(f"{SF_DIR}/embeddings.parquet").collect()
+    }
+
+    def fold_cos(a, b):
+        # left-associated adds, exactly like F.aggregate's fold
+        num = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            num = num + x * y
+        for x in a:
+            na = na + x * x
+        for y in b:
+            nb = nb + y * y
+        import math
+
+        return num / (math.sqrt(na) * math.sqrt(nb))
+
+    lam = sim._X119_LAM
+    full_recall = 0
+    for q in range(sim.N_QUERIES):
+        qe = emb[q]
+        rel = {v: fold_cos(qe, emb[v]) for v in cand_ids[q]}
+        top_m = sorted(rel, key=lambda v: (-rel[v], v))[: sim._X119_M]
+        # sequential greedy twin over the ANN candidates
+        picks_np = []
+        chosen = []
+        for _ in range(sim._X119_K):
+            best_v, best_s = None, None
+            for v in top_m:
+                if v in chosen:
+                    continue
+                if chosen:
+                    pen = max(fold_cos(emb[v], emb[c]) for c in chosen)
+                    s = rel[v] - lam * pen
+                else:
+                    s = rel[v]
+                if best_s is None or s > best_s or (s == best_s and v < best_v):
+                    best_v, best_s = v, s
+            chosen.append(best_v)
+            picks_np.append((best_v, round(best_s, 6)))
+
+        a = sorted((r for r in ann if r.qid == q), key=lambda r: r.pick)
+        assert [r.pick for r in a] == [1, 2, 3], q
+        assert [r.vec_id for r in a] == [v for v, _ in picks_np], (
+            f"query {q}: spark {[(r.vec_id, r.mmr_score) for r in a]} "
+            f"!= twin {picks_np}"
+        )
+        for r, (_, s) in zip(a, picks_np):
+            # scores come from identical IEEE doubles; only the rounding
+            # MODE could differ on an exact 6-dp midpoint (Spark HALF_UP
+            # vs Python banker's), so allow that one-ulp-of-6dp slack
+            assert abs(r.mmr_score - s) <= 1e-6, (q, r.mmr_score, s)
+
+        # brute-force universe for the opportunistic full-recall check
+        rel_all = {
+            v: fold_cos(qe, e) for v, e in emb.items() if v != q
+        }
+        brute_top_m = set(
+            sorted(rel_all, key=lambda v: (-rel_all[v], v))[: sim._X119_M]
+        )
+        if brute_top_m <= cand_ids[q]:
+            full_recall += 1
+            b = sorted((r for r in brute if r.qid == q), key=lambda r: r.pick)
+            assert [(r.vec_id, r.mmr_score) for r in a] == [
+                (r.vec_id, r.mmr_score) for r in b
+            ], f"full-recall query {q} diverged from x119"
+
+
 def test_quality_classifier_learns_weak_labels(spark):
     """x68: the LR must actually learn the rule-based signal it was
     trained on — training accuracy well above the majority-class rate,

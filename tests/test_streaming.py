@@ -594,3 +594,36 @@ def test_streaming_conversion_latency_multi_batch_equals_a39(spark):
             g.median_latency_s,
             g.p90_latency_s,
         ) == (w.conversion_rate, w.median_latency_s, w.p90_latency_s), k
+
+
+def test_streaming_mmd_multi_batch_equals_batch_x127(spark):
+    """t28 under real incrementality: 4 embedding micro-batches; the
+    merged integer moment state must finalize to x127's batch MMD
+    matrix exactly (pair set, counts, and 9-dp mmd2 bit-for-bit)."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    em = load_table(spark, SF_DIR, "embeddings")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        em.repartition(4).write.parquet(
+            os.path.join(sf_dir, "embeddings.parquet")
+        )
+        got = {
+            (r.label_a, r.label_b): r
+            for r in jobs.t28_streaming_mmd_monitor(spark, sf_dir).collect()
+        }
+    want = {
+        (r.label_a, r.label_b): r
+        for r in _REGISTRY["x127_embedding_mmd_matrix"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k, w in want.items():
+        g = got[k]
+        assert (g.n_a, g.n_b) == (w.n_a, w.n_b), k
+        assert g.mmd2 == w.mmd2, k

@@ -39,21 +39,30 @@ DOC_QUERIES = ["x36_tile_dedup", "x25_repetition_detection"]
 REPS = 3
 
 
-def build_scale_dir(spark, factor: int) -> str:
+def build_scale_dir(spark, factor: int, with_lineitem: bool = False) -> str:
+    """``with_lineitem=True`` (the --parity mode) replicates lineitem too
+    (a37's scaled rank moments grow with lineitem's ROW COUNT, which the
+    symlinked copy would leave at 1x) and uses a separate scratch dir so
+    the timing mode's symlink layout is never mixed with a replicated
+    table of the same name."""
     if factor == 1:
         return BASE
-    out = os.path.join(SCRATCH, f"x{factor}")
+    out = os.path.join(SCRATCH, f"x{factor}p" if with_lineitem else f"x{factor}")
     events_out = os.path.join(out, "events.parquet")
     docs_out = os.path.join(out, "documents.parquet")
-    # guard on BOTH replicated outputs: an interrupted build (or a scratch
+    li_out = os.path.join(out, "lineitem.parquet")
+    replicated = ("events", "documents") + (
+        ("lineitem",) if with_lineitem else ()
+    )
+    # guard on ALL replicated outputs: an interrupted build (or a scratch
     # dir left by an older revision that only wrote events) must rebuild
-    if not (
-        os.path.exists(os.path.join(events_out, "_SUCCESS"))
-        and os.path.exists(os.path.join(docs_out, "_SUCCESS"))
+    if not all(
+        os.path.exists(os.path.join(out, f"{t}.parquet", "_SUCCESS"))
+        for t in replicated
     ):
         os.makedirs(out, exist_ok=True)
         for t in TABLES:
-            if t in ("events", "documents"):
+            if t in replicated:
                 continue
             link = os.path.join(out, f"{t}.parquet")
             if not os.path.exists(link):
@@ -85,6 +94,21 @@ def build_scale_dir(spark, factor: int) -> str:
             .write.mode("overwrite")
             .parquet(docs_out)
         )
+        if with_lineitem:
+            li = spark.read.parquet(os.path.join(BASE, "lineitem.parquet"))
+            n_ord = 1 + (li.agg(F.max("l_orderkey")).collect()[0][0] or 0)
+            (
+                li.withColumn(
+                    "k", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+                )
+                .withColumn(
+                    "l_orderkey",
+                    F.col("l_orderkey") + F.col("k") * F.lit(n_ord),
+                )
+                .drop("k")
+                .write.mode("overwrite")
+                .parquet(li_out)
+            )
     return out
 
 
@@ -97,6 +121,104 @@ def best_of(fn, reps=REPS):
     return best
 
 
+def make_views(con, sf_dir: str, factor: int) -> None:
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if t == "events" and factor != 1:
+            # replicated events carry ts as epoch-nanos BIGINT when the
+            # source generation was TIMESTAMP(NANOS) (read under
+            # nanosAsLong), or as a plain TIMESTAMP otherwise — probe
+            # the written dtype instead of assuming
+            ts_type = con.execute(
+                f"SELECT column_type FROM (DESCRIBE SELECT * FROM "
+                f"'{path}/*.parquet') WHERE column_name = 'ts'"
+            ).fetchone()[0]
+            if ts_type == "BIGINT":
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * REPLACE "
+                    f"(make_timestamp(ts // 1000) AS ts) FROM '{path}/*.parquet'"
+                )
+            else:
+                con.execute(
+                    f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'"
+                )
+        elif os.path.isdir(path) and not os.path.islink(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'"
+            )
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+
+# VERDICT r7 directive #7: the float-exactness devices whose failure
+# mode is data-VOLUME-dependent (scaled decimal moments past 2^53,
+# 6-dp rounding midpoints, fold-state growth). sf1 fixtures don't
+# exist, so 30x replication is the only 100x-direction signal.
+PARITY_QUERIES = [
+    "a37_spearman_corr",
+    "w26_rolling_higher_moments",
+    "m22_forecast_backtest",
+    "x103_token_budget_waterfill",
+]
+
+
+def parity(factor: int = 30) -> None:
+    """Type-strict Spark-vs-DuckDB parity of the float-exactness
+    devices at ``factor``x replication (the driver/replay protocol:
+    int-vs-float tagged, rows sorted, exact compare)."""
+    import math
+    from datetime import date, datetime
+
+    def norm(v):
+        if v is None:
+            return None
+        if hasattr(v, "item"):
+            return norm(v.item())
+        if isinstance(v, float):
+            return ("float", "NaN" if math.isnan(v) else v)
+        if isinstance(v, bool):
+            return ("bool", v)
+        if isinstance(v, int):
+            return ("int", v)
+        if isinstance(v, (datetime, date)):
+            return str(v)
+        return v
+
+    spark = swm.get_session("scale-parity")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = build_scale_dir(spark, factor, with_lineitem=True)
+    con = duckdb.connect()
+    make_views(con, sf_dir, factor)
+    fails = []
+    for name in PARITY_QUERIES:
+        spec = _REGISTRY[name]
+        sp = spec.fn(spark, sf_dir).toPandas()
+        du = con.execute(spec.oracle).df()
+        a = sorted(
+            [tuple(norm(v) for v in r)
+             for r in sp[sorted(sp.columns)].itertuples(index=False)],
+            key=str,
+        )
+        b = sorted(
+            [tuple(norm(v) for v in r)
+             for r in du[sorted(du.columns)].itertuples(index=False)],
+            key=str,
+        )
+        ok = a == b
+        print(f"| {name} | {factor}x | {len(a)}/{len(b)} rows | "
+              f"{'EXACT' if ok else 'MISMATCH'} |")
+        if not ok:
+            fails.append(name)
+            for ra, rb in zip(a, b):
+                if ra != rb:
+                    print("   spark:", ra)
+                    print("   duck :", rb)
+                    break
+    print("PARITY FAILED:", fails if fails else "none")
+    con.close()
+    spark.stop()
+
+
 def main() -> None:
     spark = swm.get_session("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -106,32 +228,7 @@ def main() -> None:
     for factor in FACTORS:
         sf_dir = build_scale_dir(spark, factor)
         con = duckdb.connect()
-        for t in TABLES:
-            path = os.path.join(sf_dir, f"{t}.parquet")
-            if t == "events" and factor != 1:
-                # replicated events carry ts as epoch-nanos BIGINT when the
-                # source generation was TIMESTAMP(NANOS) (read under
-                # nanosAsLong), or as a plain TIMESTAMP otherwise — probe
-                # the written dtype instead of assuming
-                ts_type = con.execute(
-                    f"SELECT column_type FROM (DESCRIBE SELECT * FROM "
-                    f"'{path}/*.parquet') WHERE column_name = 'ts'"
-                ).fetchone()[0]
-                if ts_type == "BIGINT":
-                    con.execute(
-                        f"CREATE VIEW {t} AS SELECT * REPLACE "
-                        f"(make_timestamp(ts // 1000) AS ts) FROM '{path}/*.parquet'"
-                    )
-                else:
-                    con.execute(
-                        f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'"
-                    )
-            elif t == "documents" and factor != 1:
-                con.execute(
-                    f"CREATE VIEW {t} AS SELECT * FROM '{path}/*.parquet'"
-                )
-            else:
-                con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+        make_views(con, sf_dir, factor)
         n = con.execute("SELECT COUNT(*) FROM events").fetchone()[0]
         n_docs = con.execute("SELECT COUNT(*) FROM documents").fetchone()[0]
         for name in QUERIES + DOC_QUERIES:
@@ -148,4 +245,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if "--parity" in sys.argv:
+        parity(int(sys.argv[sys.argv.index("--parity") + 1])
+               if len(sys.argv) > sys.argv.index("--parity") + 1 else 30)
+    else:
+        main()
