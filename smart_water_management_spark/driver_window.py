@@ -189,6 +189,11 @@ ROUND9_CANDIDATES: list[str] = [
     "x130_hybrid_rrf_fusion",
     "w30_rolling_window_quantiles",
     "p16_q04_shape",
+    "m28_two_changepoint_trend",
+    "v19_rule_cooccurrence",
+    "x131_curriculum_schedule",
+    "x132_leakage_free_split",
+    "m29_kaplan_meier",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

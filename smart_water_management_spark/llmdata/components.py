@@ -898,3 +898,98 @@ def x122_training_mix_manifest(
             F.col("b").alias("budget"),
         )
     )
+
+
+# --- x132: leakage-free train/test split (component-atomic assignment) --------------
+
+_X132_TEST_HEX = "1a"  # test if md5(component) first 2 hex < '1a' (~10.2%)
+
+
+def _x132_oracle() -> str:
+    from .dedup import _x08_cte
+
+    return f"""
+    WITH RECURSIVE {_x08_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    closure AS (
+      SELECT a, b FROM reach
+      UNION
+      SELECT DISTINCT src AS a, src AS b FROM edges
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM closure GROUP BY a),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(c.component, d.doc_id) AS component,
+             CASE WHEN substr(md5(CAST(COALESCE(c.component, d.doc_id)
+                                       AS VARCHAR)), 1, 2)
+                       < '{_X132_TEST_HEX}'
+                  THEN 'test' ELSE 'train' END AS split
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    )
+    SELECT doc_id, CAST(component AS BIGINT) AS component, split,
+           CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+             AS component_size
+    FROM assigned
+    """
+
+
+@register(
+    "x132_leakage_free_split",
+    # The CONSTRUCTIVE counterpart of x44's split-leakage audit: assign
+    # whole near-dup COMPONENTS (x15's transitive closure; singletons =
+    # the doc itself) to train or test by an md5 draw on the component
+    # id — a near-dup pair can never straddle the split, by
+    # construction rather than by post-hoc filtering. The draw is the
+    # standard md5-threshold device, so both engines agree on every
+    # assignment.
+    oracle=_x132_oracle(),
+    doc="x132: leakage-free train/test split — every doc inherits its "
+    "near-dup component's deterministic md5 split draw (~10% test), "
+    "so contaminated eval examples are impossible by construction "
+    "(x44 AUDITS leakage after the fact; x132 prevents it; x121/x129 "
+    "measure the n-gram analog). Scale: rides x08's banded candidate "
+    "generation and x15's label-propagation components — the only "
+    "additions are one md5 per component and a hash join back to "
+    "docs; the split never scans text again. Exactness: the closure "
+    "is the recursive-SQL twin of the iterative propagation; the "
+    "draw is pure string comparison on md5 hex",
+)
+def x132_leakage_free_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .dedup import pinned_corpus_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = dedup_corpus(
+        docs, sigs=pinned_corpus_signatures(spark, sf_dir)
+    ).select(
+        "doc_id",
+        "component",
+        F.when(
+            F.substring(F.md5(F.col("component").cast("string")), 1, 2)
+            < _X132_TEST_HEX,
+            "test",
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+    return assigned.select(
+        "doc_id",
+        F.col("component").cast("bigint").alias("component"),
+        "split",
+        F.count("*")
+        .over(W.partitionBy("component"))
+        .cast("bigint")
+        .alias("component_size"),
+    )

@@ -3363,3 +3363,87 @@ def x129_contamination_matrix(
             ).alias("contaminated_frac"),
         )
     )
+
+
+# --- x131: curriculum ordering schedule ---------------------------------------------
+
+_X131_BANDS = [150, 250, 350]  # n_chars cut points -> 4 difficulty bands
+
+
+@register(
+    "x131_curriculum_schedule",
+    # Deterministic curriculum data-ordering: band docs by a difficulty
+    # proxy (length thresholds — pure arithmetic, no distribution scan),
+    # give each doc a STABLE dense step inside its band (md5 order,
+    # computed with x100's two-phase bucket device — never a global
+    # sort), and interleave the bands round-robin via a strided slot
+    # (slot = (step-1)*n_bands + band). Unequal bands leave slot gaps;
+    # relative order is what the trainer consumes. The oracle states
+    # the one-window spec the two-phase plan must equal.
+    oracle=f"""
+    WITH banded AS (
+      SELECT doc_id,
+             CASE WHEN n_chars < {_X131_BANDS[0]} THEN 0
+                  WHEN n_chars < {_X131_BANDS[1]} THEN 1
+                  WHEN n_chars < {_X131_BANDS[2]} THEN 2
+                  ELSE 3 END AS band,
+             md5(CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    )
+    SELECT doc_id, CAST(band AS BIGINT) AS band,
+           CAST(ROW_NUMBER() OVER (PARTITION BY band ORDER BY hx)
+                AS BIGINT) AS band_step,
+           CAST((ROW_NUMBER() OVER (PARTITION BY band ORDER BY hx) - 1)
+                * 4 + band AS BIGINT) AS slot
+    FROM banded
+    """,
+    doc="x131: curriculum ordering schedule — every doc gets a stable "
+    "training slot: length-banded difficulty (arithmetic thresholds), "
+    "a dense md5-ordered step within its band, and a strided slot "
+    "that interleaves the four bands round-robin, so each training "
+    "window mixes difficulties while the within-band order stays "
+    "shuffled and reproducible across runs and cluster layouts. "
+    "Scale: the within-band enumeration is x100's two-phase device "
+    "partitioned by (band, 3-hex bucket) — 4x4096 parallel rank "
+    "windows plus a bounded offset prefix broadcast back; no task "
+    "ever sorts more than ~1/4096 of a band. Exactness: md5 order "
+    "and integer arithmetic only",
+)
+def x131_curriculum_schedule(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    band = (
+        F.when(F.col("n_chars") < _X131_BANDS[0], 0)
+        .when(F.col("n_chars") < _X131_BANDS[1], 1)
+        .when(F.col("n_chars") < _X131_BANDS[2], 2)
+        .otherwise(3)
+    )
+    h = d.select(
+        "doc_id",
+        band.alias("band"),
+        F.md5(F.col("doc_id").cast("string")).alias("hx"),
+    ).withColumn("bucket", F.substring("hx", 1, 3))
+    wb = W.partitionBy("band", "bucket").orderBy("hx")
+    ranked = h.withColumn("rn", F.row_number().over(wb))
+    sizes = h.groupBy("band", "bucket").agg(F.count("*").alias("bn"))
+    # per-band prefix sum over the <=4*4096-row bucket-size table only
+    wo = (
+        W.partitionBy("band")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "band",
+        "bucket",
+        F.coalesce(F.sum("bn").over(wo), F.lit(0)).alias("off"),
+    )
+    step = F.col("off") + F.col("rn")
+    return ranked.join(F.broadcast(offsets), ["band", "bucket"]).select(
+        "doc_id",
+        F.col("band").cast("bigint").alias("band"),
+        step.cast("bigint").alias("band_step"),
+        ((step - 1) * 4 + F.col("band")).cast("bigint").alias("slot"),
+    )

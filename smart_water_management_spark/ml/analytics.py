@@ -3120,3 +3120,319 @@ def m27_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("tie"))
         .alias("lower_loss_model"),
     )
+
+
+# --- M28 (ext.): two-change-point segmentation via bounded pair grid ---------------
+
+
+@register(
+    "m28_two_changepoint_trend",
+    # Exact GLOBAL optimum over BOTH change points at once (binary
+    # segmentation — m19 applied twice — is greedy and can miss it):
+    # every (t1 < t2) pair's three-segment SSE comes from the same
+    # prefix moments m19 uses, so the pair grid costs O(1) each and
+    # the whole search is bounded by the CALENDAR (hours^2 per type),
+    # not the corpus. Ties break to the earliest (t1, t2).
+    oracle=f"""
+    WITH {_hourly_series_sql().strip()},
+    ser AS (
+      SELECT event_type, h, CAST(hv AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t,
+             CAST(SUM(CAST(hv AS DECIMAL(27,6)))
+                  OVER (PARTITION BY event_type ORDER BY h) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(CAST(hv AS DOUBLE) * CAST(hv AS DOUBLE)
+                           AS DECIMAL(27,6)))
+                  OVER (PARTITION BY event_type ORDER BY h) AS DOUBLE) AS s2,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             CAST(SUM(CAST(hv AS DECIMAL(27,6)))
+                  OVER (PARTITION BY event_type) AS DOUBLE) AS s1t,
+             CAST(SUM(CAST(CAST(hv AS DOUBLE) * CAST(hv AS DOUBLE)
+                           AS DECIMAL(27,6)))
+                  OVER (PARTITION BY event_type) AS DOUBLE) AS s2t
+      FROM hourly
+    ),
+    grid AS (
+      SELECT a.event_type, a.n, a.s1t, a.s2t,
+             a.t AS t1, a.h AS h1, b.t AS t2, b.h AS h2,
+             (a.s2 - a.s1 * a.s1 / a.t)
+               + ((b.s2 - a.s2)
+                  - (b.s1 - a.s1) * (b.s1 - a.s1) / (b.t - a.t))
+               + ((a.s2t - b.s2)
+                  - (a.s1t - b.s1) * (a.s1t - b.s1) / (a.n - b.t)) AS c,
+             a.s1 / a.t AS mean_1,
+             (b.s1 - a.s1) / (b.t - a.t) AS mean_2,
+             (a.s1t - b.s1) / (a.n - b.t) AS mean_3
+      FROM ser a JOIN ser b
+        ON b.event_type = a.event_type AND b.t > a.t AND b.t < b.n
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                   ORDER BY c, t1, t2) AS rk
+      FROM grid
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_hours,
+           CAST(t1 AS BIGINT) AS t1, CAST(h1 AS BIGINT) AS hour1,
+           CAST(t2 AS BIGINT) AS t2, CAST(h2 AS BIGINT) AS hour2,
+           (s2t - s1t * s1t / n) - c AS gain,
+           mean_1, mean_2, mean_3
+    FROM best WHERE rk = 1
+    """,
+    doc="M28 (ext.): exact two-change-point segmentation — the (t1, t2) "
+    "pair that globally minimizes three-segment SSE over each type's "
+    "hourly series, from the same prefix decimal moments as m19 (one "
+    "step level shift is m19's job; regime -> transition -> regime "
+    "needs both cuts jointly, where greedy binary segmentation can "
+    "land off-optimum). Scale: the pair grid is bounded by the "
+    "CALENDAR (hours^2 per type, independent of corpus size); costs "
+    "are O(1) prefix-moment expressions; the argmin is one rank "
+    "window over the grid. Exactness: decimal prefix sums exact at "
+    "every t, identical IEEE cost expressions, ties to the earliest "
+    "pair — no rounding anywhere",
+)
+def m28_two_changepoint_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    hourly = _hourly_series(spark, sf_dir)
+    wp = W.partitionBy("event_type").orderBy("h")
+    wa = W.partitionBy("event_type")
+    x = F.col("hv").cast("double")
+    xx = (x * x).cast("decimal(27,6)")
+    ser = hourly.select(
+        "event_type",
+        "h",
+        F.row_number().over(wp).alias("t"),
+        F.sum(F.col("hv").cast("decimal(27,6)"))
+        .over(wp)
+        .cast("double")
+        .alias("s1"),
+        F.sum(xx).over(wp).cast("double").alias("s2"),
+        F.count("*").over(wa).alias("n"),
+        F.sum(F.col("hv").cast("decimal(27,6)"))
+        .over(wa)
+        .cast("double")
+        .alias("s1t"),
+        F.sum(xx).over(wa).cast("double").alias("s2t"),
+    )
+    a = ser.select(
+        "event_type",
+        "n",
+        "s1t",
+        "s2t",
+        F.col("t").alias("t1"),
+        F.col("h").alias("h1"),
+        F.col("s1").alias("a1"),
+        F.col("s2").alias("a2"),
+    )
+    b = ser.select(
+        "event_type",
+        F.col("t").alias("t2"),
+        F.col("h").alias("h2"),
+        F.col("s1").alias("b1"),
+        F.col("s2").alias("b2"),
+    )
+    grid = a.join(b, "event_type").filter(
+        (F.col("t2") > F.col("t1")) & (F.col("t2") < F.col("n"))
+    )
+    t1, t2, n = F.col("t1"), F.col("t2"), F.col("n")
+    a1, a2, b1, b2 = F.col("a1"), F.col("a2"), F.col("b1"), F.col("b2")
+    s1t, s2t = F.col("s1t"), F.col("s2t")
+    c = (
+        (a2 - a1 * a1 / t1)
+        + ((b2 - a2) - (b1 - a1) * (b1 - a1) / (t2 - t1))
+        + ((s2t - b2) - (s1t - b1) * (s1t - b1) / (n - t2))
+    )
+    scored = grid.select(
+        "event_type",
+        "n",
+        "s1t",
+        "s2t",
+        "t1",
+        "h1",
+        "t2",
+        "h2",
+        c.alias("c"),
+        (a1 / t1).alias("mean_1"),
+        ((b1 - a1) / (t2 - t1)).alias("mean_2"),
+        ((s1t - b1) / (n - t2)).alias("mean_3"),
+    )
+    wr = W.partitionBy("event_type").orderBy("c", "t1", "t2")
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_hours"),
+            F.col("t1").cast("bigint").alias("t1"),
+            F.col("h1").cast("bigint").alias("hour1"),
+            F.col("t2").cast("bigint").alias("t2"),
+            F.col("h2").cast("bigint").alias("hour2"),
+            ((s2t - s1t * s1t / n) - F.col("c")).alias("gain"),
+            "mean_1",
+            "mean_2",
+            "mean_3",
+        )
+    )
+
+
+# --- M29 (ext.): Kaplan-Meier survival curve (view -> purchase) --------------------
+
+
+@register(
+    "m29_kaplan_meier",
+    # Time-to-conversion survival with RIGHT CENSORING: users who never
+    # purchase after their first view are censored at the corpus
+    # horizon (max ts). Durations bucket to hours, so the KM table is
+    # calendar-bounded; at-risk counts come from one cumulative sum;
+    # the survival curve is a d-ordered PREFIX PRODUCT of (1 - e/n)
+    # factors, folded identically in both engines (products of doubles
+    # from exact integer ratios, pinned order — nothing to round).
+    oracle="""
+    WITH bounds AS (
+      SELECT MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS tmax FROM events
+    ),
+    s AS (
+      SELECT user_id, MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t0
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(CAST(FLOOR(epoch(e.ts)) AS BIGINT)) AS t1
+      FROM events e JOIN s ON s.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+        AND CAST(FLOOR(epoch(e.ts)) AS BIGINT) >= s.t0
+      GROUP BY e.user_id
+    ),
+    obs AS (
+      SELECT s.user_id,
+             CASE WHEN p.t1 IS NOT NULL THEN 1 ELSE 0 END AS ev,
+             CAST(FLOOR((COALESCE(p.t1, b.tmax) - s.t0) / 3600.0)
+                  AS BIGINT) AS d
+      FROM s LEFT JOIN p USING (user_id) CROSS JOIN bounds b
+    ),
+    tab AS (
+      SELECT d, CAST(SUM(ev) AS BIGINT) AS e, COUNT(*) AS c
+      FROM obs GROUP BY d
+    ),
+    risk AS (
+      SELECT d, e,
+             CAST((SELECT COUNT(*) FROM obs)
+                  - COALESCE(SUM(c) OVER (ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS n
+      FROM tab
+    ),
+    ser AS (
+      SELECT list(d ORDER BY d) AS ds,
+             list(e ORDER BY d) AS es,
+             list(n ORDER BY d) AS ns,
+             list(1.0 - CAST(e AS DOUBLE) / n ORDER BY d) AS fac
+      FROM risk
+    )
+    SELECT r.u['d'] AS d_hours, r.u['n'] AS n_at_risk,
+           r.u['e'] AS n_events, r.u['s'] AS survival
+    FROM (
+      SELECT unnest(list_transform(range(1, len(ds) + 1), i -> {
+               'd': ds[i], 'n': ns[i], 'e': es[i],
+               's': list_reduce(list_prepend(CAST(1 AS DOUBLE), fac[1:i]),
+                                (a, b) -> a * b)
+             })) AS u
+      FROM ser
+    ) r
+    """,
+    doc="M29 (ext.): Kaplan-Meier survival curve for view->purchase "
+    "conversion — the right-censoring-correct answer to 'how long "
+    "until users convert' (a39's percentiles silently drop users who "
+    "never converted; KM keeps them at risk until the horizon, which "
+    "is the statistically honest estimate). Scale: durations bucket "
+    "to the calendar-bounded hour grid after two map-combined "
+    "per-user MIN aggregates; the at-risk counts are one cumulative "
+    "sum over that bounded table; the prefix product folds in-row. "
+    "Exactness: integer event/risk counts, d-ordered product fold of "
+    "exact-ratio factors — no rounding device needed",
+)
+def m29_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    tmax = ev.agg(F.max(sec).alias("tmax"))
+    s = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(sec).alias("t0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", sec.alias("t1s"))
+        .join(s, "user_id")
+        .filter(F.col("t1s") >= F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("t1s").alias("t1"))
+    )
+    obs = (
+        s.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            F.when(F.col("t1").isNotNull(), 1).otherwise(0).alias("ev"),
+            F.floor(
+                (F.coalesce("t1", "tmax") - F.col("t0")) / 3600.0
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+    )
+    tab = obs.groupBy("d").agg(
+        F.sum("ev").cast("bigint").alias("e"), F.count("*").alias("c")
+    )
+    total = obs.count()  # bounded driver scalar (cohort size)
+    wc = W.orderBy("d").rowsBetween(W.unboundedPreceding, -1)
+    risk = tab.select(
+        "d",
+        "e",
+        (total - F.coalesce(F.sum("c").over(wc), F.lit(0)))
+        .cast("bigint")
+        .alias("n"),
+    )
+    ser = risk.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "e", "n"))),
+            lambda x: x["d"],
+        ).alias("ds"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "e", "n"))),
+            lambda x: x["e"],
+        ).alias("es"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "e", "n"))),
+            lambda x: x["n"],
+        ).alias("ns"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("d", "e", "n"))),
+            lambda x: F.lit(1.0) - x["e"].cast("double") / x["n"],
+        ).alias("fac"),
+    )
+    rows = ser.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("ds")),
+                lambda i: F.struct(
+                    F.element_at("ds", i).alias("d"),
+                    F.element_at("ns", i).alias("n"),
+                    F.element_at("es", i).alias("e"),
+                    F.aggregate(
+                        F.slice(F.col("fac"), 1, i),
+                        F.lit(1.0),
+                        lambda a, b: a * b,
+                    ).alias("s"),
+                ),
+            )
+        ).alias("u")
+    )
+    return rows.select(
+        F.col("u.d").alias("d_hours"),
+        F.col("u.n").alias("n_at_risk"),
+        F.col("u.e").alias("n_events"),
+        F.col("u.s").alias("survival"),
+    )

@@ -1321,3 +1321,103 @@ def v18_arrival_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "missing_frac"
         ),
     )
+
+
+# --- v19 (ext.): rule-violation co-occurrence lift ----------------------------------
+
+
+def _v19_oracle() -> str:
+    flags = ",\n             ".join(
+        f"CASE WHEN {r.violation_sql()} THEN 1 ELSE 0 END AS f_{r.name}"
+        for r in EVENTS_RULES
+    )
+    pair_rows = []
+    names = [r.name for r in EVENTS_RULES]
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            pair_rows.append(
+                f"SELECT '{a}' AS rule_a, '{b}' AS rule_b, "
+                f"CAST(SUM(f_{a}) AS BIGINT) AS n_a, "
+                f"CAST(SUM(f_{b}) AS BIGINT) AS n_b, "
+                f"CAST(SUM(f_{a} * f_{b}) AS BIGINT) AS n_both, "
+                f"CAST(COUNT(*) AS BIGINT) AS n_rows FROM flags"
+            )
+    return f"""
+    WITH flags AS (
+      SELECT {flags}
+      FROM events
+    ),
+    pairs AS (
+      {" UNION ALL ".join(pair_rows)}
+    )
+    SELECT rule_a, rule_b, n_a, n_b, n_both,
+           CASE WHEN n_a > 0 AND n_b > 0 THEN
+             (CAST(n_both AS DOUBLE) / n_rows)
+               / ((CAST(n_a AS DOUBLE) / n_rows)
+                  * (CAST(n_b AS DOUBLE) / n_rows))
+           END AS lift
+    FROM pairs
+    """
+
+
+@register(
+    "v19_rule_cooccurrence",
+    # Which validation failures travel TOGETHER? One scan computes all
+    # rule flags; every pair's co-violation count and lift
+    # (P(a,b)/(P(a)P(b))) come from conditional sums over that single
+    # flag table — a41's association math applied to data-quality
+    # failures. High-lift pairs mean one upstream defect trips several
+    # rules (fix once); lift ~1 means independent failure modes.
+    oracle=_v19_oracle(),
+    doc="v19 (ext.): rule-violation co-occurrence — for every pair of "
+    "the v01 rule bank's rules, the co-violation count and lift over "
+    "one events scan. The root-cause triage view on top of v01's "
+    "per-rule pass rates: correlated failures point at a shared "
+    "upstream defect, independent ones at distinct causes. Scale: "
+    "ONE corpus scan computes all flags; the pair fanout is an "
+    "in-plan union of conditional aggregates over the cached flag "
+    "table — no rescans, no joins. Exactness: integer counts; lift "
+    "is IEEE quotients of exact integers, NULL when a marginal is "
+    "empty (never a div-by-zero)",
+)
+def v19_rule_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    flags = ev.select(
+        *[
+            r.violation().cast("int").alias(f"f_{r.name}")
+            for r in EVENTS_RULES
+        ]
+    ).persist()
+    names = [r.name for r in EVENTS_RULES]
+    out = None
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            row = flags.agg(
+                F.lit(a).alias("rule_a"),
+                F.lit(b).alias("rule_b"),
+                F.sum(f"f_{a}").cast("bigint").alias("n_a"),
+                F.sum(f"f_{b}").cast("bigint").alias("n_b"),
+                F.sum(F.col(f"f_{a}") * F.col(f"f_{b}"))
+                .cast("bigint")
+                .alias("n_both"),
+                F.count("*").cast("bigint").alias("n_rows"),
+            )
+            out = row if out is None else out.unionByName(row)
+    na, nb, nboth, nr = (
+        F.col("n_a"),
+        F.col("n_b"),
+        F.col("n_both"),
+        F.col("n_rows"),
+    )
+    return out.select(
+        "rule_a",
+        "rule_b",
+        "n_a",
+        "n_b",
+        "n_both",
+        F.when(
+            (na > 0) & (nb > 0),
+            (nboth.cast("double") / nr)
+            / ((na.cast("double") / nr) * (nb.cast("double") / nr)),
+        ).alias("lift"),
+    )

@@ -63,6 +63,12 @@ SHOW = [
     ("c17_versioned_snapshot_read", "versioned snapshot read — version=N partition pruning makes time travel touch ONE version's files"),
     ("x121_decontam_ngram_sweep", "decontamination n-sweep — per-n gram fanouts share one token scan; each overlap is a gram-hash semi-join"),
     ("x122_training_mix_manifest", "training-mix manifest — dedup components + Gopher flags + waterfill composed; no new shuffle class anywhere"),
+    ("x123_ann_mmr_rerank", "ANN->MMR composition — the rerank rides x65's IVF+PQ candidate stream: (qid,cell) probe join bounds the scan, no corpus crossJoin"),
+    ("x129_contamination_matrix", "cross-source contamination matrix — ONE md5-gram equi-join computes every source pair; the source grid attaches by broadcast"),
+    ("a42_kendall_tau", "Kendall tau-b — fact table collapses to the 50x11 value-domain cell grid; concordant/discordant mass from a broadcast cell self-join"),
+    ("m28_two_changepoint_trend", "two-change-point segmentation — calendar-bounded prefix-moment pair grid, O(1) cost per cell, one rank-window argmin"),
+    ("x131_curriculum_schedule", "curriculum schedule — x100's two-phase enumeration per (band, bucket): parallel rank windows + broadcast offset prefix"),
+    ("x127_embedding_mmd_matrix", "linear-MMD drift matrix — posexplode to 640 integer moment keys, then a corpus-size-independent label x label broadcast join"),
 ]
 
 
