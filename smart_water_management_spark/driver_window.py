@@ -194,6 +194,8 @@ ROUND9_CANDIDATES: list[str] = [
     "x131_curriculum_schedule",
     "x132_leakage_free_split",
     "m29_kaplan_meier",
+    "x133_rag_context_pack",
+    "x134_cosine_lexical_calibration",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

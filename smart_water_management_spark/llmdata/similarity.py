@@ -3186,3 +3186,198 @@ def x130_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fused_rank").cast("bigint").alias("fused_rank"),
         )
     )
+
+
+# --- x133: RAG context-window packing -----------------------------------------------
+
+_X133_CAND = 20     # dense-retrieval candidates considered per query
+_X133_BUDGET = 256  # context token budget per query
+
+
+@register(
+    "x133_rag_context_pack",
+    # The step between retrieval and generation: fill each query's
+    # context window with retrieved docs IN RANK ORDER until the token
+    # budget is hit (prefix semantics — cum tokens are monotone, so
+    # inclusion is one comparison). Token costs are integer n_chars/4
+    # proxies; the cumulative sum rides the per-qid rank window over
+    # the top-20 candidate set, never the corpus.
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe FROM embeddings
+      WHERE vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT qid, vec_id AS doc_id, rn AS rank FROM (
+        SELECT q.qid, e.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY
+                 {_SQL_DOT.format(a='q.qe', b='e.embedding')}
+                   / (SQRT({_SQL_SQNORM.format(a='q.qe')})
+                      * SQRT({_SQL_SQNORM.format(a='e.embedding')})) DESC,
+                 e.vec_id) AS rn
+        FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid
+      ) WHERE rn <= {_X133_CAND}
+    ),
+    costed AS (
+      SELECT r.qid, r.doc_id, r.rank,
+             CAST(FLOOR(d.n_chars / 4.0) AS BIGINT) AS tok_cost
+      FROM ranked r JOIN documents d ON d.doc_id = r.doc_id
+    )
+    SELECT qid, doc_id, CAST(rank AS BIGINT) AS rank, tok_cost,
+           CAST(SUM(tok_cost) OVER (PARTITION BY qid ORDER BY rank)
+                AS BIGINT) AS cum_tokens,
+           SUM(tok_cost) OVER (PARTITION BY qid ORDER BY rank)
+             <= {_X133_BUDGET} AS included
+    FROM costed
+    """,
+    doc=f"x133: RAG context-window packing — for each query, the dense "
+    f"retriever's top-{_X133_CAND} docs are packed into a "
+    f"{_X133_BUDGET}-token context in rank order (prefix semantics: "
+    "a doc is included iff the running token total still fits), "
+    "emitting per-slot cost, cumulative tokens and the inclusion "
+    "flag — the assembly step every retrieval-augmented pipeline "
+    "runs between x10/x130's ranking and generation, and the "
+    "budget-accounting twin of x103's corpus-level waterfill. "
+    "Scale: candidates bound everything (broadcast queries x "
+    "partitioned corpus for ranking, then per-qid windows over "
+    f"<= {_X133_CAND} rows); doc costs attach by hash join on "
+    "doc_id == vec_id. Exactness: integer token costs and prefix "
+    "sums; ranking ties break on vec_id",
+)
+def x133_rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        F.floor(F.col("n_chars") / 4.0).cast("bigint").alias("tok_cost"),
+    )
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), _dbl("embedding").alias("qe")
+    )
+    c = em.select("vec_id", _dbl("embedding").alias("ce"))
+    wr = W.partitionBy("qid").orderBy(
+        F.desc("cs"), F.asc("vec_id")
+    )
+    ranked = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine(F.col("qe"), F.col("ce")).alias("cs"),
+        )
+        .withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= _X133_CAND)
+        .select("qid", F.col("vec_id").alias("doc_id"), "rank")
+    )
+    costed = ranked.join(docs, "doc_id")
+    wc = W.partitionBy("qid").orderBy("rank")
+    cum = F.sum("tok_cost").over(wc)
+    return costed.select(
+        "qid",
+        "doc_id",
+        F.col("rank").cast("bigint").alias("rank"),
+        "tok_cost",
+        cum.cast("bigint").alias("cum_tokens"),
+        (cum <= _X133_BUDGET).alias("included"),
+    )
+
+
+# --- x134: embedding-cosine vs lexical-Jaccard calibration --------------------------
+
+_X134_BAND = 20  # cosine band width: floor(cos * 20) -> 0.05-wide bands
+
+
+@register(
+    "x134_cosine_lexical_calibration",
+    # Does embedding similarity MEAN lexical similarity on this corpus?
+    # For every label-blocked pair (x11's candidate device, no
+    # threshold), bucket the cosine into 0.05 bands (FLOOR on both
+    # engines) and pool the word-level overlap per band: POOLED Jaccard
+    # = SUM(intersections)/SUM(unions) — integer sums, ONE quotient per
+    # band, deliberately avoiding a mean of per-pair rationals (whose
+    # float sum would be order-dependent).
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             {_SQL_DOT.format(a='a.embedding', b='b.embedding')}
+               / (SQRT({_SQL_SQNORM.format(a='a.embedding')})
+                  * SQRT({_SQL_SQNORM.format(a='b.embedding')})) AS cs
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    lex AS (
+      SELECT p.va, p.vb,
+             CAST(FLOOR(p.cs * {_X134_BAND}) AS BIGINT) AS band,
+             len(list_filter(wa.ws, x -> list_contains(wb.ws, x))) AS i,
+             len(wa.ws) + len(wb.ws)
+               - len(list_filter(wa.ws, x -> list_contains(wb.ws, x)))
+               AS u
+      FROM pairs p
+      JOIN w wa ON wa.doc_id = p.va
+      JOIN w wb ON wb.doc_id = p.vb
+    )
+    SELECT band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(i) AS BIGINT) AS sum_intersect,
+           CAST(SUM(u) AS BIGINT) AS sum_union,
+           CAST(SUM(i) AS DOUBLE) / SUM(u) AS pooled_jaccard
+    FROM lex GROUP BY band
+    """,
+    doc="x134: embedding-cosine vs lexical-Jaccard calibration curve — "
+    "label-blocked pairs (x11's candidate device) bucketed into 0.05 "
+    "cosine bands, each band reporting its POOLED word-Jaccard "
+    "(sum-of-intersections over sum-of-unions). The trust audit "
+    "behind every cosine threshold in the dedup/similarity stack "
+    "(x11/x29 pick thresholds in cosine space; this shows what those "
+    "thresholds mean lexically on THIS corpus, and a flat curve "
+    "flags embeddings that do not track content). Scale: pair "
+    "generation stays label-blocked (never all-pairs); word sets "
+    "attach by two hash joins; the result is a <=40-row curve. "
+    "Exactness: FLOOR banding on both engines, integer overlap "
+    "sums, one IEEE quotient per band",
+)
+def x134_cosine_lexical_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+        "vec_id", "label", _dbl("embedding").alias("e")
+    )
+    w = fan_out(load_table(spark, sf_dir, "documents"), spark).select(
+        F.col("doc_id"),
+        F.array_distinct(F.split(F.lower("text"), " ")).alias("ws"),
+    )
+    a = em.select(
+        "label", F.col("vec_id").alias("va"), F.col("e").alias("ea")
+    )
+    b = em.select(
+        "label", F.col("vec_id").alias("vb"), F.col("e").alias("eb")
+    )
+    pairs = (
+        a.join(b, "label")
+        .filter(F.col("va") < F.col("vb"))
+        .select(
+            "va", "vb", cosine(F.col("ea"), F.col("eb")).alias("cs")
+        )
+    )
+    wa = w.select(F.col("doc_id").alias("va"), F.col("ws").alias("wsa"))
+    wb = w.select(F.col("doc_id").alias("vb"), F.col("ws").alias("wsb"))
+    inter = F.size(F.array_intersect(F.col("wsa"), F.col("wsb")))
+    lex = (
+        pairs.join(wa, "va")
+        .join(wb, "vb")
+        .select(
+            F.floor(F.col("cs") * _X134_BAND).cast("bigint").alias("band"),
+            inter.alias("i"),
+            (F.size("wsa") + F.size("wsb") - inter).alias("u"),
+        )
+    )
+    return lex.groupBy("band").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.sum("i").cast("bigint").alias("sum_intersect"),
+        F.sum("u").cast("bigint").alias("sum_union"),
+        (F.sum("i").cast("double") / F.sum("u")).alias("pooled_jaccard"),
+    )
