@@ -959,3 +959,119 @@ def test_quality_classifier_learns_weak_labels(spark):
     neg = [r.quality_prob for r in rows if r.weak_label == 0]
     if pos and neg:
         assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+
+def test_x132_no_near_dup_pair_straddles_split(spark):
+    """x132's whole point: no verified near-dup pair may have one side
+    in train and the other in test. Also pin the component-atomic
+    property (every member of a component shares its split) and that
+    both splits are nonempty at the test SF."""
+    from smart_water_management_spark.llmdata import dedup as dd
+    from smart_water_management_spark.llmdata.components import (
+        x132_leakage_free_split,
+    )
+    from smart_water_management_spark.sources.catalog import load_table
+
+    split = {
+        r.doc_id: (r.component, r.split)
+        for r in x132_leakage_free_split(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents")
+    sigs = dd.pinned_corpus_signatures(spark, SF_DIR)
+    pairs = dd.verify_jaccard(
+        docs, dd.lsh_candidate_pairs(sigs), 0.5
+    ).collect()
+    assert pairs, "no verified pairs at test SF; straddle check vacuous"
+    for p in pairs:
+        assert split[p.doc_a][1] == split[p.doc_b][1], (p.doc_a, p.doc_b)
+        assert split[p.doc_a][0] == split[p.doc_b][0], (p.doc_a, p.doc_b)
+    kinds = {s for _, s in split.values()}
+    assert kinds == {"train", "test"}, kinds
+
+
+def test_x126_truncation_planted_exactly_on_corrupt_mod(spark):
+    """x126's planted corruption: every doc_id % 13 == 0 doc must fail
+    the pixel-sum check (truncation removes ascii>=32 bytes, whose sum
+    cannot be zero) and every other doc must be fully consistent."""
+    from smart_water_management_spark.llmdata.multimodal import (
+        _X126_CORRUPT_MOD,
+        x126_caption_image_consistency,
+    )
+
+    rows = x126_caption_image_consistency(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.doc_id % _X126_CORRUPT_MOD == 0:
+            assert not r.sum_match and not r.pair_consistent, r.doc_id
+        else:
+            assert r.h_match and r.sum_match and r.pair_consistent, r.doc_id
+
+
+def test_x125_duplicate_texts_share_wav_fingerprint(spark):
+    """Duplicate audio must dedup: a synthesized corpus with planted
+    EXACT duplicate texts (the sf0.001 corpus has only near-dups) gives
+    byte-identical WAVs, hence equal fingerprints; the canonical member
+    is the min doc_id of its group, and group sizes are reported."""
+    import collections
+    import os
+    import tempfile
+
+    from smart_water_management_spark.llmdata.multimodal import (
+        x125_wav_fingerprint_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle join window exact duplicate payload", "en", "a", 49),
+            (2, "spark shuffle join window exact duplicate payload", "en", "a", 49),
+            (3, "a totally different audio track with other words here", "en", "b", 53),
+            (4, "spark shuffle join window exact duplicate payload", "en", "b", 49),
+            (5, "yet another unrelated piece of synthetic audio text", "en", "a", 51),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        docs.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+        rows = x125_wav_fingerprint_dedup(spark, sf_dir).collect()
+    fp = {r.doc_id: r for r in rows}
+    assert fp[1].wav_fp == fp[2].wav_fp == fp[4].wav_fp
+    assert fp[3].wav_fp != fp[1].wav_fp
+    by_fp = collections.defaultdict(list)
+    for r in rows:
+        by_fp[r.wav_fp].append(r)
+    for g in by_fp.values():
+        lo = min(r.doc_id for r in g)
+        for r in g:
+            assert r.is_canonical == (r.doc_id == lo), r
+            assert r.n_same_fp == len(g), r
+
+
+def test_x133_budget_prefix_semantics(spark):
+    """Included slots are exactly the maximal rank prefix whose
+    cumulative tokens fit the budget; cum_tokens is the running sum of
+    tok_cost in rank order."""
+    import collections
+
+    from smart_water_management_spark.llmdata.similarity import (
+        _X133_BUDGET,
+        x133_rag_context_pack,
+    )
+
+    rows = x133_rag_context_pack(spark, SF_DIR).collect()
+    byq = collections.defaultdict(list)
+    for r in rows:
+        byq[r.qid].append(r)
+    for q, g in byq.items():
+        g.sort(key=lambda r: r.rank)
+        cum = 0
+        stopped = False
+        for r in g:
+            cum += r.tok_cost
+            assert r.cum_tokens == cum, (q, r.rank)
+            assert r.included == (cum <= _X133_BUDGET), (q, r.rank)
+            if not r.included:
+                stopped = True
+            elif stopped:
+                raise AssertionError(f"non-prefix inclusion at {q}")

@@ -382,3 +382,65 @@ def test_kmv_merge_equals_direct_for_any_slicing(uids, n_slices):
     partials = [sorted({h(u) for u in s})[:KMV_K] for s in slices if s]
     merged = sorted(set().union(*partials))[:KMV_K] if partials else []
     assert merged == direct
+
+
+def test_a42_kendall_tau_matches_bruteforce(spark):
+    """a42's cell-grid tau-b must equal the O(n^2) textbook definition
+    computed directly over the raw (quantity, discount) rows."""
+    import numpy as np
+
+    from smart_water_management_spark.registry import _REGISTRY
+
+    from .conftest import SF_DIR
+
+    got = _REGISTRY["a42_kendall_tau"].fn(spark, SF_DIR).collect()[0]
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_quantity", "l_discount"
+    ).collect()
+    x = np.array([int(r.l_quantity) for r in li], dtype=np.int64)
+    y = np.array([int(round(r.l_discount * 100)) for r in li], dtype=np.int64)
+    n = len(x)
+    conc = disc = 0
+    # chunked sign comparison (n ~ 6k at sf0.001 -> 36M pairs, fine)
+    for i in range(0, n, 512):
+        xi = x[i : i + 512][:, None]
+        yi = y[i : i + 512][:, None]
+        sx = np.sign(x[None, :] - xi)
+        sy = np.sign(y[None, :] - yi)
+        prod = sx * sy
+        conc += int((prod > 0).sum())
+        disc += int((prod < 0).sum())
+    conc //= 2
+    disc //= 2
+    assert got.concordant == conc and got.discordant == disc
+    tx = sum(c * (c - 1) // 2 for c in np.bincount(x))
+    ty = sum(c * (c - 1) // 2 for c in np.bincount(y))
+    n0 = n * (n - 1) // 2
+    tau = (conc - disc) / np.sqrt(float(n0 - tx) * float(n0 - ty))
+    assert abs(got.tau_b - round(tau, 9)) <= 1e-9
+
+
+def test_m29_kaplan_meier_curve_properties(spark):
+    """KM invariants: survival starts <= 1, is non-increasing in d, is
+    positive while anyone remains at risk, and at-risk counts strictly
+    decrease as duration grows."""
+    from smart_water_management_spark.registry import _REGISTRY
+
+    from .conftest import SF_DIR
+
+    rows = sorted(
+        _REGISTRY["m29_kaplan_meier"].fn(spark, SF_DIR).collect(),
+        key=lambda r: r.d_hours,
+    )
+    assert rows
+    prev_s, prev_n = 1.0 + 1e-12, None
+    for r in rows:
+        # survival may legitimately reach exactly 0.0 when the LAST
+        # at-risk user converts (factor 1 - 1/1); never negative
+        assert 0.0 <= r.survival <= prev_s + 1e-12, r
+        if r.n_at_risk > r.n_events:
+            assert r.survival > 0.0, r
+        assert r.n_at_risk >= 1 and r.n_events >= 0, r
+        if prev_n is not None:
+            assert r.n_at_risk < prev_n, r
+        prev_s, prev_n = r.survival, r.n_at_risk
