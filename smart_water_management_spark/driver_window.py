@@ -196,6 +196,8 @@ ROUND9_CANDIDATES: list[str] = [
     "m29_kaplan_meier",
     "x133_rag_context_pack",
     "x134_cosine_lexical_calibration",
+    "p17_q18_shape",
+    "p18_q19_shape",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -1392,3 +1392,130 @@ def p16_q04_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     return late.groupBy("o_orderpriority").agg(
         F.count("*").cast("bigint").alias("order_count")
     )
+
+
+# --- p17 (ext.): TPC-H Q18 shape — large-volume-order semi join ---------------------
+
+
+@register(
+    "p17_q18_shape",
+    # Q18's signature: a HAVING SUM(...) > T aggregate over the fact
+    # table DEFINES the key set, which then semi-joins back into the
+    # order/customer detail — the aggregate-as-filter shape. The
+    # quantity threshold keeps the key set tiny, so the back-join
+    # broadcasts; top-k rides TakeOrderedAndProject.
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey
+      FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(l_quantity) > 180
+    )
+    SELECT o.o_orderkey, o.o_custkey, c.c_name, o.o_totalprice,
+           CAST(s.sum_qty AS BIGINT) AS sum_qty
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN (SELECT l_orderkey, SUM(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey) s
+      ON s.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM big)
+    ORDER BY o.o_totalprice DESC, o.o_orderkey
+    LIMIT 20
+    """,
+    doc="p17 (ext.): TPC-H Q18 shape — large-volume orders: the "
+    "HAVING-aggregate over lineitem defines the qualifying key set "
+    "(sum quantity > 180), which semi-joins back into order + "
+    "customer detail, top-20 by total price. The aggregate-as-filter "
+    "pattern behind every 'whales report'. Scale: ONE map-combined "
+    "per-order aggregate serves both the filter and the reported "
+    "sum; the filtered key set is threshold-small and broadcasts; "
+    "the top-k is TakeOrderedAndProject, never a global sort. "
+    "Exactness: integer quantities and keys",
+)
+def p17_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name"
+    )
+    qty = li.groupBy("l_orderkey").agg(
+        F.sum("l_quantity").cast("bigint").alias("sum_qty")
+    )
+    big = qty.filter(F.col("sum_qty") > 180).select("l_orderkey")
+    return (
+        orders.join(
+            F.broadcast(big),
+            orders["o_orderkey"] == big["l_orderkey"],
+            "left_semi",
+        )
+        .join(qty, qty["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .select(
+            "o_orderkey", "o_custkey", "c_name", "o_totalprice", "sum_qty"
+        )
+        .limit(20)
+    )
+
+
+# --- p18 (ext.): TPC-H Q19 shape — disjunctive predicate pushdown -------------------
+
+
+@register(
+    "p18_q19_shape",
+    # Q19's signature: an OR of three AND-groups spanning two tables.
+    # The per-table conjuncts common to every branch (quantity and
+    # size windows wide enough to cover all three) push into the
+    # scans; the residual disjunction rides the hash join. Revenue
+    # stays exact through the decimal-sum device.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount), 6)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11
+           AND p.p_brand = 'Brand#12')
+       OR (p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20
+           AND p.p_brand = 'Brand#23')
+       OR (p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30
+           AND p.p_brand = 'Brand#34')
+    """,
+    doc="p18 (ext.): TPC-H Q19 shape — revenue under an OR of three "
+    "AND-groups spanning lineitem and part. The optimizer derives "
+    "the branch-union bounds (quantity 1-30, size 1-15) as pushable "
+    "per-table conjuncts while the residual disjunction evaluates on "
+    "the joined row — the disjunctive-pushdown pattern OR-heavy "
+    "pricing rules hit constantly. Scale: both scans pre-filter "
+    "before the key-partitioned join (part side broadcast-eligible); "
+    "one 2-column aggregate. Exactness: per-line revenue rounded "
+    "once to 6dp and summed as DECIMAL (order-independent)",
+)
+def p18_q19_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+    branch = (
+        (
+            F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+            & (F.col("p_brand") == "Brand#12")
+        )
+        | (
+            F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+            & (F.col("p_brand") == "Brand#23")
+        )
+        | (
+            F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+            & (F.col("p_brand") == "Brand#34")
+        )
+    )
+    rev = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")), 6
+    ).cast("decimal(27,6)")
+    return j.filter(branch).agg(
+        F.count("*").cast("bigint").alias("n_lines"),
+        F.sum(rev).cast("double").alias("revenue"),
+    )
