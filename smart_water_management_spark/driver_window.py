@@ -198,6 +198,8 @@ ROUND9_CANDIDATES: list[str] = [
     "x134_cosine_lexical_calibration",
     "p17_q18_shape",
     "p18_q19_shape",
+    "x135_eval_quota_apportionment",
+    "a43_wilson_intervals",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

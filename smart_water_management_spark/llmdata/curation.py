@@ -3447,3 +3447,95 @@ def x131_curriculum_schedule(
         step.cast("bigint").alias("band_step"),
         ((step - 1) * 4 + F.col("band")).cast("bigint").alias("slot"),
     )
+
+
+# --- x135: eval-set quota apportionment (largest-remainder method) ------------------
+
+_X135_N = 100  # eval-set size to apportion across sources
+
+
+@register(
+    "x135_eval_quota_apportionment",
+    # Hamilton / largest-remainder apportionment of a fixed eval-set
+    # budget across sources: integer floor shares via pure integer
+    # division (N*n DIV total — float division could misfloor exact
+    # boundaries), then the leftover seats go to the largest
+    # remainders (ties to the lexicographically first source). Every
+    # quantity is an integer, so both engines agree bit-for-bit and
+    # the quotas provably sum to N.
+    oracle=f"""
+    WITH src AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    tot AS (SELECT SUM(n) AS total, COUNT(*) AS n_src FROM src),
+    base AS (
+      SELECT s.source, s.n,
+             ({_X135_N} * s.n) // t.total AS floor_q,
+             {_X135_N} * s.n - (({_X135_N} * s.n) // t.total) * t.total
+               AS remainder
+      FROM src s CROSS JOIN tot t
+    ),
+    left_over AS (
+      SELECT {_X135_N} - SUM(floor_q) AS k FROM base
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, source)
+               AS rk
+      FROM base
+    )
+    SELECT r.source,
+           CAST(r.n AS BIGINT) AS n_docs,
+           CAST(r.floor_q AS BIGINT) AS quota_floor,
+           CAST(r.remainder AS BIGINT) AS remainder,
+           CAST(CASE WHEN r.rk <= l.k THEN 1 ELSE 0 END AS BIGINT)
+             AS bonus,
+           CAST(r.floor_q + CASE WHEN r.rk <= l.k THEN 1 ELSE 0 END
+                AS BIGINT) AS quota
+    FROM ranked r CROSS JOIN left_over l
+    """,
+    doc=f"x135: eval-set quota apportionment — distribute a fixed "
+    f"{_X135_N}-doc eval budget across sources proportionally by the "
+    "largest-remainder (Hamilton) method: integer floor shares, then "
+    "leftover seats to the largest remainders (deterministic "
+    "tie-break). The principled version of the per-source sampling "
+    "quota x47 caps ad hoc — quotas exactly sum to the budget and "
+    "no source is off by more than one from its exact share. Scale: "
+    "one map-combined source count, then all apportionment math runs "
+    "on the |sources|-row table (rank window over 20 rows). "
+    "Exactness: pure integer division (DIV) and comparisons — a "
+    "float share could misfloor an exact boundary",
+)
+def x135_eval_quota_apportionment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(F.count("*").alias("n"))
+    tot = src.agg(F.sum("n").alias("total"))
+    base = src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.expr(f"({_X135_N} * n) DIV total").alias("floor_q"),
+        F.expr(
+            f"{_X135_N} * n - (({_X135_N} * n) DIV total) * total"
+        ).alias("remainder"),
+    )
+    leftover = base.agg(
+        (F.lit(_X135_N) - F.sum("floor_q")).alias("k")
+    )
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(
+            W.orderBy(F.desc("remainder"), F.asc("source"))
+        ),
+    )
+    bonus = F.when(F.col("rk") <= F.col("k"), 1).otherwise(0)
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("floor_q").cast("bigint").alias("quota_floor"),
+        F.col("remainder").cast("bigint").alias("remainder"),
+        bonus.cast("bigint").alias("bonus"),
+        (F.col("floor_q") + bonus).cast("bigint").alias("quota"),
+    )

@@ -2681,3 +2681,95 @@ def a42_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tau_b"),
         )
     )
+
+
+# --- a43 (ext.): Wilson score intervals for rare-event rates -----------------------
+
+_A43_Z = 1.96
+
+
+@register(
+    "a43_wilson_intervals",
+    # Small-sample-honest confidence intervals for a rare-event rate
+    # (critical readings, value > 400) per event type: the Wilson
+    # score interval never leaves [0,1] and stays calibrated at small
+    # n where the normal approximation fails. Every term is a single
+    # IEEE expression over exact integer counts, written in the SAME
+    # operation order on both engines — nothing to round.
+    # NOTE: z and z*z are computed ONCE in Python and injected as
+    # STRING casts — DuckDB parses bare numeric literals through
+    # DECIMAL, and both `1.96 * 1.96` (exact decimal 3.8416) and the
+    # decimal->double conversion of a 17-digit literal land one ulp
+    # off the correctly-parsed double; CAST('<repr>' AS DOUBLE) uses
+    # the correctly-rounded string parser.
+    oracle=f"""
+    WITH c AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN value > 400.0 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM events GROUP BY event_type
+    )
+    , raw AS (
+    SELECT event_type, n, k,
+           CAST(k AS DOUBLE) / n AS rate,
+           ((CAST(k AS DOUBLE) / n
+             + CAST('{_A43_Z * _A43_Z!r}' AS DOUBLE) / (2.0 * n))
+            - CAST('{_A43_Z!r}' AS DOUBLE) * SQRT((CAST(k AS DOUBLE) / n)
+                * (1.0 - CAST(k AS DOUBLE) / n) / n
+                + CAST('{_A43_Z * _A43_Z!r}' AS DOUBLE) / (4.0 * n * n)))
+             / (1.0 + CAST('{_A43_Z * _A43_Z!r}' AS DOUBLE) / n) AS lo,
+           ((CAST(k AS DOUBLE) / n
+             + CAST('{_A43_Z * _A43_Z!r}' AS DOUBLE) / (2.0 * n))
+            + CAST('{_A43_Z!r}' AS DOUBLE) * SQRT((CAST(k AS DOUBLE) / n)
+                * (1.0 - CAST(k AS DOUBLE) / n) / n
+                + CAST('{_A43_Z * _A43_Z!r}' AS DOUBLE) / (4.0 * n * n)))
+             / (1.0 + CAST('{_A43_Z * _A43_Z!r}' AS DOUBLE) / n) AS hi
+    FROM c
+    )
+    SELECT event_type, n, k, rate,
+           LEAST(rate, GREATEST(CAST(0 AS DOUBLE), lo)) AS wilson_lo,
+           GREATEST(rate, LEAST(CAST(1 AS DOUBLE), hi)) AS wilson_hi
+    FROM raw
+    """,
+    doc=f"a43 (ext.): Wilson score intervals (z={_A43_Z}) for the "
+    "critical-reading rate per event type — the small-sample-honest "
+    "CI for rare-event rates (the naive normal interval goes "
+    "negative and mis-covers exactly where alerts matter; Wilson "
+    "stays in [0,1] and is what monitoring dashboards should show "
+    "next to every rate). Complements m18's two-sample z-test with "
+    "the one-sample interval. Scale: one map-combined conditional "
+    "aggregate, 5 output rows. Exactness: integer counts; the "
+    "interval is one identically-ordered IEEE expression per bound",
+)
+def a43_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 400.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("k"),
+    )
+    z = _A43_Z
+    n = F.col("n")
+    p = F.col("k").cast("double") / n
+    center = p + z * z / (2.0 * n)
+    half = z * F.sqrt(
+        p * (F.lit(1.0) - p) / n + z * z / (4.0 * n * n)
+    )
+    denom = F.lit(1.0) + z * z / n
+    return c.select(
+        "event_type",
+        "n",
+        "k",
+        p.alias("rate"),
+        # clamp twice: the interval is defined within [0,1] AND always
+        # brackets the point estimate — at k=0 the exact lower bound is
+        # 0 but float rounding lands at +-1e-18 on either side
+        F.least(p, F.greatest(F.lit(0.0), (center - half) / denom)).alias(
+            "wilson_lo"
+        ),
+        F.greatest(p, F.least(F.lit(1.0), (center + half) / denom)).alias(
+            "wilson_hi"
+        ),
+    )

@@ -444,3 +444,34 @@ def test_m29_kaplan_meier_curve_properties(spark):
         if prev_n is not None:
             assert r.n_at_risk < prev_n, r
         prev_s, prev_n = r.survival, r.n_at_risk
+
+
+def test_x135_apportionment_exactness(spark):
+    """Hamilton-method invariants: quotas sum exactly to the budget, and
+    every source is within one seat of its exact proportional share."""
+    from smart_water_management_spark.llmdata.curation import _X135_N
+    from smart_water_management_spark.registry import _REGISTRY
+
+    from .conftest import SF_DIR
+
+    rows = _REGISTRY["x135_eval_quota_apportionment"].fn(
+        spark, SF_DIR
+    ).collect()
+    total = sum(r.n_docs for r in rows)
+    assert sum(r.quota for r in rows) == _X135_N
+    for r in rows:
+        exact = _X135_N * r.n_docs / total
+        assert abs(r.quota - exact) < 1.0, (r.source, r.quota, exact)
+        assert r.quota in (r.quota_floor, r.quota_floor + 1)
+
+
+def test_a43_wilson_interval_properties(spark):
+    """Wilson bounds always bracket the rate inside [0, 1], and the
+    interval is nonempty for every finite n."""
+    from smart_water_management_spark.registry import _REGISTRY
+
+    from .conftest import SF_DIR
+
+    for r in _REGISTRY["a43_wilson_intervals"].fn(spark, SF_DIR).collect():
+        assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0, r
+        assert r.wilson_hi > r.wilson_lo, r
