@@ -200,6 +200,8 @@ ROUND9_CANDIDATES: list[str] = [
     "p18_q19_shape",
     "x135_eval_quota_apportionment",
     "a43_wilson_intervals",
+    "x136_recency_weighted_sample",
+    "w31_sax_motifs",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

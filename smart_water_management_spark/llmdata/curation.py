@@ -3539,3 +3539,91 @@ def x135_eval_quota_apportionment(
         bonus.cast("bigint").alias("bonus"),
         (F.col("floor_q") + bonus).cast("bigint").alias("quota"),
     )
+
+
+# --- x136: recency-weighted replay sampling ----------------------------------------
+
+_X136_SCALE = 65536  # md5 4-hex-prefix uniform domain
+
+
+@register(
+    "x136_recency_weighted_sample",
+    # Replay-buffer style sampling: an event survives with probability
+    # 1/(1+age_days) via the standard md5-prefix draw. The per-age
+    # threshold is 65536 DIV (1+age) — INTEGER division on both
+    # engines (a float 65536.0/(1+age) would route through DuckDB's
+    # DECIMAL literals, the a43 one-ulp trap, and FLOOR could flip at
+    # exact boundaries). The draw is u < threshold with u the first 4
+    # md5 hex digits of the event id.
+    oracle=f"""
+    WITH base AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 86400.0) AS BIGINT) AS day,
+             CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 4))
+                  AS BIGINT) AS u
+      FROM events
+    ),
+    mx AS (SELECT MAX(day) AS maxday FROM base),
+    drawn AS (
+      SELECT b.event_type,
+             m.maxday - b.day AS age_days,
+             {_X136_SCALE} // (1 + (m.maxday - b.day)) AS threshold,
+             CASE WHEN b.u < {_X136_SCALE} // (1 + (m.maxday - b.day))
+                  THEN 1 ELSE 0 END AS kept
+      FROM base b CROSS JOIN mx m
+    )
+    SELECT event_type,
+           CAST(age_days AS BIGINT) AS age_days,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(MAX(threshold) AS BIGINT) AS threshold,
+           MAX(threshold) / CAST({_X136_SCALE} AS DOUBLE)
+             AS target_rate
+    FROM drawn GROUP BY event_type, age_days
+    """,
+    doc="x136: recency-weighted replay sampling — each event survives "
+    "with probability 1/(1+age_days) (yesterday ~1/2, a month old "
+    "~1/30) via the deterministic md5-prefix draw, the decay-mix "
+    "device replay buffers and freshness-weighted training mixes "
+    "use (x30 mixes by SOURCE temperature; x136 mixes by TIME). "
+    "Emits per (type, age) the kept counts against the integer "
+    "threshold and its exact target rate. Scale: one scan computes "
+    "day + draw; the 1-row max-day broadcast sets ages; the output "
+    "is bounded by types x days. Exactness: integer thresholds via "
+    "DIV (float division could misfloor), md5 draws, integer "
+    "counts, one exact quotient per row",
+)
+def x136_recency_weighted_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    base = ev.select(
+        "event_type",
+        F.floor((sec - 1704067200) / 86400.0).cast("bigint").alias("day"),
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 4),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .alias("u"),
+    )
+    mx = base.agg(F.max("day").alias("maxday"))
+    age = F.col("maxday") - F.col("day")
+    thr = F.expr(f"{_X136_SCALE} DIV (1 + (maxday - day))")
+    drawn = base.crossJoin(F.broadcast(mx)).select(
+        "event_type",
+        age.alias("age_days"),
+        thr.alias("threshold"),
+        F.when(F.col("u") < thr, 1).otherwise(0).alias("kept"),
+    )
+    return drawn.groupBy("event_type", "age_days").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum("kept").cast("bigint").alias("n_kept"),
+        F.max("threshold").cast("bigint").alias("threshold"),
+        (
+            F.max("threshold") / F.lit(float(_X136_SCALE))
+        ).alias("target_rate"),
+    )

@@ -1816,3 +1816,153 @@ def w30_rolling_window_quantiles(
         q_at(0.9).alias("p90"),
         (q_at(0.75) - q_at(0.25)).alias("iqr"),
     )
+
+
+# --- w31 (ext.): SAX symbolization + motif discovery --------------------------------
+
+_W31_BP = 0.675  # ~N(0,1) quartile breakpoints for a 4-symbol alphabet
+
+
+@register(
+    "w31_sax_motifs",
+    # Symbolic Aggregate approXimation of each type's hourly series: z-
+    # normalize (decimal moments -> identical doubles), map each hour to
+    # one of 4 symbols at the +-0.675 / 0 breakpoints, concatenate in h
+    # order, and surface the most frequent 4-symbol motif — the
+    # discretization time-series mining (motif/novelty search) is built
+    # on. Breakpoint constants are injected as CAST('<repr>' AS DOUBLE)
+    # strings (the a43 DuckDB DECIMAL-literal trap).
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(x * x AS DECIMAL(27,6))) AS DOUBLE) AS s2
+      FROM hourly GROUP BY event_type
+    ),
+    sym AS (
+      SELECT h.event_type, h.h,
+             CASE
+               WHEN (h.x - m.s1 / m.n)
+                    / SQRT((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))
+                    < CAST('{-_W31_BP!r}' AS DOUBLE) THEN 'a'
+               WHEN (h.x - m.s1 / m.n)
+                    / SQRT((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))
+                    < CAST('0' AS DOUBLE) THEN 'b'
+               WHEN (h.x - m.s1 / m.n)
+                    / SQRT((m.s2 - m.s1 * m.s1 / m.n) / (m.n - 1))
+                    < CAST('{_W31_BP!r}' AS DOUBLE) THEN 'c'
+               ELSE 'd' END AS s
+      FROM hourly h JOIN mom m USING (event_type)
+    ),
+    sax AS (
+      SELECT event_type, string_agg(s, '' ORDER BY h) AS sax_str
+      FROM sym GROUP BY event_type
+    ),
+    grams AS (
+      SELECT event_type,
+             unnest(list_transform(range(1, len(sax_str) - 2),
+                                   i -> substr(sax_str, CAST(i AS INT), 4)))
+               AS motif
+      FROM sax
+    ),
+    counts AS (
+      SELECT event_type, motif, COUNT(*) AS c
+      FROM grams GROUP BY event_type, motif
+    ),
+    best AS (
+      SELECT event_type, motif, c,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY c DESC, motif) AS rk
+      FROM counts
+    )
+    SELECT s.event_type,
+           CAST(len(s.sax_str) AS BIGINT) AS n_hours,
+           b.motif AS top_motif,
+           CAST(b.c AS BIGINT) AS top_motif_count
+    FROM sax s JOIN best b
+      ON b.event_type = s.event_type AND b.rk = 1
+    """,
+    doc="w31 (ext.): SAX symbolization + motif discovery — each type's "
+    "hourly series z-normalized (decimal moments) and discretized to "
+    "a 4-symbol alphabet at the N(0,1) quartile breakpoints, then "
+    "the most frequent 4-symbol motif surfaced (ties to the "
+    "lexicographically first) — the symbolic discretization under "
+    "motif mining, anomaly grammars, and series indexing; w20's "
+    "Markov transitions read THIS alphabet one level up. Scale: "
+    "moments and symbols ride the calendar-bounded hourly grid; the "
+    "motif fanout is len-3 substrings per type (in-row transform), "
+    "counted by one word-count aggregate. Exactness: decimal "
+    "moments, string-cast breakpoint constants (the DuckDB "
+    "DECIMAL-literal ulp trap), integer counts, deterministic ties",
+)
+def w31_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.analytics import _hourly_series
+
+    hourly = _hourly_series(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("x")
+    )
+    xdec = F.col("x").cast("decimal(27,6)")
+    mom = hourly.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(xdec).cast("double").alias("s1"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    z = (F.col("x") - F.col("s1") / F.col("n")) / F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+        / (F.col("n") - 1)
+    )
+    sym = hourly.join(mom, "event_type").select(
+        "event_type",
+        "h",
+        F.when(z < -_W31_BP, "a")
+        .when(z < 0.0, "b")
+        .when(z < _W31_BP, "c")
+        .otherwise("d")
+        .alias("s"),
+    )
+    sax = sym.groupBy("event_type").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", "s"))),
+                lambda r: r["s"],
+            ),
+            "",
+        ).alias("sax_str")
+    )
+    grams = sax.select(
+        "event_type",
+        "sax_str",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("sax_str") - 3),
+                lambda i: F.col("sax_str").substr(i, F.lit(4)),
+            )
+        ).alias("motif"),
+    )
+    counts = grams.groupBy("event_type", "motif").agg(
+        F.count("*").alias("c")
+    )
+    wb = W.partitionBy("event_type").orderBy(
+        F.desc("c"), F.asc("motif")
+    )
+    best = (
+        counts.withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("motif").alias("top_motif"), "c")
+    )
+    return sax.join(best, "event_type").select(
+        "event_type",
+        F.length("sax_str").cast("bigint").alias("n_hours"),
+        "top_motif",
+        F.col("c").cast("bigint").alias("top_motif_count"),
+    )
