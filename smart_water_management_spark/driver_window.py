@@ -202,6 +202,9 @@ ROUND9_CANDIDATES: list[str] = [
     "a43_wilson_intervals",
     "x136_recency_weighted_sample",
     "w31_sax_motifs",
+    "x137_prefix_cache_reuse",
+    "j14_temporal_anti_join",
+    "m30_auto_model_select",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -2311,3 +2311,96 @@ def x128_quality_signal_bundle(
             ).alias("keep_flag"),
         )
     )
+
+
+# --- x137: KV-cache prefix-reuse estimator ------------------------------------------
+
+_X137_KS = [4, 8, 16]  # shared-prefix lengths (tokens) to evaluate
+
+
+@register(
+    "x137_prefix_cache_reuse",
+    # Inference-serving analytics: how much KV-cache could prefix
+    # sharing reuse? For K in {4,8,16}, group docs by the md5 of their
+    # first-K-token prefix (docs shorter than K form their own exact-
+    # text group); every group of n sharers saves (n-1)*K cached
+    # tokens. One token-array scan serves all K values via in-row
+    # transforms; the group math is a word-count-shaped aggregate.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    pref AS (
+      {" UNION ALL ".join(
+        f'''SELECT {k} AS k, doc_id,
+             md5(array_to_string(tk[1:least({k}, len(tk))], ' ')) AS p,
+             least({k}, len(tk)) AS plen
+      FROM toks'''
+        for k in _X137_KS)}
+    ),
+    grp AS (
+      SELECT k, p, COUNT(*) AS n, MIN(plen) AS plen
+      FROM pref GROUP BY k, p
+    )
+    SELECT CAST(k AS BIGINT) AS prefix_k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+             AS n_docs_sharing,
+           CAST(SUM((n - 1) * plen) AS BIGINT) AS tokens_reusable,
+           CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE)
+             / SUM(n) AS sharing_frac
+    FROM grp GROUP BY k
+    """,
+    doc=f"x137: KV-cache prefix-reuse estimator — for K in {_X137_KS}, "
+    "group documents by their first-K-token prefix and report how "
+    "many docs share a prefix and how many cached tokens prefix "
+    "reuse would save ((n-1)*K per group) — the serving-side "
+    "analytics an inference batcher runs before enabling prefix "
+    "caching / radix-tree KV sharing (high reuse means sorting "
+    "requests by prefix pays; near-zero means it won't). Scale: ONE "
+    "token scan fans out all K values in-row; groups are md5-keyed "
+    "word-count aggregates, map-side combined. Exactness: md5 "
+    "prefixes, integer token savings, one quotient per K",
+)
+def x137_prefix_cache_reuse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tk")
+    )
+    pref = None
+    for k in _X137_KS:
+        plen = F.least(F.lit(k), F.size("tk"))
+        part = toks.select(
+            F.lit(k).alias("k"),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("tk"), 1, plen))
+            ).alias("p"),
+            plen.alias("plen"),
+        )
+        pref = part if pref is None else pref.unionByName(part)
+    grp = pref.groupBy("k", "p").agg(
+        F.count("*").alias("n"), F.min("plen").alias("plen")
+    )
+    return grp.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n") > 1, F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_sharing"),
+        F.sum((F.col("n") - 1) * F.col("plen"))
+        .cast("bigint")
+        .alias("tokens_reusable"),
+        (
+            F.sum(
+                F.when(F.col("n") > 1, F.col("n")).otherwise(0)
+            ).cast("double")
+            / F.sum("n")
+        ).alias("sharing_frac"),
+    ).select(
+        F.col("k").cast("bigint").alias("prefix_k"),
+        "n_groups",
+        "n_docs_sharing",
+        "tokens_reusable",
+        "sharing_frac",
+    )

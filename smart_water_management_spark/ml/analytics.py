@@ -3436,3 +3436,79 @@ def m29_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u.e").alias("n_events"),
         F.col("u.s").alias("survival"),
     )
+
+
+# --- M30 (ext.): automatic baseline-model selection --------------------------------
+
+
+def _m30_oracle() -> str:
+    from ..registry import _REGISTRY
+
+    m22 = _REGISTRY["m22_forecast_backtest"].oracle
+    return f"""
+    WITH m22 AS ({m22}),
+    ranked AS (
+      SELECT event_type, model, n_evals, mae, rmse,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY mae, model) AS rk
+      FROM m22
+    )
+    SELECT b.event_type,
+           b.model AS chosen_model,
+           b.n_evals,
+           b.mae AS chosen_mae,
+           b.rmse AS chosen_rmse,
+           r.model AS runner_up,
+           r.mae - b.mae AS mae_margin
+    FROM ranked b JOIN ranked r
+      ON r.event_type = b.event_type AND b.rk = 1 AND r.rk = 2
+    """
+
+
+@register(
+    "m30_auto_model_select",
+    # Per-type champion selection over m22's backtest: pick the
+    # baseline with the lowest holdout MAE (ties to the
+    # alphabetically first model) and report the runner-up margin —
+    # the router a forecasting service runs nightly to decide which
+    # model serves each series. Built literally ON m22's numbers
+    # (same fold-exact MAE), so the choice is certified by the same
+    # oracle arithmetic.
+    oracle=_m30_oracle(),
+    doc="M30 (ext.): automatic model selection — for each event type, "
+    "the backtest champion among m22's naive/seasonal-naive/drift "
+    "baselines by holdout MAE, with the runner-up and its margin "
+    "(margin ~ 0 means the ranking is noise — m27's DM test says so "
+    "formally; m30 is the operational router that consumes both). "
+    "Scale: everything rides m22's calendar-bounded lag windows; "
+    "selection is a rank window over 3 rows per type. Exactness: "
+    "m22's pinned-order fold MAEs compared and subtracted — "
+    "identical doubles, deterministic ties",
+)
+def m30_auto_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    m22 = m22_forecast_backtest(spark, sf_dir)
+    wr = W.partitionBy("event_type").orderBy("mae", "model")
+    ranked = m22.withColumn("rk", F.row_number().over(wr))
+    best = ranked.filter(F.col("rk") == 1).select(
+        "event_type",
+        F.col("model").alias("chosen_model"),
+        "n_evals",
+        F.col("mae").alias("chosen_mae"),
+        F.col("rmse").alias("chosen_rmse"),
+    )
+    second = ranked.filter(F.col("rk") == 2).select(
+        "event_type",
+        F.col("model").alias("runner_up"),
+        F.col("mae").alias("mae2"),
+    )
+    return best.join(second, "event_type").select(
+        "event_type",
+        "chosen_model",
+        "n_evals",
+        "chosen_mae",
+        "chosen_rmse",
+        "runner_up",
+        (F.col("mae2") - F.col("chosen_mae")).alias("mae_margin"),
+    )

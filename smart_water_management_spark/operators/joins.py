@@ -752,3 +752,58 @@ def j13_pit_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         dsum("value").alias("sum_value"),
     )
+
+
+# --- j14 (ext.): temporal anti-join (order abandonment) -----------------------------
+
+
+@register(
+    "j14_temporal_anti_join",
+    # The anti-join twin of p16's EXISTS: orders with NO line item
+    # shipped within 60 days of the order date — a key-equality anti
+    # join whose extra condition is a cross-table date comparison
+    # riding the join, counted by order status. The dual condition
+    # (key match AND in-window) must live IN the join: filtering
+    # after a plain anti join would change the semantics.
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_abandoned
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate <= o.o_orderdate + INTERVAL 60 DAY
+    )
+    GROUP BY o.o_orderstatus
+    """,
+    doc="j14 (ext.): temporal anti-join — orders with no shipment "
+    "within 60 days of order placement ('abandoned'), counted by "
+    "status: a LEFT ANTI hash join on the order key whose in-window "
+    "date comparison is a JOIN-side condition (post-join filtering "
+    "would wrongly drop orders that shipped late AND on time on "
+    "different lines). Completes the temporal-join family "
+    "(j09 as-of, j11 overlap, j12 nearest, j13 point-in-time) with "
+    "the absence-within-window shape compliance/abandonment reports "
+    "need. Scale: both scans project two columns; one key-"
+    "partitioned anti join; 3-row aggregate. Exactness: integer "
+    "counts",
+)
+def j14_temporal_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    abandoned = orders.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (
+            F.col("l_shipdate")
+            <= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ),
+        "left_anti",
+    )
+    return abandoned.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_abandoned")
+    )
