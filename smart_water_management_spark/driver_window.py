@@ -15,26 +15,24 @@ The natural (un-aliased) names remain registered and remain covered by
 the local parity suite (tests/test_oracle_parity.py, same
 row-count/schema/hash protocol); README.md documents the mapping.
 
-Round-8 window (this file's DRIVER_WINDOW, per VERDICT r7 directives
-#1/#6): 42 never-windowed oracle-backed names — the first 38 of the
-round-7 ROUND8_CANDIDATES queue in their listed order, PLUS the TPC-H
-subquery/ordering shapes p13/p14/p15/o06 pulled forward per directive
-#6 (p09–p15 and o05/o06 must all go driver-green this round; p09–p12
-and o05 already sit inside the first 38) — and 8 retention reps. The
-u/p/d retention reps that lapsed in round 7 are RESTORED (u01/u03,
-p02, d01) alongside the standing k01/o01/q05/p90 coverage. The 10
-rows-only names (m02/m03/m05, x12/x29/x54/x55/x61/x65/x68) are never
-windowed. Round-7 went 50/50 green; cumulative driver-green natural
-names before this rotation: 219/377; after a green round 8: 261.
+Round-9 window (this file's DRIVER_WINDOW, per VERDICT r8 directive
+#1): the first 42 names of the round-8 ROUND9_CANDIDATES queue in
+their listed order (x100/w24/c15/m16/c16 lead — the r7 long tail:
+a37–a39, m16–m23, v14–v17, w24–w27, t24–t27, x100–x116), plus the
+same 8 retention reps as round 8 (u01/u03/p02/d01/k01/o01/q05/p90 —
+nothing lapses this round). The 11 rows-only names (m02/m03/m05,
+x12/x29/x54/x55/x61/x65/x68, x123) are never windowed. Round-8 went
+50/50 green; cumulative driver-green natural names before this
+rotation: 261/406; after a green round 9: 303.
 
-Round-7 window, for the record (per VERDICT r6 directives #1/#5):
-46 never-windowed names — the x08–x28 MinHash/SimHash/cosine/TF-IDF/
-PII/Gopher core, x70–x89, t17–t23 (full streaming-state family), j13,
-s20, v10, m09, a30, c13, f18, a28/a29, w20 — plus 4 retention reps
-(k01/o01/q05/p90). 50/50 green in CORRECTNESS_r07.
+Round-8 window, for the record (per VERDICT r7 directives #1/#6):
+42 first-time names — the first 38 of ROUND8_CANDIDATES in queue
+order plus p13/p14/p15/o06 pulled forward — and 8 retention reps
+with the lapsed u01/u03/p02/d01 restored. 50/50 green in
+CORRECTNESS_r08.
 
-Round-9 rotation plan (once CORRECTNESS_r08 lands): fill first-time
-slots from ROUND9_CANDIDATES below in listed order, keep the 8-rep
+Round-10 rotation plan (once CORRECTNESS_r09 lands): fill first-time
+slots from ROUND10_CANDIDATES below in listed order, keep the 8-rep
 retention shape, and never window the rows-only names.
 """
 
@@ -46,76 +44,8 @@ from .registry import register_alias
 # retention reps for already-green families. Order within the window is
 # cosmetic — membership is what the driver records.
 DRIVER_WINDOW: list[str] = [
-    # round-8 first-time slots 1-38: the round-7 ROUND8_CANDIDATES queue
-    # in listed order (w21..s23) — includes p09-p12 and o05 per VERDICT
-    # r7 directive #6.
-    "w21_cusum_drift",
-    "x91_retrieval_metrics",
-    "a31_theil_sen_trend",
-    "v11_reconciliation_audit",
-    "m10_mann_kendall",
-    "x92_weighted_reservoir",
-    "p09_q21_shape",
-    "w22_time_decay_mean",
-    "x93_word_pmi",
-    "a32_benford_audit",
-    "x94_rake_keyphrases",
-    "x95_group_split_assign",
-    "p10_q15_shape",
-    "m11_isotonic_calibration",
-    "m12_classical_decomposition",
-    "m13_acf_profile",
-    "w23_seasonal_naive_outliers",
-    "x96_tokenizer_fertility",
-    "f19_url_functions",
-    "p11_q20_shape",
-    "v12_suggested_rules",
-    "a33_gini_concentration",
-    "x97_hard_negative_mining",
-    "c14_fk_discovery",
-    "s21_bloom_filter_write",
-    "x98_label_confusion",
-    "v13_k_anonymity",
-    "m14_ks_drift_test",
-    "f20_timezone_functions",
-    "a34_last_touch_attribution",
-    "x99_seqlen_sweep",
-    "m15_holt_smoothing",
-    "o05_pareto_skyline",
-    "a35_rfm_segments",
-    "p12_q11_shape",
-    "a36_winsorized_stats",
-    "s22_compression_codecs",
-    "s23_rowgroup_tuning",
-    # slots 39-42: p13/p14/p15/o06 pulled forward per VERDICT r7
-    # directive #6 (the TPC-H decorrelation family must complete its
-    # driver attestation this round) - also first-time names.
-    "p13_q02_shape",
-    "p14_q13_shape",
-    "p15_q16_shape",
-    "o06_nucleus_cover",
-    # slots 43-50: retention reps. u01/u03, p02 and d01 RESTORED after
-    # their one-round lapse (VERDICT r7 directive #1); k/o/q/p90 keep
-    # their standing coverage.
-    "u01_union_by_name",
-    "u03_multiset_ops",
-    "p02_case_when_bands",
-    "d01_keyed_dedup",
-    "k01_salted_skew_agg",
-    "o01_topk_orders",
-    "q05_district_performance",
-    "p90_domain_pipeline",
-]
-
-assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
-
-# Round-9 rotation candidates, in priority order: the 59 oracle-backed
-# natural names that have never had a driver row after the round-8
-# window above (101 queued at end of r7, minus the 42 windowed), plus
-# round-8 additions appended as they land. Kept as data so
-# tests/test_oracle_parity.py can assert every name exists and is
-# oracle-backed BEFORE the round-9 edit happens.
-ROUND9_CANDIDATES: list[str] = [
+    # round-9 first-time slots 1-42: the round-8 ROUND9_CANDIDATES queue
+    # in listed order (VERDICT r8 directive #1).
     "x100_stable_docid_assignment",
     "w24_activity_streaks",
     "c15_scd3_previous_value",
@@ -158,6 +88,27 @@ ROUND9_CANDIDATES: list[str] = [
     "x116_filter_ablation",
     "v17_uniqueness_discovery",
     "w27_interevent_gap_distribution",
+    # slots 43-50: retention reps — unchanged from round 8, so no
+    # family coverage lapses (u*/p*/d* restored in r8 stay; k/o/q/p90
+    # keep their standing coverage).
+    "u01_union_by_name",
+    "u03_multiset_ops",
+    "p02_case_when_bands",
+    "d01_keyed_dedup",
+    "k01_salted_skew_agg",
+    "o01_topk_orders",
+    "q05_district_performance",
+    "p90_domain_pipeline",
+]
+
+assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
+
+# Round-10 rotation candidates, in priority order: the 45 oracle-backed
+# natural names left in the round-8 queue after the 42 windowed above,
+# plus round-9 additions appended as they land. Kept as data so
+# tests/test_oracle_parity.py can assert every name exists and is
+# oracle-backed BEFORE the round-10 edit happens.
+ROUND10_CANDIDATES: list[str] = [
     "x117_shard_manifest",
     "m24_hw_backtest",
     "k07_shuffle_hash_join",
@@ -175,8 +126,6 @@ ROUND9_CANDIDATES: list[str] = [
     "x122_training_mix_manifest",
     "w29_rolling_cross_correlation",
     "a41_cooccurrence_pairs",
-    # round-8 additions (all exact-oracle; x123 is rows-only and is
-    # NEVER windowed — it joins the m02-class invariant-tested set)
     "x124_png_metadata_audit",
     "x125_wav_fingerprint_dedup",
     "x126_caption_image_consistency",
@@ -205,6 +154,16 @@ ROUND9_CANDIDATES: list[str] = [
     "x137_prefix_cache_reuse",
     "j14_temporal_anti_join",
     "m30_auto_model_select",
+    # round-9 additions (all exact-oracle, replayed sf0.001+sf0.01+sf0.1)
+    "p19_q03_shape",
+    "p20_q05_shape",
+    "p21_q07_shape",
+    "p22_q08_shape",
+    "p23_q09_shape",
+    "p24_q10_shape",
+    "p25_q12_shape",
+    "p26_q14_shape",
+    "p27_q22_shape",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):
