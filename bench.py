@@ -133,25 +133,38 @@ def main() -> None:
         "spark.sql.adaptive.advisoryPartitionSizeInBytes": "128k",
         "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
-    saved = {k: spark.conf.get(k) for k in skew_confs}
-    try:
-        for variant, enabled in (("k04_naive_nosplit", "false"), ("k04_naive_aqe", "true")):
-            for k, v in skew_confs.items():
-                spark.conf.set(k, enabled if v is None else v)
-            timings[variant] = round(
-                _best_of(lambda: skew_join_naive(spark, sf_dir).count()), 3
-            )
-    finally:
-        for k, v in saved.items():
-            spark.conf.set(k, v)
 
-    # Pass B: full back-to-back re-run of the headline suite; min-of-2
-    # damping per VERDICT r7 directive #3 (additive fields only).
+    def _skew_pass() -> dict[str, float]:
+        out: dict[str, float] = {}
+        saved = {k: spark.conf.get(k) for k in skew_confs}
+        try:
+            for variant, enabled in (
+                ("k04_naive_nosplit", "false"),
+                ("k04_naive_aqe", "true"),
+            ):
+                for k, v in skew_confs.items():
+                    spark.conf.set(k, enabled if v is None else v)
+                out[variant] = round(
+                    _best_of(lambda: skew_join_naive(spark, sf_dir).count()), 3
+                )
+        finally:
+            for k, v in saved.items():
+                spark.conf.set(k, v)
+        return out
+
+    timings.update(_skew_pass())
+
+    # Pass B: full back-to-back re-run of the headline suite AND the
+    # skew A/B controls; min-of-2 damping per VERDICT r7 directive #3
+    # and r8 directive #5 (the two naive denominators are the noisiest
+    # numbers in the suite — naive_aqe swung +11.8% on unchanged code
+    # in r8 pass-A). Additive fields only; pass-A meaning unchanged.
     pass_b = _suite_pass()
+    pass_b.update(_skew_pass())
     queries_min2 = {
-        n: round(min(timings[n], pass_b[n]), 3) for n in HEADLINE
+        n: round(min(timings[n], pass_b[n]), 3) for n in timings
     }
-    wall_min2 = round(sum(queries_min2.values()), 3)
+    wall_min2 = round(sum(queries_min2[n] for n in HEADLINE), 3)
 
     total = sum(timings[n] for n in HEADLINE)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -172,6 +185,9 @@ def main() -> None:
                 ),
                 "queries_min2": queries_min2,
                 "wall_min2": wall_min2,
+                "suite_over_naive_nosplit_min2": round(
+                    wall_min2 / queries_min2["k04_naive_nosplit"], 3
+                ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

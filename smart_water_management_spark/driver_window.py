@@ -164,6 +164,8 @@ ROUND10_CANDIDATES: list[str] = [
     "p25_q12_shape",
     "p26_q14_shape",
     "p27_q22_shape",
+    "x138_gif_frame_dedup",
+    "x139_png_text_metadata",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

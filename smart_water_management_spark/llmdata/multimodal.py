@@ -1056,3 +1056,358 @@ def x126_caption_image_consistency(
         )
     )
     return out
+
+
+# --- x138: animated-GIF frame-sequence dedup (VERDICT r8 directive #6) ---------
+
+_X138_FRAME_LEN = 64   # 8x8 grayscale frame = 64 pixels = 64 text bytes
+_X138_MAX_FRAMES = 4
+_X138_MIN_SHARED = 2   # aligned frame-hash matches needed for an edge
+
+
+def _gif_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic animated GIF per document: frame j's 8x8 grayscale
+    pixels are text bytes [j*64, (j+1)*64) zero-padded, up to 4 frames
+    (ceil(n_chars/64) capped). Real multi-frame GIF89a bytes via the
+    vendored LZW encoder."""
+
+    def build(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from . import gif_codec
+
+        for pdf in batches:
+            payloads = []
+            for text in pdf["text"]:
+                data = text.encode("utf-8")
+                nf = max(1, min(-(-len(data) // _X138_FRAME_LEN), _X138_MAX_FRAMES))
+                frames = []
+                for j in range(nf):
+                    sl = data[j * _X138_FRAME_LEN : (j + 1) * _X138_FRAME_LEN]
+                    sl = sl + bytes(_X138_FRAME_LEN - len(sl))
+                    frames.append((8, 8, sl))
+                payloads.append(gif_codec.encode_gif_gray(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+
+def _x138_frame_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, frame_idx, fhash): decode every GIF frame with the real
+    vendored decoder and aHash it — 64 pixels, 64 bits, bit_i set iff
+    px_i * 64 > frame_sum (x67's integer cross-multiply device, exact
+    on both engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    gifs = _gif_payloads(docs)
+
+    def hash_frames(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from . import gif_codec
+
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "fhash": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for j, (w, h, px) in enumerate(gif_codec.decode_gif(bytes(payload))):
+                    assert (w, h) == (8, 8)
+                    s = sum(px)
+                    bits = "".join(
+                        "1" if px[i] * _X138_FRAME_LEN > s else "0"
+                        for i in range(_X138_FRAME_LEN)
+                    )
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(j)
+                    out["fhash"].append(bits)
+            yield pd.DataFrame(out)
+
+    return gifs.mapInPandas(
+        hash_frames, "doc_id long, frame_idx long, fhash string"
+    )
+
+
+def _x138_oracle() -> str:
+    """SQL twin: per-(doc, frame) aHash from the source text (padding
+    bytes are 0 and contribute nothing to the sum but DO occupy bit
+    positions), aligned-frame equality edges with >= 2 shared frames,
+    WITH RECURSIVE min-id closure (the x15 component device)."""
+    L, MAXF, MIN_SH = _X138_FRAME_LEN, _X138_MAX_FRAMES, _X138_MIN_SHARED
+    return f"""
+    WITH RECURSIVE fgrid AS (
+      SELECT doc_id, n_chars AS n, unnest(range(0, {MAXF})) AS j
+      FROM documents
+    ),
+    fvalid AS (
+      SELECT doc_id, n, j FROM fgrid WHERE j = 0 OR j * {L} < n
+    ),
+    px AS (
+      SELECT f.doc_id, f.j, p.pos,
+             CASE WHEN f.j * {L} + p.pos <= f.n
+                  THEN ascii(substr(d.text, CAST(f.j * {L} + p.pos AS INT), 1))
+                  ELSE 0 END AS code
+      FROM fvalid f
+      JOIN documents d USING (doc_id)
+      CROSS JOIN (SELECT unnest(range(1, {L} + 1)) AS pos) p
+    ),
+    fsum AS (
+      SELECT doc_id, j, CAST(SUM(code) AS BIGINT) AS s
+      FROM px GROUP BY doc_id, j
+    ),
+    fhash AS (
+      SELECT p.doc_id, p.j,
+             string_agg(CASE WHEN p.code * {L} > f.s THEN '1' ELSE '0' END,
+                        '' ORDER BY p.pos) AS fhash
+      FROM px p JOIN fsum f ON p.doc_id = f.doc_id AND p.j = f.j
+      GROUP BY p.doc_id, p.j
+    ),
+    edges0 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM fhash a JOIN fhash b
+        ON a.j = b.j AND a.fhash = b.fhash AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.j) >= {MIN_SH}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM edges0
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM edges0
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    closure AS (
+      SELECT a, b FROM reach
+      UNION
+      SELECT DISTINCT src AS a, src AS b FROM edges
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM closure GROUP BY a)
+    SELECT component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(doc_id) AS canonical_doc_id
+    FROM comp GROUP BY component
+    """
+
+
+@register(
+    "x138_gif_frame_dedup",
+    oracle=_x138_oracle(),
+    doc="x138: animated-GIF frame-sequence near-dedup — every document "
+    "becomes a real multi-frame GIF89a (vendored LZW encoder; frame j "
+    "= 8x8 grayscale of text bytes [64j, 64j+64)), a second Arrow "
+    "stage REALLY decodes each frame (LZW, color table, luma) and "
+    "aHashes it with x67's integer cross-multiply device, then docs "
+    "sharing >= 2 aligned frame hashes become edges and x15's "
+    "label-propagation components group the clips; one row per "
+    "component with size and canonical member. The near-dup shape for "
+    "video/animation corpora: frame-level signatures + set overlap, "
+    "never pixel-pairwise. Scale: encode/decode/hash stay inside "
+    "executor Arrow batches; the pair join is hash-partitioned on "
+    "(frame_idx, fhash) buckets like LSH (x08); components converge "
+    "in O(log diameter) pointer-jump rounds. Exactness: aHash bits "
+    "are pure integer comparisons; the oracle recomputes them from "
+    "text and closes the same edge set with WITH RECURSIVE. "
+    "Ref parity: reference media dedup pass (src/enhanced_ingestion."
+    "py:300-340)",
+)
+def x138_gif_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .components import connected_components
+
+    fh = _x138_frame_hashes(spark, sf_dir)
+    a = fh.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("frame_idx").alias("ja"),
+        F.col("fhash").alias("ha"),
+    )
+    b = fh.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("frame_idx").alias("jb"),
+        F.col("fhash").alias("hb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("ja") == F.col("jb"))
+            & (F.col("ha") == F.col("hb"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.countDistinct("ja").alias("n_shared"))
+        .filter(F.col("n_shared") >= _X138_MIN_SHARED)
+        .select("doc_a", "doc_b")
+    )
+    comps = connected_components(pairs)
+    return comps.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("n_members"),
+        F.min("doc_id").alias("canonical_doc_id"),
+    )
+
+
+# --- x139: PNG tEXt/iTXt metadata extraction audit (VERDICT r8 directive #6) ---
+
+_X139_COMMENT_CHARS = 24
+
+
+def _png_text_payloads(docs: DataFrame) -> DataFrame:
+    """PNG per document with embedded EXIF-style metadata: two tEXt
+    chunks (``source``, ``lang`` — latin-1 key\\0value), one iTXt chunk
+    (``comment`` — uncompressed UTF-8, first 24 chars of the text,
+    empty language tag / translated keyword), and a 1x1 IDAT whose
+    pixel is n_chars % 256. Chunk layout: IHDR, tEXt, tEXt, iTXt,
+    IDAT, IEND (6 chunks)."""
+
+    def build(batches: Iterator) -> Iterator:
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        from . import png_codec
+
+        def chunk(ctype: bytes, payload: bytes) -> bytes:
+            body = ctype + payload
+            return (
+                struct.pack(">I", len(payload))
+                + body
+                + struct.pack(">I", zlib.crc32(body))
+            )
+
+        for pdf in batches:
+            payloads = []
+            for text, lang, source, n_chars in zip(
+                pdf["text"], pdf["lang"], pdf["source"], pdf["n_chars"]
+            ):
+                ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+                px = bytes([int(n_chars) % 256])
+                idat = zlib.compress(b"\x00" + px, 9)
+                comment = text[:_X139_COMMENT_CHARS].encode("utf-8")
+                payloads.append(
+                    png_codec.PNG_SIG
+                    + chunk(b"IHDR", ihdr)
+                    + chunk(b"tEXt", b"source\x00" + source.encode("latin-1"))
+                    + chunk(b"tEXt", b"lang\x00" + lang.encode("latin-1"))
+                    + chunk(
+                        b"iTXt",
+                        b"comment\x00\x00\x00\x00\x00" + comment,
+                    )
+                    + chunk(b"IDAT", idat)
+                    + chunk(b"IEND", b"")
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text", "lang", "source", "n_chars").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+
+@register(
+    "x139_png_text_metadata",
+    # Every output field reconstructs from the documents row the chunk
+    # was built from: the decode stage must walk the real chunk stream,
+    # CRC-check each metadata chunk, split tEXt at the NUL, parse the
+    # 5-field iTXt header, and inflate the 1x1 IDAT back to the pixel.
+    oracle=f"""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_text,
+           CAST(1 AS BIGINT) AS n_itxt,
+           source AS source_val,
+           lang AS lang_val,
+           substr(text, 1, {_X139_COMMENT_CHARS}) AS comment_val,
+           CAST(n_chars % 256 AS BIGINT) AS px_val,
+           TRUE AS meta_crc_ok,
+           CAST(6 AS BIGINT) AS n_chunks
+    FROM documents
+    """,
+    doc="x139: EXIF-style PNG textual-metadata extraction audit — the "
+    "builder embeds source/lang as tEXt chunks, a UTF-8 comment as a "
+    "full 5-field iTXt chunk and the doc length as the 1x1 pixel; the "
+    "Arrow-batched decode stage walks the byte-level chunk stream, "
+    "verifies each metadata chunk's CRC-32, splits keys from values "
+    "at the NUL separators, parses the iTXt header (compression flag/"
+    "method, language tag, translated keyword) and inflates the IDAT "
+    "to recover the pixel. The metadata-trust pass an ingest pipeline "
+    "runs before accepting third-party image annotations (x124 covers "
+    "geometry; this covers the textual side-channel). Scale: "
+    "per-payload work inside executor batches, embarrassingly "
+    "parallel. Exactness: strings and integers only. Ref parity: "
+    "reference media-metadata extraction (src/enhanced_ingestion.py:"
+    "300-340)",
+)
+def x139_png_text_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pngs = _png_text_payloads(docs)
+
+    def extract(batches: Iterator) -> Iterator:
+        import struct
+        import zlib
+
+        import pandas as pd
+
+        from . import png_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                assert b[:8] == png_codec.PNG_SIG
+                off, n_chunks, n_text, n_itxt = 8, 0, 0, 0
+                kv: dict[str, str] = {}
+                comment = ""
+                px_val = -1
+                crc_ok = True
+                while off < len(b):
+                    (clen,) = struct.unpack(">I", b[off : off + 4])
+                    ctype = b[off + 4 : off + 8]
+                    body = b[off + 8 : off + 8 + clen]
+                    (crc,) = struct.unpack(
+                        ">I", b[off + 8 + clen : off + 12 + clen]
+                    )
+                    n_chunks += 1
+                    if ctype == b"tEXt":
+                        n_text += 1
+                        crc_ok &= zlib.crc32(ctype + body) == crc
+                        key, _, val = body.partition(b"\x00")
+                        kv[key.decode("latin-1")] = val.decode("latin-1")
+                    elif ctype == b"iTXt":
+                        n_itxt += 1
+                        crc_ok &= zlib.crc32(ctype + body) == crc
+                        key, _, rest = body.partition(b"\x00")
+                        comp_flag, comp_method = rest[0], rest[1]
+                        assert comp_flag == 0 and comp_method == 0
+                        lang_tag, _, rest2 = rest[2:].partition(b"\x00")
+                        trans_key, _, utf8_text = rest2.partition(b"\x00")
+                        assert lang_tag == b"" and trans_key == b""
+                        if key == b"comment":
+                            comment = utf8_text.decode("utf-8")
+                    elif ctype == b"IDAT":
+                        raw = zlib.decompress(body)
+                        px_val = raw[1]  # filter byte then the pixel
+                    off += 12 + clen
+                rows.append(
+                    (
+                        int(doc_id), n_text, n_itxt,
+                        kv.get("source", ""), kv.get("lang", ""),
+                        comment, px_val, bool(crc_ok), n_chunks,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_text", "n_itxt", "source_val",
+                    "lang_val", "comment_val", "px_val",
+                    "meta_crc_ok", "n_chunks",
+                ],
+            )
+
+    return pngs.mapInPandas(
+        extract,
+        "doc_id long, n_text long, n_itxt long, source_val string, "
+        "lang_val string, comment_val string, px_val long, "
+        "meta_crc_ok boolean, n_chunks long",
+    )

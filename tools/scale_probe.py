@@ -40,19 +40,21 @@ REPS = 3
 
 
 def build_scale_dir(spark, factor: int, with_lineitem: bool = False) -> str:
-    """``with_lineitem=True`` (the --parity mode) replicates lineitem too
-    (a37's scaled rank moments grow with lineitem's ROW COUNT, which the
-    symlinked copy would leave at 1x) and uses a separate scratch dir so
-    the timing mode's symlink layout is never mixed with a replicated
-    table of the same name."""
+    """``with_lineitem=True`` (the --parity mode) replicates lineitem
+    AND embeddings too (a37/a42's scaled moments grow with lineitem's
+    ROW COUNT and x127's micro-sums with embeddings', which symlinked
+    copies would leave at 1x) and uses a separate scratch dir so the
+    timing mode's symlink layout is never mixed with a replicated table
+    of the same name."""
     if factor == 1:
         return BASE
     out = os.path.join(SCRATCH, f"x{factor}p" if with_lineitem else f"x{factor}")
     events_out = os.path.join(out, "events.parquet")
     docs_out = os.path.join(out, "documents.parquet")
     li_out = os.path.join(out, "lineitem.parquet")
+    emb_out = os.path.join(out, "embeddings.parquet")
     replicated = ("events", "documents") + (
-        ("lineitem",) if with_lineitem else ()
+        ("lineitem", "embeddings") if with_lineitem else ()
     )
     # guard on ALL replicated outputs: an interrupted build (or a scratch
     # dir left by an older revision that only wrote events) must rebuild
@@ -109,6 +111,19 @@ def build_scale_dir(spark, factor: int, with_lineitem: bool = False) -> str:
                 .write.mode("overwrite")
                 .parquet(li_out)
             )
+            emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+            n_vec = 1 + (emb.agg(F.max("vec_id")).collect()[0][0] or 0)
+            (
+                emb.withColumn(
+                    "k", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+                )
+                .withColumn(
+                    "vec_id", F.col("vec_id") + F.col("k") * F.lit(n_vec)
+                )
+                .drop("k")
+                .write.mode("overwrite")
+                .parquet(emb_out)
+            )
     return out
 
 
@@ -159,6 +174,12 @@ PARITY_QUERIES = [
     "w26_rolling_higher_moments",
     "m22_forecast_backtest",
     "x103_token_budget_waterfill",
+    # round-8 float devices (VERDICT r8 directive #4)
+    "a42_kendall_tau",             # DECIMAL(38,0) value-domain pair mass
+    "m28_two_changepoint_trend",   # prefix-moment pair grid
+    "m29_kaplan_meier",            # prefix-product survival folds
+    "x127_embedding_mmd_matrix",   # integer micro-floor sums
+    "x135_eval_quota_apportionment",  # largest-remainder integer DIV ties
 ]
 
 
