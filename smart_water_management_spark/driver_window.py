@@ -166,6 +166,10 @@ ROUND10_CANDIDATES: list[str] = [
     "p27_q22_shape",
     "x138_gif_frame_dedup",
     "x139_png_text_metadata",
+    "x140_dup_span_coverage",
+    "x141_ngram_diversity",
+    "a44_kruskal_wallis",
+    "m31_page_hinkley",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -1580,3 +1580,121 @@ def x115_dedup_method_agreement(
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- x140: ExactSubstr-style duplicated-span coverage --------------------------------
+
+_X140_K = 50  # span gram length in chars (Lee et al. 2022's 50-token unit,
+              # char-level here: the smallest span worth deduplicating)
+
+
+@register(
+    "x140_dup_span_coverage",
+    # Per doc: positions whose 50-char gram occurs >= 2 times corpus-wide
+    # (cross-doc OR intra-doc — any repeat, per the ExactSubstr rule),
+    # and the UNION length of their [p, p+49] spans clipped to the doc.
+    # The union is an ordered sweep: each span contributes the part past
+    # the running max end of all earlier spans — exact integers.
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, n_chars,
+             unnest(range(1, n_chars - {_X140_K} + 2)) AS p
+      FROM documents WHERE n_chars >= {_X140_K}
+    ),
+    h AS (
+      SELECT g.doc_id, g.n_chars, g.p,
+             md5(substr(d.text, CAST(g.p AS INT), {_X140_K})) AS gh
+      FROM g JOIN documents d USING (doc_id)
+    ),
+    dup AS (SELECT gh FROM h GROUP BY gh HAVING COUNT(*) >= 2),
+    marks AS (
+      SELECT doc_id, n_chars, p,
+             MAX(p + {_X140_K} - 1) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS prev_end
+      FROM h WHERE gh IN (SELECT gh FROM dup)
+    ),
+    cov AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_dup_positions,
+             CAST(SUM(GREATEST(0,
+               LEAST(p + {_X140_K} - 1, n_chars)
+               - GREATEST(p, COALESCE(prev_end, 0) + 1) + 1)) AS BIGINT)
+               AS covered_chars
+      FROM marks GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.n_chars,
+           COALESCE(c.n_dup_positions, 0) AS n_dup_positions,
+           COALESCE(c.covered_chars, 0) AS covered_chars
+    FROM documents d LEFT JOIN cov c USING (doc_id)
+    """,
+    doc=f"x140: duplicated-substring span coverage (the ExactSubstr "
+    f"dedup unit of Lee et al. 2022, char-level): every {_X140_K}-char "
+    "gram is md5'd, grams occurring twice anywhere in the corpus mark "
+    "their positions, and each doc reports how many characters fall "
+    "under the UNION of its duplicated spans — the quantity "
+    "substring-level dedup would delete. The span union is a per-doc "
+    "ordered sweep (running max of span ends), one window pass. "
+    "Scale: the gram join is hash-partitioned on the 16-byte md5 "
+    "(never the raw gram); the duplicate-gram filter is a "
+    "HAVING-count semi join (x129's shape); the sweep windows by "
+    "doc_id (unbounded NDV). Exactness: pure integer positions and "
+    "lengths. Ref parity: reference exact-dup pass (src/"
+    "enhanced_ingestion.py:300-320), extended below doc granularity",
+)
+def x140_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    K = _X140_K
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.filter(F.col("n_chars") >= K)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_chars") - K + 1)
+            ).alias("p"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "n_chars",
+            "p",
+            F.md5(F.expr(f"substring(text, p, {K})")).alias("gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    marked = grams.join(dup, "gh", "left_semi")
+    sweep = W.partitionBy("doc_id").orderBy("p").rowsBetween(
+        W.unboundedPreceding, -1
+    )
+    cov = (
+        marked.withColumn("prev_end", F.max(F.col("p") + K - 1).over(sweep))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_dup_positions"),
+            F.sum(
+                F.greatest(
+                    F.lit(0),
+                    F.least(F.col("p") + K - 1, F.col("n_chars"))
+                    - F.greatest(F.col("p"), F.coalesce(F.col("prev_end"), F.lit(0)) + 1)
+                    + 1,
+                )
+            )
+            .cast("bigint")
+            .alias("covered_chars"),
+        )
+    )
+    return docs.select("doc_id", "n_chars").join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("n_dup_positions", F.lit(0)).cast("bigint").alias("n_dup_positions"),
+        F.coalesce("covered_chars", F.lit(0)).cast("bigint").alias("covered_chars"),
+    )

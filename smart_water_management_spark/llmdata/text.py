@@ -2404,3 +2404,121 @@ def x137_prefix_cache_reuse(
         "tokens_reusable",
         "sharing_frac",
     )
+
+
+# --- x141: n-gram diversity index (Self-BLEU-lite) ----------------------------------
+
+
+@register(
+    "x141_ngram_diversity",
+    # Distinct-n ratios (the "distinct-1/2/3" diversity metrics of Li
+    # et al. 2016) per source: distinct n-grams over total n-grams for
+    # n = 1, 2, 3, plus the share of the most frequent trigram. A
+    # template-heavy (low-diversity) source scores low exactly where
+    # Self-BLEU would score high, without any pairwise doc compare.
+    oracle="""
+    WITH tk AS (
+      SELECT source, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    uni AS (
+      SELECT source, unnest(t) AS g FROM tk
+    ),
+    bi AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i + 1])) AS g
+      FROM tk WHERE len(t) >= 2
+    ),
+    tri AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+      FROM tk WHERE len(t) >= 3
+    ),
+    s1 AS (SELECT source, COUNT(*) AS n1, COUNT(DISTINCT g) AS d1
+           FROM uni GROUP BY source),
+    s2 AS (SELECT source, COUNT(*) AS n2, COUNT(DISTINCT g) AS d2
+           FROM bi GROUP BY source),
+    s3 AS (SELECT source, COUNT(*) AS n3, COUNT(DISTINCT g) AS d3
+           FROM tri GROUP BY source),
+    top3 AS (
+      SELECT source, MAX(c) AS topc FROM (
+        SELECT source, g, COUNT(*) AS c FROM tri GROUP BY source, g
+      ) GROUP BY source
+    )
+    SELECT s1.source,
+           CAST(n1 AS BIGINT) AS total_uni,
+           CAST(d1 AS BIGINT) AS distinct_uni,
+           ROUND(CAST(d1 AS DOUBLE) / n1, 9) AS distinct1,
+           CAST(n2 AS BIGINT) AS total_bi,
+           ROUND(CAST(d2 AS DOUBLE) / n2, 9) AS distinct2,
+           CAST(n3 AS BIGINT) AS total_tri,
+           ROUND(CAST(d3 AS DOUBLE) / n3, 9) AS distinct3,
+           ROUND(CAST(topc AS DOUBLE) / n3, 9) AS top_trigram_share
+    FROM s1 JOIN s2 USING (source) JOIN s3 USING (source)
+            JOIN top3 USING (source)
+    """,
+    doc="x141: n-gram diversity index per source — distinct-1/2/3 "
+    "ratios (Li et al. 2016) and the top-trigram share, the "
+    "Self-BLEU-shaped templatedness gauge that needs no pairwise "
+    "document comparison: a boilerplate-heavy source repeats the "
+    "same n-grams, collapsing distinct-n. Complements x111 (bigram "
+    "conditional entropy) with the set-size view and x25 (intra-doc "
+    "repetition) with the cross-doc view. Scale: three word-count "
+    "shuffles keyed by (source, gram), all map-side combined; "
+    "20-row result. Exactness: integer counts; ratios ROUND(,9) "
+    "both engines. Ref parity: reference corpus-quality report "
+    "(src/enhanced_ingestion.py:340-370)",
+)
+def x141_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.select("source", tokens("text").alias("t"))
+
+    def gram_stats(n: int, total: str, distinct: str):
+        if n == 1:
+            g = tk.select("source", F.explode("t").alias("g"))
+        else:
+            joined = F.transform(
+                F.slice(
+                    F.sequence(F.lit(1), F.size("t") - (n - 1)),
+                    1,
+                    F.greatest(F.size("t") - (n - 1), F.lit(0)),
+                ),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("t", i + k) for k in range(n)]
+                ),
+            )
+            g = (
+                tk.filter(F.size("t") >= n)
+                .select("source", F.explode(joined).alias("g"))
+            )
+        return g, g.groupBy("source").agg(
+            F.count("*").cast("bigint").alias(total),
+            F.countDistinct("g").cast("bigint").alias(distinct),
+        )
+
+    _, s1 = gram_stats(1, "total_uni", "distinct_uni")
+    _, s2 = gram_stats(2, "total_bi", "distinct_bi")
+    tri_g, s3 = gram_stats(3, "total_tri", "distinct_tri")
+    top3 = (
+        tri_g.groupBy("source", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("source")
+        .agg(F.max("c").alias("topc"))
+    )
+    return (
+        s1.join(s2, "source")
+        .join(s3, "source")
+        .join(top3, "source")
+        .select(
+            "source",
+            "total_uni",
+            "distinct_uni",
+            F.round(F.col("distinct_uni").cast("double") / F.col("total_uni"), 9).alias("distinct1"),
+            "total_bi",
+            F.round(F.col("distinct_bi").cast("double") / F.col("total_bi"), 9).alias("distinct2"),
+            "total_tri",
+            F.round(F.col("distinct_tri").cast("double") / F.col("total_tri"), 9).alias("distinct3"),
+            F.round(F.col("topc").cast("double") / F.col("total_tri"), 9).alias("top_trigram_share"),
+        )
+    )

@@ -3512,3 +3512,158 @@ def m30_auto_model_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "runner_up",
         (F.col("mae2") - F.col("chosen_mae")).alias("mae_margin"),
     )
+
+
+# --- m31 (ext.): Page-Hinkley sequential drift test ---------------------------------
+
+_M31_DELTA_F = "0.01"  # tolerated drift, as a fraction of the series mean
+_M31_LAM_F = "5.0"     # alarm threshold, in series standard deviations
+
+# The fold subexpressions are BUILT ONCE as strings / column factories so
+# the DuckDB lambda and the Spark lambda stay in byte-for-byte lockstep
+# (the same-association requirement every fold device rides on).
+_M31_I2 = "(acc[1] + CAST('1.0' AS DOUBLE))"
+_M31_S2 = "(acc[2] + x[1])"
+_M31_MEAN = f"({_M31_S2} / {_M31_I2})"
+_M31_U2 = f"(acc[3] + ((x[1] - {_M31_MEAN}) - delta))"
+_M31_MINU = f"LEAST(acc[4], {_M31_U2})"
+_M31_GAP = f"({_M31_U2} - {_M31_MINU})"
+
+
+@register(
+    "m31_page_hinkley",
+    # Page-Hinkley (1971): U_t = sum_{i<=t}(x_i - mean_i - delta) with
+    # the RUNNING mean_i, alarm when U_t - min(U_1..U_t) exceeds
+    # lambda. Inherently sequential (the running mean re-centers every
+    # step), so the fold device: a 6-wide accumulator [t, sum, u,
+    # min_u, max_gap, alarm_t] folds the h-ordered hourly series
+    # identically in both engines; mu/sigma (for delta and lambda)
+    # come from exact decimal moments; constants enter as
+    # CAST('<repr>' AS DOUBLE) (the a43 literal device).
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS hv
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type,
+             list(hv ORDER BY h) AS xs,
+             COUNT(*) AS n_hours,
+             (CAST(SUM(CAST(hv AS DECIMAL(27,6))) AS DOUBLE) / COUNT(hv))
+               AS mu,
+             CASE WHEN COUNT(hv) > 1 THEN SQRT(GREATEST(
+               (CAST(COUNT(hv) AS DOUBLE)
+                  * CAST(SUM(CAST(hv*hv AS DECIMAL(27,6))) AS DOUBLE)
+                - CAST(SUM(CAST(hv AS DECIMAL(27,6))) AS DOUBLE)
+                  * CAST(SUM(CAST(hv AS DECIMAL(27,6))) AS DOUBLE))
+               / (CAST(COUNT(hv) AS DOUBLE)
+                  * (CAST(COUNT(hv) AS DOUBLE) - 1.0)), 0.0)) END AS sigma
+      FROM hourly GROUP BY event_type
+    ),
+    prepped AS (
+      SELECT event_type, n_hours, mu, sigma,
+             CAST('{_M31_DELTA_F}' AS DOUBLE) * mu AS delta,
+             CAST('{_M31_LAM_F}' AS DOUBLE) * sigma AS lam,
+             xs
+      FROM ser WHERE n_hours >= 2
+    ),
+    fold AS (
+      SELECT event_type, n_hours, mu, sigma, lam,
+             list_reduce(
+               list_prepend(
+                 [CAST('0.0' AS DOUBLE), CAST('0.0' AS DOUBLE),
+                  CAST('0.0' AS DOUBLE), CAST('0.0' AS DOUBLE),
+                  CAST('0.0' AS DOUBLE), CAST('-1.0' AS DOUBLE)],
+                 list_transform(xs, e -> [e])),
+               (acc, x) ->
+                 [{_M31_I2},
+                  {_M31_S2},
+                  {_M31_U2},
+                  {_M31_MINU},
+                  GREATEST(acc[5], {_M31_GAP}),
+                  CASE WHEN acc[6] >= CAST('0.0' AS DOUBLE) THEN acc[6]
+                       WHEN {_M31_GAP} > lam THEN {_M31_I2}
+                       ELSE CAST('-1.0' AS DOUBLE) END]) AS st
+      FROM prepped
+    )
+    SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours, mu, sigma,
+           st[5] AS ph_max,
+           st[3] AS u_final,
+           st[5] > lam AS alarmed,
+           CAST(st[6] AS BIGINT) AS alarm_step
+    FROM fold
+    """,
+    doc=f"m31 (ext.): Page-Hinkley sequential drift test per event "
+    f"type over the exact-decimal hourly series — the classic "
+    "streaming-ML change monitor (running-mean-centered cumulative "
+    f"deviation vs its running minimum; delta = {_M31_DELTA_F}*mu, "
+    f"lambda = {_M31_LAM_F}*sigma). Emits the max PH gap, the final "
+    "cumulative deviation, the alarm flag and the 1-based step of "
+    "the first alarm. Completes the drift family: w21 CUSUM "
+    "(known-target), w25 EWMA (weighted recency), m19/m28 "
+    "(retrospective least-squares), m31 (sequential running-mean). "
+    "Engine-exact via the 6-wide fold device with shared-string "
+    "subexpressions so both lambdas associate identically. Scale: "
+    "one map-combined hourly pre-agg, then O(hours) fold per type. "
+    "Ref parity: the reference anomaly monitor "
+    "(src/enhanced_spark_etl.py:713-737)",
+)
+def m31_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import davg, dstddev
+
+    hourly = _hourly_series(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("hv")
+    )
+    ser = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("h", "hv"))),
+                lambda s: s["hv"],
+            ).alias("xs"),
+            F.count("*").cast("bigint").alias("n_hours"),
+            davg("hv").alias("mu"),
+            dstddev("hv").alias("sigma"),
+        )
+        .filter(F.col("n_hours") >= 2)
+        .withColumn("delta", F.lit(float(_M31_DELTA_F)) * F.col("mu"))
+        .withColumn("lam", F.lit(float(_M31_LAM_F)) * F.col("sigma"))
+    )
+    delta, lam = F.col("delta"), F.col("lam")
+
+    def step(acc, x):
+        i2 = acc[0] + F.lit(1.0)
+        s2 = acc[1] + x
+        mean = s2 / i2
+        u2 = acc[2] + ((x - mean) - delta)
+        minu = F.least(acc[3], u2)
+        gap = u2 - minu
+        return F.array(
+            i2,
+            s2,
+            u2,
+            minu,
+            F.greatest(acc[4], gap),
+            F.when(acc[5] >= F.lit(0.0), acc[5])
+            .when(gap > lam, i2)
+            .otherwise(F.lit(-1.0)),
+        )
+
+    st = F.aggregate(
+        F.col("xs"),
+        F.array(*[F.lit(v) for v in (0.0, 0.0, 0.0, 0.0, 0.0, -1.0)]),
+        step,
+    )
+    return ser.select(
+        "event_type",
+        "n_hours",
+        "mu",
+        "sigma",
+        st[4].alias("ph_max"),
+        st[2].alias("u_final"),
+        (st[4] > lam).alias("alarmed"),
+        st[5].cast("bigint").alias("alarm_step"),
+    )

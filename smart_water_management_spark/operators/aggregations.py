@@ -2773,3 +2773,160 @@ def a43_wilson_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "wilson_hi"
         ),
     )
+
+
+# --- a44 (ext.): Kruskal-Wallis H test by value-domain ranks -------------------------
+
+
+@register(
+    "a44_kruskal_wallis",
+    # Rank-based k-sample location test over the BOUNDED value domain
+    # (l_quantity: 50 integers), a37's device: average ranks come from
+    # cumulative value counts, never a data sort. DOUBLED rank sums
+    # (r2 = 2*cum_less + cnt + 1 per value) keep every intermediate an
+    # exact BIGINT; the three per-group terms fold in the fixed A,N,R
+    # order (a38's sorted-cell device) and H uses the cancellation-free
+    # deviation form 3*sum(n_g*d2^2)/(N(N+1)) with d2 = R2/n_g - (N+1).
+    # Tie mass accumulates in DECIMAL(38,0) (a42's device); the two
+    # final statistics are ROUND(,9) on both engines (a37's device).
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag AS g,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    vals AS (
+      SELECT v, SUM(c) AS cv FROM cells GROUP BY v
+    ),
+    ranked AS (
+      SELECT v, cv,
+             COALESCE(SUM(cv) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_less
+      FROM vals
+    ),
+    r2 AS (
+      SELECT v, 2 * cum_less + cv + 1 AS r2v FROM ranked
+    ),
+    grp AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n_g,
+             CAST(SUM(c * r2v) AS BIGINT) AS r2_sum
+      FROM cells JOIN r2 USING (v) GROUP BY g
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN g = 'A' THEN n_g END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN g = 'N' THEN n_g END) AS BIGINT) AS n_n,
+             CAST(SUM(CASE WHEN g = 'R' THEN n_g END) AS BIGINT) AS n_r,
+             CAST(SUM(CASE WHEN g = 'A' THEN r2_sum END) AS BIGINT) AS r2_a,
+             CAST(SUM(CASE WHEN g = 'N' THEN r2_sum END) AS BIGINT) AS r2_n,
+             CAST(SUM(CASE WHEN g = 'R' THEN r2_sum END) AS BIGINT) AS r2_r
+      FROM grp
+    ),
+    ties AS (
+      SELECT CAST(SUM(CAST(cv AS DECIMAL(38,0)) * cv * cv - cv)
+                  AS DECIMAL(38,0)) AS tie_mass
+      FROM vals
+    )
+    SELECT n, n_a, n_n, n_r, r2_a, r2_n, r2_r,
+           ROUND((3.0 * (
+             (CAST(n_a AS DOUBLE)
+               * ((CAST(r2_a AS DOUBLE) / n_a - (n + 1.0))
+                  * (CAST(r2_a AS DOUBLE) / n_a - (n + 1.0)))
+              + CAST(n_n AS DOUBLE)
+               * ((CAST(r2_n AS DOUBLE) / n_n - (n + 1.0))
+                  * (CAST(r2_n AS DOUBLE) / n_n - (n + 1.0))))
+              + CAST(n_r AS DOUBLE)
+               * ((CAST(r2_r AS DOUBLE) / n_r - (n + 1.0))
+                  * (CAST(r2_r AS DOUBLE) / n_r - (n + 1.0)))))
+             / (CAST(n AS DOUBLE) * (n + 1.0)), 9) AS h_stat,
+           ROUND(1.0 - CAST(tie_mass AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                    - CAST(n AS DOUBLE)), 9) AS tie_correction
+    FROM tot, ties
+    """,
+    doc="a44 (ext.): Kruskal-Wallis H test — do the three return-flag "
+    "classes draw quantities from the same distribution? Ranks come "
+    "from the bounded 50-value domain (cumulative counts -> doubled "
+    "average ranks, all BIGINT; a37's sort-free device), per-group "
+    "terms fold in fixed A/N/R order (a38), tie mass in DECIMAL(38,0) "
+    "(a42), H in the cancellation-free deviation form, outputs "
+    "ROUND(,9) (a37). Scale: one 150-cell aggregate is the only "
+    "shuffle; the rank window runs over the 50-row value grid. "
+    "Ref parity: the reference's distribution-comparison report "
+    "(src/app.py:115-130); completes the rank-statistics family "
+    "a37 (Spearman) / a42 (Kendall) with the k-sample test",
+)
+def a44_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_quantity").cast("bigint").alias("v"),
+            F.col("l_returnflag").alias("g"),
+        )
+        .groupBy("v", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    vals = cells.groupBy("v").agg(F.sum("c").alias("cv"))
+    ranked = vals.withColumn(
+        "cum_less",
+        F.coalesce(
+            F.sum("cv").over(
+                W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    r2 = ranked.select(
+        "v", (2 * F.col("cum_less") + F.col("cv") + 1).alias("r2v")
+    )
+    grp = (
+        cells.join(F.broadcast(r2), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(F.col("c") * F.col("r2v")).cast("bigint").alias("r2_sum"),
+        )
+    )
+    tie = vals.agg(
+        F.sum(
+            F.col("cv").cast("decimal(38,0)") * F.col("cv") * F.col("cv")
+            - F.col("cv")
+        )
+        .cast("decimal(38,0)")
+        .alias("tie_mass")
+    )
+    tot = grp.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("g") == "A", F.col("n_g"))).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("g") == "N", F.col("n_g"))).cast("bigint").alias("n_n"),
+        F.sum(F.when(F.col("g") == "R", F.col("n_g"))).cast("bigint").alias("n_r"),
+        F.sum(F.when(F.col("g") == "A", F.col("r2_sum"))).cast("bigint").alias("r2_a"),
+        F.sum(F.when(F.col("g") == "N", F.col("r2_sum"))).cast("bigint").alias("r2_n"),
+        F.sum(F.when(F.col("g") == "R", F.col("r2_sum"))).cast("bigint").alias("r2_r"),
+    )
+
+    def dev(r2c: str, nc: str, n: F.Column) -> F.Column:
+        d = F.col(r2c).cast("double") / F.col(nc) - (n + F.lit(1.0))
+        return F.col(nc).cast("double") * (d * d)
+
+    out = tot.crossJoin(F.broadcast(tie))
+    n = F.col("n")
+    s = (dev("r2_a", "n_a", n) + dev("r2_n", "n_n", n)) + dev("r2_r", "n_r", n)
+    return out.select(
+        "n", "n_a", "n_n", "n_r", "r2_a", "r2_n", "r2_r",
+        F.round((F.lit(3.0) * s) / (n.cast("double") * (n + F.lit(1.0))), 9).alias(
+            "h_stat"
+        ),
+        F.round(
+            F.lit(1.0)
+            - F.col("tie_mass").cast("double")
+            / (
+                n.cast("double") * n.cast("double") * n.cast("double")
+                - n.cast("double")
+            ),
+            9,
+        ).alias("tie_correction"),
+    )
