@@ -170,6 +170,11 @@ ROUND10_CANDIDATES: list[str] = [
     "x141_ngram_diversity",
     "a44_kruskal_wallis",
     "m31_page_hinkley",
+    "t29_streaming_page_hinkley",
+    "k08_multi_distinct_rewrite",
+    "w32_hampel_filter",
+    "u04_union_allow_missing",
+    "j15_null_safe_join",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -3612,9 +3612,16 @@ _M31_GAP = f"({_M31_U2} - {_M31_MINU})"
     "(src/enhanced_spark_etl.py:713-737)",
 )
 def m31_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return page_hinkley_from_hourly(_hourly_series(spark, sf_dir))
+
+
+def page_hinkley_from_hourly(hourly_grid: DataFrame) -> DataFrame:
+    """The m31 fold over any (event_type, h, hv DECIMAL) grid — shared
+    with t29's streaming state table so the monitor equals batch m31
+    bit-for-bit under any micro-batch slicing."""
     from ..functions.numeric import davg, dstddev
 
-    hourly = _hourly_series(spark, sf_dir).select(
+    hourly = hourly_grid.select(
         "event_type", "h", F.col("hv").cast("double").alias("hv")
     )
     ser = (
@@ -3666,4 +3673,18 @@ def m31_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         st[2].alias("u_final"),
         (st[4] > lam).alias("alarmed"),
         st[5].cast("bigint").alias("alarm_step"),
+    )
+
+
+# Wire t29's oracle (streaming.jobs registers t29 BEFORE this module
+# imports; the streaming twin must carry m31's oracle verbatim so the
+# driver certifies state-merge + fold == batch under any slicing).
+import dataclasses as _dc  # noqa: E402
+
+from ..registry import _REGISTRY as _REG_FOR_T29  # noqa: E402
+
+if "t29_streaming_page_hinkley" in _REG_FOR_T29:
+    _REG_FOR_T29["t29_streaming_page_hinkley"] = _dc.replace(
+        _REG_FOR_T29["t29_streaming_page_hinkley"],
+        oracle=_REG_FOR_T29["m31_page_hinkley"].oracle,
     )

@@ -807,3 +807,51 @@ def j14_temporal_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return abandoned.groupBy("o_orderstatus").agg(
         F.count("*").cast("bigint").alias("n_abandoned")
     )
+
+
+# --- j15 (ext.): null-safe equality join ---------------------------------------------
+
+
+@register(
+    "j15_null_safe_join",
+    # NULL join keys: standard equality drops them (NULL = NULL is
+    # UNKNOWN); the null-safe operator (Spark <=>, SQL IS NOT DISTINCT
+    # FROM) matches them as one group. Keys are derived with NULLIF so
+    # the fixture has real NULLs: customers and orders bucketed by
+    # nation-mod-5 with bucket 0 nulled out.
+    oracle="""
+    WITH c AS (
+      SELECT NULLIF(c_nationkey % 5, 0) AS k, COUNT(*) AS n_cust
+      FROM customer GROUP BY 1
+    ),
+    o AS (
+      SELECT NULLIF(o.o_custkey % 5, 0) AS k, COUNT(*) AS n_ord
+      FROM orders o GROUP BY 1
+    )
+    SELECT c.k AS bucket, CAST(c.n_cust AS BIGINT) AS n_cust,
+           CAST(o.n_ord AS BIGINT) AS n_ord
+    FROM c JOIN o ON c.k IS NOT DISTINCT FROM o.k
+    """,
+    doc="j15 (ext.): null-safe equality join — the <=> operator "
+    "(IS NOT DISTINCT FROM) matches NULL keys as a single group where "
+    "plain equality silently drops every NULL-keyed row, the classic "
+    "silent-data-loss bug in key-repair pipelines. Fixture derives "
+    "NULLable buckets with NULLIF; both sides pre-aggregate to the "
+    "6-row bucket grid before the join, so the null-safe comparison "
+    "runs on bounded inputs (at scale: null-safe joins hash NULL like "
+    "any value — no skew surprise beyond what the null count itself "
+    "implies, which IS the operational point). Exactness: integer "
+    "counts. Ref parity: the reference's nullable-key sensor joins "
+    "(src/etl.py:65-80)",
+)
+def j15_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.nullif(F.col("c_nationkey") % 5, F.lit(0)).alias("k")
+    ).groupBy("k").agg(F.count("*").cast("bigint").alias("n_cust"))
+    od = load_table(spark, sf_dir, "orders").select(
+        F.nullif(F.col("o_custkey") % 5, F.lit(0)).alias("ok")
+    ).groupBy("ok").agg(F.count("*").cast("bigint").alias("n_ord"))
+    return (
+        cu.join(od, F.col("k").eqNullSafe(F.col("ok")))
+        .select(F.col("k").alias("bucket"), "n_cust", "n_ord")
+    )

@@ -2086,3 +2086,55 @@ def p27_q22_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# --- u04 (ext.): schema-evolution union (missing columns -> NULL) --------------------
+
+
+@register(
+    "u04_union_allow_missing",
+    # Two extracts with drifted schemas (an old feed without the
+    # discount column, a new feed without the tax column) unioned BY
+    # NAME with absent columns null-filled — Spark's
+    # unionByName(allowMissingColumns=True) == DuckDB's UNION ALL BY
+    # NAME. The row-level companion to s16's read-side schema
+    # evolution.
+    oracle="""
+    SELECT feed, l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(l_discount) AS BIGINT) AS n_with_discount,
+           CAST(COUNT(l_tax) AS BIGINT) AS n_with_tax
+    FROM (
+      SELECT 'old' AS feed, l_orderkey, l_returnflag, l_tax
+      FROM lineitem WHERE l_linenumber = 1
+      UNION ALL BY NAME
+      SELECT 'new' AS feed, l_orderkey, l_returnflag, l_discount
+      FROM lineitem WHERE l_linenumber = 2
+    )
+    GROUP BY feed, l_returnflag
+    """,
+    doc="u04 (ext.): schema-evolution union — two feeds whose column "
+    "sets drifted (one lacks l_discount, the other lacks l_tax) "
+    "combined by COLUMN NAME with missing fields null-filled, then "
+    "profiled per feed (row counts and per-column presence counts). "
+    "unionByName(allowMissingColumns=True) is the Spark idiom; "
+    "positional UNION would silently misalign the columns — the "
+    "failure mode this operator exists to prevent. Scale: pure "
+    "narrow union + one map-combined aggregate. Exactness: integer "
+    "counts. Ref parity: the reference's multi-vintage feed merge "
+    "(src/enhanced_ingestion.py:420-440)",
+)
+def u04_union_allow_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    old = li.filter(F.col("l_linenumber") == 1).select(
+        F.lit("old").alias("feed"), "l_orderkey", "l_returnflag", "l_tax"
+    )
+    new = li.filter(F.col("l_linenumber") == 2).select(
+        F.lit("new").alias("feed"), "l_orderkey", "l_returnflag", "l_discount"
+    )
+    u = old.unionByName(new, allowMissingColumns=True)
+    return u.groupBy("feed", "l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.count("l_discount").cast("bigint").alias("n_with_discount"),
+        F.count("l_tax").cast("bigint").alias("n_with_tax"),
+    )

@@ -647,3 +647,73 @@ def k07_shuffle_hash_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+# --- k08 (ext.): multi-count-distinct Expand elimination -----------------------------
+
+
+def multi_distinct_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anti-pattern half of the k08 A/B: three COUNT(DISTINCT) in
+    one aggregate. Catalyst plans this with an Expand operator that
+    REPLICATES every input row once per distinct column (3x the
+    shuffle volume here; at 100 TB that is the difference between one
+    pass and three). Kept un-registered — the plan test contrasts it
+    against the rewrite."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("d_orders"),
+        F.countDistinct("l_partkey").alias("d_parts"),
+        F.countDistinct("l_suppkey").alias("d_supps"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+
+
+@register(
+    "k08_multi_distinct_rewrite",
+    # Same answer as the naive triple COUNT(DISTINCT), but as three
+    # per-column pre-aggregations (each a plain two-phase hash agg on
+    # its own (flag, col) key) joined on the 3-row group key — no
+    # Expand, no row replication, each column's dedup shuffles only
+    # its own distinct keys.
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS d_orders,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS d_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS d_supps,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="k08 (ext.): multi-count-distinct rewrite — COUNT(DISTINCT a), "
+    "COUNT(DISTINCT b), COUNT(DISTINCT c) in one aggregate makes "
+    "Catalyst Expand-replicate every row once per distinct column "
+    "(3x shuffle volume); rewriting as three (key, col) "
+    "pre-aggregations joined on the group key shuffles each column's "
+    "distinct keys once and nothing else. The fourth aggregation "
+    "lever after salting (k01/k04), pre-agg reuse (a18) and sketches "
+    "(a17/a24: the approximate path when exactness is negotiable). "
+    "Plan-asserted Expand-free vs the kept naive twin "
+    "(multi_distinct_naive). Exactness: pure integer counts",
+)
+def k08_multi_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def per_col(col: str, alias: str) -> DataFrame:
+        return (
+            li.select("l_returnflag", col)
+            .groupBy("l_returnflag", col)
+            .agg(F.lit(1).alias("_one"))
+            .groupBy("l_returnflag")
+            .agg(F.count("*").cast("bigint").alias(alias))
+        )
+
+    counts = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("bigint").alias("n_rows")
+    )
+    return (
+        per_col("l_orderkey", "d_orders")
+        .join(per_col("l_partkey", "d_parts"), "l_returnflag")
+        .join(per_col("l_suppkey", "d_supps"), "l_returnflag")
+        .join(counts, "l_returnflag")
+        .select("l_returnflag", "d_orders", "d_parts", "d_supps", "n_rows")
+    )

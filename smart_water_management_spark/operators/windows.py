@@ -1966,3 +1966,151 @@ def w31_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_motif",
         F.col("c").cast("bigint").alias("top_motif_count"),
     )
+
+
+# --- w32 (ext.): Hampel outlier filter (rolling median + MAD) -----------------------
+
+_W32_MIN_WIN = 12          # evaluate once 12 trailing hours exist
+_W32_K = "4.4478"          # 3 * 1.4826 (MAD-to-sigma), a43 literal device
+
+
+@register(
+    "w32_hampel_filter",
+    # The robust outlier rule: flag x_t when |x_t - median(W)| exceeds
+    # k * MAD(W) over the 24 TRAILING hours W (causal window, t
+    # excluded). Median and MAD are exact order statistics — in-row
+    # sort + ceil(n/2) selection (w30's device), MAD via a second
+    # selection over the absolute deviations — so the only arithmetic
+    # is |x - med| and k * mad, identical IEEE expressions both sides.
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type,
+             list(x ORDER BY h) AS xs,
+             list(h ORDER BY h) AS hs
+      FROM hourly GROUP BY event_type
+    ),
+    ex AS (
+      SELECT event_type,
+             unnest(list_transform(
+               range({_W32_MIN_WIN} + 1, len(xs) + 1), t -> {{
+                 'h': hs[t],
+                 'x': xs[t],
+                 'w': list_sort(xs[greatest(t - 24, 1):t - 1])
+               }})) AS r
+      FROM ser
+    ),
+    med AS (
+      SELECT event_type, r.h AS h, r.x AS x, r.w AS w,
+             r.w[CAST(CEIL(len(r.w) / 2.0) AS INT)] AS med
+      FROM ex
+    ),
+    mad AS (
+      SELECT event_type, h, x, med,
+             list_sort(list_transform(w, v -> ABS(v - med)))
+               [CAST(CEIL(len(w) / 2.0) AS INT)] AS mad
+      FROM med
+    ),
+    flags AS (
+      SELECT event_type, h,
+             CASE WHEN ABS(x - med) > CAST('{_W32_K}' AS DOUBLE) * mad
+                  THEN 1 ELSE 0 END AS flagged
+      FROM mad
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+           CAST(MAX(CASE WHEN flagged = 1 THEN h END) AS BIGINT)
+             AS last_flagged_hour
+    FROM flags GROUP BY event_type
+    """,
+    doc=f"w32 (ext.): Hampel identifier per event type — flag hours "
+    f"whose demand sits more than {_W32_K} rolling MADs from the "
+    "rolling median of the 24 trailing hours (causal window). THE "
+    "robust alternative to w06's mean/std z-score: one burst inflates "
+    "a standard deviation and masks the next burst, while median/MAD "
+    "barely move. Exactness: both statistics are pure in-row "
+    "selections (w30's device) — sort the slice, index at ceil(n/2); "
+    "MAD adds one absolute-deviation transform before the second "
+    "selection; zero rounding devices needed. Scale: the hourly "
+    "pre-agg bounds the series per type; slices stay in-row (no "
+    "self-join); per-type output. Ref parity: the reference anomaly "
+    "flags (src/enhanced_spark_etl.py:713-737) with the robust "
+    "statistic swapped in",
+)
+def w32_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.analytics import _hourly_series
+
+    hourly = _hourly_series(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("x")
+    )
+    ser = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "x"))),
+            lambda s: s["x"],
+        ).alias("xs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("h", "x"))),
+            lambda s: s["h"],
+        ).alias("hs"),
+    )
+
+    def row_for(t):
+        start = F.greatest(t - 24, F.lit(1))
+        return F.struct(
+            F.element_at("hs", t).alias("h"),
+            F.element_at("xs", t).alias("x"),
+            F.array_sort(
+                F.slice(F.col("xs"), start, (t - 1) - start + 1)
+            ).alias("w"),
+        )
+
+    ex = ser.select(
+        "event_type",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(_W32_MIN_WIN + 1), F.size("xs")),
+                lambda t: row_for(t),
+            )
+        ).alias("r"),
+    )
+    w = F.col("r.w")
+    n = F.size(w)
+    med = F.element_at(w, F.ceil(n / F.lit(2.0)).cast("int"))
+    staged = ex.select(
+        "event_type",
+        F.col("r.h").alias("h"),
+        F.col("r.x").alias("x"),
+        w.alias("w"),
+        med.alias("med"),
+    )
+    mad = F.element_at(
+        F.array_sort(
+            F.transform(F.col("w"), lambda v: F.abs(v - F.col("med")))
+        ),
+        F.ceil(F.size("w") / F.lit(2.0)).cast("int"),
+    )
+    flags = staged.select(
+        "event_type",
+        "h",
+        F.when(
+            F.abs(F.col("x") - F.col("med"))
+            > F.lit(float(_W32_K)) * mad,
+            1,
+        )
+        .otherwise(0)
+        .alias("flagged"),
+    )
+    return flags.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_eval"),
+        F.sum("flagged").cast("bigint").alias("n_flagged"),
+        F.max(F.when(F.col("flagged") == 1, F.col("h")))
+        .cast("bigint")
+        .alias("last_flagged_hour"),
+    )

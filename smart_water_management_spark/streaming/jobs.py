@@ -2426,3 +2426,35 @@ def t28_streaming_mmd_monitor(
 ) -> DataFrame:
     state = mmd_moment_stream(spark, sf_dir)
     return mmd_matrix_from_sums(state)
+
+
+# --- t29: streaming Page-Hinkley drift monitor --------------------------------------
+
+
+@register(
+    "t29_streaming_page_hinkley",
+    # Must equal batch m31 bit-for-bit: the hourly decimal grid merges
+    # exactly under any micro-batch slicing (t26's state maintainer),
+    # and the PH fold is the SAME helper m31 uses — so m31's oracle is
+    # this monitor's oracle verbatim.
+    oracle=None,  # set below: _REGISTRY["m31_page_hinkley"].oracle
+    doc="T29: streaming Page-Hinkley drift monitor — m31's sequential "
+    "running-mean drift test reading the incrementally-maintained "
+    "exact-decimal hourly state (t26's maintainer: per-batch partial "
+    "decimal sums merge by groupBy-SUM, calendar-bounded state). "
+    "Raises the drift alarm while the stream runs; the answer equals "
+    "batch m31 under any slicing, certified by sharing "
+    "page_hinkley_from_hourly and m31's oracle; the 4-batch merge "
+    "test (tests/test_streaming.py) replays the same events in four "
+    "slices and asserts the identical result",
+)
+def t29_streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.analytics import page_hinkley_from_hourly
+
+    return page_hinkley_from_hourly(hourly_state_stream(spark, sf_dir))
+
+
+# t29's oracle is m31's verbatim; ml.analytics imports AFTER this module
+# and wires it in (right below m31's registration) so the optional-module
+# tolerance of the package __init__ is preserved (this module must import
+# even when ml.analytics is blocked — the partial-registry contract).

@@ -1917,3 +1917,19 @@ def test_nested_loop_exceptions_still_needed(spark):
     for name in _NESTED_LOOP_EXCEPTIONS:
         df = _REGISTRY[name].fn(spark, SF_DIR)
         assert unbounded_nested_loop_joins(df), f"stale exception: {name}"
+
+
+def test_k08_rewrite_is_expand_free_and_naive_is_not(spark):
+    """k08: the naive triple COUNT(DISTINCT) must plan an Expand
+    (row-replication per distinct column); the rewrite must not, and
+    each per-column pre-agg must be a partial/final two-phase hash
+    aggregate."""
+    from smart_water_management_spark.operators.skew import (
+        multi_distinct_naive,
+    )
+
+    naive = plan_of(multi_distinct_naive(spark, SF_DIR), "simple")
+    assert "Expand" in naive, "naive twin no longer demonstrates Expand"
+    rewritten = plan_of(_q(spark, "k08_multi_distinct_rewrite"), "simple")
+    assert "Expand" not in rewritten
+    assert "partial_count" in rewritten

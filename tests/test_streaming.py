@@ -627,3 +627,38 @@ def test_streaming_mmd_multi_batch_equals_batch_x127(spark):
         g = got[k]
         assert (g.n_a, g.n_b) == (w.n_a, w.n_b), k
         assert g.mmd2 == w.mmd2, k
+
+
+def test_streaming_page_hinkley_multi_batch_equals_batch_m31(spark):
+    """t29 under real incrementality: 4 event micro-batches; the merged
+    decimal hourly grid must reproduce m31's batch Page-Hinkley result
+    exactly (max gap, final deviation, alarm flag and step,
+    bit-for-bit)."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        ev.repartition(4).write.parquet(os.path.join(sf_dir, "events.parquet"))
+        got = {
+            r.event_type: r
+            for r in jobs.t29_streaming_page_hinkley(spark, sf_dir).collect()
+        }
+    want = {
+        r.event_type: r
+        for r in _REGISTRY["m31_page_hinkley"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for et, w in want.items():
+        g = got[et]
+        assert (g.n_hours, g.mu, g.sigma) == (w.n_hours, w.mu, w.sigma), et
+        assert (g.ph_max, g.u_final, g.alarmed, g.alarm_step) == (
+            w.ph_max,
+            w.u_final,
+            w.alarmed,
+            w.alarm_step,
+        ), et
