@@ -175,6 +175,9 @@ ROUND10_CANDIDATES: list[str] = [
     "w32_hampel_filter",
     "u04_union_allow_missing",
     "j15_null_safe_join",
+    "x142_lsh_autotuner",
+    "m32_robust_decomposition",
+    "o07_topk_with_ties",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

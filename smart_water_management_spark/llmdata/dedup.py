@@ -1698,3 +1698,169 @@ def x140_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_dup_positions", F.lit(0)).cast("bigint").alias("n_dup_positions"),
         F.coalesce("covered_chars", F.lit(0)).cast("bigint").alias("covered_chars"),
     )
+
+
+# --- x142: LSH banding auto-tuner on the observed pair-similarity histogram ----------
+
+_X142_CONFIGS = [(16, 1), (8, 2), (4, 4), (2, 8), (1, 16)]  # (bands, rows)
+_X142_NBANDS = 20       # Jaccard histogram: floor(J*20), clamped to 19
+_X142_THETA_BAND = 10   # bands >= 10 (J >= 0.5) count as true pairs
+_X142_FP_WEIGHT = "0.25"  # verification cost per sub-threshold candidate
+
+
+def _x142_p(bands: int, rows: int, band: int) -> float:
+    """Closed-form candidate probability at the band midpoint — a pure
+    PLANNING CONSTANT (no data), computed once in Python and injected
+    into BOTH engines as the same literal (x107 keeps the powers in the
+    engines; here they can leave entirely)."""
+    m = (2 * band + 1) / 40.0
+    return 1.0 - (1.0 - m**rows) ** bands
+
+
+def _x142_oracle() -> str:
+    rows_sql = []
+    for b, r in _X142_CONFIGS:
+        true_terms = " + ".join(
+            f"COALESCE(SUM(CASE WHEN band = {k} THEN "
+            f"CAST(ROUND(n * CAST('{_x142_p(b, r, k)!r}' AS DOUBLE), 6) "
+            f"AS DECIMAL(18,6)) END), 0)"
+            for k in range(_X142_THETA_BAND, _X142_NBANDS)
+        )
+        false_terms = " + ".join(
+            f"COALESCE(SUM(CASE WHEN band = {k} THEN "
+            f"CAST(ROUND(n * CAST('{_x142_p(b, r, k)!r}' AS DOUBLE), 6) "
+            f"AS DECIMAL(18,6)) END), 0)"
+            for k in range(0, _X142_THETA_BAND)
+        )
+        rows_sql.append(
+            f"SELECT {b} AS bands, {r} AS rws,\n"
+            f"  CAST(({true_terms}) AS DOUBLE) AS exp_true,\n"
+            f"  CAST(({false_terms}) AS DOUBLE) AS exp_false\n"
+            f"FROM hist"
+        )
+    union = "\nUNION ALL\n".join(rows_sql)
+    return f"""WITH {_sig_banded_cte("documents")},
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bh = b.bh
+                   AND a.doc_id < b.doc_id
+    ),
+    tkd AS (
+      SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS tk
+      FROM documents
+    ),
+    scored AS (
+      SELECT LEAST(CAST(FLOOR(
+               (CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE)
+                / (len(ta.tk) + len(tb.tk)
+                   - len(list_intersect(ta.tk, tb.tk)))) * 20)
+               AS INT), {_X142_NBANDS - 1}) AS band
+      FROM pairs p
+      JOIN tkd ta ON ta.doc_id = p.doc_a
+      JOIN tkd tb ON tb.doc_id = p.doc_b
+    ),
+    hist AS (
+      SELECT band, CAST(COUNT(*) AS BIGINT) AS n FROM scored GROUP BY band
+    ),
+    cfg AS ({union})
+    SELECT CAST(bands AS BIGINT) AS bands, CAST(rws AS BIGINT) AS rws,
+           exp_true, exp_false,
+           exp_true - CAST('{_X142_FP_WEIGHT}' AS DOUBLE) * exp_false
+             AS score,
+           ROW_NUMBER() OVER (ORDER BY
+             exp_true - CAST('{_X142_FP_WEIGHT}' AS DOUBLE) * exp_false
+               DESC, bands DESC) = 1 AS chosen
+    FROM cfg
+    """
+
+
+@register(
+    "x142_lsh_autotuner",
+    oracle=_x142_oracle(),
+    doc=f"x142: LSH banding auto-tuner — x107's S-curve evaluated "
+    "against the OBSERVED pair-similarity histogram instead of a "
+    "hypothetical grid: the default banding's candidate pairs get "
+    "exact Jaccards (x113's machinery), histogrammed into 20 bands, "
+    "and every (bands, rows) split of the 16-hash signature is scored "
+    "by expected true pairs caught minus "
+    f"{_X142_FP_WEIGHT} x expected sub-threshold candidates "
+    "(verification waste); the argmax is flagged chosen. The "
+    "data-driven version of the planning step every dedup pipeline "
+    "hand-tunes. Scale: pairs stay banded; the histogram is 20 rows; "
+    "the config sweep is literal arithmetic. Exactness: candidate "
+    "probabilities are Python-computed planning constants injected "
+    "into both engines as identical literals (a43 device); expected "
+    "counts are ROUND(,6)-decimal sums; ROW_NUMBER ties break on "
+    "bands",
+)
+def x142_lsh_autotuner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = pinned_corpus_signatures(spark, sf_dir)
+    pairs = lsh_candidate_pairs(sigs)
+    tk = docs.select("doc_id", F.array_distinct(tokens("text")).alias("tk"))
+    inter = F.size(F.array_intersect("tk_a", "tk_b"))
+    jac = inter.cast("double") / (F.size("tk_a") + F.size("tk_b") - inter)
+    scored = (
+        pairs.join(
+            tk.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tk", "tk_a"),
+            "doc_a",
+        )
+        .join(
+            tk.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tk", "tk_b"),
+            "doc_b",
+        )
+        .select(
+            F.least(
+                F.floor(jac * 20).cast("int"), F.lit(_X142_NBANDS - 1)
+            ).alias("band")
+        )
+    )
+    hist = scored.groupBy("band").agg(F.count("*").cast("bigint").alias("n"))
+    cfg_rows = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("bands"),
+                F.lit(r).alias("rws"),
+                F.lit(k).alias("band"),
+                F.lit(_x142_p(b, r, k)).alias("p"),
+            )
+            for b, r in _X142_CONFIGS
+            for k in range(_X142_NBANDS)
+        ]
+    )
+    grid = spark.range(1).select(F.explode(cfg_rows).alias("c")).select("c.*")
+    term = F.round(F.col("n") * F.col("p"), 6).cast("decimal(18,6)")
+    agg = (
+        hist.join(F.broadcast(grid), "band")
+        .groupBy("bands", "rws")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("band") >= _X142_THETA_BAND, term)),
+                F.lit(0).cast("decimal(18,6)"),
+            ).alias("t_dec"),
+            F.coalesce(
+                F.sum(F.when(F.col("band") < _X142_THETA_BAND, term)),
+                F.lit(0).cast("decimal(18,6)"),
+            ).alias("f_dec"),
+        )
+    )
+    score = F.col("exp_true") - F.lit(float(_X142_FP_WEIGHT)) * F.col("exp_false")
+    return (
+        agg.select(
+            F.col("bands").cast("bigint").alias("bands"),
+            F.col("rws").cast("bigint").alias("rws"),
+            F.col("t_dec").cast("double").alias("exp_true"),
+            F.col("f_dec").cast("double").alias("exp_false"),
+        )
+        .withColumn("score", score)
+        .withColumn(
+            "chosen",
+            F.row_number().over(
+                W.orderBy(F.desc("score"), F.desc("bands"))
+            )
+            == 1,
+        )
+    )

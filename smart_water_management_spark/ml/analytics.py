@@ -3688,3 +3688,152 @@ if "t29_streaming_page_hinkley" in _REG_FOR_T29:
         _REG_FOR_T29["t29_streaming_page_hinkley"],
         oracle=_REG_FOR_T29["m31_page_hinkley"].oracle,
     )
+
+
+# --- m32 (ext.): robust seasonal decomposition (median profile + MAD residuals) ------
+
+_M32_K = "4.4478"  # 3 * 1.4826, the w32 Hampel threshold
+
+
+@register(
+    "m32_robust_decomposition",
+    # m12's classical decomposition uses means — one burst drags the
+    # seasonal profile. The robust variant: seasonal = LOWER MEDIAN of
+    # each (type, hour-of-day) cell (exact in-row selection, w30's
+    # device), residual = x - seasonal, residual center/scale = per-type
+    # median and MAD (two more selections), outliers = Hampel rule on
+    # the residuals. Zero arithmetic beyond subtractions and one
+    # literal multiply — no rounding devices needed anywhere.
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    seas AS (
+      SELECT event_type, h % 24 AS hod,
+             list_sort(list(x)) AS vs,
+             COUNT(*) AS n_obs
+      FROM hourly GROUP BY event_type, h % 24
+    ),
+    smed AS (
+      SELECT event_type, hod, n_obs,
+             vs[CAST(CEIL(n_obs / 2.0) AS INT)] AS seasonal_med
+      FROM seas
+    ),
+    resid AS (
+      SELECT h.event_type, h.h % 24 AS hod, h.x - s.seasonal_med AS r
+      FROM hourly h JOIN smed s
+        ON s.event_type = h.event_type AND s.hod = h.h % 24
+    ),
+    tstat AS (
+      SELECT event_type, list_sort(list(r)) AS rs, COUNT(*) AS n
+      FROM resid GROUP BY event_type
+    ),
+    tmed AS (
+      SELECT event_type, n,
+             rs[CAST(CEIL(n / 2.0) AS INT)] AS med_r,
+             list_sort(list_transform(rs,
+               v -> ABS(v - rs[CAST(CEIL(n / 2.0) AS INT)])))
+               [CAST(CEIL(n / 2.0) AS INT)] AS mad_r
+      FROM tstat
+    )
+    SELECT r.event_type, CAST(r.hod AS BIGINT) AS hod,
+           s.seasonal_med,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(CASE WHEN ABS(r.r - t.med_r)
+                         > CAST('{_M32_K}' AS DOUBLE) * t.mad_r
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           t.med_r, t.mad_r
+    FROM resid r
+    JOIN smed s ON s.event_type = r.event_type AND s.hod = r.hod
+    JOIN tmed t ON t.event_type = r.event_type
+    GROUP BY r.event_type, r.hod, s.seasonal_med, t.med_r, t.mad_r
+    """,
+    doc="m32 (ext.): robust seasonal decomposition — hour-of-day "
+    "seasonal profile as per-cell LOWER MEDIANS, residuals against "
+    "it, per-type residual median/MAD, and Hampel-rule outlier "
+    "counts per (type, hour-of-day) cell. The burst-immune twin of "
+    "m12's mean-based decomposition (one anomalous day shifts a mean "
+    "profile and masks itself; medians don't move), sharing w32's "
+    "selection-only exactness: every statistic is an element of a "
+    "sorted in-row list, so both engines agree bit-for-bit with no "
+    "rounding device. Scale: the hourly pre-agg bounds everything; "
+    "cells are (type x 24); residual lists are calendar-bounded. "
+    "Ref parity: reference seasonal baseline "
+    "(src/enhanced_spark_etl.py:216-225)",
+)
+def m32_robust_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_series(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("x")
+    )
+    hod = (F.col("h") % 24).alias("hod")
+    seas = (
+        hourly.select("event_type", hod, "x")
+        .groupBy("event_type", "hod")
+        .agg(
+            F.array_sort(F.collect_list("x")).alias("vs"),
+            F.count("*").alias("n_obs"),
+        )
+        .select(
+            "event_type",
+            "hod",
+            "n_obs",
+            F.element_at(
+                "vs", F.ceil(F.col("n_obs") / F.lit(2.0)).cast("int")
+            ).alias("seasonal_med"),
+        )
+    )
+    resid = (
+        hourly.select("event_type", hod, "x")
+        .join(F.broadcast(seas), ["event_type", "hod"])
+        .select(
+            "event_type", "hod", (F.col("x") - F.col("seasonal_med")).alias("r")
+        )
+    )
+    tstat = resid.groupBy("event_type").agg(
+        F.array_sort(F.collect_list("r")).alias("rs"),
+        F.count("*").alias("n"),
+    )
+    mid = F.ceil(F.col("n") / F.lit(2.0)).cast("int")
+    med_r = F.element_at("rs", mid)
+    tmed = tstat.select(
+        "event_type",
+        med_r.alias("med_r"),
+        F.element_at(
+            F.array_sort(
+                F.transform(F.col("rs"), lambda v: F.abs(v - med_r))
+            ),
+            mid,
+        ).alias("mad_r"),
+    )
+    out = (
+        resid.join(F.broadcast(tmed), "event_type")
+        .groupBy("event_type", "hod", "med_r", "mad_r")
+        .agg(
+            F.count("*").cast("bigint").alias("n_obs"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("r") - F.col("med_r"))
+                    > F.lit(float(_M32_K)) * F.col("mad_r"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
+    return out.join(
+        F.broadcast(seas.select("event_type", "hod", "seasonal_med")),
+        ["event_type", "hod"],
+    ).select(
+        "event_type",
+        F.col("hod").cast("bigint").alias("hod"),
+        "seasonal_med",
+        "n_obs",
+        "n_outliers",
+        "med_r",
+        "mad_r",
+    )

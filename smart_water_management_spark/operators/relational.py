@@ -2138,3 +2138,52 @@ def u04_union_allow_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("l_discount").cast("bigint").alias("n_with_discount"),
         F.count("l_tax").cast("bigint").alias("n_with_tax"),
     )
+
+
+# --- o07 (ext.): top-k WITH TIES (rank semantics) ------------------------------------
+
+
+@register(
+    "o07_topk_with_ties",
+    # FETCH FIRST k ROWS WITH TIES: every row tying the k-th value
+    # comes along, so the result is value-deterministic with NO
+    # tiebreaker column — the semantics ORDER BY + LIMIT silently gets
+    # wrong when the sort key has duplicates (o01 solves it with a
+    # unique tiebreak; this keeps the ties instead). rank() <= k is
+    # the portable formulation both engines agree on.
+    oracle="""
+    SELECT l_quantity, l_orderkey, l_linenumber
+    FROM (
+      SELECT l_quantity, l_orderkey, l_linenumber,
+             RANK() OVER (ORDER BY l_quantity DESC) AS rk
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    ) WHERE rk <= 10
+    """,
+    doc="o07 (ext.): top-k WITH TIES — the FETCH FIRST ... WITH TIES "
+    "semantics via rank() <= k: all rows tying the k-th sort value "
+    "are kept, so the answer is a deterministic SET without a "
+    "tiebreaker (plain LIMIT k would return an engine-dependent "
+    "subset of the tied rows — the silent-nondeterminism bug o01 "
+    "avoids with a unique key and this operator avoids by keeping "
+    "ties). Scale: Spark plans the rank filter as WindowGroupLimit — "
+    "each partition keeps only its local top-k before the single-key "
+    "shuffle, the same property TakeOrderedAndProject gives LIMIT. "
+    "Exactness: integer/double comparisons only, no arithmetic. "
+    "Ref parity: the reference top-N views (src/app.py:80-101) "
+    "which break ties arbitrarily",
+)
+def o07_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.select("l_quantity", "l_orderkey", "l_linenumber")
+        .withColumn(
+            "rk", F.rank().over(W.orderBy(F.desc("l_quantity")))
+        )
+        .filter(F.col("rk") <= 10)
+        .drop("rk")
+    )
