@@ -62,6 +62,16 @@ SHOW = [
     ("o06_nucleus_cover", "nucleus cover — per-type windows over the (type,user) pre-agg; the 90% boundary tested in exact decimal (cum*10 >= total*9)"),
     ("c17_versioned_snapshot_read", "versioned snapshot read — version=N partition pruning makes time travel touch ONE version's files"),
     ("x121_decontam_ngram_sweep", "decontamination n-sweep — per-n gram fanouts share one token scan; each overlap is a gram-hash semi-join"),
+    ("p19_q03_shape", "Q3 top-10 open revenue — customer broadcast into date-pruned orders/lineitem, exact-decimal revenue, TakeOrderedAndProject (no global sort)"),
+    ("p22_q08_shape", "Q8 market share — 8-table star: every dimension broadcast, ONE fact shuffle on l_orderkey, conditional-sum share ratio"),
+    ("p27_q22_shape", "Q22 inactive rich accounts — 1-row decimal-avg threshold broadcast + left-anti on recency-filtered order keys"),
+    ("x140_dup_span_coverage", "ExactSubstr span coverage — gram-md5 hash join + HAVING-count semi join, per-doc span-union in ONE window sweep"),
+    ("x138_gif_frame_dedup", "GIF frame-sequence dedup — Arrow encode/decode/aHash stages, (frame,hash) bucket pair join, pointer-jump components"),
+    ("k08_multi_distinct_rewrite", "multi-count-distinct rewrite — three per-column two-phase aggs joined on the group key; NO Expand row replication"),
+    ("a44_kruskal_wallis", "Kruskal-Wallis — 150-cell grid is the only shuffle; ranks from the broadcast 50-value domain, fixed-order group fold"),
+    ("w32_hampel_filter", "Hampel filter — rolling median/MAD as in-row selections over 24-slices; no Window operator, no rounding devices"),
+    ("m31_page_hinkley", "Page-Hinkley — 6-wide running-mean fold over the map-combined hourly grid; O(hours) state per type"),
+    ("x142_lsh_autotuner", "LSH auto-tuner — banded candidate histogram (20 rows) x literal config grid; planning constants never touch an engine power function"),
     ("x122_training_mix_manifest", "training-mix manifest — dedup components + Gopher flags + waterfill composed; no new shuffle class anywhere"),
     ("x123_ann_mmr_rerank", "ANN->MMR composition — the rerank rides x65's IVF+PQ candidate stream: (qid,cell) probe join bounds the scan, no corpus crossJoin"),
     ("x129_contamination_matrix", "cross-source contamination matrix — ONE md5-gram equi-join computes every source pair; the source grid attaches by broadcast"),
