@@ -178,6 +178,9 @@ ROUND10_CANDIDATES: list[str] = [
     "x142_lsh_autotuner",
     "m32_robust_decomposition",
     "o07_topk_with_ties",
+    "t30_streaming_hampel",
+    "a45_friedman_test",
+    "m33_seasonal_mann_kendall",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

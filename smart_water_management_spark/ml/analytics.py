@@ -3689,6 +3689,15 @@ if "t29_streaming_page_hinkley" in _REG_FOR_T29:
         oracle=_REG_FOR_T29["m31_page_hinkley"].oracle,
     )
 
+# Same late-binding for t30: w32's oracle certifies the streaming Hampel
+# monitor (operators.windows and streaming.jobs both import before this
+# module, so both names exist here).
+if "t30_streaming_hampel" in _REG_FOR_T29:
+    _REG_FOR_T29["t30_streaming_hampel"] = _dc.replace(
+        _REG_FOR_T29["t30_streaming_hampel"],
+        oracle=_REG_FOR_T29["w32_hampel_filter"].oracle,
+    )
+
 
 # --- m32 (ext.): robust seasonal decomposition (median profile + MAD residuals) ------
 
@@ -3836,4 +3845,160 @@ def m32_robust_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_outliers",
         "med_r",
         "mad_r",
+    )
+
+
+# --- m33 (ext.): seasonal Mann-Kendall trend test ------------------------------------
+
+
+@register(
+    "m33_seasonal_mann_kendall",
+    # Hirsch-Slack seasonal MK: run m10's pairwise sign test WITHIN
+    # each day-of-week series (so the weekly cycle never masquerades
+    # as trend), then combine — S = sum of per-season S (integer),
+    # Var = sum of per-season variance NUMERATORS / 18 (one double
+    # division at the end), z with the +-1 continuity correction.
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(27,6))) AS DOUBLE)
+               / COUNT(*) AS y,
+             CAST(dayofweek(CAST(ts AS DATE)) AS BIGINT) AS dow
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    s AS (
+      SELECT a.event_type, a.dow,
+             CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_season
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.dow = b.dow AND a.d < b.d
+      GROUP BY a.event_type, a.dow
+    ),
+    ties AS (
+      SELECT event_type, dow,
+             CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tie_term
+      FROM (
+        SELECT event_type, dow, y, COUNT(*) AS t FROM daily
+        GROUP BY event_type, dow, y HAVING COUNT(*) > 1
+      ) GROUP BY event_type, dow
+    ),
+    n AS (
+      SELECT event_type, dow, CAST(COUNT(*) AS BIGINT) AS nd
+      FROM daily GROUP BY event_type, dow
+    ),
+    per_season AS (
+      SELECT n.event_type, n.dow, n.nd, s.s_season,
+             n.nd * (n.nd - 1) * (2 * n.nd + 5)
+               - COALESCE(t.tie_term, 0) AS var_num
+      FROM n JOIN s ON s.event_type = n.event_type AND s.dow = n.dow
+      LEFT JOIN ties t
+        ON t.event_type = n.event_type AND t.dow = n.dow
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_seasons,
+           CAST(SUM(nd) AS BIGINT) AS n_days,
+           CAST(SUM(s_season) AS BIGINT) AS s_total,
+           CAST(SUM(var_num) AS DOUBLE) / 18 AS var_s,
+           CASE WHEN SUM(s_season) > 0
+                  THEN CAST(SUM(s_season) - 1 AS DOUBLE)
+                       / SQRT(CAST(SUM(var_num) AS DOUBLE) / 18)
+                WHEN SUM(s_season) < 0
+                  THEN CAST(SUM(s_season) + 1 AS DOUBLE)
+                       / SQRT(CAST(SUM(var_num) AS DOUBLE) / 18)
+                ELSE 0.0 END AS z
+    FROM per_season GROUP BY event_type
+    """,
+    doc="m33 (ext.): seasonal Mann-Kendall (Hirsch-Slack) — m10's "
+    "distribution-free trend test run within each day-of-week series "
+    "and combined (S and the variance numerators are pure integers "
+    "that sum exactly; the /18 and the continuity-corrected z are the "
+    "only doubles, identical expressions both engines). The "
+    "trend-vs-seasonality disentangler: a pure weekly cycle scores "
+    "z = 0 here while fooling a naive regression slope. Scale: the "
+    "daily pre-agg bounds the pair joins to per-(type, dow) series "
+    "(calendar-bounded); everything downstream is a 35-row grid. "
+    "Ref parity: the reference's weekday trend report "
+    "(src/app.py:131-150)",
+)
+def m33_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(
+        (
+            F.sum(F.round("value", 6).cast("decimal(27,6)")).cast("double")
+            / F.count("*")
+        ).alias("y"),
+    ).withColumn("dow", F.dayofweek("d").cast("bigint"))
+    a = daily.select(
+        F.col("event_type"), F.col("dow"), F.col("d").alias("da"), F.col("y").alias("ya")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et_b"),
+        F.col("dow").alias("dow_b"),
+        F.col("d").alias("db"),
+        F.col("y").alias("yb"),
+    )
+    s = (
+        a.join(
+            b,
+            (F.col("event_type") == F.col("et_b"))
+            & (F.col("dow") == F.col("dow_b"))
+            & (F.col("da") < F.col("db")),
+        )
+        .groupBy("event_type", "dow")
+        .agg(
+            F.sum(
+                F.when(F.col("yb") > F.col("ya"), 1)
+                .when(F.col("yb") < F.col("ya"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_season")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "dow", "y")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .groupBy("event_type", "dow")
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    n = daily.groupBy("event_type", "dow").agg(
+        F.count("*").cast("bigint").alias("nd")
+    )
+    per = (
+        n.join(s, ["event_type", "dow"])
+        .join(ties, ["event_type", "dow"], "left")
+        .select(
+            "event_type",
+            "dow",
+            "nd",
+            "s_season",
+            (
+                F.col("nd") * (F.col("nd") - 1) * (2 * F.col("nd") + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            ).alias("var_num"),
+        )
+    )
+    st = F.sum("s_season")
+    var = F.sum("var_num").cast("double") / F.lit(18)
+    return per.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_seasons"),
+        F.sum("nd").cast("bigint").alias("n_days"),
+        st.cast("bigint").alias("s_total"),
+        var.alias("var_s"),
+        F.when(st > 0, (st - 1).cast("double") / F.sqrt(var))
+        .when(st < 0, (st + 1).cast("double") / F.sqrt(var))
+        .otherwise(F.lit(0.0))
+        .alias("z"),
     )

@@ -2930,3 +2930,118 @@ def a44_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("tie_correction"),
     )
+
+
+# --- a45 (ext.): Friedman test (within-block ranks across event types) ----------------
+
+_A45_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "a45_friedman_test",
+    # Friedman's repeated-measures rank test: within every COMPLETE
+    # hour-block (all 5 event types present), rank the types' hourly
+    # demand; sum ranks per type across blocks; chi2_F from the
+    # deviation form. DOUBLED ranks keep ties exact integers
+    # (r2 = 2*(rank-1) + tie_count + 1 = twice the average rank), the
+    # per-type fold runs in the fixed click/error/purchase/signup/view
+    # order (a38's device), and chi2 uses 3*sum(d2^2)/(n*k*(k+1)) with
+    # d2 = R2_j - n*(k+1) — cancellation-free, ROUND(,9) at the end.
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS hv
+      FROM events GROUP BY 1, 2
+    ),
+    blocks AS (
+      SELECT event_type, h, hv,
+             COUNT(*) OVER (PARTITION BY h) AS n_types,
+             RANK() OVER (PARTITION BY h ORDER BY hv) AS rk,
+             COUNT(*) OVER (PARTITION BY h, hv) AS eq
+      FROM hourly
+    ),
+    ranked AS (
+      SELECT event_type, h, 2 * (rk - 1) + eq + 1 AS r2
+      FROM blocks WHERE n_types = 5
+    ),
+    sums AS (
+      SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN r2 END) AS BIGINT) AS r2_click,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN r2 END) AS BIGINT) AS r2_error,
+             CAST(SUM(CASE WHEN event_type = 'purchase' THEN r2 END) AS BIGINT) AS r2_purchase,
+             CAST(SUM(CASE WHEN event_type = 'signup' THEN r2 END) AS BIGINT) AS r2_signup,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN r2 END) AS BIGINT) AS r2_view
+      FROM ranked
+    )
+    SELECT n, r2_click, r2_error, r2_purchase, r2_signup, r2_view,
+           ROUND((3.0 * (
+             ((((CAST(r2_click AS DOUBLE) - (n * 6.0))
+                 * (CAST(r2_click AS DOUBLE) - (n * 6.0))
+               + (CAST(r2_error AS DOUBLE) - (n * 6.0))
+                 * (CAST(r2_error AS DOUBLE) - (n * 6.0)))
+               + (CAST(r2_purchase AS DOUBLE) - (n * 6.0))
+                 * (CAST(r2_purchase AS DOUBLE) - (n * 6.0)))
+               + (CAST(r2_signup AS DOUBLE) - (n * 6.0))
+                 * (CAST(r2_signup AS DOUBLE) - (n * 6.0)))
+               + (CAST(r2_view AS DOUBLE) - (n * 6.0))
+                 * (CAST(r2_view AS DOUBLE) - (n * 6.0))))
+             / (CAST(n AS DOUBLE) * 30.0), 9) AS chi2_f
+    FROM sums
+    """,
+    doc="a45 (ext.): Friedman test — do the five event types keep the "
+    "same demand ordering hour after hour, or does some type "
+    "systematically rank higher? Within-block (per-hour) ranks across "
+    "types, summed per type over all complete blocks; chi2_F from the "
+    "deviation form with doubled ranks (ties stay integer), fixed "
+    "type-order fold, ROUND(,9). The repeated-measures companion to "
+    "a44's independent-samples Kruskal-Wallis (k+1=6 -> n*(k+1) = 6n "
+    "and n*k*(k+1) = 30n are inlined for the k=5 type set). Scale: "
+    "the hourly pre-agg bounds everything; block windows partition by "
+    "hour (unbounded NDV). Ref parity: the reference's type-ranking "
+    "dashboard (src/app.py:115-130)",
+)
+def a45_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from ..ml.analytics import _hourly_series
+
+    hourly = _hourly_series(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("hv")
+    )
+    blocks = hourly.select(
+        "event_type",
+        "h",
+        "hv",
+        F.count("*").over(W.partitionBy("h")).alias("n_types"),
+        F.rank().over(W.partitionBy("h").orderBy("hv")).alias("rk"),
+        F.count("*").over(W.partitionBy("h", "hv")).alias("eq"),
+    )
+    ranked = blocks.filter(F.col("n_types") == 5).select(
+        "event_type", "h", (2 * (F.col("rk") - 1) + F.col("eq") + 1).alias("r2")
+    )
+    sums = ranked.agg(
+        F.countDistinct("h").cast("bigint").alias("n"),
+        *[
+            F.sum(F.when(F.col("event_type") == t, F.col("r2")))
+            .cast("bigint")
+            .alias(f"r2_{t}")
+            for t in _A45_TYPES
+        ],
+    )
+    n = F.col("n")
+
+    def dev(t: str) -> F.Column:
+        d = F.col(f"r2_{t}").cast("double") - (n * F.lit(6.0))
+        return d * d
+
+    s = ((((dev("click") + dev("error")) + dev("purchase")) + dev("signup"))
+         + dev("view"))
+    return sums.select(
+        "n",
+        *[f"r2_{t}" for t in _A45_TYPES],
+        F.round((F.lit(3.0) * s) / (n.cast("double") * F.lit(30.0)), 9).alias(
+            "chi2_f"
+        ),
+    )

@@ -2047,7 +2047,14 @@ _W32_K = "4.4478"          # 3 * 1.4826 (MAD-to-sigma), a43 literal device
 def w32_hampel_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.analytics import _hourly_series
 
-    hourly = _hourly_series(spark, sf_dir).select(
+    return hampel_from_hourly(_hourly_series(spark, sf_dir))
+
+
+def hampel_from_hourly(hourly_grid: DataFrame) -> DataFrame:
+    """The w32 selection pass over any (event_type, h, hv DECIMAL) grid —
+    shared with t30's streaming state table so the monitor equals batch
+    w32 bit-for-bit under any micro-batch slicing."""
+    hourly = hourly_grid.select(
         "event_type", "h", F.col("hv").cast("double").alias("x")
     )
     ser = hourly.groupBy("event_type").agg(

@@ -2458,3 +2458,28 @@ def t29_streaming_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and wires it in (right below m31's registration) so the optional-module
 # tolerance of the package __init__ is preserved (this module must import
 # even when ml.analytics is blocked — the partial-registry contract).
+
+
+# --- t30: streaming robust-outlier (Hampel) monitor ----------------------------------
+
+
+@register(
+    "t30_streaming_hampel",
+    # Equals batch w32 bit-for-bit: the hourly decimal grid merges
+    # exactly (t26's maintainer) and the rolling median/MAD pass is the
+    # SAME selection helper w32 uses — w32's oracle certifies the
+    # monitor (wired below the w32 module import, same late-binding as
+    # t29/m31).
+    oracle=None,  # set in operators/windows.py: w32's oracle verbatim
+    doc="T30: streaming Hampel outlier monitor — w32's rolling "
+    "median/MAD robust filter reading the incrementally-maintained "
+    "exact-decimal hourly state. The robust companion to t04's "
+    "staleness and t26/t29's drift monitors: flags burst hours while "
+    "the stream runs, immune to the burst inflating its own "
+    "threshold. Certified by sharing hampel_from_hourly and w32's "
+    "oracle; 4-batch merge test in tests/test_streaming.py",
+)
+def t30_streaming_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import hampel_from_hourly
+
+    return hampel_from_hourly(hourly_state_stream(spark, sf_dir))

@@ -662,3 +662,35 @@ def test_streaming_page_hinkley_multi_batch_equals_batch_m31(spark):
             w.alarmed,
             w.alarm_step,
         ), et
+
+
+def test_streaming_hampel_multi_batch_equals_batch_w32(spark):
+    """t30 under real incrementality: 4 event micro-batches; the merged
+    decimal hourly grid must reproduce w32's batch Hampel result exactly
+    (evaluation count, flag count, last flagged hour, bit-for-bit)."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        ev.repartition(4).write.parquet(os.path.join(sf_dir, "events.parquet"))
+        got = {
+            r.event_type: r
+            for r in jobs.t30_streaming_hampel(spark, sf_dir).collect()
+        }
+    want = {
+        r.event_type: r
+        for r in _REGISTRY["w32_hampel_filter"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for et, w in want.items():
+        g = got[et]
+        assert (g.n_eval, g.n_flagged, g.last_flagged_hour) == (
+            w.n_eval,
+            w.n_flagged,
+            w.last_flagged_hour,
+        ), et
