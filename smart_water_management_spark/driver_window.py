@@ -181,6 +181,7 @@ ROUND10_CANDIDATES: list[str] = [
     "t30_streaming_hampel",
     "a45_friedman_test",
     "m33_seasonal_mann_kendall",
+    "w33_calendar_deltas",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

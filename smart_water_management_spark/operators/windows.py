@@ -2121,3 +2121,85 @@ def hampel_from_hourly(hourly_grid: DataFrame) -> DataFrame:
         .cast("bigint")
         .alias("last_flagged_hour"),
     )
+
+
+# --- w33 (ext.): calendar-aligned deltas (DoD / WoW) ---------------------------------
+
+
+@register(
+    "w33_calendar_deltas",
+    # Day-over-day and week-over-week comparisons must align on the
+    # CALENDAR offset (h-24, h-168), not the previous OBSERVED row —
+    # lag() over a gappy series silently compares Monday 3am to Sunday
+    # 11pm. Self-joins on the exact hour offsets leave NULL deltas
+    # where the comparison period is missing (the honest answer).
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    )
+    SELECT c.event_type, c.h, c.x,
+           c.x - d.x AS dod_delta,
+           c.x - w.x AS wow_delta,
+           d.x IS NULL AS dod_missing,
+           w.x IS NULL AS wow_missing
+    FROM hourly c
+    LEFT JOIN hourly d ON d.event_type = c.event_type
+                      AND d.h = c.h - 24
+    LEFT JOIN hourly w ON w.event_type = c.event_type
+                      AND w.h = c.h - 168
+    """,
+    doc="w33 (ext.): calendar-aligned day-over-day / week-over-week "
+    "deltas per event type — offset self-joins on the exact h-24 and "
+    "h-168 hours, with NULL deltas (and explicit missing flags) when "
+    "the comparison hour has no data, the alignment bug lag() hides "
+    "on gappy series. The comparison primitive under every ops "
+    "dashboard's 'vs yesterday / vs last week' tile (q07/q11's "
+    "profiles show the shape; this measures the change). Scale: "
+    "three-way self-join of the calendar-bounded hourly grid, "
+    "co-partitioned on event_type+h; subtraction of identical "
+    "doubles — no rounding device. Ref parity: reference WoW report "
+    "(src/app.py:151-170)",
+)
+def w33_calendar_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.analytics import _hourly_series
+
+    hourly = _hourly_series(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("x")
+    )
+    d = hourly.select(
+        F.col("event_type").alias("et_d"),
+        F.col("h").alias("h_d"),
+        F.col("x").alias("x_d"),
+    )
+    w = hourly.select(
+        F.col("event_type").alias("et_w"),
+        F.col("h").alias("h_w"),
+        F.col("x").alias("x_w"),
+    )
+    return (
+        hourly.join(
+            d,
+            (F.col("et_d") == F.col("event_type"))
+            & (F.col("h_d") == F.col("h") - 24),
+            "left",
+        )
+        .join(
+            w,
+            (F.col("et_w") == F.col("event_type"))
+            & (F.col("h_w") == F.col("h") - 168),
+            "left",
+        )
+        .select(
+            "event_type",
+            "h",
+            "x",
+            (F.col("x") - F.col("x_d")).alias("dod_delta"),
+            (F.col("x") - F.col("x_w")).alias("wow_delta"),
+            F.col("x_d").isNull().alias("dod_missing"),
+            F.col("x_w").isNull().alias("wow_missing"),
+        )
+    )
