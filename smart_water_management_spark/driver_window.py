@@ -182,6 +182,8 @@ ROUND10_CANDIDATES: list[str] = [
     "a45_friedman_test",
     "m33_seasonal_mann_kendall",
     "w33_calendar_deltas",
+    "p28_q06_shape",
+    "d03_golden_record",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

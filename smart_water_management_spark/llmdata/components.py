@@ -993,3 +993,114 @@ def x132_leakage_free_split(
         .cast("bigint")
         .alias("component_size"),
     )
+
+
+# --- d03: golden-record survivorship merge over dup components ------------------------
+
+
+def _d03_oracle() -> str:
+    """x15's recursive-closure components + per-component survivorship:
+    longest text wins, modal language (lexicographic min on ties),
+    canonical id = min member."""
+    from .dedup import _x08_cte
+
+    return f"""
+    WITH RECURSIVE {_x08_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    closure AS (
+      SELECT a, b FROM reach
+      UNION
+      SELECT DISTINCT src AS a, src AS b FROM edges
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM closure GROUP BY a),
+    members AS (
+      SELECT c.component, d.doc_id, d.n_chars, d.lang, d.source
+      FROM comp c JOIN documents d USING (doc_id)
+    ),
+    lang_counts AS (
+      SELECT component, lang, COUNT(*) AS cl FROM members
+      GROUP BY component, lang
+    ),
+    lang_mode AS (
+      SELECT component, lang AS survivor_lang FROM (
+        SELECT component, lang,
+               ROW_NUMBER() OVER (PARTITION BY component
+                                  ORDER BY cl DESC, lang) AS rn
+        FROM lang_counts
+      ) WHERE rn = 1
+    )
+    SELECT m.component,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(m.doc_id) AS canonical_doc_id,
+           CAST(MAX(m.n_chars) AS BIGINT) AS survivor_text_len,
+           CAST(SUM(m.n_chars) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT m.source) AS BIGINT) AS n_sources,
+           MIN(lm.survivor_lang) AS survivor_lang
+    FROM members m JOIN lang_mode lm USING (component)
+    GROUP BY m.component
+    HAVING COUNT(*) > 1
+    """
+
+
+@register(
+    "d03_golden_record",
+    oracle=_d03_oracle(),
+    doc="d03: golden-record survivorship merge — for every near-dup "
+    "component (x15's LSH pairs closed under transitivity), the MDM "
+    "survivorship rules build one merged record: canonical id = "
+    "minimum member, text length = longest member (the keep-richest "
+    "rule), language = modal value with lexicographic tie-break, plus "
+    "source spread and total volume. The step AFTER dedup detection: "
+    "x15 finds the groups, d02 normalizes keys, d03 decides what the "
+    "surviving row looks like. Scale: components via pointer-jump "
+    "label propagation (O(log diameter) rounds); survivorship is two "
+    "hash aggregates and one 1-row-per-component mode window. "
+    "Exactness: integers and strings only. Ref parity: the "
+    "reference's sensor golden-record merge "
+    "(src/enhanced_ingestion.py:460-485)",
+)
+def d03_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .dedup import pinned_corpus_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    merged = dedup_corpus(docs, sigs=pinned_corpus_signatures(spark, sf_dir))
+    members = merged.select("component", "doc_id", "n_chars", "lang", "source")
+    lang_mode = (
+        members.groupBy("component", "lang")
+        .agg(F.count("*").alias("cl"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("component").orderBy(F.desc("cl"), F.asc("lang"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("component", F.col("lang").alias("survivor_lang"))
+    )
+    return (
+        members.groupBy("component")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.max("n_chars").cast("bigint").alias("survivor_text_len"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .filter(F.col("n_members") > 1)
+        .join(lang_mode, "component")
+        .select(
+            "component", "n_members", "canonical_doc_id",
+            "survivor_text_len", "total_chars", "n_sources", "survivor_lang",
+        )
+    )

@@ -2187,3 +2187,55 @@ def o07_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 10)
         .drop("rk")
     )
+
+
+# --- p28 (ext.): TPC-H Q6 shape — predicate-only revenue delta ------------------------
+
+
+@register(
+    "p28_q06_shape",
+    # Q6: the simplest TPC-H query and the purest pushdown test — a
+    # global revenue sum under three range predicates, no joins, no
+    # groups. With p28 every one of the 22 canonical TPC-H query
+    # shapes has an analog in the registry (Q1=a01, Q2=p13, Q3=p19,
+    # Q4=p16, Q5=p20, Q6=p28, Q7=p21, Q8=p22, Q9=p23, Q10=p24,
+    # Q11=p12, Q12=p25, Q13=p14, Q14=p26, Q15=p10, Q16=p15, Q17=p06,
+    # Q18=p17, Q19=p18, Q20=p11, Q21=p09, Q22=p27).
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(ROUND(l_extendedprice * l_discount, 6)
+                         AS DECIMAL(27,6))) AS DOUBLE) AS revenue_delta
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.04
+      AND l_quantity < 24
+    """,
+    doc="p28 (ext.): TPC-H Q6 shape — 'forecasting revenue change': "
+    "the discount-band revenue that would vanish if the discounts "
+    "were cancelled, one scan, zero joins. All three predicates push "
+    "into the parquet scan (PushedFilters shows the shipdate range, "
+    "the discount band and the quantity cap); the sum is one "
+    "map-side-combined aggregate — the minimal pushdown+combine "
+    "benchmark every engine review starts with, completing the "
+    "22-shape TPC-H set. Exactness: per-line round-to-6dp decimal "
+    "sum (p18's device). Ref parity: the reference's single-filter "
+    "revenue tile (src/app.py:48-57)",
+)
+def p28_q06_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.round(
+        F.col("l_extendedprice") * F.col("l_discount"), 6
+    ).cast("decimal(27,6)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.02, 0.04)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue_delta"),
+        )
+    )
