@@ -184,6 +184,7 @@ ROUND10_CANDIDATES: list[str] = [
     "w33_calendar_deltas",
     "p28_q06_shape",
     "d03_golden_record",
+    "m34_bootstrap_ci",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -4002,3 +4002,146 @@ def m33_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("z"),
     )
+
+
+# --- m34 (ext.): deterministic Poisson-bootstrap confidence interval -----------------
+
+import math as _math
+
+_M34_B = 32  # resamples
+# Poisson(1) CDF cutoffs as 6-hex-char thresholds: a row's md5 draw u
+# (first 6 hex chars) maps to weight k = #{cutoffs <= u}. Computed once
+# in Python, injected into BOTH engines as identical string literals —
+# the deterministic stand-in for sampling WITH replacement (each row's
+# multiplicity in resample b is Poisson(1), the classic distributed
+# bootstrap).
+_M34_CUTS = [
+    format(
+        int(sum(_math.exp(-1) / _math.factorial(i) for i in range(k + 1)) * 16**6),
+        "06x",
+    )
+    for k in range(8)
+]
+
+
+def _m34_weight_sql(u: str) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN {u} >= '{c}' THEN 1 ELSE 0 END)" for c in _M34_CUTS
+    ) + ")"
+
+
+@register(
+    "m34_bootstrap_ci",
+    # Percentile-bootstrap CI for each type's mean hourly demand.
+    # Poisson(1) multiplicities from md5 draws make the 32 resamples
+    # fully deterministic and engine-identical; each resample mean is
+    # an exact-decimal weighted sum over the hourly grid divided by
+    # the integer weight total; the CI bounds are pure order
+    # statistics of the 32 means (w30's selection device).
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    expanded AS (
+      SELECT event_type, h, x, b,
+             {_m34_weight_sql(
+                 "substr(md5(event_type || '|' || CAST(h AS VARCHAR) "
+                 "|| '|' || CAST(b AS VARCHAR)), 1, 6)")} AS w
+      FROM hourly, (SELECT unnest(range(0, {_M34_B})) AS b)
+    ),
+    resamples AS (
+      SELECT event_type, b,
+             CAST(SUM(w) AS BIGINT) AS wsum,
+             CAST(SUM(CAST(w * x AS DECIMAL(27,6))) AS DOUBLE) AS wx
+      FROM expanded GROUP BY event_type, b
+    ),
+    means AS (
+      SELECT event_type,
+             list_sort(list(CASE WHEN wsum > 0 THEN wx / wsum END)) AS ms
+      FROM resamples GROUP BY event_type
+    ),
+    point AS (
+      SELECT event_type,
+             (CAST(SUM(CAST(x AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*))
+               AS mean_x,
+             CAST(COUNT(*) AS BIGINT) AS n_hours
+      FROM hourly GROUP BY event_type
+    )
+    SELECT p.event_type, p.n_hours, p.mean_x,
+           CAST({_M34_B} AS BIGINT) AS n_resamples,
+           m.ms[2] AS ci_lo,
+           m.ms[{_M34_B - 1}] AS ci_hi
+    FROM point p JOIN means m USING (event_type)
+    """,
+    doc=f"m34 (ext.): deterministic Poisson-bootstrap CI — each of "
+    f"{_M34_B} resamples weights every hourly observation by a "
+    "Poisson(1) multiplicity drawn from an md5 hash of (type, hour, "
+    "resample), the distributed-bootstrap construction that needs no "
+    "RNG state and merges across partitions; resample means are "
+    "decimal-exact weighted averages and the ~90% CI is the 2nd/31st "
+    "order statistic of the sorted means. Gives every dashboard mean "
+    "an uncertainty band without distributional assumptions — and "
+    "unlike m23's OLS bands, works for ANY plug-in statistic. "
+    "Exactness: Poisson cutoffs are Python-computed hex literals "
+    "(a43 device); weights are integers; selections replace "
+    "quantile interpolation. Scale: the expansion is 32x the "
+    "calendar-bounded hourly grid, map-side combined back down. "
+    "Ref parity: reference confidence reporting "
+    "(src/enhanced_spark_etl.py:680-700)",
+)
+def m34_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import davg
+
+    hourly = _hourly_series(spark, sf_dir).select(
+        "event_type", "h", F.col("hv").cast("double").alias("x")
+    )
+    u = F.substring(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.col("event_type"),
+                F.col("h").cast("string"),
+                F.col("b").cast("string"),
+            )
+        ),
+        1,
+        6,
+    )
+    w = sum(
+        F.when(u >= F.lit(c), 1).otherwise(0) for c in _M34_CUTS
+    )
+    expanded = (
+        hourly.withColumn(
+            "b", F.explode(F.sequence(F.lit(0), F.lit(_M34_B - 1)))
+        )
+        .withColumn("w", w)
+    )
+    resamples = expanded.groupBy("event_type", "b").agg(
+        F.sum("w").cast("bigint").alias("wsum"),
+        F.sum((F.col("w") * F.col("x")).cast("decimal(27,6)"))
+        .cast("double")
+        .alias("wx"),
+    )
+    means = resamples.groupBy("event_type").agg(
+        F.array_sort(
+            F.collect_list(
+                F.when(F.col("wsum") > 0, F.col("wx") / F.col("wsum"))
+            )
+        ).alias("ms")
+    )
+    point = hourly.groupBy("event_type").agg(
+        davg("x").alias("mean_x"),
+        F.count("*").cast("bigint").alias("n_hours"),
+    )
+    return point.join(means, "event_type").select(
+        "event_type",
+        "n_hours",
+        "mean_x",
+        F.lit(_M34_B).cast("bigint").alias("n_resamples"),
+        F.element_at("ms", 2).alias("ci_lo"),
+        F.element_at("ms", _M34_B - 1).alias("ci_hi"),
+    )
