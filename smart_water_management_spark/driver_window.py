@@ -185,6 +185,8 @@ ROUND10_CANDIDATES: list[str] = [
     "p28_q06_shape",
     "d03_golden_record",
     "m34_bootstrap_ci",
+    "t31_streaming_bootstrap_ci",
+    "k09_aqe_coalesce",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

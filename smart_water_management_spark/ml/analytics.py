@@ -4094,9 +4094,16 @@ def _m34_weight_sql(u: str) -> str:
     "(src/enhanced_spark_etl.py:680-700)",
 )
 def m34_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bootstrap_ci_from_hourly(_hourly_series(spark, sf_dir))
+
+
+def bootstrap_ci_from_hourly(hourly_grid: DataFrame) -> DataFrame:
+    """The m34 resampling pass over any (event_type, h, hv DECIMAL)
+    grid — shared with t31's streaming state table so the monitor
+    equals batch m34 bit-for-bit under any micro-batch slicing."""
     from ..functions.numeric import davg
 
-    hourly = _hourly_series(spark, sf_dir).select(
+    hourly = hourly_grid.select(
         "event_type", "h", F.col("hv").cast("double").alias("x")
     )
     u = F.substring(
@@ -4144,4 +4151,14 @@ def m34_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_M34_B).cast("bigint").alias("n_resamples"),
         F.element_at("ms", 2).alias("ci_lo"),
         F.element_at("ms", _M34_B - 1).alias("ci_hi"),
+    )
+
+
+# t31's late-bound oracle (must sit BELOW m34's registration — this
+# module tail runs after every registration above and after
+# streaming.jobs imported).
+if "t31_streaming_bootstrap_ci" in _REG_FOR_T29:
+    _REG_FOR_T29["t31_streaming_bootstrap_ci"] = _dc.replace(
+        _REG_FOR_T29["t31_streaming_bootstrap_ci"],
+        oracle=_REG_FOR_T29["m34_bootstrap_ci"].oracle,
     )

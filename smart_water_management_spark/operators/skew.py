@@ -717,3 +717,48 @@ def k08_multi_distinct_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(counts, "l_returnflag")
         .select("l_returnflag", "d_orders", "d_parts", "d_supps", "n_rows")
     )
+
+
+# --- k09 (ext.): AQE shuffle-partition coalescing lever -------------------------------
+
+
+@register(
+    "k09_aqe_coalesce",
+    # The inverse lever of k01/k04's salting: when a shuffle's configured
+    # partition count far exceeds the data (the 100 TB job's config
+    # applied to one small dimension aggregate), AQE folds the
+    # near-empty post-shuffle partitions into a few real ones at
+    # runtime — task count tracks DATA, not config. The query is a
+    # plain exact aggregate (strategy-invariant answer, like k07); the
+    # plan test asserts the runtime AQEShuffleRead(coalesced) node.
+    oracle="""
+    SELECT n.n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(27,6))) AS DOUBLE)
+             AS total_balance
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="k09 (ext.): AQE shuffle-partition coalescing — a 25-group "
+    "aggregate executed under the cluster-sized shuffle-partition "
+    "config; AQE's runtime statistics collapse the near-empty "
+    "post-shuffle partitions so the reduce stage launches tasks "
+    "proportional to DATA, not configuration (the lever that makes "
+    "one global spark.sql.shuffle.partitions setting safe across a "
+    "100 TB fact job and its tiny dimension rollups in the same "
+    "application). Answer is strategy-invariant (k07's pattern); "
+    "tests/test_physical_plans.py asserts the executed plan carries "
+    "AQEShuffleRead(coalesced). Exactness: integer counts + decimal "
+    "balance sums",
+)
+def k09_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").cast("bigint").alias("n_customers"),
+            dsum("c_acctbal").alias("total_balance"),
+        )
+    )

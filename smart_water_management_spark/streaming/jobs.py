@@ -2483,3 +2483,29 @@ def t30_streaming_hampel(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import hampel_from_hourly
 
     return hampel_from_hourly(hourly_state_stream(spark, sf_dir))
+
+
+# --- t31: streaming bootstrap-CI monitor ----------------------------------------------
+
+
+@register(
+    "t31_streaming_bootstrap_ci",
+    # Equals batch m34 bit-for-bit: the hourly decimal grid merges
+    # exactly under any slicing and the md5-drawn Poisson resampling is
+    # a pure function of the grid — m34's oracle certifies the monitor
+    # (late-bound in ml/analytics, the t29/t30 wiring).
+    oracle=None,  # set in ml/analytics.py: m34's oracle verbatim
+    doc="T31: streaming bootstrap-CI monitor — m34's deterministic "
+    "Poisson-bootstrap confidence band for each type's mean hourly "
+    "demand, recomputed from the incrementally-maintained exact-"
+    "decimal hourly state on read. Dashboards get uncertainty bands "
+    "that update while the stream runs; because the md5 draws are a "
+    "pure function of (type, hour, resample), the band is identical "
+    "under any micro-batch slicing — certified by sharing "
+    "bootstrap_ci_from_hourly and m34's oracle; 4-batch merge test "
+    "in tests/test_streaming.py",
+)
+def t31_streaming_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.analytics import bootstrap_ci_from_hourly
+
+    return bootstrap_ci_from_hourly(hourly_state_stream(spark, sf_dir))

@@ -1933,3 +1933,30 @@ def test_k08_rewrite_is_expand_free_and_naive_is_not(spark):
     rewritten = plan_of(_q(spark, "k08_multi_distinct_rewrite"), "simple")
     assert "Expand" not in rewritten
     assert "partial_count" in rewritten
+
+
+def test_k09_aqe_coalesces_small_shuffle(spark):
+    """k09: under a deliberately oversized shuffle-partition config with
+    AQE on, the executed plan's shuffle read must be a coalesced
+    AQEShuffleRead (task count tracks data, not config)."""
+    saved = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.shuffle.partitions",
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        df = _q(spark, "k09_aqe_coalesce")
+        df.collect()  # materialize so AQE finalizes the plan
+        executed = df._jdf.queryExecution().executedPlan().toString()
+        assert "AQEShuffleRead" in executed and "coalesced" in executed, (
+            executed[:2000]
+        )
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

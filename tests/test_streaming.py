@@ -694,3 +694,36 @@ def test_streaming_hampel_multi_batch_equals_batch_w32(spark):
             w.n_flagged,
             w.last_flagged_hour,
         ), et
+
+
+def test_streaming_bootstrap_ci_multi_batch_equals_batch_m34(spark):
+    """t31 under real incrementality: 4 event micro-batches; the merged
+    decimal hourly grid must reproduce m34's batch bootstrap CI exactly
+    (point mean, both order-statistic bounds, bit-for-bit)."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        ev.repartition(4).write.parquet(os.path.join(sf_dir, "events.parquet"))
+        got = {
+            r.event_type: r
+            for r in jobs.t31_streaming_bootstrap_ci(spark, sf_dir).collect()
+        }
+    want = {
+        r.event_type: r
+        for r in _REGISTRY["m34_bootstrap_ci"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for et, w in want.items():
+        g = got[et]
+        assert (g.n_hours, g.mean_x, g.ci_lo, g.ci_hi) == (
+            w.n_hours,
+            w.mean_x,
+            w.ci_lo,
+            w.ci_hi,
+        ), et
