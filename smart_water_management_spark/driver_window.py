@@ -187,6 +187,8 @@ ROUND10_CANDIDATES: list[str] = [
     "m34_bootstrap_ci",
     "t31_streaming_bootstrap_ci",
     "k09_aqe_coalesce",
+    "a46_brown_forsythe",
+    "w34_max_drawdown",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

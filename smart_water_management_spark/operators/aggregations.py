@@ -3045,3 +3045,173 @@ def a45_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_f"
         ),
     )
+
+
+# --- a46 (ext.): Brown-Forsythe variance-homogeneity test ---------------------------
+
+
+@register(
+    "a46_brown_forsythe",
+    # Levene's test with median centers (Brown-Forsythe): do the three
+    # return-flag classes have equal quantity SPREAD? (a44 tests
+    # location; this completes the k-sample pair.) Group medians come
+    # from the bounded 50-value domain via cumulative cell counts —
+    # never a data sort — and are kept DOUBLED (m2 = lower + upper
+    # middle value) so every intermediate stays an exact BIGINT:
+    # z2 = |2v - m2| per cell, S2 = sum(c*z2), Q4 = sum(c*z2^2). The
+    # F statistic folds the three per-group terms in the fixed A/N/R
+    # order (a38's device) with one double expression per term written
+    # identically on both engines; ROUND(,9) at the end (a37's device).
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag AS g,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    grp AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n_g FROM cells GROUP BY g
+    ),
+    cum AS (
+      SELECT g, v, c,
+             SUM(c) OVER (PARTITION BY g ORDER BY v) AS cumc
+      FROM cells
+    ),
+    med AS (
+      SELECT cum.g,
+             CAST(MIN(CASE WHEN cumc >= (n_g + 1) // 2 THEN v END)
+                + MIN(CASE WHEN cumc >= n_g // 2 + 1 THEN v END)
+                  AS BIGINT) AS m2
+      FROM cum JOIN grp USING (g) GROUP BY cum.g
+    ),
+    dev AS (
+      SELECT cells.g,
+             CAST(SUM(c * ABS(2 * v - m2)) AS BIGINT) AS s2,
+             CAST(SUM(c * ABS(2 * v - m2) * ABS(2 * v - m2)) AS BIGINT)
+               AS q4
+      FROM cells JOIN med USING (g) GROUP BY cells.g
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN g = 'A' THEN n_g END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN g = 'N' THEN n_g END) AS BIGINT) AS n_n,
+             CAST(SUM(CASE WHEN g = 'R' THEN n_g END) AS BIGINT) AS n_r,
+             CAST(SUM(CASE WHEN g = 'A' THEN m2 END) AS BIGINT) AS m2_a,
+             CAST(SUM(CASE WHEN g = 'N' THEN m2 END) AS BIGINT) AS m2_n,
+             CAST(SUM(CASE WHEN g = 'R' THEN m2 END) AS BIGINT) AS m2_r,
+             CAST(SUM(CASE WHEN g = 'A' THEN s2 END) AS BIGINT) AS s2_a,
+             CAST(SUM(CASE WHEN g = 'N' THEN s2 END) AS BIGINT) AS s2_n,
+             CAST(SUM(CASE WHEN g = 'R' THEN s2 END) AS BIGINT) AS s2_r,
+             CAST(SUM(CASE WHEN g = 'A' THEN q4 END) AS BIGINT) AS q4_a,
+             CAST(SUM(CASE WHEN g = 'N' THEN q4 END) AS BIGINT) AS q4_n,
+             CAST(SUM(CASE WHEN g = 'R' THEN q4 END) AS BIGINT) AS q4_r
+      FROM dev JOIN grp USING (g) JOIN med USING (g)
+    )
+    SELECT n, n_a, n_n, n_r, m2_a, m2_n, m2_r, s2_a, s2_n, s2_r,
+           ROUND(((CAST(n AS DOUBLE) - 3.0) / 2.0)
+             * ((((CAST(s2_a AS DOUBLE) * n - CAST(s2_a + s2_n + s2_r AS DOUBLE) * n_a)
+                  * (CAST(s2_a AS DOUBLE) * n - CAST(s2_a + s2_n + s2_r AS DOUBLE) * n_a)
+                  / (CAST(n_a AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)))
+                + ((CAST(s2_n AS DOUBLE) * n - CAST(s2_a + s2_n + s2_r AS DOUBLE) * n_n)
+                  * (CAST(s2_n AS DOUBLE) * n - CAST(s2_a + s2_n + s2_r AS DOUBLE) * n_n)
+                  / (CAST(n_n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                + ((CAST(s2_r AS DOUBLE) * n - CAST(s2_a + s2_n + s2_r AS DOUBLE) * n_r)
+                  * (CAST(s2_r AS DOUBLE) * n - CAST(s2_a + s2_n + s2_r AS DOUBLE) * n_r)
+                  / (CAST(n_r AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+             / (((CAST(q4_a AS DOUBLE) - CAST(s2_a AS DOUBLE) * CAST(s2_a AS DOUBLE) / n_a)
+                + (CAST(q4_n AS DOUBLE) - CAST(s2_n AS DOUBLE) * CAST(s2_n AS DOUBLE) / n_n))
+                + (CAST(q4_r AS DOUBLE) - CAST(s2_r AS DOUBLE) * CAST(s2_r AS DOUBLE) / n_r)),
+           9) AS bf_stat
+    FROM tot
+    """,
+    doc="a46 (ext.): Brown-Forsythe (median-centered Levene) test — do "
+    "the three return-flag classes have equal quantity spread? "
+    "Completes the k-sample family: a44 (Kruskal-Wallis) tests "
+    "location, a46 tests scale. Group medians are found on the "
+    "bounded 50-value domain via cumulative cell counts (a37's "
+    "sort-free device) and kept DOUBLED so the absolute deviations, "
+    "their sums S2 and squared sums Q4 are exact BIGINTs; the F "
+    "statistic folds per-group terms in fixed A/N/R order with "
+    "cancellation kept in exactly-representable integer-valued "
+    "doubles, ROUND(,9). Scale: one 150-cell aggregate is the only "
+    "data shuffle; medians + the fold run on the 150-row grid. "
+    "Ref parity: the reference's distribution-comparison report "
+    "(src/app.py:115-130)",
+)
+def a46_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_quantity").cast("bigint").alias("v"),
+            F.col("l_returnflag").alias("g"),
+        )
+        .groupBy("v", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    grp = cells.groupBy("g").agg(F.sum("c").cast("bigint").alias("n_g"))
+    cum = cells.withColumn(
+        "cumc",
+        F.sum("c").over(
+            W.partitionBy("g").orderBy("v").rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    med = (
+        cum.join(F.broadcast(grp), "g")
+        .groupBy("g")
+        .agg(
+            (
+                F.min(F.when(F.expr("cumc >= (n_g + 1) DIV 2"), F.col("v")))
+                + F.min(F.when(F.expr("cumc >= n_g DIV 2 + 1"), F.col("v")))
+            )
+            .cast("bigint")
+            .alias("m2")
+        )
+    )
+    z2 = F.abs(2 * F.col("v") - F.col("m2"))
+    dev = (
+        cells.join(F.broadcast(med), "g")
+        .groupBy("g")
+        .agg(
+            F.sum(F.col("c") * z2).cast("bigint").alias("s2"),
+            F.sum(F.col("c") * z2 * z2).cast("bigint").alias("q4"),
+        )
+    )
+    tot = (
+        dev.join(grp, "g")
+        .join(med, "g")
+        .agg(
+            F.sum("n_g").cast("bigint").alias("n"),
+            *[
+                F.sum(F.when(F.col("g") == gg, F.col(col)))
+                .cast("bigint")
+                .alias(f"{col}_{gg.lower()}")
+                for col in ("n_g", "m2", "s2", "q4")
+                for gg in ("A", "N", "R")
+            ],
+        )
+        .withColumnsRenamed(
+            {"n_g_a": "n_a", "n_g_n": "n_n", "n_g_r": "n_r"}
+        )
+    )
+    n = F.col("n").cast("double")
+    t2 = (F.col("s2_a") + F.col("s2_n") + F.col("s2_r")).cast("double")
+
+    def num(gg: str) -> F.Column:
+        d = F.col(f"s2_{gg}").cast("double") * F.col("n") - t2 * F.col(f"n_{gg}")
+        return d * d / (F.col(f"n_{gg}").cast("double") * n * n)
+
+    def den(gg: str) -> F.Column:
+        s2d = F.col(f"s2_{gg}").cast("double")
+        return F.col(f"q4_{gg}").cast("double") - s2d * s2d / F.col(f"n_{gg}")
+
+    return tot.select(
+        "n", "n_a", "n_n", "n_r",
+        "m2_a", "m2_n", "m2_r", "s2_a", "s2_n", "s2_r",
+        F.round(
+            ((n - F.lit(3.0)) / F.lit(2.0))
+            * ((num("a") + num("n")) + num("r"))
+            / ((den("a") + den("n")) + den("r")),
+            9,
+        ).alias("bf_stat"),
+    )

@@ -2203,3 +2203,117 @@ def w33_calendar_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x_w").isNull().alias("wow_missing"),
         )
     )
+
+
+# --- w34 (ext.): max drawdown of per-cohort signed-flow equity curves ------------------
+
+_W34_POS = ("purchase", "signup")  # inflow types; all others are outflows
+_W34_COHORTS = 8
+
+
+def daily_flow_grid(events_df: DataFrame) -> DataFrame:
+    """(cohort, day, flow) signed daily net-flow grid — the sufficient
+    state for w34's drawdown pass. flow is an exact DECIMAL(27,6) sum, so
+    partial grids merge by groupBy-SUM under any slicing (the property
+    t32's streaming maintainer relies on)."""
+    sec = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    signed = F.when(
+        F.col("event_type").isin(*_W34_POS), F.col("value").cast(_DEC)
+    ).otherwise(-F.col("value").cast(_DEC))
+    return (
+        events_df.select(
+            (F.col("user_id") % _W34_COHORTS).alias("cohort"),
+            F.floor((sec - 1704067200) / 86400.0).cast("bigint").alias("day"),
+            signed.alias("f"),
+        )
+        .groupBy("cohort", "day")
+        .agg(F.sum("f").cast(_DEC).alias("flow"))
+    )
+
+
+def drawdown_from_daily(grid: DataFrame) -> DataFrame:
+    """Equity-curve drawdown over the daily grid: cum running sum,
+    running max, dd = runmax - cum; per cohort the max drawdown, its
+    trough day (earliest day attaining it) and the peak/final balances.
+    All window math stays in exact decimals; doubles only on output."""
+    w = W.partitionBy("cohort").orderBy("day").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    wfull = W.partitionBy("cohort")
+    staged = (
+        grid.select("cohort", "day", "flow", F.sum("flow").over(w).alias("cum"))
+        .withColumn("runmax", F.max("cum").over(w))
+        .withColumn("dd", F.col("runmax") - F.col("cum"))
+        .withColumn("mdd", F.max("dd").over(wfull))
+    )
+    return staged.groupBy("cohort").agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("flow").cast("double").alias("final_balance"),
+        F.max("cum").cast("double").alias("peak_balance"),
+        F.max("dd").cast("double").alias("max_drawdown"),
+        F.min(F.when(F.col("dd") == F.col("mdd"), F.col("day")))
+        .cast("bigint")
+        .alias("trough_day"),
+    )
+
+
+_W34_ORACLE = """
+    WITH daily AS (
+      SELECT CAST(user_id % 8 AS BIGINT) AS cohort,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 86400.0) AS BIGINT) AS day,
+             CAST(SUM(CASE WHEN event_type IN ('purchase', 'signup')
+                      THEN CAST(value AS DECIMAL(27,6))
+                      ELSE -CAST(value AS DECIMAL(27,6)) END)
+                  AS DECIMAL(27,6)) AS flow
+      FROM events GROUP BY 1, 2
+    ),
+    eq AS (
+      SELECT cohort, day, flow,
+             SUM(flow) OVER (PARTITION BY cohort ORDER BY day) AS cum
+      FROM daily
+    ),
+    dd AS (
+      SELECT cohort, day, flow, cum,
+             MAX(cum) OVER (PARTITION BY cohort ORDER BY day) - cum AS dd
+      FROM eq
+    ),
+    mx AS (SELECT cohort, MAX(dd) AS mdd FROM dd GROUP BY cohort)
+    SELECT d.cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(d.flow) AS DOUBLE) AS final_balance,
+           CAST(MAX(d.cum) AS DOUBLE) AS peak_balance,
+           CAST(MAX(d.dd) AS DOUBLE) AS max_drawdown,
+           CAST(MIN(CASE WHEN d.dd = m.mdd THEN d.day END) AS BIGINT)
+             AS trough_day
+    FROM dd d JOIN mx m USING (cohort)
+    GROUP BY d.cohort
+"""
+
+
+@register(
+    "w34_max_drawdown",
+    # Classic equity-curve risk measure over the signed event flows:
+    # inflows (purchase/signup) minus outflows per user cohort per day;
+    # cum running balance, running peak, drawdown = peak - balance.
+    # Exactness: flows, cumulative sums, running maxima and the
+    # drawdown comparison all stay in exact decimals (order-free);
+    # doubles appear only in the final projection, so no rounding
+    # device is needed. Day is unique within a cohort, so the window
+    # ordering is total on both engines.
+    oracle=_W34_ORACLE,
+    doc="w34 (ext.): maximum drawdown + trough day of each cohort's "
+    "signed daily net-flow equity curve (inflow types purchase/"
+    "signup vs all-outflow others) — the peak-to-valley risk "
+    "measure behind 'worst losing streak' dashboard tiles. The "
+    "daily grid is one map-combined decimal aggregate (state "
+    "bounded by cohorts x days); the window pass runs per cohort "
+    "over that grid, never over raw events. Split as "
+    "daily_flow_grid + drawdown_from_daily so t32's streaming "
+    "monitor maintains the grid incrementally and certifies "
+    "against this exact oracle. Ref parity: rolling running-total "
+    "trend reports (src/enhanced_spark_etl.py:260-287)",
+)
+def w34_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return drawdown_from_daily(daily_flow_grid(ev))
