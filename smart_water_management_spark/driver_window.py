@@ -189,6 +189,8 @@ ROUND10_CANDIDATES: list[str] = [
     "k09_aqe_coalesce",
     "a46_brown_forsythe",
     "w34_max_drawdown",
+    "m35_grubbs_outlier",
+    "t32_streaming_drawdown",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

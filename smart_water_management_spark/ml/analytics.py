@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from ..functions.numeric import dsum, sql_dsum
+from ..functions.numeric import dsum, sql_davg, sql_dstddev, sql_dsum
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -4161,4 +4161,91 @@ if "t31_streaming_bootstrap_ci" in _REG_FOR_T29:
     _REG_FOR_T29["t31_streaming_bootstrap_ci"] = _dc.replace(
         _REG_FOR_T29["t31_streaming_bootstrap_ci"],
         oracle=_REG_FOR_T29["m34_bootstrap_ci"].oracle,
+    )
+
+
+# --- m35 (ext.): Grubbs max-studentized-deviation outlier statistic -------------------
+
+
+@register(
+    "m35_grubbs_outlier",
+    # Grubbs' test statistic G = max|x - mean| / s per event type — the
+    # single-most-extreme-observation screen that complements v05's
+    # fixed |z|>3 flags (v05 counts threshold crossings; m35 finds THE
+    # candidate outlier and its studentized distance). mean and s come
+    # from exact decimal moments (davg/dstddev: bit-identical doubles
+    # on both engines); |x - mean| is one deterministic double
+    # expression per row whose MAX is order-free; the argmax id uses
+    # the min-id-at-max tie-break. G is ROUND(,9).
+    oracle=f"""
+    WITH stats AS (
+      SELECT event_type,
+             CAST(COUNT(value) AS BIGINT) AS n,
+             {sql_davg('value')} AS mean_v,
+             {sql_dstddev('value')} AS std_v
+      FROM events GROUP BY event_type
+    ),
+    ads AS (
+      SELECT e.event_type, e.event_id, ABS(e.value - s.mean_v) AS ad
+      FROM events e JOIN stats s USING (event_type)
+    ),
+    mx AS (SELECT event_type, MAX(ad) AS mad FROM ads GROUP BY event_type)
+    SELECT s.event_type, s.n, s.mean_v, s.std_v,
+           CAST(m.mad AS DOUBLE) AS max_abs_dev,
+           ROUND(m.mad / s.std_v, 9) AS g_stat,
+           CAST(MIN(CASE WHEN a.ad = m.mad THEN a.event_id END) AS BIGINT)
+             AS outlier_event_id
+    FROM ads a
+    JOIN mx m USING (event_type)
+    JOIN stats s USING (event_type)
+    GROUP BY s.event_type, s.n, s.mean_v, s.std_v, m.mad
+    """,
+    doc="m35 (ext.): Grubbs outlier statistic per event type — "
+    "G = max|x - mean|/s plus the offending event id (min-id "
+    "tie-break). v05 counts |z|>3 crossings; m35 ranks the single "
+    "most extreme observation for the 'investigate this reading' "
+    "workflow. Exactness: decimal-moment mean/stddev, one double "
+    "abs-deviation expression per row (MAX is order-free), "
+    "ROUND(,9) on the studentized ratio. Scale: two map-combined "
+    "aggregates over events plus two broadcast joins of the 5-row "
+    "stats/max tables — no window over raw events, no sort. "
+    "Ref parity: anomaly-detection report (src/spark_etl.py:127-133)",
+)
+def m35_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import davg, dstddev
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").cast("bigint").alias("n"),
+        davg("value").alias("mean_v"),
+        dstddev("value").alias("std_v"),
+    )
+    ads = ev.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "event_id",
+        "n",
+        "mean_v",
+        "std_v",
+        F.abs(F.col("value") - F.col("mean_v")).alias("ad"),
+    )
+    mx = ads.groupBy("event_type").agg(F.max("ad").alias("mad"))
+    return (
+        ads.join(F.broadcast(mx), "event_type")
+        .groupBy("event_type", "n", "mean_v", "std_v", "mad")
+        .agg(
+            F.min(F.when(F.col("ad") == F.col("mad"), F.col("event_id")))
+            .cast("bigint")
+            .alias("outlier_event_id")
+        )
+        .select(
+            "event_type",
+            "n",
+            "mean_v",
+            "std_v",
+            F.col("mad").cast("double").alias("max_abs_dev"),
+            F.round(F.col("mad") / F.col("std_v"), 9).alias("g_stat"),
+            "outlier_event_id",
+        )
     )

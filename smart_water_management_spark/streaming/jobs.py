@@ -2509,3 +2509,84 @@ def t31_streaming_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.analytics import bootstrap_ci_from_hourly
 
     return bootstrap_ci_from_hourly(hourly_state_stream(spark, sf_dir))
+
+
+# --- t32: streaming max-drawdown monitor ----------------------------------------------
+
+
+def daily_flow_state_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t32 state maintainer: w34's (cohort, day, flow) signed daily
+    net-flow grid kept incrementally — each micro-batch's partial decimal
+    flow sums merge by groupBy-SUM (decimal addition is exact and
+    order-free, so the state equals w34's batch grid under any slicing).
+    The grid is calendar-bounded: cohorts x days, independent of volume."""
+    from ..operators.windows import daily_flow_grid
+    from ..sources.catalog import reset_managed_table
+
+    reset_managed_table(spark, "daily_flow_state")
+    spark.sql(
+        "CREATE TABLE daily_flow_state "
+        "(cohort BIGINT, day BIGINT, flow DECIMAL(27,6)) USING parquet"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        partial = daily_flow_grid(batch_df)
+        merged = (
+            sp.table("daily_flow_state")
+            .unionByName(partial)
+            .groupBy("cohort", "day")
+            .agg(F.sum("flow").cast(_DEC).alias("flow"))
+            .select("cohort", "day", "flow")
+        )
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").insertInto("daily_flow_state")
+
+    stream = read_event_stream(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "value"
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("daily_flow_state")
+
+
+@register(
+    "t32_streaming_drawdown",
+    # Equals batch w34 bit-for-bit: the daily decimal flow grid merges
+    # exactly under any micro-batch slicing and the drawdown pass is
+    # the SAME helper w34 uses — w34's oracle certifies the monitor
+    # (late-bound below; operators.windows imports before this module).
+    oracle=None,  # set below: w34's oracle verbatim
+    doc="T32: streaming max-drawdown monitor — w34's per-cohort "
+    "signed-flow equity-curve drawdown recomputed from the "
+    "incrementally-maintained exact-decimal daily grid, so the "
+    "'worst losing streak' tile updates while the stream runs. The "
+    "risk-measure companion to t26/t29's drift and t30's outlier "
+    "monitors. Certified by sharing drawdown_from_daily and w34's "
+    "oracle; 4-batch merge test in tests/test_streaming.py",
+)
+def t32_streaming_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.windows import drawdown_from_daily
+
+    return drawdown_from_daily(daily_flow_state_stream(spark, sf_dir))
+
+
+# Wire t32's oracle: operators.windows imports BEFORE streaming.jobs in
+# the package __init__, so w34's registration is visible here; the guard
+# keeps the partial-registry tolerance (windows module absent => t32
+# stays rows-only rather than crashing the import).
+import dataclasses as _dc  # noqa: E402
+
+from ..registry import _REGISTRY as _REG_FOR_T32  # noqa: E402
+
+if "w34_max_drawdown" in _REG_FOR_T32 and "t32_streaming_drawdown" in _REG_FOR_T32:
+    _REG_FOR_T32["t32_streaming_drawdown"] = _dc.replace(
+        _REG_FOR_T32["t32_streaming_drawdown"],
+        oracle=_REG_FOR_T32["w34_max_drawdown"].oracle,
+    )

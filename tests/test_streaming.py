@@ -727,3 +727,44 @@ def test_streaming_bootstrap_ci_multi_batch_equals_batch_m34(spark):
             w.ci_lo,
             w.ci_hi,
         ), et
+
+
+def test_streaming_drawdown_multi_batch_equals_batch_w34(spark):
+    """t32 under real incrementality: 4 event micro-batches; the merged
+    decimal daily flow grid must reproduce w34's batch drawdown result
+    exactly (day count, balances, max drawdown, trough day, bit-for-bit)."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+    from smart_water_management_spark.streaming import jobs
+
+    ev = load_table(spark, SF_DIR, "events")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        ev.repartition(4).write.parquet(os.path.join(sf_dir, "events.parquet"))
+        got = {
+            r.cohort: r
+            for r in jobs.t32_streaming_drawdown(spark, sf_dir).collect()
+        }
+    want = {
+        r.cohort: r
+        for r in _REGISTRY["w34_max_drawdown"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for ch, w in want.items():
+        g = got[ch]
+        assert (
+            g.n_days,
+            g.final_balance,
+            g.peak_balance,
+            g.max_drawdown,
+            g.trough_day,
+        ) == (
+            w.n_days,
+            w.final_balance,
+            w.peak_balance,
+            w.max_drawdown,
+            w.trough_day,
+        ), ch
