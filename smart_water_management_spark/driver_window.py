@@ -191,6 +191,8 @@ ROUND10_CANDIDATES: list[str] = [
     "w34_max_drawdown",
     "m35_grubbs_outlier",
     "t32_streaming_drawdown",
+    "j16_blocked_fuzzy_join",
+    "k10_eager_aggregation",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

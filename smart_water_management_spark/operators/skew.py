@@ -762,3 +762,62 @@ def k09_aqe_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("total_balance"),
         )
     )
+
+
+# --- k10 (ext.): eager-aggregation (partial agg below the join) lever -------------------
+
+
+@register(
+    "k10_eager_aggregation",
+    # The "eager aggregation" / groupby-pushdown rewrite Catalyst does
+    # NOT apply automatically: when a fact table joins its parent on
+    # the fact's grouping key, pre-aggregating the fact BY THE JOIN KEY
+    # below the join shrinks the join's probe side from |lineitem| to
+    # |orders| rows before any wide row is built. The registered plan
+    # is the rewritten form; the answer is strategy-invariant (exact
+    # decimal sums are associative, counts add), so the plain
+    # join-then-group SQL is the oracle. tests/test_physical_plans.py
+    # asserts the partial aggregate sits below the join.
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+    doc="k10 (ext.): eager-aggregation lever — revenue and item counts "
+    "per order priority with the lineitem side PRE-AGGREGATED by "
+    "l_orderkey below the join (sum/count partials are associative, "
+    "so regrouping by priority after the join is exact). At 100 TB "
+    "this is the difference between joining 600M wide "
+    "lineitem-x-orders rows and joining one pre-folded row per "
+    "order: the join input shrinks ~4x, the post-join shuffle "
+    "carries 2 numbers per order, and the rewrite composes with "
+    "k02's bucketing (both sides keyed on orderkey). Catalyst has "
+    "no eager-aggregation rule, so the rewrite is declared in the "
+    "plan; the oracle is the naive join-then-group SQL — "
+    "strategy-invariant by decimal-sum associativity. "
+    "Ref parity: order-rollup dashboards (src/app.py:80-110)",
+)
+def k10_eager_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(27,6)")
+        .alias("rev"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("cnt"),
+        F.sum("rev").cast("decimal(27,6)").alias("order_rev"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    return (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_items"),
+            F.sum("order_rev").cast("double").alias("revenue"),
+        )
+    )

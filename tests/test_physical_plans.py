@@ -1960,3 +1960,19 @@ def test_k09_aqe_coalesces_small_shuffle(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_k10_partial_agg_below_join(spark):
+    """k10: the lineitem pre-aggregate must survive optimization BELOW the
+    join (Catalyst has no eager-aggregation rule, but it must not undo the
+    declared one either) — an Aggregate keyed on l_orderkey appears under
+    the Join node, and the post-join aggregate groups by priority above it.
+    In the plan-tree string children print after parents, so below-the-join
+    means the orderkey Aggregate's text offset is greater than the Join's."""
+    df = _q(spark, "k10_eager_aggregation")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    i_join = plan.find("Join")
+    i_pre = plan.find("Aggregate [l_orderkey")
+    i_post = plan.find("Aggregate [o_orderpriority")
+    assert i_post >= 0 and i_join > i_post, plan[:2000]
+    assert i_pre > i_join, plan[:2000]
