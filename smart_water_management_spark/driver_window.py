@@ -193,6 +193,8 @@ ROUND10_CANDIDATES: list[str] = [
     "t32_streaming_drawdown",
     "j16_blocked_fuzzy_join",
     "k10_eager_aggregation",
+    "x143_winnowing_fingerprints",
+    "x144_fim_span_audit",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

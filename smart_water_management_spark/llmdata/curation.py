@@ -3627,3 +3627,108 @@ def x136_recency_weighted_sample(
             F.max("threshold") / F.lit(float(_X136_SCALE))
         ).alias("target_rate"),
     )
+
+
+# --- x144: fill-in-the-middle (FIM) span-split audit ----------------------------------
+
+_X144_MIN_WORDS = 16  # PSM transform needs room for three non-trivial spans
+
+
+@register(
+    "x144_fim_span_audit",
+    # Code-model FIM preprocessing (Bavarian et al. 2022): each eligible
+    # doc splits into prefix|middle|suffix at two deterministic cut
+    # points drawn from disjoint md5 substrings of a salted doc key
+    # (u, v uniform over word gaps; lo/hi = sorted). The audit checks
+    # the transform's span-budget before any training run: middle mass
+    # should approach the theoretical 1/3 and empty middles the 1/(n-1)
+    # collision line. Integer word counts; one division per double.
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+      FROM documents
+    ),
+    spans AS (
+      SELECT doc_id, source, n,
+             1 + LEAST(u, v) AS lo,
+             1 + GREATEST(u, v) AS hi
+      FROM (
+        SELECT doc_id, source, n,
+               CAST(('0x' || substr(md5('fim|' || CAST(doc_id AS VARCHAR)),
+                     1, 8)) AS BIGINT) % (n - 1) AS u,
+               CAST(('0x' || substr(md5('fim|' || CAST(doc_id AS VARCHAR)),
+                     9, 8)) AS BIGINT) % (n - 1) AS v
+        FROM base WHERE n >= {_X144_MIN_WORDS}
+      )
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(s.doc_id) AS BIGINT) AS n_eligible,
+           CAST(SUM(s.n) AS BIGINT) AS n_words,
+           CAST(SUM(s.lo) AS BIGINT) AS n_prefix_words,
+           CAST(SUM(s.hi - s.lo) AS BIGINT) AS n_middle_words,
+           CAST(SUM(s.n - s.hi) AS BIGINT) AS n_suffix_words,
+           CAST(SUM(s.hi - s.lo) AS DOUBLE) / SUM(s.n) AS middle_frac,
+           CAST(SUM(CASE WHEN s.hi = s.lo THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_empty_middle
+    FROM base b LEFT JOIN spans s USING (doc_id, source)
+    GROUP BY b.source
+    """,
+    doc="x144: fill-in-the-middle span-split audit — the PSM "
+    "(prefix|middle|suffix) transform code models train on, with "
+    "both cut points drawn deterministically from disjoint md5 "
+    "substrings of the salted doc id (uniform over the n-1 word "
+    "gaps, sorted into lo<=hi). Emits per source the span word "
+    "budgets, the realized middle fraction (theory: -> 1/3) and "
+    "the empty-middle collision count (theory: 1/(n-1) per doc) — "
+    "the pre-flight check that a FIM data pipeline feeds balanced "
+    "spans. One row-local transform + one aggregate; no shuffle "
+    "beyond the groupBy. Exactness: md5 draws, integer word "
+    "counts, one division per double (x136's devices). "
+    "Ref parity: none in reference — LLM-data extension per brief",
+)
+def x144_fim_span_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n"),
+    )
+    key = F.concat(F.lit("fim|"), F.col("doc_id").cast("string"))
+    u = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % (
+        F.col("n") - 1
+    )
+    v = F.conv(F.substring(F.md5(key), 9, 8), 16, 10).cast("bigint") % (
+        F.col("n") - 1
+    )
+    spans = (
+        base.filter(F.col("n") >= _X144_MIN_WORDS)
+        .select("doc_id", "source", "n", u.alias("u"), v.alias("v"))
+        .select(
+            "doc_id",
+            "source",
+            F.col("n").alias("sn"),
+            (1 + F.least("u", "v")).alias("lo"),
+            (1 + F.greatest("u", "v")).alias("hi"),
+        )
+    )
+    return (
+        base.join(spans.withColumnRenamed("sn", "en"), ["doc_id", "source"], "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.count("lo").cast("bigint").alias("n_eligible"),
+            F.sum("en").cast("bigint").alias("n_words"),
+            F.sum("lo").cast("bigint").alias("n_prefix_words"),
+            F.sum(F.col("hi") - F.col("lo")).cast("bigint").alias("n_middle_words"),
+            F.sum(F.col("en") - F.col("hi")).cast("bigint").alias("n_suffix_words"),
+            (
+                F.sum(F.col("hi") - F.col("lo")).cast("double")
+                / F.sum("en")
+            ).alias("middle_frac"),
+            F.sum(F.when(F.col("hi") == F.col("lo"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_empty_middle"),
+        )
+    )

@@ -2522,3 +2522,153 @@ def x141_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("topc").cast("double") / F.col("total_tri"), 9).alias("top_trigram_share"),
         )
     )
+
+
+# --- x143: winnowing (MOSS) fingerprint selection + cross-source overlap --------------
+
+_X143_K = 20  # char-gram length (the guarantee unit: matches >= K+W-1 chars)
+_X143_W = 8   # winnowing window: >=1 fingerprint selected per W grams
+
+
+@register(
+    "x143_winnowing_fingerprints",
+    # Schleimer/Wilkerson/Aiken winnowing: md5 every K-char gram, then
+    # in every window of W consecutive gram positions select the MINIMUM
+    # hash — a ~2/(W+1)-density fingerprint set that GUARANTEES any
+    # shared substring of length >= K+W-1 yields a shared fingerprint
+    # (the property random sampling lacks). Reports per source the
+    # selection density and how much of its fingerprint vocabulary
+    # also appears in other sources. Hex md5 strings order identically
+    # (lowercase ASCII) on both engines; everything else is integer
+    # counts with one division per emitted double.
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, source, n_chars,
+             unnest(range(1, n_chars - {_X143_K} + 2)) AS p
+      FROM documents WHERE n_chars >= {_X143_K + _X143_W - 1}
+    ),
+    h AS (
+      SELECT g.doc_id, g.source, g.p,
+             md5(substr(d.text, CAST(g.p AS INT), {_X143_K})) AS gh
+      FROM g JOIN documents d USING (doc_id)
+    ),
+    wm AS (
+      SELECT doc_id, source, p,
+             MIN(gh) OVER (
+               PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN {_X143_W - 1} PRECEDING AND CURRENT ROW
+             ) AS fp
+      FROM h
+    ),
+    docfp AS (
+      SELECT DISTINCT doc_id, source, fp FROM wm WHERE p >= {_X143_W}
+    ),
+    srcfp AS (SELECT DISTINCT source, fp FROM docfp),
+    fpshare AS (SELECT fp, COUNT(*) AS nsrc FROM srcfp GROUP BY fp),
+    pos AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars - {_X143_K} + 1) AS BIGINT) AS n_positions
+      FROM documents WHERE n_chars >= {_X143_K + _X143_W - 1}
+      GROUP BY source
+    ),
+    sel AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_selected
+      FROM docfp GROUP BY source
+    ),
+    voc AS (
+      SELECT s.source,
+             CAST(COUNT(*) AS BIGINT) AS n_fp,
+             CAST(SUM(CASE WHEN f.nsrc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_fp_shared
+      FROM srcfp s JOIN fpshare f USING (fp) GROUP BY s.source
+    )
+    SELECT p.source, p.n_docs, p.n_positions, s.n_selected,
+           CAST(s.n_selected AS DOUBLE) / p.n_positions AS density,
+           v.n_fp, v.n_fp_shared,
+           CAST(v.n_fp_shared AS DOUBLE) / v.n_fp AS shared_frac
+    FROM pos p JOIN sel s USING (source) JOIN voc v USING (source)
+    """,
+    doc=f"x143: winnowing fingerprint selection (the MOSS algorithm): "
+    f"md5 {_X143_K}-char grams, per-doc window-of-{_X143_W} minima as "
+    "the selected fingerprint set — guaranteed to catch any shared "
+    "run of >= K+W-1 chars at ~2/(W+1) the storage of full gram "
+    "sets. Emits per source the selection density (vs the 2/(W+1) "
+    "theory line) and the fraction of its fingerprint vocabulary "
+    "shared with other sources. x129 measures contamination with "
+    "FULL gram sets; x143 is the sub-linear fingerprint tier you "
+    "ship at 100 TB — state is the winnowed set, ~4x smaller here, "
+    "with the same detection guarantee for long matches. Window "
+    "runs per doc_id (unbounded NDV); the share join is "
+    "hash-partitioned on the fingerprint. Exactness: hex-string "
+    "minima + integer counts, one division per double. "
+    "Ref parity: dedup fingerprint pass (src/enhanced_ingestion.py:"
+    "300-320), extended to the winnowed-selection tier",
+)
+def x143_winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    K, Wn = _X143_K, _X143_W
+    docs = load_table(spark, sf_dir, "documents")
+    eligible = docs.filter(F.col("n_chars") >= K + Wn - 1)
+    h = eligible.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.col("n_chars") - K + 1)).alias("p"),
+        "text",
+    ).select(
+        "doc_id",
+        "source",
+        "p",
+        F.md5(F.expr(f"substring(text, p, {K})")).alias("gh"),
+    )
+    wm = h.select(
+        "doc_id",
+        "source",
+        "p",
+        F.min("gh")
+        .over(
+            W.partitionBy("doc_id").orderBy("p").rowsBetween(-(Wn - 1), 0)
+        )
+        .alias("fp"),
+    )
+    docfp = wm.filter(F.col("p") >= Wn).select("doc_id", "source", "fp").distinct()
+    srcfp = docfp.select("source", "fp").distinct()
+    fpshare = srcfp.groupBy("fp").agg(F.count("*").alias("nsrc"))
+    pos = eligible.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("n_chars") - K + 1).cast("bigint").alias("n_positions"),
+    )
+    sel = docfp.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_selected")
+    )
+    voc = (
+        srcfp.join(fpshare, "fp")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_fp"),
+            F.sum(F.when(F.col("nsrc") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_fp_shared"),
+        )
+    )
+    return (
+        pos.join(sel, "source")
+        .join(voc, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_positions",
+            "n_selected",
+            (F.col("n_selected").cast("double") / F.col("n_positions")).alias(
+                "density"
+            ),
+            "n_fp",
+            "n_fp_shared",
+            (F.col("n_fp_shared").cast("double") / F.col("n_fp")).alias(
+                "shared_frac"
+            ),
+        )
+    )
