@@ -195,6 +195,8 @@ ROUND10_CANDIDATES: list[str] = [
     "k10_eager_aggregation",
     "x143_winnowing_fingerprints",
     "x144_fim_span_audit",
+    "x145_soft_dedup_weights",
+    "x146_domain_affinity_matrix",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

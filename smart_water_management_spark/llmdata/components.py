@@ -1104,3 +1104,91 @@ def d03_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survivor_text_len", "total_chars", "n_sources", "survivor_lang",
         )
     )
+
+
+# --- x145: soft-dedup loss weights (count-based downweighting) -------------------------
+
+
+def _x145_oracle() -> str:
+    from .dedup import _x08_cte
+
+    return f"""
+    WITH RECURSIVE {_x08_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(a, b) AS (
+      SELECT src, dst FROM edges
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src
+    ),
+    closure AS (
+      SELECT a, b FROM reach
+      UNION
+      SELECT DISTINCT src AS a, src AS b FROM edges
+    ),
+    comp AS (SELECT a AS doc_id, MIN(b) AS component FROM closure GROUP BY a),
+    member AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(c.component, d.doc_id) AS component
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    sized AS (
+      SELECT m.doc_id, m.source, s.csize
+      FROM member m JOIN (
+        SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+        FROM member GROUP BY component
+      ) s ON s.component = m.component
+    )
+    SELECT source, csize AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(1 AS DOUBLE) / csize AS weight_per_doc,
+           CAST(COUNT(*) AS DOUBLE) / csize AS effective_docs
+    FROM sized GROUP BY source, csize
+    """
+
+
+@register(
+    "x145_soft_dedup_weights",
+    # Soft dedup: instead of DROPPING near-duplicates (d01/x122's hard
+    # tier), keep every doc but train at loss weight 1/|cluster| so a
+    # 40-way boilerplate family contributes one document's worth of
+    # gradient. Emits the (source, cluster_size) weight table — each
+    # row carries ONE exact integer-pair division, so there is no
+    # cross-row double sum to make order-dependent.
+    oracle=_x145_oracle(),
+    doc="x145: soft-dedup loss weights — count-based downweighting "
+    "(w = 1/|near-dup cluster| from the x15 verified-pair "
+    "components) as the gentler alternative to dropping: repeated "
+    "boilerplate keeps coverage but stops dominating the gradient. "
+    "Per (source, cluster-size) the doc count, the per-doc weight "
+    "and the effective (weighted) doc mass. Composes the banded "
+    "MinHash pair machinery + pointer-jumped components d03/x118 "
+    "already exercise; output is bounded by sources x distinct "
+    "cluster sizes. Exactness: integer counts, one division per "
+    "double, no cross-row float accumulation. Ref parity: none in "
+    "reference — LLM-data extension per brief",
+)
+def x145_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import pinned_corpus_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = pinned_corpus_signatures(spark, sf_dir)
+    pairs = verify_jaccard(docs, lsh_candidate_pairs(sigs))
+    comps = connected_components(pairs.select("doc_a", "doc_b"))
+    member = (
+        docs.join(comps, "doc_id", "left")
+        .withColumn("component", F.coalesce("component", "doc_id"))
+        .select("doc_id", "source", "component")
+    )
+    sizes = member.groupBy("component").agg(
+        F.count("*").cast("bigint").alias("csize")
+    )
+    sized = member.join(sizes, "component")
+    return sized.groupBy("source", F.col("csize").alias("cluster_size")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        (F.lit(1).cast("double") / F.col("csize")).alias("weight_per_doc"),
+        (F.count("*").cast("double") / F.col("csize")).alias("effective_docs"),
+    )

@@ -2672,3 +2672,151 @@ def x143_winnowing_fingerprints(
             ),
         )
     )
+
+
+# --- x146: cross-source bigram-LM cross-entropy (domain-affinity) matrix ---------------
+
+
+@register(
+    "x146_domain_affinity_matrix",
+    # DSIR/DoGE-style data selection signal: score every source's text
+    # under every source's Laplace-smoothed bigram LM. H(eval||model)
+    # dips on the diagonal and for genuinely similar domains — the
+    # matrix importance samplers weight new data with. Determinism is
+    # x62's device: probabilities from exact integer counts, -ln
+    # ROUNDed to 6 decimals PER BIGRAM TYPE and decimal-summed
+    # weighted by the eval count, one double division at the end.
+    # Unseen bigrams/contexts take the (0+1)/(0+V) Laplace mass, so
+    # every cell is finite without an <unk> vocabulary.
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    bi_pos AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i])) AS w1,
+             unnest(list_transform(range(1, len(tk)), i -> tk[i+1])) AS w2
+      FROM toks
+    ),
+    bi AS (
+      SELECT source, w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM bi_pos GROUP BY 1, 2, 3
+    ),
+    uni AS (
+      SELECT source, w1, CAST(COUNT(*) AS BIGINT) AS c1
+      FROM bi_pos GROUP BY 1, 2
+    ),
+    voc AS (
+      SELECT source, CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM (
+        SELECT source, unnest(tk) AS w FROM toks
+      ) GROUP BY source
+    ),
+    srcs AS (SELECT DISTINCT source AS model_source FROM documents),
+    scored AS (
+      SELECT e.source AS eval_source, s.model_source, e.c AS c_e,
+             CAST(ROUND(-LN(
+               CAST(COALESCE(m.c, 0) + 1 AS DOUBLE)
+               / (COALESCE(u.c1, 0) + v.v)), 6) AS DECIMAL(27,6)) AS nl
+      FROM bi e
+      CROSS JOIN srcs s
+      LEFT JOIN bi m ON m.source = s.model_source
+                    AND m.w1 = e.w1 AND m.w2 = e.w2
+      LEFT JOIN uni u ON u.source = s.model_source AND u.w1 = e.w1
+      JOIN voc v ON v.source = s.model_source
+    )
+    SELECT eval_source, model_source,
+           CAST(SUM(c_e) AS BIGINT) AS n_bigrams,
+           ROUND(CAST(SUM(c_e * nl) AS DOUBLE) / SUM(c_e), 6)
+             AS cross_entropy
+    FROM scored GROUP BY 1, 2
+    """,
+    doc="x146: cross-source domain-affinity matrix — every source's "
+    "bigrams scored under every source's Laplace-smoothed bigram LM "
+    "(p = (c+1)/(c1+V) over the model source's vocab), the "
+    "token-weighted cross-entropy H(eval||model) per (eval, model) "
+    "pair. The DSIR-style importance signal for mixing new data "
+    "toward a target domain: low off-diagonal cells mark sources "
+    "safe to up-sample. Scale: count tables are word-count shuffles "
+    "bounded by per-source vocab^2; scoring joins hash-partition on "
+    "(model, bigram); the matrix is sources^2 rows regardless of "
+    "corpus size. Exactness: x62's round-then-decimal-sum device "
+    "with exact-integer count probabilities. x111 measures each "
+    "source's own templatedness; x146 measures BETWEEN-source "
+    "transfer. Ref parity: none in reference — LLM-data extension",
+)
+def x146_domain_affinity_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.split(F.lower("text"), " ").alias("tk"))
+    pos_expr = (
+        "CASE WHEN size(tk) >= 2 THEN "
+        "transform(sequence(1, size(tk) - 1), "
+        "i -> struct(element_at(tk, CAST(i AS INT)) AS w1, "
+        "element_at(tk, CAST(i + 1 AS INT)) AS w2)) "
+        "ELSE array() END"
+    )
+    bi_pos = toks.select(
+        "source", F.explode(F.expr(pos_expr)).alias("p")
+    ).select("source", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    bi = (
+        bi_pos.groupBy("source", "w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    uni = (
+        bi_pos.groupBy("source", "w1")
+        .agg(F.count("*").cast("bigint").alias("c1"))
+    )
+    voc = (
+        toks.select("source", F.explode("tk").alias("w"))
+        .groupBy("source")
+        .agg(F.countDistinct("w").cast("bigint").alias("v"))
+    )
+    srcs = docs.select(
+        F.col("source").alias("model_source")
+    ).distinct()
+    m = bi.select(
+        F.col("source").alias("ms_b"),
+        F.col("w1").alias("mw1"),
+        F.col("w2").alias("mw2"),
+        F.col("c").alias("c_m"),
+    )
+    u = uni.select(
+        F.col("source").alias("ms_u"),
+        F.col("w1").alias("uw1"),
+        F.col("c1").alias("c1_m"),
+    )
+    v = voc.select(F.col("source").alias("ms_v"), "v")
+    p = (F.coalesce("c_m", F.lit(0)) + 1).cast("double") / (
+        F.coalesce("c1_m", F.lit(0)) + F.col("v")
+    )
+    scored = (
+        bi.withColumnRenamed("source", "eval_source")
+        .crossJoin(F.broadcast(srcs))
+        .join(
+            m,
+            (F.col("ms_b") == F.col("model_source"))
+            & (F.col("mw1") == F.col("w1"))
+            & (F.col("mw2") == F.col("w2")),
+            "left",
+        )
+        .join(
+            u,
+            (F.col("ms_u") == F.col("model_source"))
+            & (F.col("uw1") == F.col("w1")),
+            "left",
+        )
+        .join(F.broadcast(v), F.col("ms_v") == F.col("model_source"))
+        .select(
+            "eval_source",
+            "model_source",
+            F.col("c").alias("c_e"),
+            F.round(-F.log(p), 6).cast("decimal(27,6)").alias("nl"),
+        )
+    )
+    return scored.groupBy("eval_source", "model_source").agg(
+        F.sum("c_e").cast("bigint").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("c_e") * F.col("nl")).cast("double") / F.sum("c_e"), 6
+        ).alias("cross_entropy"),
+    )
