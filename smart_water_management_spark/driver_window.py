@@ -197,6 +197,8 @@ ROUND10_CANDIDATES: list[str] = [
     "x144_fim_span_audit",
     "x145_soft_dedup_weights",
     "x146_domain_affinity_matrix",
+    "m36_multiple_regression",
+    "c18_late_arriving_dimension",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

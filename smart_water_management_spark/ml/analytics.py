@@ -4249,3 +4249,114 @@ def m35_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "outlier_event_id",
         )
     )
+
+
+# --- m36 (ext.): multiple OLS (trend + weekend) via closed-form normal equations -------
+
+
+def _m36_det3(r1: tuple, r2: tuple, r3: tuple) -> str:
+    """3x3 determinant expression (expanded along the first row) over
+    column-name strings — ONE formula string consumed verbatim by BOTH
+    engines (F.expr on the Spark side, inline SQL in the oracle), so the
+    IEEE evaluation order cannot drift between them."""
+    a1, a2, a3 = r1
+    b1, b2, b3 = r2
+    c1, c2, c3 = r3
+    return (
+        f"({a1} * ({b2} * {c3} - {b3} * {c2})"
+        f" - {a2} * ({b1} * {c3} - {b3} * {c1})"
+        f" + {a3} * ({b1} * {c2} - {b2} * {c1}))"
+    )
+
+
+# design matrix [1, t, w]: M = X'X with sww == sw (w is 0/1)
+_M36_D = _m36_det3(("n", "st", "sw"), ("st", "stt", "stw"), ("sw", "stw", "sw"))
+_M36_D0 = _m36_det3(("sy", "st", "sw"), ("sty", "stt", "stw"), ("swy", "stw", "sw"))
+_M36_D1 = _m36_det3(("n", "sy", "sw"), ("st", "sty", "stw"), ("sw", "swy", "sw"))
+_M36_D2 = _m36_det3(("n", "st", "sy"), ("st", "stt", "sty"), ("sw", "stw", "swy"))
+_M36_B0 = f"({_M36_D0} / {_M36_D})"
+_M36_B1 = f"({_M36_D1} / {_M36_D})"
+_M36_B2 = f"({_M36_D2} / {_M36_D})"
+_M36_SSE = f"(syy - {_M36_B0} * sy - {_M36_B1} * sty - {_M36_B2} * swy)"
+_M36_SST = "(syy - sy * sy / n)"
+
+
+@register(
+    "m36_multiple_regression",
+    # Closed-form MULTIPLE regression — hourly demand on (trend,
+    # weekend): the 3x3 normal equations solved by Cramer's rule from
+    # nine mergeable decimal moments. Every determinant/beta/R^2
+    # expression is ONE shared formula string evaluated by both
+    # engines (F.expr == inline SQL), m23's moment device supplies
+    # deterministic inputs, ROUND(,6) on the final outputs.
+    oracle=f"""
+    WITH {_hourly_series_sql().strip()},
+    t AS (
+      SELECT event_type,
+             CAST(h AS DOUBLE) AS x,
+             CAST(CASE WHEN (h // 24) % 7 IN (5, 6)
+                       THEN 1 ELSE 0 END AS DOUBLE) AS w,
+             CAST(hv AS DOUBLE) AS y
+      FROM hourly
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n,
+             {sql_dsum('x', 38)} AS st, {sql_dsum('w', 38)} AS sw,
+             {sql_dsum('y', 38)} AS sy, {sql_dsum('x*x', 38)} AS stt,
+             {sql_dsum('x*w', 38)} AS stw, {sql_dsum('x*y', 38)} AS sty,
+             {sql_dsum('w*y', 38)} AS swy, {sql_dsum('y*y', 38)} AS syy
+      FROM t GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           ROUND({_M36_B0}, 6) AS beta0,
+           ROUND({_M36_B1}, 6) AS beta_trend,
+           ROUND({_M36_B2}, 6) AS beta_weekend,
+           ROUND(1 - {_M36_SSE} / {_M36_SST}, 6) AS r2
+    FROM m WHERE n > 3 AND {_M36_D} <> 0
+    """,
+    doc="m36 (ext.): closed-form multiple OLS — hourly demand regressed "
+    "on (hour index, weekend flag) per event type, the 3x3 normal "
+    "equations solved by Cramer's rule. m06/m23 fit ONE predictor; "
+    "m36 shows the engine does true multivariate regression from "
+    "nine map-combined decimal moments: one aggregate over the "
+    "hourly grid, no iterative solver, no MLlib, merges across "
+    "shards (the sufficient-statistics property that makes it one "
+    "pass at 100 TB). Determinism: every determinant/beta/R^2 is "
+    "one formula string shared verbatim between F.expr and the SQL "
+    "oracle. Ref parity: reference regression analytics "
+    "(src/ml_models.py:1-60), re-derived as closed form",
+)
+def m36_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_series(spark, sf_dir)
+    t = hourly.select(
+        "event_type",
+        F.col("h").cast("double").alias("x"),
+        F.expr(
+            "CAST(CASE WHEN (h DIV 24) % 7 IN (5, 6) THEN 1 ELSE 0 END"
+            " AS DOUBLE)"
+        ).alias("w"),
+        F.col("hv").cast("double").alias("y"),
+    )
+    m = t.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("x", 38).alias("st"),
+        dsum("w", 38).alias("sw"),
+        dsum("y", 38).alias("sy"),
+        dsum(F.col("x") * F.col("x"), 38).alias("stt"),
+        dsum(F.col("x") * F.col("w"), 38).alias("stw"),
+        dsum(F.col("x") * F.col("y"), 38).alias("sty"),
+        dsum(F.col("w") * F.col("y"), 38).alias("swy"),
+        dsum(F.col("y") * F.col("y"), 38).alias("syy"),
+    )
+    return (
+        m.filter(F.col("n") > 3)
+        .filter(F.expr(f"{_M36_D} <> 0"))
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_hours"),
+            F.expr(f"ROUND({_M36_B0}, 6)").alias("beta0"),
+            F.expr(f"ROUND({_M36_B1}, 6)").alias("beta_trend"),
+            F.expr(f"ROUND({_M36_B2}, 6)").alias("beta_weekend"),
+            F.expr(f"ROUND(1 - {_M36_SSE} / {_M36_SST}, 6)").alias("r2"),
+        )
+    )

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from ..functions.numeric import sql_dsum
 from ..registry import register
 from ..sources.catalog import load_table
 
@@ -492,4 +493,90 @@ def c16_forget_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_leaked_rows",
             (F.col("n_leaked_rows") == 0).alias("erasure_complete"),
         )
+    )
+
+
+# --- c18 (ext.): late-arriving dimension (unknown member + backfill) -------------------
+
+
+@register(
+    "c18_late_arriving_dimension",
+    # The warehouse pattern for facts that land before their dimension
+    # row: conform against the dimension AS OF load time (a lagging
+    # feed, simulated as every 5th customer missing), park unmatched
+    # facts on the UNKNOWN member, then re-attribute them when the
+    # full dimension arrives. Emits per nation how much fact mass was
+    # matched first-pass vs recovered by the backfill — the audit that
+    # proves no revenue is lost or double-counted across the two
+    # passes. Exactness: integer counts + decimal revenue sums.
+    oracle=f"""
+    WITH v0 AS (
+      SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 5 <> 0
+    ),
+    conform AS (
+      SELECT o.o_totalprice,
+             v0.c_custkey AS k0,
+             c.c_nationkey AS nk1
+      FROM orders o
+      LEFT JOIN v0 ON v0.c_custkey = o.o_custkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+    )
+    SELECT n.n_name,
+           CAST(SUM(CASE WHEN k0 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_matched,
+           CAST(SUM(CASE WHEN k0 IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_backfilled,
+           {sql_dsum('CASE WHEN k0 IS NOT NULL THEN o_totalprice END')}
+             AS matched_revenue,
+           {sql_dsum('CASE WHEN k0 IS NULL THEN o_totalprice END')}
+             AS backfilled_revenue
+    FROM conform JOIN nation n ON n.n_nationkey = nk1
+    GROUP BY n.n_name
+    """,
+    doc="c18 (ext.): late-arriving dimension handling — facts conformed "
+    "against a lagging dimension feed take the UNKNOWN surrogate "
+    "(-1) instead of being dropped, and a backfill pass re-attributes "
+    "them once the dimension lands; the audit shows first-pass vs "
+    "recovered mass per nation, proving conservation across passes. "
+    "Completes the c03 surrogate-key + c08 SCD2 story with the "
+    "out-of-order-arrival case every 100 TB ingest hits (the "
+    "alternative — inner-joining facts to dims — silently drops "
+    "late rows). Both dimension probes are broadcast hash joins on "
+    "the fact; no extra shuffle. Ref parity: FK-resolution ETL "
+    "(src/etl.py:55-78) extended with the missing-member branch",
+)
+def c18_late_arriving_dimension(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    dec = F.col("o_totalprice").cast("decimal(27,6)")
+    # The lagging feed's membership (v0 = every key not divisible by 5)
+    # is a pure predicate on the surrogate key, so the unknown-member
+    # flag rides the single dimension join instead of a second probe
+    # (also sidesteps Spark's ambiguous-self-join analyzer on the
+    # pinned customer scan). k0 mirrors the oracle's LEFT JOIN v0 key.
+    conform = (
+        o.withColumn(
+            "k0",
+            F.when(F.col("o_custkey") % 5 != 0, F.col("o_custkey")),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+    )
+    matched = F.col("k0").isNotNull()
+    return conform.groupBy("n_name").agg(
+        F.sum(F.when(matched, 1).otherwise(0)).cast("bigint").alias("n_matched"),
+        F.sum(F.when(~matched, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_backfilled"),
+        F.sum(F.when(matched, dec)).cast("double").alias("matched_revenue"),
+        F.sum(F.when(~matched, dec)).cast("double").alias("backfilled_revenue"),
     )
