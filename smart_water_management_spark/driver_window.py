@@ -199,6 +199,8 @@ ROUND10_CANDIDATES: list[str] = [
     "x146_domain_affinity_matrix",
     "m36_multiple_regression",
     "c18_late_arriving_dimension",
+    "a47_cochran_armitage",
+    "t33_streaming_regression",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

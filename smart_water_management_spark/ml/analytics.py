@@ -4327,7 +4327,13 @@ _M36_SST = "(syy - sy * sy / n)"
     "(src/ml_models.py:1-60), re-derived as closed form",
 )
 def m36_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hourly = _hourly_series(spark, sf_dir)
+    return multiple_regression_from_hourly(_hourly_series(spark, sf_dir))
+
+
+def multiple_regression_from_hourly(hourly: DataFrame) -> DataFrame:
+    """m36's finalize over any (event_type, h, hv) grid — shared with
+    t33's streaming monitor so the incrementally-merged state finalizes
+    through the identical moment fold and Cramer expressions."""
     t = hourly.select(
         "event_type",
         F.col("h").cast("double").alias("x"),
@@ -4359,4 +4365,16 @@ def m36_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"ROUND({_M36_B2}, 6)").alias("beta_weekend"),
             F.expr(f"ROUND(1 - {_M36_SSE} / {_M36_SST}, 6)").alias("r2"),
         )
+    )
+
+
+# Late-bind t33's oracle: m36 registers at the END of this module, so the
+# wiring lives below it (the t29/t30 block above runs before m36 exists).
+if (
+    "t33_streaming_regression" in _REG_FOR_T29
+    and "m36_multiple_regression" in _REG_FOR_T29
+):
+    _REG_FOR_T29["t33_streaming_regression"] = _dc.replace(
+        _REG_FOR_T29["t33_streaming_regression"],
+        oracle=_REG_FOR_T29["m36_multiple_regression"].oracle,
     )

@@ -3215,3 +3215,84 @@ def a46_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("bf_stat"),
     )
+
+
+# --- a47 (ext.): Cochran-Armitage trend-in-proportions test ---------------------------
+
+
+@register(
+    "a47_cochran_armitage",
+    # Is the URGENT share of orders trending across order years? The
+    # Cochran-Armitage statistic on the year-scored 2xk table. All
+    # sufficient statistics are exact BIGINTs (year scores t = y-1995,
+    # s1 = sum t*r, s2 = sum t*n, s3 = sum t^2*n); the numerator is
+    # kept N-SCALED (t_n = N*s1 - R*s2, exact integer — no p-bar
+    # division) and the variance enters once, inside one shared double
+    # expression, ROUND(,9). a38's chi-square ignores category order;
+    # a47 is the ORDERED alternative with k-1 more power for trends.
+    oracle="""
+    WITH yr AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) - 1995 AS BIGINT) AS t,
+             CAST(COUNT(*) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS r_i
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(SUM(n_i) AS BIGINT) AS n,
+             CAST(SUM(r_i) AS BIGINT) AS r,
+             CAST(SUM(t * r_i) AS BIGINT) AS s1,
+             CAST(SUM(t * n_i) AS BIGINT) AS s2,
+             CAST(SUM(t * t * n_i) AS BIGINT) AS s3
+      FROM yr
+    )
+    SELECT n, r, s1, s2, s3,
+           CAST(n * s1 - r * s2 AS BIGINT) AS t_n,
+           ROUND(CAST(n * s1 - r * s2 AS DOUBLE)
+                 / (n * SQRT((CAST(r AS DOUBLE) / n)
+                             * (1 - CAST(r AS DOUBLE) / n)
+                             * (s3 - CAST(s2 AS DOUBLE) * s2 / n))),
+                 9) AS z_stat
+    FROM s
+    """,
+    doc="a47 (ext.): Cochran-Armitage trend test — is the URGENT order "
+    "share rising or falling across order years? The ordered-category "
+    "complement to a38's chi-square (which ignores order): year "
+    "scores t weight the 2xk proportions, the N-scaled numerator "
+    "N*s1 - R*s2 stays an exact integer, and the single variance "
+    "expression is shared verbatim between engines, ROUND(,9). "
+    "Scale: one 7-cell map-combined aggregate; the fold is a scalar "
+    "row. Ref parity: priority-mix trend report (src/app.py:115-130)",
+)
+def a47_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    yr = (
+        o.select(
+            (F.year("o_orderdate") - 1995).cast("bigint").alias("t"),
+            F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            .otherwise(0)
+            .alias("u"),
+        )
+        .groupBy("t")
+        .agg(
+            F.count("*").cast("bigint").alias("n_i"),
+            F.sum("u").cast("bigint").alias("r_i"),
+        )
+    )
+    s = yr.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("r_i").cast("bigint").alias("r"),
+        F.sum(F.col("t") * F.col("r_i")).cast("bigint").alias("s1"),
+        F.sum(F.col("t") * F.col("n_i")).cast("bigint").alias("s2"),
+        F.sum(F.col("t") * F.col("t") * F.col("n_i")).cast("bigint").alias("s3"),
+    )
+    return s.select(
+        "n", "r", "s1", "s2", "s3",
+        F.expr("CAST(n * s1 - r * s2 AS BIGINT)").alias("t_n"),
+        F.expr(
+            "ROUND(CAST(n * s1 - r * s2 AS DOUBLE)"
+            " / (n * SQRT((CAST(r AS DOUBLE) / n)"
+            " * (1 - CAST(r AS DOUBLE) / n)"
+            " * (s3 - CAST(s2 AS DOUBLE) * s2 / n))), 9)"
+        ).alias("z_stat"),
+    )

@@ -2590,3 +2590,30 @@ if "w34_max_drawdown" in _REG_FOR_T32 and "t32_streaming_drawdown" in _REG_FOR_T
         _REG_FOR_T32["t32_streaming_drawdown"],
         oracle=_REG_FOR_T32["w34_max_drawdown"].oracle,
     )
+
+
+# --- t33: streaming multiple-regression monitor -----------------------------------------
+
+
+@register(
+    "t33_streaming_regression",
+    # Equals batch m36 bit-for-bit: the exact-decimal hourly grid merges
+    # under any slicing (t26's maintainer) and the moment fold + Cramer
+    # solve is the SAME helper m36 uses — m36's oracle certifies the
+    # monitor (late-bound in ml/analytics, the t29/t30/t31 wiring).
+    oracle=None,  # set in ml/analytics.py: m36's oracle verbatim
+    doc="T33: streaming multiple-regression monitor — m36's closed-form "
+    "(trend, weekend) OLS recomputed from the incrementally-"
+    "maintained exact-decimal hourly state, so the demand model's "
+    "coefficients refresh while the stream runs (a drifting "
+    "beta_trend is itself a drift signal, complementing t26/t29). "
+    "Works because the nine moments are sums over the grid — "
+    "mergeable sufficient statistics, the property that makes "
+    "closed-form OLS a one-pass 100 TB algorithm. Certified by "
+    "sharing multiple_regression_from_hourly and m36's oracle; "
+    "4-batch merge test in tests/test_streaming.py",
+)
+def t33_streaming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.analytics import multiple_regression_from_hourly
+
+    return multiple_regression_from_hourly(hourly_state_stream(spark, sf_dir))

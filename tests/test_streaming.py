@@ -768,3 +768,37 @@ def test_streaming_drawdown_multi_batch_equals_batch_w34(spark):
             w.max_drawdown,
             w.trough_day,
         ), ch
+
+
+def test_streaming_regression_multi_batch_equals_batch_m36(spark):
+    """t33 under real incrementality: 4 event micro-batches; the merged
+    decimal hourly grid must reproduce m36's batch multiple-OLS fit
+    exactly (all three betas and R^2, bit-for-bit)."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        ev.repartition(4).write.parquet(os.path.join(sf_dir, "events.parquet"))
+        got = {
+            r.event_type: r
+            for r in jobs.t33_streaming_regression(spark, sf_dir).collect()
+        }
+    want = {
+        r.event_type: r
+        for r in _REGISTRY["m36_multiple_regression"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for et, w in want.items():
+        g = got[et]
+        assert (g.n_hours, g.beta0, g.beta_trend, g.beta_weekend, g.r2) == (
+            w.n_hours,
+            w.beta0,
+            w.beta_trend,
+            w.beta_weekend,
+            w.r2,
+        ), et
