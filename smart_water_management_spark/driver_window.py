@@ -201,6 +201,8 @@ ROUND10_CANDIDATES: list[str] = [
     "c18_late_arriving_dimension",
     "a47_cochran_armitage",
     "t33_streaming_regression",
+    "x147_image_downsample",
+    "x148_audio_decimate",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

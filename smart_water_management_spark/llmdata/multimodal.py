@@ -1411,3 +1411,200 @@ def x139_png_text_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_val string, comment_val string, px_val long, "
         "meta_crc_ok boolean, n_chunks long",
     )
+
+
+# --- x147: nearest-neighbor image downsample (the resize stage) -------------------------
+
+_X147_SCHEMA = (
+    "doc_id long, src_w long, src_h long, dst_w long, dst_h long, "
+    "dst_px_sum long"
+)
+
+
+@register(
+    "x147_image_downsample",
+    # The brief's RESIZE stage made real: decode each doc's actual PNG
+    # (vendored codec), nearest-neighbor 2x downsample (keep pixels at
+    # even rows/cols), RE-ENCODE the thumbnail as a new PNG and decode
+    # THAT to emit dims + pixel sum — so the full decode->transform->
+    # encode->decode loop is under test, not just the arithmetic. The
+    # oracle reconstructs the kept-pixel sum straight from the text
+    # bytes (row-major layout, width 8 + doc_id % 9, zero padding).
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, n_chars AS n,
+             CAST(8 + doc_id % 9 AS BIGINT) AS w
+      FROM documents
+    ),
+    px AS (
+      SELECT b.doc_id,
+             CAST(SUM(CASE WHEN ((u.pos - 1) // b.w) % 2 = 0
+                            AND ((u.pos - 1) % b.w) % 2 = 0
+                       THEN ascii(substr(d.text, CAST(u.pos AS INT), 1))
+                       ELSE 0 END) AS BIGINT) AS dst_sum
+      FROM base b
+      JOIN documents d USING (doc_id)
+      JOIN (SELECT doc_id, unnest(range(1, n_chars + 1)) AS pos
+            FROM documents) u ON u.doc_id = b.doc_id
+      GROUP BY b.doc_id
+    ),
+    dims AS (
+      SELECT doc_id, w AS src_w,
+             GREATEST(1, CAST(FLOOR((n + w - 1) / w) AS BIGINT)) AS src_h
+      FROM base
+    )
+    SELECT d.doc_id, d.src_w, d.src_h,
+           CAST((d.src_w + 1) // 2 AS BIGINT) AS dst_w,
+           CAST((d.src_h + 1) // 2 AS BIGINT) AS dst_h,
+           px.dst_sum AS dst_px_sum
+    FROM dims d JOIN px USING (doc_id)
+    """,
+    doc="x147: image thumbnail stage — real PNG decode (vendored "
+    "codec), nearest-neighbor 2x downsample keeping even rows/cols, "
+    "re-encode as a genuine PNG and decode the thumbnail back for "
+    "the emitted dims + pixel sum, closing the decode->resize->"
+    "encode loop the multimodal brief names. Scale: payloads never "
+    "leave executor Arrow batches; per-partition parallel; thumbnail "
+    "bytes are ~1/4 the source (the shuffle-mass argument for "
+    "resizing BEFORE any exchange at 100 TB). Exactness: the oracle "
+    "rebuilds the kept-pixel sum from text bytes via the row-major "
+    "(width = 8 + doc_id % 9) layout x124 already certifies",
+)
+def x147_image_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pngs = _png_payloads(docs)
+
+    def resize(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from . import png_codec
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, _, pixels = png_codec.decode_png(bytes(payload))
+                dst_w, dst_h = (w + 1) // 2, (h + 1) // 2
+                dst = bytes(
+                    pixels[(2 * i) * w + (2 * j)]
+                    for i in range(dst_h)
+                    for j in range(dst_w)
+                )
+                thumb = png_codec.encode_png_gray(dst_w, dst_h, dst)
+                tw, th, _, tpx = png_codec.decode_png(thumb)
+                assert (tw, th) == (dst_w, dst_h)
+                rows.append(
+                    (int(doc_id), w, h, tw, th, sum(tpx))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "src_w", "src_h", "dst_w", "dst_h",
+                    "dst_px_sum",
+                ],
+            )
+
+    return pngs.mapInPandas(resize, _X147_SCHEMA)
+
+
+# --- x148: audio decimation (frame-sampling) audit --------------------------------------
+
+_X148_FACTOR = 4  # keep every 4th frame: 8 kHz -> 2 kHz
+
+_X148_SCHEMA = (
+    "doc_id long, n_frames_in long, rate_out long, n_frames_out long, "
+    "out_sum long, out_energy long"
+)
+
+
+@register(
+    "x148_audio_decimate",
+    # The frame-sampling stage for audio: decode each doc's real
+    # RIFF/WAV (stdlib wave), keep every 4th sample, re-encode at the
+    # decimated rate and decode THAT container for the emitted frame
+    # count, amplitude sum and integer energy (sum of squared codes) —
+    # container framing under test on both passes. Oracle reconstructs
+    # everything from text positions = 1 (mod 4).
+    oracle=f"""
+    WITH kept AS (
+      SELECT d.doc_id,
+             ascii(substr(d.text, CAST(u.pos AS INT), 1)) AS code
+      FROM documents d
+      JOIN (SELECT doc_id, unnest(range(1, n_chars + 1)) AS pos
+            FROM documents) u
+        ON u.doc_id = d.doc_id AND (u.pos - 1) % {_X148_FACTOR} = 0
+    )
+    SELECT d.doc_id,
+           CAST(d.n_chars AS BIGINT) AS n_frames_in,
+           CAST(8000 // {_X148_FACTOR} AS BIGINT) AS rate_out,
+           CAST(COUNT(*) AS BIGINT) AS n_frames_out,
+           CAST(SUM(k.code) AS BIGINT) AS out_sum,
+           CAST(SUM(k.code * k.code) AS BIGINT) AS out_energy
+    FROM documents d JOIN kept k USING (doc_id)
+    GROUP BY d.doc_id, d.n_chars
+    """,
+    doc=f"x148: audio frame-sampling — real WAV decode (stdlib wave "
+    f"container), decimate by {_X148_FACTOR} (8 kHz -> 2 kHz), "
+    "re-encode at the new rate and decode the result for frame "
+    "count, amplitude sum and exact integer energy. The audio "
+    "analog of x147's image resize: both make the 'shrink before "
+    "you shuffle' stage real byte-level work, per-partition "
+    "parallel, payloads inside Arrow batches. Exactness: kept "
+    "samples are the text bytes at positions = 1 (mod "
+    f"{_X148_FACTOR}); sums/energies are exact BIGINTs the oracle "
+    "rebuilds with ascii/substr",
+)
+def x148_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def run(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = text.encode("utf-8")
+                buf = io.BytesIO()
+                wf = wave.open(buf, "wb")
+                wf.setnchannels(1)
+                wf.setsampwidth(1)
+                wf.setframerate(8000)
+                wf.writeframes(data)
+                wf.close()
+                rdr = wave.open(io.BytesIO(buf.getvalue()), "rb")
+                assert rdr.getframerate() == 8000
+                frames = rdr.readframes(rdr.getnframes())
+                rdr.close()
+                dec = frames[:: _X148_FACTOR]
+                out = io.BytesIO()
+                wo = wave.open(out, "wb")
+                wo.setnchannels(1)
+                wo.setsampwidth(1)
+                wo.setframerate(8000 // _X148_FACTOR)
+                wo.writeframes(dec)
+                wo.close()
+                rd2 = wave.open(io.BytesIO(out.getvalue()), "rb")
+                rate_out = rd2.getframerate()
+                out_frames = rd2.readframes(rd2.getnframes())
+                rd2.close()
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(frames),
+                        rate_out,
+                        len(out_frames),
+                        sum(out_frames),
+                        sum(c * c for c in out_frames),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames_in", "rate_out", "n_frames_out",
+                    "out_sum", "out_energy",
+                ],
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, _X148_SCHEMA)
