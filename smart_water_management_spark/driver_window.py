@@ -203,6 +203,7 @@ ROUND10_CANDIDATES: list[str] = [
     "t33_streaming_regression",
     "x147_image_downsample",
     "x148_audio_decimate",
+    "t34_streaming_winnow_monitor",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

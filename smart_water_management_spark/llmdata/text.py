@@ -2608,10 +2608,20 @@ _X143_W = 8   # winnowing window: >=1 fingerprint selected per W grams
 def x143_winnowing_fingerprints(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_report(
+        winnow_doc_fingerprints(docs), winnow_doc_positions(docs)
+    )
+
+
+def winnow_doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """Per-doc DISTINCT winnowed fingerprints (doc_id, source, fp) for
+    eligible docs. Entirely within-doc (grams + window + distinct), so a
+    micro-batch's partials ARE the final rows for its docs — t34's
+    streaming state appends them and never revisits a doc."""
     from pyspark.sql import Window as W
 
     K, Wn = _X143_K, _X143_W
-    docs = load_table(spark, sf_dir, "documents")
     eligible = docs.filter(F.col("n_chars") >= K + Wn - 1)
     h = eligible.select(
         "doc_id",
@@ -2634,12 +2644,30 @@ def x143_winnowing_fingerprints(
         )
         .alias("fp"),
     )
-    docfp = wm.filter(F.col("p") >= Wn).select("doc_id", "source", "fp").distinct()
+    return (
+        wm.filter(F.col("p") >= Wn).select("doc_id", "source", "fp").distinct()
+    )
+
+
+def winnow_doc_positions(docs: DataFrame) -> DataFrame:
+    """Per-doc gram-position count (doc_id, source, npos) for eligible
+    docs — the row-local companion state to winnow_doc_fingerprints."""
+    K, Wn = _X143_K, _X143_W
+    return docs.filter(F.col("n_chars") >= K + Wn - 1).select(
+        "doc_id",
+        "source",
+        (F.col("n_chars") - K + 1).cast("bigint").alias("npos"),
+    )
+
+
+def winnow_report(docfp: DataFrame, posdocs: DataFrame) -> DataFrame:
+    """x143's finalize over the two winnowing state tables — shared with
+    t34's streaming monitor so merged state finalizes identically."""
     srcfp = docfp.select("source", "fp").distinct()
     fpshare = srcfp.groupBy("fp").agg(F.count("*").alias("nsrc"))
-    pos = eligible.groupBy("source").agg(
+    pos = posdocs.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
-        F.sum(F.col("n_chars") - K + 1).cast("bigint").alias("n_positions"),
+        F.sum("npos").cast("bigint").alias("n_positions"),
     )
     sel = docfp.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_selected")
@@ -2672,6 +2700,7 @@ def x143_winnowing_fingerprints(
             ),
         )
     )
+
 
 
 # --- x146: cross-source bigram-LM cross-entropy (domain-affinity) matrix ---------------

@@ -2617,3 +2617,104 @@ def t33_streaming_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.analytics import multiple_regression_from_hourly
 
     return multiple_regression_from_hourly(hourly_state_stream(spark, sf_dir))
+
+
+# --- t34: streaming winnowing-contamination monitor --------------------------------------
+
+
+def winnow_state_stream(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """t34 state maintainer: x143's two winnowing state tables kept
+    incrementally. Fingerprint selection is entirely WITHIN-doc, so each
+    micro-batch computes its docs' distinct (doc_id, source, fp) rows
+    and per-doc position counts once and APPENDS them — no re-scan, no
+    overwrite; the union of appends equals the batch tables for any
+    slicing (each doc lives in exactly one micro-batch)."""
+    from ..sources.catalog import reset_managed_table
+
+    reset_managed_table(spark, "winnow_fp_state")
+    reset_managed_table(spark, "winnow_doc_state")
+    spark.sql(
+        "CREATE TABLE winnow_fp_state "
+        "(doc_id BIGINT, source STRING, fp STRING) USING parquet"
+    )
+    spark.sql(
+        "CREATE TABLE winnow_doc_state "
+        "(doc_id BIGINT, source STRING, npos BIGINT) USING parquet"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from ..llmdata.text import (
+            winnow_doc_fingerprints,
+            winnow_doc_positions,
+        )
+
+        fps = winnow_doc_fingerprints(batch_df).localCheckpoint(eager=True)
+        fps.write.mode("append").insertInto("winnow_fp_state")
+        pos = winnow_doc_positions(batch_df).localCheckpoint(eager=True)
+        pos.write.mode("append").insertInto("winnow_doc_state")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stage = _stage_table_dir(sf_dir, "documents")
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, source string, text string, n_chars long"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("winnow_fp_state"), spark.table("winnow_doc_state")
+
+
+@register(
+    "t34_streaming_winnow_monitor",
+    # Equals batch x143 bit-for-bit: fingerprints are within-doc, so
+    # appended partials equal the batch tables under any slicing, and
+    # the finalize is the SAME helper x143 uses — x143's oracle
+    # certifies the monitor (late-bound in llmdata/text, the t29-t33
+    # wiring).
+    oracle=None,  # set in llmdata/text.py: x143's oracle verbatim
+    doc="T34: streaming winnowing-contamination monitor — x143's "
+    "MOSS-fingerprint density + cross-source overlap report "
+    "recomputed from incrementally APPENDED per-doc fingerprint "
+    "state: new corpus shards fold in without rescanning old docs "
+    "(within-doc selection makes the state append-only — the "
+    "sub-linear ingest-time contamination tripwire for a 100 TB "
+    "corpus feed). Certified by sharing winnow_report and x143's "
+    "oracle; 4-batch merge test in tests/test_streaming.py",
+)
+def t34_streaming_winnow_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..llmdata.text import winnow_report
+
+    fps, pos = winnow_state_stream(spark, sf_dir)
+    return winnow_report(fps, pos)
+
+
+# Late-bind t34's oracle: this module itself imports llmdata.text above
+# (line ~1275), so x143 is already registered by the time this tail runs
+# — the twin carries x143's oracle verbatim, certifying state-append +
+# finalize == batch under any slicing (t29-t33's pattern, hosted here
+# because text imports BEFORE t34's registration, not after).
+import dataclasses as _dc  # noqa: E402
+
+from ..registry import _REGISTRY as _REG_FOR_T34  # noqa: E402
+
+if (
+    "t34_streaming_winnow_monitor" in _REG_FOR_T34
+    and "x143_winnowing_fingerprints" in _REG_FOR_T34
+):
+    _REG_FOR_T34["t34_streaming_winnow_monitor"] = _dc.replace(
+        _REG_FOR_T34["t34_streaming_winnow_monitor"],
+        oracle=_REG_FOR_T34["x143_winnowing_fingerprints"].oracle,
+    )

@@ -802,3 +802,51 @@ def test_streaming_regression_multi_batch_equals_batch_m36(spark):
             w.beta_weekend,
             w.r2,
         ), et
+
+
+def test_streaming_winnow_multi_batch_equals_batch_x143(spark):
+    """t34 under real incrementality: 4 document micro-batches; the
+    appended per-doc fingerprint/position state must reproduce x143's
+    batch winnowing report exactly (densities, shared fractions,
+    bit-for-bit)."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+    from smart_water_management_spark.streaming import jobs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        docs.repartition(4).write.parquet(
+            os.path.join(sf_dir, "documents.parquet")
+        )
+        got = {
+            r.source: r
+            for r in jobs.t34_streaming_winnow_monitor(spark, sf_dir).collect()
+        }
+    want = {
+        r.source: r
+        for r in _REGISTRY["x143_winnowing_fingerprints"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for src, w in want.items():
+        g = got[src]
+        assert (
+            g.n_docs,
+            g.n_positions,
+            g.n_selected,
+            g.density,
+            g.n_fp,
+            g.n_fp_shared,
+            g.shared_frac,
+        ) == (
+            w.n_docs,
+            w.n_positions,
+            w.n_selected,
+            w.density,
+            w.n_fp,
+            w.n_fp_shared,
+            w.shared_frac,
+        ), src

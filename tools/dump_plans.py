@@ -73,6 +73,11 @@ SHOW = [
     ("m31_page_hinkley", "Page-Hinkley — 6-wide running-mean fold over the map-combined hourly grid; O(hours) state per type"),
     ("x142_lsh_autotuner", "LSH auto-tuner — banded candidate histogram (20 rows) x literal config grid; planning constants never touch an engine power function"),
     ("x122_training_mix_manifest", "training-mix manifest — dedup components + Gopher flags + waterfill composed; no new shuffle class anywhere"),
+    ("k10_eager_aggregation", "eager aggregation — lineitem pre-folded BY THE JOIN KEY below the join; the join probes one row per order, not one per item"),
+    ("m36_multiple_regression", "closed-form multiple OLS — nine map-combined decimal moments, Cramer solve in shared formula strings; zero iterations"),
+    ("j16_blocked_fuzzy_join", "blocked fuzzy self-join — (first-token, length) hash equi-join bounds the Levenshtein candidate set; no all-pairs scan"),
+    ("x143_winnowing_fingerprints", "winnowing fingerprints — per-doc gram windows select ~2/(W+1) minima; share join hash-partitions on the fingerprint"),
+    ("w34_max_drawdown", "max drawdown — cum/runmax/dd windows over the cohort-day grid (not raw events), all exact decimals"),
     ("x123_ann_mmr_rerank", "ANN->MMR composition — the rerank rides x65's IVF+PQ candidate stream: (qid,cell) probe join bounds the scan, no corpus crossJoin"),
     ("x129_contamination_matrix", "cross-source contamination matrix — ONE md5-gram equi-join computes every source pair; the source grid attaches by broadcast"),
     ("a42_kendall_tau", "Kendall tau-b — fact table collapses to the 50x11 value-domain cell grid; concordant/discordant mass from a broadcast cell self-join"),
