@@ -204,6 +204,7 @@ ROUND10_CANDIDATES: list[str] = [
     "x147_image_downsample",
     "x148_audio_decimate",
     "t34_streaming_winnow_monitor",
+    "v20_l_diversity",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -1421,3 +1421,100 @@ def v19_rule_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             / ((na.cast("double") / nr) * (nb.cast("double") / nr)),
         ).alias("lift"),
     )
+
+
+# --- v20 (ext.): l-diversity audit ------------------------------------------------------
+
+_V20_LS = (2, 3, 5)
+
+
+@register(
+    "v20_l_diversity",
+    # k-anonymity (v13) bounds GROUP SIZE; l-diversity bounds the
+    # DIVERSITY of the sensitive attribute inside each group — a
+    # 50-person group is still leaky if all 50 share one order
+    # priority (the homogeneity attack k-anonymity misses). Sensitive
+    # attribute: the customer's modal order priority; QI tuple: v13's
+    # (nation, segment, balance band). For each l the groups below,
+    # their row mass, and the achieved minimum distinct count.
+    oracle=f"""
+    WITH sens AS (
+      SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+             CAST(FLOOR(c.c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             o.o_orderpriority
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    ),
+    qi AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             CAST(COUNT(*) AS BIGINT) AS grp_rows,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS l_div
+      FROM sens GROUP BY 1, 2, 3
+    )
+    SELECT l, n_groups, n_groups_below_l, rows_at_risk,
+           ROUND(CAST(rows_at_risk AS DOUBLE) / n_rows, 6) AS risk_rate,
+           min_l_achieved
+    FROM (
+      SELECT ls.l,
+             CAST(COUNT(*) AS BIGINT) AS n_groups,
+             CAST(COUNT(CASE WHEN l_div < ls.l THEN 1 END) AS BIGINT)
+               AS n_groups_below_l,
+             CAST(SUM(CASE WHEN l_div < ls.l THEN grp_rows ELSE 0 END)
+                  AS BIGINT) AS rows_at_risk,
+             CAST(SUM(grp_rows) AS BIGINT) AS n_rows,
+             CAST(MIN(l_div) AS BIGINT) AS min_l_achieved
+      FROM qi CROSS JOIN
+           (SELECT CAST(unnest(ARRAY{list(_V20_LS)}) AS INT) AS l) ls
+      GROUP BY ls.l
+    )
+    """,
+    doc="v20 (ext.): l-diversity audit — v13's k-anonymity companion "
+    "against the homogeneity attack: inside every quasi-identifier "
+    "group (nation, segment, $1000 balance band) the sensitive "
+    "attribute (order priority, via the orders join) must take at "
+    f"least l distinct values; for each l in {_V20_LS} the failing "
+    "group count, exposed row mass and achieved minimum diversity. "
+    "Exactness: integer counts + one quotient (v13's devices). "
+    "Scale: one fact join + ONE QI aggregate with a count-distinct "
+    "(groups cross the wire, not rows); the l-sweep fans out "
+    "in-row over the group table. Ref parity: none in reference — "
+    "privacy-governance extension alongside v13/c16",
+)
+def v20_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("bal_band"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority"
+    )
+    sens = o.join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+    qi = sens.groupBy("c_nationkey", "c_mktsegment", "bal_band").agg(
+        F.count("*").cast("bigint").alias("grp_rows"),
+        F.countDistinct("o_orderpriority").cast("bigint").alias("l_div"),
+    )
+    ls = F.array(*[F.lit(v) for v in _V20_LS])
+    fanned = qi.select("grp_rows", "l_div", F.explode(ls).alias("l"))
+    at_risk = F.when(F.col("l_div") < F.col("l"), F.col("grp_rows")).otherwise(
+        F.lit(0)
+    )
+    agg = fanned.groupBy("l").agg(
+        F.count("*").cast("bigint").alias("n_groups"),
+        F.count_if(F.col("l_div") < F.col("l"))
+        .cast("bigint")
+        .alias("n_groups_below_l"),
+        F.sum(at_risk).cast("bigint").alias("rows_at_risk"),
+        F.sum("grp_rows").cast("bigint").alias("n_rows"),
+        F.min("l_div").cast("bigint").alias("min_l_achieved"),
+    )
+    return agg.select(
+        "l",
+        "n_groups",
+        "n_groups_below_l",
+        "rows_at_risk",
+        F.round(
+            F.col("rows_at_risk").cast("double") / F.col("n_rows"), 6
+        ).alias("risk_rate"),
+        "min_l_achieved",
+    )

@@ -180,6 +180,12 @@ PARITY_QUERIES = [
     "m29_kaplan_meier",            # prefix-product survival folds
     "x127_embedding_mmd_matrix",   # integer micro-floor sums
     "x135_eval_quota_apportionment",  # largest-remainder integer DIV ties
+    # round-9 float devices
+    "a46_brown_forsythe",         # doubled-median BIGINT deviation sums
+    "m36_multiple_regression",    # Cramer solve over decimal moments
+    "w34_max_drawdown",           # all-decimal cum/runmax/dd windows
+    "x146_domain_affinity_matrix",  # round-then-decimal-sum LN cells
+    "a47_cochran_armitage",       # N-scaled integer trend numerator
 ]
 
 
