@@ -205,6 +205,8 @@ ROUND10_CANDIDATES: list[str] = [
     "x148_audio_decimate",
     "t34_streaming_winnow_monitor",
     "v20_l_diversity",
+    "m37_croston_intermittent",
+    "x150_containment_dedup",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -1864,3 +1864,124 @@ def x142_lsh_autotuner(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 1,
         )
     )
+
+
+# --- x150: gram-set containment dedup (near-superset detection) -------------------------
+
+_X150_N = 5      # words per shingle
+_X150_THETA = "0.8"  # near-containment threshold (string literal, a43 device)
+
+
+@register(
+    "x150_containment_dedup",
+    # Jaccard (x08/x15) under-scores SUBSET duplication: a short doc
+    # quoted whole inside a long one has tiny Jaccard but containment
+    # C(A,B) = |grams(A) n grams(B)| / |grams(A)| ~ 1. Per doc: the
+    # max containment of ITS gram set in any other doc and the
+    # (min-id) containing doc — the near-superset tier of the dedup
+    # family. Intersections come from ONE md5-gram equi-join (x129's
+    # shape); containment is one int/int division per pair.
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT doc_id, gh FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(tk) - {_X150_N - 2}),
+                      i -> md5(array_to_string(tk[i:i+{_X150_N - 1}], ' '))))
+                 AS gh
+        FROM toks WHERE len(tk) >= {_X150_N}
+      )
+    ),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS ng FROM g GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS ix
+      FROM g a JOIN g b USING (gh)
+      WHERE a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT i.da, i.db,
+             CAST(i.ix AS DOUBLE) / s.ng AS c
+      FROM inter i JOIN sz s ON s.doc_id = i.da
+    ),
+    best AS (
+      SELECT da, MAX(c) AS maxc FROM scored GROUP BY da
+    ),
+    arg AS (
+      SELECT s.da, b.maxc,
+             MIN(CASE WHEN s.c = b.maxc THEN s.db END) AS best_db
+      FROM scored s JOIN best b USING (da) GROUP BY s.da, b.maxc
+    )
+    SELECT z.doc_id, z.ng AS n_grams,
+           ROUND(COALESCE(a.maxc, CAST(0 AS DOUBLE)), 6)
+             AS max_containment,
+           CAST(a.best_db AS BIGINT) AS best_container,
+           COALESCE(a.maxc, CAST(0 AS DOUBLE))
+             >= CAST('{_X150_THETA}' AS DOUBLE) AS near_contained
+    FROM sz z LEFT JOIN arg a ON a.da = z.doc_id
+    """,
+    doc=f"x150: containment dedup — per doc the maximum containment "
+    f"C(A,B) of its distinct {_X150_N}-word shingle set inside any "
+    "other doc (plus the min-id containing doc and the >= "
+    f"{_X150_THETA} near-superset flag). Catches quote/boilerplate "
+    "SUBSET duplication that Jaccard-tier dedup (x08/x15/d02) "
+    "under-scores by construction: C is asymmetric where J is "
+    "symmetric. Scale: ONE gram-md5 equi-join builds every pairwise "
+    "intersection (hash-partitioned on the 16-byte gram hash, x129's "
+    "shape — never an all-pairs scan); hot grams are the documented "
+    "skew path (drop top-df grams like x31's stopword trick). "
+    "Exactness: integer intersections, one division per pair, "
+    "min-id argmax, CAST-string threshold (a43's device). "
+    "Ref parity: dedup pass (src/enhanced_ingestion.py:300-320), "
+    "extended to the asymmetric-containment tier",
+)
+def x150_containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _X150_N
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("tk")
+    ).filter(F.size("tk") >= n)
+    gram_expr = (
+        f"transform(sequence(1, size(tk) - {n - 1}), "
+        f"i -> md5(array_join(slice(tk, i, {n}), ' ')))"
+    )
+    g = (
+        toks.select("doc_id", F.explode(F.expr(gram_expr)).alias("gh"))
+        .distinct()
+    )
+    sz = g.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("ng"))
+    right = g.select(F.col("doc_id").alias("db"), "gh")
+    inter = (
+        g.join(right, "gh")
+        .filter(F.col("doc_id") != F.col("db"))
+        .groupBy(F.col("doc_id").alias("da"), "db")
+        .agg(F.count("*").alias("ix"))
+    )
+    scored = inter.join(
+        sz.select(F.col("doc_id").alias("da"), "ng"), "da"
+    ).select("da", "db", (F.col("ix").cast("double") / F.col("ng")).alias("c"))
+    best = scored.groupBy("da").agg(F.max("c").alias("maxc"))
+    arg = (
+        scored.join(best, "da")
+        .groupBy("da", "maxc")
+        .agg(
+            F.min(F.when(F.col("c") == F.col("maxc"), F.col("db"))).alias(
+                "best_db"
+            )
+        )
+    )
+    theta = F.expr(f"CAST('{_X150_THETA}' AS DOUBLE)")
+    return (
+        sz.join(arg, sz.doc_id == arg.da, "left")
+        .select(
+            "doc_id",
+            F.col("ng").alias("n_grams"),
+            F.round(F.coalesce("maxc", F.lit(0.0)), 6).alias(
+                "max_containment"
+            ),
+            F.col("best_db").cast("bigint").alias("best_container"),
+            (F.coalesce("maxc", F.lit(0.0)) >= theta).alias("near_contained"),
+        )
+    )

@@ -4378,3 +4378,163 @@ if (
         _REG_FOR_T29["t33_streaming_regression"],
         oracle=_REG_FOR_T29["m36_multiple_regression"].oracle,
     )
+
+
+# --- m37 (ext.): Croston's method for intermittent demand -------------------------------
+
+_M37_A = 0.5  # smoothing constant for both size and interval estimates
+
+
+@register(
+    "m37_croston_intermittent",
+    # Croston's method — THE forecaster for sparse/intermittent series
+    # where Holt/HW (m15/m17) degenerate: smooth the nonzero demand
+    # SIZES and the INTERVALS between them separately; forecast =
+    # size/interval. Runs on the zero-filled daily demand calendar per
+    # event type; the sequential update is m15/m17's fold device — an
+    # identical left fold over identical day-ordered doubles on both
+    # engines (accumulator [S, I, q, init, n_demand]), so every output
+    # is bit-exact before the final ROUND(,6).
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 86400.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS z
+      FROM events GROUP BY 1, 2
+    ),
+    span AS (
+      SELECT event_type, MIN(day) AS dmin, MAX(day) AS dmax
+      FROM daily GROUP BY 1
+    ),
+    grid AS (
+      SELECT s.event_type, u.d AS day
+      FROM span s, unnest(range(s.dmin, s.dmax + 1)) AS u(d)
+    ),
+    filled AS (
+      SELECT g.event_type, g.day, COALESCE(d.z, CAST(0 AS DOUBLE)) AS z
+      FROM grid g LEFT JOIN daily d
+        ON d.event_type = g.event_type AND d.day = g.day
+    ),
+    ser AS (
+      SELECT event_type, list(z ORDER BY day) AS zs
+      FROM filled GROUP BY 1
+    ),
+    fold AS (
+      SELECT event_type, len(zs) AS n_days,
+             list_reduce(
+               list_prepend(
+                 [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                  CAST(0 AS DOUBLE), CAST(0 AS DOUBLE),
+                  CAST(0 AS DOUBLE)],
+                 list_transform(zs, e -> [e])),
+               (acc, x) -> CASE
+                 WHEN x[1] > 0 AND acc[4] = 0 THEN
+                   [x[1], acc[3] + 1, CAST(0 AS DOUBLE),
+                    CAST(1 AS DOUBLE), CAST(1 AS DOUBLE)]
+                 WHEN x[1] > 0 THEN
+                   [{_M37_A} * x[1] + {1 - _M37_A} * acc[1],
+                    {_M37_A} * (acc[3] + 1) + {1 - _M37_A} * acc[2],
+                    CAST(0 AS DOUBLE), CAST(1 AS DOUBLE), acc[5] + 1]
+                 ELSE
+                   [acc[1], acc[2], acc[3] + 1, acc[4], acc[5]]
+               END) AS st
+      FROM ser
+    )
+    SELECT event_type,
+           CAST(n_days AS BIGINT) AS n_days,
+           CAST(st[5] AS BIGINT) AS n_demand_days,
+           ROUND(st[5] / n_days, 6) AS demand_rate,
+           ROUND(st[1], 6) AS size_est,
+           ROUND(st[2], 6) AS interval_est,
+           CASE WHEN st[4] = 1 THEN ROUND(st[1] / st[2], 6) END
+             AS croston_forecast
+    FROM fold
+    """,
+    doc=f"m37 (ext.): Croston's intermittent-demand forecast (alpha="
+    f"{_M37_A}) over each type's zero-filled daily demand calendar — "
+    "separate exponential smoothing of nonzero demand sizes and "
+    "inter-demand intervals, forecast = size/interval: the method "
+    "of record for spare-parts-style sparse series where m15/m17's "
+    "smoothers chase zeros. Completes the forecasting family: m15 "
+    "level, m17 level+trend+season, m22/m30 selection, m37 "
+    "intermittent. Engine-exact via the m15/m17 fold device "
+    "([S, I, gap, init, n] accumulator); one map-combined daily "
+    "pre-agg is the only data shuffle, the fold runs on the "
+    "calendar-bounded series. Ref parity: forecasting module "
+    "(src/ml_models.py:1-60), extended to the intermittent case",
+)
+def m37_croston_intermittent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor((sec - 1704067200) / 86400.0).cast("bigint").alias("day"),
+            F.col("value").cast("decimal(27,6)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").cast("double").alias("z"))
+    )
+    span = daily.groupBy("event_type").agg(
+        F.min("day").alias("dmin"), F.max("day").alias("dmax")
+    )
+    grid = span.select(
+        "event_type",
+        F.explode(F.sequence("dmin", "dmax")).alias("day"),
+    )
+    filled = grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce("z", F.lit(0.0)).alias("z"),
+    )
+    ser = filled.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", "z"))),
+            lambda s: s["z"],
+        ).alias("zs")
+    )
+    a = _M37_A
+
+    def step(acc, x):
+        first = F.array(
+            x,
+            acc[2] + F.lit(1.0),
+            F.lit(0.0),
+            F.lit(1.0),
+            F.lit(1.0),
+        )
+        update = F.array(
+            F.lit(a) * x + F.lit(1 - a) * acc[0],
+            F.lit(a) * (acc[2] + F.lit(1.0)) + F.lit(1 - a) * acc[1],
+            F.lit(0.0),
+            F.lit(1.0),
+            acc[4] + F.lit(1.0),
+        )
+        skip = F.array(acc[0], acc[1], acc[2] + F.lit(1.0), acc[3], acc[4])
+        return (
+            F.when((x > 0) & (acc[3] == 0), first)
+            .when(x > 0, update)
+            .otherwise(skip)
+        )
+
+    acc0 = F.array(*[F.lit(0.0)] * 5)
+    fold = ser.select(
+        "event_type",
+        F.size("zs").cast("bigint").alias("n_days"),
+        F.aggregate("zs", acc0, step).alias("st"),
+    )
+    st = F.col("st")
+    return fold.select(
+        "event_type",
+        "n_days",
+        st[4].cast("bigint").alias("n_demand_days"),
+        F.round(st[4] / F.col("n_days"), 6).alias("demand_rate"),
+        F.round(st[0], 6).alias("size_est"),
+        F.round(st[1], 6).alias("interval_est"),
+        F.when(st[3] == 1, F.round(st[0] / st[1], 6)).alias(
+            "croston_forecast"
+        ),
+    )
