@@ -15,24 +15,22 @@ The natural (un-aliased) names remain registered and remain covered by
 the local parity suite (tests/test_oracle_parity.py, same
 row-count/schema/hash protocol); README.md documents the mapping.
 
-Round-9 window (this file's DRIVER_WINDOW, per VERDICT r8 directive
-#1): the first 42 names of the round-8 ROUND9_CANDIDATES queue in
-their listed order (x100/w24/c15/m16/c16 lead — the r7 long tail:
-a37–a39, m16–m23, v14–v17, w24–w27, t24–t27, x100–x116), plus the
-same 8 retention reps as round 8 (u01/u03/p02/d01/k01/o01/q05/p90 —
-nothing lapses this round). The 11 rows-only names (m02/m03/m05,
-x12/x29/x54/x55/x61/x65/x68, x123) are never windowed. Round-8 went
-50/50 green; cumulative driver-green natural names before this
-rotation: 261/406; after a green round 9: 303.
+Round-10 window (this file's DRIVER_WINDOW, per VERDICT r9 directive
+#1): the first 42 names of the round-9 ROUND10_CANDIDATES queue in
+their listed order (x117/m24/k07/s24/x118 lead — the r8/r9 long tail:
+x117–x136, m24–m30, a41–a43, w29–w31, p16–p18, v18/v19, t28, c17,
+d02, f21, k07, s24), plus the same 8 retention reps as rounds 8–9
+(u01/u03/p02/d01/k01/o01/q05/p90 — nothing lapses). The 11 rows-only
+names (m02/m03/m05, x12/x29/x54/x55/x61/x65/x68, x123) are never
+windowed. Round-9 went 50/50 green; cumulative driver-green natural
+names before this rotation: 303/458; after a green round 10: 345.
 
-Round-8 window, for the record (per VERDICT r7 directives #1/#6):
-42 first-time names — the first 38 of ROUND8_CANDIDATES in queue
-order plus p13/p14/p15/o06 pulled forward — and 8 retention reps
-with the lapsed u01/u03/p02/d01 restored. 50/50 green in
-CORRECTNESS_r08.
+Round-9 window, for the record (per VERDICT r8 directive #1): the
+first 42 of ROUND9_CANDIDATES in queue order (x100/w24/c15/m16/c16
+lead) plus the same 8 retention reps. 50/50 green in CORRECTNESS_r09.
 
-Round-10 rotation plan (once CORRECTNESS_r09 lands): fill first-time
-slots from ROUND10_CANDIDATES below in listed order, keep the 8-rep
+Round-11 rotation plan (once CORRECTNESS_r10 lands): fill first-time
+slots from ROUND11_CANDIDATES below in listed order, keep the 8-rep
 retention shape, and never window the rows-only names.
 """
 
@@ -44,71 +42,8 @@ from .registry import register_alias
 # retention reps for already-green families. Order within the window is
 # cosmetic — membership is what the driver records.
 DRIVER_WINDOW: list[str] = [
-    # round-9 first-time slots 1-42: the round-8 ROUND9_CANDIDATES queue
-    # in listed order (VERDICT r8 directive #1).
-    "x100_stable_docid_assignment",
-    "w24_activity_streaks",
-    "c15_scd3_previous_value",
-    "m16_period_detection",
-    "c16_forget_user",
-    "x101_hapax_density",
-    "v14_column_profile",
-    "a37_spearman_corr",
-    "a38_chisq_independence",
-    "v15_fd_discovery",
-    "x102_url_canonical_dedup",
-    "x103_token_budget_waterfill",
-    "m17_holt_winters",
-    "m18_ab_proportion_test",
-    "w25_ewma_control",
-    "m19_changepoint_detection",
-    "x104_psi_drift",
-    "x105_triangle_count",
-    "t24_streaming_ab_monitor",
-    "x106_vocab_coverage_curve",
-    "x107_lsh_scurve_planner",
-    "w26_rolling_higher_moments",
-    "t25_streaming_psi_monitor",
-    "x108_expected_lsh_recall",
-    "x109_dedup_token_savings",
-    "x110_quality_length_mi",
-    "m20_segmented_trend",
-    "t26_streaming_changepoint",
-    "v16_quantile_drift",
-    "x111_bigram_entropy_rate",
-    "x112_stratified_quality_auc",
-    "a39_conversion_latency",
-    "m21_pacf_profile",
-    "x113_minhash_estimator_audit",
-    "x114_dedup_survivorship_audit",
-    "t27_streaming_conversion_latency",
-    "x115_dedup_method_agreement",
-    "m22_forecast_backtest",
-    "m23_trend_prediction_bands",
-    "x116_filter_ablation",
-    "v17_uniqueness_discovery",
-    "w27_interevent_gap_distribution",
-    # slots 43-50: retention reps — unchanged from round 8, so no
-    # family coverage lapses (u*/p*/d* restored in r8 stay; k/o/q/p90
-    # keep their standing coverage).
-    "u01_union_by_name",
-    "u03_multiset_ops",
-    "p02_case_when_bands",
-    "d01_keyed_dedup",
-    "k01_salted_skew_agg",
-    "o01_topk_orders",
-    "q05_district_performance",
-    "p90_domain_pipeline",
-]
-
-assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
-
-# Round-10 rotation candidates, in priority order: the 45 oracle-backed
-# natural names left in the round-8 queue after the 42 windowed above,
-# plus round-9 additions appended as they land. Kept as data so
-# tests/test_oracle_parity.py can assert every name exists and is
-# oracle-backed BEFORE the round-10 edit happens.
-ROUND10_CANDIDATES: list[str] = [
+    # round-10 first-time slots 1-42: the round-9 ROUND10_CANDIDATES
+    # queue in listed order (VERDICT r9 directive #1).
     "x117_shard_manifest",
     "m24_hw_backtest",
     "k07_shuffle_hash_join",
@@ -151,10 +86,29 @@ ROUND10_CANDIDATES: list[str] = [
     "a43_wilson_intervals",
     "x136_recency_weighted_sample",
     "w31_sax_motifs",
+    # slots 43-50: retention reps — unchanged from rounds 8-9, so no
+    # family coverage lapses.
+    "u01_union_by_name",
+    "u03_multiset_ops",
+    "p02_case_when_bands",
+    "d01_keyed_dedup",
+    "k01_salted_skew_agg",
+    "o01_topk_orders",
+    "q05_district_performance",
+    "p90_domain_pipeline",
+]
+
+assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
+
+# Round-11 rotation candidates, in priority order: the 55 oracle-backed
+# natural names left in the round-9 queue after the 42 windowed above,
+# plus round-10 additions appended as they land. Kept as data so
+# tests/test_oracle_parity.py can assert every name exists and is
+# oracle-backed BEFORE the round-11 edit happens.
+ROUND11_CANDIDATES: list[str] = [
     "x137_prefix_cache_reuse",
     "j14_temporal_anti_join",
     "m30_auto_model_select",
-    # round-9 additions (all exact-oracle, replayed sf0.001+sf0.01+sf0.1)
     "p19_q03_shape",
     "p20_q05_shape",
     "p21_q07_shape",

@@ -34,17 +34,17 @@ def test_driver_window_aliases_are_exact():
         assert spec.oracle == target.oracle, name
 
 
-def test_round10_rotation_candidates_are_registered_and_oracle_backed():
-    """Typo-proof the NEXT rotation: every documented round-10 candidate
+def test_round11_rotation_candidates_are_registered_and_oracle_backed():
+    """Typo-proof the NEXT rotation: every documented round-11 candidate
     must exist in the registry today, and all except p90-style rows-only
     names must carry an oracle (a no-oracle name in the window wastes a
     CORRECTNESS slot — the round-4 p90 lesson)."""
-    from smart_water_management_spark.driver_window import ROUND10_CANDIDATES
+    from smart_water_management_spark.driver_window import ROUND11_CANDIDATES
 
-    for name in ROUND10_CANDIDATES:
-        assert name in _REGISTRY, f"round-10 candidate not registered: {name}"
+    for name in ROUND11_CANDIDATES:
+        assert name in _REGISTRY, f"round-11 candidate not registered: {name}"
         assert _REGISTRY[name].oracle is not None, (
-            f"round-10 candidate has no oracle (would waste a window slot): {name}"
+            f"round-11 candidate has no oracle (would waste a window slot): {name}"
         )
 
 
