@@ -2953,9 +2953,9 @@ def _x127_oracle() -> str:
     "INDEPENDENT of corpus size — the statistic streams, the "
     "comparison is O(labels^2 * dims). Exactness: micro-quantized "
     "integer sums; dim-ordered fold of mean-diff squares; 9-dp "
-    "round. Ref parity: extends the reference's driver-side "
-    "correlation utilities (src/analysis.py) to embedding-space "
-    "shift testing",
+    "round. No reference analog — extension per brief; extends the "
+    "correlation stage (src/enhanced_spark_etl.py:628) to "
+    "embedding-space shift testing",
 )
 def x127_embedding_mmd_matrix(
     spark: SparkSession, sf_dir: str

@@ -4323,8 +4323,8 @@ _M36_SST = "(syy - sy * sy / n)"
     "shards (the sufficient-statistics property that makes it one "
     "pass at 100 TB). Determinism: every determinant/beta/R^2 is "
     "one formula string shared verbatim between F.expr and the SQL "
-    "oracle. Ref parity: reference regression analytics "
-    "(src/ml_models.py:1-60), re-derived as closed form",
+    "oracle. No reference analog beyond the MLlib regression stage "
+    "(src/enhanced_spark_etl.py:451-511) — re-derived as closed form",
 )
 def m36_multiple_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multiple_regression_from_hourly(_hourly_series(spark, sf_dir))
@@ -4461,8 +4461,9 @@ _M37_A = 0.5  # smoothing constant for both size and interval estimates
     "intermittent. Engine-exact via the m15/m17 fold device "
     "([S, I, gap, init, n] accumulator); one map-combined daily "
     "pre-agg is the only data shuffle, the fold runs on the "
-    "calendar-bounded series. Ref parity: forecasting module "
-    "(src/ml_models.py:1-60), extended to the intermittent case",
+    "calendar-bounded series. No reference analog beyond the "
+    "forecasting stage (src/enhanced_spark_etl.py:451-511) — "
+    "extension per brief for the intermittent case",
 )
 def m37_croston_intermittent(
     spark: SparkSession, sf_dir: str

@@ -2592,9 +2592,9 @@ def a41_cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count, so the plan is identical at 100 TB. Exactness: integer "
     "pair masses in DECIMAL(38,0) (int64 dies at ~n=4e9 rows), one "
     "9-dp-rounded double at the very end. "
-    "Ref parity: reference computes correlations driver-side "
-    "(src/analysis.py pearson utilities); tau-b extends that "
-    "surface with tie-aware rank association",
+    "No reference analog — extension per brief; extends the "
+    "Pearson surface (M6, src/enhanced_spark_etl.py:628) with "
+    "tie-aware rank association",
 )
 def a42_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(

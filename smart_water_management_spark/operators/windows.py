@@ -874,8 +874,8 @@ def w19_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "engines, never rounded. Scale shape: the lead window shuffles once "
     "on user_id (sequences stay co-located); the transition table is "
     "|types|^2 rows regardless of corpus size, so the normalizing window "
-    "costs nothing. Reference analog: sequential pattern pass over "
-    "per-sensor readings (src/spark_jobs.py rolling scans)",
+    "costs nothing. No reference analog — extension per brief "
+    "(sequential-pattern mining is absent from the reference)",
 )
 def w20_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
