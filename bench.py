@@ -173,20 +173,27 @@ def main() -> None:
     # machine-load noise — r5->r6 raw wall moved +17% while this ratio
     # IMPROVED 4.77->3.83 on identical headline code. Compare rounds on
     # the ratio; the raw wall stays the headline for BASELINE.md parity.
+    # VERDICT r9 directive #4: the PRIMARY round-over-round number is the
+    # load-normalized ratio suite_over_naive_nosplit_min2 (stable
+    # 4.20→4.22→4.32 across rounds 7-9 while raw wall swung ±40% under
+    # external host load). It is emitted FIRST; the raw walls stay as
+    # secondary fields for BASELINE.md absolute-bar parity and the
+    # historical series ("value" keeps its exact pass-A meaning).
     print(
         json.dumps(
             {
                 "metric": "headline_suite_wall",
+                "primary_metric": "suite_over_naive_nosplit_min2",
+                "suite_over_naive_nosplit_min2": round(
+                    wall_min2 / queries_min2["k04_naive_nosplit"], 3
+                ),
                 "value": round(total, 3),
                 "unit": "sec",
+                "wall_min2": wall_min2,
+                "queries_min2": queries_min2,
                 "queries": timings,
                 "suite_over_naive_nosplit": round(
                     total / timings["k04_naive_nosplit"], 3
-                ),
-                "queries_min2": queries_min2,
-                "wall_min2": wall_min2,
-                "suite_over_naive_nosplit_min2": round(
-                    wall_min2 / queries_min2["k04_naive_nosplit"], 3
                 ),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -1456,8 +1456,12 @@ _X147_SCHEMA = (
     SELECT d.doc_id, d.src_w, d.src_h,
            CAST((d.src_w + 1) // 2 AS BIGINT) AS dst_w,
            CAST((d.src_h + 1) // 2 AS BIGINT) AS dst_h,
-           px.dst_sum AS dst_px_sum
-    FROM dims d JOIN px USING (doc_id)
+           COALESCE(px.dst_sum, 0) AS dst_px_sum
+    -- LEFT JOIN + COALESCE: an n_chars = 0 document has no unnested
+    -- positions, so px has no row for it; the Spark side still emits a
+    -- zero-sum 1-row-padded image. Inner join would silently depend on
+    -- the generator's min-n_chars invariant (ADVICE r9).
+    FROM dims d LEFT JOIN px USING (doc_id)
     """,
     doc="x147: image thumbnail stage — real PNG decode (vendored "
     "codec), nearest-neighbor 2x downsample keeping even rows/cols, "
@@ -1536,10 +1540,14 @@ _X148_SCHEMA = (
     SELECT d.doc_id,
            CAST(d.n_chars AS BIGINT) AS n_frames_in,
            CAST(8000 // {_X148_FACTOR} AS BIGINT) AS rate_out,
-           CAST(COUNT(*) AS BIGINT) AS n_frames_out,
-           CAST(SUM(k.code) AS BIGINT) AS out_sum,
-           CAST(SUM(k.code * k.code) AS BIGINT) AS out_energy
-    FROM documents d JOIN kept k USING (doc_id)
+           CAST(COUNT(k.code) AS BIGINT) AS n_frames_out,
+           CAST(COALESCE(SUM(k.code), 0) AS BIGINT) AS out_sum,
+           CAST(COALESCE(SUM(k.code * k.code), 0) AS BIGINT) AS out_energy
+    -- LEFT JOIN + COALESCE: an n_chars = 0 document decimates to an
+    -- empty WAV (0 frames, 0 sum/energy) on the Spark side; inner join
+    -- would drop it here and depend on the generator's min-n_chars
+    -- invariant (ADVICE r9).
+    FROM documents d LEFT JOIN kept k USING (doc_id)
     GROUP BY d.doc_id, d.n_chars
     """,
     doc=f"x148: audio frame-sampling — real WAV decode (stdlib wave "

@@ -866,9 +866,13 @@ def j15_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # edit-distance scan is O(n^2) and unshippable at 100 TB, so
     # candidate pairs are generated only inside (first-token, exact
     # char-length) blocks — one hash equi-join — and Levenshtein runs
-    # only on the candidates. Classic entity-resolution shape
-    # (length-blocking guarantees lev >= |len_a - len_b| = 0 pruning is
-    # lossless for the near-exact tier it reports). Levenshtein is
+    # only on the candidates. Classic entity-resolution shape. Pruning
+    # is lossless ONLY for the lev = 0 duplicate tier (lev >=
+    # |len_a - len_b|, so exact duplicates always share a length block);
+    # the n_near tier (lev 1-4) counts substitution-only near-duplicates
+    # within equal-length blocks and by construction misses insertion/
+    # deletion neighbors whose lengths differ — a recall/cost dial, not
+    # a lossless guarantee (ADVICE r9). Levenshtein is
     # byte-identical across Spark and DuckDB (verified pairwise);
     # counts are exact integers, so no rounding device.
     oracle="""

@@ -2680,9 +2680,9 @@ def winnow_state_stream(
     # Equals batch x143 bit-for-bit: fingerprints are within-doc, so
     # appended partials equal the batch tables under any slicing, and
     # the finalize is the SAME helper x143 uses — x143's oracle
-    # certifies the monitor (late-bound in llmdata/text, the t29-t33
-    # wiring).
-    oracle=None,  # set in llmdata/text.py: x143's oracle verbatim
+    # certifies the monitor (late-bound at the tail of THIS module,
+    # ~20 lines below, because text imports before t34 registers).
+    oracle=None,  # late-bound at this module's tail: x143's oracle verbatim
     doc="T34: streaming winnowing-contamination monitor — x143's "
     "MOSS-fingerprint density + cross-source overlap report "
     "recomputed from incrementally APPENDED per-doc fingerprint "
