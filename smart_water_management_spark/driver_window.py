@@ -161,6 +161,9 @@ ROUND11_CANDIDATES: list[str] = [
     "v20_l_diversity",
     "m37_croston_intermittent",
     "x150_containment_dedup",
+    # round-10 additions (all exact-oracle, replayed sf0.001+sf0.01+sf0.1)
+    "x151_jpeg_exif_audit",
+    "x152_audio_spectral_dedup",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -1616,3 +1616,310 @@ def x148_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.select("doc_id", "text").mapInPandas(run, _X148_SCHEMA)
+
+
+# --- x151: JPEG dimension/EXIF metadata audit (segment walk) --------------------------
+
+
+def _jpeg_payloads(docs: DataFrame) -> DataFrame:
+    """Build a real JFIF/EXIF byte stream per document: SOI, APP1 (EXIF
+    TIFF IFD0 with Orientation + ResolutionUnit, byte order alternating
+    II/MM by doc_id), DQT, SOF0 carrying the x124 width convention
+    (width = 8 + doc_id % 9), SOS, entropy bytes = the text (ASCII, so
+    no 0xFF marker collision), EOI. Pure stdlib (struct)."""
+
+    def build(batches: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                data = text.encode("utf-8")
+                w = 8 + doc_id % 9
+                h = max(1, -(-len(data) // w))
+                le = doc_id % 2 == 0
+                bo = "<" if le else ">"
+                tiff = b"II" if le else b"MM"
+                tiff += struct.pack(bo + "HI", 42, 8)
+                tiff += struct.pack(bo + "H", 2)  # 2 IFD0 entries
+                orient = 1 + doc_id % 8
+                res = 2 + doc_id % 2
+                for tag, val in ((0x0112, orient), (0x0128, res)):
+                    tiff += struct.pack(bo + "HHI", tag, 3, 1)
+                    # TIFF: sub-4-byte values are LEFT-justified in the
+                    # 4-byte slot for both byte orders
+                    tiff += struct.pack(bo + "H", val) + b"\x00\x00"
+                tiff += struct.pack(bo + "I", 0)  # no next IFD
+                app1 = b"Exif\x00\x00" + tiff
+                segs = b"\xff\xe1" + struct.pack(">H", len(app1) + 2) + app1
+                dqt = bytes([(i * 7) % 255 + 1 for i in range(64)])
+                segs += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + dqt
+                sof = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+                segs += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+                sos = b"\x01\x01\x00\x00\x3f\x00"
+                segs += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+                payloads.append(b"\xff\xd8" + segs + data + b"\xff\xd9")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+
+def _parse_jpeg(payload: bytes):
+    """Walk the real marker stream: SOI, per-segment big-endian lengths,
+    APP1 -> TIFF IFD0 (both byte orders), SOF0 dims, SOS entropy scan to
+    EOI. Pure stdlib (struct) — the vendored-codec pattern x124/x139 use
+    for PNG, applied to JPEG's segment grammar."""
+    import struct
+
+    assert payload[:2] == b"\xff\xd8"
+    off = 2
+    width = height = precision = orientation = res_unit = -1
+    little = False
+    n_segments = 0
+    entropy_len = -1
+    while off < len(payload):
+        assert payload[off] == 0xFF, payload[off]
+        marker = payload[off + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[off + 2 : off + 4])
+        body = payload[off + 4 : off + 2 + seglen]
+        n_segments += 1
+        if marker == 0xE1 and body[:6] == b"Exif\x00\x00":
+            tiff = body[6:]
+            little = tiff[:2] == b"II"
+            bo = "<" if little else ">"
+            (magic,) = struct.unpack(bo + "H", tiff[2:4])
+            assert magic == 42
+            (ifd_off,) = struct.unpack(bo + "I", tiff[4:8])
+            (count,) = struct.unpack(bo + "H", tiff[ifd_off : ifd_off + 2])
+            p = ifd_off + 2
+            for _ in range(count):
+                tag, typ, cnt = struct.unpack(bo + "HHI", tiff[p : p + 8])
+                (val,) = struct.unpack(bo + "H", tiff[p + 8 : p + 10])
+                if tag == 0x0112:
+                    orientation = val
+                elif tag == 0x0128:
+                    res_unit = val
+                p += 12
+        elif marker == 0xC0:
+            precision, height, width = struct.unpack(">BHH", body[:5])
+        off += 2 + seglen
+        if marker == 0xDA:
+            end = payload.index(b"\xff\xd9", off)
+            entropy_len = end - off
+            off = end
+    return (
+        width, height, precision, orientation, res_unit,
+        little, n_segments, entropy_len,
+    )
+
+
+_X151_SCHEMA = (
+    "doc_id long, width long, height long, jpeg_precision long, "
+    "orientation long, res_unit long, exif_little_endian boolean, "
+    "n_segments long, entropy_len long"
+)
+
+
+@register(
+    "x151_jpeg_exif_audit",
+    # Every emitted field is a pure function of (doc_id, n_chars):
+    # width = 8 + doc_id % 9 (the x124 convention), height =
+    # ceil(n_chars / width) floored at 1, orientation = 1 + doc_id % 8,
+    # res_unit = 2 + doc_id % 2, byte order II when doc_id is even,
+    # 4 marker segments (APP1/DQT/SOF0/SOS), entropy bytes = n_chars.
+    # The Spark side derives them all from the PARSED BYTES (two real
+    # passes: encoder then independent segment-walk parser, alternating
+    # TIFF endianness) — any grammar disagreement breaks the hash match.
+    oracle="""
+    SELECT doc_id,
+           CAST(8 + doc_id % 9 AS BIGINT) AS width,
+           GREATEST(1, CAST(FLOOR((n_chars + (8 + doc_id % 9) - 1)
+                                  / (8 + doc_id % 9)) AS BIGINT))
+             AS height,
+           CAST(8 AS BIGINT) AS jpeg_precision,
+           CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+           CAST(2 + doc_id % 2 AS BIGINT) AS res_unit,
+           doc_id % 2 = 0 AS exif_little_endian,
+           CAST(4 AS BIGINT) AS n_segments,
+           CAST(n_chars AS BIGINT) AS entropy_len
+    FROM documents
+    """,
+    doc="x151: JPEG dimension/EXIF audit — encode every document as a "
+    "real JPEG byte stream (SOI, EXIF APP1 with a TIFF IFD whose byte "
+    "order alternates II/MM, DQT, SOF0, SOS, entropy data, EOI), then "
+    "parse it back with an independent pure-stdlib segment walk: "
+    "big-endian marker lengths, both TIFF endiannesses, left-justified "
+    "SHORT value slots, entropy scan to EOI. The metadata-extraction "
+    "stage a multimodal curation pipeline runs before any decode — "
+    "dims/orientation come from bytes, not a codec dependency. Scale: "
+    "payloads never leave executor Arrow batches; per-partition "
+    "parallel; output is fixed-width metadata (the 'parse headers, "
+    "ship metadata, not pixels' argument at 100 TB). No reference "
+    "analog — extension per brief (multimodal round 4, VERDICT r9 "
+    "directive #6a)",
+)
+def x151_jpeg_exif_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    jpegs = _jpeg_payloads(docs)
+
+    def audit(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                (w, h, prec, orient, res, little, nseg, elen) = _parse_jpeg(
+                    bytes(payload)
+                )
+                rows.append(
+                    (int(doc_id), w, h, prec, orient, res, little, nseg, elen)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "jpeg_precision",
+                    "orientation", "res_unit", "exif_little_endian",
+                    "n_segments", "entropy_len",
+                ],
+            )
+
+    return jpegs.mapInPandas(audit, _X151_SCHEMA)
+
+
+# --- x152: audio spectral-fingerprint dedup (exact integer Goertzel bins) -------------
+
+
+_X152_SCHEMA = (
+    "doc_id long, n_frames long, dc long, re_q long, im_q long, "
+    "nyq long"
+)
+
+
+@register(
+    "x152_audio_spectral_dedup",
+    # Spectral dedup with EXACT integer DFT bins: at omega = pi/2 the
+    # Goertzel recurrence s[n] = x[n] + 2cos(omega)*s[n-1] - s[n-2]
+    # degenerates to s[n] = x[n] - s[n-2] (2cos = 0) — an all-integer
+    # filter whose closed form is the quarter-Nyquist DFT bin
+    # Re = sum(x[0::4]) - sum(x[2::4]), Im = sum(x[3::4]) - sum(x[1::4]);
+    # at omega = pi it is the alternating Nyquist sum. Both engines
+    # compute the SAME integers — no float rounding device needed.
+    # Samples are the text's byte codes decoded out of a real RIFF/WAV
+    # container (x125's build), so framing is under test too.
+    oracle="""
+    WITH codes AS (
+      SELECT d.doc_id,
+             ascii(substr(d.text, CAST(u.pos AS INT), 1)) AS code,
+             (u.pos - 1) % 4 AS m4,
+             (u.pos - 1) % 2 AS m2
+      FROM documents d
+      JOIN (SELECT doc_id, unnest(range(1, n_chars + 1)) AS pos
+            FROM documents) u ON u.doc_id = d.doc_id
+    ),
+    bins AS (
+      SELECT d.doc_id,
+             CAST(d.n_chars AS BIGINT) AS n_frames,
+             CAST(COALESCE(SUM(c.code), 0) AS BIGINT) AS dc,
+             CAST(COALESCE(SUM(CASE WHEN c.m4 = 0 THEN c.code
+                                    WHEN c.m4 = 2 THEN -c.code
+                                    ELSE 0 END), 0) AS BIGINT) AS re_q,
+             CAST(COALESCE(SUM(CASE WHEN c.m4 = 3 THEN c.code
+                                    WHEN c.m4 = 1 THEN -c.code
+                                    ELSE 0 END), 0) AS BIGINT) AS im_q,
+             CAST(COALESCE(SUM(CASE WHEN c.m2 = 0 THEN c.code
+                                    ELSE -c.code END), 0) AS BIGINT)
+               AS nyq
+      -- LEFT JOIN + COALESCE: an n_chars = 0 document has no unnested
+      -- positions; the Spark side still emits an all-zero-bin row
+      -- (ADVICE r9 — never depend on the generator's min-n_chars)
+      FROM documents d LEFT JOIN codes c USING (doc_id)
+      GROUP BY d.doc_id, d.n_chars
+    )
+    SELECT doc_id, n_frames, dc, re_q, im_q, nyq,
+           COUNT(*) OVER (PARTITION BY dc, re_q, im_q, nyq)
+             AS n_same_sig,
+           doc_id = MIN(doc_id) OVER (PARTITION BY dc, re_q, im_q, nyq)
+             AS is_canonical
+    FROM bins
+    """,
+    doc="x152: audio spectral-fingerprint dedup — decode each doc's "
+    "real RIFF/WAV (stdlib wave), run the exact-integer Goertzel "
+    "filter at quarter-Nyquist (s[n] = x[n] - s[n-2], the 2cos(pi/2)=0 "
+    "degenerate recurrence) plus the DC and Nyquist bins, and group "
+    "the corpus by the 4-integer spectral signature: per row the "
+    "signature-group size and whether this doc is the canonical (min "
+    "doc_id) copy. Complements x125's time-domain energy fingerprint "
+    "with a frequency-domain one — two independent signatures is the "
+    "standard audio-dedup belt-and-braces. Scale: one decode pass, "
+    "per-partition parallel; the only shuffle is the signature window "
+    "(exact-dup groups are tiny); signatures are 32 bytes/doc however "
+    "long the audio is. Exactness: integer bins are identical across "
+    "engines by construction; planted duplicate texts give "
+    "byte-identical WAVs hence equal signatures. No reference analog "
+    "— extension per brief (multimodal round 4, VERDICT r9 directive "
+    "#6b)",
+)
+def x152_audio_spectral_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def bins(batches: Iterator) -> Iterator:
+        import io
+        import wave
+
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                buf = io.BytesIO()
+                wf = wave.open(buf, "wb")
+                wf.setnchannels(1)
+                wf.setsampwidth(1)
+                wf.setframerate(8000)
+                wf.writeframes(text.encode("utf-8"))
+                wf.close()
+                rd = wave.open(io.BytesIO(buf.getvalue()))
+                assert rd.getsampwidth() == 1 and rd.getnchannels() == 1
+                n = rd.getnframes()
+                arr = np.frombuffer(
+                    rd.readframes(n), dtype=np.uint8
+                ).astype(np.int64)
+                rd.close()
+                rows.append(
+                    (
+                        int(doc_id),
+                        n,
+                        int(arr.sum()),
+                        int(arr[0::4].sum() - arr[2::4].sum()),
+                        int(arr[3::4].sum() - arr[1::4].sum()),
+                        int(arr[0::2].sum() - arr[1::2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_frames", "dc", "re_q", "im_q", "nyq"],
+            )
+
+    sig = docs.select("doc_id", "text").mapInPandas(bins, _X152_SCHEMA)
+    wsig = W.partitionBy("dc", "re_q", "im_q", "nyq")
+    return sig.select(
+        "doc_id", "n_frames", "dc", "re_q", "im_q", "nyq",
+        F.count("*").over(wsig).alias("n_same_sig"),
+        (F.col("doc_id") == F.min("doc_id").over(wsig)).alias(
+            "is_canonical"
+        ),
+    )
