@@ -54,7 +54,7 @@ def build_scale_dir(spark, factor: int, with_lineitem: bool = False) -> str:
     li_out = os.path.join(out, "lineitem.parquet")
     emb_out = os.path.join(out, "embeddings.parquet")
     replicated = ("events", "documents") + (
-        ("lineitem", "embeddings") if with_lineitem else ()
+        ("lineitem", "embeddings", "orders") if with_lineitem else ()
     )
     # guard on ALL replicated outputs: an interrupted build (or a scratch
     # dir left by an older revision that only wrote events) must rebuild
@@ -124,6 +124,23 @@ def build_scale_dir(spark, factor: int, with_lineitem: bool = False) -> str:
                 .write.mode("overwrite")
                 .parquet(emb_out)
             )
+            # VERDICT r9 directive #8: replicate orders too, so
+            # a47-class devices (year-grain trend sums over orders) get
+            # true 30x row-volume coverage instead of a symlinked 1x
+            ords = spark.read.parquet(os.path.join(BASE, "orders.parquet"))
+            n_okey = 1 + (ords.agg(F.max("o_orderkey")).collect()[0][0] or 0)
+            (
+                ords.withColumn(
+                    "k", F.explode(F.sequence(F.lit(0), F.lit(factor - 1)))
+                )
+                .withColumn(
+                    "o_orderkey",
+                    F.col("o_orderkey") + F.col("k") * F.lit(n_okey),
+                )
+                .drop("k")
+                .write.mode("overwrite")
+                .parquet(os.path.join(out, "orders.parquet"))
+            )
     return out
 
 
@@ -186,6 +203,11 @@ PARITY_QUERIES = [
     "w34_max_drawdown",           # all-decimal cum/runmax/dd windows
     "x146_domain_affinity_matrix",  # round-then-decimal-sum LN cells
     "a47_cochran_armitage",       # N-scaled integer trend numerator
+    # round-10 devices: integer-exact, but their DEDUP semantics are
+    # volume-dependent (clone groups grow to `factor` members) and
+    # x151's height arithmetic rides the replicated doc_id domain
+    "x151_jpeg_exif_audit",       # segment-walk fields vs doc_id arith
+    "x152_audio_spectral_dedup",  # signature groups grow with factor
 ]
 
 
