@@ -164,6 +164,9 @@ ROUND11_CANDIDATES: list[str] = [
     # round-10 additions (all exact-oracle, replayed sf0.001+sf0.01+sf0.1)
     "x151_jpeg_exif_audit",
     "x152_audio_spectral_dedup",
+    "k11_parquet_agg_pushdown",
+    "k12_exchange_reuse",
+    "a48_mann_whitney",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

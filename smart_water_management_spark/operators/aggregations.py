@@ -3296,3 +3296,135 @@ def a47_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * (s3 - CAST(s2 AS DOUBLE) * s2 / n))), 9)"
         ).alias("z_stat"),
     )
+
+
+# --- a48 (ext.): Mann-Whitney U rank-sum test (value-domain grid device) ---------------
+
+# One formula string shared verbatim between F.expr and the SQL oracle:
+# z from the exact integer pieces (num2 = 2U - n_o*n_f, tie-corrected
+# normal variance), all float ops in one fixed order.
+_A48_Z = (
+    "ROUND((CAST(num2 AS DOUBLE) / 2)"
+    " / SQRT(CAST(no AS DOUBLE) * CAST(nf AS DOUBLE) / 12"
+    "        * (CAST(no + nf AS DOUBLE) + 1"
+    "           - CAST(ties AS DOUBLE)"
+    "             / (CAST(no + nf AS DOUBLE)"
+    "                * (CAST(no + nf AS DOUBLE) - 1)))), 9)"
+)
+
+
+@register(
+    "a48_mann_whitney",
+    # Two-sample rank-sum with ZERO row-pair comparisons: l_quantity has
+    # a bounded value domain (~50 integers), so the doubled U statistic
+    # is an exact integer fold over the 50-cell grid —
+    # 2U_O = sum_v c_O(v) * (2 * cumF(<v) + c_F(v)) — and the tie
+    # correction is the grid's cube sums. Completes the nonparametric
+    # family: a44 Kruskal-Wallis is the k-sample rank test, a48 is the
+    # 2-sample U with the exact tie-corrected normal approximation.
+    # Scale: ONE map-combined aggregate to the value grid; the ordered
+    # cumulative runs over 50 rows regardless of corpus size. Exactness:
+    # DECIMAL(14,0) cell counts keep every product inside DECIMAL(38,0)
+    # on both engines (cells <= 1e14 rows — beyond any real corpus);
+    # one shared 9-dp-rounded double at the very end (_A48_Z).
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                  AS DECIMAL(14,0)) AS c_o,
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                  AS DECIMAL(14,0)) AS c_f
+      FROM lineitem
+      WHERE l_linestatus IN ('O', 'F')
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT v, c_o, c_f,
+             CAST(COALESCE(SUM(c_f) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DECIMAL(16,0)) AS cum_f
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(SUM(c_o) AS DECIMAL(18,0)) AS no,
+             CAST(SUM(c_f) AS DECIMAL(18,0)) AS nf,
+             CAST(SUM(c_o * (2 * cum_f + c_f)) AS DECIMAL(38,0)) AS u2,
+             CAST(SUM((c_o + c_f) * (c_o + c_f) * (c_o + c_f)
+                      - (c_o + c_f)) AS DECIMAL(38,0)) AS ties
+      FROM c
+    ),
+    p AS (
+      SELECT no, nf, u2, ties,
+             CAST(u2 - no * nf AS DECIMAL(38,0)) AS num2
+      FROM s
+    )
+    SELECT CAST(no AS BIGINT) AS n_o,
+           CAST(nf AS BIGINT) AS n_f,
+           CAST(u2 AS BIGINT) AS u2_o,
+           CAST(ties AS BIGINT) AS tie_term,
+           {_A48_Z} AS z_stat
+    FROM p
+    """,
+    doc="a48 (ext.): Mann-Whitney U — do open ('O') and finished ('F') "
+    "line items draw quantities from the same distribution? The "
+    "pairwise rank statistic computed with NO pairwise work: one "
+    "fact-table aggregate to the ~50-cell quantity grid, a 50-row "
+    "ordered cumulative, and the doubled-U integer fold (a44's "
+    "value-domain device specialized to the exact 2-sample U with "
+    "tie-corrected variance). The plan is one map-combined shuffle to "
+    "50 keys — identical at 100 TB. Exactness: integer pieces in "
+    "bounded decimals; ONE shared 9-dp double formula (_A48_Z) on "
+    "both engines. No reference analog — extension per brief; "
+    "completes the a37/a38/a42/a44-a47 nonparametric family",
+)
+def a48_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linestatus").isin("O", "F"))
+        .select(
+            F.col("l_quantity").cast("bigint").alias("v"),
+            "l_linestatus",
+        )
+    )
+    g = li.groupBy("v").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0))
+        .cast("decimal(14,0)")
+        .alias("c_o"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+        .cast("decimal(14,0)")
+        .alias("c_f"),
+    )
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    c = g.select(
+        "v", "c_o", "c_f",
+        F.coalesce(F.sum("c_f").over(w), F.lit(0))
+        .cast("decimal(16,0)")
+        .alias("cum_f"),
+    )
+    s = c.agg(
+        F.sum("c_o").cast("decimal(18,0)").alias("no"),
+        F.sum("c_f").cast("decimal(18,0)").alias("nf"),
+        F.sum(F.col("c_o") * (F.lit(2) * F.col("cum_f") + F.col("c_f")))
+        .cast("decimal(38,0)")
+        .alias("u2"),
+        F.sum(
+            (F.col("c_o") + F.col("c_f"))
+            * (F.col("c_o") + F.col("c_f"))
+            * (F.col("c_o") + F.col("c_f"))
+            - (F.col("c_o") + F.col("c_f"))
+        )
+        .cast("decimal(38,0)")
+        .alias("ties"),
+    )
+    p = s.withColumn(
+        "num2", (F.col("u2") - F.col("no") * F.col("nf")).cast("decimal(38,0)")
+    )
+    return p.select(
+        F.col("no").cast("bigint").alias("n_o"),
+        F.col("nf").cast("bigint").alias("n_f"),
+        F.col("u2").cast("bigint").alias("u2_o"),
+        F.col("ties").cast("bigint").alias("tie_term"),
+        F.expr(_A48_Z).alias("z_stat"),
+    )

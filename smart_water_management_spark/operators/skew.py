@@ -821,3 +821,120 @@ def k10_eager_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("order_rev").cast("double").alias("revenue"),
         )
     )
+
+
+# --- k11 (ext.): parquet aggregate pushdown (statistics-only scan) ----------------------
+
+
+@register(
+    "k11_parquet_agg_pushdown",
+    # The footer-statistics lever: COUNT/MIN/MAX over supported types
+    # can be answered from parquet row-group metadata WITHOUT reading a
+    # single data page (spark.sql.parquet.aggregatePushdown, DSv2 scan
+    # path). At 100 TB this turns a full-corpus "how many rows / what
+    # key range" profile query from a cluster-wide scan into a
+    # footer-only metadata walk — the same trick DuckDB/Trino use for
+    # COUNT(*). The conf pair is scoped to a child SparkSession
+    # (newSession shares the SparkContext but NOT the SQLConf), so the
+    # V2-source routing never leaks into other registered queries.
+    # Float/double MIN/MAX are deliberately absent (Spark excludes them
+    # from pushdown: NaN ordering in parquet stats is unreliable).
+    # tests/test_physical_plans.py asserts PushedAggregation in the
+    # scan; the answer is strategy-invariant, so plain SQL oracles it.
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS min_okey,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_okey,
+           CAST(MIN(l_partkey) AS BIGINT) AS min_pkey,
+           CAST(MAX(l_partkey) AS BIGINT) AS max_pkey
+    FROM lineitem
+    """,
+    doc="k11 (ext.): parquet aggregate pushdown — the row-count/key-range "
+    "profile of the fact table answered from parquet FOOTER STATISTICS "
+    "(PushedAggregation: COUNT(*), MIN/MAX on the integer keys), zero "
+    "data pages read. The scan cost becomes O(row groups), not O(rows) "
+    "— at 100 TB that is the difference between a sub-second metadata "
+    "walk and a full-cluster scan for the 'profile before you plan' "
+    "query every pipeline runs first. Conf scoped via newSession so "
+    "the DSv2 routing can't perturb any other query's plan. Exactness: "
+    "footer stats are exact for these types; plan-asserted in "
+    "tests/test_physical_plans.py",
+)
+def k11_parquet_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    s2.conf.set(
+        "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text"
+    )
+    return s2.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.min("l_orderkey").cast("bigint").alias("min_okey"),
+        F.max("l_orderkey").cast("bigint").alias("max_okey"),
+        F.min("l_partkey").cast("bigint").alias("min_pkey"),
+        F.max("l_partkey").cast("bigint").alias("max_pkey"),
+    )
+
+
+# --- k12 (ext.): exchange reuse (shared shuffle for a twice-referenced subplan) ---------
+
+
+@register(
+    "k12_exchange_reuse",
+    # The year-over-year shape: monthly revenue joined to ITSELF shifted
+    # 12 months. The monthly aggregate (scan -> partial agg -> shuffle on
+    # month) appears twice in the logical plan, but Spark's ReuseExchange
+    # rule collapses the second occurrence into a ReusedExchange node —
+    # the 100 TB fact table is scanned and shuffled ONCE, not twice, for
+    # the classic "this month vs same month last year" report. AQE does
+    # the same dedup at stage-cache level; this op pins adaptive off in
+    # a scoped child session so the ReusedExchange node is statically
+    # plan-assertable (tests/test_physical_plans.py). The answer is
+    # reuse-invariant; decimal sums keep both engines exact.
+    oracle=f"""
+    WITH monthly AS (
+      SELECT date_trunc('month', l_shipdate) AS mon,
+             SUM(CAST(l_extendedprice * (1 - l_discount)
+                      AS DECIMAL(27,6))) AS rev_dec
+      FROM lineitem GROUP BY 1
+    )
+    SELECT a.mon,
+           CAST(a.rev_dec AS DOUBLE) AS revenue,
+           CAST(b.rev_dec AS DOUBLE) AS prev_year_revenue
+    FROM monthly a JOIN monthly b
+      ON a.mon = b.mon + INTERVAL 12 MONTH
+    """,
+    doc="k12 (ext.): exchange-reuse lever — month-over-year-ago revenue "
+    "via a self-join of the monthly aggregate on mon = prev_mon + 12 "
+    "months. The twice-referenced aggregate is computed ONCE: the "
+    "second branch is a ReusedExchange over the first branch's shuffle "
+    "(plan-asserted), so the fact scan + month shuffle are not "
+    "duplicated — the lever that makes CTE-heavy reporting SQL cheap "
+    "at 100 TB (Catalyst dedups by canonical subplan equality, no "
+    "manual caching needed). Scoped child session pins AQE off purely "
+    "to make the node statically assertable; with AQE on the same "
+    "reuse happens via the shuffle-stage cache. Exactness: decimal "
+    "revenue sums cast to double only at the edge",
+)
+def k12_exchange_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "false")
+    li = s2.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        F.date_trunc("month", "l_shipdate").alias("mon"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .cast("decimal(27,6)")
+        .alias("rev"),
+    )
+    monthly = li.groupBy("mon").agg(
+        F.sum("rev").cast("decimal(27,6)").alias("rev_dec")
+    )
+    prev = monthly.select(
+        F.col("mon").alias("pmon"), F.col("rev_dec").alias("prev_dec")
+    )
+    return (
+        monthly.join(prev, monthly.mon == F.add_months(prev.pmon, 12))
+        .select(
+            "mon",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            F.col("prev_dec").cast("double").alias("prev_year_revenue"),
+        )
+    )

@@ -2040,3 +2040,27 @@ def test_k10_partial_agg_below_join(spark):
     i_post = plan.find("Aggregate [o_orderpriority")
     assert i_post >= 0 and i_join > i_post, plan[:2000]
     assert i_pre > i_join, plan[:2000]
+
+
+def test_parquet_aggregate_pushdown(spark):
+    """k11: COUNT/MIN/MAX must be answered from parquet footer stats —
+    the scan node carries PushedAggregation and the read schema is the
+    aggregate results, not the data columns."""
+    plan = plan_of(_q(spark, "k11_parquet_agg_pushdown"))
+    assert "PushedAggregation: [COUNT(*)" in plan, plan[:800]
+    assert "MIN(l_orderkey)" in plan and "MAX(l_partkey)" in plan
+
+
+def test_exchange_reuse_in_yoy_self_join(spark):
+    """k12: the twice-referenced monthly aggregate must shuffle ONCE —
+    the second branch is a ReusedExchange node, and exactly one real
+    hashpartitioning exchange on the month key exists."""
+    plan = plan_of(_q(spark, "k12_exchange_reuse"), "simple")
+    assert "ReusedExchange" in plan
+    # a ReusedExchange line restates the reused exchange's description,
+    # so count REAL exchange nodes per line, not substring occurrences
+    real = [
+        l for l in plan.splitlines()
+        if "Exchange hashpartitioning(mon" in l and "ReusedExchange" not in l
+    ]
+    assert len(real) == 1, real
