@@ -167,6 +167,7 @@ ROUND11_CANDIDATES: list[str] = [
     "k11_parquet_agg_pushdown",
     "k12_exchange_reuse",
     "a48_mann_whitney",
+    "t35_streaming_mann_whitney",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

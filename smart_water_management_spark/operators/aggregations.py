@@ -3378,8 +3378,6 @@ _A48_Z = (
     "completes the a37/a38/a42/a44-a47 nonparametric family",
 )
 def a48_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_linestatus").isin("O", "F"))
@@ -3396,6 +3394,17 @@ def a48_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(14,0)")
         .alias("c_f"),
     )
+    return mann_whitney_from_grid(g)
+
+
+def mann_whitney_from_grid(grid: DataFrame) -> DataFrame:
+    """a48's finalize from the (v, c_o, c_f) quantity grid — shared with
+    t35's streaming state maintainer so the monitor equals the batch
+    bit-for-bit (grid cell counts are mergeable sufficient statistics:
+    partial counts add across micro-batches)."""
+    from pyspark.sql import Window as W
+
+    g = grid
     w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
     c = g.select(
         "v", "c_o", "c_f",

@@ -2718,3 +2718,104 @@ if (
         _REG_FOR_T34["t34_streaming_winnow_monitor"],
         oracle=_REG_FOR_T34["x143_winnowing_fingerprints"].oracle,
     )
+
+
+# --- t35: streaming Mann-Whitney monitor ------------------------------------------------
+
+
+def quantity_grid_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t35 state maintainer: a48's (v, c_o, c_f) quantity value-domain
+    grid kept incrementally — each lineitem micro-batch's partial cell
+    counts merge by groupBy-SUM (integer-in-decimal addition is exact
+    and order-free, so state equals the batch grid under any slicing).
+    The grid is value-domain-bounded (~50 rows) regardless of traffic."""
+    from ..sources.catalog import reset_managed_table
+
+    reset_managed_table(spark, "quantity_grid_state")
+    spark.sql(
+        "CREATE TABLE quantity_grid_state "
+        "(v BIGINT, c_o DECIMAL(14,0), c_f DECIMAL(14,0)) USING parquet"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        partial = (
+            batch_df.filter(F.col("l_linestatus").isin("O", "F"))
+            .select(
+                F.col("l_quantity").cast("bigint").alias("v"),
+                "l_linestatus",
+            )
+            .groupBy("v")
+            .agg(
+                F.sum(
+                    F.when(F.col("l_linestatus") == "O", 1).otherwise(0)
+                )
+                .cast("decimal(14,0)")
+                .alias("c_o"),
+                F.sum(
+                    F.when(F.col("l_linestatus") == "F", 1).otherwise(0)
+                )
+                .cast("decimal(14,0)")
+                .alias("c_f"),
+            )
+        )
+        merged = (
+            sp.table("quantity_grid_state")
+            .unionByName(partial)
+            .groupBy("v")
+            .agg(
+                F.sum("c_o").cast("decimal(14,0)").alias("c_o"),
+                F.sum("c_f").cast("decimal(14,0)").alias("c_f"),
+            )
+        )
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").insertInto("quantity_grid_state")
+
+    stage = _stage_table_dir(sf_dir, "lineitem")
+    stream = (
+        spark.readStream.schema("l_quantity double, l_linestatus string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("quantity_grid_state")
+
+
+def _a48_oracle() -> str:
+    # aggregations imports before streaming.jobs (package __init__ order),
+    # so a48's oracle is present at this module's registration time — no
+    # late binding needed (unlike the t29-t33 analytics wiring).
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["a48_mann_whitney"].oracle
+
+
+@register(
+    "t35_streaming_mann_whitney",
+    # Equals batch a48 bit-for-bit: the value-domain grid merges under
+    # any slicing (cell counts are sums) and the finalize is the SAME
+    # helper a48 uses — a48's oracle certifies the monitor.
+    oracle=_a48_oracle(),
+    doc="T35: streaming Mann-Whitney monitor — a48's two-sample rank "
+    "test recomputed from the incrementally-maintained quantity grid, "
+    "so the 'are open and finished orders drawing from the same "
+    "distribution?' alarm refreshes as line items stream in (a "
+    "shifting z is an upstream-mix drift signal, complementing "
+    "t25/t26/t29). Works because the ~50-cell grid is a mergeable "
+    "sufficient statistic — the property that makes rank tests "
+    "one-pass at 100 TB. Certified by sharing mann_whitney_from_grid "
+    "and a48's oracle; 4-batch merge test in tests/test_streaming.py",
+)
+def t35_streaming_mann_whitney(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.aggregations import mann_whitney_from_grid
+
+    return mann_whitney_from_grid(quantity_grid_stream(spark, sf_dir))

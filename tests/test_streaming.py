@@ -850,3 +850,30 @@ def test_streaming_winnow_multi_batch_equals_batch_x143(spark):
             w.n_fp_shared,
             w.shared_frac,
         ), src
+
+
+def test_streaming_mann_whitney_multi_batch_equals_batch_a48(spark):
+    """t35 under real incrementality: lineitem split into 4 parquet
+    files (4 micro-batches); the merged quantity grid must reproduce
+    a48's batch U statistic and tie-corrected z exactly."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        li.repartition(4).write.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        )
+        (got,) = jobs.t35_streaming_mann_whitney(spark, sf_dir).collect()
+    (want,) = _REGISTRY["a48_mann_whitney"].fn(spark, SF_DIR).collect()
+    assert (got.n_o, got.n_f, got.u2_o, got.tie_term, got.z_stat) == (
+        want.n_o,
+        want.n_f,
+        want.u2_o,
+        want.tie_term,
+        want.z_stat,
+    )
