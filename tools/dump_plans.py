@@ -84,6 +84,9 @@ SHOW = [
     ("m28_two_changepoint_trend", "two-change-point segmentation — calendar-bounded prefix-moment pair grid, O(1) cost per cell, one rank-window argmin"),
     ("x131_curriculum_schedule", "curriculum schedule — x100's two-phase enumeration per (band, bucket): parallel rank windows + broadcast offset prefix"),
     ("x127_embedding_mmd_matrix", "linear-MMD drift matrix — posexplode to 640 integer moment keys, then a corpus-size-independent label x label broadcast join"),
+    ("k11_parquet_agg_pushdown", "parquet aggregate pushdown — PushedAggregation in the DSv2 scan: COUNT/MIN/MAX answered from footer statistics, zero data pages"),
+    ("k12_exchange_reuse", "exchange reuse — YoY self-join of the monthly aggregate: second branch is a ReusedExchange, the fact scans+shuffles ONCE"),
+    ("a48_mann_whitney", "Mann-Whitney U — one map-combined shuffle to the ~50-key quantity grid; doubled-U fold and tie correction never touch row pairs"),
 ]
 
 
