@@ -168,6 +168,7 @@ ROUND11_CANDIDATES: list[str] = [
     "k12_exchange_reuse",
     "a48_mann_whitney",
     "t35_streaming_mann_whitney",
+    "a49_jonckheere_terpstra",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

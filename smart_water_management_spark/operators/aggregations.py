@@ -3437,3 +3437,180 @@ def mann_whitney_from_grid(grid: DataFrame) -> DataFrame:
         F.col("ties").cast("bigint").alias("tie_term"),
         F.expr(_A48_Z).alias("z_stat"),
     )
+
+
+# --- a49 (ext.): Jonckheere-Terpstra ordered-trend test (grid-pair device) -------------
+
+# Shared z formula: doubled statistic j2 and its integer null mean, the
+# tie-corrected variance composed from integer marginal folds (Hollander
+# & Wolfe); every float op in one fixed order on both engines.
+_A49_Z = (
+    "ROUND((CAST(j2 - meanj2 AS DOUBLE) / 2)"
+    " / SQRT(CAST(va AS DOUBLE) / 72"
+    "        + CAST(sb1 AS DOUBLE) * CAST(sb2 AS DOUBLE)"
+    "          / (36 * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1)"
+    "             * (CAST(nn AS DOUBLE) - 2))"
+    "        + CAST(sc1 AS DOUBLE) * CAST(sc2 AS DOUBLE)"
+    "          / (8 * CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) - 1))), 9)"
+)
+
+
+@register(
+    "a49_jonckheere_terpstra",
+    # Is quantity stochastically INCREASING across ship years? The
+    # ordered-alternative k-sample test (more powerful than a44's
+    # omnibus Kruskal-Wallis when the alternative is monotone): J is the
+    # sum of pairwise Mann-Whitney counts over ordered group pairs.
+    # ZERO pairwise row work — the fact table collapses to the
+    # (year x quantity) grid (~7 x 50 cells), the doubled statistic is
+    # a broadcast grid self-join over ordered year pairs (<= 350^2
+    # combos, corpus-independent), and the tie-corrected variance is
+    # integer folds of the two marginals. Completes the trend family:
+    # a47 tests trend in proportions, a49 trend in distributions.
+    # Exactness: every piece is an exact integer in bounded decimals
+    # (j2's cell products stay under DECIMAL(38,0) for cells <= 1e14
+    # rows); ONE shared 9-dp double formula (_A49_Z). The N^6-magnitude
+    # variance cross-terms are composed in DOUBLE inside that shared
+    # string from exact N^3-scale integer factors (sb1*sb2, sc1*sc2),
+    # so both engines run the identical IEEE expression.
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+             CAST(l_quantity AS BIGINT) AS v,
+             CAST(COUNT(*) AS DECIMAL(14,0)) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT CAST(SUM(a.c * b.c * (CASE WHEN a.v < b.v THEN 2
+                                        WHEN a.v = b.v THEN 1
+                                        ELSE 0 END)) AS DECIMAL(38,0))
+               AS j2
+      FROM g a JOIN g b ON a.yr < b.yr
+    ),
+    ng AS (
+      SELECT CAST(SUM(n) AS DECIMAL(18,0)) AS nn,
+             CAST(SUM(n * n) AS DECIMAL(38,0)) AS sn2,
+             CAST(SUM(n * (n - 1) * (2 * n + 5)) AS DECIMAL(38,0)) AS sa_g,
+             CAST(SUM(n * (n - 1) * (n - 2)) AS DECIMAL(38,0)) AS sb1,
+             CAST(SUM(n * (n - 1)) AS DECIMAL(38,0)) AS sc1,
+             CAST(COUNT(*) AS BIGINT) AS k_groups
+      FROM (SELECT yr, CAST(SUM(c) AS DECIMAL(12,0)) AS n
+            FROM g GROUP BY yr)
+    ),
+    tv AS (
+      SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS DECIMAL(38,0)) AS sa_t,
+             CAST(SUM(t * (t - 1) * (t - 2)) AS DECIMAL(38,0)) AS sb2,
+             CAST(SUM(t * (t - 1)) AS DECIMAL(38,0)) AS sc2
+      FROM (SELECT v, CAST(SUM(c) AS DECIMAL(12,0)) AS t
+            FROM g GROUP BY v)
+    ),
+    s AS (
+      SELECT j.j2, ng.nn, ng.k_groups,
+             CAST((ng.nn * ng.nn - ng.sn2) / 2 AS DECIMAL(38,0)) AS meanj2,
+             CAST(ng.nn * (ng.nn - 1) * (2 * ng.nn + 5)
+                  - ng.sa_g - tv.sa_t AS DECIMAL(38,0)) AS va,
+             ng.sb1, tv.sb2, ng.sc1, tv.sc2
+      FROM j, ng, tv
+    )
+    SELECT CAST(nn AS BIGINT) AS n_rows,
+           k_groups AS n_groups,
+           CAST(j2 AS BIGINT) AS j2,
+           CAST(meanj2 AS BIGINT) AS meanj2,
+           {_A49_Z} AS z_stat
+    FROM s
+    """,
+    doc="a49 (ext.): Jonckheere-Terpstra ordered-trend test — is the "
+    "quantity distribution monotonically shifting across ship years? "
+    "J sums the pairwise Mann-Whitney counts over ordered year pairs, "
+    "computed entirely on the ~350-cell (year x quantity) grid: one "
+    "map-combined fact aggregate, a broadcast grid self-join for the "
+    "doubled statistic, and integer marginal folds for the "
+    "tie-corrected normal variance (Hollander-Wolfe). The plan is "
+    "corpus-size-independent after the 350-key shuffle — identical at "
+    "100 TB. a44's omnibus KW asks 'any difference?'; a49 asks "
+    "'monotone trend?' — the a47-for-distributions. No reference "
+    "analog — extension per brief; exact integer pieces + one shared "
+    "9-dp double (_A49_Z)",
+)
+def a49_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+        F.col("l_quantity").cast("bigint").alias("v"),
+    )
+    g = li.groupBy("yr", "v").agg(
+        F.count("*").cast("decimal(14,0)").alias("c")
+    )
+    a = g.select(
+        F.col("yr").alias("ayr"), F.col("v").alias("av"),
+        F.col("c").alias("ac"),
+    )
+    b = g.select(
+        F.col("yr").alias("byr"), F.col("v").alias("bv"),
+        F.col("c").alias("bc"),
+    )
+    j = (
+        a.join(F.broadcast(b), F.col("ayr") < F.col("byr"))
+        .agg(
+            F.sum(
+                F.col("ac")
+                * F.col("bc")
+                * F.when(F.col("av") < F.col("bv"), 2)
+                .when(F.col("av") == F.col("bv"), 1)
+                .otherwise(0)
+            )
+            .cast("decimal(38,0)")
+            .alias("j2")
+        )
+    )
+    n_g = g.groupBy("yr").agg(F.sum("c").cast("decimal(12,0)").alias("n"))
+    ng = n_g.agg(
+        F.sum("n").cast("decimal(18,0)").alias("nn"),
+        F.sum(F.col("n") * F.col("n")).cast("decimal(38,0)").alias("sn2"),
+        F.sum(F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5))
+        .cast("decimal(38,0)")
+        .alias("sa_g"),
+        F.sum(F.col("n") * (F.col("n") - 1) * (F.col("n") - 2))
+        .cast("decimal(38,0)")
+        .alias("sb1"),
+        F.sum(F.col("n") * (F.col("n") - 1))
+        .cast("decimal(38,0)")
+        .alias("sc1"),
+        F.count("*").cast("bigint").alias("k_groups"),
+    )
+    t_v = g.groupBy("v").agg(F.sum("c").cast("decimal(12,0)").alias("t"))
+    tv = t_v.agg(
+        F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+        .cast("decimal(38,0)")
+        .alias("sa_t"),
+        F.sum(F.col("t") * (F.col("t") - 1) * (F.col("t") - 2))
+        .cast("decimal(38,0)")
+        .alias("sb2"),
+        F.sum(F.col("t") * (F.col("t") - 1))
+        .cast("decimal(38,0)")
+        .alias("sc2"),
+    )
+    s = (
+        j.crossJoin(F.broadcast(ng))
+        .crossJoin(F.broadcast(tv))
+        .select(
+            "j2", "nn", "k_groups",
+            ((F.col("nn") * F.col("nn") - F.col("sn2")) / 2)
+            .cast("decimal(38,0)")
+            .alias("meanj2"),
+            (
+                F.col("nn") * (F.col("nn") - 1) * (2 * F.col("nn") + 5)
+                - F.col("sa_g")
+                - F.col("sa_t")
+            )
+            .cast("decimal(38,0)")
+            .alias("va"),
+            "sb1", "sb2", "sc1", "sc2",
+        )
+    )
+    return s.select(
+        F.col("nn").cast("bigint").alias("n_rows"),
+        F.col("k_groups").alias("n_groups"),
+        F.col("j2").cast("bigint").alias("j2"),
+        F.col("meanj2").cast("bigint").alias("meanj2"),
+        F.expr(_A49_Z).alias("z_stat"),
+    )
