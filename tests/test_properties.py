@@ -475,3 +475,69 @@ def test_a43_wilson_interval_properties(spark):
     for r in _REGISTRY["a43_wilson_intervals"].fn(spark, SF_DIR).collect():
         assert 0.0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1.0, r
         assert r.wilson_hi > r.wilson_lo, r
+
+
+def test_a48_doubled_u_matches_bruteforce_pairs(spark):
+    """The a48 grid fold must equal the pairwise DEFINITION of the
+    doubled U statistic (2 per O>F pair, 1 per tie) — an independent
+    check of the value-domain device itself, not shared with the DuckDB
+    oracle's formula strings."""
+    import duckdb as _dd
+    import numpy as np
+
+    from smart_water_management_spark.registry import _REGISTRY
+
+    from .conftest import SF_DIR
+
+    con = _dd.connect()
+    df = con.execute(
+        "SELECT CAST(l_quantity AS BIGINT) AS v, l_linestatus AS s "
+        f"FROM '{SF_DIR}/lineitem.parquet' WHERE l_linestatus IN ('O','F')"
+    ).df()
+    con.close()
+    qo = np.sort(df[df.s == "O"].v.values)
+    qf = np.sort(df[df.s == "F"].v.values)
+    # for each O value: #F strictly below and #F equal, via searchsorted
+    lo = np.searchsorted(qf, qo, side="left")
+    hi = np.searchsorted(qf, qo, side="right")
+    u2_brute = int(2 * lo.sum() + (hi - lo).sum())
+    (row,) = _REGISTRY["a48_mann_whitney"].fn(spark, SF_DIR).collect()
+    assert row.u2_o == u2_brute
+    assert row.n_o == len(qo) and row.n_f == len(qf)
+
+
+def test_a49_doubled_j_matches_bruteforce_pairs(spark):
+    """The a49 grid-pair self-join must equal the pairwise DEFINITION of
+    the doubled Jonckheere J (2 per increasing pair across ordered year
+    groups, 1 per tie)."""
+    import duckdb as _dd
+    import numpy as np
+
+    from smart_water_management_spark.registry import _REGISTRY
+
+    from .conftest import SF_DIR
+
+    con = _dd.connect()
+    df = con.execute(
+        "SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr, "
+        "CAST(l_quantity AS BIGINT) AS v "
+        f"FROM '{SF_DIR}/lineitem.parquet'"
+    ).df()
+    con.close()
+    groups = {
+        yr: np.sort(sub.v.values) for yr, sub in df.groupby("yr")
+    }
+    years = sorted(groups)
+    j2_brute = 0
+    for i, ya in enumerate(years):
+        for yb in years[i + 1 :]:
+            a, b = groups[ya], groups[yb]
+            lo = np.searchsorted(b, a, side="left")
+            hi = np.searchsorted(b, a, side="right")
+            # pairs with b-value ABOVE a-value count 2; ties count 1
+            j2_brute += int(2 * (len(b) - hi).sum() + (hi - lo).sum())
+    (row,) = (
+        _REGISTRY["a49_jonckheere_terpstra"].fn(spark, SF_DIR).collect()
+    )
+    assert row.j2 == j2_brute
+    assert row.n_groups == len(years)
