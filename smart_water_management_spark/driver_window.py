@@ -169,6 +169,7 @@ ROUND11_CANDIDATES: list[str] = [
     "a48_mann_whitney",
     "t35_streaming_mann_whitney",
     "a49_jonckheere_terpstra",
+    "m38_theta_method",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

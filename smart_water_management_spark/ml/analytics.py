@@ -4539,3 +4539,159 @@ def m37_croston_intermittent(
             "croston_forecast"
         ),
     )
+
+
+# --- m38 (ext.): Theta-method forecast (OLS detrend + SES recombination) ---------------
+
+
+@register(
+    "m38_theta_method",
+    # The M3-competition winner, engine-exact: (1) closed-form OLS line
+    # over the hourly series via LEFT-FOLD double sums (identical fold
+    # order on both engines — the m15 device, so no decimal scaffolding
+    # is needed even though the sums are floats), (2) the theta=2 line
+    # y_t = 2*x_t - (a + b*t) amplifies curvature, (3) SES(alpha=0.5)
+    # folds over y, (4) the h=1 forecast averages the SES level with
+    # the trend extrapolation. Every arithmetic expression is written
+    # in the SAME textual order in both engines; no rounding anywhere.
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             SUM(CAST(value AS DECIMAL(27,6))) AS hv
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type, list(CAST(hv AS DOUBLE) ORDER BY h) AS xs
+      FROM hourly GROUP BY 1
+    ),
+    base AS (
+      SELECT event_type, xs, len(xs) AS n,
+             CAST(len(xs) AS DOUBLE) AS nd
+      FROM ser WHERE len(xs) >= 2
+    ),
+    sums AS (
+      SELECT *,
+             list_reduce(list_prepend(CAST(0.0 AS DOUBLE), xs),
+                         (acc, x) -> acc + x) AS sx,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list_transform(range(1, n + 1),
+                                           i -> i * xs[i])),
+               (acc, x) -> acc + x) AS stx
+      FROM base
+    ),
+    par AS (
+      SELECT *, nd * (nd + 1) / 2 AS st_,
+             nd * (nd + 1) * (2 * nd + 1) / 6 AS stt
+      FROM sums
+    ),
+    ab AS (
+      SELECT *, (nd * stx - st_ * sx) / (nd * stt - st_ * st_) AS b
+      FROM par
+    ),
+    ab2 AS (SELECT *, (sx - b * st_) / nd AS a FROM ab),
+    th AS (
+      SELECT *, list_transform(range(1, n + 1),
+                               i -> 2 * xs[i] - (a + b * i)) AS ys
+      FROM ab2
+    ),
+    fin AS (
+      SELECT *, list_reduce(list_prepend(ys[1], ys[2:]),
+                            (acc, y) -> 0.5 * y + 0.5 * acc) AS s
+      FROM th
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+           a AS intercept, b AS slope, s AS theta_ses,
+           0.5 * s + 0.5 * (a + b * (nd + 1)) AS forecast_next
+    FROM fin
+    """,
+    doc="m38 (ext.): Theta-method forecast per event type — OLS-detrend "
+    "the hourly demand series, double the deviations (theta = 2), SES "
+    "the theta line at alpha = 0.5, and average that level with the "
+    "trend extrapolation for the one-step-ahead forecast. The M3 "
+    "benchmark's winning simple method, completing the family: m15 "
+    "level+trend, m17 seasonal, m22/m30 selection, m37 intermittent, "
+    "m38 theta. Engine-exact via the m15 fold device: both engines run "
+    "identical left folds over identical doubles (OLS sums, theta "
+    "transform, SES recurrence), so every output is bit-identical with "
+    "no rounding. Scale: one map-combined hourly pre-agg is the only "
+    "data shuffle; folds run on the calendar-bounded series. No "
+    "reference analog beyond the MLlib forecasting stage "
+    "(src/enhanced_spark_etl.py:451-511) — re-derived as closed form",
+)
+def m38_theta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_series(spark, sf_dir)
+    ser = (
+        hourly.groupBy("event_type")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("h", F.col("hv").cast("double").alias("v"))
+                    )
+                ),
+                lambda s: s["v"],
+            ).alias("xs")
+        )
+        .filter(F.size("xs") >= 2)
+        .withColumn("n", F.size("xs"))
+        .withColumn("nd", F.col("n").cast("double"))
+    )
+    xs = F.col("xs")
+    sums = ser.withColumn(
+        "sx",
+        F.aggregate(xs, F.lit(0.0), lambda acc, x: acc + x),
+    ).withColumn(
+        "stx",
+        F.aggregate(
+            F.transform(
+                F.sequence(F.lit(1), F.col("n")),
+                lambda i: i.cast("double") * F.element_at(xs, i),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    par = sums.withColumn(
+        "st_", F.col("nd") * (F.col("nd") + 1) / 2
+    ).withColumn(
+        "stt",
+        F.col("nd") * (F.col("nd") + 1) * (2 * F.col("nd") + 1) / 6,
+    )
+    ab = par.withColumn(
+        "b",
+        (F.col("nd") * F.col("stx") - F.col("st_") * F.col("sx"))
+        / (F.col("nd") * F.col("stt") - F.col("st_") * F.col("st_")),
+    ).withColumn(
+        "a", (F.col("sx") - F.col("b") * F.col("st_")) / F.col("nd")
+    )
+    th = ab.withColumn(
+        "ys",
+        F.transform(
+            F.sequence(F.lit(1), F.col("n")),
+            lambda i: F.lit(2) * F.element_at(xs, i)
+            - (F.col("a") + F.col("b") * i.cast("double")),
+        ),
+    )
+    fin = th.withColumn(
+        "s",
+        F.aggregate(
+            F.slice(F.col("ys"), 2, F.col("n") - 1),
+            F.element_at(F.col("ys"), 1),
+            lambda acc, y: F.lit(0.5) * y + F.lit(0.5) * acc,
+        ),
+    )
+    return fin.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_hours"),
+        F.col("a").alias("intercept"),
+        F.col("b").alias("slope"),
+        F.col("s").alias("theta_ses"),
+        (
+            F.lit(0.5) * F.col("s")
+            + F.lit(0.5)
+            * (F.col("a") + F.col("b") * (F.col("nd") + 1))
+        ).alias("forecast_next"),
+    )
