@@ -170,6 +170,7 @@ ROUND11_CANDIDATES: list[str] = [
     "t35_streaming_mann_whitney",
     "a49_jonckheere_terpstra",
     "m38_theta_method",
+    "f22_collation_grouping",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

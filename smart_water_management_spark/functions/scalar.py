@@ -774,3 +774,63 @@ def f21_binary_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(h8(F.col("hx"))).cast("bigint").alias("hex_prefix_sum"),
         F.sum(h8(F.col("sh"))).cast("bigint").alias("sha_prefix_sum"),
     )
+
+
+# --- f22 (ext.): collation-aware grouping (Spark 4 native collations) ------------------
+
+
+@register(
+    "f22_collation_grouping",
+    # Spark 4's native string collations: grouping BY a UTF8_LCASE
+    # column merges case variants inside the hash aggregate itself — no
+    # derived lower() column, no second projection, and the collation
+    # rides the column type through every downstream operator (joins,
+    # sorts, distinct). Case variants are planted deterministically
+    # (even part keys upper-cased) so the merge is observable; the
+    # emitted key is lower()'d because the grouped representative value
+    # is otherwise first-encountered (nondeterministic). Oracle: the
+    # pre-collation equivalent — GROUP BY lower(nm) — which is exactly
+    # the rewrite collations make unnecessary.
+    oracle="""
+    WITH nm AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN upper(p_name)
+                  ELSE p_name END AS nm
+      FROM part
+    )
+    SELECT lower(nm) AS name_ci,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           MIN(nm) AS first_variant
+    FROM nm GROUP BY lower(nm)
+    """,
+    doc="f22 (ext.): collation-aware grouping — part names with planted "
+    "case variants grouped under Spark 4's UTF8_LCASE collation: the "
+    "case-insensitive merge happens inside the hash aggregate (the "
+    "collated comparison is JVM-side, codegen'd), not via a derived "
+    "lower() column. At 100 TB the difference is a narrower shuffle "
+    "key domain with zero extra projection, and the collation "
+    "propagates through joins/sorts as part of the TYPE — the "
+    "Spark-native answer to the reference's ad-hoc LOWER() washing in "
+    "its dashboard SQL (sql/enhanced_data_schema.sql district "
+    "groupings). Exactness: integer counts; MIN over the original "
+    "binary-collation strings is engine-identical",
+)
+def f22_collation_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        F.when(
+            F.col("p_partkey") % 2 == 0, F.upper("p_name")
+        )
+        .otherwise(F.col("p_name"))
+        .alias("nm")
+    )
+    return (
+        p.groupBy(F.collate("nm", "UTF8_LCASE").alias("nm_ci"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.min("nm").alias("first_variant"),
+        )
+        .select(
+            F.lower(F.col("nm_ci")).cast("string").alias("name_ci"),
+            "n_parts",
+            "first_variant",
+        )
+    )
