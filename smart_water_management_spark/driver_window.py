@@ -171,6 +171,7 @@ ROUND11_CANDIDATES: list[str] = [
     "a49_jonckheere_terpstra",
     "m38_theta_method",
     "f22_collation_grouping",
+    "v21_approx_fd_confidence",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

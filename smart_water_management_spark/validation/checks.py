@@ -1518,3 +1518,105 @@ def v20_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("risk_rate"),
         "min_l_achieved",
     )
+
+
+# --- v21 (ext.): approximate functional dependencies (g3 confidence) -------------------
+
+_V21_CANDIDATES = [
+    ("events", "user_id", "event_type"),
+    ("events", "event_type", "user_id"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("orders", "o_orderkey", "o_orderpriority"),
+]
+
+
+@register(
+    "v21_approx_fd_confidence",
+    # v15 answers "does the FD hold?" (boolean + violation counts); v21
+    # answers "HOW CLOSE is it to holding?" via the standard g3 measure
+    # (Tane/Pyro): confidence = (rows kept under the best per-key
+    # repair) / N = sum over determinant keys of the MAX dependent
+    # count, over total rows. The profiling number that decides whether
+    # a dirty key is fixable (conf 0.999 -> quarantine 0.1%) or
+    # structural (conf 0.4 -> not an FD). Two grouped aggregates per
+    # candidate — (lhs, rhs) pair counts, then max-per-lhs — both
+    # map-combined; no distinct, no sort. Exactness: integer counts;
+    # confidence is the raw IEEE quotient of two exact BIGINTs,
+    # identical in both engines, never rounded.
+    oracle="""
+    SELECT * FROM (
+      SELECT 'events' AS tbl, 'user_id' AS lhs, 'event_type' AS rhs,
+             CAST(SUM(sx) AS BIGINT) AS n_rows,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(mx) AS BIGINT) AS rows_kept,
+             CAST(SUM(mx) AS DOUBLE) / CAST(SUM(sx) AS DOUBLE)
+               AS confidence,
+             (SUM(mx) = SUM(sx)) AS is_exact
+      FROM (SELECT MAX(c) AS mx, SUM(c) AS sx
+            FROM (SELECT user_id, event_type, COUNT(*) AS c
+                  FROM events GROUP BY 1, 2) GROUP BY user_id)
+      UNION ALL
+      SELECT 'events', 'event_type', 'user_id',
+             CAST(SUM(sx) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(mx) AS BIGINT),
+             CAST(SUM(mx) AS DOUBLE) / CAST(SUM(sx) AS DOUBLE),
+             (SUM(mx) = SUM(sx))
+      FROM (SELECT MAX(c) AS mx, SUM(c) AS sx
+            FROM (SELECT event_type, user_id, COUNT(*) AS c
+                  FROM events GROUP BY 1, 2) GROUP BY event_type)
+      UNION ALL
+      SELECT 'orders', 'o_custkey', 'o_orderpriority',
+             CAST(SUM(sx) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(mx) AS BIGINT),
+             CAST(SUM(mx) AS DOUBLE) / CAST(SUM(sx) AS DOUBLE),
+             (SUM(mx) = SUM(sx))
+      FROM (SELECT MAX(c) AS mx, SUM(c) AS sx
+            FROM (SELECT o_custkey, o_orderpriority, COUNT(*) AS c
+                  FROM orders GROUP BY 1, 2) GROUP BY o_custkey)
+      UNION ALL
+      SELECT 'orders', 'o_orderkey', 'o_orderpriority',
+             CAST(SUM(sx) AS BIGINT), CAST(COUNT(*) AS BIGINT),
+             CAST(SUM(mx) AS BIGINT),
+             CAST(SUM(mx) AS DOUBLE) / CAST(SUM(sx) AS DOUBLE),
+             (SUM(mx) = SUM(sx))
+      FROM (SELECT MAX(c) AS mx, SUM(c) AS sx
+            FROM (SELECT o_orderkey, o_orderpriority, COUNT(*) AS c
+                  FROM orders GROUP BY 1, 2) GROUP BY o_orderkey)
+    ) ORDER BY tbl, lhs, rhs
+    """,
+    doc="v21 (ext.): approximate-FD confidence — the g3 repair measure "
+    "for a declared candidate catalog: confidence = rows kept under "
+    "the best per-key repair / total rows, from two map-combined "
+    "grouped aggregates per candidate ((lhs,rhs) pair counts, then "
+    "max-per-lhs). Extends v15's boolean FD verdicts with the "
+    "profiling number normalization and key-trust decisions actually "
+    "use (conf 0.999 = quarantine the tail; conf 0.4 = not a "
+    "dependency). Plan: no distinct, no sort, no join — identical at "
+    "100 TB. Exactness: BIGINT counts; confidence is the raw IEEE "
+    "quotient of exact integers on both engines",
+)
+def v21_approx_fd_confidence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    out = None
+    for tbl, lhs, rhs in _V21_CANDIDATES:
+        t = load_table(spark, sf_dir, tbl)
+        pair = t.groupBy(lhs, rhs).agg(F.count("*").alias("c"))
+        per_key = pair.groupBy(lhs).agg(
+            F.max("c").alias("mx"), F.sum("c").alias("sx")
+        )
+        row = per_key.agg(
+            F.lit(tbl).alias("tbl"),
+            F.lit(lhs).alias("lhs"),
+            F.lit(rhs).alias("rhs"),
+            F.sum("sx").cast("bigint").alias("n_rows"),
+            F.count("*").cast("bigint").alias("n_keys"),
+            F.sum("mx").cast("bigint").alias("rows_kept"),
+            (
+                F.sum("mx").cast("double")
+                / F.sum("sx").cast("double")
+            ).alias("confidence"),
+            (F.sum("mx") == F.sum("sx")).alias("is_exact"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("tbl", "lhs", "rhs")
