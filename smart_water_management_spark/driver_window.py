@@ -172,6 +172,7 @@ ROUND11_CANDIDATES: list[str] = [
     "m38_theta_method",
     "f22_collation_grouping",
     "v21_approx_fd_confidence",
+    "c19_scd6_hybrid",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

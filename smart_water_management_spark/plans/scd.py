@@ -749,3 +749,101 @@ def c17_versioned_snapshot_read(
         "updated",
         "unchanged",
     )
+
+
+# --- c19 (ext.): SCD Type 6 hybrid dimension (as-was rows + as-is column) --------------
+
+
+@register(
+    "c19_scd6_hybrid",
+    # SCD Type 6 (= 1+2+3 hybrid): keep SCD2's row-per-version history
+    # WITH validity ranges, and carry the Type-1 "current value" on
+    # EVERY historical row — so "revenue by segment as it was" and
+    # "as it is today" are both one scan of the same table, no
+    # self-join back to a current snapshot. Built from c15's run-
+    # collapsed change feed: version numbers + validity ranges from
+    # one ordered window, the as-is column from a max-over-partition
+    # of the current run. Ties pinned by (sec, event_id); all values
+    # integers/strings — no float anywhere.
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY FLOOR(epoch(ts)), event_id)
+               AS prev_in_seq
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, sec, event_id
+      FROM seq
+      WHERE prev_in_seq IS NULL OR event_type <> prev_in_seq
+    ),
+    vers AS (
+      SELECT user_id, event_type AS type_as_was, sec AS valid_from_sec,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY sec, event_id) AS version_no,
+             LEAD(sec) OVER (PARTITION BY user_id
+                             ORDER BY sec, event_id) AS valid_to_sec
+      FROM changes
+    )
+    SELECT user_id, CAST(version_no AS BIGINT) AS version_no,
+           type_as_was,
+           CAST(valid_from_sec AS BIGINT) AS valid_from_sec,
+           CAST(valid_to_sec AS BIGINT) AS valid_to_sec,
+           (valid_to_sec IS NULL) AS is_current,
+           MAX(CASE WHEN valid_to_sec IS NULL THEN type_as_was END)
+             OVER (PARTITION BY user_id) AS type_as_is
+    FROM vers
+    """,
+    doc="c19 (ext.): SCD Type 6 hybrid dimension — row-per-version "
+    "history (Type 2 validity ranges) with the Type-1 current value "
+    "carried on every historical row and Type-3 semantics recoverable "
+    "by lag: 'as-was vs as-is' analysis in ONE scan, no join back to "
+    "a current snapshot. Completes the SCD family: c04 Type 2, c15 "
+    "Type 3, c19 Type 6. One user-hash exchange serves the run "
+    "collapse, versioning window and as-is backfill. At 100 TB the "
+    "as-is column costs one window over already-partitioned rows vs "
+    "a broadcast-or-shuffle self-join per query forever after. "
+    "Integer/string-exact. Ref parity: the reference's warehouse "
+    "keeps only Type-1 overwrites (src/warehouse_loader.py upserts); "
+    "this is the dimensional-modeling upgrade path",
+)
+def c19_scd6_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("sec"),
+        "event_id",
+    )
+    wseq = W.partitionBy("user_id").orderBy("sec", "event_id")
+    seq = ev.withColumn("prev_in_seq", F.lag("event_type").over(wseq))
+    changes = seq.filter(
+        F.col("prev_in_seq").isNull()
+        | (F.col("event_type") != F.col("prev_in_seq"))
+    )
+    vers = changes.select(
+        "user_id",
+        F.col("event_type").alias("type_as_was"),
+        F.col("sec").alias("valid_from_sec"),
+        F.row_number().over(wseq).cast("bigint").alias("version_no"),
+        F.lead("sec").over(wseq).cast("bigint").alias("valid_to_sec"),
+    )
+    wu = W.partitionBy("user_id")
+    return vers.select(
+        "user_id",
+        "version_no",
+        "type_as_was",
+        "valid_from_sec",
+        "valid_to_sec",
+        F.col("valid_to_sec").isNull().alias("is_current"),
+        F.max(
+            F.when(
+                F.col("valid_to_sec").isNull(), F.col("type_as_was")
+            )
+        )
+        .over(wu)
+        .alias("type_as_is"),
+    )
