@@ -173,6 +173,7 @@ ROUND11_CANDIDATES: list[str] = [
     "f22_collation_grouping",
     "v21_approx_fd_confidence",
     "c19_scd6_hybrid",
+    "x153_mink_prob_audit",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

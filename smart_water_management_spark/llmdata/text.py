@@ -2849,3 +2849,82 @@ def x146_domain_affinity_matrix(
             F.sum(F.col("c_e") * F.col("nl")).cast("double") / F.sum("c_e"), 6
         ).alias("cross_entropy"),
     )
+
+
+# --- x153: Min-K% Prob memorization/contamination screen -------------------------------
+
+
+@register(
+    "x153_mink_prob_audit",
+    # The Min-K% Prob membership-inference signal (Shi et al. 2023,
+    # public method): score each document by the mean negative
+    # log-likelihood of its k% MOST SURPRISING tokens. Text the model
+    # (here: the corpus unigram LM, x27's shared scoring stage) finds
+    # unusually predictable even in its worst-case tail is the
+    # memorization/benchmark-contamination suspect set — the tail mean
+    # separates "seen before" from "fluent but novel" far better than
+    # whole-doc perplexity, which x27 already reports. Determinism:
+    # per-token nl is round-then-DECIMAL (x27's device); top-k
+    # selection by row_number over nl DESC is tie-safe because tied
+    # rows carry IDENTICAL nl values — the selected multiset, hence
+    # the decimal sum, is unique.
+    oracle=UNIGRAM_SCORED_SQL
+    + """
+    , sized AS (
+      SELECT doc_id, nl,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY nl DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n
+      FROM scored
+    )
+    SELECT doc_id,
+           CAST(MAX(n) AS BIGINT) AS n_tokens,
+           CAST(GREATEST(1, FLOOR(0.2 * MAX(n))) AS BIGINT) AS k_tokens,
+           CAST(SUM(CASE WHEN rn <= GREATEST(1, FLOOR(0.2 * n))
+                         THEN nl
+                         ELSE CAST(0 AS DECIMAL(27,6)) END)
+                AS DOUBLE)
+             / GREATEST(1, FLOOR(0.2 * MAX(n))) AS mink_nll
+    FROM sized GROUP BY doc_id
+    """,
+    doc="x153: Min-K% Prob audit — per document, the mean negative "
+    "log-likelihood of its 20% most surprising tokens under the corpus "
+    "unigram LM (x27's shared scoring stage): the published "
+    "membership-inference signal for detecting memorized or "
+    "benchmark-contaminated text, where a LOW worst-tail surprise is "
+    "the tell that whole-doc perplexity smooths over. Scale: reuses "
+    "x27's three word-count shuffles plus ONE per-doc window (ranks "
+    "ride the doc_id exchange); no sorts beyond the per-doc frame, no "
+    "new shuffle class. Exactness: round-then-decimal token scores, "
+    "tie-safe top-k (tied ranks carry identical values); the "
+    "mean is a raw IEEE quotient of exact operands, never rounded. "
+    "No reference analog — extension "
+    "per brief (LLM-data drift & eval family)",
+)
+def x153_mink_prob_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    scored = unigram_scored(spark, sf_dir)
+    wd = W.partitionBy("doc_id")
+    sized = scored.select(
+        "doc_id",
+        "nl",
+        F.row_number()
+        .over(wd.orderBy(F.desc("nl")))
+        .alias("rn"),
+        F.count("*").over(wd).alias("n"),
+    )
+    k = F.greatest(F.lit(1), F.floor(0.2 * F.col("n")))
+    k_final = F.greatest(F.lit(1), F.floor(0.2 * F.max("n")))
+    return sized.groupBy("doc_id").agg(
+        F.max("n").cast("bigint").alias("n_tokens"),
+        k_final.cast("bigint").alias("k_tokens"),
+        (
+            F.sum(
+                F.when(F.col("rn") <= k, F.col("nl")).otherwise(
+                    F.lit(0).cast("decimal(27,6)")
+                )
+            ).cast("double")
+            / k_final
+        ).alias("mink_nll"),
+    )
