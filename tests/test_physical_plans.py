@@ -1015,6 +1015,11 @@ _GLOBAL_WINDOW_EXCEPTIONS = {
     # reservoir capacity k per event_type by construction (each batch
     # merge keeps top-k by sel_key) — bounded, just not plan-visible.
     "t19_stream_weighted_reservoir": "input is k-bounded reservoir state",
+    # t35's cumulative runs over the materialized quantity-grid STATE
+    # table — value-domain-bounded (~50 rows, one per distinct
+    # l_quantity) by construction, like a48's in-plan aggregate, but
+    # the bound is behind a table scan so not plan-visible.
+    "t35_streaming_mann_whitney": "input is the ~50-row value-domain grid state",
 }
 
 
