@@ -174,6 +174,8 @@ ROUND11_CANDIDATES: list[str] = [
     "v21_approx_fd_confidence",
     "c19_scd6_hybrid",
     "x153_mink_prob_audit",
+    "j17_interval_coalesce",
+    "t36_streaming_interval_coalesce",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -966,3 +966,140 @@ def j16_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_nonzero_lev",
         )
     )
+
+
+# --- j17 (ext.): interval coalesce (temporal-algebra span merge) -------------------------
+
+
+def coalesce_spans(ivw: DataFrame) -> DataFrame:
+    """Coalesce a weighted (user_id, s, e, w) interval table into maximal
+    disjoint spans (user_id, span_start, span_end, n_intervals = sum w).
+
+    The running-max island device: an interval starts a NEW span iff its
+    start exceeds the max end of ALL earlier intervals (ORDER BY s, e) —
+    plain lag(e) breaks on nested intervals (a long interval fully
+    containing later short ones), which is exactly what distinguishes
+    interval algebra from t03's point-gap sessionization. Coalesce is
+    associative and idempotent on interval sets, and carrying w makes it
+    WEIGHT-mergeable too — t36's streaming state relies on both."""
+    from pyspark.sql import Window as W
+
+    wp = W.partitionBy("user_id").orderBy("s", "e")
+    ordd = ivw.withColumn(
+        "prev_max_e",
+        F.max("e").over(wp.rowsBetween(W.unboundedPreceding, -1)),
+    )
+    isl = ordd.withColumn(
+        "new_span",
+        F.when(
+            F.col("prev_max_e").isNull()
+            | (F.col("s") > F.col("prev_max_e")),
+            1,
+        ).otherwise(0),
+    )
+    grp = isl.withColumn(
+        "span_id",
+        F.sum("new_span").over(wp.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    return grp.groupBy("user_id", "span_id").agg(
+        F.min("s").alias("span_start"),
+        F.max("e").alias("span_end"),
+        F.sum("w").cast("bigint").alias("n_intervals"),
+    )
+
+
+def interval_coalesce_report(iv: DataFrame) -> DataFrame:
+    """j17's finalize from a (user_id, s, e) interval table — shared with
+    t36's streaming state maintainer (re-coalescing state ∪ new partials
+    equals the batch answer under any slicing)."""
+    spans = coalesce_spans(iv.withColumn("w", F.lit(1)))
+    return spans.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("n_intervals").cast("bigint").alias("n_intervals"),
+        F.sum(F.col("span_end") - F.col("span_start"))
+        .cast("bigint")
+        .alias("covered_sec"),
+        F.max(F.col("span_end") - F.col("span_start"))
+        .cast("bigint")
+        .alias("longest_span_sec"),
+    )
+
+
+_J17_ORACLE = """
+    WITH iv AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               + 60 * (1 + event_id % 10) AS e
+      FROM events
+    ),
+    ordd AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max_e
+      FROM iv
+    ),
+    isl AS (
+      SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                     THEN 1 ELSE 0 END AS new_span
+      FROM ordd
+    ),
+    grp AS (
+      SELECT *, SUM(new_span) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM isl
+    ),
+    spans AS (
+      SELECT user_id, span_id, MIN(s) AS span_start, MAX(e) AS span_end,
+             COUNT(*) AS n_intervals
+      FROM grp GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(n_intervals) AS BIGINT) AS n_intervals,
+           CAST(SUM(span_end - span_start) AS BIGINT) AS covered_sec,
+           CAST(MAX(span_end - span_start) AS BIGINT) AS longest_span_sec
+    FROM spans GROUP BY user_id
+"""
+
+
+def _j17_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("s"),
+        (
+            F.floor(F.unix_timestamp("ts")).cast("bigint")
+            + 60 * (1 + F.col("event_id") % 10)
+        )
+        .cast("bigint")
+        .alias("e"),
+    )
+    return ev
+
+
+@register(
+    "j17_interval_coalesce",
+    # Temporal-algebra span merge: coalesce each user's VARIABLE-LENGTH
+    # intervals (duration planted deterministically as
+    # 60*(1 + event_id % 10) seconds, so intervals overlap AND nest)
+    # into maximal disjoint spans. Nesting is the point: t03's
+    # point-gap sessionization (lag-based) cannot merge an interval
+    # that lies wholly inside an earlier long one — the running-max
+    # island device (max(e) over all EARLIER rows) can. The per-user
+    # coverage/span stats are the utilization-and-SLA shape every
+    # temporal warehouse asks of validity intervals. One user-hash
+    # exchange serves both windows and the span reduce. All integers.
+    oracle=_J17_ORACLE,
+    doc="j17 (ext.): interval coalesce — merge each user's overlapping "
+    "AND nested variable-length intervals into maximal disjoint spans "
+    "via the running-max island device, then per-user span count, "
+    "interval count, covered seconds and longest span. The temporal-"
+    "algebra primitive behind SLA coverage, downtime merging and "
+    "SCD-gap auditing that point-gap sessionization (t03) cannot "
+    "express once intervals nest. Scale: one hash exchange on "
+    "user_id shared by both windows and the reduce; no self-join, no "
+    "sort beyond the per-user frame. Exactness: all-BIGINT arithmetic",
+)
+def j17_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return interval_coalesce_report(_j17_intervals(spark, sf_dir))

@@ -2819,3 +2819,110 @@ def t35_streaming_mann_whitney(
     from ..operators.aggregations import mann_whitney_from_grid
 
     return mann_whitney_from_grid(quantity_grid_stream(spark, sf_dir))
+
+
+# --- t36: streaming interval-coalesce monitor ---------------------------------------------
+
+
+def interval_span_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t36 state maintainer: j17's coalesced span set kept incrementally
+    as a weighted (user_id, s, e, w) table — each event micro-batch's
+    raw intervals union into the existing spans and the WHOLE set is
+    re-coalesced (interval-set coalesce is associative + idempotent,
+    and carrying per-span interval counts keeps n_intervals exact), so
+    state equals the batch span set under any slicing. State size is
+    the number of DISJOINT spans per user — bounded by coverage
+    geometry, not traffic volume."""
+    from ..operators.joins import coalesce_spans
+    from ..sources.catalog import reset_managed_table
+
+    reset_managed_table(spark, "interval_span_state")
+    spark.sql(
+        "CREATE TABLE interval_span_state "
+        "(user_id BIGINT, s BIGINT, e BIGINT, w BIGINT) USING parquet"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        partial = batch_df.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts")).cast("bigint").alias("s"),
+            (
+                F.floor(F.unix_timestamp("ts")).cast("bigint")
+                + 60 * (1 + F.col("event_id") % 10)
+            )
+            .cast("bigint")
+            .alias("e"),
+            F.lit(1).cast("bigint").alias("w"),
+        )
+        merged = coalesce_spans(
+            sp.table("interval_span_state").unionByName(partial)
+        ).select(
+            "user_id",
+            F.col("span_start").alias("s"),
+            F.col("span_end").alias("e"),
+            F.col("n_intervals").alias("w"),
+        )
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").insertInto("interval_span_state")
+
+    stream = read_event_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id"
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("interval_span_state")
+
+
+def _j17_oracle() -> str:
+    # joins imports before streaming.jobs (package __init__ order), so
+    # j17's oracle is present at this module's registration time.
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["j17_interval_coalesce"].oracle
+
+
+@register(
+    "t36_streaming_interval_coalesce",
+    # Equals batch j17 bit-for-bit: coalesce is associative/idempotent
+    # on interval sets and weight-mergeable with per-span counts, and
+    # the finalize aggregates the SAME span table shape j17's helper
+    # produces — j17's oracle certifies the monitor.
+    oracle=_j17_oracle(),
+    doc="T36: streaming interval-coalesce monitor — j17's per-user "
+    "span coverage report recomputed from incrementally re-coalesced "
+    "span state, so SLA-coverage / downtime-merge dashboards refresh "
+    "as validity intervals stream in. Works because interval-set "
+    "coalesce is associative and idempotent (state ∪ new partials "
+    "re-coalesces to the batch answer under any slicing) and the "
+    "per-span weight keeps the raw interval count exact — state is "
+    "one row per DISJOINT span, bounded by coverage geometry, not "
+    "traffic. Certified by sharing coalesce_spans and j17's oracle; "
+    "4-batch merge test in tests/test_streaming.py",
+)
+def t36_streaming_interval_coalesce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    state = interval_span_stream(spark, sf_dir)
+    spans = state.select(
+        "user_id",
+        F.col("s").alias("span_start"),
+        F.col("e").alias("span_end"),
+        F.col("w").alias("n_intervals"),
+    )
+    return spans.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_spans"),
+        F.sum("n_intervals").cast("bigint").alias("n_intervals"),
+        F.sum(F.col("span_end") - F.col("span_start"))
+        .cast("bigint")
+        .alias("covered_sec"),
+        F.max(F.col("span_end") - F.col("span_start"))
+        .cast("bigint")
+        .alias("longest_span_sec"),
+    )

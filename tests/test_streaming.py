@@ -877,3 +877,37 @@ def test_streaming_mann_whitney_multi_batch_equals_batch_a48(spark):
         want.tie_term,
         want.z_stat,
     )
+
+
+def test_streaming_interval_coalesce_multi_batch_equals_batch_j17(spark):
+    """t36 under real incrementality: events split into 4 parquet files
+    (4 micro-batches); the re-coalesced weighted span state must
+    reproduce j17's batch coverage report exactly — including nested
+    intervals that straddle batch boundaries."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        ev.repartition(4).write.parquet(os.path.join(sf_dir, "events.parquet"))
+        got = {
+            r.user_id: r
+            for r in jobs.t36_streaming_interval_coalesce(spark, sf_dir).collect()
+        }
+    want = {
+        r.user_id: r
+        for r in _REGISTRY["j17_interval_coalesce"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for uid, w in want.items():
+        g = got[uid]
+        assert (g.n_spans, g.n_intervals, g.covered_sec, g.longest_span_sec) == (
+            w.n_spans,
+            w.n_intervals,
+            w.covered_sec,
+            w.longest_span_sec,
+        ), uid
