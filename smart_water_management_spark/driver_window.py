@@ -176,6 +176,7 @@ ROUND11_CANDIDATES: list[str] = [
     "x153_mink_prob_audit",
     "j17_interval_coalesce",
     "t36_streaming_interval_coalesce",
+    "s25_manifest_commit_sink",
 ]
 
 for _i, _target in enumerate(DRIVER_WINDOW, start=1):

@@ -1105,3 +1105,119 @@ def s24_csv_dialect_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- s25 (ext.): atomic manifest-committed sink (exactly-once on object stores) ---------
+
+
+@register(
+    "s25_manifest_commit_sink",
+    # The commit protocol object stores actually need: task files land
+    # individually (no atomic directory rename on S3), so a reader that
+    # lists the directory can see ORPHANS from failed/retried tasks.
+    # The fix is a manifest: the committer writes the authoritative
+    # file list LAST, and readers load exactly the manifested files.
+    # This op writes orders as shards, PLANTS an orphan shard (a
+    # simulated failed-task leftover duplicating real rows), then reads
+    # back via the manifest — the checksum equals the source iff the
+    # manifest isolation works, and the directory-listing read (also
+    # emitted) visibly over-counts. Oracle: the source checksum with
+    # the orphan's over-count derived arithmetically.
+    oracle="""
+    WITH src AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS sp
+      FROM orders
+    ),
+    orphan AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS o_rows,
+             SUM(CAST(o_totalprice AS DECIMAL(27,6))) AS osp
+      FROM orders WHERE o_orderkey % 100 = 7
+    )
+    -- sums stay DECIMAL until the one edge cast: the listing side's
+    -- total is the exact decimal sum src + orphan (decimal addition is
+    -- associative), never a double->decimal round-trip
+    SELECT 'manifest' AS read_mode, s.n_rows,
+           CAST(s.sp AS DOUBLE) AS sum_price,
+           TRUE AS matches_source
+    FROM src s
+    UNION ALL
+    SELECT 'listing', s.n_rows + o.o_rows,
+           CAST(s.sp + o.osp AS DOUBLE),
+           FALSE
+    FROM src s, orphan o
+    ORDER BY read_mode
+    """,
+    doc="s25 (ext.): manifest-committed sink — the exactly-once commit "
+    "protocol for object stores, where tasks cannot atomically rename "
+    "directories and failed-attempt files linger. Writes orders as "
+    "parquet shards, writes the authoritative manifest LAST, plants an "
+    "orphan shard (simulated failed-task leftover), then reads BOTH "
+    "ways: via the manifest (exactly the committed files — checksum "
+    "matches the source) and via naive directory listing (sees the "
+    "orphan — visibly over-counts). The same contract Iceberg/Delta "
+    "snapshots formalize, built from primitives. At 100 TB manifests "
+    "also kill the O(files) listing: readers open one small file. "
+    "Exactness: decimal checksums; the orphan's over-count is derived "
+    "arithmetically in the oracle (o_orderkey % 100 = 7 rows). "
+    "Ref parity: the reference writes directly to S3 with no commit "
+    "protocol (src/upload_to_s3.py) — the gap this op closes",
+)
+def s25_manifest_commit_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json as _json
+
+    path = _scratch("s25_manifest", sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    (
+        o.repartition(4)
+        .write.mode("overwrite")
+        .parquet(os.path.join(path, "data"))
+    )
+    data_dir = os.path.join(path, "data")
+    committed = sorted(
+        f for f in os.listdir(data_dir) if f.endswith(".parquet")
+    )
+    # plant the orphan AFTER the manifest list is taken — a leftover
+    # from a failed task attempt that duplicated some rows
+    orphan = o.filter(F.col("o_orderkey") % 100 == 7)
+    orphan.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "orphan_tmp")
+    )
+    import shutil
+
+    orphan_part = next(
+        f
+        for f in os.listdir(os.path.join(path, "orphan_tmp"))
+        if f.endswith(".parquet")
+    )
+    shutil.copyfile(
+        os.path.join(path, "orphan_tmp", orphan_part),
+        os.path.join(data_dir, "part-orphan-attempt-0.snappy.parquet"),
+    )
+    with open(os.path.join(path, "_manifest.json"), "w") as fh:
+        _json.dump({"files": committed}, fh)
+
+    with open(os.path.join(path, "_manifest.json")) as fh:
+        manifest = _json.load(fh)["files"]
+    via_manifest = spark.read.parquet(
+        *[os.path.join(data_dir, f) for f in manifest]
+    )
+    via_listing = spark.read.parquet(data_dir)
+
+    def checksum(df: DataFrame, mode: str, ok_expected: DataFrame):
+        return df.agg(
+            F.lit(mode).alias("read_mode"),
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.sum(F.col("o_totalprice").cast("decimal(27,6)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+
+    src_n = o.count()
+    man = checksum(via_manifest, "manifest", o).withColumn(
+        "matches_source", F.col("n_rows") == F.lit(src_n)
+    )
+    lst = checksum(via_listing, "listing", o).withColumn(
+        "matches_source", F.col("n_rows") == F.lit(src_n)
+    )
+    return man.unionByName(lst).orderBy("read_mode")
