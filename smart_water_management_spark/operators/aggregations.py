@@ -3490,16 +3490,26 @@ _A49_Z = (
     ng AS (
       SELECT CAST(SUM(n) AS DECIMAL(18,0)) AS nn,
              CAST(SUM(n * n) AS DECIMAL(38,0)) AS sn2,
-             CAST(SUM(n * (n - 1) * (2 * n + 5)) AS DECIMAL(38,0)) AS sa_g,
-             CAST(SUM(n * (n - 1) * (n - 2)) AS DECIMAL(38,0)) AS sb1,
+             -- stepwise-width casts: DuckDB's chained decimal multiply
+             -- bound an int64 path that overflows at 30x replication
+             CAST(SUM(CAST(n * (n - 1) AS DECIMAL(26,0))
+                      * CAST(2 * n + 5 AS DECIMAL(12,0)))
+                  AS DECIMAL(38,0)) AS sa_g,
+             CAST(SUM(CAST(n * (n - 1) AS DECIMAL(26,0))
+                      * CAST(n - 2 AS DECIMAL(12,0)))
+                  AS DECIMAL(38,0)) AS sb1,
              CAST(SUM(n * (n - 1)) AS DECIMAL(38,0)) AS sc1,
              CAST(COUNT(*) AS BIGINT) AS k_groups
       FROM (SELECT yr, CAST(SUM(c) AS DECIMAL(12,0)) AS n
             FROM g GROUP BY yr)
     ),
     tv AS (
-      SELECT CAST(SUM(t * (t - 1) * (2 * t + 5)) AS DECIMAL(38,0)) AS sa_t,
-             CAST(SUM(t * (t - 1) * (t - 2)) AS DECIMAL(38,0)) AS sb2,
+      SELECT CAST(SUM(CAST(t * (t - 1) AS DECIMAL(26,0))
+                      * CAST(2 * t + 5 AS DECIMAL(12,0)))
+                  AS DECIMAL(38,0)) AS sa_t,
+             CAST(SUM(CAST(t * (t - 1) AS DECIMAL(26,0))
+                      * CAST(t - 2 AS DECIMAL(12,0)))
+                  AS DECIMAL(38,0)) AS sb2,
              CAST(SUM(t * (t - 1)) AS DECIMAL(38,0)) AS sc2
       FROM (SELECT v, CAST(SUM(c) AS DECIMAL(12,0)) AS t
             FROM g GROUP BY v)
@@ -3507,7 +3517,8 @@ _A49_Z = (
     s AS (
       SELECT j.j2, ng.nn, ng.k_groups,
              CAST((ng.nn * ng.nn - ng.sn2) / 2 AS DECIMAL(38,0)) AS meanj2,
-             CAST(ng.nn * (ng.nn - 1) * (2 * ng.nn + 5)
+             CAST(CAST(ng.nn * (ng.nn - 1) AS DECIMAL(26,0))
+                  * CAST(2 * ng.nn + 5 AS DECIMAL(12,0))
                   - ng.sa_g - tv.sa_t AS DECIMAL(38,0)) AS va,
              ng.sb1, tv.sb2, ng.sc1, tv.sc2
       FROM j, ng, tv
@@ -3566,10 +3577,18 @@ def a49_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ng = n_g.agg(
         F.sum("n").cast("decimal(18,0)").alias("nn"),
         F.sum(F.col("n") * F.col("n")).cast("decimal(38,0)").alias("sn2"),
-        F.sum(F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5))
+        # stepwise-width casts mirror the oracle (30x-parity fix: a
+        # chained decimal multiply bound too narrow in DuckDB)
+        F.sum(
+            (F.col("n") * (F.col("n") - 1)).cast("decimal(26,0)")
+            * (2 * F.col("n") + 5).cast("decimal(12,0)")
+        )
         .cast("decimal(38,0)")
         .alias("sa_g"),
-        F.sum(F.col("n") * (F.col("n") - 1) * (F.col("n") - 2))
+        F.sum(
+            (F.col("n") * (F.col("n") - 1)).cast("decimal(26,0)")
+            * (F.col("n") - 2).cast("decimal(12,0)")
+        )
         .cast("decimal(38,0)")
         .alias("sb1"),
         F.sum(F.col("n") * (F.col("n") - 1))
@@ -3579,10 +3598,16 @@ def a49_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t_v = g.groupBy("v").agg(F.sum("c").cast("decimal(12,0)").alias("t"))
     tv = t_v.agg(
-        F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5))
+        F.sum(
+            (F.col("t") * (F.col("t") - 1)).cast("decimal(26,0)")
+            * (2 * F.col("t") + 5).cast("decimal(12,0)")
+        )
         .cast("decimal(38,0)")
         .alias("sa_t"),
-        F.sum(F.col("t") * (F.col("t") - 1) * (F.col("t") - 2))
+        F.sum(
+            (F.col("t") * (F.col("t") - 1)).cast("decimal(26,0)")
+            * (F.col("t") - 2).cast("decimal(12,0)")
+        )
         .cast("decimal(38,0)")
         .alias("sb2"),
         F.sum(F.col("t") * (F.col("t") - 1))
@@ -3598,7 +3623,8 @@ def a49_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(38,0)")
             .alias("meanj2"),
             (
-                F.col("nn") * (F.col("nn") - 1) * (2 * F.col("nn") + 5)
+                (F.col("nn") * (F.col("nn") - 1)).cast("decimal(26,0)")
+                * (2 * F.col("nn") + 5).cast("decimal(12,0)")
                 - F.col("sa_g")
                 - F.col("sa_t")
             )

@@ -208,6 +208,11 @@ PARITY_QUERIES = [
     # x151's height arithmetic rides the replicated doc_id domain
     "x151_jpeg_exif_audit",       # segment-walk fields vs doc_id arith
     "x152_audio_spectral_dedup",  # signature groups grow with factor
+    # round-10 late-wave float devices (z formulas / fold over sums
+    # whose integer pieces scale with row volume)
+    "a48_mann_whitney",           # doubled-U decimals, tie-corrected z
+    "a49_jonckheere_terpstra",    # grid-pair masses, HW tie variance
+    "m38_theta_method",           # OLS+SES fold over 30x-larger hourly sums
 ]
 
 
