@@ -1923,3 +1923,304 @@ def x152_audio_spectral_dedup(
             "is_canonical"
         ),
     )
+
+
+# --- x154: JPEG quantized-block pixel checksum (DQT-weighted, DCT-free) ----------------
+
+
+_X154_SCHEMA = (
+    "doc_id long, n_blocks long, last_block_fill long, dqt_sum long, "
+    "dequant_checksum long, quant_sum long"
+)
+
+
+@register(
+    "x154_jpeg_quantized_checksum",
+    # Pixel-CONTENT audit for the JPEG path (VERDICT r10 directive #6a;
+    # x151 covered headers only): re-parse the real byte stream, pull
+    # the actual DQT table out of the 0xFFDB segment and the entropy
+    # bytes out of the SOS..EOI scan, then fold the scan through the
+    # table exactly the way dequantization walks coefficient blocks —
+    # position p in its 64-sample block is weighted by table entry
+    # q[p % 64]. Two exact integer checksums: dequant (sum c*q, the
+    # multiply path) and quant (sum c // q, the divide path a real
+    # quantizer runs). The encoder wrote q[i] = (i*7) % 255 + 1 and
+    # entropy bytes = the text, so the oracle reconstructs both
+    # checksums from the source text with the x124 per-char unnest
+    # device — but the Spark side uses only PARSED bytes: a wrong
+    # segment length, a mis-sliced table, or an off-by-one block
+    # boundary breaks the hash match. dqt_sum = 7291 is the closed
+    # form sum of the spec table (sum_i (7i mod 255) + 64) — a parse
+    # integrity check, constant by construction.
+    oracle="""
+    WITH codes AS (
+      SELECT d.doc_id,
+             ascii(substr(d.text, CAST(u.pos AS INT), 1)) AS code,
+             ((((u.pos - 1) % 64) * 7) % 255) + 1 AS q
+      FROM documents d
+      JOIN (SELECT doc_id, unnest(range(1, n_chars + 1)) AS pos
+            FROM documents) u ON u.doc_id = d.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(FLOOR((d.n_chars + 63) / 64) AS BIGINT) AS n_blocks,
+           CAST(d.n_chars % 64 AS BIGINT) AS last_block_fill,
+           CAST(7291 AS BIGINT) AS dqt_sum,
+           CAST(COALESCE(SUM(c.code * c.q), 0) AS BIGINT)
+             AS dequant_checksum,
+           CAST(COALESCE(SUM(CAST(FLOOR(c.code / c.q) AS BIGINT)), 0)
+                AS BIGINT) AS quant_sum
+    FROM documents d LEFT JOIN codes c USING (doc_id)
+    GROUP BY d.doc_id, d.n_chars
+    """,
+    doc="x154: JPEG quantized-block checksum — the pixel-content "
+    "companion to x151's header audit (completing the PNG parallel: "
+    "x124 header+pixels, x151 header, x154 pixels). Parses the real "
+    "DQT segment and the SOS entropy scan back out of each encoded "
+    "stream and folds the scan through the parsed quantization table "
+    "in 64-sample blocks: dequant_checksum = sum(c * q[p mod 64]) and "
+    "quant_sum = sum(c div q[p mod 64]) — the multiply and the "
+    "integer-divide paths a real (de)quantizer runs per coefficient, "
+    "without needing the container-free DCT this corpus has no use "
+    "for. Scale: payloads never leave executor Arrow batches; output "
+    "is 6 fixed-width integers/doc; per-partition parallel, no "
+    "shuffle. Exactness: all-integer folds, FLOOR(c/q) exact in IEEE "
+    "for sub-2^53 operands. No reference analog — extension per brief "
+    "(multimodal round 5, VERDICT r10 directive #6a)",
+)
+def x154_jpeg_quantized_checksum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    jpegs = _jpeg_payloads(docs)
+
+    def audit(batches: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                assert b[:2] == b"\xff\xd8"
+                off = 2
+                dqt = None
+                entropy = b""
+                while off < len(b):
+                    assert b[off] == 0xFF
+                    marker = b[off + 1]
+                    if marker == 0xD9:
+                        break
+                    (seglen,) = struct.unpack(">H", b[off + 2 : off + 4])
+                    body = b[off + 4 : off + 2 + seglen]
+                    if marker == 0xDB:
+                        # precision (high nibble) 0 = 8-bit, table id 0
+                        assert body[0] == 0, body[0]
+                        dqt = body[1:65]
+                    off += 2 + seglen
+                    if marker == 0xDA:
+                        end = b.index(b"\xff\xd9", off)
+                        entropy = b[off:end]
+                        off = end
+                assert dqt is not None and len(dqt) == 64
+                deq = sum(c * dqt[p % 64] for p, c in enumerate(entropy))
+                qnt = sum(c // dqt[p % 64] for p, c in enumerate(entropy))
+                n = len(entropy)
+                rows.append(
+                    (int(doc_id), -(-n // 64), n % 64, sum(dqt), deq, qnt)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_blocks", "last_block_fill", "dqt_sum",
+                    "dequant_checksum", "quant_sum",
+                ],
+            )
+
+    return jpegs.mapInPandas(audit, _X154_SCHEMA)
+
+
+# --- x155: MPEG-audio frame-sync walk (header-rate geometry, real sync scan) -----------
+
+
+# MPEG-1 Layer III bitrate table, kbps, index 1..14 (0 = free, 15 = bad)
+_MP3_BITRATES = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_RATES = (44100, 48000, 32000)  # sample-rate index 0..2
+
+_X155_SCHEMA = (
+    "doc_id long, n_frames long, bitrate_kbps long, sample_rate long, "
+    "padded boolean, frame_len long, payload_sum long, total_bytes long"
+)
+
+
+def _mp3_payloads(docs: DataFrame) -> DataFrame:
+    """Deterministic MPEG-1 Layer III-framed byte stream per document:
+    every frame is a real 4-byte header (11-bit sync, version/layer
+    bits, bitrate index 1 + doc_id % 14, sample-rate index doc_id % 3,
+    padding bit doc_id % 2) followed by the standard
+    floor(144 * bitrate / sample_rate) + padding - 4 payload bytes of
+    text (zero-padded last frame; ASCII text has no 0xFF, so the sync
+    word cannot false-fire inside a payload). Pure stdlib."""
+
+    def build(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                data = text.encode("utf-8")
+                bidx = 1 + doc_id % 14
+                sidx = doc_id % 3
+                pad = doc_id % 2
+                flen = (
+                    144 * _MP3_BITRATES[bidx] * 1000 // _MP3_RATES[sidx]
+                    + pad
+                )
+                cap = flen - 4
+                header = bytes(
+                    (0xFF, 0xFB, (bidx << 4) | (sidx << 2) | (pad << 1),
+                     0xC0)
+                )
+                frames = []
+                for i in range(0, max(1, len(data)), cap) or [0]:
+                    chunk = data[i : i + cap]
+                    frames.append(header + chunk + bytes(cap - len(chunk)))
+                payloads.append(b"".join(frames))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+
+@register(
+    "x155_mpeg_framesync_walk",
+    # The container the WAV/RIFF family (x125/x148/x152) does NOT
+    # cover: self-framing streams with no directory — the reader must
+    # SCAN for 11-bit sync words and derive each frame's length from
+    # its own header (the MPEG audio / ADTS pattern). Every emitted
+    # field is a pure function of (doc_id, n_chars): bitrate index
+    # 1 + doc_id % 14 over the MPEG-1 Layer III table, sample rate by
+    # doc_id % 3 in {44100, 48000, 32000}, padding bit doc_id % 2,
+    # frame_len = floor(144 * kbps * 1000 / rate) + pad, n_frames =
+    # max(1, ceil(n_chars / (frame_len - 4))), payload_sum = the
+    # text's byte sum (zero pad adds nothing). The Spark side computes
+    # ALL of them from the parsed frames: a wrong table entry, a
+    # mis-computed frame length, or a sync miss breaks the hash match.
+    oracle="""
+    WITH geom AS (
+      SELECT doc_id, n_chars,
+             CASE 1 + doc_id % 14
+               WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+               WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+               WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+               WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+               WHEN 13 THEN 256 ELSE 320 END AS br,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+               ELSE 32000 END AS sr,
+             doc_id % 2 AS pad
+      FROM documents
+    ),
+    dims AS (
+      SELECT doc_id, n_chars, br, sr, pad,
+             CAST(FLOOR(144.0 * br * 1000 / sr) AS BIGINT) + pad
+               AS frame_len
+      FROM geom
+    ),
+    px AS (
+      SELECT d.doc_id,
+             CAST(SUM(ascii(substr(d.text, CAST(u.pos AS INT), 1)))
+                  AS BIGINT) AS byte_sum
+      FROM documents d
+      JOIN (SELECT doc_id, unnest(range(1, n_chars + 1)) AS pos
+            FROM documents) u ON u.doc_id = d.doc_id
+      GROUP BY d.doc_id
+    ),
+    n AS (
+      SELECT doc_id, br, sr, pad, frame_len,
+             GREATEST(1, CAST(FLOOR((n_chars + frame_len - 5)
+                                    / (frame_len - 4)) AS BIGINT))
+               AS n_frames
+      FROM dims
+    )
+    SELECT n.doc_id, n.n_frames,
+           CAST(n.br AS BIGINT) AS bitrate_kbps,
+           CAST(n.sr AS BIGINT) AS sample_rate,
+           n.pad = 1 AS padded,
+           n.frame_len,
+           COALESCE(px.byte_sum, 0) AS payload_sum,
+           n.n_frames * n.frame_len AS total_bytes
+    FROM n LEFT JOIN px USING (doc_id)
+    """,
+    doc="x155: MPEG-audio frame-sync walk — encode every document as a "
+    "deterministic MPEG-1 Layer III-framed stream (real 4-byte "
+    "headers: 11-bit sync, bitrate/sample-rate/padding fields), then "
+    "an independent parser SCANS for sync words and walks the stream "
+    "frame by frame, deriving each frame's length from its own header "
+    "via the standard floor(144 * bitrate / rate) + padding formula — "
+    "the self-framing container pattern (MP3/ADTS/MPEG-TS) that, "
+    "unlike RIFF/PNG, has no length directory to trust. Completes the "
+    "brief's container matrix: directory-framed (PNG x124/x139, RIFF "
+    "x125/x148/x152, GIF x138), segment-framed (JPEG x151/x154), and "
+    "now sync-framed. Scale: one pass per payload inside Arrow "
+    "batches, fixed-width metadata out, no shuffle. Exactness: "
+    "all-integer geometry; the only division is floor'd and exact in "
+    "IEEE for these magnitudes. No reference analog — extension per "
+    "brief (multimodal round 5, VERDICT r10 directive #6b)",
+)
+def x155_mpeg_framesync_walk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    streams = _mp3_payloads(docs)
+
+    def walk(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                off = 0
+                n_frames = 0
+                payload_sum = 0
+                br = sr = flen = pad = -1
+                while off < len(b):
+                    # sync scan: 11 set bits, then MPEG-1 (0b11),
+                    # Layer III (0b01), no-CRC bit
+                    assert b[off] == 0xFF and b[off + 1] == 0xFB
+                    bidx = b[off + 2] >> 4
+                    sidx = (b[off + 2] >> 2) & 0x3
+                    this_pad = (b[off + 2] >> 1) & 0x1
+                    assert 1 <= bidx <= 14 and sidx <= 2
+                    this_br = _MP3_BITRATES[bidx]
+                    this_sr = _MP3_RATES[sidx]
+                    this_flen = 144 * this_br * 1000 // this_sr + this_pad
+                    if n_frames == 0:
+                        br, sr, flen, pad = this_br, this_sr, this_flen, this_pad
+                    else:
+                        assert (this_br, this_sr, this_flen) == (br, sr, flen)
+                    payload_sum += sum(b[off + 4 : off + this_flen])
+                    off += this_flen
+                    n_frames += 1
+                assert off == len(b)
+                rows.append(
+                    (
+                        int(doc_id), n_frames, br, sr, pad == 1,
+                        flen, payload_sum, len(b),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "bitrate_kbps", "sample_rate",
+                    "padded", "frame_len", "payload_sum", "total_bytes",
+                ],
+            )
+
+    return streams.mapInPandas(walk, _X155_SCHEMA)

@@ -4695,3 +4695,108 @@ def m38_theta_method(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("a") + F.col("b") * (F.col("nd") + 1))
         ).alias("forecast_next"),
     )
+
+
+# --- M39 (ext.): damped-trend Holt smoothing (Gardner-McKenzie) ------------------
+
+_M39_PHI = 0.9
+
+
+@register(
+    "m39_damped_holt",
+    # m15's pair fold with Gardner-McKenzie damping: the trend is
+    # multiplied by phi at every step, so long-horizon forecasts
+    # flatten to the plateau level + trend * phi/(1-phi) instead of
+    # extrapolating a straight line off the end of the data — the
+    # robustness fix that made damped Holt the default in the M3/M4
+    # forecasting competitions. Engine-exactness is m15's argument
+    # verbatim: both engines run the IDENTICAL left fold over the
+    # identical h-ordered doubles (F.aggregate ≙ list_reduce, pair
+    # accumulator as a 2-array), and every float literal interpolates
+    # from the same Python constants — bit-identical, no rounding.
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 3600.0) AS BIGINT) AS h,
+             SUM(CAST(value AS DECIMAL(27,6))) AS hv
+      FROM events GROUP BY 1, 2
+    ),
+    ser AS (
+      SELECT event_type, list(CAST(hv AS DOUBLE) ORDER BY h) AS xs
+      FROM hourly GROUP BY 1
+    ),
+    fold AS (
+      SELECT event_type, len(xs) AS n_hours,
+             list_reduce(
+               list_prepend([xs[1], xs[2] - xs[1]],
+                            list_transform(xs[3:],
+                                           e -> [e, CAST(0.0 AS DOUBLE)])),
+               (acc, x) ->
+                 [{_M15_ALPHA} * x[1]
+                    + {1 - _M15_ALPHA} * (acc[1] + {_M39_PHI} * acc[2]),
+                  {_M15_BETA} * (({_M15_ALPHA} * x[1]
+                    + {1 - _M15_ALPHA} * (acc[1] + {_M39_PHI} * acc[2]))
+                    - acc[1])
+                    + {1 - _M15_BETA} * ({_M39_PHI} * acc[2])]) AS st
+      FROM ser WHERE len(xs) >= 2
+    )
+    SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+           st[1] AS level, st[2] AS trend,
+           st[1] + {_M39_PHI} * st[2] AS forecast_next,
+           -- CAST both operands: bare 0.9 / (1 - 0.9) is DECIMAL
+           -- arithmetic in DuckDB (exactly 9.0), but the Spark side's
+           -- Python constant is the double quotient 9.000000000000002
+           st[1] + st[2] * (CAST({_M39_PHI} AS DOUBLE)
+                            / (1 - CAST({_M39_PHI} AS DOUBLE)))
+             AS forecast_plateau
+    FROM fold
+    """,
+    doc=f"M39 (ext.): damped-trend Holt smoothing (Gardner-McKenzie; "
+    f"alpha={_M15_ALPHA}, beta={_M15_BETA}, phi={_M39_PHI}) of the "
+    "hourly demand series per event type — final level/damped-trend "
+    "state, the one-step forecast (level + phi*trend) and the "
+    "infinite-horizon plateau (level + trend*phi/(1-phi)), the number "
+    "a capacity planner actually wants where m15's linear trend "
+    "diverges. Completes the exponential-smoothing family: m15 Holt, "
+    "m17 Holt-Winters seasonal, m37 Croston intermittent, m38 Theta, "
+    "m39 damped. Engine-exact via the m15 pair-fold device (identical "
+    "left fold over identical doubles on both engines; zero rounding). "
+    "Scale: the fold runs on the calendar-bounded per-type series "
+    "after one map-combined hourly pre-agg — 8,760 points/year per "
+    "type no matter how many raw events feed it. No reference analog "
+    "— extension per brief",
+)
+def m39_damped_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_series(spark, sf_dir)
+    ser = hourly.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("h", F.col("hv").cast("double").alias("v"))
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("xs")
+    ).filter(F.size("xs") >= 2)
+    xs = F.col("xs")
+    init = F.array(xs[0], xs[1] - xs[0])
+    rest = F.slice(xs, 3, F.greatest(F.size(xs) - 2, F.lit(0)))
+    a, b, phi = _M15_ALPHA, _M15_BETA, _M39_PHI
+    st = F.aggregate(
+        rest,
+        init,
+        lambda acc, x: F.array(
+            a * x + (1 - a) * (acc[0] + phi * acc[1]),
+            b * ((a * x + (1 - a) * (acc[0] + phi * acc[1])) - acc[0])
+            + (1 - b) * (phi * acc[1]),
+        ),
+    )
+    return ser.select(
+        "event_type",
+        F.size("xs").cast("bigint").alias("n_hours"),
+        st[0].alias("level"),
+        st[1].alias("trend"),
+        (st[0] + phi * st[1]).alias("forecast_next"),
+        (st[0] + st[1] * F.lit(phi / (1 - phi))).alias("forecast_plateau"),
+    )

@@ -3324,9 +3324,11 @@ _A48_Z = (
     # 2-sample U with the exact tie-corrected normal approximation.
     # Scale: ONE map-combined aggregate to the value grid; the ordered
     # cumulative runs over 50 rows regardless of corpus size. Exactness:
-    # DECIMAL(14,0) cell counts keep every product inside DECIMAL(38,0)
-    # on both engines (cells <= 1e14 rows — beyond any real corpus);
-    # one shared 9-dp-rounded double at the very end (_A48_Z).
+    # DECIMAL(14,0) cell counts; the binding bound is the tie term,
+    # which CUBES t = c_o + c_f, so t^3 < 1e38 requires t <= ~4.6e12
+    # rows per grid cell (ADVICE r10 comment fix — still ~8x beyond the
+    # ~6e11-row 100 TB scale even if ALL rows landed in one cell); one
+    # shared 9-dp-rounded double at the very end (_A48_Z).
     oracle=f"""
     WITH g AS (
       SELECT CAST(l_quantity AS BIGINT) AS v,
@@ -3469,10 +3471,14 @@ _A49_Z = (
     # a47 tests trend in proportions, a49 trend in distributions.
     # Exactness: every piece is an exact integer in bounded decimals
     # (j2's cell products stay under DECIMAL(38,0) for cells <= 1e14
-    # rows); ONE shared 9-dp double formula (_A49_Z). The N^6-magnitude
-    # variance cross-terms are composed in DOUBLE inside that shared
-    # string from exact N^3-scale integer factors (sb1*sb2, sc1*sc2),
-    # so both engines run the identical IEEE expression.
+    # rows; the variance folds use (25,0)x(13,0) = DECIMAL(38,0)
+    # products, binding at n(n-1) < 1e25 i.e. ~3e12 total rows — clear
+    # of the ~6e11-row 100 TB scale with 5x headroom; ADVICE r10 fix
+    # for the former (12,0) linear term that bound at ~5e11); ONE
+    # shared 9-dp double formula (_A49_Z). The N^6-magnitude variance
+    # cross-terms are composed in DOUBLE inside that shared string from
+    # exact N^3-scale integer factors (sb1*sb2, sc1*sc2), so both
+    # engines run the identical IEEE expression.
     oracle=f"""
     WITH g AS (
       SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
@@ -3492,33 +3498,33 @@ _A49_Z = (
              CAST(SUM(n * n) AS DECIMAL(38,0)) AS sn2,
              -- stepwise-width casts: DuckDB's chained decimal multiply
              -- bound an int64 path that overflows at 30x replication
-             CAST(SUM(CAST(n * (n - 1) AS DECIMAL(26,0))
-                      * CAST(2 * n + 5 AS DECIMAL(12,0)))
+             CAST(SUM(CAST(n * (n - 1) AS DECIMAL(25,0))
+                      * CAST(2 * n + 5 AS DECIMAL(13,0)))
                   AS DECIMAL(38,0)) AS sa_g,
-             CAST(SUM(CAST(n * (n - 1) AS DECIMAL(26,0))
-                      * CAST(n - 2 AS DECIMAL(12,0)))
+             CAST(SUM(CAST(n * (n - 1) AS DECIMAL(25,0))
+                      * CAST(n - 2 AS DECIMAL(13,0)))
                   AS DECIMAL(38,0)) AS sb1,
              CAST(SUM(n * (n - 1)) AS DECIMAL(38,0)) AS sc1,
              CAST(COUNT(*) AS BIGINT) AS k_groups
-      FROM (SELECT yr, CAST(SUM(c) AS DECIMAL(12,0)) AS n
+      FROM (SELECT yr, CAST(SUM(c) AS DECIMAL(13,0)) AS n
             FROM g GROUP BY yr)
     ),
     tv AS (
-      SELECT CAST(SUM(CAST(t * (t - 1) AS DECIMAL(26,0))
-                      * CAST(2 * t + 5 AS DECIMAL(12,0)))
+      SELECT CAST(SUM(CAST(t * (t - 1) AS DECIMAL(25,0))
+                      * CAST(2 * t + 5 AS DECIMAL(13,0)))
                   AS DECIMAL(38,0)) AS sa_t,
-             CAST(SUM(CAST(t * (t - 1) AS DECIMAL(26,0))
-                      * CAST(t - 2 AS DECIMAL(12,0)))
+             CAST(SUM(CAST(t * (t - 1) AS DECIMAL(25,0))
+                      * CAST(t - 2 AS DECIMAL(13,0)))
                   AS DECIMAL(38,0)) AS sb2,
              CAST(SUM(t * (t - 1)) AS DECIMAL(38,0)) AS sc2
-      FROM (SELECT v, CAST(SUM(c) AS DECIMAL(12,0)) AS t
+      FROM (SELECT v, CAST(SUM(c) AS DECIMAL(13,0)) AS t
             FROM g GROUP BY v)
     ),
     s AS (
       SELECT j.j2, ng.nn, ng.k_groups,
              CAST((ng.nn * ng.nn - ng.sn2) / 2 AS DECIMAL(38,0)) AS meanj2,
-             CAST(CAST(ng.nn * (ng.nn - 1) AS DECIMAL(26,0))
-                  * CAST(2 * ng.nn + 5 AS DECIMAL(12,0))
+             CAST(CAST(ng.nn * (ng.nn - 1) AS DECIMAL(25,0))
+                  * CAST(2 * ng.nn + 5 AS DECIMAL(13,0))
                   - ng.sa_g - tv.sa_t AS DECIMAL(38,0)) AS va,
              ng.sb1, tv.sb2, ng.sc1, tv.sc2
       FROM j, ng, tv
@@ -3573,21 +3579,21 @@ def a49_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("j2")
         )
     )
-    n_g = g.groupBy("yr").agg(F.sum("c").cast("decimal(12,0)").alias("n"))
+    n_g = g.groupBy("yr").agg(F.sum("c").cast("decimal(13,0)").alias("n"))
     ng = n_g.agg(
         F.sum("n").cast("decimal(18,0)").alias("nn"),
         F.sum(F.col("n") * F.col("n")).cast("decimal(38,0)").alias("sn2"),
         # stepwise-width casts mirror the oracle (30x-parity fix: a
         # chained decimal multiply bound too narrow in DuckDB)
         F.sum(
-            (F.col("n") * (F.col("n") - 1)).cast("decimal(26,0)")
-            * (2 * F.col("n") + 5).cast("decimal(12,0)")
+            (F.col("n") * (F.col("n") - 1)).cast("decimal(25,0)")
+            * (2 * F.col("n") + 5).cast("decimal(13,0)")
         )
         .cast("decimal(38,0)")
         .alias("sa_g"),
         F.sum(
-            (F.col("n") * (F.col("n") - 1)).cast("decimal(26,0)")
-            * (F.col("n") - 2).cast("decimal(12,0)")
+            (F.col("n") * (F.col("n") - 1)).cast("decimal(25,0)")
+            * (F.col("n") - 2).cast("decimal(13,0)")
         )
         .cast("decimal(38,0)")
         .alias("sb1"),
@@ -3596,17 +3602,17 @@ def a49_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sc1"),
         F.count("*").cast("bigint").alias("k_groups"),
     )
-    t_v = g.groupBy("v").agg(F.sum("c").cast("decimal(12,0)").alias("t"))
+    t_v = g.groupBy("v").agg(F.sum("c").cast("decimal(13,0)").alias("t"))
     tv = t_v.agg(
         F.sum(
-            (F.col("t") * (F.col("t") - 1)).cast("decimal(26,0)")
-            * (2 * F.col("t") + 5).cast("decimal(12,0)")
+            (F.col("t") * (F.col("t") - 1)).cast("decimal(25,0)")
+            * (2 * F.col("t") + 5).cast("decimal(13,0)")
         )
         .cast("decimal(38,0)")
         .alias("sa_t"),
         F.sum(
-            (F.col("t") * (F.col("t") - 1)).cast("decimal(26,0)")
-            * (F.col("t") - 2).cast("decimal(12,0)")
+            (F.col("t") * (F.col("t") - 1)).cast("decimal(25,0)")
+            * (F.col("t") - 2).cast("decimal(13,0)")
         )
         .cast("decimal(38,0)")
         .alias("sb2"),
@@ -3623,8 +3629,8 @@ def a49_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("decimal(38,0)")
             .alias("meanj2"),
             (
-                (F.col("nn") * (F.col("nn") - 1)).cast("decimal(26,0)")
-                * (2 * F.col("nn") + 5).cast("decimal(12,0)")
+                (F.col("nn") * (F.col("nn") - 1)).cast("decimal(25,0)")
+                * (2 * F.col("nn") + 5).cast("decimal(13,0)")
                 - F.col("sa_g")
                 - F.col("sa_t")
             )
@@ -3640,3 +3646,146 @@ def a49_jonckheere_terpstra(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meanj2").cast("bigint").alias("meanj2"),
         F.expr(_A49_Z).alias("z_stat"),
     )
+
+
+# --- a50 (ext.): Cliff's delta ordinal effect size (value-domain grid device) ----------
+
+# Shared verbatim between F.expr and the SQL oracle: the raw IEEE
+# quotient of exact integer pair counts (NO rounding — a ratio of exact
+# integers is computed identically by both engines' correctly-rounded
+# double division, and skipping ROUND sidesteps the 6-dp-midpoint trap
+# x153 hit), plus the Romano et al. (2006) magnitude bands on that
+# identical double.
+_A50_DELTA = (
+    "CAST(gt_pairs - lt_pairs AS DOUBLE)"
+    " / (CAST(n_o AS DOUBLE) * CAST(n_f AS DOUBLE))"
+)
+_A50_MAG = (
+    "CASE WHEN ABS(cliffs_delta) < 0.147 THEN 'negligible'"
+    " WHEN ABS(cliffs_delta) < 0.33 THEN 'small'"
+    " WHEN ABS(cliffs_delta) < 0.474 THEN 'medium'"
+    " ELSE 'large' END"
+)
+
+
+@register(
+    "a50_cliffs_delta",
+    # The EFFECT SIZE companion to a48's significance test: delta =
+    # (#{o > f} - #{o < f}) / (n_o * n_f), the probability a random
+    # open-order quantity exceeds a random finished one minus the
+    # reverse. Same zero-pairwise-work device: the ~50-cell quantity
+    # grid gives gt = sum_v c_o(v) * cumF(< v) from one 50-row ordered
+    # cumulative, tied = sum c_o * c_f, lt = n_o*n_f - gt - tied.
+    # Exactness: all-integer pair counts in bounded decimals; delta is
+    # the RAW IEEE quotient (shared string _A50_DELTA, no rounding) and
+    # the magnitude label a CASE on that identical double (_A50_MAG).
+    # Pair counts are inherently quadratic: BIGINT output columns bound
+    # each sample at ~3e9 rows (gt <= n_o*n_f < 2^63); delta itself is
+    # scale-free. Beyond that, keep the decimals and drop the BIGINT
+    # casts — stated per the a49 overflow-claim lesson (ADVICE r10).
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                  AS DECIMAL(14,0)) AS c_o,
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                  AS DECIMAL(14,0)) AS c_f
+      FROM lineitem
+      WHERE l_linestatus IN ('O', 'F')
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT v, c_o, c_f,
+             CAST(COALESCE(SUM(c_f) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DECIMAL(16,0)) AS cum_f
+      FROM g
+    ),
+    s AS (
+      SELECT CAST(SUM(c_o) AS DECIMAL(18,0)) AS no,
+             CAST(SUM(c_f) AS DECIMAL(18,0)) AS nf,
+             CAST(SUM(c_o * cum_f) AS DECIMAL(38,0)) AS gt,
+             CAST(SUM(c_o * c_f) AS DECIMAL(38,0)) AS tied
+      FROM c
+    ),
+    p AS (
+      SELECT CAST(no AS BIGINT) AS n_o,
+             CAST(nf AS BIGINT) AS n_f,
+             CAST(gt AS BIGINT) AS gt_pairs,
+             CAST(no * nf - gt - tied AS BIGINT) AS lt_pairs,
+             CAST(tied AS BIGINT) AS tied_pairs
+      FROM s
+    ),
+    d AS (
+      SELECT n_o, n_f, gt_pairs, lt_pairs, tied_pairs,
+             {_A50_DELTA} AS cliffs_delta
+      FROM p
+    )
+    SELECT n_o, n_f, gt_pairs, lt_pairs, tied_pairs, cliffs_delta,
+           {_A50_MAG} AS magnitude
+    FROM d
+    """,
+    doc="a50 (ext.): Cliff's delta — the ordinal effect size for a48's "
+    "open-vs-finished quantity comparison (a z-stat says 'different'; "
+    "delta says HOW different on a scale-free [-1, 1] with the "
+    "standard negligible/small/medium/large bands). Computed entirely "
+    "on the ~50-cell value-domain grid: one map-combined aggregate, "
+    "one 50-row cumulative, zero pairwise work — identical plan at "
+    "100 TB. Shares the grid with a48/t35, so the streaming twin t37 "
+    "gets the effect size from the same incrementally-maintained "
+    "state. No reference analog — extension per brief; completes the "
+    "two-sample family: a48 significance + a50 magnitude",
+)
+def a50_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linestatus").isin("O", "F"))
+        .select(
+            F.col("l_quantity").cast("bigint").alias("v"),
+            "l_linestatus",
+        )
+    )
+    g = li.groupBy("v").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0))
+        .cast("decimal(14,0)")
+        .alias("c_o"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+        .cast("decimal(14,0)")
+        .alias("c_f"),
+    )
+    return cliffs_delta_from_grid(g)
+
+
+def cliffs_delta_from_grid(grid: DataFrame) -> DataFrame:
+    """a50's finalize from the (v, c_o, c_f) quantity grid — shared with
+    t37's streaming twin (same mergeable-grid argument as a48/t35)."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    c = grid.select(
+        "v", "c_o", "c_f",
+        F.coalesce(F.sum("c_f").over(w), F.lit(0))
+        .cast("decimal(16,0)")
+        .alias("cum_f"),
+    )
+    s = c.agg(
+        F.sum("c_o").cast("decimal(18,0)").alias("no"),
+        F.sum("c_f").cast("decimal(18,0)").alias("nf"),
+        F.sum(F.col("c_o") * F.col("cum_f"))
+        .cast("decimal(38,0)")
+        .alias("gt"),
+        F.sum(F.col("c_o") * F.col("c_f"))
+        .cast("decimal(38,0)")
+        .alias("tied"),
+    )
+    p = s.select(
+        F.col("no").cast("bigint").alias("n_o"),
+        F.col("nf").cast("bigint").alias("n_f"),
+        F.col("gt").cast("bigint").alias("gt_pairs"),
+        (F.col("no") * F.col("nf") - F.col("gt") - F.col("tied"))
+        .cast("bigint")
+        .alias("lt_pairs"),
+        F.col("tied").cast("bigint").alias("tied_pairs"),
+    )
+    d = p.withColumn("cliffs_delta", F.expr(_A50_DELTA))
+    return d.withColumn("magnitude", F.expr(_A50_MAG))

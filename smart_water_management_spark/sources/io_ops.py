@@ -1204,7 +1204,7 @@ def s25_manifest_commit_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     via_listing = spark.read.parquet(data_dir)
 
-    def checksum(df: DataFrame, mode: str, ok_expected: DataFrame):
+    def checksum(df: DataFrame, mode: str):
         return df.agg(
             F.lit(mode).alias("read_mode"),
             F.count("*").cast("bigint").alias("n_rows"),
@@ -1214,10 +1214,10 @@ def s25_manifest_commit_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     src_n = o.count()
-    man = checksum(via_manifest, "manifest", o).withColumn(
+    man = checksum(via_manifest, "manifest").withColumn(
         "matches_source", F.col("n_rows") == F.lit(src_n)
     )
-    lst = checksum(via_listing, "listing", o).withColumn(
+    lst = checksum(via_listing, "listing").withColumn(
         "matches_source", F.col("n_rows") == F.lit(src_n)
     )
     return man.unionByName(lst).orderBy("read_mode")

@@ -2926,3 +2926,37 @@ def t36_streaming_interval_coalesce(
         .cast("bigint")
         .alias("longest_span_sec"),
     )
+
+
+# --- t37: streaming Cliff's-delta effect-size monitor ------------------------------------
+
+
+def _a50_oracle() -> str:
+    # aggregations imports before streaming.jobs (package __init__ order),
+    # so a50's oracle is present at this module's registration time.
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["a50_cliffs_delta"].oracle
+
+
+@register(
+    "t37_streaming_cliffs_delta",
+    # Equals batch a50 bit-for-bit: REUSES t35's incrementally-merged
+    # quantity grid (one state maintainer, two monitors) and a50's
+    # finalize helper — a50's oracle certifies the monitor.
+    oracle=_a50_oracle(),
+    doc="T37: streaming Cliff's-delta monitor — a50's ordinal effect "
+    "size recomputed from the SAME incrementally-maintained quantity "
+    "grid t35 keeps for the Mann-Whitney z (one mergeable ~50-cell "
+    "state, two alarms: t35 says the distributions diverged, t37 says "
+    "by how much — significance drifts with volume, the effect size "
+    "doesn't, so paging on delta's magnitude band beats paging on z "
+    "at 100 TB traffic). Certified by sharing cliffs_delta_from_grid "
+    "and a50's oracle; 4-batch merge test in tests/test_streaming.py",
+)
+def t37_streaming_cliffs_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.aggregations import cliffs_delta_from_grid
+
+    return cliffs_delta_from_grid(quantity_grid_stream(spark, sf_dir))

@@ -911,3 +911,31 @@ def test_streaming_interval_coalesce_multi_batch_equals_batch_j17(spark):
             w.covered_sec,
             w.longest_span_sec,
         ), uid
+
+
+def test_streaming_cliffs_delta_multi_batch_equals_batch_a50(spark):
+    """t37 under real incrementality: lineitem split into 4 parquet
+    files (4 micro-batches); the merged quantity grid must reproduce
+    a50's batch pair counts, raw-IEEE delta and magnitude band
+    exactly."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        li.repartition(4).write.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        )
+        (got,) = jobs.t37_streaming_cliffs_delta(spark, sf_dir).collect()
+    (want,) = _REGISTRY["a50_cliffs_delta"].fn(spark, SF_DIR).collect()
+    assert (
+        got.n_o, got.n_f, got.gt_pairs, got.lt_pairs, got.tied_pairs,
+        got.cliffs_delta, got.magnitude,
+    ) == (
+        want.n_o, want.n_f, want.gt_pairs, want.lt_pairs,
+        want.tied_pairs, want.cliffs_delta, want.magnitude,
+    )
