@@ -3789,3 +3789,475 @@ def cliffs_delta_from_grid(grid: DataFrame) -> DataFrame:
     )
     d = p.withColumn("cliffs_delta", F.expr(_A50_DELTA))
     return d.withColumn("magnitude", F.expr(_A50_MAG))
+
+
+# --- a51 (ext.): Goodman-Kruskal gamma / Somers' D / tau-c (contingency grid) ----------
+
+# Shared verbatim between F.expr and the SQL oracle (a47's one-formula
+# device): each association measure is a ratio of exact integer pair
+# counts, all float ops in one fixed order, ROUND(,9).
+_A51_GAMMA = (
+    "ROUND(CAST(c_pairs - d_pairs AS DOUBLE)"
+    " / (CAST(c_pairs AS DOUBLE) + CAST(d_pairs AS DOUBLE)), 9)"
+)
+_A51_SOMERS = (
+    "ROUND(CAST(c_pairs - d_pairs AS DOUBLE)"
+    " / (CAST(c_pairs AS DOUBLE) + CAST(d_pairs AS DOUBLE)"
+    "    + CAST(tied_v_only2 AS DOUBLE) / 2), 9)"
+)
+_A51_TAUC = (
+    "ROUND(2.0 * m_min * CAST(c_pairs - d_pairs AS DOUBLE)"
+    " / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)"
+    "    * (m_min - 1.0)), 9)"
+)
+
+
+@register(
+    "a51_gamma_somers_tauc",
+    # HOW ORDERED is the (ship year, quantity) association? a42's
+    # Kendall tau-b normalizes by both tie margins; the three classic
+    # ordinal companions differ only in how ties enter the denominator
+    # (gamma drops all ties, Somers' D charges ties on the dependent
+    # side only, tau-c corrects for the rectangular table). All three
+    # come from the SAME exact integer pieces, so one operator emits
+    # the family. ZERO pairwise row work — a49's grid device: the fact
+    # table collapses to the ~350-cell (year x quantity) grid, C/D are
+    # one broadcast grid self-join over ordered year pairs, and the tie
+    # margins are integer folds of the marginals. Exactness: cell
+    # products DECIMAL(14,0)x(14,0) inside DECIMAL(38,0) sums (exact
+    # for cells <= 1e14 rows); pair counts surface as BIGINT, binding
+    # at ~4e9 total rows (C <= N^2/2 < 2^63) — beyond that keep the
+    # internal decimals and drop the output casts (a50's stated
+    # trade-off); the three ratios are shared-string doubles.
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr,
+             CAST(l_quantity AS BIGINT) AS v,
+             CAST(COUNT(*) AS DECIMAL(14,0)) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    cd AS (
+      SELECT CAST(SUM(a.c * b.c * (CASE WHEN a.v < b.v THEN 1 ELSE 0 END))
+                  AS DECIMAL(38,0)) AS cp,
+             CAST(SUM(a.c * b.c * (CASE WHEN a.v > b.v THEN 1 ELSE 0 END))
+                  AS DECIMAL(38,0)) AS dp
+      FROM g a JOIN g b ON a.yr < b.yr
+    ),
+    mv AS (
+      SELECT CAST(SUM(t) AS DECIMAL(18,0)) AS nn,
+             CAST(COUNT(*) AS BIGINT) AS n_values,
+             CAST(SUM(t * (t - 1)) AS DECIMAL(38,0)) AS tv2
+      FROM (SELECT v, CAST(SUM(c) AS DECIMAL(14,0)) AS t FROM g GROUP BY v)
+    ),
+    my AS (
+      SELECT CAST(COUNT(DISTINCT yr) AS BIGINT) AS n_years FROM g
+    ),
+    mb AS (
+      SELECT CAST(SUM(c * (c - 1)) AS DECIMAL(38,0)) AS tb2 FROM g
+    ),
+    s AS (
+      SELECT CAST(nn AS BIGINT) AS n_rows, n_years, n_values,
+             CAST(cp AS BIGINT) AS c_pairs,
+             CAST(dp AS BIGINT) AS d_pairs,
+             CAST(tv2 - tb2 AS BIGINT) AS tied_v_only2,
+             CAST(LEAST(n_years, n_values) AS BIGINT) AS m_min
+      FROM cd, mv, my, mb
+    )
+    SELECT n_rows, n_years, n_values, c_pairs, d_pairs, tied_v_only2,
+           m_min,
+           {_A51_GAMMA} AS gamma,
+           {_A51_SOMERS} AS somers_d,
+           {_A51_TAUC} AS tau_c
+    FROM s
+    """,
+    doc="a51 (ext.): Goodman-Kruskal gamma, Somers' D(quantity|year), "
+    "and Stuart-Kendall tau-c — the three classic ordinal-association "
+    "companions to a42's tau-b, differing only in tie handling, all "
+    "emitted from ONE set of exact integer pair counts on the "
+    "~350-cell (year x quantity) grid: a49's broadcast grid self-join "
+    "for concordant/discordant, marginal integer folds for the tie "
+    "terms. Corpus-size-independent after the 350-key shuffle — "
+    "identical plan at 100 TB. No reference analog — extension per "
+    "brief; exact integer pieces + three shared-string doubles",
+)
+def a51_gamma_somers_tauc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").cast("bigint").alias("yr"),
+        F.col("l_quantity").cast("bigint").alias("v"),
+    )
+    g = li.groupBy("yr", "v").agg(
+        F.count("*").cast("decimal(14,0)").alias("c")
+    )
+    a = g.select(
+        F.col("yr").alias("ayr"), F.col("v").alias("av"),
+        F.col("c").alias("ac"),
+    )
+    b = g.select(
+        F.col("yr").alias("byr"), F.col("v").alias("bv"),
+        F.col("c").alias("bc"),
+    )
+    cd = a.join(F.broadcast(b), F.col("ayr") < F.col("byr")).agg(
+        F.sum(
+            F.col("ac") * F.col("bc")
+            * F.when(F.col("av") < F.col("bv"), 1).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("cp"),
+        F.sum(
+            F.col("ac") * F.col("bc")
+            * F.when(F.col("av") > F.col("bv"), 1).otherwise(0)
+        )
+        .cast("decimal(38,0)")
+        .alias("dp"),
+    )
+    mv = (
+        g.groupBy("v")
+        .agg(F.sum("c").cast("decimal(14,0)").alias("t"))
+        .agg(
+            F.sum("t").cast("decimal(18,0)").alias("nn"),
+            F.count("*").cast("bigint").alias("n_values"),
+            F.sum(F.col("t") * (F.col("t") - 1))
+            .cast("decimal(38,0)")
+            .alias("tv2"),
+        )
+    )
+    my = g.agg(F.countDistinct("yr").cast("bigint").alias("n_years"))
+    mb = g.agg(
+        F.sum(F.col("c") * (F.col("c") - 1))
+        .cast("decimal(38,0)")
+        .alias("tb2")
+    )
+    s = (
+        cd.crossJoin(F.broadcast(mv))
+        .crossJoin(F.broadcast(my))
+        .crossJoin(F.broadcast(mb))
+        .select(
+            F.col("nn").cast("bigint").alias("n_rows"),
+            "n_years", "n_values",
+            F.col("cp").cast("bigint").alias("c_pairs"),
+            F.col("dp").cast("bigint").alias("d_pairs"),
+            (F.col("tv2") - F.col("tb2"))
+            .cast("bigint")
+            .alias("tied_v_only2"),
+            F.least("n_years", "n_values").cast("bigint").alias("m_min"),
+        )
+    )
+    return s.select(
+        "n_rows", "n_years", "n_values", "c_pairs", "d_pairs",
+        "tied_v_only2", "m_min",
+        F.expr(_A51_GAMMA).alias("gamma"),
+        F.expr(_A51_SOMERS).alias("somers_d"),
+        F.expr(_A51_TAUC).alias("tau_c"),
+    )
+
+
+# --- a52 (ext.): Mood's median test (bounded value-domain grid) ------------------------
+
+# One shared chi-square string (a47's device): exact BIGINT pieces,
+# per-group rational terms folded in fixed A/N/R order (a44's device),
+# ROUND(,9).
+_A52_CHI2 = (
+    "ROUND(CAST(n_rows AS DOUBLE) * (CAST(n_rows AS DOUBLE)"
+    " * ((CAST(a_a AS DOUBLE) * CAST(a_a AS DOUBLE) / CAST(n_a AS DOUBLE)"
+    "     + CAST(a_n AS DOUBLE) * CAST(a_n AS DOUBLE) / CAST(n_n AS DOUBLE))"
+    "    + CAST(a_r AS DOUBLE) * CAST(a_r AS DOUBLE) / CAST(n_r AS DOUBLE))"
+    " - CAST(above_total AS DOUBLE) * CAST(above_total AS DOUBLE))"
+    " / (CAST(above_total AS DOUBLE)"
+    "    * (CAST(n_rows AS DOUBLE) - CAST(above_total AS DOUBLE))), 9)"
+)
+
+
+@register(
+    "a52_mood_median_test",
+    # Do the three return-flag classes share a common MEDIAN quantity?
+    # Mood's test dichotomizes at the grand median and runs the 2xk
+    # chi-square — less powerful than a44's Kruskal-Wallis but robust
+    # to any shape difference except location, the classic quick
+    # screen. Sort-free: the grand lower median is MIN(v) with
+    # 2*cum(<=v) >= N on the 50-row value grid, the above-median
+    # counts are one conditional fold of the same 150-cell grid, and
+    # the chi-square is a47's N-scaled exact-integer form (every count
+    # BIGINT; per-group terms fold in fixed A/N/R order inside ONE
+    # shared double string). Scale: one map-combined 150-cell
+    # aggregate is the only shuffle — identical at 100 TB.
+    oracle=f"""
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag AS g,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    vals AS (SELECT v, SUM(c) AS cv FROM cells GROUP BY v),
+    tot AS (SELECT CAST(SUM(cv) AS BIGINT) AS n FROM vals),
+    cum AS (
+      SELECT v, SUM(cv) OVER (ORDER BY v
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle
+      FROM vals
+    ),
+    med AS (
+      SELECT CAST(MIN(v) AS BIGINT) AS median_v
+      FROM cum, tot WHERE 2 * cle >= n
+    ),
+    grp AS (
+      SELECT median_v,
+        CAST(SUM(CASE WHEN g = 'A' THEN c ELSE 0 END) AS BIGINT) AS n_a,
+        CAST(SUM(CASE WHEN g = 'N' THEN c ELSE 0 END) AS BIGINT) AS n_n,
+        CAST(SUM(CASE WHEN g = 'R' THEN c ELSE 0 END) AS BIGINT) AS n_r,
+        CAST(SUM(CASE WHEN g = 'A' AND v > median_v THEN c ELSE 0 END)
+             AS BIGINT) AS a_a,
+        CAST(SUM(CASE WHEN g = 'N' AND v > median_v THEN c ELSE 0 END)
+             AS BIGINT) AS a_n,
+        CAST(SUM(CASE WHEN g = 'R' AND v > median_v THEN c ELSE 0 END)
+             AS BIGINT) AS a_r
+      FROM cells, med GROUP BY median_v
+    ),
+    s AS (
+      SELECT median_v, n_a, n_n, n_r, a_a, a_n, a_r,
+             n_a + n_n + n_r AS n_rows,
+             a_a + a_n + a_r AS above_total
+      FROM grp
+    )
+    SELECT n_rows, median_v, n_a, n_n, n_r, a_a, a_n, a_r, above_total,
+           {_A52_CHI2} AS chi2_stat
+    FROM s
+    """,
+    doc="a52 (ext.): Mood's median test — do return-flag classes share "
+    "a common median quantity? Dichotomize at the grand median "
+    "(sort-free: MIN(v) with 2*cum <= N on the 50-row value grid) and "
+    "chi-square the 2x3 above/below table with a47's N-scaled "
+    "exact-integer device, per-group terms folded in fixed A/N/R "
+    "order (a44). The robust-but-blunt companion to a44's "
+    "Kruskal-Wallis: KW ranks everything, Mood's only asks which side "
+    "of the median each row falls on. One 150-cell aggregate is the "
+    "only shuffle — identical plan at 100 TB. No reference analog — "
+    "extension per brief",
+)
+def a52_mood_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_quantity").cast("bigint").alias("v"),
+            F.col("l_returnflag").alias("g"),
+        )
+        .groupBy("v", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    vals = cells.groupBy("v").agg(F.sum("c").alias("cv"))
+    tot = vals.agg(F.sum("cv").cast("bigint").alias("n"))
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = vals.select("v", F.sum("cv").over(w).alias("cle"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("cle") >= F.col("n"))
+        .agg(F.min("v").cast("bigint").alias("median_v"))
+    )
+
+    def _cnt(flag, above):
+        cond = F.col("g") == flag
+        if above:
+            cond = cond & (F.col("v") > F.col("median_v"))
+        return F.sum(F.when(cond, F.col("c")).otherwise(0)).cast("bigint")
+
+    grp = (
+        cells.crossJoin(F.broadcast(med))
+        .groupBy("median_v")
+        .agg(
+            _cnt("A", False).alias("n_a"),
+            _cnt("N", False).alias("n_n"),
+            _cnt("R", False).alias("n_r"),
+            _cnt("A", True).alias("a_a"),
+            _cnt("N", True).alias("a_n"),
+            _cnt("R", True).alias("a_r"),
+        )
+    )
+    s = grp.select(
+        "median_v", "n_a", "n_n", "n_r", "a_a", "a_n", "a_r",
+        (F.col("n_a") + F.col("n_n") + F.col("n_r")).alias("n_rows"),
+        (F.col("a_a") + F.col("a_n") + F.col("a_r")).alias("above_total"),
+    )
+    return s.select(
+        "n_rows", "median_v", "n_a", "n_n", "n_r", "a_a", "a_n", "a_r",
+        "above_total",
+        F.expr(_A52_CHI2).alias("chi2_stat"),
+    )
+
+
+# --- a53 (ext.): Ansari-Bradley dispersion test (value-domain grid device) -------------
+
+# One shared z string (a47's device): exact integer pieces (num is the
+# N-scaled centered statistic, st/st2 the score marginals), the
+# N^4-magnitude variance composed in DOUBLE inside this string from
+# exact N^3-scale integers (a49's device), ROUND(,9).
+_A53_Z = (
+    "ROUND(CAST(num AS DOUBLE)"
+    " / (CAST(n_rows AS DOUBLE)"
+    "    * SQRT(CAST(n_o AS DOUBLE) * CAST(n_f AS DOUBLE)"
+    "           * (CAST(n_rows AS DOUBLE) * CAST(st2 AS DOUBLE)"
+    "              - CAST(st AS DOUBLE) * CAST(st AS DOUBLE))"
+    "           / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)"
+    "              * (CAST(n_rows AS DOUBLE) - 1)))), 9)"
+)
+
+
+@register(
+    "a53_ansari_bradley",
+    # Do open vs finished line items differ in quantity DISPERSION?
+    # a48's U test detects location shift; Ansari-Bradley is its
+    # scale-alternative sibling: score each observation by closeness
+    # to the extremes, min(rank, N+1-rank), and compare score sums.
+    # Zero pairwise work — a48's value-domain grid device: doubled
+    # midranks dr = 2*cum(<v) + t + 1 and doubled scores
+    # ds = min(dr, 2(N+1)-dr) are exact integers per 50-row grid cell;
+    # AB2 = sum c_o*ds, and the tie-conditional normal z uses the
+    # score marginals st = sum t*ds, st2 = sum t*ds^2 (Hollander-Wolfe
+    # conditional form, valid for ANY tie pattern). Exactness: st2's
+    # cube-magnitude fold uses a49's stepwise-width casts
+    # ((25,0)x(13,0) products), binding at ds < 1e13 i.e. ~5e12 rows;
+    # num = N*AB2 - n_o*st binds at N^2 < 1e24 i.e. ~1e12 rows — both
+    # clear of the ~6e11-row 100 TB scale; ab2 surfaces as BIGINT
+    # (binds ~4e9 rows; keep the decimal beyond, a50's trade-off).
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                  AS DECIMAL(14,0)) AS c_o,
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                  AS DECIMAL(14,0)) AS c_f
+      FROM lineitem
+      WHERE l_linestatus IN ('O', 'F')
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT v, c_o, c_f, c_o + c_f AS t,
+             CAST(COALESCE(SUM(c_o + c_f) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DECIMAL(16,0)) AS cum_lt
+      FROM g
+    ),
+    nn AS (
+      SELECT CAST(SUM(t) AS DECIMAL(14,0)) AS n FROM c
+    ),
+    ds AS (
+      SELECT c_o, c_f, t,
+             CAST(LEAST(2 * cum_lt + t + 1,
+                        2 * (n + 1) - (2 * cum_lt + t + 1))
+                  AS DECIMAL(13,0)) AS ds_v
+      FROM c, nn
+    ),
+    s AS (
+      SELECT CAST(SUM(c_o) AS DECIMAL(14,0)) AS no,
+             CAST(SUM(c_f) AS DECIMAL(14,0)) AS nf,
+             CAST(SUM(c_o * ds_v) AS DECIMAL(24,0)) AS ab2,
+             CAST(SUM(t * ds_v) AS DECIMAL(25,0)) AS st,
+             CAST(SUM(CAST(t * ds_v AS DECIMAL(25,0))
+                      * CAST(ds_v AS DECIMAL(13,0)))
+                  AS DECIMAL(38,0)) AS st2
+      FROM ds
+    ),
+    p AS (
+      SELECT CAST(no + nf AS BIGINT) AS n_rows,
+             CAST(no AS BIGINT) AS n_o,
+             CAST(nf AS BIGINT) AS n_f,
+             CAST(ab2 AS BIGINT) AS ab2_stat,
+             CAST(CAST(no + nf AS DECIMAL(14,0))
+                  * CAST(ab2 AS DECIMAL(24,0))
+                  - CAST(no AS DECIMAL(13,0))
+                    * CAST(st AS DECIMAL(25,0))
+                  AS DECIMAL(38,0)) AS num,
+             st, st2
+      FROM s
+    )
+    SELECT n_rows, n_o, n_f, ab2_stat,
+           {_A53_Z} AS z_stat
+    FROM p
+    """,
+    doc="a53 (ext.): Ansari-Bradley test — do open vs finished line "
+    "items differ in quantity SPREAD? The scale-alternative sibling "
+    "of a48's Mann-Whitney (location): extremeness scores "
+    "min(rank, N+1-rank) from doubled midranks on the 50-cell "
+    "value-domain grid, tie-conditional normal variance from the "
+    "score marginals — zero pairwise work, one map-combined "
+    "aggregate, the cumulative runs over 50 rows regardless of "
+    "corpus size. Completes the two-sample family: a48 location "
+    "significance, a50 location magnitude, a53 dispersion. Shares "
+    "the (v, c_o, c_f) grid with a48/a50/t35/t37, so the streaming "
+    "twin t38 reuses the same incrementally-maintained state. No "
+    "reference analog — extension per brief",
+)
+def a53_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linestatus").isin("O", "F"))
+        .select(
+            F.col("l_quantity").cast("bigint").alias("v"),
+            "l_linestatus",
+        )
+    )
+    g = li.groupBy("v").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0))
+        .cast("decimal(14,0)")
+        .alias("c_o"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+        .cast("decimal(14,0)")
+        .alias("c_f"),
+    )
+    return ansari_bradley_from_grid(g)
+
+
+def ansari_bradley_from_grid(grid: DataFrame) -> DataFrame:
+    """a53's finalize from the (v, c_o, c_f) quantity grid — shared with
+    t38's streaming twin (same mergeable-grid argument as a48/a50)."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    c = grid.select(
+        "v", "c_o", "c_f",
+        (F.col("c_o") + F.col("c_f")).alias("t"),
+        F.coalesce(F.sum(F.col("c_o") + F.col("c_f")).over(w), F.lit(0))
+        .cast("decimal(16,0)")
+        .alias("cum_lt"),
+    )
+    nn = c.agg(F.sum("t").cast("decimal(14,0)").alias("n"))
+    dr = 2 * F.col("cum_lt") + F.col("t") + 1
+    ds = c.crossJoin(F.broadcast(nn)).select(
+        "c_o", "c_f", "t",
+        F.least(dr, 2 * (F.col("n") + 1) - dr)
+        .cast("decimal(13,0)")
+        .alias("ds_v"),
+    )
+    s = ds.agg(
+        F.sum("c_o").cast("decimal(14,0)").alias("no"),
+        F.sum("c_f").cast("decimal(14,0)").alias("nf"),
+        F.sum(F.col("c_o") * F.col("ds_v"))
+        .cast("decimal(24,0)")
+        .alias("ab2"),
+        F.sum(F.col("t") * F.col("ds_v"))
+        .cast("decimal(25,0)")
+        .alias("st"),
+        F.sum(
+            (F.col("t") * F.col("ds_v")).cast("decimal(25,0)")
+            * F.col("ds_v").cast("decimal(13,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("st2"),
+    )
+    p = s.select(
+        (F.col("no") + F.col("nf")).cast("bigint").alias("n_rows"),
+        F.col("no").cast("bigint").alias("n_o"),
+        F.col("nf").cast("bigint").alias("n_f"),
+        F.col("ab2").cast("bigint").alias("ab2_stat"),
+        (
+            (F.col("no") + F.col("nf")).cast("decimal(14,0)")
+            * F.col("ab2").cast("decimal(24,0)")
+            - F.col("no").cast("decimal(13,0)")
+            * F.col("st").cast("decimal(25,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("num"),
+        "st", "st2",
+    )
+    return p.select(
+        "n_rows", "n_o", "n_f", "ab2_stat",
+        F.expr(_A53_Z).alias("z_stat"),
+    )

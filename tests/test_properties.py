@@ -541,3 +541,107 @@ def test_a49_doubled_j_matches_bruteforce_pairs(spark):
     )
     assert row.j2 == j2_brute
     assert row.n_groups == len(years)
+
+
+def test_a51_pair_counts_match_bruteforce(spark):
+    """a51's grid self-join C/D and the marginal tie folds must equal
+    the pairwise DEFINITIONS (concordant/discordant/tied-on-V-only over
+    all row pairs with distinct years) — independent of the oracle's
+    formula strings."""
+    import duckdb as _dd
+    import numpy as np
+
+    from smart_water_management_spark.registry import _REGISTRY
+
+    from .conftest import SF_DIR
+
+    con = _dd.connect()
+    df = con.execute(
+        "SELECT CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS yr, "
+        "CAST(l_quantity AS BIGINT) AS v "
+        f"FROM '{SF_DIR}/lineitem.parquet'"
+    ).df()
+    con.close()
+    groups = {yr: np.sort(sub.v.values) for yr, sub in df.groupby("yr")}
+    years = sorted(groups)
+    c_brute = d_brute = tv_only2_brute = 0
+    for i, ya in enumerate(years):
+        for yb in years[i + 1 :]:
+            a, b = groups[ya], groups[yb]
+            lo = np.searchsorted(b, a, side="left")
+            hi = np.searchsorted(b, a, side="right")
+            c_brute += int((len(b) - hi).sum())   # b strictly above a
+            d_brute += int(lo.sum())              # b strictly below a
+            tv_only2_brute += 2 * int((hi - lo).sum())  # tied on v, years differ
+    (row,) = _REGISTRY["a51_gamma_somers_tauc"].fn(spark, SF_DIR).collect()
+    assert row.c_pairs == c_brute
+    assert row.d_pairs == d_brute
+    assert row.tied_v_only2 == tv_only2_brute
+    assert row.n_years == len(years)
+    # gamma/somers/tau_c bracket sanity on the ratios themselves
+    assert -1.0 <= row.tau_c <= row.somers_d <= row.gamma <= 1.0 or (
+        -1.0 <= row.gamma <= row.somers_d <= row.tau_c <= 1.0
+    )
+
+
+def test_a52_median_and_split_match_bruteforce(spark):
+    """a52's sort-free grand median and per-flag above-median counts
+    must equal the naive sorted-array computation."""
+    import duckdb as _dd
+    import numpy as np
+
+    from smart_water_management_spark.registry import _REGISTRY
+
+    from .conftest import SF_DIR
+
+    con = _dd.connect()
+    df = con.execute(
+        "SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag AS g "
+        f"FROM '{SF_DIR}/lineitem.parquet'"
+    ).df()
+    con.close()
+    vs = np.sort(df.v.values)
+    n = len(vs)
+    med = int(vs[(n - 1) // 2])  # lower median == MIN(v): 2*cum(<=v) >= N
+    (row,) = _REGISTRY["a52_mood_median_test"].fn(spark, SF_DIR).collect()
+    assert row.median_v == med
+    for flag, ncol, acol in (
+        ("A", "n_a", "a_a"), ("N", "n_n", "a_n"), ("R", "n_r", "a_r")
+    ):
+        sub = df[df.g == flag].v.values
+        assert getattr(row, ncol) == len(sub)
+        assert getattr(row, acol) == int((sub > med).sum())
+    assert row.chi2_stat >= 0.0
+
+
+def test_a53_ab_statistic_matches_bruteforce_ranks(spark):
+    """a53's grid fold must equal the textbook Ansari-Bradley statistic
+    computed from explicit midranks on the pooled sorted sample
+    (doubled to stay integer)."""
+    import duckdb as _dd
+    import numpy as np
+
+    from smart_water_management_spark.registry import _REGISTRY
+
+    from .conftest import SF_DIR
+
+    con = _dd.connect()
+    df = con.execute(
+        "SELECT CAST(l_quantity AS BIGINT) AS v, l_linestatus AS s "
+        f"FROM '{SF_DIR}/lineitem.parquet' WHERE l_linestatus IN ('O','F')"
+    ).df()
+    con.close()
+    pooled = np.sort(df.v.values)
+    n = len(pooled)
+    # doubled midrank of value v: 2*cum(<v) + count(v) + 1
+    uniq, counts = np.unique(pooled, return_counts=True)
+    cum_lt = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    dr = 2 * cum_lt + counts + 1
+    ds = np.minimum(dr, 2 * (n + 1) - dr)
+    score = dict(zip(uniq.tolist(), ds.tolist()))
+    qo = df[df.s == "O"].v.values
+    ab2_brute = int(sum(score[v] for v in qo.tolist()))
+    (row,) = _REGISTRY["a53_ansari_bradley"].fn(spark, SF_DIR).collect()
+    assert row.ab2_stat == ab2_brute
+    assert row.n_o == len(qo)
+    assert row.n_rows == n

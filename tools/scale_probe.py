@@ -213,6 +213,12 @@ PARITY_QUERIES = [
     "a48_mann_whitney",           # doubled-U decimals, tie-corrected z
     "a49_jonckheere_terpstra",    # grid-pair masses, HW tie variance
     "m38_theta_method",           # OLS+SES fold over 30x-larger hourly sums
+    # round-11 devices (VERDICT r10 directive #8: extend to new devices)
+    "a50_cliffs_delta",           # raw-quotient delta over BIGINT pair counts
+    "m39_damped_holt",            # damped pair-fold over 30x-larger sums
+    "a51_gamma_somers_tauc",      # grid pair counts + three ratio doubles
+    "a52_mood_median_test",       # grand-median split + N-scaled chi-square
+    "a53_ansari_bradley",         # doubled midrank scores, conditional z
 ]
 
 
