@@ -4800,3 +4800,299 @@ def m39_damped_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         (st[0] + phi * st[1]).alias("forecast_next"),
         (st[0] + st[1] * F.lit(phi / (1 - phi))).alias("forecast_plateau"),
     )
+
+
+# --- m40 (ext.): Chow structural-break test (two-segment OLS, closed form) --------------
+
+
+def _m40_sse(s: str) -> str:
+    """Simple-OLS SSE from raw moments for segment suffix ``s`` — ONE
+    formula string consumed verbatim by BOTH engines (m36's device):
+    SSE = Syy - Sxy^2/Sxx on the centered second moments."""
+    n, sx, sy = f"CAST(n{s} AS DOUBLE)", f"sx{s}", f"sy{s}"
+    sxx, sxy, syy = f"sxx{s}", f"sxy{s}", f"syy{s}"
+    cxy = f"({sxy} - {sx} * {sy} / {n})"
+    return (
+        f"({syy} - {sy} * {sy} / {n}"
+        f" - {cxy} * {cxy} / ({sxx} - {sx} * {sx} / {n}))"
+    )
+
+
+_M40_F = (
+    f"ROUND((({_m40_sse('p')} - ({_m40_sse('1')} + {_m40_sse('2')})) / 2)"
+    f" / (({_m40_sse('1')} + {_m40_sse('2')})"
+    f"    / (CAST(np AS DOUBLE) - 4)), 6)"
+)
+
+
+@register(
+    "m40_chow_test",
+    # DID THE TREND CHANGE? The Chow test for a structural break at a
+    # known point: fit the hourly-demand-on-time OLS pooled and on the
+    # two halves around the series midpoint, then F-test whether the
+    # split fits beat the pooled fit by more than chance
+    # (F = ((SSE_p - SSE_1 - SSE_2)/k) / ((SSE_1+SSE_2)/(n-2k)), k=2).
+    # m19/m28 SEARCH for the best break; m40 is the inference
+    # companion — given a candidate break, is it SIGNIFICANT? All six
+    # moments per segment are mergeable decimal sums (m23's device);
+    # every SSE and the F ratio are shared formula strings (m36's
+    # device); the break point is the integer midpoint of each type's
+    # observed hour span — deterministic, no search. Scale: one
+    # map-combined moment aggregate over the hourly grid; the fold is
+    # a per-type scalar row. Identical plan at 100 TB.
+    oracle=f"""
+    WITH {_hourly_series_sql().strip()},
+    t AS (
+      SELECT event_type, CAST(h AS DOUBLE) AS x, CAST(hv AS DOUBLE) AS y,
+             h
+      FROM hourly
+    ),
+    sp AS (
+      SELECT event_type,
+             CAST(FLOOR((MIN(h) + MAX(h)) / 2.0) AS BIGINT) AS mid
+      FROM t GROUP BY event_type
+    ),
+    m AS (
+      SELECT t.event_type, sp.mid,
+             CAST(COUNT(*) AS BIGINT) AS np,
+             CAST(SUM(CASE WHEN h <= mid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN h > mid THEN 1 ELSE 0 END) AS BIGINT)
+               AS n2,
+             {sql_dsum('x', 38)} AS sxp, {sql_dsum('y', 38)} AS syp,
+             {sql_dsum('x*x', 38)} AS sxxp, {sql_dsum('x*y', 38)} AS sxyp,
+             {sql_dsum('y*y', 38)} AS syyp,
+             {sql_dsum('CASE WHEN h <= mid THEN x ELSE 0 END', 38)} AS sx1,
+             {sql_dsum('CASE WHEN h <= mid THEN y ELSE 0 END', 38)} AS sy1,
+             {sql_dsum('CASE WHEN h <= mid THEN x*x ELSE 0 END', 38)} AS sxx1,
+             {sql_dsum('CASE WHEN h <= mid THEN x*y ELSE 0 END', 38)} AS sxy1,
+             {sql_dsum('CASE WHEN h <= mid THEN y*y ELSE 0 END', 38)} AS syy1,
+             {sql_dsum('CASE WHEN h > mid THEN x ELSE 0 END', 38)} AS sx2,
+             {sql_dsum('CASE WHEN h > mid THEN y ELSE 0 END', 38)} AS sy2,
+             {sql_dsum('CASE WHEN h > mid THEN x*x ELSE 0 END', 38)} AS sxx2,
+             {sql_dsum('CASE WHEN h > mid THEN x*y ELSE 0 END', 38)} AS sxy2,
+             {sql_dsum('CASE WHEN h > mid THEN y*y ELSE 0 END', 38)} AS syy2
+      FROM t JOIN sp ON t.event_type = sp.event_type
+      GROUP BY t.event_type, sp.mid
+    )
+    SELECT event_type, mid AS break_h, np AS n_hours, n1, n2,
+           ROUND({_m40_sse('p')}, 6) AS sse_pooled,
+           ROUND({_m40_sse('1')} + {_m40_sse('2')}, 6) AS sse_split,
+           {_M40_F} AS f_stat
+    FROM m
+    WHERE n1 > 2 AND n2 > 2
+      AND (sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE)) <> 0
+      AND (sxx2 - sx2 * sx2 / CAST(n2 AS DOUBLE)) <> 0
+    """,
+    doc="m40 (ext.): Chow structural-break test — given the midpoint of "
+    "each event type's hour span as the candidate break, does fitting "
+    "the demand trend separately before/after beat one pooled line by "
+    "more than chance? The inference companion to m19/m28's "
+    "break-point SEARCH: they locate, m40 tests. Closed form from "
+    "eighteen mergeable decimal moments (six per segment + pooled), "
+    "one map-combined aggregate over the hourly grid, every SSE/F "
+    "expression a formula string shared verbatim between engines "
+    "(m36's device). No reference analog — extension per brief",
+)
+def m40_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_series(spark, sf_dir)
+    t = hourly.select(
+        "event_type",
+        F.col("h").cast("double").alias("x"),
+        F.col("hv").cast("double").alias("y"),
+        "h",
+    )
+    sp = t.groupBy("event_type").agg(
+        F.floor((F.min("h") + F.max("h")) / 2.0).cast("bigint").alias("mid")
+    )
+
+    def seg(cond, expr):
+        return F.when(cond, expr).otherwise(F.lit(0.0))
+
+    j = t.join(F.broadcast(sp), "event_type")
+    lo = F.col("h") <= F.col("mid")
+    hi = F.col("h") > F.col("mid")
+    x, y = F.col("x"), F.col("y")
+    m = j.groupBy("event_type", "mid").agg(
+        F.count("*").cast("bigint").alias("np"),
+        F.sum(F.when(lo, 1).otherwise(0)).cast("bigint").alias("n1"),
+        F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("n2"),
+        dsum(x, 38).alias("sxp"),
+        dsum(y, 38).alias("syp"),
+        dsum(x * x, 38).alias("sxxp"),
+        dsum(x * y, 38).alias("sxyp"),
+        dsum(y * y, 38).alias("syyp"),
+        dsum(seg(lo, x), 38).alias("sx1"),
+        dsum(seg(lo, y), 38).alias("sy1"),
+        dsum(seg(lo, x * x), 38).alias("sxx1"),
+        dsum(seg(lo, x * y), 38).alias("sxy1"),
+        dsum(seg(lo, y * y), 38).alias("syy1"),
+        dsum(seg(hi, x), 38).alias("sx2"),
+        dsum(seg(hi, y), 38).alias("sy2"),
+        dsum(seg(hi, x * x), 38).alias("sxx2"),
+        dsum(seg(hi, x * y), 38).alias("sxy2"),
+        dsum(seg(hi, y * y), 38).alias("syy2"),
+    )
+    return (
+        m.filter((F.col("n1") > 2) & (F.col("n2") > 2))
+        .filter(
+            F.expr(f"(sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE)) <> 0")
+            & F.expr(f"(sxx2 - sx2 * sx2 / CAST(n2 AS DOUBLE)) <> 0")
+        )
+        .select(
+            "event_type",
+            F.col("mid").alias("break_h"),
+            F.col("np").alias("n_hours"),
+            "n1", "n2",
+            F.expr(f"ROUND({_m40_sse('p')}, 6)").alias("sse_pooled"),
+            F.expr(f"ROUND({_m40_sse('1')} + {_m40_sse('2')}, 6)")
+            .alias("sse_split"),
+            F.expr(_M40_F).alias("f_stat"),
+        )
+    )
+
+
+# --- m41 (ext.): Durbin-Watson residual-autocorrelation statistic -----------------------
+
+# Shared formula strings (m36's device): the OLS slope/intercept from
+# raw decimal moments, and the DW ratio from exact integer micro sums.
+_M41_BETA = (
+    "((CAST(n AS DOUBLE) * sxy - sx * sy)"
+    " / (CAST(n AS DOUBLE) * sxx - sx * sx))"
+)
+_M41_DW = (
+    "ROUND(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9)"
+)
+_M41_RHO = (
+    "ROUND(1 - CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 2, 9)"
+)
+
+
+@register(
+    "m41_durbin_watson",
+    # ARE THE TREND RESIDUALS AUTOCORRELATED? Durbin-Watson on the
+    # hourly-demand-on-time OLS: DW = sum (e_t - e_{t-1})^2 / sum e_t^2
+    # (2 = none, -> 0 positive, -> 4 negative). The diagnostic that says
+    # whether m06/m23's OLS standard errors can be trusted — m26's
+    # Ljung-Box tests a raw series; m41 tests the REGRESSION residuals.
+    # Determinism device: slope/intercept are shared-string doubles
+    # from mergeable decimal moments; each residual is then QUANTIZED
+    # to integer micros via FLOOR(e*1e6 + 0.5) (identical half-up on
+    # both engines, no ROUND-midpoint trap), so both DW sums are exact
+    # DECIMAL(38,0) integers — order-free — and the final ratio is one
+    # shared double. Scale: one moment aggregate + one broadcast join
+    # back + one lag window over the bounded hourly grid per type.
+    oracle=f"""
+    WITH {_hourly_series_sql().strip()},
+    t AS (
+      SELECT event_type, CAST(h AS DOUBLE) AS x, CAST(hv AS DOUBLE) AS y,
+             h
+      FROM hourly
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             {sql_dsum('x', 38)} AS sx, {sql_dsum('y', 38)} AS sy,
+             {sql_dsum('x*x', 38)} AS sxx, {sql_dsum('x*y', 38)} AS sxy
+      FROM t GROUP BY event_type
+    ),
+    r AS (
+      SELECT t.event_type, t.h,
+             CAST(FLOOR((t.y - ((m.sy - {_M41_BETA} * m.sx)
+                                / CAST(m.n AS DOUBLE)
+                                + {_M41_BETA} * t.x)) * 1000000 + 0.5)
+                  AS BIGINT) AS em
+      FROM t JOIN m ON t.event_type = m.event_type
+      WHERE m.n > 2 AND (CAST(m.n AS DOUBLE) * m.sxx - m.sx * m.sx) <> 0
+    ),
+    lagged AS (
+      SELECT event_type, em,
+             LAG(em) OVER (PARTITION BY event_type ORDER BY h) AS pm
+      FROM r
+    ),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(CASE WHEN pm IS NOT NULL
+                  THEN CAST((em - pm) AS DECIMAL(19,0))
+                       * CAST((em - pm) AS DECIMAL(19,0)) ELSE 0 END)
+                  AS DECIMAL(38,0)) AS num,
+             CAST(SUM(CAST(em AS DECIMAL(19,0))
+                      * CAST(em AS DECIMAL(19,0)))
+                  AS DECIMAL(38,0)) AS den
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, n_hours,
+           {_M41_DW} AS dw_stat,
+           {_M41_RHO} AS rho1
+    FROM s
+    WHERE den <> 0
+    """,
+    doc="m41 (ext.): Durbin-Watson statistic — first-order "
+    "autocorrelation of the hourly-demand trend residuals per event "
+    "type, the validity check for every OLS in the m06/m23/m36 family "
+    "(DW near 2 = independent errors; near 0 = the trend's standard "
+    "errors are fiction). Residuals quantize to integer micros with "
+    "engine-identical FLOOR half-up, making both DW sums exact "
+    "order-free DECIMAL(38,0) integers; slope/intercept come from "
+    "mergeable decimal moments via shared formula strings. One "
+    "aggregate + one broadcast join + one bounded lag window. "
+    "No reference analog — extension per brief; complements m26 "
+    "(Ljung-Box on raw series) with the regression-residual test",
+)
+def m41_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_series(spark, sf_dir)
+    t = hourly.select(
+        "event_type",
+        F.col("h").cast("double").alias("x"),
+        F.col("hv").cast("double").alias("y"),
+        "h",
+    )
+    x, y = F.col("x"), F.col("y")
+    m = t.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum(x, 38).alias("sx"),
+        dsum(y, 38).alias("sy"),
+        dsum(x * x, 38).alias("sxx"),
+        dsum(x * y, 38).alias("sxy"),
+    )
+    r = (
+        t.join(F.broadcast(m), "event_type")
+        .filter(
+            (F.col("n") > 2)
+            & (F.expr("CAST(n AS DOUBLE) * sxx - sx * sx") != 0)
+        )
+        .select(
+            "event_type", "h",
+            F.expr(
+                f"CAST(FLOOR((y - ((sy - {_M41_BETA} * sx)"
+                f" / CAST(n AS DOUBLE)"
+                f" + {_M41_BETA} * x)) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("em"),
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    lagged = r.select(
+        "event_type", "em", F.lag("em").over(w).alias("pm")
+    )
+    s = lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.sum(
+            F.when(
+                F.col("pm").isNotNull(),
+                (F.col("em") - F.col("pm")).cast("decimal(19,0)")
+                * (F.col("em") - F.col("pm")).cast("decimal(19,0)"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("decimal(38,0)")
+        .alias("num"),
+        F.sum(
+            F.col("em").cast("decimal(19,0)")
+            * F.col("em").cast("decimal(19,0)")
+        )
+        .cast("decimal(38,0)")
+        .alias("den"),
+    )
+    return s.filter(F.col("den") != 0).select(
+        "event_type", "n_hours",
+        F.expr(_M41_DW).alias("dw_stat"),
+        F.expr(_M41_RHO).alias("rho1"),
+    )

@@ -1103,3 +1103,107 @@ def _j17_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def j17_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_coalesce_report(_j17_intervals(spark, sf_dir))
+
+
+# --- j18 (ext.): interval gaps — the complement of j17's coalesce -----------------------
+
+_J18_IDLE = (
+    "ROUND(CAST(total_gap_sec AS DOUBLE)"
+    " / CAST(covered_sec + total_gap_sec AS DOUBLE), 6)"
+)
+
+_J18_ORACLE = f"""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               + 60 * (1 + event_id % 10) AS e
+      FROM events
+    ),
+    ordd AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max_e
+      FROM iv
+    ),
+    isl AS (
+      SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                     THEN 1 ELSE 0 END AS new_span
+      FROM ordd
+    ),
+    grp AS (
+      SELECT *, SUM(new_span) OVER (PARTITION BY user_id ORDER BY s, e
+                                    ROWS UNBOUNDED PRECEDING) AS span_id
+      FROM isl
+    ),
+    spans AS (
+      SELECT user_id, span_id, MIN(s) AS span_start, MAX(e) AS span_end
+      FROM grp GROUP BY 1, 2
+    ),
+    gaps AS (
+      SELECT user_id, span_end - span_start AS cov,
+             span_start - LAG(span_end) OVER (PARTITION BY user_id
+                                              ORDER BY span_start) AS gap
+      FROM spans
+    )
+    SELECT user_id,
+           CAST(COUNT(gap) AS BIGINT) AS n_gaps,
+           CAST(COALESCE(SUM(gap), 0) AS BIGINT) AS total_gap_sec,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_sec,
+           CAST(SUM(cov) AS BIGINT) AS covered_sec,
+           {_J18_IDLE} AS idle_ratio
+    FROM gaps GROUP BY user_id
+"""
+
+
+@register(
+    "j18_interval_gaps",
+    # The COMPLEMENT of j17: after coalescing each user's intervals
+    # into maximal spans, measure the HOLES — gap count, total/max idle
+    # seconds between consecutive spans, and the idle ratio over the
+    # observed horizon. j17 answers "how much was covered"; j18 answers
+    # "where wasn't it, and how badly" — the downtime/SLA-breach shape.
+    # Same single user_id exchange: the island windows, the span
+    # reduce and the gap lag all ride one partitioning. All-BIGINT
+    # except the one shared-string idle ratio. Gaps are >= 1 s by
+    # construction (touching intervals coalesce), so COUNT(gap)
+    # counts true holes; LAG's first-row NULL drops out of COUNT/SUM
+    # identically on both engines.
+    oracle=_J18_ORACLE,
+    doc="j18 (ext.): interval gaps — per-user holes between j17's "
+    "coalesced spans: gap count, total and maximum idle seconds, and "
+    "the idle share of the covered+idle horizon. The downtime/"
+    "SLA-breach complement of j17's coverage report (together they "
+    "partition each user's timeline exactly). One user_id exchange "
+    "serves the island device, the span reduce and the gap lag. "
+    "Exactness: all-BIGINT; the idle ratio is one shared double "
+    "string. No reference analog — extension per brief",
+)
+def j18_interval_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("s"),
+        (
+            F.floor(F.unix_timestamp("ts")).cast("bigint")
+            + 60 * (1 + F.col("event_id") % 10)
+        )
+        .cast("bigint")
+        .alias("e"),
+    )
+    spans = coalesce_spans(iv.withColumn("w", F.lit(1)))
+    wg = W.partitionBy("user_id").orderBy("span_start")
+    gaps = spans.select(
+        "user_id",
+        (F.col("span_end") - F.col("span_start")).alias("cov"),
+        (F.col("span_start") - F.lag("span_end").over(wg)).alias("gap"),
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("gap").cast("bigint").alias("n_gaps"),
+        F.coalesce(F.sum("gap"), F.lit(0)).cast("bigint")
+        .alias("total_gap_sec"),
+        F.max("gap").cast("bigint").alias("max_gap_sec"),
+        F.sum("cov").cast("bigint").alias("covered_sec"),
+    ).withColumn("idle_ratio", F.expr(_J18_IDLE))

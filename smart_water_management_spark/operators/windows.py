@@ -2317,3 +2317,214 @@ _W34_ORACLE = """
 def w34_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return drawdown_from_daily(daily_flow_grid(ev))
+
+
+# --- w35 (ext.): 14-day RSI (Cutler's simple-average form) ------------------------------
+
+# Daily close CTE shared by w35/w36 oracles: exact-decimal daily totals
+# per event type (the m37/w34 day-grid device).
+_W3X_DAILY_SQL = """
+    daily AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 86400.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DECIMAL(27,6)) AS z
+      FROM events GROUP BY 1, 2
+    )"""
+
+# One shared RSI string: both rolling sums are exact decimals, so the
+# ratio is the only float op (ROUND(,6); the loss-free branch pins 100).
+_W35_RSI = (
+    "ROUND(CASE WHEN l14 = 0 THEN CAST(100 AS DOUBLE)"
+    " ELSE 100 - 100 / (1 + CAST(g14 AS DOUBLE) / CAST(l14 AS DOUBLE))"
+    " END, 6)"
+)
+
+
+@register(
+    "w35_rsi",
+    # Overbought/oversold momentum gauge on each event type's daily
+    # demand series: RSI = 100 - 100/(1 + avgGain/avgLoss) over the
+    # trailing 14 OBSERVED days (Cutler's simple-average form — the
+    # windowed variant, unlike Wilder's recursive EMA, is an exact
+    # frame aggregate). Day-over-day deltas, gains, losses and both
+    # 14-row sums all stay in exact DECIMAL(27,6) (order-free); the
+    # single ratio is one shared double string. Rows with fewer than
+    # 14 trailing deltas are excluded (COUNT over the same frame).
+    # Scale: one map-combined daily aggregate collapses the fact
+    # table; every window runs on the bounded (type x day) grid.
+    oracle=f"""
+    WITH {_W3X_DAILY_SQL.strip()},
+    d AS (
+      SELECT event_type, day, z,
+             z - LAG(z) OVER (PARTITION BY event_type ORDER BY day)
+               AS diff
+      FROM daily
+    ),
+    g AS (
+      SELECT event_type, day,
+             CAST(SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               AS DECIMAL(27,6)) AS g14,
+             CAST(SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END)
+               OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               AS DECIMAL(27,6)) AS l14,
+             COUNT(diff) OVER (PARTITION BY event_type ORDER BY day
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               AS n_deltas
+      FROM d
+    )
+    SELECT event_type, day,
+           CAST(g14 AS DOUBLE) AS gain14,
+           CAST(l14 AS DOUBLE) AS loss14,
+           {_W35_RSI} AS rsi
+    FROM g WHERE n_deltas = 14
+    """,
+    doc="w35 (ext.): 14-day relative strength index (Cutler's form) per "
+    "event type's daily demand — the classic momentum oscillator "
+    "('overbought' > 70, 'oversold' < 30) as a pure window pipeline: "
+    "exact-decimal deltas, gain/loss splits and 14-row frame sums "
+    "with ONE shared-string double ratio at the end. Simple-average "
+    "RSI (not Wilder's recursive smoothing) is chosen precisely "
+    "because it is a frame aggregate — mergeable, sort-free beyond "
+    "the bounded daily grid, identical at 100 TB. Completes the "
+    "technical-screen family: w07 SMA/EMA level, w21 CUSUM drift, "
+    "w25 EWMA control, w35 momentum. No reference analog — extension",
+)
+def w35_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(
+                (F.floor(F.unix_timestamp("ts")).cast("bigint") - 1704067200)
+                / 86400.0
+            )
+            .cast("bigint")
+            .alias("day"),
+            F.col("value").cast("decimal(27,6)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").cast("decimal(27,6)").alias("z"))
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    wf = wo.rowsBetween(-13, 0)
+    d = daily.select(
+        "event_type", "day", "z",
+        (F.col("z") - F.lag("z").over(wo)).alias("diff"),
+    )
+    g = d.select(
+        "event_type", "day",
+        F.sum(
+            F.when(F.col("diff") > 0, F.col("diff")).otherwise(F.lit(0))
+        )
+        .over(wf)
+        .cast("decimal(27,6)")
+        .alias("g14"),
+        F.sum(
+            F.when(F.col("diff") < 0, -F.col("diff")).otherwise(F.lit(0))
+        )
+        .over(wf)
+        .cast("decimal(27,6)")
+        .alias("l14"),
+        F.count("diff").over(wf).alias("n_deltas"),
+    )
+    return g.filter(F.col("n_deltas") == 14).select(
+        "event_type", "day",
+        F.col("g14").cast("double").alias("gain14"),
+        F.col("l14").cast("double").alias("loss14"),
+        F.expr(_W35_RSI).alias("rsi"),
+    )
+
+
+# --- w36 (ext.): Donchian channel + Williams %R -----------------------------------------
+
+_W36_POS = (
+    "ROUND(CAST(z - lo14 AS DOUBLE) / CAST(hi14 - lo14 AS DOUBLE), 6)"
+)
+_W36_WILLR = (
+    "ROUND(-100 * CAST(hi14 - z AS DOUBLE)"
+    " / CAST(hi14 - lo14 AS DOUBLE), 6)"
+)
+
+
+@register(
+    "w36_donchian_channel",
+    # Where does today's demand sit inside its trailing 14-day range?
+    # Donchian channel (rolling high/low) + the channel position and
+    # Williams %R oscillator, plus breakout flags (close AT the rolling
+    # extreme). MAX/MIN frame aggregates are order-free and exact on
+    # decimals — no rounding device anywhere except the two output
+    # ratios (shared strings, NULL on a flat channel via the hi > lo
+    # guard). Incomplete 14-row frames are excluded. Scale: windows run
+    # on the bounded (type x day) grid, never raw events.
+    oracle=f"""
+    WITH {_W3X_DAILY_SQL.strip()},
+    g AS (
+      SELECT event_type, day, z,
+             CAST(MAX(z) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               AS DECIMAL(27,6)) AS hi14,
+             CAST(MIN(z) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               AS DECIMAL(27,6)) AS lo14,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS n_days
+      FROM daily
+    )
+    SELECT event_type, day,
+           CAST(z AS DOUBLE) AS close,
+           CAST(hi14 AS DOUBLE) AS hi14,
+           CAST(lo14 AS DOUBLE) AS lo14,
+           CASE WHEN hi14 > lo14 THEN {_W36_POS} END AS channel_pos,
+           CASE WHEN hi14 > lo14 THEN {_W36_WILLR} END AS williams_r,
+           z = hi14 AS breakout_high,
+           z = lo14 AS breakout_low
+    FROM g WHERE n_days = 14
+    """,
+    doc="w36 (ext.): 14-day Donchian channel per event type's daily "
+    "demand — rolling high/low band, the in-channel position, the "
+    "Williams %R oscillator and at-the-extreme breakout flags. The "
+    "range-location companion to w35's momentum RSI: %R says where "
+    "in the recent range today sits, RSI says how it got there. "
+    "Pure exact-decimal MAX/MIN frame aggregates (order-free, no "
+    "rounding device) with two shared-string output ratios, NULL on "
+    "flat channels. Windows run on the bounded daily grid — "
+    "identical plan at 100 TB. No reference analog — extension",
+)
+def w36_donchian_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(
+                (F.floor(F.unix_timestamp("ts")).cast("bigint") - 1704067200)
+                / 86400.0
+            )
+            .cast("bigint")
+            .alias("day"),
+            F.col("value").cast("decimal(27,6)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").cast("decimal(27,6)").alias("z"))
+    )
+    wf = W.partitionBy("event_type").orderBy("day").rowsBetween(-13, 0)
+    g = daily.select(
+        "event_type", "day", "z",
+        F.max("z").over(wf).cast("decimal(27,6)").alias("hi14"),
+        F.min("z").over(wf).cast("decimal(27,6)").alias("lo14"),
+        F.count("*").over(wf).alias("n_days"),
+    )
+    flat = F.col("hi14") > F.col("lo14")
+    return g.filter(F.col("n_days") == 14).select(
+        "event_type", "day",
+        F.col("z").cast("double").alias("close"),
+        F.col("hi14").cast("double").alias("hi14"),
+        F.col("lo14").cast("double").alias("lo14"),
+        F.when(flat, F.expr(_W36_POS)).alias("channel_pos"),
+        F.when(flat, F.expr(_W36_WILLR)).alias("williams_r"),
+        (F.col("z") == F.col("hi14")).alias("breakout_high"),
+        (F.col("z") == F.col("lo14")).alias("breakout_low"),
+    )

@@ -2960,3 +2960,38 @@ def t37_streaming_cliffs_delta(
     from ..operators.aggregations import cliffs_delta_from_grid
 
     return cliffs_delta_from_grid(quantity_grid_stream(spark, sf_dir))
+
+
+# --- t38: streaming Ansari-Bradley dispersion monitor --------------------------------------
+
+
+def _a53_oracle() -> str:
+    # aggregations imports before streaming.jobs (package __init__ order),
+    # so a53's oracle is present at this module's registration time.
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["a53_ansari_bradley"].oracle
+
+
+@register(
+    "t38_streaming_ansari_bradley",
+    # Equals batch a53 bit-for-bit: REUSES t35's incrementally-merged
+    # quantity grid (one state maintainer, three monitors) and a53's
+    # finalize helper — a53's oracle certifies the monitor.
+    oracle=_a53_oracle(),
+    doc="T38: streaming Ansari-Bradley monitor — a53's dispersion test "
+    "recomputed from the SAME incrementally-maintained quantity grid "
+    "t35/t37 keep, completing the streaming two-sample console: t35 "
+    "pages on location shift (z), t37 on its magnitude (delta), t38 "
+    "on SPREAD divergence — a variance alarm that fires when the mix "
+    "widens even while the median holds, the failure mode location "
+    "monitors miss. One mergeable ~50-cell state, three alarms. "
+    "Certified by sharing ansari_bradley_from_grid and a53's oracle; "
+    "4-batch merge test in tests/test_streaming.py",
+)
+def t38_streaming_ansari_bradley(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.aggregations import ansari_bradley_from_grid
+
+    return ansari_bradley_from_grid(quantity_grid_stream(spark, sf_dir))

@@ -1620,3 +1620,86 @@ def v21_approx_fd_confidence(
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("tbl", "lhs", "rhs")
+
+
+# --- v22 (ext.): last-digit uniformity audit (fraud/fabrication screen) -----------------
+
+# Shared chi-square string: 9-df uniformity over the ten cent digits,
+# algebraically reduced to (10*sum(obs^2) - n^2)/n so the only float
+# ops are on two exact integers.
+_V22_CHI2 = (
+    "ROUND((10 * CAST(sum_sq AS DOUBLE)"
+    " - CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE))"
+    " / CAST(n_rows AS DOUBLE), 6)"
+)
+# chi-square critical value, 9 df, alpha = 0.05
+_V22_CRIT = 16.919
+
+
+@register(
+    "v22_last_digit_uniformity",
+    # a32's Benford audit checks the FIRST digit (naturally log-
+    # distributed); v22 checks the LAST cent digit, which for organic
+    # prices should be UNIFORM — humans fabricating numbers
+    # over-produce 0s and 5s, so a chi-square spike here is the
+    # classic fabrication/rounding-pipeline screen (and a data-entry
+    # smell when a feed silently truncates cents). Digit extraction
+    # uses FLOOR(x*100 + 0.5) — engine-identical half-up, no ROUND
+    # midpoint trap; the 9-df chi-square reduces to exact integers
+    # (10*sum obs^2 - n^2)/n folded in ONE shared string. Scale: one
+    # 10-cell map-combined aggregate — identical at 100 TB.
+    oracle=f"""
+    WITH d AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) % 10
+               AS digit
+      FROM orders
+    ),
+    c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS obs
+      FROM d GROUP BY digit
+    ),
+    t AS (
+      SELECT CAST(SUM(obs) AS BIGINT) AS n_rows,
+             CAST(SUM(obs * obs) AS BIGINT) AS sum_sq
+      FROM c
+    )
+    SELECT c.digit, c.obs,
+           ROUND(CAST(t.n_rows AS DOUBLE) / 10, 6) AS expected,
+           {_V22_CHI2} AS chi2_stat,
+           {_V22_CHI2} < {_V22_CRIT} AS uniform_ok
+    FROM c, t
+    """,
+    doc="v22 (ext.): last-digit uniformity audit — are the cent digits "
+    "of order totals uniform, as organic prices should be? The "
+    "fabricated-data companion to a32's first-digit Benford screen "
+    "(first digit tests the magnitude process, last digit tests "
+    "human rounding fingerprints: excess 0s/5s). Ten-row output "
+    "carries per-digit counts, the 9-df chi-square (exact-integer "
+    "reduction, one shared string) and the 0.05 verdict. One 10-cell "
+    "aggregate, no shuffle beyond it — identical at 100 TB. No "
+    "reference analog — extension per brief",
+)
+def v22_last_digit_uniformity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    c = (
+        o.select(
+            (
+                F.floor(F.col("o_totalprice") * 100 + 0.5).cast("bigint")
+                % 10
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").cast("bigint").alias("obs"))
+    )
+    t = c.agg(
+        F.sum("obs").cast("bigint").alias("n_rows"),
+        F.sum(F.col("obs") * F.col("obs")).cast("bigint").alias("sum_sq"),
+    )
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit", "obs",
+        F.round(F.col("n_rows").cast("double") / 10, 6).alias("expected"),
+        F.expr(_V22_CHI2).alias("chi2_stat"),
+        (F.expr(_V22_CHI2) < F.lit(_V22_CRIT)).alias("uniform_ok"),
+    )

@@ -939,3 +939,30 @@ def test_streaming_cliffs_delta_multi_batch_equals_batch_a50(spark):
         want.n_o, want.n_f, want.gt_pairs, want.lt_pairs,
         want.tied_pairs, want.cliffs_delta, want.magnitude,
     )
+
+
+def test_streaming_ansari_bradley_multi_batch_equals_batch_a53(spark):
+    """t38 under real incrementality: lineitem split into 4 parquet
+    files (4 micro-batches); the merged quantity grid must reproduce
+    a53's batch AB statistic and tie-conditional z exactly."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        li.repartition(4).write.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        )
+        (got,) = jobs.t38_streaming_ansari_bradley(spark, sf_dir).collect()
+    (want,) = _REGISTRY["a53_ansari_bradley"].fn(spark, SF_DIR).collect()
+    assert (got.n_rows, got.n_o, got.n_f, got.ab2_stat, got.z_stat) == (
+        want.n_rows,
+        want.n_o,
+        want.n_f,
+        want.ab2_stat,
+        want.z_stat,
+    )
