@@ -2224,3 +2224,177 @@ def x155_mpeg_framesync_walk(
             )
 
     return streams.mapInPandas(walk, _X155_SCHEMA)
+
+
+# --- x156: RIFF LIST/INFO metadata walk (the x139 tEXt device, for audio) ---------------
+
+_X156_SOFTWARE = "swm-synth-1.0"
+_X156_SCHEMA = (
+    "doc_id long, n_top_chunks long, data_bytes long, info_subchunks long,"
+    " riff_size_ok boolean, title string, artist string, comment string,"
+    " software string"
+)
+
+
+def _x156_info_chunk(doc_id: int, source: str, lang: str) -> bytes:
+    """LIST/INFO chunk with four standard sub-chunks (INAM/IART/ICMT/
+    ISFT), each value NUL-terminated and word-aligned per RIFF rules —
+    the odd-length ICMT ('en' + NUL = 3 bytes) forces a pad byte, so the
+    walker's alignment handling is actually exercised."""
+    import struct
+
+    def sub(cid: bytes, val: str) -> bytes:
+        payload = val.encode("utf-8") + b"\x00"
+        out = cid + struct.pack("<I", len(payload)) + payload
+        return out + (b"\x00" if len(payload) % 2 else b"")
+
+    body = (
+        b"INFO"
+        + sub(b"INAM", f"doc-{doc_id}")
+        + sub(b"IART", source)
+        + sub(b"ICMT", lang)
+        + sub(b"ISFT", _X156_SOFTWARE)
+    )
+    return b"LIST" + struct.pack("<I", len(body)) + body
+
+
+@register(
+    "x156_wav_info_metadata",
+    # x139 proved tEXt/iTXt extraction on real PNG bytes; x156 is the
+    # SAME metadata-provenance stage for audio: splice a LIST/INFO
+    # chunk (title/artist/comment/software) into each document's real
+    # stdlib-written RIFF/WAV, then WALK the container generically —
+    # chunk ids, little-endian sizes, odd-size pad bytes, RIFF size
+    # patching — in a separate Arrow stage that never sees the build's
+    # variables. The oracle REBUILDS every expected field from the
+    # deterministic synthesis rule (title = 'doc-'||doc_id, artist =
+    # source, comment = lang), so a single mis-parsed length byte
+    # breaks the hash match. Scale: per-partition mapInPandas both
+    # ways, no shuffle until the final projection; metadata extraction
+    # is the provenance step a multimodal pipeline runs before any
+    # decode.
+    oracle=f"""
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS n_top_chunks,
+           CAST(n_chars AS BIGINT) AS data_bytes,
+           CAST(4 AS BIGINT) AS info_subchunks,
+           TRUE AS riff_size_ok,
+           'doc-' || CAST(doc_id AS VARCHAR) AS title,
+           source AS artist,
+           lang AS comment,
+           '{_X156_SOFTWARE}' AS software
+    FROM documents
+    """,
+    doc="x156: WAV LIST/INFO metadata audit — write each document's "
+    "byte stream as a real 8-bit PCM RIFF/WAV (stdlib wave), splice "
+    "in a LIST/INFO provenance chunk (INAM/IART/ICMT/ISFT with RIFF "
+    "word-alignment pad bytes and a patched RIFF size), and walk the "
+    "container back generically in a separate Arrow stage: top-level "
+    "chunk census, data-chunk byte count, INFO sub-chunk extraction, "
+    "RIFF size-field verification. The audio companion of x139's PNG "
+    "tEXt audit — together they cover sidecar metadata for both "
+    "image and audio containers. Oracle rebuilds all fields from the "
+    "synthesis rule, so the byte walk itself is what's being graded. "
+    "Scale: embarrassingly parallel mapInPandas, zero shuffles. No "
+    "reference analog — extension per brief (multimodal metadata)",
+)
+def x156_wav_info_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+
+    def build(batches: Iterator) -> Iterator:
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text, source, lang in zip(
+                pdf["doc_id"], pdf["text"], pdf["source"], pdf["lang"]
+            ):
+                buf = io.BytesIO()
+                wf = wave.open(buf, "wb")
+                wf.setnchannels(1)
+                wf.setsampwidth(1)
+                wf.setframerate(8000)
+                wf.writeframes(text.encode("utf-8"))
+                wf.close()
+                raw = buf.getvalue()
+                # locate the data chunk: walk top-level chunks after the
+                # 12-byte RIFF/WAVE header and splice INFO before it
+                off = 12
+                while off < len(raw):
+                    cid = raw[off : off + 4]
+                    size = struct.unpack("<I", raw[off + 4 : off + 8])[0]
+                    if cid == b"data":
+                        break
+                    off += 8 + size + (size % 2)
+                info = _x156_info_chunk(int(doc_id), source, lang)
+                spliced = raw[:off] + info + raw[off:]
+                spliced = (
+                    spliced[:4]
+                    + struct.pack("<I", len(spliced) - 8)
+                    + spliced[8:]
+                )
+                payloads.append(spliced)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    wavs = docs.select("doc_id", "text", "source", "lang").mapInPandas(
+        build, "doc_id long, payload binary"
+    )
+
+    def walk(batches: Iterator) -> Iterator:
+        import struct
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+                riff_size = struct.unpack("<I", b[4:8])[0]
+                size_ok = riff_size == len(b) - 8
+                off, n_top, data_bytes, n_sub = 12, 0, -1, 0
+                fields = {}
+                while off + 8 <= len(b):
+                    cid = b[off : off + 4]
+                    size = struct.unpack("<I", b[off + 4 : off + 8])[0]
+                    body = b[off + 8 : off + 8 + size]
+                    n_top += 1
+                    if cid == b"data":
+                        data_bytes = size
+                    elif cid == b"LIST" and body[:4] == b"INFO":
+                        so = 4
+                        while so + 8 <= len(body):
+                            sid = body[so : so + 4].decode("ascii")
+                            ssz = struct.unpack(
+                                "<I", body[so + 4 : so + 8]
+                            )[0]
+                            val = body[so + 8 : so + 8 + ssz]
+                            fields[sid] = val.rstrip(b"\x00").decode(
+                                "utf-8"
+                            )
+                            n_sub += 1
+                            so += 8 + ssz + (ssz % 2)
+                    off += 8 + size + (size % 2)
+                rows.append(
+                    (
+                        int(doc_id), n_top, data_bytes, n_sub, size_ok,
+                        fields.get("INAM"), fields.get("IART"),
+                        fields.get("ICMT"), fields.get("ISFT"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_top_chunks", "data_bytes",
+                    "info_subchunks", "riff_size_ok", "title", "artist",
+                    "comment", "software",
+                ],
+            )
+
+    return wavs.mapInPandas(walk, _X156_SCHEMA)

@@ -3381,3 +3381,145 @@ def x134_cosine_lexical_calibration(
         F.sum("u").cast("bigint").alias("sum_union"),
         (F.sum("i").cast("double") / F.sum("u")).alias("pooled_jaccard"),
     )
+
+
+# --- x157: prefix-norm (Cauchy-Schwarz) pruning audit for exact top-k -------------------
+
+_X157_D1 = 32  # head dims scored exactly; the 32-dim tail is bounded
+
+
+@register(
+    "x157_norm_bound_prune_audit",
+    # THE exact-ANN scale lever x10 lacks: score only the first 32
+    # dims, bound the tail's contribution by Cauchy-Schwarz
+    # (|tail_dot| <= ||q_tail|| * ||c_tail||), and skip any candidate
+    # whose upper bound can't reach the current kth-best score. The
+    # answer stays EXACT — unlike IVF (x65) or JL (x75) there is no
+    # recall loss, because the bound is a theorem, not an estimate.
+    # This audit measures the lever on real data: per query, the kth
+    # cosine, how many candidates a bound-first scan could prove away,
+    # and a soundness column (top-k members whose bound dips under the
+    # threshold — MUST be 0, asserting Cauchy-Schwarz end-to-end in
+    # both engines). Determinism: ordered left folds for every
+    # dot/norm (x10's device), raw-double comparisons identical on
+    # both engines, ROUND(,6) only on outputs. Scale: head-dot is d1/d
+    # of the FLOPs and the tail norm is precomputed per row — with
+    # PCA-ordered dims the bound collapses early and the full scan
+    # touches a sliver of the corpus.
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS qid, embedding AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ),
+    scored AS (
+      SELECT q.qid, c.vec_id,
+             {_SQL_DOT.format(a='q.qe', b='c.embedding')} AS full_dot,
+             {_SQL_DOT.format(a='q.qe[1:32]', b='c.embedding[1:32]')}
+               AS head_dot,
+             SQRT({_SQL_SQNORM.format(a='q.qe[33:64]')})
+               * SQRT({_SQL_SQNORM.format(a='c.embedding[33:64]')})
+               AS tail_bound,
+             SQRT({_SQL_SQNORM.format(a='q.qe')})
+               * SQRT({_SQL_SQNORM.format(a='c.embedding')}) AS norms
+      FROM q CROSS JOIN embeddings c
+      WHERE c.vec_id <> q.qid
+    ),
+    cosed AS (
+      SELECT qid, vec_id,
+             full_dot / norms AS cos_sim,
+             (head_dot + tail_bound) / norms AS cos_ub,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY full_dot / norms DESC, vec_id)
+               AS rn
+      FROM scored
+    ),
+    th AS (
+      SELECT qid, MIN(cos_sim) AS kth FROM cosed
+      WHERE rn <= {TOP_K} GROUP BY qid
+    )
+    SELECT c.qid,
+           CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           ROUND(MAX(t.kth), 6) AS kth_score,
+           CAST(SUM(CASE WHEN c.cos_ub < t.kth THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_prunable,
+           ROUND(CAST(SUM(CASE WHEN c.cos_ub < t.kth THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS prune_rate,
+           CAST(SUM(CASE WHEN c.rn <= {TOP_K} AND c.cos_ub < t.kth
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_bound_violations
+    FROM cosed c JOIN th t USING (qid)
+    GROUP BY c.qid
+    """,
+    doc="x157: prefix-norm pruning audit — the Cauchy-Schwarz "
+    "early-termination lever for EXACT cosine top-k: score the first "
+    "32 dims, bound the 32-dim tail by ||q_tail||*||c_tail||, and "
+    "count per query how many candidates the bound alone disqualifies "
+    "from the top-5 (plus a zero-by-theorem soundness column for "
+    "top-k members). x65/x75 trade recall for speed; x157 measures "
+    "the no-recall-loss alternative — with variance-ordered (PCA) "
+    "dims the bound prunes most of the corpus and the exact answer "
+    "survives. Ordered-fold dots/norms (x10's device), raw-double "
+    "bound comparisons, ROUND(,6) outputs only. No reference analog "
+    "— extension per brief (similarity-search scale path)",
+)
+def x157_norm_bound_prune_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d1 = _X157_D1
+    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    q = em.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), _dbl("embedding").alias("qe")
+    )
+    c = em.select("vec_id", _dbl("embedding").alias("ce"))
+    qe, ce = F.col("qe"), F.col("ce")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            dot(qe, ce).alias("full_dot"),
+            dot(F.slice(qe, 1, d1), F.slice(ce, 1, d1)).alias("head_dot"),
+            (
+                F.sqrt(sq_norm(F.slice(qe, d1 + 1, 64 - d1)))
+                * F.sqrt(sq_norm(F.slice(ce, d1 + 1, 64 - d1)))
+            ).alias("tail_bound"),
+            (F.sqrt(sq_norm(qe)) * F.sqrt(sq_norm(ce))).alias("norms"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(
+        F.desc(F.col("full_dot") / F.col("norms")), F.asc("vec_id")
+    )
+    cosed = scored.select(
+        "qid", "vec_id",
+        (F.col("full_dot") / F.col("norms")).alias("cos_sim"),
+        ((F.col("head_dot") + F.col("tail_bound")) / F.col("norms"))
+        .alias("cos_ub"),
+        F.row_number().over(w).alias("rn"),
+    )
+    th = (
+        cosed.filter(F.col("rn") <= TOP_K)
+        .groupBy("qid")
+        .agg(F.min("cos_sim").alias("kth"))
+    )
+    pruned = F.when(F.col("cos_ub") < F.col("kth"), 1).otherwise(0)
+    return (
+        cosed.join(F.broadcast(th), "qid")
+        .groupBy("qid")
+        .agg(
+            F.count("*").cast("bigint").alias("n_candidates"),
+            F.round(F.max("kth"), 6).alias("kth_score"),
+            F.sum(pruned).cast("bigint").alias("n_prunable"),
+            F.round(
+                F.sum(pruned).cast("double") / F.count("*"), 6
+            ).alias("prune_rate"),
+            F.sum(
+                F.when(
+                    (F.col("rn") <= TOP_K)
+                    & (F.col("cos_ub") < F.col("kth")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_bound_violations"),
+        )
+    )

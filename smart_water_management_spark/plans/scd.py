@@ -847,3 +847,189 @@ def c19_scd6_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wu)
         .alias("type_as_is"),
     )
+
+
+# --- c20 (ext.): bitemporal dimension + two-axis AS OF audit -----------------------------
+
+_C20_LATE = 3600       # recording lag: arrival = valid_from + 1h * (id % 4)
+_C20_FIX = 7200        # corrections land two hours after first recording
+
+
+@register(
+    "c20_bitemporal_asof",
+    # TWO time axes: VALID time (when the fact was true in the world —
+    # c19's change feed) and TRANSACTION time (when the warehouse
+    # learned it). Every version arrives LATE by a deterministic lag,
+    # and every fifth change is first recorded WRONG ('unknown') and
+    # corrected two hours later — superseding the old transaction row
+    # instead of overwriting it. The audit then answers six two-axis
+    # AS OF probes (three valid-time points x {same-instant, +1 day}
+    # transaction knowledge): type counts AS the warehouse KNEW THEM
+    # at T for facts true at V. Same-instant probes still see the
+    # uncorrected 'unknown's; next-day probes see the corrections —
+    # byte-for-byte REPRODUCIBILITY of yesterday's report is what
+    # bitemporality buys and what Type-1 overwrites destroy. All
+    # integer seconds; one user-hash exchange for the history build,
+    # a broadcast 6-row probe grid for the queries.
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY FLOOR(epoch(ts)), event_id)
+               AS prev_in_seq
+      FROM events
+    ),
+    changes AS (
+      SELECT user_id, event_type, sec, event_id,
+             LEAD(sec) OVER (PARTITION BY user_id
+                             ORDER BY sec, event_id) AS valid_to_sec,
+             sec + {_C20_LATE} * (event_id % 4) AS arr
+      FROM seq
+      WHERE prev_in_seq IS NULL OR event_type <> prev_in_seq
+    ),
+    bt AS (
+      SELECT user_id, 'unknown' AS rec_type, sec AS valid_from_sec,
+             valid_to_sec, arr AS tx_from_sec,
+             arr + {_C20_FIX} AS tx_to_sec
+      FROM changes WHERE event_id % 5 = 0
+      UNION ALL
+      SELECT user_id, event_type, sec, valid_to_sec,
+             arr + {_C20_FIX}, CAST(NULL AS BIGINT)
+      FROM changes WHERE event_id % 5 = 0
+      UNION ALL
+      SELECT user_id, event_type, sec, valid_to_sec,
+             arr, CAST(NULL AS BIGINT)
+      FROM changes WHERE event_id % 5 <> 0
+    ),
+    span AS (
+      SELECT MIN(sec) AS s0, MAX(sec) AS s1 FROM changes
+    ),
+    probes AS (
+      SELECT k.k AS probe_no, o.off AS tx_offset_sec,
+             s0 + k.k * ((s1 - s0) // 4) AS valid_asof_sec,
+             s0 + k.k * ((s1 - s0) // 4) + o.off AS tx_asof_sec
+      FROM span, (VALUES (1), (2), (3)) k(k),
+           (VALUES (0), (86400)) o(off)
+    )
+    SELECT p.probe_no, p.tx_offset_sec, p.valid_asof_sec,
+           b.rec_type AS event_type,
+           CAST(COUNT(DISTINCT b.user_id) AS BIGINT) AS n_users
+    FROM probes p JOIN bt b
+      ON b.valid_from_sec <= p.valid_asof_sec
+     AND (b.valid_to_sec IS NULL OR b.valid_to_sec > p.valid_asof_sec)
+     AND b.tx_from_sec <= p.tx_asof_sec
+     AND (b.tx_to_sec IS NULL OR b.tx_to_sec > p.tx_asof_sec)
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="c20 (ext.): bitemporal dimension — c19's valid-time change "
+    "feed crossed with a TRANSACTION-time axis (deterministic late "
+    "arrival; every fifth change first recorded as 'unknown' and "
+    "corrected by a superseding transaction row two hours later), "
+    "audited by six two-axis AS OF probes: same-instant knowledge "
+    "still shows the uncorrected values, next-day knowledge shows "
+    "the fixes — the reproduce-yesterday's-report guarantee Type-1 "
+    "overwrites destroy. Completes the temporal-warehouse family: "
+    "c04/c19 one-axis SCD, c17 table-version time travel, c20 both "
+    "axes at once. One user-hash exchange + a broadcast 6-row probe "
+    "grid; all-integer seconds. No reference analog — the "
+    "reference's warehouse upserts in place (src/warehouse_loader"
+    ".py); extension per brief",
+)
+def c20_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("sec"),
+        "event_id",
+    )
+    wseq = W.partitionBy("user_id").orderBy("sec", "event_id")
+    seq = ev.withColumn("prev_in_seq", F.lag("event_type").over(wseq))
+    changes = (
+        seq.filter(
+            F.col("prev_in_seq").isNull()
+            | (F.col("event_type") != F.col("prev_in_seq"))
+        )
+        .select(
+            "user_id", "event_type", "sec", "event_id",
+            F.lead("sec").over(wseq).alias("valid_to_sec"),
+            (F.col("sec") + _C20_LATE * (F.col("event_id") % 4))
+            .alias("arr"),
+        )
+    )
+    fixed = changes.filter(F.col("event_id") % 5 == 0)
+    clean = changes.filter(F.col("event_id") % 5 != 0)
+    null_b = F.lit(None).cast("bigint")
+    bt = (
+        fixed.select(
+            "user_id",
+            F.lit("unknown").alias("rec_type"),
+            F.col("sec").alias("valid_from_sec"),
+            "valid_to_sec",
+            F.col("arr").alias("tx_from_sec"),
+            (F.col("arr") + _C20_FIX).alias("tx_to_sec"),
+        )
+        .unionByName(
+            fixed.select(
+                "user_id",
+                F.col("event_type").alias("rec_type"),
+                F.col("sec").alias("valid_from_sec"),
+                "valid_to_sec",
+                (F.col("arr") + _C20_FIX).alias("tx_from_sec"),
+                null_b.alias("tx_to_sec"),
+            )
+        )
+        .unionByName(
+            clean.select(
+                "user_id",
+                F.col("event_type").alias("rec_type"),
+                F.col("sec").alias("valid_from_sec"),
+                "valid_to_sec",
+                F.col("arr").alias("tx_from_sec"),
+                null_b.alias("tx_to_sec"),
+            )
+        )
+    )
+    span = changes.agg(
+        F.min("sec").alias("s0"), F.max("sec").alias("s1")
+    )
+    ks = spark.range(1, 4).select(F.col("id").alias("k"))
+    offs = spark.createDataFrame([(0,), (86400,)], "off long")
+    probes = (
+        span.crossJoin(F.broadcast(ks))
+        .crossJoin(F.broadcast(offs))
+        .select(
+            F.col("k").alias("probe_no"),
+            F.col("off").alias("tx_offset_sec"),
+            (
+                F.col("s0")
+                + F.col("k") * ((F.col("s1") - F.col("s0")) / 4)
+                .cast("bigint")
+            ).alias("valid_asof_sec"),
+            (
+                F.col("s0")
+                + F.col("k") * ((F.col("s1") - F.col("s0")) / 4)
+                .cast("bigint")
+                + F.col("off")
+            ).alias("tx_asof_sec"),
+        )
+    )
+    j = bt.join(
+        F.broadcast(probes),
+        (F.col("valid_from_sec") <= F.col("valid_asof_sec"))
+        & (
+            F.col("valid_to_sec").isNull()
+            | (F.col("valid_to_sec") > F.col("valid_asof_sec"))
+        )
+        & (F.col("tx_from_sec") <= F.col("tx_asof_sec"))
+        & (
+            F.col("tx_to_sec").isNull()
+            | (F.col("tx_to_sec") > F.col("tx_asof_sec"))
+        ),
+    )
+    return j.groupBy(
+        "probe_no", "tx_offset_sec", "valid_asof_sec",
+        F.col("rec_type").alias("event_type"),
+    ).agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))

@@ -1020,6 +1020,11 @@ _GLOBAL_WINDOW_EXCEPTIONS = {
     # l_quantity) by construction, like a48's in-plan aggregate, but
     # the bound is behind a table scan so not plan-visible.
     "t35_streaming_mann_whitney": "input is the ~50-row value-domain grid state",
+    # t37/t38 finalize over the SAME materialized quantity-grid state
+    # table as t35 — the identical value-domain bound, equally invisible
+    # to the plan walker behind the state-table scan.
+    "t37_streaming_cliffs_delta": "input is the ~50-row value-domain grid state",
+    "t38_streaming_ansari_bradley": "input is the ~50-row value-domain grid state",
 }
 
 
@@ -1888,6 +1893,9 @@ _NESTED_LOOP_EXCEPTIONS: dict[str, str] = {
     "fixture join for the vector arm",
     "x133_rag_context_pack": "context packing consumes exact top-k for "
     "the fixture queries before the budget fold",
+    "x157_norm_bound_prune_audit": "the pruning audit grades the bound "
+    "against x10's exact fixture-query baseline — same bounded "
+    "modulo-selected broadcast side",
 }
 
 

@@ -645,3 +645,22 @@ def test_a53_ab_statistic_matches_bruteforce_ranks(spark):
     assert row.ab2_stat == ab2_brute
     assert row.n_o == len(qo)
     assert row.n_rows == n
+
+
+def test_x157_bound_is_sound_and_prunes(spark):
+    """Cauchy-Schwarz soundness end-to-end: no top-k member may fall
+    under the kth-score bound (violations must be zero for EVERY query),
+    and the bound must actually prune something on real data."""
+    from smart_water_management_spark.registry import _REGISTRY
+
+    from .conftest import SF_DIR
+
+    rows = _REGISTRY["x157_norm_bound_prune_audit"].fn(
+        spark, SF_DIR
+    ).collect()
+    assert rows, "no query rows"
+    for r in rows:
+        assert r.n_bound_violations == 0, r
+        assert 0 <= r.n_prunable <= r.n_candidates, r
+        assert abs(r.prune_rate - round(r.n_prunable / r.n_candidates, 6)) < 1e-9
+    assert sum(r.n_prunable for r in rows) > 0, "bound never pruned"

@@ -219,6 +219,9 @@ PARITY_QUERIES = [
     "a51_gamma_somers_tauc",      # grid pair counts + three ratio doubles
     "a52_mood_median_test",       # grand-median split + N-scaled chi-square
     "a53_ansari_bradley",         # doubled midrank scores, conditional z
+    "m40_chow_test",              # segment SSEs over 30x-larger moments
+    "m41_durbin_watson",          # integer-micro residual quantization
+    "x157_norm_bound_prune_audit",  # raw-double bound vs kth-score compares
 ]
 
 
