@@ -4806,11 +4806,16 @@ def m39_damped_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _m40_sse(s: str) -> str:
-    """Simple-OLS SSE from raw moments for segment suffix ``s`` — ONE
-    formula string consumed verbatim by BOTH engines (m36's device):
-    SSE = Syy - Sxy^2/Sxx on the centered second moments."""
-    n, sx, sy = f"CAST(n{s} AS DOUBLE)", f"sx{s}", f"sy{s}"
-    sxx, sxy, syy = f"sxx{s}", f"sxy{s}", f"syy{s}"
+    """Simple-OLS SSE (in micro^2 units) from raw INTEGER moments for
+    segment suffix ``s`` — ONE formula string consumed verbatim by BOTH
+    engines (m36's device): SSE = Syy - Sxy^2/Sxx on centered second
+    moments. Every input column is an integer-valued decimal/BIGINT
+    (m41's micro-quantization device), so the decimal->double
+    conversions are single correctly-rounded operations on both engines
+    — the 30x probe showed DECIMAL(38,6) fractional conversions drift
+    by an ulp between engines, which the cancellation here amplifies."""
+    n, sx, sy = f"CAST(n{s} AS DOUBLE)", f"CAST(sx{s} AS DOUBLE)", f"CAST(sy{s} AS DOUBLE)"
+    sxx, sxy, syy = f"CAST(sxx{s} AS DOUBLE)", f"CAST(sxy{s} AS DOUBLE)", f"CAST(syy{s} AS DOUBLE)"
     cxy = f"({sxy} - {sx} * {sy} / {n})"
     return (
         f"({syy} - {sy} * {sy} / {n}"
@@ -4818,6 +4823,7 @@ def _m40_sse(s: str) -> str:
     )
 
 
+# micro^2 cancels in the F ratio, so F works on the raw integer moments
 _M40_F = (
     f"ROUND((({_m40_sse('p')} - ({_m40_sse('1')} + {_m40_sse('2')})) / 2)"
     f" / (({_m40_sse('1')} + {_m40_sse('2')})"
@@ -4833,18 +4839,26 @@ _M40_F = (
     # split fits beat the pooled fit by more than chance
     # (F = ((SSE_p - SSE_1 - SSE_2)/k) / ((SSE_1+SSE_2)/(n-2k)), k=2).
     # m19/m28 SEARCH for the best break; m40 is the inference
-    # companion — given a candidate break, is it SIGNIFICANT? All six
-    # moments per segment are mergeable decimal sums (m23's device);
-    # every SSE and the F ratio are shared formula strings (m36's
-    # device); the break point is the integer midpoint of each type's
-    # observed hour span — deterministic, no search. Scale: one
+    # companion — given a candidate break, is it SIGNIFICANT? The
+    # hourly values quantize to exact integer DECI-units first (m41's
+    # quantization idea, coarser scale chosen so every moment VALUE
+    # stays under 2^63: int64->double conversion is hardware-exact on
+    # both engines, while the int128 path a DECIMAL(38,0) above 2^63
+    # takes drifted 1 ulp at 30x and the SSE cancellation amplified
+    # it). Every SSE/F expression is a shared
+    # formula string (m36's device); the break point is the integer
+    # midpoint of each type's observed hour span. Scale: one
     # map-combined moment aggregate over the hourly grid; the fold is
-    # a per-type scalar row. Identical plan at 100 TB.
+    # a per-type scalar row. Headroom: exactness holds while each
+    # segment's sum of (10*hv)^2 stays under 2^63 (~3e9 deci-units per
+    # hour over a year of hours) — ~100x the 30x-replicated volume;
+    # beyond that both engines stay within 1 ulp but bit-parity may go.
     oracle=f"""
-    WITH {_hourly_series_sql().strip()},
+    WITH {{hourly}},
     t AS (
-      SELECT event_type, CAST(h AS DOUBLE) AS x, CAST(hv AS DOUBLE) AS y,
-             h
+      SELECT event_type, h,
+             CAST(h AS BIGINT) AS x,
+             CAST(FLOOR(hv * 10 + 0.5) AS DECIMAL(13,0)) AS ym
       FROM hourly
     ),
     sp AS (
@@ -4859,37 +4873,59 @@ _M40_F = (
                AS n1,
              CAST(SUM(CASE WHEN h > mid THEN 1 ELSE 0 END) AS BIGINT)
                AS n2,
-             {sql_dsum('x', 38)} AS sxp, {sql_dsum('y', 38)} AS syp,
-             {sql_dsum('x*x', 38)} AS sxxp, {sql_dsum('x*y', 38)} AS sxyp,
-             {sql_dsum('y*y', 38)} AS syyp,
-             {sql_dsum('CASE WHEN h <= mid THEN x ELSE 0 END', 38)} AS sx1,
-             {sql_dsum('CASE WHEN h <= mid THEN y ELSE 0 END', 38)} AS sy1,
-             {sql_dsum('CASE WHEN h <= mid THEN x*x ELSE 0 END', 38)} AS sxx1,
-             {sql_dsum('CASE WHEN h <= mid THEN x*y ELSE 0 END', 38)} AS sxy1,
-             {sql_dsum('CASE WHEN h <= mid THEN y*y ELSE 0 END', 38)} AS syy1,
-             {sql_dsum('CASE WHEN h > mid THEN x ELSE 0 END', 38)} AS sx2,
-             {sql_dsum('CASE WHEN h > mid THEN y ELSE 0 END', 38)} AS sy2,
-             {sql_dsum('CASE WHEN h > mid THEN x*x ELSE 0 END', 38)} AS sxx2,
-             {sql_dsum('CASE WHEN h > mid THEN x*y ELSE 0 END', 38)} AS sxy2,
-             {sql_dsum('CASE WHEN h > mid THEN y*y ELSE 0 END', 38)} AS syy2
+             CAST(SUM(x) AS BIGINT) AS sxp,
+             CAST(SUM(x * x) AS BIGINT) AS sxxp,
+             CAST(SUM(ym) AS DECIMAL(38,0)) AS syp,
+             CAST(SUM(ym * ym) AS DECIMAL(38,0)) AS syyp,
+             CAST(SUM(CAST(x AS DECIMAL(13,0)) * ym) AS DECIMAL(38,0))
+               AS sxyp,
+             CAST(SUM(CASE WHEN h <= mid THEN x ELSE 0 END) AS BIGINT)
+               AS sx1,
+             CAST(SUM(CASE WHEN h <= mid THEN x * x ELSE 0 END) AS BIGINT)
+               AS sxx1,
+             CAST(SUM(CASE WHEN h <= mid THEN ym ELSE 0 END)
+                  AS DECIMAL(38,0)) AS sy1,
+             CAST(SUM(CASE WHEN h <= mid THEN ym * ym
+                  ELSE 0 END) AS DECIMAL(38,0)) AS syy1,
+             CAST(SUM(CASE WHEN h <= mid THEN
+                    CAST(x AS DECIMAL(13,0)) * ym ELSE 0 END)
+                  AS DECIMAL(38,0)) AS sxy1,
+             CAST(SUM(CASE WHEN h > mid THEN x ELSE 0 END) AS BIGINT)
+               AS sx2,
+             CAST(SUM(CASE WHEN h > mid THEN x * x ELSE 0 END) AS BIGINT)
+               AS sxx2,
+             CAST(SUM(CASE WHEN h > mid THEN ym ELSE 0 END)
+                  AS DECIMAL(38,0)) AS sy2,
+             CAST(SUM(CASE WHEN h > mid THEN ym * ym
+                  ELSE 0 END) AS DECIMAL(38,0)) AS syy2,
+             CAST(SUM(CASE WHEN h > mid THEN
+                    CAST(x AS DECIMAL(13,0)) * ym ELSE 0 END)
+                  AS DECIMAL(38,0)) AS sxy2
       FROM t JOIN sp ON t.event_type = sp.event_type
       GROUP BY t.event_type, sp.mid
     )
     SELECT event_type, mid AS break_h, np AS n_hours, n1, n2,
-           ROUND({_m40_sse('p')}, 6) AS sse_pooled,
-           ROUND({_m40_sse('1')} + {_m40_sse('2')}, 6) AS sse_split,
-           {_M40_F} AS f_stat
+           ROUND({{sse_p}} / 1e2, 6) AS sse_pooled,
+           ROUND(({{sse_1}} + {{sse_2}}) / 1e2, 6) AS sse_split,
+           {{f_stat}} AS f_stat
     FROM m
     WHERE n1 > 2 AND n2 > 2
-      AND (sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE)) <> 0
-      AND (sxx2 - sx2 * sx2 / CAST(n2 AS DOUBLE)) <> 0
-    """,
+      AND n1 * sxx1 - sx1 * sx1 <> 0
+      AND n2 * sxx2 - sx2 * sx2 <> 0
+    """.replace("{hourly}", _hourly_series_sql().strip())
+    .replace("{sse_p}", _m40_sse("p"))
+    .replace("{sse_1}", _m40_sse("1"))
+    .replace("{sse_2}", _m40_sse("2"))
+    .replace("{f_stat}", _M40_F),
     doc="m40 (ext.): Chow structural-break test — given the midpoint of "
     "each event type's hour span as the candidate break, does fitting "
     "the demand trend separately before/after beat one pooled line by "
     "more than chance? The inference companion to m19/m28's "
     "break-point SEARCH: they locate, m40 tests. Closed form from "
-    "eighteen mergeable decimal moments (six per segment + pooled), "
+    "eighteen mergeable INTEGER-micro moments (m41's quantization "
+    "device — fractional decimal->double conversions drifted an ulp "
+    "between engines at 30x and the SSE cancellation amplified it; "
+    "integer-valued conversions are single correctly-rounded steps), "
     "one map-combined aggregate over the hourly grid, every SSE/F "
     "expression a formula string shared verbatim between engines "
     "(m36's device). No reference analog — extension per brief",
@@ -4898,55 +4934,59 @@ def m40_chow_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     hourly = _hourly_series(spark, sf_dir)
     t = hourly.select(
         "event_type",
-        F.col("h").cast("double").alias("x"),
-        F.col("hv").cast("double").alias("y"),
         "h",
+        F.col("h").cast("bigint").alias("x"),
+        F.floor(F.col("hv") * 10 + 0.5).cast("decimal(13,0)").alias("ym"),
     )
     sp = t.groupBy("event_type").agg(
         F.floor((F.min("h") + F.max("h")) / 2.0).cast("bigint").alias("mid")
     )
-
-    def seg(cond, expr):
-        return F.when(cond, expr).otherwise(F.lit(0.0))
-
     j = t.join(F.broadcast(sp), "event_type")
     lo = F.col("h") <= F.col("mid")
     hi = F.col("h") > F.col("mid")
-    x, y = F.col("x"), F.col("y")
+    x, ym = F.col("x"), F.col("ym")
+    yy = ym * ym
+    xy = x.cast("decimal(13,0)") * ym
+    zero = F.lit(0)
+
+    def seg(cond, expr):
+        return F.sum(F.when(cond, expr).otherwise(zero))
+
     m = j.groupBy("event_type", "mid").agg(
         F.count("*").cast("bigint").alias("np"),
-        F.sum(F.when(lo, 1).otherwise(0)).cast("bigint").alias("n1"),
-        F.sum(F.when(hi, 1).otherwise(0)).cast("bigint").alias("n2"),
-        dsum(x, 38).alias("sxp"),
-        dsum(y, 38).alias("syp"),
-        dsum(x * x, 38).alias("sxxp"),
-        dsum(x * y, 38).alias("sxyp"),
-        dsum(y * y, 38).alias("syyp"),
-        dsum(seg(lo, x), 38).alias("sx1"),
-        dsum(seg(lo, y), 38).alias("sy1"),
-        dsum(seg(lo, x * x), 38).alias("sxx1"),
-        dsum(seg(lo, x * y), 38).alias("sxy1"),
-        dsum(seg(lo, y * y), 38).alias("syy1"),
-        dsum(seg(hi, x), 38).alias("sx2"),
-        dsum(seg(hi, y), 38).alias("sy2"),
-        dsum(seg(hi, x * x), 38).alias("sxx2"),
-        dsum(seg(hi, x * y), 38).alias("sxy2"),
-        dsum(seg(hi, y * y), 38).alias("syy2"),
+        seg(lo, F.lit(1)).cast("bigint").alias("n1"),
+        seg(hi, F.lit(1)).cast("bigint").alias("n2"),
+        F.sum(x).cast("bigint").alias("sxp"),
+        F.sum(x * x).cast("bigint").alias("sxxp"),
+        F.sum(ym).cast("decimal(38,0)").alias("syp"),
+        F.sum(yy).cast("decimal(38,0)").alias("syyp"),
+        F.sum(xy).cast("decimal(38,0)").alias("sxyp"),
+        seg(lo, x).cast("bigint").alias("sx1"),
+        seg(lo, x * x).cast("bigint").alias("sxx1"),
+        seg(lo, ym).cast("decimal(38,0)").alias("sy1"),
+        seg(lo, yy).cast("decimal(38,0)").alias("syy1"),
+        seg(lo, xy).cast("decimal(38,0)").alias("sxy1"),
+        seg(hi, x).cast("bigint").alias("sx2"),
+        seg(hi, x * x).cast("bigint").alias("sxx2"),
+        seg(hi, ym).cast("decimal(38,0)").alias("sy2"),
+        seg(hi, yy).cast("decimal(38,0)").alias("syy2"),
+        seg(hi, xy).cast("decimal(38,0)").alias("sxy2"),
     )
     return (
         m.filter((F.col("n1") > 2) & (F.col("n2") > 2))
         .filter(
-            F.expr(f"(sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE)) <> 0")
-            & F.expr(f"(sxx2 - sx2 * sx2 / CAST(n2 AS DOUBLE)) <> 0")
+            (F.col("n1") * F.col("sxx1") - F.col("sx1") * F.col("sx1") != 0)
+            & (F.col("n2") * F.col("sxx2") - F.col("sx2") * F.col("sx2") != 0)
         )
         .select(
             "event_type",
             F.col("mid").alias("break_h"),
             F.col("np").alias("n_hours"),
             "n1", "n2",
-            F.expr(f"ROUND({_m40_sse('p')}, 6)").alias("sse_pooled"),
-            F.expr(f"ROUND({_m40_sse('1')} + {_m40_sse('2')}, 6)")
-            .alias("sse_split"),
+            F.expr(f"ROUND({_m40_sse('p')} / 1e2, 6)").alias("sse_pooled"),
+            F.expr(
+                f"ROUND(({_m40_sse('1')} + {_m40_sse('2')}) / 1e2, 6)"
+            ).alias("sse_split"),
             F.expr(_M40_F).alias("f_stat"),
         )
     )

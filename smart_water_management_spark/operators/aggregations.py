@@ -3888,6 +3888,13 @@ def a51_gamma_somers_tauc(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = li.groupBy("yr", "v").agg(
         F.count("*").cast("decimal(14,0)").alias("c")
     )
+    return gamma_somers_tauc_from_grid(g)
+
+
+def gamma_somers_tauc_from_grid(g: DataFrame) -> DataFrame:
+    """a51's finalize from the (yr, v, c) contingency grid — shared with
+    t39's streaming twin (cell counts are sums, so the grid merges under
+    any slicing; same argument as a48/a50/a53's quantity grid)."""
     a = g.select(
         F.col("yr").alias("ayr"), F.col("v").alias("av"),
         F.col("c").alias("ac"),

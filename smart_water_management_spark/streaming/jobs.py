@@ -2995,3 +2995,97 @@ def t38_streaming_ansari_bradley(
     from ..operators.aggregations import ansari_bradley_from_grid
 
     return ansari_bradley_from_grid(quantity_grid_stream(spark, sf_dir))
+
+
+# --- t39: streaming ordinal-association monitor (year x quantity grid state) ---------------
+
+
+def year_quantity_grid_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """t39 state maintainer: a51's (yr, v, c) contingency grid kept
+    incrementally — each lineitem micro-batch's partial grid merges into
+    the state by groupBy-SUM (cell counts are sums, so state == batch
+    grid bit-for-bit under any slicing; the same mergeable-sufficient-
+    statistic argument as t35's quantity grid, with the year axis kept).
+    State size is bounded by the (years x quantity-domain) product
+    (~350 cells), never by traffic volume."""
+    from ..sources.catalog import reset_managed_table
+
+    reset_managed_table(spark, "year_quantity_grid_state")
+    spark.sql(
+        "CREATE TABLE year_quantity_grid_state "
+        "(yr BIGINT, v BIGINT, c DECIMAL(14,0)) USING parquet"
+    )
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        partial = (
+            batch_df.select(
+                F.year("l_shipdate").cast("bigint").alias("yr"),
+                F.col("l_quantity").cast("bigint").alias("v"),
+            )
+            .groupBy("yr", "v")
+            .agg(F.count("*").cast("decimal(14,0)").alias("c"))
+        )
+        merged = (
+            sp.table("year_quantity_grid_state")
+            .unionByName(partial)
+            .groupBy("yr", "v")
+            .agg(F.sum("c").cast("decimal(14,0)").alias("c"))
+        )
+        staged = merged.localCheckpoint(eager=True)
+        staged.write.mode("overwrite").insertInto(
+            "year_quantity_grid_state"
+        )
+
+    stage = _stage_table_dir(sf_dir, "lineitem")
+    stream = (
+        spark.readStream.schema("l_quantity double, l_shipdate timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    with tempfile.TemporaryDirectory() as ckpt, _replay_state_partitions(spark):
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table("year_quantity_grid_state")
+
+
+def _a51_oracle() -> str:
+    # aggregations imports before streaming.jobs (package __init__ order),
+    # so a51's oracle is present at this module's registration time.
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["a51_gamma_somers_tauc"].oracle
+
+
+@register(
+    "t39_streaming_gamma_monitor",
+    # Equals batch a51 bit-for-bit: the (yr, v) contingency grid merges
+    # under any slicing and the finalize is the SAME helper a51 uses —
+    # a51's oracle certifies the monitor.
+    oracle=_a51_oracle(),
+    doc="T39: streaming ordinal-association monitor — a51's gamma / "
+    "Somers' D / tau-c recomputed from an incrementally-maintained "
+    "(year x quantity) contingency grid as line items stream in: a "
+    "drifting gamma is the 'is the quantity mix re-ordering across "
+    "cohorts?' alarm, the association-strength complement to t35's "
+    "two-sample console. Second grid-state family: t35/t37/t38 keep "
+    "the two-sample quantity grid, t39 keeps the ordered contingency "
+    "grid (~350 cells, traffic-independent). Certified by sharing "
+    "gamma_somers_tauc_from_grid and a51's oracle; 4-batch merge "
+    "test in tests/test_streaming.py",
+)
+def t39_streaming_gamma_monitor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.aggregations import gamma_somers_tauc_from_grid
+
+    return gamma_somers_tauc_from_grid(
+        year_quantity_grid_stream(spark, sf_dir)
+    )

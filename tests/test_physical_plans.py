@@ -1896,6 +1896,10 @@ _NESTED_LOOP_EXCEPTIONS: dict[str, str] = {
     "x157_norm_bound_prune_audit": "the pruning audit grades the bound "
     "against x10's exact fixture-query baseline — same bounded "
     "modulo-selected broadcast side",
+    "t39_streaming_gamma_monitor": "a51's grid self-join over the "
+    "materialized (year x quantity) contingency-grid STATE table — "
+    "~350 cells by value-domain construction (a49's bounded-grid "
+    "argument), invisible to the walker behind the state-table scan",
 }
 
 

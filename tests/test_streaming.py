@@ -966,3 +966,31 @@ def test_streaming_ansari_bradley_multi_batch_equals_batch_a53(spark):
         want.ab2_stat,
         want.z_stat,
     )
+
+
+def test_streaming_gamma_multi_batch_equals_batch_a51(spark):
+    """t39 under real incrementality: lineitem split into 4 parquet
+    files (4 micro-batches); the merged (year x quantity) contingency
+    grid must reproduce a51's batch pair counts and all three
+    association measures exactly."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        li.repartition(4).write.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        )
+        (got,) = jobs.t39_streaming_gamma_monitor(spark, sf_dir).collect()
+    (want,) = _REGISTRY["a51_gamma_somers_tauc"].fn(spark, SF_DIR).collect()
+    assert (
+        got.c_pairs, got.d_pairs, got.tied_v_only2,
+        got.gamma, got.somers_d, got.tau_c,
+    ) == (
+        want.c_pairs, want.d_pairs, want.tied_v_only2,
+        want.gamma, want.somers_d, want.tau_c,
+    )
