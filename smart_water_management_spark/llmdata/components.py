@@ -1192,3 +1192,129 @@ def x145_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(1).cast("double") / F.col("csize")).alias("weight_per_doc"),
         (F.count("*").cast("double") / F.col("csize")).alias("effective_docs"),
     )
+
+
+# --- x158: semantic cross-split contamination audit ------------------------------------
+
+
+def _x158_oracle() -> str:
+    # x132's full assignment as a nested-CTE subquery (DuckDB scopes a
+    # WITH RECURSIVE inside a parenthesized derived table), joined into
+    # x11's label-blocked cosine pairs, keeping each TEST doc's single
+    # nearest TRAIN neighbor (ties broken by train id).
+    from .similarity import _SQL_DOT, _SQL_SQNORM
+
+    cos = (
+        f"{_SQL_DOT.format(a='a.embedding', b='b.embedding')}"
+        f" / (SQRT({_SQL_SQNORM.format(a='a.embedding')})"
+        f" * SQRT({_SQL_SQNORM.format(a='b.embedding')}))"
+    )
+    return f"""
+    WITH assigned AS (
+      SELECT doc_id, split FROM ({_x132_oracle()})
+    ),
+    scored AS (
+      SELECT a.vec_id AS test_doc, b.vec_id AS train_twin,
+             a.label AS label, {cos} AS cos_sim
+      FROM embeddings a
+      JOIN assigned sa ON sa.doc_id = a.vec_id AND sa.split = 'test'
+      JOIN embeddings b ON a.label = b.label AND a.vec_id <> b.vec_id
+      JOIN assigned sb ON sb.doc_id = b.vec_id AND sb.split = 'train'
+    )
+    SELECT test_doc, train_twin, label,
+           ROUND(cos_sim, 6) AS cos_sim,
+           cos_sim >= 0.9 AS is_contaminated
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY test_doc
+                 ORDER BY cos_sim DESC, train_twin) AS rn
+      FROM scored
+    ) WHERE rn = 1
+    """
+
+
+@register(
+    "x158_semantic_split_contamination",
+    # x132 makes LEXICAL near-dup train/test straddle impossible by
+    # construction — but its closure only sees MinHash-verified n-gram
+    # overlap. x158 audits the channel it cannot see: for EVERY test
+    # document, the single nearest train document by embedding cosine
+    # within its label block — the paraphrase/translation/re-render
+    # twin a lexical closure misses. The ranked list (highest cosine
+    # first) is what an eval pipeline reviews before reporting
+    # numbers; the is_contaminated flag pins the standard 0.9 bar.
+    # Scale: x11's label-blocked pair generation (never all-pairs),
+    # two hash joins against the split assignment, one window per
+    # test doc; the split build rides x08/x15's banded machinery.
+    # Exactness: ordered-fold cosine (x10's device), md5-draw splits,
+    # deterministic tie-break, ROUND(,6) output only.
+    oracle=_x158_oracle(),
+    doc="x158: semantic cross-split contamination — each TEST doc's "
+    "nearest TRAIN doc by label-blocked embedding cosine under "
+    "x132's leakage-free split: the dense-channel leakage audit a "
+    "lexical closure cannot perform, emitted as the ranked "
+    "quarantine list (test doc, train twin, similarity, 0.9 flag). "
+    "Completes the contamination matrix: x44 audits lexical "
+    "straddle, x121/x129 n-gram overlap, x23 benchmark grams, x158 "
+    "the dense channel. Scale: blocked pairs + two hash joins + one "
+    "per-test-doc window — no all-pairs, no text rescan. No "
+    "reference analog — extension per brief",
+)
+def x158_semantic_split_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .dedup import pinned_corpus_signatures
+    from .similarity import _dbl, cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = dedup_corpus(
+        docs, sigs=pinned_corpus_signatures(spark, sf_dir)
+    ).select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("component").cast("string")), 1, 2)
+            < _X132_TEST_HEX,
+            "test",
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl("embedding").alias("e")
+    )
+    test = em.join(
+        assigned.filter(F.col("split") == "test").select("doc_id"),
+        em.vec_id == F.col("doc_id"),
+    ).select(
+        F.col("vec_id").alias("test_doc"), "label",
+        F.col("e").alias("ea"),
+    )
+    train = em.join(
+        assigned.filter(F.col("split") == "train").select("doc_id"),
+        em.vec_id == F.col("doc_id"),
+    ).select(
+        F.col("vec_id").alias("train_twin"),
+        F.col("label").alias("label_b"),
+        F.col("e").alias("eb"),
+    )
+    scored = (
+        test.join(train, test.label == train.label_b)
+        .filter(F.col("test_doc") != F.col("train_twin"))
+        .select(
+            "test_doc", "train_twin", "label",
+            cosine(F.col("ea"), F.col("eb")).alias("cs"),
+        )
+    )
+    w = W.partitionBy("test_doc").orderBy(
+        F.desc("cs"), F.asc("train_twin")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "test_doc", "train_twin", "label",
+            F.round("cs", 6).alias("cos_sim"),
+            (F.col("cs") >= 0.9).alias("is_contaminated"),
+        )
+    )

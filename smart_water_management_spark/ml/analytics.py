@@ -5136,3 +5136,190 @@ def m41_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_M41_DW).alias("dw_stat"),
         F.expr(_M41_RHO).alias("rho1"),
     )
+
+
+# --- m42 (ext.): forecast-accuracy metric suite (MASE / sMAPE / bias) --------------------
+
+# Shared final-metric strings over exact decimal sums (a47's device).
+_M42_MAE = "ROUND(CAST(sum_ae AS DOUBLE) / n_evals, 6)"
+_M42_SMAPE = "ROUND(100 * CAST(sum_sm AS DOUBLE) / n_evals, 6)"
+_M42_BIAS = "ROUND(CAST(sum_me AS DOUBLE) / n_evals, 6)"
+_M42_MASE = (
+    "ROUND((CAST(sum_ae AS DOUBLE) / n_evals)"
+    " / (CAST(ins_ae AS DOUBLE) / ins_n), 6)"
+)
+
+
+@register(
+    "m42_forecast_metrics",
+    # m22 reports MAE/RMSE — scale-DEPENDENT numbers you cannot compare
+    # across event types or hand to a reviewer. m42 adds the standard
+    # scale-free suite over the SAME holdout and models: MASE (MAE over
+    # the in-sample one-step naive MAE — the Hyndman-Koehler gold
+    # standard: < 1 beats naive), symmetric MAPE (bounded percentage),
+    # and mean error (bias sign). Determinism: each per-row error term
+    # is an identical IEEE expression on both engines, then ROUND(,6)
+    # -> DECIMAL(27,6) so every sum is exact and order-free (x146's
+    # round-then-decimal-sum device; no ordered list folds needed);
+    # final ratios are shared strings. Scale: lag windows on the
+    # bounded hourly grid, one map-combined error aggregate per
+    # (type, model), a broadcast join for the per-type MASE scale.
+    oracle=f"""
+    WITH {_hourly_series_sql().strip()},
+    ser AS (
+      SELECT event_type, h, CAST(hv AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             LAG(CAST(hv AS DOUBLE), 1) OVER
+               (PARTITION BY event_type ORDER BY h) AS x1,
+             LAG(CAST(hv AS DOUBLE), 24) OVER
+               (PARTITION BY event_type ORDER BY h) AS x24,
+             FIRST_VALUE(CAST(hv AS DOUBLE)) OVER
+               (PARTITION BY event_type ORDER BY h) AS x0
+      FROM hourly
+    ),
+    insample AS (
+      SELECT event_type,
+             CAST(SUM(CAST(ROUND(ABS(x - x1), 6) AS DECIMAL(27,6)))
+                  AS DECIMAL(38,6)) AS ins_ae,
+             CAST(COUNT(*) AS BIGINT) AS ins_n
+      FROM ser
+      WHERE t >= 2 AND t <= n - {{H}} AND x1 IS NOT NULL
+      GROUP BY event_type
+    ),
+    holdout AS (
+      SELECT * FROM ser
+      WHERE t > n - {{H}} AND x24 IS NOT NULL AND t >= 3
+    ),
+    preds AS (
+      SELECT event_type, 'naive' AS model, x, x1 AS yhat FROM holdout
+      UNION ALL
+      SELECT event_type, 'seasonal_naive', x, x24 FROM holdout
+      UNION ALL
+      SELECT event_type, 'drift', x,
+             x1 + (x1 - x0) / (t - 2) FROM holdout
+    ),
+    terms AS (
+      SELECT event_type, model,
+             CAST(ROUND(ABS(x - yhat), 6) AS DECIMAL(27,6)) AS ae_r,
+             CAST(ROUND(CASE WHEN ABS(x) + ABS(yhat) = 0 THEN 0
+                        ELSE 2 * ABS(x - yhat) / (ABS(x) + ABS(yhat))
+                        END, 6) AS DECIMAL(27,6)) AS sm_r,
+             CAST(ROUND(x - yhat, 6) AS DECIMAL(27,6)) AS me_r
+      FROM preds
+    ),
+    agg AS (
+      SELECT event_type, model,
+             CAST(COUNT(*) AS BIGINT) AS n_evals,
+             CAST(SUM(ae_r) AS DECIMAL(38,6)) AS sum_ae,
+             CAST(SUM(sm_r) AS DECIMAL(38,6)) AS sum_sm,
+             CAST(SUM(me_r) AS DECIMAL(38,6)) AS sum_me
+      FROM terms GROUP BY event_type, model
+    )
+    SELECT a.event_type, a.model, a.n_evals,
+           {_M42_MAE} AS mae,
+           {_M42_MASE} AS mase,
+           {_M42_SMAPE} AS smape_pct,
+           {_M42_BIAS} AS mean_error
+    FROM agg a JOIN insample i ON a.event_type = i.event_type
+    WHERE i.ins_ae > 0
+    """.replace("{H}", "48"),
+    doc="m42 (ext.): forecast-accuracy metric suite — MASE, symmetric "
+    "MAPE and mean-error bias for m22's three baseline models over "
+    "the same 48-hour holdout, the scale-free numbers a model review "
+    "actually compares (MASE < 1 = beats in-sample naive; sMAPE "
+    "bounded 0-200; bias sign shows systematic over/under-forecast). "
+    "Per-row error terms are identical IEEE doubles rounded to 6dp "
+    "then decimal-summed (x146's device) — exact, order-free, no "
+    "ordered folds. One error aggregate per (type, model) plus a "
+    "broadcast per-type MASE scale join. No reference analog — "
+    "extension per brief; completes the evaluation family m22/m24/m27",
+)
+def m42_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    H = 48
+    hourly = _hourly_series(spark, sf_dir)
+    wp = W.partitionBy("event_type").orderBy("h")
+    wa = W.partitionBy("event_type")
+    x = F.col("hv").cast("double")
+    ser = hourly.select(
+        "event_type", "h", x.alias("x"),
+        F.row_number().over(wp).alias("t"),
+        F.count("*").over(wa).alias("n"),
+        F.lag(x, 1).over(wp).alias("x1"),
+        F.lag(x, 24).over(wp).alias("x24"),
+        F.first(x).over(wp).alias("x0"),
+    )
+    insample = (
+        ser.filter(
+            (F.col("t") >= 2)
+            & (F.col("t") <= F.col("n") - H)
+            & F.col("x1").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.round(F.abs(F.col("x") - F.col("x1")), 6)
+            .cast("decimal(27,6)")
+            .alias("ae"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("ae").cast("decimal(38,6)").alias("ins_ae"),
+            F.count("*").cast("bigint").alias("ins_n"),
+        )
+    )
+    holdout = ser.filter(
+        (F.col("t") > F.col("n") - H)
+        & F.col("x24").isNotNull()
+        & (F.col("t") >= 3)
+    )
+
+    def model(name: str, yhat) -> DataFrame:
+        return holdout.select(
+            "event_type", F.lit(name).alias("model"), "x",
+            yhat.alias("yhat"),
+        )
+
+    preds = (
+        model("naive", F.col("x1"))
+        .unionByName(model("seasonal_naive", F.col("x24")))
+        .unionByName(
+            model(
+                "drift",
+                F.col("x1")
+                + (F.col("x1") - F.col("x0")) / (F.col("t") - 2),
+            )
+        )
+    )
+    ad = F.abs(F.col("x") - F.col("yhat"))
+    den = F.abs(F.col("x")) + F.abs(F.col("yhat"))
+    terms = preds.select(
+        "event_type", "model",
+        F.round(ad, 6).cast("decimal(27,6)").alias("ae_r"),
+        F.round(
+            F.when(den == 0, F.lit(0.0)).otherwise(2 * ad / den), 6
+        )
+        .cast("decimal(27,6)")
+        .alias("sm_r"),
+        F.round(F.col("x") - F.col("yhat"), 6)
+        .cast("decimal(27,6)")
+        .alias("me_r"),
+    )
+    agg = terms.groupBy("event_type", "model").agg(
+        F.count("*").cast("bigint").alias("n_evals"),
+        F.sum("ae_r").cast("decimal(38,6)").alias("sum_ae"),
+        F.sum("sm_r").cast("decimal(38,6)").alias("sum_sm"),
+        F.sum("me_r").cast("decimal(38,6)").alias("sum_me"),
+    )
+    return (
+        agg.join(F.broadcast(insample), "event_type")
+        .filter(F.col("ins_ae") > 0)
+        .select(
+            "event_type", "model", "n_evals",
+            F.expr(_M42_MAE).alias("mae"),
+            F.expr(_M42_MASE).alias("mase"),
+            F.expr(_M42_SMAPE).alias("smape_pct"),
+            F.expr(_M42_BIAS).alias("mean_error"),
+        )
+    )

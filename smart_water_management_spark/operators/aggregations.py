@@ -4268,3 +4268,181 @@ def ansari_bradley_from_grid(grid: DataFrame) -> DataFrame:
         "n_rows", "n_o", "n_f", "ab2_stat",
         F.expr(_A53_Z).alias("z_stat"),
     )
+
+
+# --- a54 (ext.): Dunn's post-hoc pairwise rank test (completes a44) ---------------------
+
+# One shared z string per pair (a47's device): doubled mean-rank
+# difference over the tie-corrected Dunn standard error; every input is
+# an exact BIGINT/DECIMAL piece from the value-domain grid.
+def _a54_z(i: str, j: str) -> str:
+    rbar = (
+        f"((CAST(r2_{i} AS DOUBLE) / n_{i}"
+        f" - CAST(r2_{j} AS DOUBLE) / n_{j}) / 2)"
+    )
+    se = (
+        "SQRT((CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1) / 12"
+        " - CAST(tie_mass AS DOUBLE) / (12 * (CAST(n AS DOUBLE) - 1)))"
+        f" * (1.0 / n_{i} + 1.0 / n_{j}))"
+    )
+    return f"ROUND({rbar} / {se}, 9)"
+
+
+def _a54_diff(i: str, j: str) -> str:
+    return (
+        f"ROUND((CAST(r2_{i} AS DOUBLE) / n_{i}"
+        f" - CAST(r2_{j} AS DOUBLE) / n_{j}) / 2, 9)"
+    )
+
+
+_A54_CORE = """
+    WITH cells AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag AS g,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    vals AS (
+      SELECT v, SUM(c) AS cv FROM cells GROUP BY v
+    ),
+    ranked AS (
+      SELECT v, cv,
+             COALESCE(SUM(cv) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_less
+      FROM vals
+    ),
+    r2 AS (
+      SELECT v, 2 * cum_less + cv + 1 AS r2v FROM ranked
+    ),
+    grp AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n_g,
+             CAST(SUM(c * r2v) AS BIGINT) AS r2_sum
+      FROM cells JOIN r2 USING (v) GROUP BY g
+    ),
+    ties AS (
+      SELECT CAST(SUM(CAST(cv AS DECIMAL(38,0)) * cv * cv - cv)
+                  AS DECIMAL(38,0)) AS tie_mass
+      FROM vals
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN g = 'A' THEN n_g END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN g = 'N' THEN n_g END) AS BIGINT) AS n_n,
+             CAST(SUM(CASE WHEN g = 'R' THEN n_g END) AS BIGINT) AS n_r,
+             CAST(SUM(CASE WHEN g = 'A' THEN r2_sum END) AS BIGINT) AS r2_a,
+             CAST(SUM(CASE WHEN g = 'N' THEN r2_sum END) AS BIGINT) AS r2_n,
+             CAST(SUM(CASE WHEN g = 'R' THEN r2_sum END) AS BIGINT) AS r2_r,
+             MAX(tie_mass) AS tie_mass
+      FROM grp, ties
+    )
+"""
+
+
+@register(
+    "a54_dunn_posthoc",
+    # a44's Kruskal-Wallis says "the three return-flag classes differ
+    # SOMEWHERE"; Dunn's test says WHERE — the standard post-hoc:
+    # pairwise mean-rank differences over the tie-corrected standard
+    # error sqrt((N(N+1)/12 - T/(12(N-1))) (1/n_i + 1/n_j)), one z per
+    # pair (Bonferroni-ready). Identical sort-free machinery: doubled
+    # midranks from the 50-row value grid, per-group BIGINT rank sums
+    # folded in fixed A/N/R order, tie mass in DECIMAL(38,0), each
+    # pair's z one shared formula string. Scale: the SAME one
+    # 150-cell aggregate a44 runs — the post-hoc is free once the
+    # grid exists; three output rows regardless of corpus size.
+    oracle=f"""{_A54_CORE}
+    SELECT 'A-N' AS pair, n_a AS n_i, n_n AS n_j,
+           {_a54_diff('a', 'n')} AS mean_rank_diff,
+           {_a54_z('a', 'n')} AS z_stat
+    FROM tot
+    UNION ALL
+    SELECT 'A-R', n_a, n_r, {_a54_diff('a', 'r')}, {_a54_z('a', 'r')}
+    FROM tot
+    UNION ALL
+    SELECT 'N-R', n_n, n_r, {_a54_diff('n', 'r')}, {_a54_z('n', 'r')}
+    FROM tot
+    """,
+    doc="a54 (ext.): Dunn's post-hoc pairwise comparisons — after a44's "
+    "omnibus Kruskal-Wallis rejects, WHICH return-flag pairs differ? "
+    "Tie-corrected pairwise mean-rank z statistics from the identical "
+    "sort-free value-domain rank grid (doubled midranks, BIGINT rank "
+    "sums, DECIMAL(38,0) tie mass), three rows out, each z a shared "
+    "formula string. The omnibus+post-hoc pairing mirrors how the "
+    "test is actually used. One 150-cell map-combined aggregate — "
+    "identical plan at 100 TB. No reference analog — extension per "
+    "brief; completes the k-sample family a44/a46/a49/a52",
+)
+def a54_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = (
+        li.select(
+            F.col("l_quantity").cast("bigint").alias("v"),
+            F.col("l_returnflag").alias("g"),
+        )
+        .groupBy("v", "g")
+        .agg(F.count("*").alias("c"))
+    )
+    vals = cells.groupBy("v").agg(F.sum("c").alias("cv"))
+    ranked = vals.withColumn(
+        "cum_less",
+        F.coalesce(
+            F.sum("cv").over(
+                W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    r2 = ranked.select(
+        "v", (2 * F.col("cum_less") + F.col("cv") + 1).alias("r2v")
+    )
+    grp = (
+        cells.join(F.broadcast(r2), "v")
+        .groupBy("g")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_g"),
+            F.sum(F.col("c") * F.col("r2v")).cast("bigint").alias("r2_sum"),
+        )
+    )
+    tie = vals.agg(
+        F.sum(
+            F.col("cv").cast("decimal(38,0)") * F.col("cv") * F.col("cv")
+            - F.col("cv")
+        )
+        .cast("decimal(38,0)")
+        .alias("tie_mass")
+    )
+    tot = (
+        grp.agg(
+            F.sum("n_g").cast("bigint").alias("n"),
+            F.sum(F.when(F.col("g") == "A", F.col("n_g")))
+            .cast("bigint").alias("n_a"),
+            F.sum(F.when(F.col("g") == "N", F.col("n_g")))
+            .cast("bigint").alias("n_n"),
+            F.sum(F.when(F.col("g") == "R", F.col("n_g")))
+            .cast("bigint").alias("n_r"),
+            F.sum(F.when(F.col("g") == "A", F.col("r2_sum")))
+            .cast("bigint").alias("r2_a"),
+            F.sum(F.when(F.col("g") == "N", F.col("r2_sum")))
+            .cast("bigint").alias("r2_n"),
+            F.sum(F.when(F.col("g") == "R", F.col("r2_sum")))
+            .cast("bigint").alias("r2_r"),
+        )
+        .crossJoin(F.broadcast(tie))
+    )
+
+    def pair(label: str, i: str, j: str) -> DataFrame:
+        return tot.select(
+            F.lit(label).alias("pair"),
+            F.col(f"n_{i}").alias("n_i"),
+            F.col(f"n_{j}").alias("n_j"),
+            F.expr(_a54_diff(i, j)).alias("mean_rank_diff"),
+            F.expr(_a54_z(i, j)).alias("z_stat"),
+        )
+
+    return (
+        pair("A-N", "a", "n")
+        .unionByName(pair("A-R", "a", "r"))
+        .unionByName(pair("N-R", "n", "r"))
+    )

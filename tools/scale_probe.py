@@ -222,6 +222,9 @@ PARITY_QUERIES = [
     "m40_chow_test",              # segment SSEs over 30x-larger moments
     "m41_durbin_watson",          # integer-micro residual quantization
     "x157_norm_bound_prune_audit",  # raw-double bound vs kth-score compares
+    "a54_dunn_posthoc",           # tie-mass decimal->double in the z scale
+    "m42_forecast_metrics",       # round-then-decimal error sums, MASE ratio
+    "x158_semantic_split_contamination",  # cosine folds + split joins at 30x
 ]
 
 
