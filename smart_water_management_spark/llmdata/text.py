@@ -2928,3 +2928,266 @@ def x153_mink_prob_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             / k_final
         ).alias("mink_nll"),
     )
+
+
+# --- x159: degenerate-loop audit (consecutive periodic token runs) ----------------------
+
+
+@register(
+    "x159_degenerate_loop_audit",
+    # THE inference-degeneration signature: "the the the the" (period-1)
+    # and "a b a b a b" (period-2) loops. x25 reads the FREQUENCY of the
+    # top gram anywhere in the doc; x159 reads CONSECUTIVE periodic
+    # structure — position-aware, so a doc that uses one phrase often
+    # but never back-to-back stays clean while a stuck sampler is
+    # caught. Device: per-doc token windows — r1 = (tok == lag 1),
+    # r2 = (tok == lag 2) — then the gaps-and-islands run-length fold
+    # (w24's device): a maximal block of k identical tokens yields k-1
+    # consecutive r1 rows in one island, so the longest constant run is
+    # max island mass + 1; a period-<=2 loop covering k tokens yields
+    # k-2 r2 rows, so its span is max mass + 2 (0 when no loop exists).
+    # All counters are exact integers; ONE rounded fraction at the end.
+    # Scale: one doc_id shuffle, windows linear per doc, then a
+    # per-source reduce — never a self-join, never a global sort.
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(text), ' ') AS tk
+      FROM documents
+    ),
+    expl AS (
+      SELECT doc_id, unnest(range(0, len(tk))) AS p, unnest(tk) AS t
+      FROM toks
+    ),
+    lagged AS (
+      SELECT doc_id, p,
+             CASE WHEN t = LAG(t, 1) OVER
+                    (PARTITION BY doc_id ORDER BY p)
+                  THEN 1 ELSE 0 END AS r1,
+             CASE WHEN t = LAG(t, 2) OVER
+                    (PARTITION BY doc_id ORDER BY p)
+                  THEN 1 ELSE 0 END AS r2
+      FROM expl
+    ),
+    g AS (
+      SELECT doc_id, r1, r2,
+             SUM(1 - r1) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g1,
+             SUM(1 - r2) OVER (PARTITION BY doc_id ORDER BY p
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g2
+      FROM lagged
+    ),
+    m1 AS (
+      SELECT doc_id, MAX(c) AS mx FROM (
+        SELECT doc_id, g1, CAST(SUM(r1) AS BIGINT) AS c
+        FROM g GROUP BY doc_id, g1
+      ) GROUP BY doc_id
+    ),
+    m2 AS (
+      SELECT doc_id, MAX(c) AS mx FROM (
+        SELECT doc_id, g2, CAST(SUM(r2) AS BIGINT) AS c
+        FROM g GROUP BY doc_id, g2
+      ) GROUP BY doc_id
+    ),
+    per_doc AS (
+      SELECT d.doc_id, d.source,
+             COALESCE(m1.mx, 0) + 1 AS run1,
+             CASE WHEN COALESCE(m2.mx, 0) = 0 THEN 0
+                  ELSE m2.mx + 2 END AS span2
+      FROM documents d
+      LEFT JOIN m1 ON d.doc_id = m1.doc_id
+      LEFT JOIN m2 ON d.doc_id = m2.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN run1 >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_const_loopy,
+           CAST(MAX(run1) AS BIGINT) AS max_const_run,
+           CAST(SUM(CASE WHEN span2 >= 6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_period2_loopy,
+           CAST(MAX(span2) AS BIGINT) AS max_period2_span,
+           ROUND(CAST(SUM(CASE WHEN run1 >= 3 OR span2 >= 6
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS loopy_frac
+    FROM per_doc GROUP BY source
+    """,
+    doc="x159: degenerate-loop audit — per-source screening for "
+    "CONSECUTIVE periodic token structure, the stuck-sampler "
+    "signature ('the the the', 'a b a b a b') that frequency-based "
+    "repetition scores (x25) dilute away in long documents. Longest "
+    "constant-token run and longest period-<=2 loop span per doc via "
+    "per-doc lag windows + the gaps-and-islands run-length fold, "
+    "reduced to per-source counts of loopy docs, worst spans, and "
+    "the loopy fraction. Exact integer counters, one rounded ratio. "
+    "One doc_id shuffle + one source reduce — linear in corpus "
+    "tokens at any scale. No reference analog — extension per brief "
+    "(LLM-data quality family: x25/x31/x141 read frequency, "
+    "diversity, novelty; x159 reads positional degeneration)",
+)
+def x159_degenerate_loop_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark).select(
+        "doc_id", tokens("text").alias("tk")
+    )
+    e = d.select("doc_id", F.posexplode("tk").alias("p", "t"))
+    wo = W.partitionBy("doc_id").orderBy("p")
+    lagged = e.select(
+        "doc_id", "p",
+        F.when(F.col("t") == F.lag("t", 1).over(wo), 1)
+        .otherwise(0)
+        .alias("r1"),
+        F.when(F.col("t") == F.lag("t", 2).over(wo), 1)
+        .otherwise(0)
+        .alias("r2"),
+    )
+    wc = wo.rowsBetween(W.unboundedPreceding, W.currentRow)
+    g = lagged.select(
+        "doc_id", "r1", "r2",
+        F.sum(F.lit(1) - F.col("r1")).over(wc).alias("g1"),
+        F.sum(F.lit(1) - F.col("r2")).over(wc).alias("g2"),
+    )
+    m1 = (
+        g.groupBy("doc_id", "g1")
+        .agg(F.sum("r1").cast("bigint").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"))
+    )
+    m2 = (
+        g.groupBy("doc_id", "g2")
+        .agg(F.sum("r2").cast("bigint").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("mx"))
+    )
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_doc = (
+        base.join(m1.withColumnRenamed("mx", "mx1"), "doc_id", "left")
+        .join(m2.withColumnRenamed("mx", "mx2"), "doc_id", "left")
+        .select(
+            "source",
+            (F.coalesce(F.col("mx1"), F.lit(0)) + 1).alias("run1"),
+            F.when(F.coalesce(F.col("mx2"), F.lit(0)) == 0, 0)
+            .otherwise(F.col("mx2") + 2)
+            .alias("span2"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("run1") >= 3, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_const_loopy"),
+        F.max("run1").cast("bigint").alias("max_const_run"),
+        F.sum(F.when(F.col("span2") >= 6, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_period2_loopy"),
+        F.max("span2").cast("bigint").alias("max_period2_span"),
+        F.round(
+            F.sum(
+                F.when(
+                    (F.col("run1") >= 3) | (F.col("span2") >= 6), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("loopy_frac"),
+    )
+
+
+# --- x160: Good-Turing unseen-mass estimate ---------------------------------------------
+
+
+@register(
+    "x160_good_turing_mass",
+    # HOW MUCH PROBABILITY BELONGS TO WORDS THE CORPUS HAS NEVER SEEN?
+    # Good-Turing: the unseen mass is P0 = N1/N (hapax count over token
+    # count), and the smoothed count for once-seen words is
+    # r1* = 2 N2/N1 — the quantities that decide whether a source is
+    # "closed" enough to train a tokenizer/LM on or still leaking
+    # vocabulary. x57 fits Heaps' vocabulary GROWTH, x101 flags
+    # hapax-dense DOCS; x160 estimates the source-level UNSEEN MASS —
+    # the LM-eval number the other two don't produce. Device: the
+    # word-count shape twice (token counts -> frequency-of-frequencies)
+    # then a 3-row conditional fold per source; everything integer
+    # until two shared rounded ratios. Scale: both aggregates are
+    # map-combined hash aggs keyed by (source, word) then (source,
+    # freq) — the canonical word-count shuffle, linear at any corpus
+    # size.
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(lower(text), ' ')) AS w
+      FROM documents
+    ),
+    wc AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks GROUP BY source, w
+    ),
+    fof AS (
+      SELECT source, c, CAST(COUNT(*) AS BIGINT) AS nc
+      FROM wc GROUP BY source, c
+    ),
+    s AS (
+      SELECT source,
+             CAST(SUM(c * nc) AS BIGINT) AS n_tokens,
+             CAST(SUM(nc) AS BIGINT) AS vocab,
+             CAST(SUM(CASE WHEN c = 1 THEN nc ELSE 0 END) AS BIGINT)
+               AS n1,
+             CAST(SUM(CASE WHEN c = 2 THEN nc ELSE 0 END) AS BIGINT)
+               AS n2
+      FROM fof GROUP BY source
+    )
+    SELECT source, n_tokens, vocab, n1 AS n_hapax, n2 AS n_dis,
+           ROUND(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS p_unseen,
+           CASE WHEN n1 > 0 THEN
+             ROUND(2 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)
+           END AS r1_star
+    FROM s
+    """,
+    doc="x160: Good-Turing unseen-mass estimate per source — hapax "
+    "and dis-legomena counts from the frequency-of-frequencies "
+    "table, the Good-Turing unseen probability mass P0 = N1/N and "
+    "the smoothed once-seen count r1* = 2 N2/N1. The source-level "
+    "'is the vocabulary closed yet?' gauge for tokenizer/LM "
+    "training; complements x57 (Heaps growth fit) and x101 "
+    "(per-doc hapax density) with the LM-eval estimator neither "
+    "produces. Two map-combined word-count aggregates + a 3-row "
+    "fold, exact integers, two shared rounded ratios. No reference "
+    "analog — extension per brief (text-analysis family)",
+)
+def x160_good_turing_mass(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..sources.catalog import fan_out
+
+    d = fan_out(load_table(spark, sf_dir, "documents"), spark).select(
+        "source", F.explode(tokens("text")).alias("w")
+    )
+    wc = d.groupBy("source", "w").agg(
+        F.count("*").cast("bigint").alias("c")
+    )
+    fof = wc.groupBy("source", "c").agg(
+        F.count("*").cast("bigint").alias("nc")
+    )
+    s = fof.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("nc")).cast("bigint").alias("n_tokens"),
+        F.sum("nc").cast("bigint").alias("vocab"),
+        F.sum(F.when(F.col("c") == 1, F.col("nc")).otherwise(0))
+        .cast("bigint")
+        .alias("n1"),
+        F.sum(F.when(F.col("c") == 2, F.col("nc")).otherwise(0))
+        .cast("bigint")
+        .alias("n2"),
+    )
+    return s.select(
+        "source", "n_tokens", "vocab",
+        F.col("n1").alias("n_hapax"),
+        F.col("n2").alias("n_dis"),
+        F.expr(
+            "ROUND(CAST(n1 AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)"
+        ).alias("p_unseen"),
+        F.when(
+            F.col("n1") > 0,
+            F.expr("ROUND(2 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)"),
+        ).alias("r1_star"),
+    )

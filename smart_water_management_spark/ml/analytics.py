@@ -5323,3 +5323,386 @@ def m42_forecast_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_M42_BIAS).alias("mean_error"),
         )
     )
+
+
+# --- m43 (ext.): Wald-Wolfowitz runs test on trend residuals ----------------------------
+
+# Shared z string: runs count vs the exact run-count moments
+# mu = 2 n1 n2 / n + 1 and var = 2 n1 n2 (2 n1 n2 - n) / (n^2 (n-1)),
+# every input an exact BIGINT, every float op in one fixed order.
+_M43_Z = (
+    "ROUND((CAST(runs AS DOUBLE)"
+    " - (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    "    / CAST(n1 + n2 AS DOUBLE) + 1))"
+    " / SQRT(2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    "        * (2 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)"
+    "           - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))"
+    "        / (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 AS DOUBLE)"
+    "           * (CAST(n1 + n2 AS DOUBLE) - 1))), 9)"
+)
+
+
+@register(
+    "m43_runs_test",
+    # DO THE RESIDUALS WANDER IN STREAKS? The Wald-Wolfowitz runs test
+    # on the sign sequence of m41's hourly-trend residuals: too FEW
+    # runs = positive serial dependence (streaky errors), too MANY =
+    # negative (zig-zag). The sign-level companion to m41's
+    # magnitude-level Durbin-Watson — DW can be fooled by a few large
+    # residuals; the runs test sees only the sign pattern. Determinism:
+    # residuals quantize to integer micros exactly as m41 (FLOOR
+    # half-up — identical on both engines), the sign is then an exact
+    # integer comparison (em > 0; zeros count below, documented), and
+    # runs/n1/n2 are BIGINT folds over one lag window on the bounded
+    # hourly grid. z is one shared fixed-order string; NULL when the
+    # null variance degenerates (n1*n2 = 0 or n1 = n2 = 1).
+    oracle=f"""
+    WITH {_hourly_series_sql().strip()},
+    t AS (
+      SELECT event_type, CAST(h AS DOUBLE) AS x, CAST(hv AS DOUBLE) AS y,
+             h
+      FROM hourly
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             {sql_dsum('x', 38)} AS sx, {sql_dsum('y', 38)} AS sy,
+             {sql_dsum('x*x', 38)} AS sxx, {sql_dsum('x*y', 38)} AS sxy
+      FROM t GROUP BY event_type
+    ),
+    r AS (
+      SELECT t.event_type, t.h,
+             CAST(FLOOR((t.y - ((m.sy - {_M41_BETA} * m.sx)
+                                / CAST(m.n AS DOUBLE)
+                                + {_M41_BETA} * t.x)) * 1000000 + 0.5)
+                  AS BIGINT) AS em
+      FROM t JOIN m ON t.event_type = m.event_type
+      WHERE m.n > 2 AND (CAST(m.n AS DOUBLE) * m.sxx - m.sx * m.sx) <> 0
+    ),
+    sg AS (
+      SELECT event_type, h,
+             CASE WHEN em > 0 THEN 1 ELSE 0 END AS s
+      FROM r
+    ),
+    lagged AS (
+      SELECT event_type, s,
+             LAG(s) OVER (PARTITION BY event_type ORDER BY h) AS p
+      FROM sg
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_hours,
+             CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(SUM(1 - s) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN p IS NULL OR s <> p THEN 1 ELSE 0 END)
+                  AS BIGINT) AS runs
+      FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, n_hours,
+           n1 AS n_pos, n2 AS n_neg, runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND 2 * n1 * n2 <> n1 + n2
+                THEN {_M43_Z} END AS z_stat
+    FROM agg
+    """,
+    doc="m43 (ext.): Wald-Wolfowitz runs test — randomness of the "
+    "SIGN sequence of the hourly-demand trend residuals per event "
+    "type. Counts maximal runs of same-sign residuals in time order "
+    "and standardizes against the exact run-count null moments; too "
+    "few runs exposes streaky (positively dependent) errors, too "
+    "many exposes alternation. Complements m41: Durbin-Watson reads "
+    "residual magnitudes, the runs test reads only their pattern. "
+    "Same exactness device as m41 (micro-quantized residuals -> "
+    "integer signs -> BIGINT folds; one shared z string, NULL on "
+    "degenerate variance). One moment aggregate + one broadcast "
+    "join + one lag window over the bounded hourly grid — identical "
+    "plan at 100 TB. No reference analog — extension per brief",
+)
+def m43_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly_series(spark, sf_dir)
+    t = hourly.select(
+        "event_type",
+        F.col("h").cast("double").alias("x"),
+        F.col("hv").cast("double").alias("y"),
+        "h",
+    )
+    x, y = F.col("x"), F.col("y")
+    m = t.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum(x, 38).alias("sx"),
+        dsum(y, 38).alias("sy"),
+        dsum(x * x, 38).alias("sxx"),
+        dsum(x * y, 38).alias("sxy"),
+    )
+    r = (
+        t.join(F.broadcast(m), "event_type")
+        .filter(
+            (F.col("n") > 2)
+            & (F.expr("CAST(n AS DOUBLE) * sxx - sx * sx") != 0)
+        )
+        .select(
+            "event_type", "h",
+            F.expr(
+                f"CAST(FLOOR((y - ((sy - {_M41_BETA} * sx)"
+                f" / CAST(n AS DOUBLE)"
+                f" + {_M41_BETA} * x)) * 1000000 + 0.5) AS BIGINT)"
+            ).alias("em"),
+        )
+    )
+    sg = r.select(
+        "event_type", "h",
+        F.when(F.col("em") > 0, 1).otherwise(0).alias("s"),
+    )
+    w = W.partitionBy("event_type").orderBy("h")
+    lagged = sg.select(
+        "event_type", "s", F.lag("s").over(w).alias("p")
+    )
+    agg = lagged.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_hours"),
+        F.sum("s").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("s")).cast("bigint").alias("n2"),
+        F.sum(
+            F.when(
+                F.col("p").isNull() | (F.col("s") != F.col("p")), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    return agg.select(
+        "event_type", "n_hours",
+        F.col("n1").alias("n_pos"),
+        F.col("n2").alias("n_neg"),
+        "runs",
+        F.when(
+            (F.col("n1") > 0)
+            & (F.col("n2") > 0)
+            & (F.lit(2) * F.col("n1") * F.col("n2")
+               != F.col("n1") + F.col("n2")),
+            F.expr(_M43_Z),
+        ).alias("z_stat"),
+    )
+
+
+# --- m44 (ext.): Pettitt changepoint test (rank-based, distribution-free) ----------------
+
+# Shared strings: the integer pair sign, and the closed-form
+# significance approximation p ~= 2 exp(-6 K^2 / (T^3 + T^2)).
+_M44_SGN = "CASE WHEN x2 > x1 THEN 1 WHEN x2 < x1 THEN -1 ELSE 0 END"
+_M44_P = (
+    "ROUND(2 * EXP(-6 * CAST(k_stat AS DOUBLE) * CAST(k_stat AS DOUBLE)"
+    " / (CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE)"
+    "    * CAST(n_days AS DOUBLE)"
+    "    + CAST(n_days AS DOUBLE) * CAST(n_days AS DOUBLE))), 6)"
+)
+
+
+@register(
+    "m44_pettitt_test",
+    # WHEN did the level shift — without assuming normality? Pettitt's
+    # test: U_t = sum_{i<=t<j} sgn(x_j - x_i); the changepoint is the
+    # argmax of |U_t| and K = max|U_t| has the closed-form significance
+    # approximation above. The rank-based companion to m19/m28's
+    # least-squares break search (those find variance breaks fast but
+    # inherit squared-error's outlier sensitivity; Pettitt sees only
+    # sign order, so one wild day cannot fake a break). Device: daily
+    # sums quantize to integer micros, the bounded (type x day) grid
+    # self-joins into ordered pairs (i < j, calendar-bounded — T days a
+    # year, never traffic), each pair's sign becomes +sgn at index i
+    # and -sgn at index j of a difference array, and ONE cumulative
+    # window rebuilds every U_t exactly — T^2 pairs but O(T) window
+    # work, all BIGINT. Tie-break: earliest day achieving |U| = K.
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 86400.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT)
+               AS xm
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, day, xm,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day)
+               AS i
+      FROM daily
+    ),
+    pairs AS (
+      SELECT a.event_type, a.i AS i1, b.i AS i2,
+             CAST({_M44_SGN.replace('x2', 'b.xm').replace('x1', 'a.xm')}
+                  AS BIGINT) AS sgn
+      FROM idx a JOIN idx b
+        ON a.event_type = b.event_type AND a.i < b.i
+    ),
+    starts AS (
+      SELECT event_type, i1 AS i, CAST(SUM(sgn) AS BIGINT) AS s
+      FROM pairs GROUP BY 1, 2
+    ),
+    ends AS (
+      SELECT event_type, i2 AS i, CAST(SUM(sgn) AS BIGINT) AS s
+      FROM pairs GROUP BY 1, 2
+    ),
+    diffs AS (
+      SELECT idx.event_type, idx.i, idx.day,
+             COALESCE(st.s, 0) - COALESCE(en.s, 0) AS d
+      FROM idx
+      LEFT JOIN starts st
+        ON idx.event_type = st.event_type AND idx.i = st.i
+      LEFT JOIN ends en
+        ON idx.event_type = en.event_type AND idx.i = en.i
+    ),
+    u AS (
+      SELECT event_type, i, day,
+             CAST(SUM(d) OVER (PARTITION BY event_type ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS ut,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+               AS t_days
+      FROM diffs
+    ),
+    e2 AS (
+      SELECT event_type, t_days, day, ut,
+             MAX(ABS(ut)) OVER (PARTITION BY event_type) AS k_part
+      FROM u WHERE i < t_days
+    ),
+    k AS (
+      SELECT event_type, t_days AS n_days,
+             MAX(ABS(ut)) AS k_stat,
+             MIN(CASE WHEN ABS(ut) = k_part THEN day END) AS change_day
+      FROM e2
+      GROUP BY event_type, t_days
+    )
+    SELECT event_type, n_days, k_stat, change_day,
+           {_M44_P} AS p_approx
+    FROM k WHERE n_days > 1
+    """,
+    doc="m44 (ext.): Pettitt changepoint test — distribution-free "
+    "single-changepoint detection on each event type's daily demand: "
+    "K = max|U_t| over the rank statistic U_t = sum sgn(x_j - x_i) "
+    "(i <= t < j), the argmax day, and the closed-form significance "
+    "approximation. The robust companion to m19/m28's least-squares "
+    "break search and m31's sequential Page-Hinkley: sign-order only, "
+    "so outliers cannot fake a break. Micro-quantized daily sums make "
+    "every pair sign an exact integer; the calendar-bounded grid "
+    "self-join (T^2 pairs, T = days — never traffic-scaled) folds "
+    "into a difference array and ONE cumulative window rebuilds all "
+    "U_t in O(T). Earliest-day tie-break, all-BIGINT, one shared "
+    "EXP string at the end (x27's ROUND-after-EXP device). No "
+    "reference analog — extension per brief",
+)
+def m44_pettitt_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(
+                (F.floor(F.unix_timestamp("ts")).cast("bigint")
+                 - 1704067200)
+                / 86400.0
+            )
+            .cast("bigint")
+            .alias("day"),
+            F.col("value").cast("decimal(27,6)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg((F.sum("v") * 1000000).cast("bigint").alias("xm"))
+    )
+    return pettitt_from_daily(daily)
+
+
+def pettitt_from_daily(daily: DataFrame) -> DataFrame:
+    """m44's finalize from the (event_type, day, xm) micro-quantized
+    daily grid — shared with t41's streaming monitor, whose hourly
+    decimal state rolls up to the identical daily grid (decimal
+    addition is associative), so the monitor equals batch m44
+    bit-for-bit under any stream slicing."""
+    idx = daily.select(
+        "event_type", "day", "xm",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .alias("i"),
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    sgn_expr = _M44_SGN.replace("x2", "b.xm").replace("x1", "a.xm")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.i") < F.col("b.i")),
+        )
+        .select(
+            F.col("a.event_type").alias("event_type"),
+            F.col("a.i").alias("i1"),
+            F.col("b.i").alias("i2"),
+            F.expr(sgn_expr).cast("bigint").alias("sgn"),
+        )
+    )
+    starts = pairs.groupBy("event_type", "i1").agg(
+        F.sum("sgn").cast("bigint").alias("s_st")
+    )
+    ends = pairs.groupBy("event_type", "i2").agg(
+        F.sum("sgn").cast("bigint").alias("s_en")
+    )
+    diffs = (
+        idx.join(
+            starts,
+            (idx.event_type == starts.event_type) & (idx.i == starts.i1),
+            "left",
+        )
+        .drop(starts.event_type)
+        .join(
+            ends,
+            (idx.event_type == ends.event_type) & (idx.i == ends.i2),
+            "left",
+        )
+        .drop(ends.event_type)
+        .select(
+            idx.event_type.alias("event_type"), "i", "day",
+            (
+                F.coalesce(F.col("s_st"), F.lit(0))
+                - F.coalesce(F.col("s_en"), F.lit(0))
+            ).alias("d"),
+        )
+    )
+    wc = (
+        W.partitionBy("event_type")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wp = W.partitionBy("event_type")
+    u = diffs.select(
+        "event_type", "i", "day",
+        F.sum("d").over(wc).cast("bigint").alias("ut"),
+        F.count("*").over(
+            wp.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).cast("bigint").alias("t_days"),
+    )
+    eligible = u.filter(F.col("i") < F.col("t_days")).withColumn(
+        "k_part", F.max(F.abs(F.col("ut"))).over(wp)
+    )
+    k = (
+        eligible.groupBy("event_type", "t_days")
+        .agg(
+            F.max(F.abs(F.col("ut"))).alias("k_stat"),
+            F.min(
+                F.when(
+                    F.abs(F.col("ut")) == F.col("k_part"), F.col("day")
+                )
+            ).alias("change_day"),
+        )
+        .withColumnRenamed("t_days", "n_days")
+    )
+    return k.filter(F.col("n_days") > 1).select(
+        "event_type", "n_days", "k_stat", "change_day",
+        F.expr(_M44_P).alias("p_approx"),
+    )
+
+
+# Same late-binding for t41: m44's oracle certifies the streaming
+# Pettitt monitor (streaming.jobs imports before this module; the
+# hourly state rolls up to m44's exact daily grid, so state-merge +
+# pettitt_from_daily == batch m44 under any slicing).
+if "t41_streaming_pettitt" in _REG_FOR_T29:
+    _REG_FOR_T29["t41_streaming_pettitt"] = _dc.replace(
+        _REG_FOR_T29["t41_streaming_pettitt"],
+        oracle=_REG_FOR_T29["m44_pettitt_test"].oracle,
+    )

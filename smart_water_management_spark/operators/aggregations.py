@@ -4446,3 +4446,314 @@ def a54_dunn_posthoc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pair("A-R", "a", "r"))
         .unionByName(pair("N-R", "n", "r"))
     )
+
+
+# --- a55 (ext.): Cramér-von Mises two-sample test (value-domain grid device) -----------
+
+# Shared per-cell term: the cell's contribution to T = nm/N^2 * sum_v
+# c_v (F_n(v) - G_m(v))^2, with the ECDF difference computed as the
+# exact BIGINT dv = nf*cumF - no*cumG divided back down in one fixed
+# order. Every term is nonnegative and bounded by T itself (the terms
+# SUM to T), so 12-dp rounding + decimal summation is exact and
+# order-free on both engines.
+_A55_TERM = (
+    "ROUND(CAST(no AS DOUBLE) * CAST(nf AS DOUBLE)"
+    " / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)"
+    " * CAST(cv AS DOUBLE)"
+    " * (CAST(dv AS DOUBLE) / CAST(no AS DOUBLE) / CAST(nf AS DOUBLE))"
+    " * (CAST(dv AS DOUBLE) / CAST(no AS DOUBLE) / CAST(nf AS DOUBLE)),"
+    " 12)"
+)
+
+# Asymptotic standardization (Anderson 1962, the same moments scipy's
+# cramervonmises_2samp uses): E[T] = (1 + 1/N)/6 and
+# Var[T] = (N+1)/(45 N^2) * (4mnN - 3(m^2+n^2) - 2mn)/(4mn).
+# n, m, N are < 2^53 so their double images are exact; the whole
+# standardization is ONE shared fixed-order scalar expression.
+_A55_T = "ROUND(CAST(tsum AS DOUBLE), 9)"
+_A55_Z = (
+    "ROUND((CAST(tsum AS DOUBLE)"
+    " - (1 + 1 / CAST(nn AS DOUBLE)) / 6)"
+    " / SQRT((CAST(nn AS DOUBLE) + 1) / 45"
+    "        / CAST(nn AS DOUBLE) / CAST(nn AS DOUBLE)"
+    "        * (4 * CAST(no AS DOUBLE) * CAST(nf AS DOUBLE)"
+    "             * CAST(nn AS DOUBLE)"
+    "           - 3 * (CAST(no AS DOUBLE) * CAST(no AS DOUBLE)"
+    "                  + CAST(nf AS DOUBLE) * CAST(nf AS DOUBLE))"
+    "           - 2 * CAST(no AS DOUBLE) * CAST(nf AS DOUBLE))"
+    "        / (4 * CAST(no AS DOUBLE) * CAST(nf AS DOUBLE))), 9)"
+)
+
+
+@register(
+    "a55_cramer_von_mises",
+    # Two-sample Cramér-von Mises: do open ('O') and finished ('F')
+    # line items draw quantities from the same distribution — measured
+    # over the WHOLE ECDF, not just its largest gap (m14's KS) or its
+    # mean rank (a48's U)? T = nm/N^2 * sum over all N observations of
+    # (F_n(x) - G_m(x))^2, evaluated in the right-continuous ECDF form,
+    # which the ~50-cell quantity value grid computes with zero
+    # row-level work: inclusive cumulative counts per cell, the exact
+    # integer cross-difference dv = nf*cumF - no*cumG, and one
+    # 12-dp-rounded double term per cell summed as DECIMAL(38,12).
+    # Exactness bound: dv = nf*cumF - no*cumG stays in BIGINT while
+    # N < ~3e9 (dv <= N^2/4 < 2^63); int64→double is the
+    # hardware-exact conversion path on both engines (the m40 lesson —
+    # DECIMAL(38,_)→double above 2^63 takes an int128 path the engines
+    # round differently). Beyond that the grid device would need the
+    # deci-unit rescale, documented not implemented. Scale: ONE
+    # map-combined aggregate to ~50 cells; everything after runs on 50
+    # rows regardless of corpus size.
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                  AS DECIMAL(14,0)) AS c_o,
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                  AS DECIMAL(14,0)) AS c_f
+      FROM lineitem
+      WHERE l_linestatus IN ('O', 'F')
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT v, c_o, c_f,
+             CAST(SUM(c_o) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(18,0)) AS cum_o,
+             CAST(SUM(c_f) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(18,0)) AS cum_f
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_o) AS DECIMAL(18,0)) AS no,
+             CAST(SUM(c_f) AS DECIMAL(18,0)) AS nf,
+             CAST(SUM(c_o + c_f) AS DECIMAL(18,0)) AS nn
+      FROM g
+    ),
+    terms AS (
+      SELECT no, nf, nn,
+             CAST(c.c_o + c.c_f AS BIGINT) AS cv,
+             CAST(tot.nf * c.cum_o - tot.no * c.cum_f AS BIGINT) AS dv
+      FROM c, tot
+    ),
+    s AS (
+      SELECT no, nf, nn,
+             CAST(SUM(CAST({_A55_TERM} AS DECIMAL(26,12)))
+                  AS DECIMAL(38,12)) AS tsum
+      FROM terms GROUP BY no, nf, nn
+    )
+    SELECT CAST(no AS BIGINT) AS n_o,
+           CAST(nf AS BIGINT) AS n_f,
+           {_A55_T} AS t_cvm,
+           {_A55_Z} AS z_stat
+    FROM s
+    WHERE no > 0 AND nf > 0
+    """,
+    doc="a55 (ext.): two-sample Cramér-von Mises test — the "
+    "whole-ECDF distributional comparison of open vs finished line "
+    "quantities, completing the two-sample triad: m14's KS reads the "
+    "largest ECDF gap, a48's Mann-Whitney the mean rank shift, a55 "
+    "the INTEGRATED squared ECDF distance (sensitive to spread and "
+    "shape differences KS misses). Zero pairwise work: the ~50-cell "
+    "value grid gives inclusive cumulative counts, the ECDF "
+    "difference is the exact BIGINT cross-product fold, and each "
+    "cell's nonnegative term (bounded by T itself) is 12-dp-rounded "
+    "then decimal-summed — exact and order-free on both engines. "
+    "Anderson's asymptotic moments standardize T in one shared "
+    "fixed-order scalar string. One map-combined shuffle to 50 keys "
+    "— identical plan at 100 TB. No reference analog — extension "
+    "per brief; completes the a44/a48/a49/a52/a53 grid family",
+)
+def a55_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linestatus").isin("O", "F"))
+        .select(
+            F.col("l_quantity").cast("bigint").alias("v"),
+            "l_linestatus",
+        )
+    )
+    g = li.groupBy("v").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0))
+        .cast("decimal(14,0)")
+        .alias("c_o"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+        .cast("decimal(14,0)")
+        .alias("c_f"),
+    )
+    return cramer_von_mises_from_grid(g)
+
+
+def cramer_von_mises_from_grid(grid: DataFrame) -> DataFrame:
+    """a55's finalize from the (v, c_o, c_f) quantity grid — the same
+    mergeable sufficient statistic a48/a50/a53 and the t35/t37/t38
+    streaming monitors share, so a streaming twin gets batch-exact
+    results by maintaining cell counts alone."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, W.currentRow)
+    c = grid.select(
+        "v", "c_o", "c_f",
+        F.sum("c_o").over(w).cast("decimal(18,0)").alias("cum_o"),
+        F.sum("c_f").over(w).cast("decimal(18,0)").alias("cum_f"),
+    )
+    tot = grid.agg(
+        F.sum("c_o").cast("decimal(18,0)").alias("no"),
+        F.sum("c_f").cast("decimal(18,0)").alias("nf"),
+        F.sum(F.col("c_o") + F.col("c_f"))
+        .cast("decimal(18,0)")
+        .alias("nn"),
+    )
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        "no", "nf", "nn",
+        (F.col("c_o") + F.col("c_f")).cast("bigint").alias("cv"),
+        (F.col("nf") * F.col("cum_o") - F.col("no") * F.col("cum_f"))
+        .cast("bigint")
+        .alias("dv"),
+    )
+    s = terms.groupBy("no", "nf", "nn").agg(
+        F.sum(F.expr(_A55_TERM).cast("decimal(26,12)"))
+        .cast("decimal(38,12)")
+        .alias("tsum")
+    )
+    return s.filter((F.col("no") > 0) & (F.col("nf") > 0)).select(
+        F.col("no").cast("bigint").alias("n_o"),
+        F.col("nf").cast("bigint").alias("n_f"),
+        F.expr(_A55_T).alias("t_cvm"),
+        F.expr(_A55_Z).alias("z_stat"),
+    )
+
+
+# --- a56 (ext.): Page's trend test for ordered alternatives ------------------------------
+
+# Shared z string with the k=7 weekday constants inlined (a45's style):
+# L = L2/2, E[L] = n*k*(k+1)^2/4 = 112n, Var[L] = n*k^2*(k+1)*(k^2-1)/144
+# = 18816n/144; every float op in one fixed order.
+_A56_Z = (
+    "ROUND((CAST(l2 AS DOUBLE) / 2 - 112 * CAST(n AS DOUBLE))"
+    " / SQRT(18816 * CAST(n AS DOUBLE) / 144), 9)"
+)
+
+
+@register(
+    "a56_page_trend_test",
+    # DOES DEMAND CLIMB (OR FADE) ACROSS THE WEEK? Page's test for
+    # ordered alternatives: within every COMPLETE 7-day week block,
+    # rank the weekdays' demand; L = sum_j j * R_j weights each
+    # weekday's rank sum by its position, so a monotone
+    # Monday->Sunday trend inflates L where Friedman's unordered
+    # chi-square (a45) only sees "some day differs". The a45 pairing
+    # mirrors a44/a49: Friedman is the unordered k-sample test, Page
+    # the ordered-alternative version with far more power against
+    # trends. Device: daily micro-quantized sums (exact BIGINT), a45's
+    # doubled within-block ranks (r2 = 2*(rank-1) + ties + 1 keeps tie
+    # midranks integer), the position-weighted fold L2 = sum (dow+1)*r2
+    # as one BIGINT, and a single shared z string with the k=7
+    # constants inlined. Complete weeks only; day 0 (2024-01-01) is a
+    # Monday, so dow = day % 7 is the Monday-anchored position. Scale:
+    # everything runs on the calendar-bounded (type x day) grid — one
+    # map-combined aggregate from the fact table, then ~weeks*7 rows.
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT) - 1704067200)
+                        / 86400.0) AS BIGINT) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(27,6))) * 1000000 AS BIGINT)
+               AS xm
+      FROM events GROUP BY 1, 2
+    ),
+    blocks AS (
+      SELECT event_type, day, xm,
+             CAST(FLOOR(day / 7) AS BIGINT) AS wk,
+             day % 7 AS dow
+      FROM daily
+    ),
+    ranked AS (
+      SELECT event_type, wk, dow,
+             COUNT(*) OVER (PARTITION BY event_type, wk) AS n_days,
+             RANK() OVER (PARTITION BY event_type, wk ORDER BY xm) AS rk,
+             COUNT(*) OVER (PARTITION BY event_type, wk, xm) AS eq
+      FROM blocks
+    ),
+    complete AS (
+      SELECT event_type, wk, dow,
+             2 * (rk - 1) + eq + 1 AS r2
+      FROM ranked WHERE n_days = 7
+    ),
+    sums AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT wk) AS BIGINT) AS n,
+             CAST(SUM((dow + 1) * r2) AS BIGINT) AS l2
+      FROM complete GROUP BY event_type
+    )
+    SELECT event_type, n AS n_weeks, l2 AS l2_stat,
+           {_A56_Z} AS z_stat
+    FROM sums WHERE n > 0
+    """,
+    doc="a56 (ext.): Page's trend test — per event type, is daily "
+    "demand MONOTONICALLY ordered across the week? Position-weighted "
+    "within-week rank sums (L = sum j*R_j) standardized against the "
+    "exact null moments, the ordered-alternative companion to a45's "
+    "Friedman exactly as a49's Jonckheere-Terpstra is to a44's "
+    "Kruskal-Wallis — completing the 2x2 ordered/unordered x "
+    "independent/repeated nonparametric test matrix. Doubled "
+    "within-block midranks keep ties integer, the daily grid bounds "
+    "all window work by the calendar, L2 is one BIGINT fold, z one "
+    "shared string. No reference analog — extension per brief",
+)
+def a56_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(
+                (F.floor(F.unix_timestamp("ts")).cast("bigint")
+                 - 1704067200)
+                / 86400.0
+            )
+            .cast("bigint")
+            .alias("day"),
+            F.col("value").cast("decimal(27,6)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg((F.sum("v") * 1000000).cast("bigint").alias("xm"))
+    )
+    blocks = daily.select(
+        "event_type", "day", "xm",
+        F.floor(F.col("day") / 7).cast("bigint").alias("wk"),
+        (F.col("day") % 7).alias("dow"),
+    )
+    wb = W.partitionBy("event_type", "wk")
+    ranked = blocks.select(
+        "event_type", "wk", "dow",
+        F.count("*")
+        .over(wb.rowsBetween(W.unboundedPreceding, W.unboundedFollowing))
+        .alias("n_days"),
+        F.rank().over(wb.orderBy("xm")).alias("rk"),
+        F.count("*")
+        .over(
+            W.partitionBy("event_type", "wk", "xm").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("eq"),
+    )
+    complete = ranked.filter(F.col("n_days") == 7).select(
+        "event_type", "wk", "dow",
+        (2 * (F.col("rk") - 1) + F.col("eq") + 1).alias("r2"),
+    )
+    sums = complete.groupBy("event_type").agg(
+        F.countDistinct("wk").cast("bigint").alias("n"),
+        F.sum((F.col("dow") + 1) * F.col("r2"))
+        .cast("bigint")
+        .alias("l2"),
+    )
+    return sums.filter(F.col("n") > 0).select(
+        "event_type",
+        F.col("n").alias("n_weeks"),
+        F.col("l2").alias("l2_stat"),
+        F.expr(_A56_Z).alias("z_stat"),
+    )

@@ -1207,3 +1207,112 @@ def j18_interval_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap").cast("bigint").alias("max_gap_sec"),
         F.sum("cov").cast("bigint").alias("covered_sec"),
     ).withColumn("idle_ratio", F.expr(_J18_IDLE))
+
+
+# --- j19 (ext.): Allen interval-algebra relation histogram ------------------------------
+
+# One shared CASE chain classifying (prev, cur) session intervals into
+# Allen's relations. The window orders by (s, e, event_id), so prev.s <=
+# cur.s and, on equal starts, prev.e <= cur.e — exactly the 7 canonical
+# relations are reachable (precedes/meets/overlaps/finished_by/contains/
+# starts/equals; the 6 converses need prev to start later, which the
+# ordering forbids) and the chain is exhaustive. Pure BIGINT compares.
+_J19_REL = (
+    "CASE WHEN pe < cs THEN 'precedes' "
+    "WHEN pe = cs THEN 'meets' "
+    "WHEN ps < cs AND pe < ce THEN 'overlaps' "
+    "WHEN ps < cs AND pe = ce THEN 'finished_by' "
+    "WHEN ps < cs AND pe > ce THEN 'contains' "
+    "WHEN ps = cs AND pe < ce THEN 'starts' "
+    "ELSE 'equals' END"
+)
+_J19_OVL = "GREATEST(LEAST(pe, ce) - cs, 0)"
+
+
+@register(
+    "j19_allen_relations",
+    # HOW do a user's successive sessions relate in time? j17 merges
+    # overlapping spans and j18 measures the gaps; j19 CLASSIFIES each
+    # successive interval pair into Allen's interval algebra — the
+    # vocabulary of temporal QA (how much of the stream overlaps vs
+    # meets vs nests tells you whether sessionization thresholds are
+    # sane and whether "concurrent session" alerts would fire). Linear
+    # device: NO pair join — one lag window per user over (s, e,
+    # event_id) yields each interval's predecessor, one shared CASE
+    # chain labels the pair, and the ordering argument makes exactly
+    # the 7 canonical relations exhaustive. Everything is BIGINT
+    # second arithmetic; no rounding device needed anywhere. Scale:
+    # one shuffle on user_id, windows linear per user — never the
+    # quadratic all-pairs a naive Allen classifier implies.
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               + 60 * (1 + event_id % 10) AS e
+      FROM events
+    ),
+    lagged AS (
+      SELECT user_id,
+             LAG(s) OVER w AS ps, LAG(e) OVER w AS pe,
+             s AS cs, e AS ce
+      FROM iv
+      WINDOW w AS (PARTITION BY user_id ORDER BY s, e, event_id)
+    ),
+    pairs AS (
+      SELECT user_id, {_J19_REL} AS relation,
+             CAST({_J19_OVL} AS BIGINT) AS ovl
+      FROM lagged WHERE ps IS NOT NULL
+    )
+    SELECT relation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(SUM(ovl) AS BIGINT) AS total_overlap_sec
+    FROM pairs GROUP BY relation
+    """,
+    doc="j19 (ext.): Allen interval-algebra histogram — each user's "
+    "successive session intervals classified into the 7 canonical "
+    "Allen relations (precedes / meets / overlaps / finished_by / "
+    "contains / starts / equals) with pair counts, distinct users "
+    "and total overlapped seconds per relation. Completes the "
+    "temporal-algebra family: j11 joins overlaps, j17 merges them, "
+    "j18 measures gaps, j19 names the relationships. The classifier "
+    "is ONE lag window + ONE shared CASE chain (the (s, e, id) "
+    "ordering makes the 7 relations exhaustive — no converses can "
+    "occur), all-BIGINT, one user_id shuffle — linear where naive "
+    "Allen classification is an all-pairs join. No reference analog "
+    "— extension per brief (reference sessionizes at "
+    "src/etl.py-level granularity only)",
+)
+def j19_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    iv = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("s"),
+        (
+            F.floor(F.unix_timestamp("ts")).cast("bigint")
+            + 60 * (1 + F.col("event_id") % 10)
+        )
+        .cast("bigint")
+        .alias("e"),
+    )
+    w = W.partitionBy("user_id").orderBy("s", "e", "event_id")
+    lagged = iv.select(
+        "user_id",
+        F.lag("s").over(w).alias("ps"),
+        F.lag("e").over(w).alias("pe"),
+        F.col("s").alias("cs"),
+        F.col("e").alias("ce"),
+    )
+    pairs = lagged.filter(F.col("ps").isNotNull()).select(
+        "user_id",
+        F.expr(_J19_REL).alias("relation"),
+        F.expr(_J19_OVL).cast("bigint").alias("ovl"),
+    )
+    return pairs.groupBy("relation").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        F.sum("ovl").cast("bigint").alias("total_overlap_sec"),
+    )

@@ -2528,3 +2528,254 @@ def w36_donchian_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("z") == F.col("hi14")).alias("breakout_high"),
         (F.col("z") == F.col("lo14")).alias("breakout_low"),
     )
+
+
+# --- w37 (ext.): Aroon indicator via packed-argmax windows ------------------------------
+
+# Shared output strings: ages are exact BIGINT day gaps, so each Aroon
+# line is one rounded double ratio.
+_W37_UP = "ROUND(100 * (13 - CAST(age_hi AS DOUBLE)) / 13, 6)"
+_W37_DN = "ROUND(100 * (13 - CAST(age_lo AS DOUBLE)) / 13, 6)"
+_W37_OSC = (
+    "ROUND(100 * (CAST(age_lo AS DOUBLE) - CAST(age_hi AS DOUBLE))"
+    " / 13, 6)"
+)
+
+
+@register(
+    "w37_aroon_indicator",
+    # HOW RECENT are the rolling extremes? Aroon-Up/Down: 100 scaled
+    # freshness of the 14-day high/low (100 = the extreme is today,
+    # 0 = it is 13 days stale). w36's Donchian says WHERE in the range
+    # today sits; Aroon says WHEN the range was set — an aging trend's
+    # highs go stale before its level breaks. Device: "day of the
+    # rolling max" is not a Spark/ANSI window primitive, so both
+    # engines compute it as MAX over ONE packed DECIMAL(38,0):
+    # (micro-quantized value + 1e18 offset) * 1e5 + biased day — the
+    # high part orders by value, the low part breaks ties toward the
+    # most recent day (the Aroon convention), and pack % 1e5 decodes
+    # the argmax day exactly. The 1e18 offset keeps negative daily
+    # sums orderable (|daily sum| < 1e12 documented bound); the day
+    # bias keeps the modulo positive for |day| < 50000. Aroon-Down
+    # negates the value part so the same MAX picks the minimum with
+    # the same recency tie-break. All integers until three shared
+    # rounded ratios. Windows run on the bounded (type x day) grid.
+    oracle=f"""
+    WITH {_W3X_DAILY_SQL.strip()},
+    q AS (
+      SELECT event_type, day, z,
+             CAST(z * 1000000 AS BIGINT) AS zm,
+             day + 50000 AS pd
+      FROM daily
+    ),
+    p AS (
+      SELECT event_type, day, z,
+             (CAST(zm AS DECIMAL(38,0)) + 1000000000000000000) * 100000
+               + pd AS pack_hi,
+             (1000000000000000000 - CAST(zm AS DECIMAL(38,0))) * 100000
+               + pd AS pack_lo
+      FROM q
+    ),
+    g AS (
+      SELECT event_type, day, z,
+             CAST(MAX(pack_hi) OVER (PARTITION BY event_type
+                 ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               % 100000 AS BIGINT) - 50000 AS hi_day,
+             CAST(MAX(pack_lo) OVER (PARTITION BY event_type
+                 ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               % 100000 AS BIGINT) - 50000 AS lo_day,
+             COUNT(*) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS n_days
+      FROM p
+    ),
+    a AS (
+      SELECT event_type, day, z,
+             day - hi_day AS age_hi,
+             day - lo_day AS age_lo,
+             n_days
+      FROM g
+    )
+    SELECT event_type, day,
+           CAST(z AS DOUBLE) AS close,
+           age_hi AS days_since_high,
+           age_lo AS days_since_low,
+           {_W37_UP} AS aroon_up,
+           {_W37_DN} AS aroon_down,
+           {_W37_OSC} AS aroon_osc
+    FROM a WHERE n_days = 14
+    """,
+    doc="w37 (ext.): Aroon indicator per event type's daily demand — "
+    "Aroon-Up/Down (scaled freshness of the trailing 14-day "
+    "high/low) and the oscillator, plus the raw extreme ages. "
+    "Completes the w35/w36 technical triad: RSI reads momentum, "
+    "Donchian reads range position, Aroon reads extreme RECENCY. "
+    "Argmax-in-frame is computed on both engines as MAX over one "
+    "packed DECIMAL(38,0) (offset value * 1e5 + biased day) whose "
+    "low digits decode the most-recent extreme day exactly — no "
+    "self-join, no Spark-only max_by, deterministic ties. Windows "
+    "run on the bounded daily grid — identical plan at 100 TB. "
+    "No reference analog — extension per brief",
+)
+def w37_aroon_indicator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(
+                (F.floor(F.unix_timestamp("ts")).cast("bigint") - 1704067200)
+                / 86400.0
+            )
+            .cast("bigint")
+            .alias("day"),
+            F.col("value").cast("decimal(27,6)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").cast("decimal(27,6)").alias("z"))
+    )
+    q = daily.select(
+        "event_type", "day", "z",
+        (F.col("z") * 1000000).cast("bigint").alias("zm"),
+        (F.col("day") + 50000).alias("pd"),
+    )
+    off = F.lit(1000000000000000000).cast("decimal(38,0)")
+    p = q.select(
+        "event_type", "day", "z",
+        ((F.col("zm").cast("decimal(38,0)") + off) * 100000
+         + F.col("pd")).alias("pack_hi"),
+        ((off - F.col("zm").cast("decimal(38,0)")) * 100000
+         + F.col("pd")).alias("pack_lo"),
+    )
+    wf = W.partitionBy("event_type").orderBy("day").rowsBetween(-13, 0)
+    g = p.select(
+        "event_type", "day", "z",
+        ((F.max("pack_hi").over(wf) % 100000).cast("bigint") - 50000)
+        .alias("hi_day"),
+        ((F.max("pack_lo").over(wf) % 100000).cast("bigint") - 50000)
+        .alias("lo_day"),
+        F.count("*").over(wf).alias("n_days"),
+    )
+    a = g.select(
+        "event_type", "day", "z",
+        (F.col("day") - F.col("hi_day")).alias("age_hi"),
+        (F.col("day") - F.col("lo_day")).alias("age_lo"),
+        "n_days",
+    )
+    return a.filter(F.col("n_days") == 14).select(
+        "event_type", "day",
+        F.col("z").cast("double").alias("close"),
+        F.col("age_hi").alias("days_since_high"),
+        F.col("age_lo").alias("days_since_low"),
+        F.expr(_W37_UP).alias("aroon_up"),
+        F.expr(_W37_DN).alias("aroon_down"),
+        F.expr(_W37_OSC).alias("aroon_osc"),
+    )
+
+
+# --- w38 (ext.): Ulcer Index (rolling quadratic-mean drawdown) --------------------------
+
+# Shared strings: the per-day percentage drawdown off the trailing
+# 14-day high (rounded once, so the squared copies below are exact),
+# and the final quadratic mean.
+_W38_DD = (
+    "ROUND(100 * CAST(hi14 - z AS DOUBLE) / CAST(hi14 AS DOUBLE), 6)"
+)
+_W38_ULCER = "ROUND(SQRT(CAST(sq14 AS DOUBLE) / 14), 6)"
+
+
+@register(
+    "w38_ulcer_index",
+    # HOW PAINFUL is the recent dip profile — not just how deep?
+    # Ulcer Index: the quadratic mean of the trailing 14 daily
+    # percentage drawdowns off the rolling 14-day high. w34 reads the
+    # single worst peak-to-trough over a whole cohort history; w38 is
+    # the ROLLING depth-AND-duration gauge (a long shallow sag scores
+    # like a short crash — exactly what max-drawdown hides). Device:
+    # two chained windows on the bounded daily grid — the exact-
+    # decimal rolling MAX (w36's device) feeds a per-day drawdown
+    # rounded ONCE (shared string), whose square is stored as an
+    # exact DECIMAL(18,6); the second frame SUM is then order-free on
+    # both engines, and the final sqrt-of-mean is one shared string.
+    # Rows need 14 defined drawdowns (positive rolling high).
+    oracle=f"""
+    WITH {_W3X_DAILY_SQL.strip()},
+    g AS (
+      SELECT event_type, day, z,
+             CAST(MAX(z) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               AS DECIMAL(27,6)) AS hi14
+      FROM daily
+    ),
+    dd AS (
+      SELECT event_type, day, z, hi14,
+             CASE WHEN hi14 > 0 THEN
+               CAST(ROUND({_W38_DD} * {_W38_DD}, 6) AS DECIMAL(18,6))
+             END AS ddsq
+      FROM g
+    ),
+    u AS (
+      SELECT event_type, day, z,
+             CAST(SUM(ddsq) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               AS DECIMAL(27,6)) AS sq14,
+             COUNT(ddsq) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS n_dd
+      FROM dd
+    )
+    SELECT event_type, day,
+           CAST(z AS DOUBLE) AS close,
+           {_W38_ULCER} AS ulcer14
+    FROM u WHERE n_dd = 14
+    """,
+    doc="w38 (ext.): 14-day Ulcer Index per event type's daily demand "
+    "— the quadratic-mean percentage drawdown off the rolling high, "
+    "the depth-times-duration pain gauge that separates a lingering "
+    "slump from a blip (w34's max drawdown sees only the worst "
+    "point; w35/w36/w37 read momentum/range/recency). Two chained "
+    "frame windows on the bounded daily grid: exact-decimal rolling "
+    "MAX, once-rounded drawdown (shared string), squares summed as "
+    "DECIMAL so the frame aggregate is order-free, one shared "
+    "sqrt-of-mean string. Identical plan at 100 TB. No reference "
+    "analog — extension per brief",
+)
+def w38_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(
+                (F.floor(F.unix_timestamp("ts")).cast("bigint") - 1704067200)
+                / 86400.0
+            )
+            .cast("bigint")
+            .alias("day"),
+            F.col("value").cast("decimal(27,6)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").cast("decimal(27,6)").alias("z"))
+    )
+    wf = W.partitionBy("event_type").orderBy("day").rowsBetween(-13, 0)
+    g = daily.select(
+        "event_type", "day", "z",
+        F.max("z").over(wf).cast("decimal(27,6)").alias("hi14"),
+    )
+    dd = g.select(
+        "event_type", "day", "z",
+        F.when(
+            F.col("hi14") > 0,
+            F.expr(f"ROUND({_W38_DD} * {_W38_DD}, 6)").cast(
+                "decimal(18,6)"
+            ),
+        ).alias("ddsq"),
+    )
+    u = dd.select(
+        "event_type", "day", "z",
+        F.sum("ddsq").over(wf).cast("decimal(27,6)").alias("sq14"),
+        F.count("ddsq").over(wf).alias("n_dd"),
+    )
+    return u.filter(F.col("n_dd") == 14).select(
+        "event_type", "day",
+        F.col("z").cast("double").alias("close"),
+        F.expr(_W38_ULCER).alias("ulcer14"),
+    )

@@ -1033,3 +1033,160 @@ def c20_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         "probe_no", "tx_offset_sec", "valid_asof_sec",
         F.col("rec_type").alias("event_type"),
     ).agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+
+
+# --- c21 (ext.): SCD2 adjacent-version compaction ----------------------------------------
+
+# The deterministic synthetic versioned dim both engines build: three
+# snapshot loads (a naive backfill), where v2 only really changes every
+# 3rd customer and v3 every 5th — everyone else gets redundant no-op
+# versions that a correct SCD2 writer would never have created.
+_C21_VERSIONS = """
+    versions AS (
+      SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal,
+             '2024-01-01' AS eff
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END,
+             c_acctbal,
+             '2024-04-01'
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 3 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END,
+             CASE WHEN c_custkey % 5 = 0 THEN ROUND(c_acctbal + 500.0, 2)
+                  ELSE c_acctbal END,
+             '2024-08-01'
+      FROM customer
+    )"""
+
+
+@register(
+    "c21_scd2_compaction",
+    # THE SCD2 HYGIENE PASS: snapshot-style backfills write a version
+    # row per load even when nothing changed, bloating the dimension
+    # and breaking "COUNT(*) per key = number of real changes"
+    # assumptions. c21 collapses ADJACENT attribute-identical versions
+    # into maximal spans — the islands device on the version timeline:
+    # a version starts a new island iff its tracked attributes differ
+    # from its predecessor's (lag compare per key), islands group to
+    # spans, and LEAD over span starts rebuilds the end-date chain so
+    # the compacted dimension is again a gap-free timeline. n_merged
+    # counts the no-op versions each span absorbed (the audit number:
+    # sum(n_merged) - count(*) = wasted rows). Scale: one key shuffle,
+    # two windows + one grouped agg on it — dimension-sized, never
+    # fact-sized; the compaction is idempotent (re-running merges
+    # nothing).
+    oracle=f"""
+    WITH {_C21_VERSIONS.strip()},
+    lagged AS (
+      SELECT c_custkey, seg, bal, eff,
+             CASE WHEN LAG(seg) OVER w IS NULL THEN 1
+                  WHEN seg <> LAG(seg) OVER w
+                    OR bal <> LAG(bal) OVER w THEN 1
+                  ELSE 0 END AS chg
+      FROM versions
+      WINDOW w AS (PARTITION BY c_custkey ORDER BY eff)
+    ),
+    isl AS (
+      SELECT c_custkey, seg, bal, eff,
+             SUM(chg) OVER (PARTITION BY c_custkey ORDER BY eff
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+      FROM lagged
+    ),
+    spans AS (
+      SELECT c_custkey, seg, bal,
+             MIN(eff) AS effective_date,
+             CAST(COUNT(*) AS BIGINT) AS n_merged
+      FROM isl GROUP BY c_custkey, seg, bal, g
+    )
+    SELECT c_custkey,
+           seg AS c_mktsegment, bal AS c_acctbal,
+           effective_date,
+           LEAD(effective_date) OVER
+             (PARTITION BY c_custkey ORDER BY effective_date) AS end_date,
+           n_merged,
+           LEAD(effective_date) OVER
+             (PARTITION BY c_custkey ORDER BY effective_date) IS NULL
+             AS is_current
+    FROM spans
+    """,
+    doc="c21 (ext.): SCD2 adjacent-version compaction — collapse "
+    "attribute-identical ADJACENT versions (the no-op rows snapshot "
+    "backfills write) into maximal spans and rebuild the end-date "
+    "chain with LEAD, keeping per-span merge counts as the bloat "
+    "audit. Completes the SCD family's lifecycle: c04/t11 write "
+    "Type 2, c15 Type 3, c19 Type 6, c20 queries it bitemporally, "
+    "c21 repairs it after a redundant load. Islands device (lag "
+    "attr-compare -> running island id -> span agg), one "
+    "dimension-key shuffle, idempotent by construction. Extends "
+    "the reference's dimensional maintenance "
+    "(sql/dimensional_schema.sql:43-48 reserves SCD2 columns but "
+    "ships no compaction) — extension per brief",
+)
+def c21_scd2_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("2024-01-01").alias("eff"),
+    )
+    seg2 = F.when(
+        F.col("c_custkey") % 3 == 0, F.lit("MACHINERY")
+    ).otherwise(F.col("c_mktsegment"))
+    v2 = c.select(
+        "c_custkey",
+        seg2.alias("seg"),
+        F.col("c_acctbal").alias("bal"),
+        F.lit("2024-04-01").alias("eff"),
+    )
+    v3 = c.select(
+        "c_custkey",
+        seg2.alias("seg"),
+        F.when(
+            F.col("c_custkey") % 5 == 0,
+            F.round(F.col("c_acctbal") + 500.0, 2),
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("bal"),
+        F.lit("2024-08-01").alias("eff"),
+    )
+    versions = v1.unionByName(v2).unionByName(v3)
+    w = W.partitionBy("c_custkey").orderBy("eff")
+    lagged = versions.select(
+        "c_custkey", "seg", "bal", "eff",
+        F.when(F.lag("seg").over(w).isNull(), 1)
+        .when(
+            (F.col("seg") != F.lag("seg").over(w))
+            | (F.col("bal") != F.lag("bal").over(w)),
+            1,
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    isl = lagged.select(
+        "c_custkey", "seg", "bal", "eff",
+        F.sum("chg")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("g"),
+    )
+    spans = isl.groupBy("c_custkey", "seg", "bal", "g").agg(
+        F.min("eff").alias("effective_date"),
+        F.count("*").cast("bigint").alias("n_merged"),
+    )
+    w2 = W.partitionBy("c_custkey").orderBy("effective_date")
+    return spans.select(
+        "c_custkey",
+        F.col("seg").alias("c_mktsegment"),
+        F.col("bal").alias("c_acctbal"),
+        "effective_date",
+        F.lead("effective_date").over(w2).alias("end_date"),
+        "n_merged",
+        F.lead("effective_date").over(w2).isNull().alias("is_current"),
+    )

@@ -3089,3 +3089,80 @@ def t39_streaming_gamma_monitor(
     return gamma_somers_tauc_from_grid(
         year_quantity_grid_stream(spark, sf_dir)
     )
+
+
+# --- t40: streaming Cramér-von Mises distribution-distance monitor -------------------------
+
+
+def _a55_oracle() -> str:
+    # aggregations imports before streaming.jobs (package __init__ order),
+    # so a55's oracle is present at this module's registration time.
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["a55_cramer_von_mises"].oracle
+
+
+@register(
+    "t40_streaming_cramer_von_mises",
+    # Equals batch a55 bit-for-bit: REUSES t35's incrementally-merged
+    # quantity grid (one state maintainer, four monitors) and a55's
+    # finalize helper — a55's oracle certifies the monitor.
+    oracle=_a55_oracle(),
+    doc="T40: streaming Cramér-von Mises monitor — a55's whole-ECDF "
+    "two-sample distance recomputed from the SAME incrementally-"
+    "maintained quantity grid t35/t37/t38 keep, finishing the "
+    "streaming two-sample console: t35 pages on location shift, t37 "
+    "on its magnitude, t38 on spread, t40 on ANY integrated ECDF "
+    "divergence — the omnibus alarm that fires on shape changes "
+    "(bimodality, tail migration) the location/spread monitors each "
+    "miss. One mergeable ~50-cell state, four alarms, zero extra "
+    "state. Certified by sharing cramer_von_mises_from_grid and "
+    "a55's oracle; 4-batch merge test in tests/test_streaming.py",
+)
+def t40_streaming_cramer_von_mises(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.aggregations import cramer_von_mises_from_grid
+
+    return cramer_von_mises_from_grid(quantity_grid_stream(spark, sf_dir))
+
+
+# --- t41: streaming Pettitt changepoint monitor (hourly grid -> daily rollup) --------------
+
+
+@register(
+    "t41_streaming_pettitt",
+    # Equals batch m44 bit-for-bit: t26's exact-decimal hourly state
+    # rolls up to the daily grid (decimal addition is associative, and
+    # day = floor(h/24) is exact integer arithmetic), then m44's
+    # pettitt_from_daily finalize runs unchanged. ml.analytics imports
+    # AFTER this module, so m44's oracle is LATE-BOUND there (the
+    # t29/t30 pattern at analytics.py's foot) — the registered spec
+    # carries m44's oracle verbatim by the time the registry is read.
+    oracle=None,
+    doc="T41: streaming Pettitt changepoint monitor — m44's "
+    "distribution-free break detector recomputed from the SAME "
+    "incrementally-merged hourly decimal grid t26 maintains (one "
+    "state, two changepoint alarms: t26's least-squares split is "
+    "fast but outlier-sensitive; t41's rank statistic cannot be "
+    "faked by one wild hour). The hourly state rolls up to daily "
+    "micros exactly — decimal sums are associative and the "
+    "hour->day floor-div is integer — so the monitor equals batch "
+    "m44 under any stream slicing. State stays calendar-bounded. "
+    "Certified by sharing pettitt_from_daily and m44's oracle; "
+    "4-batch merge test in tests/test_streaming.py",
+)
+def t41_streaming_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..ml.analytics import pettitt_from_daily
+
+    hourly = hourly_state_stream(spark, sf_dir)
+    daily = (
+        hourly.select(
+            "event_type",
+            F.floor(F.col("h") / 24).cast("bigint").alias("day"),
+            "hv",
+        )
+        .groupBy("event_type", "day")
+        .agg((F.sum("hv") * 1000000).cast("bigint").alias("xm"))
+    )
+    return pettitt_from_daily(daily)

@@ -1703,3 +1703,169 @@ def v22_last_digit_uniformity(
         F.expr(_V22_CHI2).alias("chi2_stat"),
         (F.expr(_V22_CHI2) < F.lit(_V22_CRIT)).alias("uniform_ok"),
     )
+
+
+# --- v23 (ext.): Simpson's-paradox screen (aggregation-bias audit) ----------------------
+
+# Shared strings: slope in mean form from BIGINT moments (each moment
+# < 2^53 even at ~6e11 rows, so its double image is hardware-exact on
+# both engines), and the association sign from the exact DECIMAL(38,0)
+# covariance numerator (exact at ANY scale — the sign is the finding;
+# the slope is display).
+_V23_SLOPE = (
+    "ROUND((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+    "   * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))"
+    " / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)"
+    "    - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+    "      * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))), 9)"
+)
+_V23_SIGN = (
+    "CASE WHEN CAST(n AS DECIMAL(38,0)) * sxy"
+    " - CAST(sx AS DECIMAL(38,0)) * sy > 0 THEN 1"
+    " WHEN CAST(n AS DECIMAL(38,0)) * sxy"
+    " - CAST(sx AS DECIMAL(38,0)) * sy < 0 THEN -1 ELSE 0 END"
+)
+_V23_MOMENTS = """
+      CAST(COUNT(*) AS BIGINT) AS n,
+      CAST(SUM(xc) AS BIGINT) AS sx,
+      CAST(SUM(yc) AS BIGINT) AS sy,
+      CAST(SUM(xc * xc) AS BIGINT) AS sxx,
+      CAST(SUM(xc * yc) AS BIGINT) AS sxy
+"""
+
+
+@register(
+    "v23_simpsons_paradox_screen",
+    # DOES THE POOLED TREND LIE? The classic aggregation failure: the
+    # discount->quantity association computed over ALL line items can
+    # point the OPPOSITE way from every within-stratum association
+    # (Simpson's paradox), and a dashboard built on the pooled number
+    # ships the wrong conclusion. v23 makes the check a standing data
+    # test: per-returnflag OLS association signs vs the pooled sign,
+    # with a flip flag per stratum. Exactness device: discounts
+    # quantize to integer cents (FLOOR half-up), quantities are
+    # integers, so all five moments are BIGINT-exact and the
+    # association SIGN comes from the DECIMAL(38,0) covariance
+    # numerator — an exact integer comparison at any corpus size; the
+    # two display slopes are shared-string doubles built from moments
+    # whose double images are exact below 2^53 (~6e11 rows headroom).
+    # Scale: one map-combined moment aggregate per stratum + a
+    # broadcast of the single pooled row. No shuffle beyond the
+    # stratum agg; identical plan at 100 TB.
+    oracle=f"""
+    WITH q AS (
+      SELECT l_returnflag AS stratum,
+             CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS xc,
+             CAST(l_quantity AS BIGINT) AS yc
+      FROM lineitem
+    ),
+    strata AS (
+      SELECT stratum, {_V23_MOMENTS.strip()}
+      FROM q GROUP BY stratum
+    ),
+    pooled AS (
+      SELECT {_V23_MOMENTS.strip()}
+      FROM q
+    ),
+    named AS (
+      SELECT s.stratum, s.n AS n, s.sx AS sx, s.sy AS sy,
+             s.sxx AS sxx, s.sxy AS sxy,
+             p.n AS pn, p.sx AS psx, p.sy AS psy,
+             p.sxx AS psxx, p.sxy AS psxy
+      FROM strata s, pooled p
+    )
+    SELECT stratum, n AS n_rows,
+           {_V23_SIGN} AS assoc_sign,
+           CASE WHEN CAST(n AS DECIMAL(38,0)) * sxx
+                - CAST(sx AS DECIMAL(38,0)) * sx > 0
+                THEN {_V23_SLOPE} END AS slope,
+           {_V23_SIGN.replace('n AS', 'pn AS')
+                     .replace('(n ', '(pn ')
+                     .replace('* sxy', '* psxy')
+                     .replace('(sx ', '(psx ')
+                     .replace('* sy', '* psy')} AS pooled_sign,
+           CASE WHEN psxx * pn - psx * psx > 0 THEN
+             {_V23_SLOPE.replace('sxy', 'psxy').replace('sxx', 'psxx')
+                        .replace('(sx', '(psx').replace('(sy', '(psy')
+                        .replace('(n ', '(pn ')} END AS pooled_slope,
+           (assoc_sign * {_V23_SIGN.replace('n AS', 'pn AS')
+                     .replace('(n ', '(pn ')
+                     .replace('* sxy', '* psxy')
+                     .replace('(sx ', '(psx ')
+                     .replace('* sy', '* psy')}) = -1 AS simpson_flip
+    FROM named
+    """,
+    doc="v23 (ext.): Simpson's-paradox screen — per-stratum "
+    "(returnflag) discount->quantity OLS association signs vs the "
+    "pooled sign, flagging strata whose trend REVERSES when the "
+    "pool is split (the aggregation bias that makes pooled "
+    "dashboards lie). Integer-cent quantization makes all moments "
+    "BIGINT-exact; the association sign is an exact DECIMAL(38,0) "
+    "integer comparison valid at any scale, slopes are shared-"
+    "string display doubles. One stratum aggregate + one broadcast "
+    "pooled row. No reference analog — extension per brief "
+    "(validation family: the reference's checks are row-level; v23 "
+    "audits the AGGREGATE's trustworthiness)",
+)
+def v23_simpsons_paradox_screen(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("stratum"),
+        F.expr("CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)").alias("xc"),
+        F.col("l_quantity").cast("bigint").alias("yc"),
+    )
+
+    def moments(df: DataFrame, *keys: str) -> DataFrame:
+        g = df.groupBy(*keys) if keys else df.groupBy()
+        return g.agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum("xc").cast("bigint").alias("sx"),
+            F.sum("yc").cast("bigint").alias("sy"),
+            F.sum(F.col("xc") * F.col("xc")).cast("bigint").alias("sxx"),
+            F.sum(F.col("xc") * F.col("yc")).cast("bigint").alias("sxy"),
+        )
+
+    strata = moments(li, "stratum")
+    pooled = moments(li).select(
+        F.col("n").alias("pn"),
+        F.col("sx").alias("psx"),
+        F.col("sy").alias("psy"),
+        F.col("sxx").alias("psxx"),
+        F.col("sxy").alias("psxy"),
+    )
+    named = strata.crossJoin(F.broadcast(pooled))
+    pooled_sign = (
+        _V23_SIGN.replace("n AS", "pn AS")
+        .replace("(n ", "(pn ")
+        .replace("* sxy", "* psxy")
+        .replace("(sx ", "(psx ")
+        .replace("* sy", "* psy")
+    )
+    pooled_slope = (
+        _V23_SLOPE.replace("sxy", "psxy")
+        .replace("sxx", "psxx")
+        .replace("(sx", "(psx")
+        .replace("(sy", "(psy")
+        .replace("(n ", "(pn ")
+    )
+    return named.select(
+        "stratum",
+        F.col("n").alias("n_rows"),
+        F.expr(_V23_SIGN).alias("assoc_sign"),
+        F.when(
+            F.expr(
+                "CAST(n AS DECIMAL(38,0)) * sxx"
+                " - CAST(sx AS DECIMAL(38,0)) * sx > 0"
+            ),
+            F.expr(_V23_SLOPE),
+        ).alias("slope"),
+        F.expr(pooled_sign).alias("pooled_sign"),
+        F.when(
+            F.expr("psxx * pn - psx * psx > 0"), F.expr(pooled_slope)
+        ).alias("pooled_slope"),
+        (F.expr(_V23_SIGN) * F.expr(pooled_sign) == -1).alias(
+            "simpson_flip"
+        ),
+    )

@@ -994,3 +994,63 @@ def test_streaming_gamma_multi_batch_equals_batch_a51(spark):
         want.c_pairs, want.d_pairs, want.tied_v_only2,
         want.gamma, want.somers_d, want.tau_c,
     )
+
+
+def test_streaming_cramer_von_mises_multi_batch_equals_batch_a55(spark):
+    """t40 under real incrementality: lineitem split into 4 parquet
+    files (4 micro-batches); the merged quantity grid must reproduce
+    a55's batch T statistic and standardized z exactly."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        li.repartition(4).write.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        )
+        (got,) = jobs.t40_streaming_cramer_von_mises(spark, sf_dir).collect()
+    (want,) = _REGISTRY["a55_cramer_von_mises"].fn(spark, SF_DIR).collect()
+    assert (got.n_o, got.n_f, got.t_cvm, got.z_stat) == (
+        want.n_o,
+        want.n_f,
+        want.t_cvm,
+        want.z_stat,
+    )
+
+
+def test_streaming_pettitt_multi_batch_equals_batch_m44(spark):
+    """t41 under real incrementality: events split into 4 parquet files
+    (4 micro-batches); the merged hourly grid, rolled up to days, must
+    reproduce m44's batch K statistic, changepoint day and p-value
+    exactly."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        ev.repartition(4).write.parquet(os.path.join(sf_dir, "events.parquet"))
+        got = {
+            r.event_type: r
+            for r in jobs.t41_streaming_pettitt(spark, sf_dir).collect()
+        }
+    want = {
+        r.event_type: r
+        for r in _REGISTRY["m44_pettitt_test"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for et, w in want.items():
+        g = got[et]
+        assert (g.n_days, g.k_stat, g.change_day, g.p_approx) == (
+            w.n_days,
+            w.k_stat,
+            w.change_day,
+            w.p_approx,
+        ), et

@@ -225,6 +225,16 @@ PARITY_QUERIES = [
     "a54_dunn_posthoc",           # tie-mass decimal->double in the z scale
     "m42_forecast_metrics",       # round-then-decimal error sums, MASE ratio
     "x158_semantic_split_contamination",  # cosine folds + split joins at 30x
+    "a55_cramer_von_mises",       # per-cell rounded doubles, BIGINT dv bound
+    "m43_runs_test",              # micro-quantized residual signs at 30x
+    "w37_aroon_indicator",        # packed-argmax decimal windows at 30x
+    "j19_allen_relations",        # BIGINT interval compares at 30x volume
+    "m44_pettitt_test",           # pair-sign diff array + EXP p at 30x
+    "v23_simpsons_paradox_screen",  # decimal sign + mean-form slopes at 30x
+    "x159_degenerate_loop_audit",   # island run folds over 30x documents
+    "x160_good_turing_mass",      # freq-of-freq folds over 30x documents
+    "a56_page_trend_test",        # doubled weekly ranks + inlined-constant z
+    "w38_ulcer_index",            # once-rounded drawdown squares at 30x
 ]
 
 
