@@ -1318,3 +1318,294 @@ def x158_semantic_split_contamination(
             (F.col("cs") >= 0.9).alias("is_contaminated"),
         )
     )
+
+
+# --- x161: IVF-routed semantic contamination (x158's scale path, recall-audited) --------
+
+
+def _x161_oracle() -> str:
+    from .similarity import IVF_DET_CELLS, N_PROBE, _SQL_DOT, _SQL_SQNORM
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"{_SQL_DOT.format(a=a, b=b)}"
+            f" / (SQRT({_SQL_SQNORM.format(a=a)})"
+            f" * SQRT({_SQL_SQNORM.format(a=b)}))"
+        )
+
+    return f"""
+    WITH assigned AS (
+      SELECT doc_id, split FROM ({_x132_oracle()})
+    ),
+    te AS (
+      SELECT e.vec_id AS test_doc, e.label, e.embedding AS ea
+      FROM embeddings e
+      JOIN assigned s ON s.doc_id = e.vec_id AND s.split = 'test'
+    ),
+    tr AS (
+      SELECT e.vec_id AS train_twin, e.label AS label_b,
+             e.embedding AS eb
+      FROM embeddings e
+      JOIN assigned s ON s.doc_id = e.vec_id AND s.split = 'train'
+    ),
+    exact AS (
+      SELECT test_doc, label, train_twin AS exact_twin,
+             cos_sim AS exact_cos
+      FROM (
+        SELECT t.test_doc, t.label, r.train_twin,
+               {cos('t.ea', 'r.eb')} AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY t.test_doc
+                 ORDER BY {cos('t.ea', 'r.eb')} DESC, r.train_twin) AS rn
+        FROM te t JOIN tr r
+          ON t.label = r.label_b AND t.test_doc <> r.train_twin
+      ) WHERE rn = 1
+    ),
+    cent AS (
+      SELECT rn AS cell, embedding AS cv FROM (
+        SELECT vec_id, embedding,
+               ROW_NUMBER() OVER (
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM embeddings
+      ) WHERE rn <= {IVF_DET_CELLS}
+    ),
+    ascore AS (
+      SELECT e.vec_id, c.cell,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {cos('e.embedding', 'c.cv')} DESC, c.cell) AS arn
+      FROM embeddings e CROSS JOIN cent c
+    ),
+    tr_cells AS (
+      SELECT r.train_twin, r.label_b, r.eb, a.cell
+      FROM tr r JOIN (SELECT vec_id, cell FROM ascore WHERE arn = 1) a
+        ON a.vec_id = r.train_twin
+    ),
+    te_probe AS (
+      SELECT t.test_doc, t.label, t.ea, a.cell
+      FROM te t
+      JOIN (SELECT vec_id, cell FROM ascore WHERE arn <= {N_PROBE}) a
+        ON a.vec_id = t.test_doc
+    ),
+    ivf AS (
+      SELECT test_doc, train_twin AS ivf_twin, cos_sim AS ivf_cos
+      FROM (
+        SELECT p.test_doc, c.train_twin,
+               {cos('p.ea', 'c.eb')} AS cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY p.test_doc
+                 ORDER BY {cos('p.ea', 'c.eb')} DESC, c.train_twin) AS rn
+        FROM te_probe p JOIN tr_cells c
+          ON p.cell = c.cell AND p.label = c.label_b
+         AND p.test_doc <> c.train_twin
+      ) WHERE rn = 1
+    ),
+    g AS (
+      SELECT e.label, e.test_doc, e.exact_twin, e.exact_cos,
+             i.ivf_twin, i.ivf_cos
+      FROM exact e LEFT JOIN ivf i USING (test_doc)
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN ivf_twin IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_routed,
+           CAST(SUM(CASE WHEN ivf_twin = exact_twin THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_twin_match,
+           ROUND(CAST(SUM(CASE WHEN ivf_twin = exact_twin
+                          THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS twin_recall,
+           CAST(SUM(CASE WHEN COALESCE(ivf_cos >= 0.9, FALSE)
+                              = (exact_cos >= 0.9)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_agree,
+           CASE WHEN SUM(CASE WHEN ivf_cos IS NOT NULL
+                         THEN 1 ELSE 0 END) > 0 THEN
+             ROUND(CAST(SUM(CASE WHEN ivf_cos IS NOT NULL THEN
+                     CAST(ROUND(exact_cos - ivf_cos, 6)
+                          AS DECIMAL(18,6))
+                   ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+                   / SUM(CASE WHEN ivf_cos IS NOT NULL
+                         THEN 1 ELSE 0 END), 6)
+           END AS mean_cos_gap
+    FROM g GROUP BY label
+    """
+
+
+@register(
+    "x161_ivf_semantic_contamination",
+    # x158 answers "which test docs have a train twin" EXACTLY with a
+    # label-blocked all-pairs join — correct, but quadratic in the
+    # per-label corpus (its own 30x probe replays at 900x the 1x
+    # work). x161 is the SCALE PATH for the same question: route each
+    # test doc through x86's deterministic IVF (md5-seeded centroids,
+    # argmax-cosine cells, nprobe=2) and search only train docs whose
+    # cell matches — candidate count is bounded by cell occupancy, not
+    # the corpus — then GRADE the route against x158's exact twin per
+    # label (twin recall, 0.9-flag agreement, mean cosine gap). The
+    # audit needs the exact arm (x86's pattern: recall is measured
+    # against ground truth at fixture scale); production runs route
+    # only. Exactness: ordered-fold cosines, deterministic md5
+    # centroids + tie-broken ranks, once-rounded gap terms summed as
+    # DECIMAL.
+    oracle=_x161_oracle(),
+    doc="x161: IVF-routed semantic cross-split contamination — x158's "
+    "nearest-train-twin audit rerouted through the deterministic IVF "
+    "index (8 md5-seeded cells, nprobe 2): per label, the routed "
+    "twin, its recall against the exact twin, agreement on the 0.9 "
+    "contamination flag, and the mean cosine gap. The cell-bounded "
+    "candidate join is the 100 TB shape (per-cell occupancy bounds "
+    "pair work; the exact arm exists to GRADE it, fixture-scale "
+    "only, exactly like x86's recall audit). Completes the "
+    "contamination family with its scale path: x158 exact, x161 "
+    "routed + self-grading. No reference analog — extension per "
+    "brief",
+)
+def x161_ivf_semantic_contamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from .dedup import pinned_corpus_signatures
+    from .similarity import IVF_DET_CELLS, N_PROBE, _dbl, cosine
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = dedup_corpus(
+        docs, sigs=pinned_corpus_signatures(spark, sf_dir)
+    ).select(
+        "doc_id",
+        F.when(
+            F.substring(F.md5(F.col("component").cast("string")), 1, 2)
+            < _X132_TEST_HEX,
+            "test",
+        )
+        .otherwise("train")
+        .alias("split"),
+    )
+    em = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _dbl("embedding").alias("e")
+    )
+    te = em.join(
+        assigned.filter(F.col("split") == "test").select("doc_id"),
+        em.vec_id == F.col("doc_id"),
+    ).select(
+        F.col("vec_id").alias("test_doc"), "label",
+        F.col("e").alias("ea"),
+    )
+    tr = em.join(
+        assigned.filter(F.col("split") == "train").select("doc_id"),
+        em.vec_id == F.col("doc_id"),
+    ).select(
+        F.col("vec_id").alias("train_twin"),
+        F.col("label").alias("label_b"),
+        F.col("e").alias("eb"),
+    )
+    wq = W.partitionBy("test_doc").orderBy(
+        F.desc("cs"), F.asc("train_twin")
+    )
+    exact = (
+        te.join(tr, te.label == tr.label_b)
+        .filter(F.col("test_doc") != F.col("train_twin"))
+        .select(
+            "test_doc", "label", "train_twin",
+            cosine(F.col("ea"), F.col("eb")).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "test_doc", "label",
+            F.col("train_twin").alias("exact_twin"),
+            F.col("cs").alias("exact_cos"),
+        )
+    )
+    cent = (
+        em.withColumn("hx", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("hx", "vec_id")
+        .limit(IVF_DET_CELLS)
+        .select(
+            F.row_number().over(W.orderBy("hx", "vec_id")).alias("cell"),
+            F.col("e").alias("cv"),
+        )
+    )
+    ascore = em.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cell",
+        F.row_number()
+        .over(
+            W.partitionBy("vec_id").orderBy(
+                F.desc(cosine(F.col("e"), F.col("cv"))), F.asc("cell")
+            )
+        )
+        .alias("arn"),
+    )
+    tr_cells = tr.join(
+        ascore.filter(F.col("arn") == 1).select("vec_id", "cell"),
+        tr.train_twin == F.col("vec_id"),
+    ).select("train_twin", "label_b", "eb", "cell")
+    te_probe = te.join(
+        ascore.filter(F.col("arn") <= N_PROBE).select("vec_id", "cell"),
+        te.test_doc == F.col("vec_id"),
+    ).select("test_doc", "label", "ea", "cell")
+    ivf = (
+        te_probe.join(
+            tr_cells,
+            (te_probe.cell == tr_cells.cell)
+            & (te_probe.label == tr_cells.label_b),
+        )
+        .filter(F.col("test_doc") != F.col("train_twin"))
+        .select(
+            "test_doc", "train_twin",
+            cosine(F.col("ea"), F.col("eb")).alias("cs"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") == 1)
+        .select(
+            "test_doc",
+            F.col("train_twin").alias("ivf_twin"),
+            F.col("cs").alias("ivf_cos"),
+        )
+    )
+    g = exact.join(ivf, "test_doc", "left")
+    return g.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_test"),
+        F.sum(F.when(F.col("ivf_twin").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_routed"),
+        F.sum(
+            F.when(F.col("ivf_twin") == F.col("exact_twin"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_twin_match"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("ivf_twin") == F.col("exact_twin"), 1
+                ).otherwise(0)
+            ).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("twin_recall"),
+        F.sum(
+            F.when(
+                F.coalesce(F.col("ivf_cos") >= 0.9, F.lit(False))
+                == (F.col("exact_cos") >= 0.9),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_flag_agree"),
+        F.when(
+            F.sum(
+                F.when(F.col("ivf_cos").isNotNull(), 1).otherwise(0)
+            )
+            > 0,
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("ivf_cos").isNotNull(),
+                        F.round(
+                            F.col("exact_cos") - F.col("ivf_cos"), 6
+                        ).cast("decimal(18,6)"),
+                    ).otherwise(F.lit(0).cast("decimal(18,6)"))
+                ).cast("double")
+                / F.sum(
+                    F.when(F.col("ivf_cos").isNotNull(), 1).otherwise(0)
+                ),
+                6,
+            ),
+        ).alias("mean_cos_gap"),
+    )

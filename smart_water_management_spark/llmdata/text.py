@@ -3191,3 +3191,101 @@ def x160_good_turing_mass(
             F.expr("ROUND(2 * CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE), 6)"),
         ).alias("r1_star"),
     )
+
+
+# --- x162: McNemar filter-disagreement audit --------------------------------------------
+
+# The two deterministic quality rules under comparison (both integer
+# predicates on the raw doc): A = length band (x128's Gopher-style
+# bounds), B = mean-token-length band (boilerplate/base64 blobs fail
+# it; natural prose passes).
+_X162_A = "(n_chars >= 200 AND n_chars <= 5000)"
+_X162_B = (
+    "(CAST(n_chars AS DOUBLE)"
+    " / GREATEST(CAST(len(string_split(lower(text), ' ')) AS BIGINT), 1)"
+    " <= 8)"
+)
+_X162_CHI2 = (
+    "ROUND(CAST((n10 - n01) * (n10 - n01) AS DOUBLE)"
+    " / CAST(n10 + n01 AS DOUBLE), 9)"
+)
+
+
+@register(
+    "x162_mcnemar_filter_audit",
+    # DO TWO QUALITY FILTERS DISAGREE SYSTEMATICALLY — or just noisily?
+    # Swapping filter A for filter B is safe when their disagreements
+    # are symmetric; McNemar's test reads ONLY the discordant cells
+    # (chi2 = (b-c)^2/(b+c)): a significant statistic means B passes a
+    # systematically different subpopulation than A, and the training
+    # mix will shift. The paired-design test the a38/a57 contingency
+    # family doesn't cover (those compare two VARIABLES; McNemar
+    # compares two RATERS on the same items). Per source: the 2x2
+    # concordance table, the agreement rate, and the statistic. All
+    # counts are exact integers from one scan; Spark's size(split())
+    # mirrors DuckDB's len(string_split()) exactly (same tokenizer the
+    # x-family pins). NULL when no discordant pairs.
+    oracle=f"""
+    WITH flags AS (
+      SELECT source,
+             CASE WHEN {_X162_A} THEN 1 ELSE 0 END AS fa,
+             CASE WHEN {_X162_B} THEN 1 ELSE 0 END AS fb
+      FROM documents
+    ),
+    cells AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(fa * fb) AS BIGINT) AS n11,
+             CAST(SUM(fa * (1 - fb)) AS BIGINT) AS n10,
+             CAST(SUM((1 - fa) * fb) AS BIGINT) AS n01,
+             CAST(SUM((1 - fa) * (1 - fb)) AS BIGINT) AS n00
+      FROM flags GROUP BY source
+    )
+    SELECT source, n_docs, n11, n10, n01, n00,
+           ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+             AS agree_frac,
+           CASE WHEN n10 + n01 > 0 THEN {_X162_CHI2} END
+             AS mcnemar_chi2
+    FROM cells
+    """,
+    doc="x162: McNemar filter-disagreement audit — per source, the "
+    "paired 2x2 concordance of two deterministic quality filters "
+    "(length band vs mean-token-length band) with the McNemar "
+    "statistic over the discordant cells: the test that says whether "
+    "swapping filters would SHIFT the surviving mix or merely "
+    "reshuffle noise. Complements x110/x112 (filter-bias vs length) "
+    "and x116 (rule ablation) with the paired-rater significance "
+    "test none of them run. One scan, integer cells, two rounded "
+    "outputs. No reference analog — extension per brief",
+)
+def x162_mcnemar_filter_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    flags = d.select(
+        "source",
+        F.expr(f"CASE WHEN {_X162_A} THEN 1 ELSE 0 END").alias("fa"),
+        F.expr(
+            "CASE WHEN (CAST(n_chars AS DOUBLE)"
+            " / GREATEST(CAST(size(split(lower(text), ' ')) AS BIGINT), 1)"
+            " <= 8) THEN 1 ELSE 0 END"
+        ).alias("fb"),
+    )
+    cells = flags.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.col("fa") * F.col("fb")).cast("bigint").alias("n11"),
+        F.sum(F.col("fa") * (1 - F.col("fb"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("fa")) * F.col("fb")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("fa")) * (1 - F.col("fb")))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    return cells.select(
+        "source", "n_docs", "n11", "n10", "n01", "n00",
+        F.expr(
+            "ROUND(CAST(n11 + n00 AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)"
+        ).alias("agree_frac"),
+        F.when(
+            F.col("n10") + F.col("n01") > 0, F.expr(_X162_CHI2)
+        ).alias("mcnemar_chi2"),
+    )

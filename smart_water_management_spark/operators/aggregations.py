@@ -4721,6 +4721,16 @@ def a56_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg((F.sum("v") * 1000000).cast("bigint").alias("xm"))
     )
+    return page_trend_from_daily(daily)
+
+
+def page_trend_from_daily(daily: DataFrame) -> DataFrame:
+    """a56's finalize from the (event_type, day, xm) micro-quantized
+    daily grid — shared with t42's streaming monitor (t26/t41's hourly
+    decimal state rolls up to the identical daily grid), so the monitor
+    equals batch a56 bit-for-bit under any stream slicing."""
+    from pyspark.sql import Window as W
+
     blocks = daily.select(
         "event_type", "day", "xm",
         F.floor(F.col("day") / 7).cast("bigint").alias("wk"),
@@ -4756,4 +4766,133 @@ def a56_page_trend_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_weeks"),
         F.col("l2").alias("l2_stat"),
         F.expr(_A56_Z).alias("z_stat"),
+    )
+
+
+# --- a57 (ext.): Theil's uncertainty coefficient (information-theoretic association) ----
+
+# Shared sub-expressions (x83/x45's transcendental posture: per-level
+# ln(count) rounded once, count-weighted, summed as DECIMAL so the
+# entropy pieces are order-free; every formula below is one fixed-order
+# double expression shared verbatim between F.expr and the oracle).
+_A57_HX = "(LN(CAST(n AS DOUBLE)) - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+_A57_HY = "(LN(CAST(n AS DOUBLE)) - CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))"
+_A57_MI = (
+    "(LN(CAST(n AS DOUBLE))"
+    " + (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) - CAST(sy AS DOUBLE))"
+    " / CAST(n AS DOUBLE))"
+)
+_A57_NLN = (
+    "CAST(SUM({c} * CAST(ROUND(LN(CAST({c} AS DOUBLE)), 6)"
+    " AS DECIMAL(27,6))) AS DECIMAL(38,6))"
+)
+
+
+@register(
+    "a57_theil_uncertainty",
+    # HOW MUCH does knowing the line status TELL YOU about the return
+    # flag (and vice versa)? Theil's uncertainty coefficient
+    # U(X|Y) = I(X;Y)/H(X) — the ASYMMETRIC, information-theoretic
+    # association the a38 chi-square/Cramér-V pair can't express
+    # (chi-square is symmetric and sample-size-coupled; U reads
+    # "fraction of X's entropy explained by Y" in [0,1] either
+    # direction). Everything reduces to three count-weighted log sums
+    # over the 6-cell contingency grid and its marginals:
+    # H(X) = ln N - Sx/N, H(X|Y) = (Sy - Sxy)/N, I = ln N +
+    # (Sxy - Sx - Sy)/N — with each ln(count) rounded once and
+    # decimal-summed (x83's posture) so both engines fold identical
+    # terms in any order. Scale: ONE map-combined aggregate to 6
+    # cells; the rest is a handful of scalar rows.
+    oracle=f"""
+    WITH cells AS (
+      SELECT l_returnflag AS x, l_linestatus AS y,
+             CAST(COUNT(*) AS BIGINT) AS n_xy
+      FROM lineitem GROUP BY 1, 2
+    ),
+    mx AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS nx FROM cells GROUP BY x),
+    my AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS ny FROM cells GROUP BY y),
+    fx AS (SELECT {_A57_NLN.format(c='nx')} AS sx,
+                  CAST(SUM(nx) AS BIGINT) AS n FROM mx),
+    fy AS (SELECT {_A57_NLN.format(c='ny')} AS sy FROM my),
+    fxy AS (SELECT {_A57_NLN.format(c='n_xy')} AS sxy FROM cells),
+    s AS (SELECT fx.n, fx.sx, fy.sy, fxy.sxy FROM fx, fy, fxy)
+    SELECT n AS n_rows,
+           ROUND({_A57_HX}, 9) AS h_x,
+           ROUND({_A57_HY}, 9) AS h_y,
+           ROUND({_A57_MI}, 9) AS mutual_info,
+           CASE WHEN {_A57_HX} > 0
+                THEN ROUND({_A57_MI} / {_A57_HX}, 9) END AS u_x_given_y,
+           CASE WHEN {_A57_HY} > 0
+                THEN ROUND({_A57_MI} / {_A57_HY}, 9) END AS u_y_given_x,
+           CASE WHEN {_A57_HX} + {_A57_HY} > 0
+                THEN ROUND(2 * {_A57_MI} / ({_A57_HX} + {_A57_HY}), 9)
+           END AS u_symmetric
+    FROM s
+    """,
+    doc="a57 (ext.): Theil's uncertainty coefficient — directional "
+    "information-theoretic association between return flag and line "
+    "status: U(X|Y), U(Y|X) and the symmetric form, plus the "
+    "entropies and mutual information they compose from. The "
+    "direction-aware companion to a38's chi-square/Cramér's V "
+    "(association strength without direction) — U says WHICH "
+    "variable predicts which, scale-free in [0,1]. Three "
+    "once-rounded count-weighted log sums over the 6-cell grid and "
+    "marginals (x83's transcendental posture), shared formula "
+    "strings for every output. One map-combined shuffle to 6 keys — "
+    "identical plan at 100 TB. No reference analog — extension per "
+    "brief; completes the categorical-association family a38/a41",
+)
+def a57_theil_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("x"),
+        F.col("l_linestatus").alias("y"),
+    ).agg(F.count("*").cast("bigint").alias("n_xy"))
+
+    def nln(df: DataFrame, c: str, out: str) -> DataFrame:
+        return df.agg(
+            F.sum(
+                F.col(c)
+                * F.expr(
+                    f"CAST(ROUND(LN(CAST({c} AS DOUBLE)), 6)"
+                    " AS DECIMAL(27,6))"
+                )
+            )
+            .cast("decimal(38,6)")
+            .alias(out)
+        )
+
+    mx = cells.groupBy("x").agg(F.sum("n_xy").cast("bigint").alias("nx"))
+    my = cells.groupBy("y").agg(F.sum("n_xy").cast("bigint").alias("ny"))
+    fx = mx.agg(
+        F.sum(
+            F.col("nx")
+            * F.expr(
+                "CAST(ROUND(LN(CAST(nx AS DOUBLE)), 6) AS DECIMAL(27,6))"
+            )
+        )
+        .cast("decimal(38,6)")
+        .alias("sx"),
+        F.sum("nx").cast("bigint").alias("n"),
+    )
+    fy = nln(my, "ny", "sy")
+    fxy = nln(cells, "n_xy", "sxy")
+    s = fx.crossJoin(F.broadcast(fy)).crossJoin(F.broadcast(fxy))
+    return s.select(
+        F.col("n").alias("n_rows"),
+        F.expr(f"ROUND({_A57_HX}, 9)").alias("h_x"),
+        F.expr(f"ROUND({_A57_HY}, 9)").alias("h_y"),
+        F.expr(f"ROUND({_A57_MI}, 9)").alias("mutual_info"),
+        F.expr(
+            f"CASE WHEN {_A57_HX} > 0"
+            f" THEN ROUND({_A57_MI} / {_A57_HX}, 9) END"
+        ).alias("u_x_given_y"),
+        F.expr(
+            f"CASE WHEN {_A57_HY} > 0"
+            f" THEN ROUND({_A57_MI} / {_A57_HY}, 9) END"
+        ).alias("u_y_given_x"),
+        F.expr(
+            f"CASE WHEN {_A57_HX} + {_A57_HY} > 0"
+            f" THEN ROUND(2 * {_A57_MI} / ({_A57_HX} + {_A57_HY}), 9) END"
+        ).alias("u_symmetric"),
     )

@@ -3166,3 +3166,49 @@ def t41_streaming_pettitt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("hv") * 1000000).cast("bigint").alias("xm"))
     )
     return pettitt_from_daily(daily)
+
+
+# --- t42: streaming Page-trend monitor (hourly grid -> daily rollup) -----------------------
+
+
+def _a56_oracle() -> str:
+    # operators.aggregations imports before streaming.jobs (package
+    # __init__ order), so a56's oracle is present at registration time.
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["a56_page_trend_test"].oracle
+
+
+@register(
+    "t42_streaming_page_trend",
+    # Equals batch a56 bit-for-bit: t26's exact-decimal hourly state
+    # rolls up to the daily micro grid (t41's rollup device), then
+    # a56's page_trend_from_daily finalize runs unchanged — a56's
+    # oracle certifies the monitor.
+    oracle=_a56_oracle(),
+    doc="T42: streaming Page-trend monitor — a56's ordered weekday "
+    "trend statistic recomputed from the SAME incrementally-merged "
+    "hourly decimal state t26/t41 maintain (one state, three alarms: "
+    "t26 localizes a level break, t41 rank-tests it, t42 watches for "
+    "a MONOTONE weekly demand drift building up). The hourly->daily "
+    "rollup is exact (associative decimal sums, integer floor-div), "
+    "so state == batch under any slicing and the calendar bounds "
+    "state size. Certified by sharing page_trend_from_daily and "
+    "a56's oracle; 4-batch merge test in tests/test_streaming.py",
+)
+def t42_streaming_page_trend(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.aggregations import page_trend_from_daily
+
+    hourly = hourly_state_stream(spark, sf_dir)
+    daily = (
+        hourly.select(
+            "event_type",
+            F.floor(F.col("h") / 24).cast("bigint").alias("day"),
+            "hv",
+        )
+        .groupBy("event_type", "day")
+        .agg((F.sum("hv") * 1000000).cast("bigint").alias("xm"))
+    )
+    return page_trend_from_daily(daily)

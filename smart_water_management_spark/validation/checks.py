@@ -1869,3 +1869,141 @@ def v23_simpsons_paradox_screen(
             "simpson_flip"
         ),
     )
+
+
+# --- v24 (ext.): key-continuity audit (hierarchical gap islands) ------------------------
+
+
+@register(
+    "v24_key_continuity_audit",
+    # DID THE LOADER DROP A BATCH? Sequence-key forensics on
+    # o_orderkey: duplicates, the missing-id mass, and the SHAPE of
+    # the holes — how many contiguous missing runs, and how long the
+    # worst one is (one long run = a dropped ingest window; many short
+    # ones = by-design sparsity, which TPC-H orderkeys exhibit).
+    # Scale device: gap runs live between ADJACENT present ids, so the
+    # audit never global-sorts the ids — ids hash into 10k-wide blocks
+    # (one partitioned window each), blocks reduce to (min, max,
+    # internal-gap stats) rows, and ONE tiny window over the bounded
+    # block table stitches boundary gaps. All BIGINT; no rounding
+    # device anywhere.
+    oracle="""
+    WITH ids AS (SELECT DISTINCT o_orderkey AS id FROM orders),
+    raw AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders),
+    blocked AS (
+      SELECT id, CAST(id // 10000 AS BIGINT) AS blk,
+             id - LAG(id) OVER (PARTITION BY CAST(id // 10000 AS BIGINT)
+                                ORDER BY id) - 1 AS g
+      FROM ids
+    ),
+    per_blk AS (
+      SELECT blk,
+             CAST(MIN(id) AS BIGINT) AS bmin,
+             CAST(MAX(id) AS BIGINT) AS bmax,
+             CAST(COUNT(*) AS BIGINT) AS n_ids,
+             CAST(SUM(CASE WHEN g > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS in_runs,
+             CAST(COALESCE(MAX(CASE WHEN g > 0 THEN g END), 0) AS BIGINT)
+               AS in_max
+      FROM blocked GROUP BY blk
+    ),
+    stitched AS (
+      SELECT blk, bmin, bmax, n_ids, in_runs, in_max,
+             bmin - LAG(bmax) OVER (ORDER BY blk) - 1 AS bg
+      FROM per_blk
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_ids) AS BIGINT) AS n_distinct,
+             CAST(MIN(bmin) AS BIGINT) AS min_id,
+             CAST(MAX(bmax) AS BIGINT) AS max_id,
+             CAST(SUM(in_runs)
+                  + SUM(CASE WHEN bg > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_gap_runs,
+             CAST(GREATEST(COALESCE(MAX(in_max), 0),
+                           COALESCE(MAX(CASE WHEN bg > 0 THEN bg END), 0))
+                  AS BIGINT) AS max_gap_run
+      FROM stitched
+    )
+    SELECT r.n_rows, t.n_distinct,
+           r.n_rows - t.n_distinct AS n_dups,
+           t.min_id, t.max_id,
+           t.max_id - t.min_id + 1 - t.n_distinct AS n_missing,
+           t.n_gap_runs, t.max_gap_run
+    FROM tot t, raw r
+    """,
+    doc="v24 (ext.): sequence-key continuity audit on o_orderkey — "
+    "duplicate mass, total missing ids, and the gap-run SHAPE "
+    "(count + longest contiguous hole) that distinguishes a dropped "
+    "ingest window from by-design sparsity. Two-level islands "
+    "device: per-10k-block partitioned lag windows find interior "
+    "gaps, block (min,max) rows stitch boundary gaps through one "
+    "window over the bounded block table — the id space is never "
+    "globally sorted, so the plan survives any key volume. "
+    "All-BIGINT. Extends the reference's row-level validation "
+    "(src/data_quality.py-class checks) with key-space forensics — "
+    "extension per brief",
+)
+def v24_key_continuity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    ids = o.select(F.col("o_orderkey").alias("id")).distinct()
+    raw = o.agg(F.count("*").cast("bigint").alias("n_rows"))
+    blocked = ids.select(
+        "id",
+        (F.col("id") / 10000).cast("bigint").alias("blk"),
+    ).select(
+        "id", "blk",
+        (
+            F.col("id")
+            - F.lag("id").over(W.partitionBy("blk").orderBy("id"))
+            - 1
+        ).alias("g"),
+    )
+    per_blk = blocked.groupBy("blk").agg(
+        F.min("id").cast("bigint").alias("bmin"),
+        F.max("id").cast("bigint").alias("bmax"),
+        F.count("*").cast("bigint").alias("n_ids"),
+        F.sum(F.when(F.col("g") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("in_runs"),
+        F.coalesce(
+            F.max(F.when(F.col("g") > 0, F.col("g"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("in_max"),
+    )
+    stitched = per_blk.select(
+        "blk", "bmin", "bmax", "n_ids", "in_runs", "in_max",
+        (
+            F.col("bmin") - F.lag("bmax").over(W.orderBy("blk")) - 1
+        ).alias("bg"),
+    )
+    tot = stitched.agg(
+        F.sum("n_ids").cast("bigint").alias("n_distinct"),
+        F.min("bmin").cast("bigint").alias("min_id"),
+        F.max("bmax").cast("bigint").alias("max_id"),
+        (
+            F.sum("in_runs")
+            + F.sum(F.when(F.col("bg") > 0, 1).otherwise(0))
+        )
+        .cast("bigint")
+        .alias("n_gap_runs"),
+        F.greatest(
+            F.coalesce(F.max("in_max"), F.lit(0)),
+            F.coalesce(F.max(F.when(F.col("bg") > 0, F.col("bg"))), F.lit(0)),
+        )
+        .cast("bigint")
+        .alias("max_gap_run"),
+    )
+    return tot.crossJoin(F.broadcast(raw)).select(
+        "n_rows", "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).alias("n_dups"),
+        "min_id", "max_id",
+        (
+            F.col("max_id") - F.col("min_id") + 1 - F.col("n_distinct")
+        ).alias("n_missing"),
+        "n_gap_runs", "max_gap_run",
+    )

@@ -1054,3 +1054,35 @@ def test_streaming_pettitt_multi_batch_equals_batch_m44(spark):
             w.change_day,
             w.p_approx,
         ), et
+
+
+def test_streaming_page_trend_multi_batch_equals_batch_a56(spark):
+    """t42 under real incrementality: events split into 4 parquet files
+    (4 micro-batches); the merged hourly grid, rolled up to days, must
+    reproduce a56's batch L2 statistic and z exactly."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        ev.repartition(4).write.parquet(os.path.join(sf_dir, "events.parquet"))
+        got = {
+            r.event_type: r
+            for r in jobs.t42_streaming_page_trend(spark, sf_dir).collect()
+        }
+    want = {
+        r.event_type: r
+        for r in _REGISTRY["a56_page_trend_test"].fn(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(want)
+    for et, w in want.items():
+        g = got[et]
+        assert (g.n_weeks, g.l2_stat, g.z_stat) == (
+            w.n_weeks,
+            w.l2_stat,
+            w.z_stat,
+        ), et

@@ -235,13 +235,18 @@ PARITY_QUERIES = [
     "x160_good_turing_mass",      # freq-of-freq folds over 30x documents
     "a56_page_trend_test",        # doubled weekly ranks + inlined-constant z
     "w38_ulcer_index",            # once-rounded drawdown squares at 30x
+    "a57_theil_uncertainty",      # once-rounded ln sums over 30x counts
+    "v24_key_continuity_audit",   # two-level gap islands over 30x orders
+    "x162_mcnemar_filter_audit",  # paired 2x2 cells over 30x documents
 ]
 
 
-def parity(factor: int = 30) -> None:
+def parity(factor: int = 30, only: list[str] | None = None) -> None:
     """Type-strict Spark-vs-DuckDB parity of the float-exactness
     devices at ``factor``x replication (the driver/replay protocol:
-    int-vs-float tagged, rows sorted, exact compare)."""
+    int-vs-float tagged, rows sorted, exact compare). ``only`` (or
+    ``--only a,b,c`` on the CLI) restricts to a subset — the per-op
+    landing gate; the full list runs on the closing ladder."""
     import math
     from datetime import date, datetime
 
@@ -266,7 +271,10 @@ def parity(factor: int = 30) -> None:
     con = duckdb.connect()
     make_views(con, sf_dir, factor)
     fails = []
-    for name in PARITY_QUERIES:
+    names = PARITY_QUERIES if not only else only
+    unknown = [n for n in names if n not in PARITY_QUERIES]
+    assert not unknown, f"--only names not in PARITY_QUERIES: {unknown}"
+    for name in names:
         spec = _REGISTRY[name]
         sp = spec.fn(spark, sf_dir).toPandas()
         du = con.execute(spec.oracle).df()
@@ -322,7 +330,12 @@ def main() -> None:
 
 if __name__ == "__main__":
     if "--parity" in sys.argv:
-        parity(int(sys.argv[sys.argv.index("--parity") + 1])
-               if len(sys.argv) > sys.argv.index("--parity") + 1 else 30)
+        _i = sys.argv.index("--parity")
+        _factor = (int(sys.argv[_i + 1])
+                   if len(sys.argv) > _i + 1 and sys.argv[_i + 1].isdigit()
+                   else 30)
+        _only = (sys.argv[sys.argv.index("--only") + 1].split(",")
+                 if "--only" in sys.argv else None)
+        parity(_factor, _only)
     else:
         main()
