@@ -3289,3 +3289,125 @@ def x162_mcnemar_filter_audit(
             F.col("n10") + F.col("n01") > 0, F.expr(_X162_CHI2)
         ).alias("mcnemar_chi2"),
     )
+
+
+# --- x163: Cochran's Q three-filter agreement audit -------------------------------------
+
+# Third deterministic rule alongside x162's A and B: a stopword-share
+# band (natural prose carries function words; templates/code/blobs
+# don't). Shared SQL predicate built from the pinned STOPWORDS list.
+_X163_C = (
+    "(len(list_intersect(string_split(lower(text), ' '),"
+    " ['the', 'a', 'and', 'le', 'la', 'et', 'der', 'die', 'und'])) > 0)"
+)
+_X163_Q = (
+    "ROUND(CAST(2 * (3 * (CAST(ca AS DOUBLE) * ca"
+    " + CAST(cb AS DOUBLE) * cb + CAST(cc AS DOUBLE) * cc)"
+    " - CAST(ca + cb + cc AS DOUBLE) * (ca + cb + cc))"
+    " AS DOUBLE)"
+    " / (3 * CAST(sr AS DOUBLE) - CAST(sr2 AS DOUBLE)), 9)"
+)
+
+
+@register(
+    "x163_cochran_q_filter_audit",
+    # DO THREE QUALITY FILTERS RANK THE CORPUS THE SAME WAY? Cochran's
+    # Q generalizes x162's McNemar to k=3 matched binary raters:
+    # Q = k(k-1) * sum_j (C_j - Cbar)^2 / (k * sum_i R_i - sum_i R_i^2)
+    # over per-doc pass-rows R_i and per-filter pass-columns C_j — the
+    # omnibus "at least one filter passes a systematically different
+    # subpopulation" test to run BEFORE pairwise McNemars. For k=3 the
+    # numerator folds to 2*(3*(Ca^2+Cb^2+Cc^2) - (Ca+Cb+Cc)^2) and the
+    # denominator needs only sum(R) and sum(R^2) — four BIGINT
+    # aggregates per source, no per-doc output. Degenerate (all-agree)
+    # sources emit NULL via the denominator guard. One scan; the
+    # list_intersect stopword probe mirrors Spark's arrays_overlap on
+    # the same pinned token list.
+    oracle=f"""
+    WITH flags AS (
+      SELECT source,
+             CASE WHEN (n_chars >= 200 AND n_chars <= 5000)
+                  THEN 1 ELSE 0 END AS fa,
+             CASE WHEN (CAST(n_chars AS DOUBLE)
+                        / GREATEST(CAST(len(string_split(lower(text), ' '))
+                                        AS BIGINT), 1) <= 8)
+                  THEN 1 ELSE 0 END AS fb,
+             CASE WHEN {_X163_C} THEN 1 ELSE 0 END AS fc
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(fa) AS BIGINT) AS ca,
+             CAST(SUM(fb) AS BIGINT) AS cb,
+             CAST(SUM(fc) AS BIGINT) AS cc,
+             CAST(SUM(fa + fb + fc) AS BIGINT) AS sr,
+             CAST(SUM((fa + fb + fc) * (fa + fb + fc)) AS BIGINT) AS sr2
+      FROM flags GROUP BY source
+    )
+    SELECT source, n_docs, ca AS pass_len, cb AS pass_tok,
+           cc AS pass_stop,
+           CASE WHEN 3 * sr - sr2 > 0 THEN {_X163_Q} END AS cochran_q
+    FROM s
+    """,
+    doc="x163: Cochran's Q filter-panel audit — the k=3 omnibus "
+    "matched-rater test over three deterministic quality filters "
+    "(length band, mean-token-length band, stopword presence) per "
+    "source: one significant Q means the filter panel disagrees "
+    "systematically somewhere, and x162's pairwise McNemar then "
+    "localizes WHERE. Four BIGINT aggregates per source (pass "
+    "columns + row-sum moments — the k=3 closed form needs nothing "
+    "per-doc), one shared Q string, NULL on all-agree degeneracy. "
+    "One scan at any scale. No reference analog — extension per "
+    "brief; completes the paired-rater family with x81/x162",
+)
+def x163_cochran_q_filter_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    stop = F.array(
+        *[F.lit(w) for w in
+          ["the", "a", "and", "le", "la", "et", "der", "die", "und"]]
+    )
+    flags = d.select(
+        "source",
+        F.expr(
+            "CASE WHEN (n_chars >= 200 AND n_chars <= 5000)"
+            " THEN 1 ELSE 0 END"
+        ).alias("fa"),
+        F.expr(
+            "CASE WHEN (CAST(n_chars AS DOUBLE)"
+            " / GREATEST(CAST(size(split(lower(text), ' ')) AS BIGINT), 1)"
+            " <= 8) THEN 1 ELSE 0 END"
+        ).alias("fb"),
+        F.when(
+            F.arrays_overlap(F.split(F.lower(F.col("text")), " "), stop),
+            1,
+        )
+        .otherwise(0)
+        .alias("fc"),
+    )
+    s = flags.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("fa").cast("bigint").alias("ca"),
+        F.sum("fb").cast("bigint").alias("cb"),
+        F.sum("fc").cast("bigint").alias("cc"),
+        F.sum(F.col("fa") + F.col("fb") + F.col("fc"))
+        .cast("bigint")
+        .alias("sr"),
+        F.sum(
+            (F.col("fa") + F.col("fb") + F.col("fc"))
+            * (F.col("fa") + F.col("fb") + F.col("fc"))
+        )
+        .cast("bigint")
+        .alias("sr2"),
+    )
+    return s.select(
+        "source", "n_docs",
+        F.col("ca").alias("pass_len"),
+        F.col("cb").alias("pass_tok"),
+        F.col("cc").alias("pass_stop"),
+        F.when(
+            F.lit(3) * F.col("sr") - F.col("sr2") > 0, F.expr(_X163_Q)
+        ).alias("cochran_q"),
+    )

@@ -5706,3 +5706,137 @@ if "t41_streaming_pettitt" in _REG_FOR_T29:
         _REG_FOR_T29["t41_streaming_pettitt"],
         oracle=_REG_FOR_T29["m44_pettitt_test"].oracle,
     )
+
+
+# --- m45 (ext.): forecast combination (mean / median-of-3 ensembles) ---------------------
+
+# Shared row-wise prediction strings over m22's holdout columns: the
+# drift forecast, the equal-weight mean combo, and the median-of-3
+# combo (sum minus extremes — branch-free, identical IEEE on both
+# engines). Per-row absolute errors are rounded once and summed as
+# DECIMAL (m42's device), so every MAE is exact and order-free.
+_M45_DR = "(x1 + (x1 - x0) / (t - 2))"
+_M45_CMEAN = f"((x1 + x24 + {_M45_DR}) / 3)"
+_M45_CMED = (
+    f"(x1 + x24 + {_M45_DR}"
+    f" - GREATEST(x1, x24, {_M45_DR}) - LEAST(x1, x24, {_M45_DR}))"
+)
+
+
+def _m45_mae(pred: str) -> str:
+    return (
+        f"ROUND(CAST(SUM(CAST(ROUND(ABS(x - {pred}), 6)"
+        f" AS DECIMAL(27,6))) AS DOUBLE) / COUNT(*), 6)"
+    )
+
+
+@register(
+    "m45_forecast_combination",
+    # THE OLDEST RESULT IN FORECASTING PRACTICE: the average of
+    # mediocre forecasters routinely beats the best single one (Bates
+    # & Granger 1969). m45 tests it on m22's exact holdout: the
+    # equal-weight mean and the outlier-robust median-of-3 of the
+    # naive / seasonal-naive / drift baselines, scored against each
+    # other and against the best individual — per event type, with a
+    # combo_beats_best verdict. m30 SELECTS one model; m45 asks
+    # whether selection is even the right move (when the verdict is
+    # true, routing traffic to a combiner beats any picker). Device:
+    # m22's lag-window holdout columns, three shared row-wise
+    # prediction strings (the median via sum-minus-extremes — no
+    # branches, no sort), and m42's round-then-decimal-sum MAE. One
+    # pass over the calendar-bounded hourly grid.
+    oracle=f"""
+    WITH {_hourly_series_sql().strip()},
+    ser AS (
+      SELECT event_type, h, CAST(hv AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS t,
+             COUNT(*) OVER (PARTITION BY event_type) AS n,
+             LAG(CAST(hv AS DOUBLE), 1) OVER
+               (PARTITION BY event_type ORDER BY h) AS x1,
+             LAG(CAST(hv AS DOUBLE), 24) OVER
+               (PARTITION BY event_type ORDER BY h) AS x24,
+             FIRST_VALUE(CAST(hv AS DOUBLE)) OVER
+               (PARTITION BY event_type ORDER BY h) AS x0
+      FROM hourly
+    ),
+    holdout AS (
+      SELECT * FROM ser
+      WHERE t > n - {_M22_HOLDOUT} AND x24 IS NOT NULL AND t >= 3
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n_evals,
+             {_m45_mae('x1')} AS mae_naive,
+             {_m45_mae('x24')} AS mae_seasonal,
+             {_m45_mae(_M45_DR)} AS mae_drift,
+             {_m45_mae(_M45_CMEAN)} AS mae_combo_mean,
+             {_m45_mae(_M45_CMED)} AS mae_combo_median
+      FROM holdout GROUP BY event_type
+    )
+    SELECT event_type, n_evals, mae_naive, mae_seasonal, mae_drift,
+           mae_combo_mean, mae_combo_median,
+           LEAST(mae_naive, mae_seasonal, mae_drift) AS best_single,
+           LEAST(mae_combo_mean, mae_combo_median)
+             < LEAST(mae_naive, mae_seasonal, mae_drift)
+             AS combo_beats_best
+    FROM m
+    """,
+    doc="m45 (ext.): forecast combination — equal-weight mean and "
+    "median-of-3 ensembles of m22's three baselines, backtested on "
+    "the same exact holdout with a per-type combo_beats_best "
+    "verdict (the Bates-Granger check: is COMBINING better than "
+    "m30's model SELECTION here?). Branch-free median via "
+    "sum-minus-extremes, shared prediction strings, m42's "
+    "round-then-decimal-sum MAE — exact and order-free on both "
+    "engines. One lag-window pass over the bounded hourly grid. "
+    "No reference analog — extension per brief; completes the "
+    "forecasting family m15/m17/m22/m30/m38/m39/m42",
+)
+def m45_forecast_combination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    hourly = _hourly_series(spark, sf_dir)
+    wo = W.partitionBy("event_type").orderBy("h")
+    ser = hourly.select(
+        "event_type", "h",
+        F.col("hv").cast("double").alias("x"),
+        F.row_number().over(wo).alias("t"),
+        F.count("*")
+        .over(
+            W.partitionBy("event_type").rowsBetween(
+                W.unboundedPreceding, W.unboundedFollowing
+            )
+        )
+        .alias("n"),
+        F.lag(F.col("hv").cast("double"), 1).over(wo).alias("x1"),
+        F.lag(F.col("hv").cast("double"), 24).over(wo).alias("x24"),
+        F.first(F.col("hv").cast("double")).over(wo).alias("x0"),
+    )
+    holdout = ser.filter(
+        (F.col("t") > F.col("n") - _M22_HOLDOUT)
+        & F.col("x24").isNotNull()
+        & (F.col("t") >= 3)
+    )
+    m = holdout.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_evals"),
+        F.expr(_m45_mae("x1")).alias("mae_naive"),
+        F.expr(_m45_mae("x24")).alias("mae_seasonal"),
+        F.expr(_m45_mae(_M45_DR)).alias("mae_drift"),
+        F.expr(_m45_mae(_M45_CMEAN)).alias("mae_combo_mean"),
+        F.expr(_m45_mae(_M45_CMED)).alias("mae_combo_median"),
+    )
+    return m.select(
+        "event_type", "n_evals", "mae_naive", "mae_seasonal",
+        "mae_drift", "mae_combo_mean", "mae_combo_median",
+        F.least(
+            F.col("mae_naive"), F.col("mae_seasonal"), F.col("mae_drift")
+        ).alias("best_single"),
+        (
+            F.least(F.col("mae_combo_mean"), F.col("mae_combo_median"))
+            < F.least(
+                F.col("mae_naive"),
+                F.col("mae_seasonal"),
+                F.col("mae_drift"),
+            )
+        ).alias("combo_beats_best"),
+    )

@@ -238,6 +238,8 @@ PARITY_QUERIES = [
     "a57_theil_uncertainty",      # once-rounded ln sums over 30x counts
     "v24_key_continuity_audit",   # two-level gap islands over 30x orders
     "x162_mcnemar_filter_audit",  # paired 2x2 cells over 30x documents
+    "x163_cochran_q_filter_audit",  # k=3 matched-rater folds at 30x
+    "m45_forecast_combination",   # combo MAEs over 30x-larger hourly sums
 ]
 
 
