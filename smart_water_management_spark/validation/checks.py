@@ -1940,7 +1940,7 @@ def v23_simpsons_paradox_screen(
     "window over the bounded block table — the id space is never "
     "globally sorted, so the plan survives any key volume. "
     "All-BIGINT. Extends the reference's row-level validation "
-    "(src/data_quality.py-class checks) with key-space forensics — "
+    "(src/data_validator.py) with key-space forensics — "
     "extension per brief",
 )
 def v24_key_continuity_audit(
