@@ -4896,3 +4896,187 @@ def a57_theil_uncertainty(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" THEN ROUND(2 * {_A57_MI} / ({_A57_HX} + {_A57_HY}), 9) END"
         ).alias("u_symmetric"),
     )
+
+
+# --- a58 (ext.): two-sample Anderson-Darling test (value-domain grid device) ------------
+
+# Doubled-midrank algebra: with B2 = 2*cum_less + l (doubled combined
+# midrank cumulative) and M2 = 2*cum_less_O + c_o, the Scholz-Stephens
+# cell term ((N*M - n*B)^2 / (B(N-B) - N*l/4)) has both the numerator
+# and denominator carrying a factor 1/4 that CANCELS, leaving the pure
+# integer pieces D2 = N*M2 - no*B2 and B2*(2N - B2) - N*l — no halves
+# anywhere. Each nonnegative cell term is rounded once and summed as
+# DECIMAL; the two per-sample terms are equal for k = 2 (the D2s are
+# negatives of each other and enter squared), so one fold suffices.
+_A58_TERM = (
+    "ROUND(CAST(l AS DOUBLE) / CAST(nn AS DOUBLE)"
+    " * CAST(d2 AS DOUBLE) * CAST(d2 AS DOUBLE)"
+    " / (CAST(b2 AS DOUBLE)"
+    "    * (2 * CAST(nn AS DOUBLE) - CAST(b2 AS DOUBLE))"
+    "    - CAST(nn AS DOUBLE) * CAST(l AS DOUBLE)), 12)"
+)
+_A58_A2 = (
+    "ROUND((CAST(nn AS DOUBLE) - 1) / CAST(nn AS DOUBLE)"
+    " * (1 / CAST(no AS DOUBLE) + 1 / CAST(nf AS DOUBLE))"
+    " * CAST(tsum AS DOUBLE), 9)"
+)
+
+
+@register(
+    "a58_anderson_darling",
+    # The TAIL-WEIGHTED member of the two-sample ECDF trio: m14's KS
+    # reads the largest ECDF gap, a55's Cramér-von Mises integrates
+    # the squared gap uniformly, a58's Anderson-Darling divides by
+    # B(N-B) so gaps NEAR THE TAILS count hardest — the test that
+    # catches tail migration (exactly where training-data drift
+    # hurts) while KS/CvM stay quiet. Scholz-Stephens midrank
+    # (tie-adjusted) form on the ~50-cell quantity grid: doubled
+    # integer cumulative (no halves — the 1/4 factors cancel, see
+    # _A58_TERM), one 12-dp-rounded nonnegative term per cell summed
+    # as DECIMAL(38,12), and the k=2 symmetry (both samples' terms
+    # are equal) folded analytically. Output is A2_akN (H0 mean = 1;
+    # significance via the Scholz-Stephens table — the exact null
+    # variance needs O(N) harmonic constants, a scan-sized job at
+    # 100 TB, deliberately NOT computed here). Degenerate one-value
+    # corpora drop the offending cell via the positive-denominator
+    # guard. One map-combined shuffle to ~50 cells.
+    oracle=f"""
+    WITH g AS (
+      SELECT CAST(l_quantity AS BIGINT) AS v,
+             CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                  AS DECIMAL(14,0)) AS c_o,
+             CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                  AS DECIMAL(14,0)) AS c_f
+      FROM lineitem
+      WHERE l_linestatus IN ('O', 'F')
+      GROUP BY 1
+    ),
+    c AS (
+      SELECT v, c_o, c_f,
+             CAST(COALESCE(SUM(c_o + c_f) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DECIMAL(18,0)) AS cum_less,
+             CAST(COALESCE(SUM(c_o) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS DECIMAL(18,0)) AS cumo_less
+      FROM g
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_o) AS DECIMAL(18,0)) AS no,
+             CAST(SUM(c_f) AS DECIMAL(18,0)) AS nf,
+             CAST(SUM(c_o + c_f) AS DECIMAL(18,0)) AS nn
+      FROM g
+    ),
+    terms AS (
+      SELECT no, nf, nn,
+             CAST(c.c_o + c.c_f AS BIGINT) AS l,
+             CAST(2 * c.cum_less + c.c_o + c.c_f AS BIGINT) AS b2,
+             CAST(tot.nn * (2 * c.cumo_less + c.c_o)
+                  - tot.no * (2 * c.cum_less + c.c_o + c.c_f)
+                  AS BIGINT) AS d2
+      FROM c, tot
+    ),
+    s AS (
+      SELECT no, nf, nn,
+             CAST(SUM(CASE WHEN CAST(b2 AS DOUBLE)
+                            * (2 * CAST(nn AS DOUBLE)
+                               - CAST(b2 AS DOUBLE))
+                            - CAST(nn AS DOUBLE) * CAST(l AS DOUBLE) > 0
+                       THEN CAST({_A58_TERM} AS DECIMAL(26,12))
+                       ELSE CAST(0 AS DECIMAL(26,12)) END)
+                  AS DECIMAL(38,12)) AS tsum
+      FROM terms GROUP BY no, nf, nn
+    )
+    SELECT CAST(no AS BIGINT) AS n_o,
+           CAST(nf AS BIGINT) AS n_f,
+           {_A58_A2} AS a2_stat
+    FROM s
+    WHERE no > 0 AND nf > 0
+    """,
+    doc="a58 (ext.): two-sample Anderson-Darling — tail-weighted ECDF "
+    "comparison of open vs finished line quantities, completing the "
+    "trio m14 (KS, largest gap) / a55 (CvM, integrated gap) / a58 "
+    "(AD, tail-weighted integral): the member that fires on tail "
+    "migration the other two under-weight. Scholz-Stephens midrank "
+    "tie form with the doubled-integer device (the 1/4 factors "
+    "cancel so every piece below the per-cell double is an exact "
+    "BIGINT; k=2 sample symmetry folds both samples into one sum), "
+    "once-rounded nonnegative cell terms decimal-summed. ONE "
+    "map-combined shuffle to ~50 grid cells — identical plan at "
+    "100 TB. No reference analog — extension per brief",
+)
+def a58_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linestatus").isin("O", "F"))
+        .select(
+            F.col("l_quantity").cast("bigint").alias("v"),
+            "l_linestatus",
+        )
+    )
+    g = li.groupBy("v").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0))
+        .cast("decimal(14,0)")
+        .alias("c_o"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+        .cast("decimal(14,0)")
+        .alias("c_f"),
+    )
+    return anderson_darling_from_grid(g)
+
+
+def anderson_darling_from_grid(grid: DataFrame) -> DataFrame:
+    """a58's finalize from the (v, c_o, c_f) quantity grid — the same
+    mergeable state t35/t37/t38/t40 maintain, so a streaming AD twin
+    would be batch-exact by maintaining cell counts alone."""
+    from pyspark.sql import Window as W
+
+    w = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    c = grid.select(
+        "v", "c_o", "c_f",
+        F.coalesce(F.sum(F.col("c_o") + F.col("c_f")).over(w), F.lit(0))
+        .cast("decimal(18,0)")
+        .alias("cum_less"),
+        F.coalesce(F.sum("c_o").over(w), F.lit(0))
+        .cast("decimal(18,0)")
+        .alias("cumo_less"),
+    )
+    tot = grid.agg(
+        F.sum("c_o").cast("decimal(18,0)").alias("no"),
+        F.sum("c_f").cast("decimal(18,0)").alias("nf"),
+        F.sum(F.col("c_o") + F.col("c_f"))
+        .cast("decimal(18,0)")
+        .alias("nn"),
+    )
+    terms = c.crossJoin(F.broadcast(tot)).select(
+        "no", "nf", "nn",
+        (F.col("c_o") + F.col("c_f")).cast("bigint").alias("l"),
+        (F.lit(2) * F.col("cum_less") + F.col("c_o") + F.col("c_f"))
+        .cast("bigint")
+        .alias("b2"),
+        (
+            F.col("nn") * (F.lit(2) * F.col("cumo_less") + F.col("c_o"))
+            - F.col("no")
+            * (F.lit(2) * F.col("cum_less") + F.col("c_o") + F.col("c_f"))
+        )
+        .cast("bigint")
+        .alias("d2"),
+    )
+    denom_pos = F.expr(
+        "CAST(b2 AS DOUBLE) * (2 * CAST(nn AS DOUBLE)"
+        " - CAST(b2 AS DOUBLE))"
+        " - CAST(nn AS DOUBLE) * CAST(l AS DOUBLE) > 0"
+    )
+    s = terms.groupBy("no", "nf", "nn").agg(
+        F.sum(
+            F.when(denom_pos, F.expr(_A58_TERM).cast("decimal(26,12)"))
+            .otherwise(F.lit(0).cast("decimal(26,12)"))
+        )
+        .cast("decimal(38,12)")
+        .alias("tsum")
+    )
+    return s.filter((F.col("no") > 0) & (F.col("nf") > 0)).select(
+        F.col("no").cast("bigint").alias("n_o"),
+        F.col("nf").cast("bigint").alias("n_f"),
+        F.expr(_A58_A2).alias("a2_stat"),
+    )

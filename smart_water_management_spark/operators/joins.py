@@ -1316,3 +1316,126 @@ def j19_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_users"),
         F.sum("ovl").cast("bigint").alias("total_overlap_sec"),
     )
+
+
+# --- j20 (ext.): overlap-apportioned temporal allocation join ---------------------------
+
+# Shared per-slice strings: the clipped overlap seconds and the
+# proportional value allocation in integer micros. The allocation is
+# the HALF-UP integer division (2*vm*ov + dur) div (2*dur), spelled
+# subtract-modulo-divide so the same string runs on both engines (the
+# quotient is < 2^53, so the final division is float-exact): a float
+# ROUND here would land on exact .5 midpoints (vm*ov/dur quotients)
+# that the engines round differently — the x153 midpoint trap.
+_J20_OV = (
+    "(LEAST(e, (h + 1) * 3600) - GREATEST(s, h * 3600))"
+)
+_J20_ALLOC = (
+    f"CAST(((2 * vm * {_J20_OV} + (e - s))"
+    f" - ((2 * vm * {_J20_OV} + (e - s)) % (2 * (e - s))))"
+    f" / (2 * (e - s)) AS BIGINT)"
+)
+
+
+@register(
+    "j20_overlap_allocation_join",
+    # APPORTION, don't just match: j11 counts which intervals touch
+    # which buckets; j20 SPLITS each interval's measure across the
+    # hour buckets it spans, proportional to overlap seconds — the
+    # time-weighted allocation every utilization/billing rollup needs
+    # (a session crossing midnight bills both hours, by the fraction
+    # spent in each, not double). Device: bucket-explode each session
+    # to its touched hours (bounded by interval length / 3600 + 1 —
+    # sessions here are <= 10 min, so <= 2 slices; NEVER a range
+    # join), clip with one shared LEAST/GREATEST string, and allocate
+    # micro-quantized value by exact-integer overlap ratio, rounded
+    # once per slice then decimal-summed per bucket. Conservation
+    # holds by construction: each interval's slices partition its
+    # duration.
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               + 60 * (1 + event_id % 10) AS e,
+             CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vm
+      FROM events
+    ),
+    slices AS (
+      SELECT event_type, s, e, vm,
+             unnest(range(s // 3600, (e - 1) // 3600 + 1)) AS h
+      FROM iv
+    ),
+    alloc AS (
+      SELECT event_type, h,
+             CAST({_J20_OV} AS BIGINT) AS ov,
+             {_J20_ALLOC} AS av,
+             s, e
+      FROM slices
+    )
+    SELECT event_type, CAST(h AS BIGINT) AS hour_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_slices,
+           CAST(SUM(CASE WHEN s < h * 3600 OR e > (h + 1) * 3600
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_boundary,
+           CAST(SUM(ov) AS BIGINT) AS covered_sec,
+           ROUND(CAST(SUM(av) AS DOUBLE) / 1000000, 6) AS alloc_value
+    FROM alloc GROUP BY event_type, h
+    """,
+    doc="j20 (ext.): overlap-apportioned temporal allocation — each "
+    "session interval's value split across the hour buckets it spans "
+    "proportional to overlap seconds (the cross-midnight billing "
+    "semantics), via bounded bucket-explode + one shared clip string "
+    "+ half-up integer-micro allocations (subtract-modulo-divide, no "
+    "float ROUND on .5 midpoints). Completes the "
+    "temporal-join family: j11 matches overlaps, j17 merges them, "
+    "j18 measures gaps, j19 names relations, j20 APPORTIONS "
+    "measures. Slice count is duration-bounded (<= 2 per session "
+    "here), never a range join; per-bucket sums are exact. No "
+    "reference analog — extension per brief",
+)
+def j20_overlap_allocation_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    iv = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.unix_timestamp("ts")).cast("bigint").alias("s"),
+        (
+            F.floor(F.unix_timestamp("ts")).cast("bigint")
+            + 60 * (1 + F.col("event_id") % 10)
+        )
+        .cast("bigint")
+        .alias("e"),
+        F.expr("CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)").alias("vm"),
+    )
+    slices = iv.select(
+        "event_type", "s", "e", "vm",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("s") / 3600).cast("bigint"),
+                F.floor((F.col("e") - 1) / 3600).cast("bigint"),
+            )
+        ).alias("h"),
+    )
+    alloc = slices.select(
+        "event_type", "h", "s", "e",
+        F.expr(_J20_OV).cast("bigint").alias("ov"),
+        F.expr(_J20_ALLOC).alias("av"),
+    )
+    return alloc.groupBy(
+        "event_type", F.col("h").cast("bigint").alias("hour_bucket")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_slices"),
+        F.sum(
+            F.when(
+                (F.col("s") < F.col("h") * 3600)
+                | (F.col("e") > (F.col("h") + 1) * 3600),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_boundary"),
+        F.sum("ov").cast("bigint").alias("covered_sec"),
+        F.expr(
+            "ROUND(CAST(SUM(av) AS DOUBLE) / 1000000, 6)"
+        ).alias("alloc_value"),
+    )

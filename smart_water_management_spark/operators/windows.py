@@ -2779,3 +2779,110 @@ def w38_ulcer_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z").cast("double").alias("close"),
         F.expr(_W38_ULCER).alias("ulcer14"),
     )
+
+
+# --- w39 (ext.): Chande momentum oscillator ----------------------------------------------
+
+# One shared CMO string: both frame sums are exact decimals, so the
+# normalized ratio is the only float op (zero-range frames -> NULL).
+_W39_CMO = (
+    "ROUND(100 * CAST(su - sd AS DOUBLE) / CAST(su + sd AS DOUBLE), 6)"
+)
+
+
+@register(
+    "w39_chande_momentum",
+    # BOUNDED momentum with symmetric normalization: CMO = 100 *
+    # (gains - losses)/(gains + losses) over the trailing 14 daily
+    # deltas — w35's RSI maps the same two sums through an asymmetric
+    # 100 - 100/(1+g/l) curve that compresses the loss side; CMO is
+    # the odd-symmetric variant (+100 pure uptrend, -100 pure
+    # downtrend, 0 balance) chartists read for divergence. Device is
+    # w35's verbatim: exact-decimal daily deltas, two conditional
+    # frame sums, ONE shared rounded ratio, NULL when the 14-day
+    # range is flat (su + sd = 0), incomplete frames excluded.
+    # Windows run on the calendar-bounded daily grid.
+    oracle=f"""
+    WITH {_W3X_DAILY_SQL.strip()},
+    d AS (
+      SELECT event_type, day, z,
+             z - LAG(z) OVER (PARTITION BY event_type ORDER BY day)
+               AS diff
+      FROM daily
+    ),
+    g AS (
+      SELECT event_type, day,
+             CAST(SUM(CASE WHEN diff > 0 THEN diff ELSE 0 END)
+                 OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               AS DECIMAL(27,6)) AS su,
+             CAST(SUM(CASE WHEN diff < 0 THEN -diff ELSE 0 END)
+                 OVER (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+               AS DECIMAL(27,6)) AS sd,
+             COUNT(diff) OVER (PARTITION BY event_type ORDER BY day
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS n_deltas
+      FROM d
+    )
+    SELECT event_type, day,
+           CAST(su AS DOUBLE) AS gain14,
+           CAST(sd AS DOUBLE) AS loss14,
+           CASE WHEN su + sd > 0 THEN {_W39_CMO} END AS cmo
+    FROM g WHERE n_deltas = 14
+    """,
+    doc="w39 (ext.): 14-day Chande momentum oscillator per event "
+    "type's daily demand — the odd-symmetric bounded momentum line "
+    "(+100/-100 saturation, 0 balance) built from the same exact-"
+    "decimal gain/loss frame sums as w35's RSI but normalized "
+    "symmetrically, which is what makes CMO readable for divergence "
+    "and overbought thresholds at +/-50. One shared rounded ratio, "
+    "NULL on flat frames, bounded daily grid — identical plan at "
+    "100 TB. No reference analog — extension per brief; completes "
+    "the w35-w38 technical-indicator family",
+)
+def w39_chande_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.floor(
+                (F.floor(F.unix_timestamp("ts")).cast("bigint") - 1704067200)
+                / 86400.0
+            )
+            .cast("bigint")
+            .alias("day"),
+            F.col("value").cast("decimal(27,6)").alias("v"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("v").cast("decimal(27,6)").alias("z"))
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    wf = wo.rowsBetween(-13, 0)
+    d = daily.select(
+        "event_type", "day", "z",
+        (F.col("z") - F.lag("z").over(wo)).alias("diff"),
+    )
+    g = d.select(
+        "event_type", "day",
+        F.sum(
+            F.when(F.col("diff") > 0, F.col("diff")).otherwise(F.lit(0))
+        )
+        .over(wf)
+        .cast("decimal(27,6)")
+        .alias("su"),
+        F.sum(
+            F.when(F.col("diff") < 0, -F.col("diff")).otherwise(F.lit(0))
+        )
+        .over(wf)
+        .cast("decimal(27,6)")
+        .alias("sd"),
+        F.count("diff").over(wf).alias("n_deltas"),
+    )
+    return g.filter(F.col("n_deltas") == 14).select(
+        "event_type", "day",
+        F.col("su").cast("double").alias("gain14"),
+        F.col("sd").cast("double").alias("loss14"),
+        F.when(
+            F.col("su") + F.col("sd") > 0, F.expr(_W39_CMO)
+        ).alias("cmo"),
+    )

@@ -1190,3 +1190,147 @@ def c21_scd2_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_merged",
         F.lead("effective_date").over(w2).isNull().alias("is_current"),
     )
+
+
+# --- c22 (ext.): point-in-time referential-integrity audit ------------------------------
+
+# The synthetic versioned dim with PLANTED timeline defects (s25's
+# planted-defect pattern): every 7th customer's v2 closes early
+# (a coverage GAP before v3 opens), every 11th customer's v3 opens
+# early (an OVERLAP with v2) — so the audit must find exactly the
+# planted orphan/double-match mass, not zero.
+_C22_DIM = """
+    dim AS (
+      SELECT c_custkey,
+             CAST('1995-01-01' AS DATE) AS eff,
+             CAST('1997-01-01' AS DATE) AS endd
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CAST('1997-01-01' AS DATE),
+             CASE WHEN c_custkey % 7 = 0
+                  THEN CAST('1999-06-01' AS DATE)
+                  ELSE CAST('2000-01-01' AS DATE) END
+      FROM customer
+      UNION ALL
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 11 = 0
+                  THEN CAST('1999-10-01' AS DATE)
+                  ELSE CAST('2000-01-01' AS DATE) END,
+             CAST(NULL AS DATE)
+      FROM customer
+    )"""
+
+
+@register(
+    "c22_pit_referential_audit",
+    # IS EVERY FACT EXPLAINABLE AT ITS OWN POINT IN TIME? The SCD2
+    # contract is exactly-one version per (key, date); timeline
+    # defects break silently — a coverage gap makes PIT joins drop
+    # facts, an overlap double-counts them, and both corrupt every
+    # downstream as-was report. c22 makes the contract a standing
+    # audit: match each order to its customer's version interval
+    # (eff <= date < end, open-ended current) and count exact / orphan
+    # / double matches per match class. The planted defects (gap for
+    # custkey%7, overlap for %11) prove the audit detects both
+    # failure modes — a zero-violation audit proves nothing about
+    # itself. Scale: one equi-join on the dim key (<= 3 versions per
+    # key, broadcast-scale dim by star-schema design) + one grouped
+    # count; no range join, no window.
+    oracle=f"""
+    WITH {_C22_DIM.strip()},
+    matched AS (
+      SELECT o.o_orderkey,
+             CAST(SUM(CASE WHEN CAST(o.o_orderdate AS DATE) >= d.eff
+                            AND (d.endd IS NULL
+                                 OR CAST(o.o_orderdate AS DATE) < d.endd)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_versions
+      FROM orders o JOIN dim d ON o.o_custkey = d.c_custkey
+      GROUP BY o.o_orderkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN n_versions = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clean,
+           CAST(SUM(CASE WHEN n_versions = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphan,
+           CAST(SUM(CASE WHEN n_versions >= 2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_overlap,
+           CAST(MAX(n_versions) AS BIGINT) AS max_matches
+    FROM matched
+    """,
+    doc="c22 (ext.): point-in-time referential-integrity audit — "
+    "every order matched against its customer's SCD2 version "
+    "timeline, counting clean (exactly one version), orphan "
+    "(coverage gap) and double-matched (overlap) facts; the planted "
+    "gap/overlap defects prove both detectors fire. The audit that "
+    "certifies c04/c19/c20's PIT join semantics are safe to trust, "
+    "and the repair target c21's compaction must preserve. One "
+    "dim-key equi-join (<= 3 versions/key) + one grouped count — "
+    "all-integer, identical plan at 100 TB. Extends the reference's "
+    "dimensional schema (sql/dimensional_schema.sql:43-48) with the "
+    "timeline-consistency check it reserves columns for but never "
+    "runs — extension per brief",
+)
+def c22_pit_referential_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select(
+        "c_custkey",
+        F.lit("1995-01-01").cast("date").alias("eff"),
+        F.lit("1997-01-01").cast("date").alias("endd"),
+    )
+    v2 = c.select(
+        "c_custkey",
+        F.lit("1997-01-01").cast("date").alias("eff"),
+        F.when(
+            F.col("c_custkey") % 7 == 0, F.lit("1999-06-01")
+        )
+        .otherwise(F.lit("2000-01-01"))
+        .cast("date")
+        .alias("endd"),
+    )
+    v3 = c.select(
+        "c_custkey",
+        F.when(
+            F.col("c_custkey") % 11 == 0, F.lit("1999-10-01")
+        )
+        .otherwise(F.lit("2000-01-01"))
+        .cast("date")
+        .alias("eff"),
+        F.lit(None).cast("date").alias("endd"),
+    )
+    dim = v1.unionByName(v2).unionByName(v3)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+    )
+    matched = (
+        o.join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("od") >= F.col("eff"))
+                    & (F.col("endd").isNull()
+                       | (F.col("od") < F.col("endd"))),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_versions")
+        )
+    )
+    return matched.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("n_versions") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clean"),
+        F.sum(F.when(F.col("n_versions") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_orphan"),
+        F.sum(F.when(F.col("n_versions") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_overlap"),
+        F.max("n_versions").cast("bigint").alias("max_matches"),
+    )

@@ -3212,3 +3212,39 @@ def t42_streaming_page_trend(
         .agg((F.sum("hv") * 1000000).cast("bigint").alias("xm"))
     )
     return page_trend_from_daily(daily)
+
+
+# --- t43: streaming Anderson-Darling tail-divergence monitor -------------------------------
+
+
+def _a58_oracle() -> str:
+    # aggregations imports before streaming.jobs (package __init__
+    # order), so a58's oracle is present at registration time.
+    from ..registry import _REGISTRY
+
+    return _REGISTRY["a58_anderson_darling"].oracle
+
+
+@register(
+    "t43_streaming_anderson_darling",
+    # Equals batch a58 bit-for-bit: REUSES t35's incrementally-merged
+    # quantity grid (one state maintainer, five monitors) and a58's
+    # finalize helper — a58's oracle certifies the monitor.
+    oracle=_a58_oracle(),
+    doc="T43: streaming Anderson-Darling monitor — a58's tail-weighted "
+    "ECDF distance recomputed from the SAME incrementally-maintained "
+    "quantity grid t35/t37/t38/t40 keep, completing the streaming "
+    "two-sample console's fifth alarm: t35 location, t37 effect size, "
+    "t38 spread, t40 integrated shape, t43 TAIL migration — the drift "
+    "mode that hits curated data first and that the other four "
+    "under-weight. Zero extra state (one mergeable ~50-cell grid, "
+    "five finalizes). Certified by sharing "
+    "anderson_darling_from_grid and a58's oracle; 4-batch merge test "
+    "in tests/test_streaming.py",
+)
+def t43_streaming_anderson_darling(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.aggregations import anderson_darling_from_grid
+
+    return anderson_darling_from_grid(quantity_grid_stream(spark, sf_dir))

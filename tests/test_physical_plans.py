@@ -1025,9 +1025,11 @@ _GLOBAL_WINDOW_EXCEPTIONS = {
     # to the plan walker behind the state-table scan.
     "t37_streaming_cliffs_delta": "input is the ~50-row value-domain grid state",
     "t38_streaming_ansari_bradley": "input is the ~50-row value-domain grid state",
-    # t40 finalizes a55's cumulative-ECDF fold over the SAME grid state
-    # table — the identical value-domain bound behind a table scan.
+    # t40/t43 finalize a55/a58's cumulative-ECDF folds over the SAME
+    # grid state table — the identical value-domain bound behind a
+    # table scan.
     "t40_streaming_cramer_von_mises": "input is the ~50-row value-domain grid state",
+    "t43_streaming_anderson_darling": "input is the ~50-row value-domain grid state",
 }
 
 

@@ -829,3 +829,41 @@ def test_m43_runs_matches_bruteforce_sequence(spark):
         # within a micro of zero; counts must still agree
         assert abs(row.runs - runs) <= 2, row
         assert abs(row.n_pos - n1) <= 2, row
+
+
+def test_a58_a2_matches_bruteforce_midranks(spark):
+    """The a58 doubled-integer grid fold must equal the Scholz-Stephens
+    midrank DEFINITION of the two-sample A2_akN computed directly in
+    numpy over distinct values (the same form scipy's anderson_ksamp
+    uses with midrank=True)."""
+    import duckdb as _dd
+    import numpy as np
+
+    from smart_water_management_spark.registry import _REGISTRY
+
+    from .conftest import SF_DIR
+
+    con = _dd.connect()
+    df = con.execute(
+        "SELECT CAST(l_quantity AS BIGINT) AS v, l_linestatus AS s "
+        f"FROM '{SF_DIR}/lineitem.parquet' WHERE l_linestatus IN ('O','F')"
+    ).df()
+    con.close()
+    vals = np.sort(df.v.unique())
+    co = np.array([(df[(df.v == v) & (df.s == "O")]).shape[0] for v in vals])
+    cf = np.array([(df[(df.v == v) & (df.s == "F")]).shape[0] for v in vals])
+    l = co + cf
+    n, m = co.sum(), cf.sum()
+    N = n + m
+    cum_less = np.concatenate([[0], np.cumsum(l)[:-1]])
+    cumo_less = np.concatenate([[0], np.cumsum(co)[:-1]])
+    B = cum_less + l / 2.0  # midrank combined cumulative
+    M = cumo_less + co / 2.0
+    denom = B * (N - B) - N * l / 4.0
+    ok = denom > 0
+    t1 = (l[ok] / N * (N * M[ok] - n * B[ok]) ** 2 / denom[ok]).sum()
+    a2_brute = (N - 1) / N * (1.0 / n + 1.0 / m) * t1
+    (row,) = _REGISTRY["a58_anderson_darling"].fn(spark, SF_DIR).collect()
+    assert row.n_o == n and row.n_f == m
+    # engine rounds per-cell terms at 12 dp; compare at display precision
+    assert abs(row.a2_stat - a2_brute) < 5e-7, (row.a2_stat, a2_brute)

@@ -1086,3 +1086,28 @@ def test_streaming_page_trend_multi_batch_equals_batch_a56(spark):
             w.l2_stat,
             w.z_stat,
         ), et
+
+
+def test_streaming_anderson_darling_multi_batch_equals_batch_a58(spark):
+    """t43 under real incrementality: lineitem split into 4 parquet
+    files (4 micro-batches); the merged quantity grid must reproduce
+    a58's batch A2 statistic exactly."""
+    import os
+
+    from smart_water_management_spark.registry import _REGISTRY
+    from smart_water_management_spark.sources.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    with tempfile.TemporaryDirectory() as d:
+        sf_dir = os.path.join(d, "sf")
+        os.makedirs(sf_dir)
+        li.repartition(4).write.parquet(
+            os.path.join(sf_dir, "lineitem.parquet")
+        )
+        (got,) = jobs.t43_streaming_anderson_darling(spark, sf_dir).collect()
+    (want,) = _REGISTRY["a58_anderson_darling"].fn(spark, SF_DIR).collect()
+    assert (got.n_o, got.n_f, got.a2_stat) == (
+        want.n_o,
+        want.n_f,
+        want.a2_stat,
+    )

@@ -240,6 +240,10 @@ PARITY_QUERIES = [
     "x162_mcnemar_filter_audit",  # paired 2x2 cells over 30x documents
     "x163_cochran_q_filter_audit",  # k=3 matched-rater folds at 30x
     "m45_forecast_combination",   # combo MAEs over 30x-larger hourly sums
+    "w39_chande_momentum",        # exact-decimal gain/loss frames at 30x
+    "a58_anderson_darling",       # doubled-midrank cell terms at 30x
+    "j20_overlap_allocation_join",  # once-rounded slice allocations at 30x
+    "c22_pit_referential_audit",  # planted-defect match counts at 30x
 ]
 
 
