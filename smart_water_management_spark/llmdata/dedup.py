@@ -219,11 +219,28 @@ def lsh_candidate_pairs(sigs: DataFrame, bands: int = LSH_BANDS) -> DataFrame:
 def verify_jaccard(
     docs: DataFrame, pairs: DataFrame, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact token-set Jaccard on the LSH candidates only."""
-    tk = docs.select("doc_id", F.array_distinct(tokens("text")).alias("tk"))
+    """Exact token-set Jaccard on the LSH candidates only.
+
+    The candidate pair table (small by construction — banded buckets, not
+    all-pairs) joins the RAW doc text first and the token arrays are
+    derived after the joins, so tokenize cost is proportional to the
+    candidate stream, not to two full corpus tokenize passes (guide §1.2
+    step 1: don't compute things you throw away). Catalyst does not push
+    projections through joins, so the array_distinct(tokens(...)) HOFs
+    provably run on pair rows only.
+    """
+    txt = docs.select("doc_id", "text")
+    a = txt.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("_ta"))
+    b = txt.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("_tb"))
     j = (
-        pairs.join(tk.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("tk", "tk_a"), "doc_a")
-        .join(tk.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("tk", "tk_b"), "doc_b")
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.array_distinct(tokens("_ta")).alias("tk_a"),
+            F.array_distinct(tokens("_tb")).alias("tk_b"),
+        )
     )
     inter = F.size(F.array_intersect("tk_a", "tk_b"))
     jac = inter.cast("double") / (F.size("tk_a") + F.size("tk_b") - inter)
@@ -639,8 +656,10 @@ _TILE_ORD = 1_000_000  # tile_idx < 1e6 for any conceivable doc
     """,
     doc=f"tile-level exact substring dedup: non-overlapping {TILE}-word "
     "tiles hashed and counted corpus-wide; per doc, the duplicated-tile "
-    "count and the keep-first survival fraction. Two hash shuffles "
-    "(tile-hash stats, per-doc reduce) — the word-count shape, never "
+    "count and the keep-first survival fraction. One explode + two "
+    "shuffles (tile-hash window for the corpus-wide stats, per-doc "
+    "reduce) — r11 folded the former stats groupBy + self-join into a "
+    "single h-partitioned window pass, halving the explode work; never "
     "all-pairs, so the plan is unchanged at 100 TB",
 )
 def x36_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,14 +674,25 @@ def x36_tile_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiles = d.filter(F.size("tk") >= TILE).select(
         "doc_id", F.posexplode(F.expr(tile_list)).alias("idx", "h")
     )
+    from pyspark.sql import Window as W
+
     ordinal = F.col("doc_id") * _TILE_ORD + F.col("idx")
-    stats = tiles.groupBy("h").agg(
-        F.count("*").alias("cnt"), F.min(ordinal).alias("first_ord")
+    # Per-tile-hash stats as window aggregates over ONE partitioning on h
+    # instead of a groupBy(h) + self-join back onto the tile stream: the
+    # join form scans/explodes the corpus twice and shuffles the tiles a
+    # second time onto h for the probe side (guide §2.4 — two operations
+    # keyed the same way share one exchange). count/min over the full
+    # h-frame equal the joined stats row exactly.
+    wh = W.partitionBy("h")
+    stats = tiles.select(
+        "doc_id",
+        ordinal.alias("ord"),
+        F.count("*").over(wh).alias("cnt"),
+        F.min(ordinal).over(wh).alias("first_ord"),
     )
-    kept = F.count(F.when(ordinal == F.col("first_ord"), 1))
+    kept = F.count(F.when(F.col("ord") == F.col("first_ord"), 1))
     return (
-        tiles.join(stats, "h")
-        .groupBy("doc_id")
+        stats.groupBy("doc_id")
         .agg(
             F.count("*").alias("n_tiles"),
             F.count(F.when(F.col("cnt") > 1, 1)).alias("n_dup_tiles"),

@@ -427,6 +427,13 @@ def unigram_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     "word-count shape, never all-pairs; the 1-row total broadcasts",
 )
 def x27_unigram_logppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Optimization-round A/B note (r11): a (doc_id, w, tf) pre-aggregation
+    # before the vocab join — "aggregate before you shuffle" — measured
+    # SLOWER (min-of-6 interleaved: 0.90 s → 1.04 s plain, 1.31 s with an
+    # explicit doc_id repartition) because the vocab join broadcasts and
+    # the final per-doc groupBy's map-side partial aggregation already
+    # collapses token rows before the only real exchange; the extra
+    # full-width hash-agg pass buys nothing. Kept in the word-count shape.
     scored = unigram_scored(spark, sf_dir)
     ce = F.sum("nl").cast("double") / F.count("*")
     return scored.groupBy("doc_id").agg(

@@ -897,7 +897,8 @@ def a24_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Per-day partial sketches: the bounded (<= k rows per day×type) state
     # a gold table would persist. distinct() collapses repeat visits
-    # map-side; the top-k filter is a per-group sort of <= |day's users|.
+    # map-side; the top-k filter is a per-group sort of <= |day's users|
+    # (WindowGroupLimit pushes a partial bottom-k below the exchange).
     daily = ev.select(
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         "event_type",
@@ -913,10 +914,17 @@ def a24_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Merge: same-value hashes from different days collapse via distinct;
     # '__all__' demonstrates sketch UNION across keys (merging partial
     # sketches instead of rescanning raw rows — the 100 TB rollup shape).
-    merged = partials.distinct()
-    both = merged.unionByName(
-        merged.select(F.lit("__all__").alias("event_type"), "hx").distinct()
-    )
+    # The per-type and '__all__' branches come out of ONE explode over the
+    # partials (set-identical to distinct(per-type) ∪ distinct(all): both
+    # dedup the same (grain, hx) universe), so the merge costs one small
+    # exchange instead of two distincts + a union; the final groupBy then
+    # reuses the window's event_type partitioning — no further exchange.
+    both = partials.select(
+        F.explode(F.array(F.col("event_type"), F.lit("__all__"))).alias(
+            "event_type"
+        ),
+        "hx",
+    ).distinct()
     wm = W.partitionBy("event_type").orderBy("hx")
     sk = (
         both.withColumn("rn", F.row_number().over(wm))
@@ -929,14 +937,20 @@ def a24_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # Exact distinct per grain: exists so the DRIVER can certify the
-    # estimator against truth; a production rollup would drop it.
-    exact = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact")
-    )
-    exact = exact.unionByName(
-        ev.agg(
-            F.lit("__all__").alias("event_type"),
+    # estimator against truth; a production rollup would drop it. One
+    # rollup scan computes the per-type rows AND the grand total (the
+    # grouping-sets device) instead of two separate scans of events.
+    exact = (
+        ev.rollup("event_type")
+        .agg(
             F.countDistinct("user_id").alias("n_exact"),
+            F.grouping_id("event_type").alias("_gid"),
+        )
+        .select(
+            F.when(F.col("_gid") == 1, F.lit("__all__"))
+            .otherwise(F.col("event_type"))
+            .alias("event_type"),
+            "n_exact",
         )
     )
     u_k = F.conv(F.col("kth_min_hash"), 16, 10).cast("long") / F.lit(_KMV_SCALE)
