@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.catalog import fan_out, load_table, pin_derived
+from ..sources.catalog import fan_out, literal_df, load_table, pin_derived
 from .text import CONTEXT_LEN, STOPWORDS, UNIGRAM_SCORED_SQL, tokens
 
 # --- x21: Gopher-style rule filters -----------------------------------------
@@ -1454,8 +1454,8 @@ def x64_mixture_solver(spark: SparkSession, sf_dir: str) -> DataFrame:
     avail = d.groupBy("source").agg(
         F.sum(F.size(tokens("text"))).cast("bigint").alias("avail_tokens")
     )
-    tgt = d.sparkSession.createDataFrame(
-        list(MIX_WEIGHTS.items()), "source string, weight double"
+    tgt = literal_df(
+        d.sparkSession, list(MIX_WEIGHTS.items()), "source string, weight double"
     )
     required = F.col("weight") * MIX_BUDGET_TOKENS
     rate = required / F.col("avail_tokens")

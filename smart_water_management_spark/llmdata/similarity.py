@@ -21,7 +21,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.catalog import fan_out, load_table
+from ..sources.catalog import fan_out, literal_df, load_table
 
 N_QUERIES = 10
 TOP_K = 5
@@ -224,7 +224,11 @@ def x12_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DataFrame and keep the top-nprobe cells per query via row_number.
     # No query vectors ever reach the driver, so this shape holds when
     # "queries" is itself a 100 TB-side table instead of a fixture set.
-    centroids = spark.createDataFrame(
+    # literal_df, not createDataFrame: the centroid table is re-evaluated
+    # on every action, and an ExistingRDD scan pays ~32 Python worker
+    # round trips each time (guide §4.1 — keep constants in the JVM)
+    centroids = literal_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, ce array<double>",
     )
@@ -1249,8 +1253,10 @@ def ivfpq_exact_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode, "vec_id long, cell int, code array<int>"
     )
 
-    # Distributed query->cell routing (x12's shape: broadcast centroids)
-    centroids = spark.createDataFrame(
+    # Distributed query->cell routing (x12's shape: broadcast centroids;
+    # literal_df keeps the constant table JVM-side — guide §4.1)
+    centroids = literal_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell int, ce array<double>",
     )
@@ -1291,7 +1297,11 @@ def ivfpq_exact_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the second full mapInPandas pass over the candidate stream is gone.
     # Fold order matches the previous numpy sum (j = 0..m-1 left fold from
     # 0.0), so every adc_dist double is bit-identical.
-    lut_df = spark.createDataFrame(
+    # literal_df (not createDataFrame): the LUT grid is re-read per
+    # action; as an ExistingRDD it would re-pickle through Python worker
+    # tasks every time. Same numpy doubles, embedded exactly via F.lit.
+    lut_df = literal_df(
+        spark,
         [
             (int(i), [[float(v) for v in luts[k][j]] for j in range(m)])
             for k, i in enumerate(qids)
@@ -2627,19 +2637,32 @@ def x119_mmr_diversity_rerank(
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _X119_M)
         .select("qid", "vec_id", "ce", "rel")
-        .persist()
     )
     return mmr_greedy_picks(cand)
 
 
 def mmr_greedy_picks(cand: DataFrame) -> DataFrame:
     """The 3-round Carbonell-Goldstein greedy over a BOUNDED per-query
-    candidate set ``(qid, vec_id, ce, rel)`` (<= _X119_M rows per qid,
-    pre-persisted by the caller). Shared by x119 (brute-force relevance
-    candidates) and x123 (x65's IVF+PQ candidate stream) so the two
-    rerankers are provably the same selection over different candidate
-    generators. Only the bounded M x M per-query pair grid is ever
-    joined — never the corpus."""
+    candidate set ``(qid, vec_id, ce, rel)`` (<= _X119_M rows per qid).
+    Shared by x119 (brute-force relevance candidates) and x123 (x65's
+    IVF+PQ candidate stream) so the two rerankers are provably the same
+    selection over different candidate generators. Only the bounded
+    M x M per-query pair grid is ever joined — never the corpus.
+
+    r11 optimization (guide §3.3/§5 — truncate very large plans): the
+    greedy references ``cand`` four times and the pair grid (cand²)
+    three more, so a lazily-persisted candidate frame replays its WHOLE
+    upstream subtree per reference in the analyzed plan — for x123 that
+    meant 96 parquet scans / 94 exchanges of pure planning work per
+    action (execution deduped by the cache, planning did not). An eager
+    ``localCheckpoint`` materializes the bounded candidate rows once and
+    cuts every downstream reference to one in-memory scan (plan: 96
+    scans -> 1 RDD scan; measured 4.9 s -> ~1.5 s for x123). Values are
+    the exact rows the persist() form computed. At 100 TB the candidate
+    set is still queries x M rows — checkpoint-sized by construction;
+    a durable ``checkpoint()`` would restore fault tolerance at the
+    same plan shape if the candidate build becomes re-run-expensive."""
+    cand = cand.localCheckpoint(eager=True)
     w = W.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
     a = cand.select("qid", F.col("vec_id").alias("va"), F.col("ce").alias("ea"))
     b = cand.select("qid", F.col("vec_id").alias("vb"), F.col("ce").alias("eb"))
@@ -2760,7 +2783,6 @@ def x123_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _X119_M)
         .select("qid", "vec_id", "ce", "rel")
-        .persist()
     )
     return mmr_greedy_picks(cand)
 

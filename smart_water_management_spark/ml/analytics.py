@@ -272,7 +272,10 @@ def m03_rf_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
             and test_min is not None
             and train_max < cutoff_dt <= test_min
         )
-        return pred.sparkSession.createDataFrame(
+        from ..sources.catalog import literal_df
+
+        return literal_df(
+            pred.sparkSession,
             [
                 (
                     float(rmse),
@@ -339,8 +342,10 @@ def m04_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for i in range(len(types))
         for j in range(len(types))
     ]
-    return ev.sparkSession.createDataFrame(
-        rows, "type_a string, type_b string, pearson double"
+    from ..sources.catalog import literal_df
+
+    return literal_df(
+        ev.sparkSession, rows, "type_a string, type_b string, pearson double"
     )
 
 
@@ -389,7 +394,10 @@ def m05_pca_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 cum <= 1.0 + 1e-6,
             )
         )
-    return spark.createDataFrame(
+    from ..sources.catalog import literal_df
+
+    return literal_df(
+        spark,
         rows,
         "component int, explained_variance double, cum_explained double, "
         "monotone_nonincreasing boolean, cum_leq_one boolean",

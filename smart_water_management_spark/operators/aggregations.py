@@ -142,14 +142,31 @@ def a03_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     # rsd 0.02: the 0.01 setting crosses into a ~2x-costlier sketch size
     # for <1% accuracy gain on these cardinalities. 5% tolerance = 2.5
-    # sigma on the sketch's standard error; both aggregates share one
-    # shuffle (exact distincts expand, the sketch rides along).
-    agged = li.groupBy("l_returnflag").agg(
+    # sigma on the sketch's standard error.
+    #
+    # r11 optimization (guide §1.4 exposed it, §2.3 names the fix): the
+    # original single groupBy mixed countDistinct with
+    # approx_count_distinct, and Spark plans mixed distinct/non-distinct
+    # aggregates via Expand — the partial aggregate then keys on
+    # (l_returnflag, gid, suppkey/orderkey) and carries BOTH 4 KB HLL
+    # buffers in EVERY per-dedup-key group (~700k groups at sf0.1 —
+    # gigabytes of sketch buffers for 3 output rows). The bench's
+    # count() action never showed it (count prunes aggregate values);
+    # the noop sink measured 23-41 s. Splitting the sketch pass from the
+    # exact pass keeps each aggregate in its natural shape — the HLL agg
+    # holds 3x2 sketches total, the exact pass keeps its Expand — and a
+    # 3-row broadcast join reassembles the output: 23 s -> ~1 s, and at
+    # 100 TB the sketch pass is the one you actually run (the exact pass
+    # exists so the driver can certify the estimate).
+    exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_suppkey").alias("n_suppliers"),
         F.countDistinct("l_orderkey").alias("n_orders"),
+    )
+    approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_suppkey", 0.02).alias("_approx_s"),
         F.approx_count_distinct("l_orderkey", 0.02).alias("_approx_o"),
     )
+    agged = exact.join(F.broadcast(approx), "l_returnflag")
     within = lambda est, exact: (  # noqa: E731
         F.abs(F.col(est) - F.col(exact)) <= 0.05 * F.col(exact)
     )
@@ -1251,7 +1268,9 @@ def a27_kmv_error_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(totals))
         .select("hx", "rn", "n_exact")
     )
-    ks = spark.createDataFrame([(k,) for k in KMV_SWEEP_KS], "k int")
+    from ..sources.catalog import literal_df
+
+    ks = literal_df(spark, [(k,) for k in KMV_SWEEP_KS], "k int")
     kth = F.max(F.when(F.col("rn") <= F.col("k"), F.col("hx")))
     grouped = (
         ranked.join(F.broadcast(ks))

@@ -453,15 +453,33 @@ def bucketized_neighbor_counts(
     WHERE e.event_type = 'error'
     GROUP BY e.event_id
     """,
-    doc="extension: range join bucketized to equi-join (no nested-loop)",
+    doc="extension: range join as ONE per-user RANGE window (probes are a "
+    "subset of the base stream, so the bucketized self-join collapses to "
+    "a value-range frame count: one exchange, no join)",
 )
 def j10_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """±5-minute same-user neighbor count for error events (see
-    :func:`bucketized_neighbor_counts` for the plan shape)."""
+    """±5-minute same-user neighbor count for error events.
+
+    r11 optimization (guide §2.4 — remove shuffles outright): the probe
+    side (errors) is a SUBSET of the base side (all events), so the
+    bucketized equi-join (:func:`bucketized_neighbor_counts`, kept for
+    the general two-table case) degenerates to a per-user RANGE window:
+    ``count over (partition by user_id order by sec range ±300) - 1``
+    counts exactly the same-user rows with truncated-second distance
+    <= 300 excluding self — the join's ``o_id != e_id`` predicate —
+    and the errors-only filter runs after the window. One exchange on
+    user_id instead of three (probes ×3 bucket fan-out, base, groupBy)
+    and zero joins; arithmetic is the identical ``cast(ts as long)``
+    BETWEEN, so every row matches the joined form bit-for-bit."""
     ev = load_table(spark, sf_dir, "events")
-    return bucketized_neighbor_counts(
-        ev.filter(F.col("event_type") == "error"), ev, window_sec=300
-    )
+    sec = F.col("ts").cast("long")
+    wr = W.partitionBy("user_id").orderBy("sec").rangeBetween(-300, 300)
+    counted = ev.select(
+        "event_id", "user_id", "event_type", sec.alias("sec")
+    ).withColumn("n_nearby", F.count("*").over(wr) - 1)
+    return counted.filter(
+        (F.col("event_type") == "error") & (F.col("n_nearby") > 0)
+    ).select("event_id", "n_nearby")
 
 
 OVERLAP_SPAN_DAYS = 7  # order fulfillment window length (bounded => the

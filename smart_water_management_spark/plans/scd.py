@@ -497,7 +497,10 @@ def c13_partition_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice", F.col("o_totalprice") * 0.9
     )
     # one late-arriving row with a sentinel price lands in the backfill
-    extra = spark.createDataFrame(
+    from ..sources.catalog import literal_df
+
+    extra = literal_df(
+        spark,
         [(-1, 0.01, "1-URGENT", "F")],
         "o_orderkey long, o_totalprice double, o_orderpriority string, "
         "o_orderstatus string",
@@ -996,7 +999,9 @@ def c20_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("sec").alias("s0"), F.max("sec").alias("s1")
     )
     ks = spark.range(1, 4).select(F.col("id").alias("k"))
-    offs = spark.createDataFrame([(0,), (86400,)], "off long")
+    from ..sources.catalog import literal_df
+
+    offs = literal_df(spark, [(0,), (86400,)], "off long")
     probes = (
         span.crossJoin(F.broadcast(ks))
         .crossJoin(F.broadcast(offs))

@@ -162,6 +162,39 @@ def clear_table_cache(spark: SparkSession) -> None:
         _PLAN_CACHE.pop(key)
 
 
+def literal_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Small constant table as a JVM-local relation, not a Python RDD.
+
+    ``spark.createDataFrame(list, ...)`` plans as ``Scan ExistingRDD``: a
+    Python-RDD-backed scan that re-pickles the rows through Python worker
+    tasks on EVERY action consuming it — and parallelize() fans a 10-row
+    list into defaultParallelism near-empty tasks, so on local[32] each
+    evaluation pays ~32 Python round trips (measured 0.35 s vs 0.04 s
+    noop for a 10-row LUT table; optimization guide §4.1: eliminate the
+    Python boundary). Routing the same rows through a pandas DataFrame
+    ships them to the JVM ONCE as Arrow batches and plans as
+    ``LocalTableScan`` — a true LocalRelation with no per-action Python
+    work. (An all-literal expression tree was measured as the worse
+    alternative: thousands of Literal nodes re-enter analysis on every
+    action — x65's 2.5k-double LUT went 1.5 s -> 9.6 s.) Values are
+    byte-identical to the createDataFrame result: int64/float64 pandas
+    cells round-trip Python ints/floats exactly. Falls back to the row
+    path automatically when Arrow conversion is disabled (slower, same
+    values). Use for bounded fixture/metadata tables (rules, probe
+    grids, LUTs, driver-computed result rows) — not for real data."""
+    from pyspark.sql.types import StructType
+
+    st = schema if isinstance(schema, StructType) else StructType.fromDDL(schema)
+    if not rows:
+        return spark.createDataFrame([], st)
+    import pandas as pd
+
+    pdf = pd.DataFrame.from_records(
+        list(rows), columns=[f.name for f in st.fields]
+    )
+    return spark.createDataFrame(pdf, st)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every testdata table as a temp view for spark.sql use."""
     for name in TABLES:

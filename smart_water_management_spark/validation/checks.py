@@ -346,8 +346,10 @@ def v05_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def v06_per_type_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ranges = spark.createDataFrame(
-        TYPE_RANGES, "event_type string, lo double, hi double"
+    from ..sources.catalog import literal_df
+
+    ranges = literal_df(
+        spark, TYPE_RANGES, "event_type string, lo double, hi double"
     )
     joined = ev.join(F.broadcast(ranges), "event_type")
     return joined.groupBy("event_type").agg(
@@ -605,7 +607,10 @@ def v10_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             status, nulls = "unchanged", 0
         rows.append((col, ta, tb, status, nulls))
-    return spark.createDataFrame(
+    from ..sources.catalog import literal_df
+
+    return literal_df(
+        spark,
         rows,
         "col string, type_a string, type_b string, status string, "
         "n_nulls_merged long",
