@@ -47,10 +47,15 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # init label = min(id, min neighbor): the symmetric edge list names
+    # every node as src, so this is round 0's propagation fused into the
+    # init aggregate — one full propagate/checkpoint/count round saved
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("nbr"))
+        .select(
+            "id", F.least(F.col("id"), F.col("nbr")).alias("label")
+        )
         .localCheckpoint(eager=True)
     )
     n_changed = 0
@@ -61,6 +66,10 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the round-start label as ``prev`` so convergence is a
+        # join-free filter over the checkpointed result (r11: the old
+        # per-round count re-joined two label snapshots — one extra
+        # shuffle + hash build per round for a number derivable in place)
         cand = labels.join(
             neighbor_min, labels.id == neighbor_min.src, "left"
         ).select(
@@ -68,10 +77,15 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
             F.least(
                 F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
             ).alias("label"),
+            F.col("label").alias("prev"),
         )
         # pointer jump (path compression): label := min(label, label's own
         # label). Same min-label fixpoint, but long chains collapse
         # geometrically — O(log diameter) rounds instead of O(diameter).
+        # (r11 note: variants with extra jumps were measured and lost —
+        # un-checkpointed self-join jumps double plan AND execution per
+        # jump, and jumps against the stale round-start labels do not
+        # speed convergence on neighbor-propagation-bound graphs.)
         ptr = cand.select(
             F.col("id").alias("pid"), F.col("label").alias("plabel")
         )
@@ -83,16 +97,12 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
                     F.col("label"),
                     F.coalesce(F.col("plabel"), F.col("label")),
                 ).alias("label"),
+                "prev",
             )
             .localCheckpoint(eager=True)
         )
-        n_changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), F.col("u.id") == F.col("l.id"))
-            .filter(F.col("u.label") != F.col("l.label"))
-            .count()
-        )
-        labels = updated
+        n_changed = updated.filter(F.col("label") != F.col("prev")).count()
+        labels = updated.select("id", "label")
         if n_changed == 0:
             break
     if n_changed != 0:
@@ -107,7 +117,10 @@ def connected_components(pairs: DataFrame, max_rounds: int = MAX_ROUNDS) -> Data
 
 
 def dedup_corpus(
-    docs: DataFrame, threshold: float = 0.5, sigs: DataFrame | None = None
+    docs: DataFrame,
+    threshold: float = 0.5,
+    sigs: DataFrame | None = None,
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Full near-dup dedup: LSH pairs → components → canonical per group.
 
@@ -116,11 +129,33 @@ def dedup_corpus(
     are their own singleton component. Pass ``sigs`` to reuse an
     already-pinned signature table (x15 shares x08/x52's); by default the
     signatures are computed from ``docs``.
+
+    With ``cache_key`` (the dataset identity, e.g. sf_dir) the COMPONENT
+    table is pinned per session via ``pin_derived`` — the r11 sweep
+    measured the label-propagation rounds as the dominant cost of nine
+    consumers (x15/x109/x114/x115/x122/x132/x158/x161/d03, ~3-10 s
+    each), every one closing the SAME pair graph; the same
+    build-once-serve-many contract as ``ivf_index``. First use per
+    session still computes everything from the parquet inputs.
     """
     if sigs is None:
         sigs = minhash_signatures(docs).persist()
-    pairs = verify_jaccard(docs, lsh_candidate_pairs(sigs), threshold)
-    comps = connected_components(pairs)
+
+    def build() -> DataFrame:
+        pairs = verify_jaccard(docs, lsh_candidate_pairs(sigs), threshold)
+        return connected_components(pairs)
+
+    if cache_key is not None:
+        from ..sources.catalog import pin_derived
+
+        comps = pin_derived(
+            docs.sparkSession,
+            cache_key,
+            f"dedup_components_t{threshold}",
+            build,
+        )
+    else:
+        comps = build()
     out = docs.join(comps, "doc_id", "left").withColumn(
         "component", F.coalesce("component", "doc_id")
     )
@@ -175,7 +210,9 @@ def x15_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import pinned_corpus_signatures
 
     docs = load_table(spark, sf_dir, "documents")
-    deduped = dedup_corpus(docs, sigs=pinned_corpus_signatures(spark, sf_dir))
+    deduped = dedup_corpus(
+        docs, sigs=pinned_corpus_signatures(spark, sf_dir), cache_key=sf_dir
+    )
     return (
         deduped.groupBy("component")
         .agg(
@@ -319,8 +356,19 @@ def x69_canonical_by_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-    comp = connected_components(edges.select(F.col("src").alias("doc_a"),
-                                             F.col("dst").alias("doc_b")))
+    # r11: the component labels close the SAME pinned-signature pair
+    # graph every dedup_corpus consumer closes (symmetrize-then-close
+    # equals close-directly — connected_components symmetrizes
+    # internally), so share the session pin under the same key instead
+    # of re-running the label propagation
+    from ..sources.catalog import pin_derived
+
+    comp = pin_derived(
+        spark,
+        sf_dir,
+        "dedup_components_t0.5",
+        lambda: connected_components(pairs),
+    )
     wr = W.partitionBy("component").orderBy(F.desc("r"), F.asc("doc_id"))
     scored = comp.join(ranks, "doc_id").withColumn("rk", F.row_number().over(wr))
     out = scored.groupBy("component").agg(
@@ -422,7 +470,9 @@ def x95_group_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    deduped = dedup_corpus(docs, sigs=pinned_corpus_signatures(spark, sf_dir))
+    deduped = dedup_corpus(
+        docs, sigs=pinned_corpus_signatures(spark, sf_dir), cache_key=sf_dir
+    )
     h = F.conv(
         F.substring(F.md5(F.col("component").cast("string")), 1, 8), 16, 10
     ).cast("long") % 100
@@ -528,7 +578,7 @@ def x109_dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     marked = dedup_corpus(
-        docs, sigs=pinned_corpus_signatures(spark, sf_dir)
+        docs, sigs=pinned_corpus_signatures(spark, sf_dir), cache_key=sf_dir
     ).select(
         "source",
         F.size(tokens("text")).alias("n_tokens"),
@@ -619,7 +669,7 @@ def x114_dedup_survivorship_audit(
     docs = load_table(spark, sf_dir, "documents")
     tk = tokens("text")
     marked = dedup_corpus(
-        docs, sigs=pinned_corpus_signatures(spark, sf_dir)
+        docs, sigs=pinned_corpus_signatures(spark, sf_dir), cache_key=sf_dir
     ).select(
         F.when(F.col("is_canonical"), "kept")
         .otherwise("removed")
@@ -836,7 +886,7 @@ def x122_training_mix_manifest(
     docs = load_table(spark, sf_dir, "documents")
     tk = tokens("text")
     marked = dedup_corpus(
-        docs, sigs=pinned_corpus_signatures(spark, sf_dir)
+        docs, sigs=pinned_corpus_signatures(spark, sf_dir), cache_key=sf_dir
     ).select(
         "source",
         F.size(tk).alias("n_tokens"),
@@ -972,7 +1022,7 @@ def x132_leakage_free_split(
 
     docs = load_table(spark, sf_dir, "documents")
     assigned = dedup_corpus(
-        docs, sigs=pinned_corpus_signatures(spark, sf_dir)
+        docs, sigs=pinned_corpus_signatures(spark, sf_dir), cache_key=sf_dir
     ).select(
         "doc_id",
         "component",
@@ -1074,7 +1124,9 @@ def d03_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import pinned_corpus_signatures
 
     docs = load_table(spark, sf_dir, "documents")
-    merged = dedup_corpus(docs, sigs=pinned_corpus_signatures(spark, sf_dir))
+    merged = dedup_corpus(
+        docs, sigs=pinned_corpus_signatures(spark, sf_dir), cache_key=sf_dir
+    )
     members = merged.select("component", "doc_id", "n_chars", "lang", "source")
     lang_mode = (
         members.groupBy("component", "lang")
@@ -1269,7 +1321,7 @@ def x158_semantic_split_contamination(
 
     docs = load_table(spark, sf_dir, "documents")
     assigned = dedup_corpus(
-        docs, sigs=pinned_corpus_signatures(spark, sf_dir)
+        docs, sigs=pinned_corpus_signatures(spark, sf_dir), cache_key=sf_dir
     ).select(
         "doc_id",
         F.when(
@@ -1466,7 +1518,7 @@ def x161_ivf_semantic_contamination(
 
     docs = load_table(spark, sf_dir, "documents")
     assigned = dedup_corpus(
-        docs, sigs=pinned_corpus_signatures(spark, sf_dir)
+        docs, sigs=pinned_corpus_signatures(spark, sf_dir), cache_key=sf_dir
     ).select(
         "doc_id",
         F.when(

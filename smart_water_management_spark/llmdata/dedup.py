@@ -1587,29 +1587,50 @@ def x115_dedup_method_agreement(
             (F.col("c_sim") > 1).alias("f_simhash"),
         )
     )
-    out = None
-    for fa, fb, la, lb in [
+    # r11: ONE aggregate over flags instead of three — the per-pair agg
+    # union re-executed the whole flags subtree (candidate-pair Jaccard
+    # verify + two simhash scans) per method pair (guide §1.2 step 1:
+    # don't compute things three times). All confusion sums for all
+    # pairs ride a single pass; the 3-row matrix is reshaped from the
+    # 1-row aggregate with inline() (pure JVM). po/pa/pb derive from
+    # the same integer sums ((a==b) == (a&b)|(~a&~b)), so every kappa
+    # double is bit-identical to the per-pair form.
+    pairs_ = [
         ("f_exact", "f_minhash", "exact", "minhash"),
         ("f_exact", "f_simhash", "exact", "simhash"),
         ("f_minhash", "f_simhash", "minhash", "simhash"),
-    ]:
+    ]
+    aggs = [F.count("*").alias("n")]
+    for i, (fa, fb, _la, _lb) in enumerate(pairs_):
         a, b = F.col(fa), F.col(fb)
-        n = F.count("*")
-        po = F.sum((a == b).cast("int")).cast("double") / n
-        pa = F.sum(a.cast("int")).cast("double") / n
-        pb = F.sum(b.cast("int")).cast("double") / n
+        aggs += [
+            F.sum((a & b).cast("int")).alias(f"n11_{i}"),
+            F.sum((a & ~b).cast("int")).alias(f"n10_{i}"),
+            F.sum((~a & b).cast("int")).alias(f"n01_{i}"),
+            F.sum((~a & ~b).cast("int")).alias(f"n00_{i}"),
+        ]
+    tot = flags.agg(*aggs)
+    rows = []
+    for i, (_fa, _fb, la, lb) in enumerate(pairs_):
+        n11, n10 = F.col(f"n11_{i}"), F.col(f"n10_{i}")
+        n01, n00 = F.col(f"n01_{i}"), F.col(f"n00_{i}")
+        n = F.col("n")
+        po = (n11 + n00).cast("double") / n
+        pa = (n11 + n10).cast("double") / n
+        pb = (n11 + n01).cast("double") / n
         pe = pa * pb + (1 - pa) * (1 - pb)
-        row = flags.agg(
-            F.lit(la).alias("method_a"),
-            F.lit(lb).alias("method_b"),
-            F.sum((a & b).cast("int")).cast("bigint").alias("n11"),
-            F.sum((a & ~b).cast("int")).cast("bigint").alias("n10"),
-            F.sum((~a & b).cast("int")).cast("bigint").alias("n01"),
-            F.sum((~a & ~b).cast("int")).cast("bigint").alias("n00"),
-            ((po - pe) / (1 - pe)).alias("kappa"),
+        rows.append(
+            F.struct(
+                F.lit(la).alias("method_a"),
+                F.lit(lb).alias("method_b"),
+                n11.cast("bigint").alias("n11"),
+                n10.cast("bigint").alias("n10"),
+                n01.cast("bigint").alias("n01"),
+                n00.cast("bigint").alias("n00"),
+                ((po - pe) / (1 - pe)).alias("kappa"),
+            )
         )
-        out = row if out is None else out.unionByName(row)
-    return out
+    return tot.select(F.inline(F.array(*rows)))
 
 
 # --- x140: ExactSubstr-style duplicated-span coverage --------------------------------
@@ -1695,13 +1716,18 @@ def x140_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.expr(f"substring(text, p, {K})")).alias("gh"),
         )
     )
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.count("*").alias("c"))
+    # r11 (the x36 device, guide §2.4): corpus-wide gram counts as a
+    # window over ONE gh partitioning instead of groupBy + left_semi —
+    # the join form explodes + md5-hashes the full character-gram stream
+    # twice (both the count side and the probe side) and shuffles it a
+    # second time onto gh. count >= 2 over the full gh frame marks
+    # exactly the rows the semi join kept.
+    wgh = W.partitionBy("gh")
+    marked = (
+        grams.withColumn("c", F.count("*").over(wgh))
         .filter(F.col("c") >= 2)
-        .select("gh")
+        .drop("c")
     )
-    marked = grams.join(dup, "gh", "left_semi")
     sweep = W.partitionBy("doc_id").orderBy("p").rowsBetween(
         W.unboundedPreceding, -1
     )

@@ -1217,7 +1217,12 @@ def _x138_oracle() -> str:
 def x138_gif_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .components import connected_components
 
-    fh = _x138_frame_hashes(spark, sf_dir)
+    # r11: eager-checkpoint the frame-hash table — it feeds BOTH sides
+    # of the aligned-frame self-join, and unpinned the whole GIF
+    # encode+decode mapInPandas pipeline (the dominant cost, real codec
+    # work in Python) executed twice per action (guide §1.2 step 1).
+    # Bounded: <= MAX_FRAMES narrow rows per doc.
+    fh = _x138_frame_hashes(spark, sf_dir).localCheckpoint(eager=True)
     a = fh.select(
         F.col("doc_id").alias("doc_a"),
         F.col("frame_idx").alias("ja"),

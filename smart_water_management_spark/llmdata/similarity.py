@@ -1949,32 +1949,46 @@ def _x87_oracle() -> str:
 
 def mutual_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component) assignment over the mutual-kNN graph — the
-    Spark twin of ``_mutual_knn_cte``'s ``comp``; shared by x87 and x88."""
+    Spark twin of ``_mutual_knn_cte``'s ``comp``; shared by x87, x88 and
+    x120. r11: pinned per (session, sf_dir) — the r11 sweep measured the
+    kNN edge build + label-propagation rounds at ~10 s per consumer,
+    re-run identically by all three; same build-once-serve-many contract
+    as ``ivf_index`` (first use per session computes from parquet)."""
+    from ..sources.catalog import pin_derived
     from .components import connected_components
 
-    em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
-        "vec_id", "label", _dbl("embedding").alias("e")
-    )
-    a = em.select("label", F.col("vec_id").alias("src"), F.col("e").alias("ea"))
-    b = em.select("label", F.col("vec_id").alias("dst"), F.col("e").alias("eb"))
-    wk = W.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
-    edges = (
-        a.join(b, "label")
-        .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst", cosine(F.col("ea"), F.col("eb")).alias("cos"))
-        .withColumn("rk", F.row_number().over(wk))
-        .filter(F.col("rk") <= PR_KNN)
-        .select("src", "dst")
-    )
-    rev = edges.select(
-        F.col("dst").alias("src"), F.col("src").alias("dst")
-    )
-    mutual = edges.join(rev, ["src", "dst"]).filter(F.col("src") < F.col("dst"))
-    return connected_components(
-        mutual.select(
-            F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+    def build() -> DataFrame:
+        em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
+            "vec_id", "label", _dbl("embedding").alias("e")
         )
-    )
+        a = em.select(
+            "label", F.col("vec_id").alias("src"), F.col("e").alias("ea")
+        )
+        b = em.select(
+            "label", F.col("vec_id").alias("dst"), F.col("e").alias("eb")
+        )
+        wk = W.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+        edges = (
+            a.join(b, "label")
+            .filter(F.col("src") != F.col("dst"))
+            .select("src", "dst", cosine(F.col("ea"), F.col("eb")).alias("cos"))
+            .withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") <= PR_KNN)
+            .select("src", "dst")
+        )
+        rev = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        mutual = edges.join(rev, ["src", "dst"]).filter(
+            F.col("src") < F.col("dst")
+        )
+        return connected_components(
+            mutual.select(
+                F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")
+            )
+        )
+
+    return pin_derived(spark, sf_dir, "mutual_knn_comp", build)
 
 
 @register(

@@ -2616,8 +2616,17 @@ def x143_winnowing_fingerprints(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # r11: eager-checkpoint the fingerprint table — winnow_report
+    # references it three times (source-level distinct feeds two aggs,
+    # plus the per-source selected count), and unpinned the per-char
+    # gram explode + md5 + winnowing window re-executed per reference
+    # (guide §1.2 step 1). The table is the winnowed ~1/W selection —
+    # bounded, and exactly what a production run would persist as its
+    # fingerprint index. t34's streaming twin passes its own
+    # incrementally-maintained state tables into the same finalize.
     return winnow_report(
-        winnow_doc_fingerprints(docs), winnow_doc_positions(docs)
+        winnow_doc_fingerprints(docs).localCheckpoint(eager=True),
+        winnow_doc_positions(docs),
     )
 
 
