@@ -756,7 +756,16 @@ def x118_dedup_idempotence(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = pinned_corpus_signatures(spark, sf_dir)
     pairs = verify_jaccard(docs, lsh_candidate_pairs(sigs)).persist()
-    comps = connected_components(pairs.select("doc_a", "doc_b"))
+    # r11: same pinned-signature pair graph as every dedup_corpus
+    # consumer — share the session-pinned component table
+    from ..sources.catalog import pin_derived
+
+    comps = pin_derived(
+        spark,
+        sf_dir,
+        "dedup_components_t0.5",
+        lambda: connected_components(pairs.select("doc_a", "doc_b")),
+    )
     canon = (
         docs.join(comps, "doc_id", "left")
         .withColumn("component", F.coalesce("component", "doc_id"))
@@ -1229,7 +1238,16 @@ def x145_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = pinned_corpus_signatures(spark, sf_dir)
     pairs = verify_jaccard(docs, lsh_candidate_pairs(sigs))
-    comps = connected_components(pairs.select("doc_a", "doc_b"))
+    # r11: same pinned-signature pair graph as every dedup_corpus
+    # consumer — share the session-pinned component table
+    from ..sources.catalog import pin_derived
+
+    comps = pin_derived(
+        spark,
+        sf_dir,
+        "dedup_components_t0.5",
+        lambda: connected_components(pairs.select("doc_a", "doc_b")),
+    )
     member = (
         docs.join(comps, "doc_id", "left")
         .withColumn("component", F.coalesce("component", "doc_id"))

@@ -48,6 +48,22 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (F.sqrt(sq_norm(a)) * F.sqrt(sq_norm(b)))
 
 
+def norm_col(e) -> Column:
+    """sqrt(sq_norm(e)) — the per-row factor of :func:`cosine`."""
+    return F.sqrt(sq_norm(e))
+
+
+def cosine_prenorm(a, b, na, nb) -> Column:
+    """:func:`cosine` with the two norms precomputed per ROW instead of
+    per PAIR (r11, guide §1.2 step 1): an all-pairs/candidate-pair stage
+    evaluates three interpreted array folds per pair (dot + 2 norms);
+    carrying ``norm_col(e)`` on each side's rows leaves only the dot
+    fold pairwise. Bit-identical — same sqrt over the same fold, and
+    ``na * nb`` keeps the left/right order ``cosine`` uses, so every
+    emitted double (and the oracles that hash them) is unchanged."""
+    return dot(a, b) / (na * nb)
+
+
 # DuckDB twin of the cosine fold, element-wise identical double math:
 # list_zip → struct list → transform to products → left fold.
 _SQL_DOT = (
@@ -83,14 +99,22 @@ def x10_bruteforce_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan the candidate side across cores: the scan is one split locally,
     # and the crossJoin inherits its parallelism from this side
     em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    # per-row norms once, not per pair (cosine_prenorm — bit-identical)
     q = em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), _dbl("embedding").alias("qe")
+    ).withColumn("nq", norm_col(F.col("qe")))
+    c = em.select("vec_id", _dbl("embedding").alias("ce")).withColumn(
+        "nr", norm_col(F.col("ce"))
     )
-    c = em.select("vec_id", _dbl("embedding").alias("ce"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cosine(F.col("qe"), F.col("ce")).alias("cos_sim"))
+        .select(
+            "qid", "vec_id",
+            cosine_prenorm(
+                F.col("qe"), F.col("ce"), F.col("nq"), F.col("nr")
+            ).alias("cos_sim"),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
     return (
@@ -120,16 +144,22 @@ def x11_cosine_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", "label", _dbl("embedding").alias("e")
     )
+    # per-row norms once, not per pair (cosine_prenorm — bit-identical)
     a = em.select(
-        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("e").alias("ea")
+        F.col("label"), F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+        norm_col(F.col("e")).alias("na"),
     )
     b = em.select(
-        F.col("label"), F.col("vec_id").alias("vec_b"), F.col("e").alias("eb")
+        F.col("label"), F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+        norm_col(F.col("e")).alias("nb"),
     )
     pairs = a.join(b, "label").filter(F.col("vec_a") < F.col("vec_b"))
     return (
         pairs.select(
-            "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim")
+            "vec_a", "vec_b",
+            cosine_prenorm(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.9)
         .select("vec_a", "vec_b", F.round("cos_sim", 6).alias("cos_sim"))
@@ -248,12 +278,21 @@ def x12_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= N_PROBE)
         .select("qid", "cell")
     )
-    cand = assigned.select("vec_id", "cell", F.col("e").alias("ce"))
+    # per-row norms once, not per pair (cosine_prenorm — bit-identical)
+    cand = assigned.select(
+        "vec_id", "cell", F.col("e").alias("ce"),
+        norm_col(F.col("e")).alias("nr"),
+    )
     scored = (
-        probe_df.join(F.broadcast(q), "qid")
+        probe_df.join(F.broadcast(q.withColumn("nq", norm_col(F.col("qe")))), "qid")
         .join(cand, "cell")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", cosine(F.col("qe"), F.col("ce")).alias("cos_sim"))
+        .select(
+            "qid", "vec_id",
+            cosine_prenorm(
+                F.col("qe"), F.col("ce"), F.col("nq"), F.col("nr")
+            ).alias("cos_sim"),
+        )
         .groupBy("qid", "vec_id")
         .agg(F.max("cos_sim").alias("cos_sim"))
     )
@@ -463,12 +502,16 @@ def x28_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one crossJoin pass produces both measures; the two rank windows share
     # the qid hash-partition, so fusion costs one shuffle + two sorts
     scored = (
-        c.crossJoin(F.broadcast(q))
+        c.withColumn("nr", norm_col(F.col("ce")))
+        .crossJoin(F.broadcast(q.withColumn("nq", norm_col(F.col("qe")))))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            cosine(F.col("qe"), F.col("ce")).alias("cos_sim"),
+            # per-row norms once, not per pair (bit-identical)
+            cosine_prenorm(
+                F.col("qe"), F.col("ce"), F.col("nq"), F.col("nr")
+            ).alias("cos_sim"),
             l2sq.alias("l2sq"),
         )
     )
@@ -527,18 +570,24 @@ def semdedup_prune(
     # scan lineage would replay three times (LRU-evicted, caller-scoped —
     # em is injectable so there is no (sf_dir, name) cache key to pin on)
     assigned = assigned.persist()
+    # per-row norms once, not per pair (cosine_prenorm — bit-identical)
     a = assigned.select(
-        "cell", F.col("vec_id").alias("vec_a"), F.col("e").alias("ea")
+        "cell", F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+        norm_col(F.col("e")).alias("na"),
     )
     b = assigned.select(
-        "cell", F.col("vec_id").alias("vec_b"), F.col("e").alias("eb")
+        "cell", F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+        norm_col(F.col("e")).alias("nb"),
     )
     # within-cell pairs only: the join key IS the blocking structure
     pairs = (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
-            "cell", "vec_a", "vec_b", cosine(F.col("ea"), F.col("eb")).alias("cos_sim")
+            "cell", "vec_a", "vec_b",
+            cosine_prenorm(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= tau)
     )
@@ -733,32 +782,42 @@ def x41_hyperplane_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         sf_dir,
         "x41_bands",
-        lambda: em.select("vec_id", "e", *_band_cols(F.col("e"))),
+        lambda: em.select(
+            "vec_id", "e", norm_col(F.col("e")).alias("nr"),
+            *_band_cols(F.col("e")),
+        ),
     )
     stacked = banded.select(
         "vec_id",
         "e",
+        "nr",
         F.explode(
             F.array(*[
                 F.struct(F.lit(b).alias("band"), F.col(f"band{b}").alias("bh"))
                 for b in range(LSH_ANN_BANDS)
             ])
         ).alias("s"),
-    ).select("vec_id", "e", "s.band", "s.bh")
+    ).select("vec_id", "e", "nr", "s.band", "s.bh")
     q = stacked.filter(F.col("vec_id") < N_QUERIES).select(
-        "band", "bh", F.col("vec_id").alias("qid"), F.col("e").alias("qe")
+        "band", "bh", F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+        F.col("nr").alias("nq"),
     )
     cand = (
-        q.join(stacked.select("band", "bh", "vec_id", "e"), ["band", "bh"])
+        q.join(stacked.select("band", "bh", "vec_id", "e", "nr"), ["band", "bh"])
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "qe", "vec_id", "e")
+        .select("qid", "qe", "nq", "vec_id", "e", "nr")
     )
     # score BEFORE deduping band collisions, then dedup on scalars (x12's
     # pattern): redundant cosines are cheap map-side FLOPs, while a
     # distinct over (qid, qe, vec_id, e) would shuffle up-to-8x-duplicated
     # 64-double array payloads
+    # per-row norms once, not per pair (cosine_prenorm — bit-identical;
+    # the norms ride the pinned band table)
     scored = cand.select(
-        "qid", "vec_id", cosine(F.col("qe"), F.col("e")).alias("cos_sim")
+        "qid", "vec_id",
+        cosine_prenorm(
+            F.col("qe"), F.col("e"), F.col("nq"), F.col("nr")
+        ).alias("cos_sim"),
     )
     dedup = scored.groupBy("qid", "vec_id").agg(F.max("cos_sim").alias("cos_sim"))
     w = W.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
@@ -1163,15 +1222,27 @@ def x60_knn_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
         "vec_id", "label", _dbl("embedding").alias("e")
     )
-    a = em.select("label", F.col("vec_id").alias("src"), F.col("e").alias("ea"))
-    b = em.select("label", F.col("vec_id").alias("dst"), F.col("e").alias("eb"))
+    # per-row norms once, not per pair (cosine_prenorm — bit-identical)
+    a = em.select(
+        "label", F.col("vec_id").alias("src"), F.col("e").alias("ea"),
+        norm_col(F.col("e")).alias("na"),
+    )
+    b = em.select(
+        "label", F.col("vec_id").alias("dst"), F.col("e").alias("eb"),
+        norm_col(F.col("e")).alias("nb"),
+    )
     wk = W.partitionBy("src").orderBy(
         F.desc("cos"), F.asc("dst")
     )
     edges = (
         a.join(b, "label")
         .filter(F.col("src") != F.col("dst"))
-        .select("src", "dst", cosine(F.col("ea"), F.col("eb")).alias("cos"))
+        .select(
+            "src", "dst",
+            cosine_prenorm(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cos"),
+        )
         .withColumn("rk", F.row_number().over(wk))
         .filter(F.col("rk") <= PR_KNN)
         .select("src", "dst")
@@ -1961,17 +2032,25 @@ def mutual_knn_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         em = fan_out(load_table(spark, sf_dir, "embeddings"), spark).select(
             "vec_id", "label", _dbl("embedding").alias("e")
         )
+        # per-row norms once, not per pair (cosine_prenorm — bit-identical)
         a = em.select(
-            "label", F.col("vec_id").alias("src"), F.col("e").alias("ea")
+            "label", F.col("vec_id").alias("src"), F.col("e").alias("ea"),
+            norm_col(F.col("e")).alias("na"),
         )
         b = em.select(
-            "label", F.col("vec_id").alias("dst"), F.col("e").alias("eb")
+            "label", F.col("vec_id").alias("dst"), F.col("e").alias("eb"),
+            norm_col(F.col("e")).alias("nb"),
         )
         wk = W.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
         edges = (
             a.join(b, "label")
             .filter(F.col("src") != F.col("dst"))
-            .select("src", "dst", cosine(F.col("ea"), F.col("eb")).alias("cos"))
+            .select(
+                "src", "dst",
+                cosine_prenorm(
+                    F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+                ).alias("cos"),
+            )
             .withColumn("rk", F.row_number().over(wk))
             .filter(F.col("rk") <= PR_KNN)
             .select("src", "dst")
@@ -2095,7 +2174,14 @@ def x88_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = comp.join(em, comp["doc_id"] == em["vec_id"]).select(
         F.col("component").alias("cluster"), "label"
     )
-    joint = lab.groupBy("cluster", "label").agg(F.count("*").alias("n_cl"))
+    # r11: eager-checkpoint the clusters x labels cell grid — nt/mc/ml/it
+    # (and the purity agg) re-derive it six times otherwise; it is the
+    # constant-sized contingency table the whole score reads from
+    joint = (
+        lab.groupBy("cluster", "label")
+        .agg(F.count("*").alias("n_cl"))
+        .localCheckpoint(eager=True)
+    )
     nt = joint.agg(F.sum("n_cl").cast("bigint").alias("n"))
     mc = joint.groupBy("cluster").agg(F.sum("n_cl").cast("bigint").alias("n_c"))
     ml = joint.groupBy("label").agg(F.sum("n_cl").cast("bigint").alias("n_l"))
@@ -2635,29 +2721,37 @@ def x119_mmr_diversity_rerank(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    # per-row norms once, not per pair (cosine_prenorm — bit-identical)
     q = em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), _dbl("embedding").alias("qe")
+    ).withColumn("nq", norm_col(F.col("qe")))
+    c = em.select("vec_id", _dbl("embedding").alias("ce")).withColumn(
+        "nr", norm_col(F.col("ce"))
     )
-    c = em.select("vec_id", _dbl("embedding").alias("ce"))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
-            "qid", "vec_id", "ce", cosine(F.col("qe"), F.col("ce")).alias("rel")
+            "qid", "vec_id", "ce", "nr",
+            cosine_prenorm(
+                F.col("qe"), F.col("ce"), F.col("nq"), F.col("nr")
+            ).alias("rel"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
     cand = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _X119_M)
-        .select("qid", "vec_id", "ce", "rel")
+        .select("qid", "vec_id", "ce", "nr", "rel")
     )
     return mmr_greedy_picks(cand)
 
 
 def mmr_greedy_picks(cand: DataFrame) -> DataFrame:
     """The 3-round Carbonell-Goldstein greedy over a BOUNDED per-query
-    candidate set ``(qid, vec_id, ce, rel)`` (<= _X119_M rows per qid).
+    candidate set ``(qid, vec_id, ce, nr, rel)`` (<= _X119_M rows per
+    qid; ``nr`` = norm_col(ce), precomputed by the caller so pair sims
+    cost one fold, not three).
     Shared by x119 (brute-force relevance candidates) and x123 (x65's
     IVF+PQ candidate stream) so the two rerankers are provably the same
     selection over different candidate generators. Only the bounded
@@ -2678,13 +2772,22 @@ def mmr_greedy_picks(cand: DataFrame) -> DataFrame:
     same plan shape if the candidate build becomes re-run-expensive."""
     cand = cand.localCheckpoint(eager=True)
     w = W.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
-    a = cand.select("qid", F.col("vec_id").alias("va"), F.col("ce").alias("ea"))
-    b = cand.select("qid", F.col("vec_id").alias("vb"), F.col("ce").alias("eb"))
+    a = cand.select(
+        "qid", F.col("vec_id").alias("va"), F.col("ce").alias("ea"),
+        F.col("nr").alias("na"),
+    )
+    b = cand.select(
+        "qid", F.col("vec_id").alias("vb"), F.col("ce").alias("eb"),
+        F.col("nr").alias("nb"),
+    )
     pair = (
         a.join(b, "qid")
         .filter(F.col("va") != F.col("vb"))
         .select(
-            "qid", "va", "vb", cosine(F.col("ea"), F.col("eb")).alias("sim")
+            "qid", "va", "vb",
+            cosine_prenorm(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("sim"),
         )
     )
     s1 = (
@@ -2781,22 +2884,28 @@ def mmr_greedy_picks(cand: DataFrame) -> DataFrame:
 def x123_ann_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist = ivfpq_exact_shortlist(spark, sf_dir).select("qid", "vec_id")
     em = fan_out(load_table(spark, sf_dir, "embeddings"), spark)
+    # per-row norms once, not per pair (cosine_prenorm — bit-identical)
     q = em.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), _dbl("embedding").alias("qe")
+    ).withColumn("nq", norm_col(F.col("qe")))
+    c = em.select("vec_id", _dbl("embedding").alias("ce")).withColumn(
+        "nr", norm_col(F.col("ce"))
     )
-    c = em.select("vec_id", _dbl("embedding").alias("ce"))
     scored = (
         shortlist.join(c, "vec_id")
         .join(F.broadcast(q), "qid")
         .select(
-            "qid", "vec_id", "ce", cosine(F.col("qe"), F.col("ce")).alias("rel")
+            "qid", "vec_id", "ce", "nr",
+            cosine_prenorm(
+                F.col("qe"), F.col("ce"), F.col("nq"), F.col("nr")
+            ).alias("rel"),
         )
     )
     w = W.partitionBy("qid").orderBy(F.desc("rel"), F.asc("vec_id"))
     cand = (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= _X119_M)
-        .select("qid", "vec_id", "ce", "rel")
+        .select("qid", "vec_id", "ce", "nr", "rel")
     )
     return mmr_greedy_picks(cand)
 
