@@ -1320,8 +1320,22 @@ def ivfpq_exact_shortlist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    code_df = assigned.select("vec_id", "cell", "e").mapInPandas(
-        encode, "vec_id long, cell int, code array<int>"
+    # r11: the PQ-encoded corpus is the INDEX a production system
+    # persists (codes + cell per vector, m bytes each) — pin it per
+    # (session, sf_dir) like the IVF model and the MinHash signature
+    # table, so repeated queries serve from the code table instead of
+    # re-running the KMeans transform + encode mapInPandas per
+    # invocation (ivf_index's build-once-serve-many contract; first use
+    # per session still computes from parquet).
+    from ..sources.catalog import pin_derived
+
+    code_df = pin_derived(
+        spark,
+        sf_dir,
+        "ivfpq_codes",
+        lambda: assigned.select("vec_id", "cell", "e").mapInPandas(
+            encode, "vec_id long, cell int, code array<int>"
+        ),
     )
 
     # Distributed query->cell routing (x12's shape: broadcast centroids;
