@@ -328,13 +328,16 @@ def x69_canonical_by_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # re-joined every PR round + degree + components
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    # r11 (guide §1.2): attach the (static) out-degree to the edge table
+    # ONCE instead of re-joining deg inside every PageRank round — one
+    # join + one deg re-aggregation fewer per round, same r/d arithmetic.
+    ed = edges.join(deg, "src").persist()
     nodes = edges.select(F.col("src").alias("doc_id")).distinct().persist()
     n = nodes.count()  # bounded driver scalar (graph size)
     ranks = nodes.select("doc_id", (F.lit(1.0) / n).alias("r"))
     for _ in range(X69_PR_ITERS):
         contrib = (
-            edges.join(ranks, edges["src"] == ranks["doc_id"])
-            .join(deg, "src")
+            ed.join(ranks, ed["src"] == ranks["doc_id"])
             .select(
                 F.col("dst"),
                 F.round(F.col("r") / F.col("d"), 12)
@@ -382,6 +385,7 @@ def x69_canonical_by_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.localCheckpoint(eager=True)
     edges.unpersist()
+    ed.unpersist()
     nodes.unpersist()
     return out
 
@@ -1335,7 +1339,7 @@ def x158_semantic_split_contamination(
     from pyspark.sql import Window as W
 
     from .dedup import pinned_corpus_signatures
-    from .similarity import _dbl, cosine
+    from .similarity import _dbl, cosine_prenorm, norm_col
 
     docs = load_table(spark, sf_dir, "documents")
     assigned = dedup_corpus(
@@ -1350,6 +1354,11 @@ def x158_semantic_split_contamination(
         .otherwise("train")
         .alias("split"),
     )
+    # r11: carry per-row norms so only the dot fold is pairwise
+    # (cosine_prenorm, bit-identical — guide §1.2). A fan_out of the
+    # embeddings scan was measured (interleaved min-of-4 A/B) at
+    # 0.82 s -> 1.00 s and rejected: the pairwise stage runs AFTER the
+    # label shuffle, which is already wide.
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _dbl("embedding").alias("e")
     )
@@ -1359,6 +1368,7 @@ def x158_semantic_split_contamination(
     ).select(
         F.col("vec_id").alias("test_doc"), "label",
         F.col("e").alias("ea"),
+        norm_col(F.col("e")).alias("na"),
     )
     train = em.join(
         assigned.filter(F.col("split") == "train").select("doc_id"),
@@ -1367,13 +1377,16 @@ def x158_semantic_split_contamination(
         F.col("vec_id").alias("train_twin"),
         F.col("label").alias("label_b"),
         F.col("e").alias("eb"),
+        norm_col(F.col("e")).alias("nb"),
     )
     scored = (
         test.join(train, test.label == train.label_b)
         .filter(F.col("test_doc") != F.col("train_twin"))
         .select(
             "test_doc", "train_twin", "label",
-            cosine(F.col("ea"), F.col("eb")).alias("cs"),
+            cosine_prenorm(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cs"),
         )
     )
     w = W.partitionBy("test_doc").orderBy(
@@ -1532,7 +1545,14 @@ def x161_ivf_semantic_contamination(
     from pyspark.sql import Window as W
 
     from .dedup import pinned_corpus_signatures
-    from .similarity import IVF_DET_CELLS, N_PROBE, _dbl, cosine
+    from .similarity import (
+        IVF_DET_CELLS,
+        N_PROBE,
+        _dbl,
+        cosine,
+        cosine_prenorm,
+        norm_col,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     assigned = dedup_corpus(
@@ -1547,6 +1567,8 @@ def x161_ivf_semantic_contamination(
         .otherwise("train")
         .alias("split"),
     )
+    # r11: per-row norms for the two pairwise stages (see x158; the
+    # fan_out variant measured 1.96 s -> 2.21 s and was rejected)
     em = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", _dbl("embedding").alias("e")
     )
@@ -1556,6 +1578,7 @@ def x161_ivf_semantic_contamination(
     ).select(
         F.col("vec_id").alias("test_doc"), "label",
         F.col("e").alias("ea"),
+        norm_col(F.col("e")).alias("na"),
     )
     tr = em.join(
         assigned.filter(F.col("split") == "train").select("doc_id"),
@@ -1564,6 +1587,7 @@ def x161_ivf_semantic_contamination(
         F.col("vec_id").alias("train_twin"),
         F.col("label").alias("label_b"),
         F.col("e").alias("eb"),
+        norm_col(F.col("e")).alias("nb"),
     )
     wq = W.partitionBy("test_doc").orderBy(
         F.desc("cs"), F.asc("train_twin")
@@ -1573,7 +1597,9 @@ def x161_ivf_semantic_contamination(
         .filter(F.col("test_doc") != F.col("train_twin"))
         .select(
             "test_doc", "label", "train_twin",
-            cosine(F.col("ea"), F.col("eb")).alias("cs"),
+            cosine_prenorm(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cs"),
         )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") == 1)
@@ -1605,11 +1631,11 @@ def x161_ivf_semantic_contamination(
     tr_cells = tr.join(
         ascore.filter(F.col("arn") == 1).select("vec_id", "cell"),
         tr.train_twin == F.col("vec_id"),
-    ).select("train_twin", "label_b", "eb", "cell")
+    ).select("train_twin", "label_b", "eb", "nb", "cell")
     te_probe = te.join(
         ascore.filter(F.col("arn") <= N_PROBE).select("vec_id", "cell"),
         te.test_doc == F.col("vec_id"),
-    ).select("test_doc", "label", "ea", "cell")
+    ).select("test_doc", "label", "ea", "na", "cell")
     ivf = (
         te_probe.join(
             tr_cells,
@@ -1619,7 +1645,9 @@ def x161_ivf_semantic_contamination(
         .filter(F.col("test_doc") != F.col("train_twin"))
         .select(
             "test_doc", "train_twin",
-            cosine(F.col("ea"), F.col("eb")).alias("cs"),
+            cosine_prenorm(
+                F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")
+            ).alias("cs"),
         )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") == 1)

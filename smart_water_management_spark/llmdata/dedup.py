@@ -1556,10 +1556,9 @@ def _x115_oracle() -> str:
 def x115_dedup_method_agreement(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from pyspark.sql import Window as W
+
     docs = load_table(spark, sf_dir, "documents")
-    eg = docs.groupBy(F.md5("text").alias("fp")).agg(
-        F.count("*").alias("c_exact")
-    )
     verified = verify_jaccard(
         docs, lsh_candidate_pairs(pinned_corpus_signatures(spark, sf_dir))
     )
@@ -1569,17 +1568,20 @@ def x115_dedup_method_agreement(
         .distinct()
         .withColumn("near", F.lit(True))
     )
-    sgc = (
-        simhash64(docs)
-        .groupBy("simhash")
-        .agg(F.count("*").alias("c_sim"))
+    # r11 (the x36 device, guide §2.4): group sizes as window counts over
+    # ONE partitioning each instead of groupBy + join-back — the join form
+    # md5-hashed the corpus twice and ran the whole simhash subtree
+    # (token explode + 64 conditional sums) twice. count(*) over the full
+    # fp/simhash frame equals the joined group count exactly.
+    fpc = docs.select("doc_id", F.md5("text").alias("fp")).withColumn(
+        "c_exact", F.count("*").over(W.partitionBy("fp"))
+    )
+    shc = simhash64(docs).withColumn(
+        "c_sim", F.count("*").over(W.partitionBy("simhash"))
     )
     flags = (
-        docs.select("doc_id", F.md5("text").alias("fp"))
-        .join(eg, "fp")
-        .join(nearset, "doc_id", "left")
-        .join(simhash64(docs), "doc_id")
-        .join(sgc, "simhash")
+        fpc.join(nearset, "doc_id", "left")
+        .join(shc, "doc_id")
         .select(
             "doc_id",
             (F.col("c_exact") > 1).alias("f_exact"),
@@ -1699,8 +1701,12 @@ def x140_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     K = _X140_K
     docs = load_table(spark, sf_dir, "documents")
+    # r11 (guide §2.6): the 50-char-gram explode + md5 runs before the
+    # first exchange; fan_out parallelizes it past a one-split local scan
+    # (no-op at scale). The final doc-grain left join keeps the unfanned
+    # docs scan.
     grams = (
-        docs.filter(F.col("n_chars") >= K)
+        fan_out(docs, spark).filter(F.col("n_chars") >= K)
         .select(
             "doc_id",
             "n_chars",

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
-from ..sources.catalog import load_table
+from ..sources.catalog import fan_out, load_table
 
 FEATURE_SCHEMA = (
     "doc_id long, mime string, n_bytes long, "
@@ -619,7 +619,15 @@ def _png_payloads(docs: DataFrame, corrupt_mod: int | None = None) -> DataFrame:
     byte stream of the text, width 8 + doc_id % 9, zero-padded to the
     last row; ``corrupt_mod`` truncates every corrupt_mod-th doc's
     pixels to the first half (the planted caption<->image mismatch for
-    x126). Returns (doc_id, payload) with real encoded PNG bytes."""
+    x126). Returns (doc_id, payload) with real encoded PNG bytes.
+
+    r11 (guide §2.6): the corpus parquet arrives as ONE input split
+    locally, which would serialize the pure-Python codec work of every
+    consumer on a single core — fan_out spreads the encode (and the
+    decode stages chained onto it, which stay narrow) across the
+    session's cores; at 100 TB the scan already carries thousands of
+    splits and it is a no-op."""
+    docs = fan_out(docs, docs.sparkSession)
 
     def build(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -1070,6 +1078,7 @@ def _gif_payloads(docs: DataFrame) -> DataFrame:
     pixels are text bytes [j*64, (j+1)*64) zero-padded, up to 4 frames
     (ceil(n_chars/64) capped). Real multi-frame GIF89a bytes via the
     vendored LZW encoder."""
+    docs = fan_out(docs, docs.sparkSession)  # r11: parallelize the codec (see _png_payloads)
 
     def build(batches: Iterator) -> Iterator:
         import pandas as pd

@@ -2615,6 +2615,10 @@ _X143_W = 8   # winnowing window: >=1 fingerprint selected per W grams
 def x143_winnowing_fingerprints(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # r11: a fan_out before the gram explode was measured (interleaved
+    # min-of-4 A/B) at 4.44 s -> 5.19 s — the md5 gram stream is NOT the
+    # binding cost here (the doc_id window + distinct stages already run
+    # wide); rejected, kept the plain scan.
     docs = load_table(spark, sf_dir, "documents")
     # r11: eager-checkpoint the fingerprint table — winnow_report
     # references it three times (source-level distinct feeds two aggs,

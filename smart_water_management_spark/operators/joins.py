@@ -941,7 +941,13 @@ def j15_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Ref parity: duplicate-meter detection (src/etl.py:117-131)",
 )
 def j16_blocked_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    b = load_table(spark, sf_dir, "part").select(
+    from ..sources.catalog import fan_out
+
+    # r11 (guide §2.6): the within-block Levenshtein evaluation happens on
+    # the PROBE side of a broadcast self-join, i.e. in the scan stage — a
+    # one-split local scan would run every pairwise edit distance on one
+    # core. fan_out spreads the probe stream; no-op at scale.
+    b = fan_out(load_table(spark, sf_dir, "part"), spark).select(
         F.col("p_partkey").alias("k"),
         F.col("p_name").alias("nm"),
         F.split(F.col("p_name"), " ").getItem(0).alias("w0"),
