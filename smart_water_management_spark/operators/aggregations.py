@@ -51,6 +51,10 @@ EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
     doc="A1/A6/A11: grouped multi-agg incl. exact-decimal sum/avg/stddev",
 )
 def a01_multi_agg_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11: a fan_out of the scan was measured (interleaved min-of-5 A/B,
+    # count action) at 0.345 s -> 0.622 s and REJECTED — the codegen'd
+    # partial aggregate outruns the extra exchange; fan_out only pays
+    # for Python/hash-heavy per-row work (j16/x138/x140).
     li = load_table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
     )
@@ -405,6 +409,7 @@ def a13_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="A14: hierarchical grains via ROLLUP + grouping_id in one pass",
 )
 def a14_rollup_grains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r11: fan_out measured 0.272 s -> 0.592 s (min-of-5 A/B), rejected
     o = load_table(spark, sf_dir, "orders")
     return (
         o.withColumn("order_year", F.year("o_orderdate"))

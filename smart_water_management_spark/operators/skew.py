@@ -590,6 +590,7 @@ def _region_supplier_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 def k06_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = _region_supplier_keys(spark, sf_dir)
     words = bloom_build(keys, "s_suppkey")
+    # r11: fan_out measured 0.733 s -> 0.860 s (min-of-5 A/B), rejected
     fact = load_table(spark, sf_dir, "lineitem").filter(
         bloom_contains("l_suppkey", words)
     )
