@@ -18,6 +18,11 @@ minima. Reported numbers are therefore WARM (footer caches, JIT, shared
 scan plans primed); cold-start wall-clock is approximately the first-pass
 time of each query.
 
+Since round 12 (VERDICT r11 directive #2) the `queries` map carries the
+protocol min-of-2 per-query values (identical to `queries_min2`); the raw
+single-pass pass-A walls remain under the additive `queries_pass_a` key
+and the `value` total keeps its historical pass-A meaning.
+
 Round-5 additions (VERDICT r4 #3): x41 and x65 join the headline so the
 ANN scale path (hyperplane-LSH candidates; IVF cells + PQ codes + exact
 rerank) has a tracked perf number, not just correctness. No other
@@ -158,13 +163,24 @@ def main() -> None:
     # skew A/B controls; min-of-2 damping per VERDICT r7 directive #3
     # and r8 directive #5 (the two naive denominators are the noisiest
     # numbers in the suite — naive_aqe swung +11.8% on unchanged code
-    # in r8 pass-A). Additive fields only; pass-A meaning unchanged.
+    # in r8 pass-A).
     pass_b = _suite_pass()
     pass_b.update(_skew_pass())
     queries_min2 = {
         n: round(min(timings[n], pass_b[n]), 3) for n in timings
     }
     wall_min2 = round(sum(queries_min2[n] for n in HEADLINE), 3)
+
+    # VERDICT r11 directive #2 (measurement-protocol fix, declared in
+    # OPTIMIZATION_r12.md): the driver's per-query PERF table reads the
+    # `queries` field, which until round 11 carried the noisy single-pass
+    # pass-A walls — on a loaded host that manufactured phantom
+    # regressions (r11: x08 reported 0.45x from a pass-A load spike while
+    # its protocol min-of-2 improved 1.47x). `queries` now carries the
+    # protocol min-of-2 values (same names, no entry removed or renamed);
+    # the raw pass-A walls stay available under the ADDITIVE
+    # `queries_pass_a` key and `value` keeps its exact historical pass-A
+    # total meaning, so every old series remains reconstructable.
 
     total = sum(timings[n] for n in HEADLINE)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -191,7 +207,8 @@ def main() -> None:
                 "unit": "sec",
                 "wall_min2": wall_min2,
                 "queries_min2": queries_min2,
-                "queries": timings,
+                "queries": queries_min2,
+                "queries_pass_a": timings,
                 "suite_over_naive_nosplit": round(
                     total / timings["k04_naive_nosplit"], 3
                 ),

@@ -325,7 +325,9 @@ def x69_canonical_by_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
         .distinct()
-        .persist()  # re-joined every PR round + degree + components
+        # persisted for its three construction-time consumers (deg, ed,
+        # nodes); the frame re-joined inside every PR round is `ed` below
+        .persist()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d"))
     # r11 (guide §1.2): attach the (static) out-degree to the edge table

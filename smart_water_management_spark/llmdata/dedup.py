@@ -1572,7 +1572,14 @@ def x115_dedup_method_agreement(
     # ONE partitioning each instead of groupBy + join-back — the join form
     # md5-hashed the corpus twice and ran the whole simhash subtree
     # (token explode + 64 conditional sums) twice. count(*) over the full
-    # fp/simhash frame equals the joined group count exactly.
+    # fp/simhash frame equals the joined group count exactly. Null-key
+    # note (ADVICE r11): the old inner join dropped rows whose fp/simhash
+    # key was NULL (null join keys never match) while a window count
+    # groups them under the null partition — equivalent here because
+    # documents.text is non-null by fixture contract, so md5(text) and
+    # simhash64 never produce a NULL key. If nullable text ever enters,
+    # add `fp IS NOT NULL` / `simhash IS NOT NULL` filters to preserve
+    # the join semantics.
     fpc = docs.select("doc_id", F.md5("text").alias("fp")).withColumn(
         "c_exact", F.count("*").over(W.partitionBy("fp"))
     )

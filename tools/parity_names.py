@@ -29,7 +29,14 @@ from conftest import assert_oracle_match  # noqa: E402
 
 
 def main() -> None:
+    if len(sys.argv) < 2:
+        print(__doc__)
+        sys.exit(2)
     names = [n for n in sys.argv[1].split(",") if n]
+    unknown = [n for n in names if n not in _REGISTRY]
+    if unknown:
+        print(f"unknown query names: {unknown}")
+        sys.exit(2)
     sf_dirs = sys.argv[2:] or [
         "/root/testdata/sf0.001",
         "/root/testdata/sf0.01",
@@ -54,7 +61,9 @@ def main() -> None:
                     spec.fn(spark, sf_dir), con, spec.oracle, name=name
                 )
                 print(f"OK   {sf_dir.rsplit('/',1)[-1]} {name}", flush=True)
-            except AssertionError as e:
+            except Exception as e:  # record and continue the sweep —
+                # a runtime error in one query must not hide the
+                # verdicts of the remaining names (ADVICE r11)
                 failed.append((sf_dir, name))
                 print(f"FAIL {sf_dir} {name}: {e}", flush=True)
         con.close()
