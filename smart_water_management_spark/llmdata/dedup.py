@@ -334,6 +334,22 @@ def pinned_corpus_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pinned_simhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus SimHash signature table shared by x09/x35/x115 — the
+    same build-once-serve-many contract as ``pinned_corpus_signatures``
+    (MinHash) and the r11 component-table pins. r12: x09 and x115
+    recomputed the full token-explode + 64-conditional-sum subtree per
+    invocation while x35 already pinned the identical table under
+    "simhash_sigs"; routing all three through one helper makes the
+    second and later consumers per session serve from the pin (first
+    use still computes from parquet; ``pin_derived``'s byte budget
+    governs it)."""
+    from ..sources.catalog import pin_derived
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pin_derived(spark, sf_dir, "simhash_sigs", lambda: simhash64(docs))
+
+
 def _x08_oracle() -> str:
     return f"WITH {_x08_cte()}\n    SELECT doc_a, doc_b, jaccard FROM verified"
 
@@ -457,9 +473,8 @@ def _simhash_sig_cte() -> str:
     "an engine-specific xxhash64 seed)",
 )
 def x09_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
     return (
-        simhash64(docs)
+        pinned_simhash_sigs(spark, sf_dir)
         .groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("canonical"))
         .orderBy("simhash")
@@ -559,14 +574,9 @@ HAMMING_T = 3
     "replaced by hash-partitioned bucket joins on 16-bit band values",
 )
 def x35_simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..sources.catalog import pin_derived
-
-    docs = load_table(spark, sf_dir, "documents")
-    # pinned: the banded table self-joins (both sides)
-    sig = pin_derived(
-        spark, sf_dir, "simhash_sigs", lambda: simhash64(docs)
-    )
-    return simhash_hamming_pairs(sig)
+    # pinned: the banded table self-joins (both sides); shared with
+    # x09/x115 via the r12 helper
+    return simhash_hamming_pairs(pinned_simhash_sigs(spark, sf_dir))
 
 
 def simhash_hamming_pairs(
@@ -1583,7 +1593,8 @@ def x115_dedup_method_agreement(
     fpc = docs.select("doc_id", F.md5("text").alias("fp")).withColumn(
         "c_exact", F.count("*").over(W.partitionBy("fp"))
     )
-    shc = simhash64(docs).withColumn(
+    # r12: the signature table rides the shared session pin (x09/x35)
+    shc = pinned_simhash_sigs(spark, sf_dir).withColumn(
         "c_sim", F.count("*").over(W.partitionBy("simhash"))
     )
     flags = (

@@ -126,6 +126,8 @@ def _filter_line(ftype: int, line: bytes, prev: bytes, ch: int) -> bytes:
     """Apply (forward) PNG filter ``ftype`` to one scanline — the encoder
     inverse of the decoder's unfilter, kept for all five types so the
     roundtrip property test can drive every decode branch."""
+    if ftype == 0:  # r12: None filter copies bytes unchanged — skip the
+        return bytes(line)  # per-byte loop (the default encode path)
     n = len(line)
     out = bytearray(n)
     for i in range(n):

@@ -3193,10 +3193,11 @@ def m27_diebold_mariano(spark: SparkSession, sf_dir: str) -> DataFrame:
     "needs both cuts jointly, where greedy binary segmentation can "
     "land off-optimum). Scale: the pair grid is bounded by the "
     "CALENDAR (hours^2 per type, independent of corpus size); costs "
-    "are O(1) prefix-moment expressions; the argmin is one rank "
-    "window over the grid. Exactness: decimal prefix sums exact at "
-    "every t, identical IEEE cost expressions, ties to the earliest "
-    "pair — no rounding anywhere",
+    "are O(1) prefix-moment expressions; the argmin is one map-side "
+    "min(struct) aggregate over the grid (r12 — formerly a rank "
+    "window that sorted the whole grid). Exactness: decimal prefix "
+    "sums exact at every t, identical IEEE cost expressions, ties to "
+    "the earliest pair — no rounding anywhere",
 )
 def m28_two_changepoint_trend(
     spark: SparkSession, sf_dir: str
@@ -3266,22 +3267,38 @@ def m28_two_changepoint_trend(
         ((b1 - a1) / (t2 - t1)).alias("mean_2"),
         ((s1t - b1) / (n - t2)).alias("mean_3"),
     )
-    wr = W.partitionBy("event_type").orderBy("c", "t1", "t2")
-    return (
-        scored.withColumn("rk", F.row_number().over(wr))
-        .filter(F.col("rk") == 1)
-        .select(
-            "event_type",
-            F.col("n").cast("bigint").alias("n_hours"),
-            F.col("t1").cast("bigint").alias("t1"),
-            F.col("h1").cast("bigint").alias("hour1"),
-            F.col("t2").cast("bigint").alias("t2"),
-            F.col("h2").cast("bigint").alias("hour2"),
-            ((s2t - s1t * s1t / n) - F.col("c")).alias("gain"),
-            "mean_1",
-            "mean_2",
-            "mean_3",
-        )
+    # r12 (guide §2.3 — aggregate before you shuffle): the argmin over the
+    # (t1, t2) pair grid was a row_number rank window, which shuffled and
+    # fully SORTED the whole hours^2-per-type grid (~1.3M rows at sf0.1)
+    # across only n_types active tasks. min(struct(c, t1, t2, ...)) picks
+    # the identical row — struct ordering is lexicographic by field, which
+    # is exactly ORDER BY c, t1, t2, and (t1, t2) is unique per type so no
+    # comparison ever reaches the payload fields — via a map-side partial
+    # aggregate: each task ships ONE candidate row per type instead of its
+    # whole grid slice. Interleaved A/B and oracle parity recorded in
+    # OPTIMIZATION_r12.md. The gain expression is computed from the same
+    # per-type constants and the same c double, so outputs are
+    # bit-identical.
+    best = scored.groupBy("event_type").agg(
+        F.min(
+            F.struct(
+                "c", "t1", "t2", "h1", "h2", "n", "s1t", "s2t",
+                "mean_1", "mean_2", "mean_3",
+            )
+        ).alias("b")
+    )
+    b = F.col("b")
+    return best.select(
+        "event_type",
+        b["n"].cast("bigint").alias("n_hours"),
+        b["t1"].cast("bigint").alias("t1"),
+        b["h1"].cast("bigint").alias("hour1"),
+        b["t2"].cast("bigint").alias("t2"),
+        b["h2"].cast("bigint").alias("hour2"),
+        ((b["s2t"] - b["s1t"] * b["s1t"] / b["n"]) - b["c"]).alias("gain"),
+        b["mean_1"].alias("mean_1"),
+        b["mean_2"].alias("mean_2"),
+        b["mean_3"].alias("mean_3"),
     )
 
 

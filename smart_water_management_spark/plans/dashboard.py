@@ -44,7 +44,9 @@ _PLAN_MEMO: "OrderedDict[tuple[str, str, str], DataFrame]" = OrderedDict()
 _PLAN_MEMO_MAX = 256
 
 
-def _sql(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataFrame:
+def _sql(
+    spark: SparkSession, sf_dir: str, sql: str, tables: list[str], setup=None
+) -> DataFrame:
     from ..registry import session_is_stopped
     from ..sources.catalog import session_key
 
@@ -55,6 +57,8 @@ def _sql(spark: SparkSession, sf_dir: str, sql: str, tables: list[str]) -> DataF
     if key not in _PLAN_MEMO:
         for t in tables:
             load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        if setup is not None:
+            setup()  # e.g. CREATE TEMP VIEW the memoized statement reads
         _PLAN_MEMO[key] = spark.sql(sql)
         while len(_PLAN_MEMO) > _PLAN_MEMO_MAX:
             _PLAN_MEMO.popitem(last=False)
@@ -309,10 +313,24 @@ FROM (
     "(reference sql/real_data_schema.sql:202-219), served via temp view",
 )
 def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
-    for t in ["orders", "customer", "nation", "region"]:
-        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
-    spark.sql(f"CREATE OR REPLACE TEMP VIEW v_district_performance AS {_Q13}")
-    return spark.sql("SELECT * FROM v_district_performance")
+    # r12 (VERDICT r11 #6): q13 was the one dashboard query outside the
+    # prepared-statement memo — it re-registered the analytical view and
+    # re-parsed both statements on EVERY invocation (~87 ms of pure
+    # driver work per call, measured vs ~0.5 ms for the memoized
+    # queries). The view registration now happens once per
+    # (session, sf_dir) inside the memo-miss branch; the view lifecycle
+    # the operator demonstrates is unchanged — the first call per
+    # session still creates it, and every action re-executes against
+    # the live scans.
+    return _sql(
+        spark,
+        sf_dir,
+        "SELECT * FROM v_district_performance",
+        ["orders", "customer", "nation", "region"],
+        setup=lambda: spark.sql(
+            f"CREATE OR REPLACE TEMP VIEW v_district_performance AS {_Q13}"
+        ),
+    )
 
 
 # Q14: v_thames_monitoring (sql/real_data_schema.sql:221-238) — a filtered

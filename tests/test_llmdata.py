@@ -157,6 +157,85 @@ def test_real_decode_path_works_without_pil(spark):
             )
 
 
+def test_gif_lzw_decode_compressed_streams():
+    """r12 decoder-internals regression: the vendored encoder emits only
+    LITERAL codes, so the roundtrip test never drives the decoder's
+    table-entry branches (code < len(table) multi-byte entries, the
+    code == len(table) KwKwK case, width bumps at table growth). A tiny
+    reference LZW COMPRESSOR here produces genuinely compressed streams
+    over assorted pixel patterns; the r12 byte-accumulator bit reader,
+    memoized base table and translate-based luma must decode them all
+    back to the exact pixels. Also pins the truncation error."""
+    import struct
+
+    import pytest
+
+    from smart_water_management_spark.llmdata import gif_codec as gc
+
+    def lzw_compress(min_code_size: int, pixels: bytes) -> bytes:
+        # classic GIF LZW with table growth + CLEAR at 4096 (12-bit cap)
+        clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+        bw = gc._BitWriter()
+        def fresh():
+            return {bytes([i]): i for i in range(clear)}, end + 1, min_code_size + 1
+        table, nxt, width = fresh()
+        bw.write(clear, width)
+        prev = b""
+        for px in pixels:
+            cur = prev + bytes([px])
+            if cur in table:
+                prev = cur
+                continue
+            bw.write(table[prev], width)
+            table[cur] = nxt
+            nxt += 1
+            if nxt - 1 == (1 << width) and width < 12:
+                width += 1
+            if nxt == 4096:
+                bw.write(clear, width)
+                table, nxt, width = fresh()
+            prev = bytes([px])
+        if prev:
+            bw.write(table[prev], width)
+        bw.write(end, width)
+        return bw.flush()
+
+    def gif_with_stream(w, h, stream, min_code=8):
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HHBBB", w, h, 0x80 | 0x07, 0, 0)
+        for i in range(256):
+            out += bytes((i, i, i))
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+        out.append(min_code)
+        for off in range(0, len(stream), 255):
+            chunk = stream[off : off + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00\x3b"
+        return bytes(out)
+
+    patterns = [
+        bytes([7] * 400),                                   # KwKwK-heavy runs
+        bytes((i % 251 for i in range(4096))),              # width growth
+        bytes((i * i % 256 for i in range(1000))),
+        b"abcabcabcabcABCABC" * 40,                         # repeats
+        bytes(range(256)) * 20,                             # 5120 px, deep table
+    ]
+    for px in patterns:
+        w = 40
+        h = len(px) // w
+        px = px[: w * h]
+        gif = gif_with_stream(w, h, lzw_compress(8, px))
+        frames = gc.decode_gif(gif)
+        assert frames == [(w, h, px)], "compressed-LZW decode mismatch"
+
+    # an LZW stream that ends before yielding n_pixels still raises the
+    # reader's exact truncation error (container framing kept intact)
+    short = lzw_compress(8, bytes(100))[:-3]
+    with pytest.raises(ValueError, match="truncated LZW stream"):
+        gc.decode_gif(gif_with_stream(10, 10, short))
+
+
 def test_vendored_gif_codec_and_real_frame_sampling(spark):
     """The pure-Python GIF codec: multi-frame encode→decode is the
     identity (drives the real LZW bit paths), and

@@ -1,8 +1,21 @@
-"""Run every registered query against its DuckDB oracle at the test SF —
+"""Run registered queries against their DuckDB oracle at the test SF —
 the local mirror of the driver's CORRECTNESS gate. Queries without an
-oracle get a rows-run smoke check (schema resolves, plan executes)."""
+oracle get a rows-run smoke check (schema resolves, plan executes).
+
+The DEFAULT run replays a bounded representative subset (VERDICT r11
+directive #1: the full 520-query replay took ~28 min and overran the
+verification driver's pytest window, truncating the gate at ~95% with
+zero failures): the driver's 50 current CORRECTNESS-window targets, the
+27 headline bench queries, one query per family prefix, and every query
+touched by the current optimization round. The FULL registry replay —
+the same test, all ~520 natural names — remains one documented command:
+
+    SWM_FULL_PARITY=1 python -m pytest tests/test_oracle_parity.py -q
+"""
 
 from __future__ import annotations
+
+import os
 
 import pytest
 
@@ -14,6 +27,104 @@ from .conftest import SF_DIR, assert_oracle_match
 # Aliases share fn+oracle with their target verbatim (asserted below), so
 # parity runs each underlying query once, not twice.
 ALL = sorted(n for n, s in _REGISTRY.items() if s.alias_of is None)
+
+FULL_PARITY = os.environ.get("SWM_FULL_PARITY", "") == "1"
+
+# Queries whose implementation (or a shared helper under them) changed in
+# the CURRENT optimization round — always in the default parity run so the
+# driver's gate re-proves exactly the restructured paths.
+ROUND_TOUCHED = [
+    # r12: x65's corpus PQ encode moved mapInPandas -> mapInArrow
+    # (x123 consumes the same shortlist; x12/x54 share ivf_index /
+    # pq_codebooks and stand witness that the shared spine is intact)
+    "x65_ivfpq_topk",
+    "x12_ivf_topk",
+    "x54_pq_topk",
+    "x123_ann_mmr_rerank",
+    # r12: gif_codec decode fast paths (byte-exact) — x138 + the
+    # use_codec frame-sampling consumer
+    "x138_gif_frame_dedup",
+    "x16_frame_sampling",
+    # r12: png_codec filter-0 encode fast path — the _png_payloads and
+    # thumbnail consumers
+    "x124_png_metadata_audit",
+    "x126_caption_image_consistency",
+    "x139_png_text_metadata",
+    "x147_image_downsample",
+    # r12: j16 banded-Levenshtein rewrite measured and REJECTED (names
+    # avg 9.2 chars; band ≈ full matrix) — kept in the gate as the
+    # decision's witness
+    "j16_blocked_fuzzy_join",
+    # r12: q13 routed through the prepared-statement memo
+    "q13_district_view",
+    # r12: m28 argmin rank-window -> map-side min(struct)
+    "m28_two_changepoint_trend",
+    # r12: shared session pin for the SimHash signature table
+    "x09_simhash_groups",
+    "x35_simhash_hamming_pairs",
+    "x115_dedup_method_agreement",
+]
+
+# The 27 headline bench queries (mirrors bench.py's HEADLINE; asserted in
+# test_default_subset_covers_contract below against the live bench module
+# so the two lists cannot drift apart).
+_HEADLINE = [
+    "a01_multi_agg_pricing", "a14_rollup_grains", "j03_star_join",
+    "j09_asof_join", "j10_range_join", "k04_skew_join_salted",
+    "k06_bloom_prefilter", "w02_range_rolling", "w06_rolling_zscore",
+    "w13_time_weighted_avg", "q05_district_performance",
+    "v01_fused_validation", "t01_tumbling_hourly", "t03_sessionization",
+    "t05_streaming_hourly", "a24_kmv_sketch", "x05_exact_dedup",
+    "x08_minhash_lsh_dedup", "x53_pps_sample", "x36_tile_dedup",
+    "x10_bruteforce_cosine_topk", "x41_hyperplane_lsh_ann",
+    "x65_ivfpq_topk", "x01_token_stats", "x27_unigram_logppl",
+    "x90_curation_funnel", "p90_domain_pipeline",
+]
+
+
+def _default_subset() -> set[str]:
+    from smart_water_management_spark.driver_window import DRIVER_WINDOW
+
+    subset = set(DRIVER_WINDOW) | set(_HEADLINE) | set(ROUND_TOUCHED)
+    # breadth: the alphabetically-first oracle-backed name per family prefix
+    for prefix in sorted({n[0] for n in ALL}):
+        subset.add(next(n for n in ALL if n[0] == prefix))
+    return subset & set(ALL)
+
+
+DEFAULT_SUBSET = _default_subset()
+
+_full_only = pytest.mark.skipif(
+    not FULL_PARITY,
+    reason="full-registry parity replay: set SWM_FULL_PARITY=1",
+)
+
+PARITY_PARAMS = [
+    n if n in DEFAULT_SUBSET else pytest.param(n, marks=_full_only)
+    for n in ALL
+]
+
+
+def test_default_subset_covers_contract():
+    """The bounded default subset must cover (a) every current driver
+    CORRECTNESS-window target, (b) every headline bench query, and (c) the
+    headline list here must equal bench.py's — so the default gate always
+    re-proves exactly what the driver measures."""
+    import importlib.util
+    import os as _os
+
+    from smart_water_management_spark.driver_window import DRIVER_WINDOW
+
+    spec = importlib.util.spec_from_file_location(
+        "swm_bench_contract",
+        _os.path.join(_os.path.dirname(__file__), "..", "bench.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert _HEADLINE == mod.HEADLINE
+    assert set(DRIVER_WINDOW) <= DEFAULT_SUBSET
+    assert set(_HEADLINE) <= DEFAULT_SUBSET
+    assert {n[0] for n in ALL} == {n[0] for n in DEFAULT_SUBSET}
 
 
 def test_driver_window_aliases_are_exact():
@@ -77,7 +188,7 @@ def test_attestation_tail_fully_queued():
     )
 
 
-@pytest.mark.parametrize("name", ALL)
+@pytest.mark.parametrize("name", PARITY_PARAMS)
 def test_query_vs_oracle(spark, duck, name):
     spec = _REGISTRY[name]
     df = spec.fn(spark, SF_DIR)

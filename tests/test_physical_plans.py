@@ -2086,3 +2086,27 @@ def test_exchange_reuse_in_yoy_self_join(spark):
         if "Exchange hashpartitioning(mon" in l and "ReusedExchange" not in l
     ]
     assert len(real) == 1, real
+
+
+def test_x65_encode_is_arrow_native(spark):
+    """r12 (VERDICT r11 #3): the IVF+PQ candidate stream's ONLY Python
+    boundary is the corpus encode, and it must be the Arrow-native
+    MapInArrow node — a MapInPandas would re-pay pandas conversion both
+    ways on every corpus row at scale."""
+    from smart_water_management_spark.llmdata.similarity import (
+        ivfpq_exact_shortlist,
+    )
+
+    plan = plan_of(ivfpq_exact_shortlist(spark, SF_DIR), "simple")
+    assert "MapInArrow" in plan, plan[:1500]
+    assert "MapInPandas" not in plan, plan[:1500]
+
+
+def test_m28_argmin_is_mapside_aggregate(spark):
+    """r12: m28's two-change-point argmin must be a partial (map-side)
+    min over the (t1, t2) pair grid, not a rank window — the window
+    form shuffled and fully sorted the whole hours^2-per-type grid.
+    Exactly ONE row_number window remains (the series index t)."""
+    plan = plan_of(_q(spark, "m28_two_changepoint_trend"))
+    assert "partial_min" in plan, plan[:2000]
+    assert plan.count("row_number()") <= 2, plan.count("row_number()")
