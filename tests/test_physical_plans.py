@@ -116,7 +116,55 @@ def test_partition_pruning_on_partitioned_sink(spark):
     assert "month" in pf and "year" in pf
 
 
-def test_no_cartesian_products_anywhere(spark):
+@pytest.fixture(scope="session")
+def registry_audit(spark):
+    """ONE construction + plan pass over every natural registry name,
+    shared by the four registry-wide audits (cartesian, unbounded global
+    window, low-NDV window, unbounded nested-loop). r12: the four tests
+    each rebuilt all ~520 query plans independently — 696 s of the
+    default pytest gate for identical construction work; one shared
+    sweep keeps the exact same no-skip-list coverage (every natural
+    name, errors reported not swallowed) at a quarter of the cost. The
+    walkers run on every name; per-test exception lists are applied at
+    ASSERT time so the allowlists stay local to their audits."""
+    from smart_water_management_spark import registry as _registry
+    from smart_water_management_spark.sources.catalog import clear_table_cache
+
+    _registry.set_posture("production")
+    clear_table_cache(spark)
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    out = {
+        "errors": [], "cartesian": [],
+        "low_ndv": {}, "global_win": {}, "bnlj": {},
+    }
+    try:
+        for name, spec in sorted(_REGISTRY.items()):
+            if spec.alias_of is not None:
+                continue
+            try:
+                df = spec.fn(spark, SF_DIR)
+                plan = plan_of(df, "simple")
+            except Exception as exc:  # noqa: BLE001 — reported, not swallowed
+                out["errors"].append(f"{name}: {type(exc).__name__}: {exc}")
+                continue
+            if "CartesianProduct" in plan:
+                out["cartesian"].append(name)
+            bad = low_ndv_partitioned_windows(df)
+            if bad:
+                out["low_ndv"][name] = bad
+            bad = unbounded_global_windows(df)
+            if bad:
+                out["global_win"][name] = bad
+            bad = unbounded_nested_loop_joins(df)
+            if bad:
+                out["bnlj"][name] = bad
+    finally:
+        _registry.set_posture("auto")
+    return out
+
+
+def test_no_cartesian_products_anywhere(registry_audit):
     """No registered query may plan a CartesianProduct — the brute-force
     similarity baselines broadcast one side, so even those are
     BroadcastNestedLoopJoin at worst. VERDICT r9 directive #3: the audit
@@ -125,19 +173,11 @@ def test_no_cartesian_products_anywhere(spark):
     list — the former `m0/t0/x12/x13/s0` exclusion silently skipped plain
     batch queries like x120–x139 — and any plan_of failure is itself a
     test failure, not a silent `continue`."""
-    offenders, errors = [], []
-    for name, spec in sorted(_REGISTRY.items()):
-        if spec.alias_of is not None:
-            continue
-        try:
-            plan = plan_of(spec.fn(spark, SF_DIR), "simple")
-        except Exception as exc:  # noqa: BLE001 — reported, not swallowed
-            errors.append(f"{name}: {type(exc).__name__}: {exc}")
-            continue
-        if "CartesianProduct" in plan:
-            offenders.append(name)
+    errors = registry_audit["errors"]
     assert not errors, "plan_of failed for:\n" + "\n".join(errors)
-    assert not offenders, f"cartesian products in: {offenders}"
+    assert not registry_audit["cartesian"], (
+        f"cartesian products in: {registry_audit['cartesian']}"
+    )
 
 
 def test_window_single_shuffle(spark):
@@ -1275,18 +1315,15 @@ def test_low_ndv_helper_catches_synthetic_regression(spark):
     assert low_ndv_partitioned_windows(reduced) == []
 
 
-def test_no_low_ndv_partition_window_anywhere(spark):
+def test_no_low_ndv_partition_window_anywhere(registry_audit):
     """Registry-wide: no query may partition a window over unreduced
     data by enum-cardinality keys alone (parallelism would be capped at
     the enum NDV on any cluster)."""
-    violations = {}
-    for name in sorted(n for n, s in _REGISTRY.items() if s.alias_of is None):
-        if name in _LOW_NDV_WINDOW_EXCEPTIONS:
-            continue
-        df = _REGISTRY[name].fn(spark, SF_DIR)
-        bad = low_ndv_partitioned_windows(df)
-        if bad:
-            violations[name] = bad
+    violations = {
+        name: bad
+        for name, bad in registry_audit["low_ndv"].items()
+        if name not in _LOW_NDV_WINDOW_EXCEPTIONS
+    }
     assert not violations, violations
 
 
@@ -1297,18 +1334,14 @@ def test_low_ndv_window_exceptions_still_needed(spark):
         assert low_ndv_partitioned_windows(df), f"stale exception: {name}"
 
 
-def test_no_unbounded_global_window_anywhere(spark):
+def test_no_unbounded_global_window_anywhere(registry_audit):
     """Registry-wide: no query may single-task-sort unreduced data.
-    (One sweep, all violations reported together; ~the cost of building
-    every query's plan once.)"""
-    violations = {}
-    for name in sorted(n for n, s in _REGISTRY.items() if s.alias_of is None):
-        if name in _GLOBAL_WINDOW_EXCEPTIONS:
-            continue
-        df = _REGISTRY[name].fn(spark, SF_DIR)
-        bad = unbounded_global_windows(df)
-        if bad:
-            violations[name] = bad
+    (One shared sweep, all violations reported together.)"""
+    violations = {
+        name: bad
+        for name, bad in registry_audit["global_win"].items()
+        if name not in _GLOBAL_WINDOW_EXCEPTIONS
+    }
     assert not violations, violations
 
 
@@ -1983,18 +2016,15 @@ def test_nested_loop_audit_flags_synthetic_offender(spark):
     assert unbounded_nested_loop_joins(ok2) == []
 
 
-def test_no_unbounded_nested_loop_join_anywhere(spark):
+def test_no_unbounded_nested_loop_join_anywhere(registry_audit):
     """Registry-wide: every CartesianProduct / BroadcastNestedLoopJoin
     must have a provably bounded build side or a justified allowlist
-    entry (one sweep over every query's physical plan)."""
-    violations = {}
-    for name in sorted(n for n, s in _REGISTRY.items() if s.alias_of is None):
-        if name in _NESTED_LOOP_EXCEPTIONS:
-            continue
-        df = _REGISTRY[name].fn(spark, SF_DIR)
-        bad = unbounded_nested_loop_joins(df)
-        if bad:
-            violations[name] = bad
+    entry (one shared sweep over every query's physical plan)."""
+    violations = {
+        name: bad
+        for name, bad in registry_audit["bnlj"].items()
+        if name not in _NESTED_LOOP_EXCEPTIONS
+    }
     assert not violations, violations
 
 
